@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar expressions for the LLM-data-pipeline operator set
+  * (SURVEY.md §2.10). Everything here is composed from built-in higher-order
+  * functions so the hot path stays inside whole-stage codegen — no UDFs.
+  *
+  * These generalize the reference's TITLE/DESCRIPTION string handling
+  * (OmmCancellationHandler.java:142–143) to corpus scale.
+  */
+object TextExprs {
+
+  /** Whitespace tokenization. Empty input → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles, e.g. n=3 → "a b c" strings. Docs shorter than n
+    * tokens yield a single shingle of all their tokens (never empty — keeps
+    * short docs joinable in near-dup pipelines). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val k  = size(ts)
+    val slide = transform(
+      sequence(lit(0), greatest(k - n, lit(0))),
+      i => array_join(slice(ts, i + 1, n), " "))
+    array_distinct(slide)
+  }
+
+  /** Character n-grams of the whitespace-normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n))))
+  }
+
+  /** Ratio of punctuation chars to total chars (quality-score feature). */
+  def punctRatio(text: Column): Column = {
+    val total = greatest(length(text), lit(1)).cast("double")
+    length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / total
+  }
+
+  /** Ratio of alphabetic chars to total chars. */
+  def alphaRatio(text: Column): Column = {
+    val total = greatest(length(text), lit(1)).cast("double")
+    length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / total
+  }
+
+  /** Mean token length ×100, kept integral for oracle-exact comparison:
+    * (sum of token chars) and token count are both exact ints. */
+  def meanTokenLenX100(text: Column): Column = {
+    val ts = tokens(text)
+    val chars = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+    call_function("div", chars * 100L, greatest(size(ts).cast("long"), lit(1L)))
+  }
+
+  /** Deterministic 64-bit document fingerprint: polynomial rolling hash over
+    * the raw bytes (h ← (h·31 + code) mod 1e9+7). Same recurrence is
+    * expressible in ANSI SQL (list_reduce), giving an oracle-checkable
+    * fingerprint — unlike xxhash64 which is engine-specific. */
+  def polyFingerprint(text: Column): Column = {
+    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+  }
+
+  /** Cheap n-gram-free language-ID heuristic: count stopword hits per
+    * language and take the argmax. Returns the language code column. */
+  def langIdGuess(text: Column): Column = {
+    val ts = distinctTokens(lower(text))
+    def hits(words: Seq[String]): Column =
+      size(array_intersect(ts, array(words.map(lit): _*)))
+    val scored = Seq(
+      "en" -> hits(Seq("the", "a", "of", "and", "to", "in", "is", "it")),
+      "es" -> hits(Seq("el", "la", "de", "y", "en", "que", "los", "un")),
+      "fr" -> hits(Seq("le", "la", "de", "et", "un", "les", "des", "est")),
+      "de" -> hits(Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu")),
+      "zh" -> hits(Seq("的", "是", "了", "在", "我", "有", "和", "不")))
+    // argmax by score with language-code tiebreak (deterministic)
+    val structs = scored.map { case (lang, score) =>
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // greatest picks max by struct ordering: score first, then lang desc? —
+    // struct comparison is lexicographic on fields, so (score, lang): ties
+    // resolve by lang string ordering; deterministic either way.
+    greatest(structs: _*).getField("lang")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector scalar expressions over `array<float>` / `array<double>`
+  * embedding columns (SURVEY.md §2.10 similarity search).
+  *
+  * Built from higher-order functions (`zip_with`, `aggregate`, `transform`) —
+  * codegen-friendly, no UDF boxing, and the arithmetic order is a plain
+  * left-to-right fold so results are reproducible and oracle-comparable.
+  * All math is done in double regardless of input element type.
+  */
+object VectorExprs {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  /** Cosine similarity = dot / (|a|·|b|). Zero vectors → null (guarded). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(null).cast("double")).otherwise(d / den)
+  }
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign bit of the projection onto a fixed hyperplane — one bit of a
+    * random-hyperplane LSH signature. `plane` must be a literal array. */
+  def hyperplaneBit(v: Column, plane: Seq[Double]): Column = {
+    val p = array(plane.map(lit): _*)
+    (dot(v, p) >= 0.0).cast("int")
+  }
+
+  /** k-bit random-hyperplane LSH bucket id for cosine similarity.
+    * Planes are generated from a deterministic seed at plan time (driver
+    * side), so the bucketing is stable across runs and executors. At scale
+    * this is the shuffle key that turns an O(n²) all-pairs similarity into
+    * per-bucket local joins. */
+  def lshBucket(v: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    planes.zipWithIndex.map { case (plane, i) =>
+      hyperplaneBit(v, plane) * (1 << i)
+    }.reduce(_ + _)
+  }
+}

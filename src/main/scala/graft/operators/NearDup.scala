@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs
+
+/** Near-duplicate text detection (SURVEY.md §2.10): n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale notes (the whole point of these over a naive cross join):
+  *  - `shingleJaccardPairs` joins on the shingle — cost is Σ|posting list|²
+  *    per shingle, not n². Hot shingles (stopword runs) are the skew risk;
+  *    `maxPostings` caps them (standard df-cut from the dedup literature).
+  *  - `minhashLshPairs` computes b band keys per doc and self-joins on the
+  *    band key: candidates only, verified by exact Jaccard afterwards.
+  *    Shuffle volume is O(n·b), independent of corpus pair count.
+  *  - `simhash` is a single map-side pass producing a 64-bit signature;
+  *    near-dup = equal signature (or equal on rotated bands for hamming>0).
+  */
+object NearDup {
+
+  /** Explode documents to distinct word-`n`-gram shingles.
+    * Output: (id, shingle). */
+  def shingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"),
+      explode(TextExprs.wordShingles(text, n)).as("shingle"))
+
+  /** Exact all-pairs Jaccard over word n-gram shingle sets, emitting pairs with
+    * similarity ≥ `threshold`. `maxPostings` drops shingles whose posting list
+    * exceeds the cap (ubiquitous shingles carry no signal and quadratic cost). */
+  def shingleJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                          n: Int, threshold: Double,
+                          maxPostings: Int = 1000): DataFrame = {
+    val sh = shingles(docs, id, text, n)
+    val filtered = sh
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxPostings)
+      .drop("__df")
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("id").as("id_a"), col("shingle"))
+    val b = filtered.select(col("id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numPerms` hash functions take the min of
+    * `xxhash64(shingle, seed_i)` over the doc's shingle set. Pure map-side
+    * (aggregate over the shingle array) — no shuffle to build signatures. */
+  def minhashSignature(text: Column, n: Int, numPerms: Int): Column = {
+    val sh = TextExprs.wordShingles(text, n)
+    val mins = (0 until numPerms).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }
+    array(mins: _*)
+  }
+
+  /** MinHash+LSH candidate pairs, verified with exact shingle Jaccard.
+    * bands×rowsPerBand hash functions; docs sharing any band bucket become
+    * candidates. Returns (id_a, id_b, jaccard ≥ threshold). */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val withSig = docs.select(id.as("id"), text.as("__text"),
+      minhashSignature(text, n, numPerms).as("sig"))
+    // band key = hash of the band's slice of the signature
+    val banded = withSig.select(col("id"), col("__text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")), ",")))).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("__text").as("text_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("__text").as("text_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "text_a", "text_b")
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val shA = TextExprs.wordShingles(col("text_a"), n)
+    val shB = TextExprs.wordShingles(col("text_b"), n)
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(shA, shB)).cast("double") /
+          size(array_union(shA, shB)).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token multiset: per bit, majority vote of token
+    * hash bits. Single map-side pass (aggregate over a 64-long counter array). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextExprs.tokens(text), t => xxhash64(t))
+    // counts[b] = Σ tokens (bit b set ? +1 : -1)
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, b) => c + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)))
+    // fold bits where count > 0 into a long
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets: same bucket →
+    * exact cosine — approximate recall, linear shuffle. */
+  def embeddingNearDupPairs(embs: DataFrame, id: Column, vec: Column,
+                            dim: Int, bits: Int, seed: Long,
+                            threshold: Double): DataFrame = {
+    import graft.functions.VectorExprs
+    val bucketed = embs.select(id.as("id"), vec.as("v"),
+      VectorExprs.lshBucket(vec, dim, bits, seed).as("bucket"))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorExprs.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}
