@@ -29,8 +29,11 @@ object TextExprs {
     val k  = size(ts)
     val slide = transform(
       sequence(lit(0), greatest(k - n, lit(0))),
-      i => array_join(slice(ts, i + 1, n), " "))
-    array_distinct(slide)
+      i => array_join(slice(ts, i + 1, lit(n)), " "))
+    // Empty doc → empty shingle set (not [""]): otherwise every empty doc
+    // becomes a mutual near-dup candidate of every other empty doc.
+    when(k === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(slide))
   }
 
   /** Character n-grams of the whitespace-normalized text. */

@@ -69,34 +69,38 @@ object NearDup {
 
   /** MinHash+LSH candidate pairs, verified with exact shingle Jaccard.
     * bands×rowsPerBand hash functions; docs sharing any band bucket become
-    * candidates. Returns (id_a, id_b, jaccard ≥ threshold). */
+    * candidates. Returns (id_a, id_b, jaccard ≥ threshold).
+    *
+    * Scale shape: only `(band, bucket, id)` flows through the candidate
+    * shuffle — document text is re-joined BY ID after the id-pair distinct,
+    * so shuffle bytes are O(n·bands·16B), independent of text size. Carrying
+    * text through the band explode would multiply corpus bytes ×bands. */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val numPerms = bands * rowsPerBand
-    val withSig = docs.select(id.as("id"), text.as("__text"),
+    val withSig = docs.select(id.as("id"),
       minhashSignature(text, n, numPerms).as("sig"))
     // band key = hash of the band's slice of the signature
-    val banded = withSig.select(col("id"), col("__text"),
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(
-          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast("string")), ",")))).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("__text").as("text_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("__text").as("text_b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
+      .select("id_a", "id_b")
       .distinct()
-    // verify candidates with exact Jaccard on the shingle sets
-    val shA = TextExprs.wordShingles(col("text_a"), n)
-    val shB = TextExprs.wordShingles(col("text_b"), n)
+    // join text back by id, then verify candidates with exact Jaccard
+    val texts = docs.select(id.as("id"), TextExprs.wordShingles(text, n).as("sh"))
     cand
+      .join(texts.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(shA, shB)).cast("double") /
-          size(array_union(shA, shB)).cast("double"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -110,11 +114,13 @@ object NearDup {
       hashes,
       array_repeat(lit(0), 64),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, b) => c + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)))
+        (c, b) => c + when(call_function("shiftright", h, b)
+          .bitwiseAND(1L) === 1L, 1).otherwise(-1)))
     // fold bits where count > 0 into a long
     aggregate(
       zip_with(counts, sequence(lit(0), lit(63)),
-        (c, b) => when(c > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
