@@ -1,0 +1,527 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExprs, TimeExprs, VectorExprs}
+import graft.operators.{Dedup, NearDup, Similarity}
+import graft.sources.Tables
+
+/** The operator inventory (SURVEY.md §2) instantiated as named queries over
+  * the driver testdata (TESTDATA.md), each with equivalent DuckDB oracle SQL.
+  *
+  * Oracle-hash discipline (the driver sorts columns by name and hashes
+  * values — SparkEntry contract):
+  *  - aggregates of doubles go through exact decimal(18,2) sums, then cast
+  *    back to double: both engines produce the identical nearest double of
+  *    the same exact decimal;
+  *  - ratios/cosines are a single IEEE op sequence mirrored verbatim in the
+  *    oracle SQL, then round(…, 4..6);
+  *  - timestamps are rendered to strings with explicit formats.
+  */
+object TestdataQueries {
+
+  /** Exact sum of a double measure: decimal for associativity-proof
+    * accumulation, double for a schema both engines agree on. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- A3 / P1
+  // Grouped aggregation over the fact table (per-poll count metrics analog).
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------- J1–J10 / F1
+  // Deep join tree: inner facts + left-joined dims, with a WHERE predicate on
+  // a left-joined column (replicates the reference's F1-converts-J2-to-inner
+  // interplay, cancellations_current_future.sql:32). Dims are broadcast.
+  private def q2JoinTree(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size") > 10 && col("s_acctbal") > 0 &&
+        col("r_name").isNotNull)
+      .groupBy("r_name", "o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  private val q2Sql =
+    """SELECT r_name, o_orderpriority, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN part     ON l_partkey = p_partkey
+      |WHERE p_size > 10 AND s_acctbal > 0 AND r_name IS NOT NULL
+      |GROUP BY r_name, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- F2–F6
+  // Temporal-validity OR-branch + IN-list + null checks (snapshot predicate
+  // analog of cancellations_current_future.sql:33–38).
+  private def q3Filters(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(
+        (col("o_orderdate") > lit("1996-01-01").cast("timestamp")
+          || (col("o_orderstatus") === "F"
+            && col("o_orderdate") >= lit("1994-06-01").cast("timestamp")))
+          && col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  private val q3Sql =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE (o_orderdate > TIMESTAMP '1996-01-01'
+      |       OR (o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1994-06-01'))
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_custkey IS NOT NULL""".stripMargin
+
+  // ---------------------------------------------------------------- P2–P8
+  // Scalar projection pack: fixed-char cast, substring digit extract,
+  // string→int cast, style-112 date, zero-pad, service-day time (>24h safe).
+  private def q4Scalars(s: SparkSession, d: String): DataFrame = {
+    val ts = col("ts").cast("timestamp")
+    // base = midnight of the previous day → hours in 24..47, exercising the
+    // no-mod-24 semantics (cancellations_current_future.sql:17–19).
+    val base = date_trunc("day", ts) - expr("INTERVAL 1 DAY")
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("event_id").cast("string").as("id_str"),
+      substring(col("event_id").cast("string"), 1, 1).cast("int").as("first_digit"),
+      TimeExprs.style112(ts).as("day112"),
+      TimeExprs.zeroPad2(dayofmonth(ts)).as("dom_padded"),
+      TimeExprs.serviceDayTime(base, ts).as("service_time"))
+  }
+
+  private val q4Sql =
+    """SELECT event_id,
+      |  CAST(event_id AS VARCHAR) AS id_str,
+      |  CAST(substring(CAST(event_id AS VARCHAR), 1, 1) AS INTEGER) AS first_digit,
+      |  strftime(ts, '%Y%m%d') AS day112,
+      |  lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS dom_padded,
+      |  lpad(CAST(((epoch_ms(ts::TIMESTAMP) - epoch_ms(date_trunc('day', ts::TIMESTAMP) - INTERVAL 1 DAY)) // 60000) // 60 AS VARCHAR), 2, '0')
+      |    || ':' || lpad(CAST(((epoch_ms(ts::TIMESTAMP) - epoch_ms(date_trunc('day', ts::TIMESTAMP) - INTERVAL 1 DAY)) // 60000) % 60 AS VARCHAR), 2, '0')
+      |    || ':00' AS service_time
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------------- A1
+  // Grouped priority dedup ≙ filterDuplicates (OmmCancellationHandler.java:
+  // 168–204): per user, 'error' events (≙ CANCELED) beat others (≙ RUNNING),
+  // then latest ts, then smallest event_id (deterministic total order).
+  private def q5PriorityDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val priority = when(col("event_type") === "error", 0).otherwise(1)
+    Dedup.priorityDedup(ev, Seq("user_id"), priority,
+        col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+  }
+
+  private val q5Sql =
+    """SELECT user_id, event_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY (CASE WHEN event_type = 'error' THEN 0 ELSE 1 END),
+      |             ts DESC, event_id) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------------------- A2
+  // Batch-over-batch diff ≙ logChangesInCancellations: split events at a ts
+  // midpoint, count users new-vs-repeated in the second half.
+  // events span 2024-01-01 .. 2024-01-30; split after week 1 so the "current
+  // batch" genuinely contains both repeated and (at key granularity
+  // user×type) new keys.
+  private val splitTs = "2024-01-08"
+
+  private def q6BatchDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val prev = ev.filter(col("ts") < lit(splitTs).cast("timestamp"))
+    val curr = ev.filter(col("ts") >= lit(splitTs).cast("timestamp"))
+    Dedup.batchDiffCounts(curr, prev, "user_id")
+  }
+
+  private val q6Sql =
+    s"""SELECT
+       |  count(CASE WHEN p.user_id IS NULL THEN 1 END) AS new_keys,
+       |  count(CASE WHEN p.user_id IS NOT NULL THEN 1 END) AS repeated_keys
+       |FROM (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '$splitTs') c
+       |LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '$splitTs') p
+       |  USING (user_id)""".stripMargin
+
+  // Change capture rows: current-batch rows whose key is absent from prev.
+  private def q7NewRows(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val prev = ev.filter(col("ts") < lit(splitTs).cast("timestamp"))
+    val curr = ev.filter(col("ts") >= lit(splitTs).cast("timestamp"))
+    Dedup.newRows(curr, prev, Seq("user_id", "event_type"))
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n_events"))
+  }
+
+  private val q7Sql =
+    s"""SELECT user_id, event_type, count(*) AS n_events
+       |FROM events c WHERE ts >= TIMESTAMP '$splitTs'
+       |  AND NOT EXISTS (SELECT 1 FROM events p
+       |                  WHERE p.ts < TIMESTAMP '$splitTs'
+       |                    AND p.user_id = c.user_id
+       |                    AND p.event_type = c.event_type)
+       |GROUP BY user_id, event_type""".stripMargin
+
+  // ------------------------------------------------------- exact dedup §2.10
+  private def q8DupGroups(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(s, d), col("text"), col("doc_id"))
+      .select(col("representative_id"), col("n_copies"))
+
+  private val q8Sql =
+    """SELECT min(doc_id) AS representative_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  private def q9ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, d), col("text"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  private val q9Sql =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- U1–U3
+  // Timezone conversions. q10 treats events.ts as Helsinki wall-clock → UTC
+  // epoch-ms (≙ toUtcEpochMs); hours 2–4 filtered out on both sides to dodge
+  // engine-specific DST-ambiguity resolution (the unit tests cover DST).
+  private def q10TzEpoch(s: SparkSession, d: String): DataFrame = {
+    val ts = col("ts").cast("timestamp")
+    Tables.events(s, d)
+      .filter(!hour(ts).isin(2, 3, 4))
+      .select(col("event_id"),
+        TimeExprs.toUtcEpochMs(ts, "Europe/Helsinki").as("epoch_ms"),
+        TimeExprs.localDatetimeAsString(ts, "Europe/Helsinki").as("local_dt"),
+        TimeExprs.localDateAsString(ts, "Europe/Helsinki").as("local_d"))
+  }
+
+  private val q10Sql =
+    """SELECT event_id,
+      |  epoch_ms(timezone('Europe/Helsinki', ts::TIMESTAMP)) AS epoch_ms,
+      |  strftime(timezone('Europe/Helsinki', timezone('UTC', ts::TIMESTAMP)),
+      |           '%Y-%m-%d %H:%M:%S') AS local_dt,
+      |  strftime(timezone('Europe/Helsinki', timezone('UTC', ts::TIMESTAMP)),
+      |           '%Y-%m-%d') AS local_d
+      |FROM events WHERE hour(ts) NOT IN (2, 3, 4)""".stripMargin
+
+  // ------------------------------------------------------------------- U5
+  // Status derivation (deleted→RUNNING else CANCELED analog), aggregated.
+  private def q11Status(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(lower(col("event_type")) === "error", "RUNNING")
+          .otherwise("CANCELED").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+
+  private val q11Sql =
+    """SELECT CASE WHEN lower(event_type) = 'error' THEN 'RUNNING'
+      |            ELSE 'CANCELED' END AS status, count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- U4/F8
+  // Enum allow-list row-drop with side-output counts (≙ Hand:161–163).
+  private val eventAllowList = Seq("click", "view", "purchase", "signup")
+
+  private def q12EnumReject(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(when(col("event_type").isin(eventAllowList.map(lit): _*),
+        "kept").otherwise("rejected").as("disposition"))
+      .groupBy("disposition").agg(count(lit(1)).as("n"))
+
+  private val q12Sql =
+    """SELECT CASE WHEN event_type IN ('click','view','purchase','signup')
+      |            THEN 'kept' ELSE 'rejected' END AS disposition, count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------- O1
+  // Sink-boundary sort (ORDER BY last_modified analog). The driver hashes
+  // sorted rows, so the *global sort* is exercised in bench; correctness
+  // checks content equality.
+  private def q13Sort(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"))
+
+  private val q13Sql =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+      |FROM orders ORDER BY o_orderdate, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------- window extension
+  // Top-3 orders per customer (window top-k, §2.7 extension surface).
+  private def q14TopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+  }
+
+  private val q14Sql =
+    """SELECT o_custkey, rank, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |      FROM orders) WHERE rank <= 3""".stripMargin
+
+  // ------------------------------------------------------ text analysis §2.10
+  private def q15TextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextExprs.tokenCount(col("text")).as("n_tokens"),
+      size(TextExprs.distinctTokens(col("text"))).as("n_distinct"),
+      length(col("text")).as("n_chars_m"),
+      round(TextExprs.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextExprs.alphaRatio(col("text")), 6).as("alpha_ratio"))
+
+  private val q15Sql =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct,
+      |  length(text) AS n_chars_m,
+      |  round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+      |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+      |  round(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+      |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio
+      |FROM documents""".stripMargin
+
+  // Language-ID heuristic vs the labeled lang column.
+  private def q16LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextExprs.langIdGuess(col("text")).as("lang_guess"))
+
+  // Mirrors langIdGuess's greatest(struct(score, lang)): winner = max score,
+  // ties broken by max lang string → CASE tested in descending lang order.
+  private val q16Sql = {
+    val langs = Seq(
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "est"),
+      "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "un"),
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu"))
+    val scores = langs.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), $arr)) AS ${l}_s"
+    }.mkString(",\n  ")
+    val cases = langs.map { case (l, _) =>
+      val others = langs.map(_._1).filterNot(_ == l)
+      val cond = others.map(o => s"${l}_s >= ${o}_s").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n    ", "\n    ", "")
+    s"""SELECT doc_id, lang, CASE$cases
+       |  END AS lang_guess
+       |FROM (SELECT doc_id, lang, text,
+       |  $scores
+       |FROM documents)""".stripMargin
+  }
+
+  // Deterministic rolling-hash fingerprint (oracle-portable, unlike xxhash).
+  private def q17Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        TextExprs.polyFingerprint(col("text")).as("fingerprint"))
+
+  private val q17Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents WHERE length(text) > 0""".stripMargin
+
+  // ------------------------------------------------------------ near-dup §2.10
+  private def q18ShingleJaccard(s: SparkSession, d: String): DataFrame =
+    NearDup.shingleJaccardPairs(Tables.documents(s, d),
+      col("doc_id"), col("text"), n = 3, threshold = 0.8, maxPostings = 1000)
+
+  private val q18Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+      |  )) AS shingle FROM toks WHERE len(ts) > 0),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+      |    FROM sh0) WHERE df <= 1000),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  round(CAST(n_inter AS DOUBLE) /
+      |        CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8""".stripMargin
+
+  // MinHash+LSH and SimHash are xxhash64-based (engine-specific hash) — no
+  // DuckDB oracle; driver records the weaker rows-only check.
+  private def q19MinhashLsh(s: SparkSession, d: String): DataFrame =
+    NearDup.minhashLshPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+
+  private def q20Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), NearDup.simhash(col("text")).as("simhash"))
+
+  // --------------------------------------------------------- similarity §2.10
+  // Brute-force exact cosine top-k: queries = vec_id < 10, broadcast side.
+  private def q21CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  // The oracle mirrors the exact IEEE op sequence: sequential double dot
+  // products, sqrt norms, one division — then round(4).
+  private val q21Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_inner_product(q.qv, e.v) /
+      |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS c
+      |  FROM e CROSS JOIN q WHERE q.query_id <> e.vec_id)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cos
+      |FROM (SELECT *, CAST(row_number() OVER (
+      |        PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+      |      FROM s) WHERE rank <= 5""".stripMargin
+
+  // IVF/LSH-bucketed ANN (Scala-side RNG planes — rows-only check) and
+  // embedding near-dup pairs.
+  private def q22CosineIvf(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64, bits = 4, seed = 42L)
+  }
+
+  // The synthetic embeddings top out at pairwise cosine ≈0.51, so 0.4 is the
+  // "near-dup" bar that actually yields pairs; 4 bits keeps bucket recall
+  // meaningful at that low a similarity.
+  private def q23EmbNearDup(s: SparkSession, d: String): DataFrame =
+    NearDup.embeddingNearDupPairs(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding"), dim = 64, bits = 4, seed = 7L,
+      threshold = 0.4)
+
+  // ------------------------------------------------------------- JSON props
+  // Regex field extraction from the events.props JSON blob (kept regex-based
+  // so the oracle needs no DuckDB JSON extension).
+  private def q24PropsExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+
+  private val q24Sql =
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+      |  count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- running window
+  private def q25RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("running_n"))
+  }
+
+  private val q25Sql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS running_n
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join_tree" -> (q2JoinTree _),
+    "q3_filters" -> (q3Filters _),
+    "q4_scalars" -> (q4Scalars _),
+    "q5_priority_dedup" -> (q5PriorityDedup _),
+    "q6_batch_diff" -> (q6BatchDiff _),
+    "q7_new_rows" -> (q7NewRows _),
+    "q8_dup_groups" -> (q8DupGroups _),
+    "q9_exact_dedup" -> (q9ExactDedup _),
+    "q10_tz" -> (q10TzEpoch _),
+    "q11_status_derive" -> (q11Status _),
+    "q12_enum_reject" -> (q12EnumReject _),
+    "q13_sort" -> (q13Sort _),
+    "q14_topn" -> (q14TopN _),
+    "q15_text_stats" -> (q15TextStats _),
+    "q16_lang_id" -> (q16LangId _),
+    "q17_fingerprint" -> (q17Fingerprint _),
+    "q18_shingle_jaccard" -> (q18ShingleJaccard _),
+    "q19_minhash_lsh" -> (q19MinhashLsh _),
+    "q20_simhash" -> (q20Simhash _),
+    "q21_cosine_topk" -> (q21CosineTopK _),
+    "q22_cosine_ivf" -> (q22CosineIvf _),
+    "q23_emb_neardup" -> (q23EmbNearDup _),
+    "q24_props_extract" -> (q24PropsExtract _),
+    "q25_running_window" -> (q25RunningSum _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_join_tree" -> q2Sql,
+    "q3_filters" -> q3Sql,
+    "q4_scalars" -> q4Sql,
+    "q5_priority_dedup" -> q5Sql,
+    "q6_batch_diff" -> q6Sql,
+    "q7_new_rows" -> q7Sql,
+    "q8_dup_groups" -> q8Sql,
+    "q9_exact_dedup" -> q9Sql,
+    "q10_tz" -> q10Sql,
+    "q11_status_derive" -> q11Sql,
+    "q12_enum_reject" -> q12Sql,
+    "q13_sort" -> q13Sql,
+    "q14_topn" -> q14Sql,
+    "q15_text_stats" -> q15Sql,
+    "q16_lang_id" -> q16Sql,
+    "q17_fingerprint" -> q17Sql,
+    "q18_shingle_jaccard" -> q18Sql,
+    "q21_cosine_topk" -> q21Sql,
+    "q24_props_extract" -> q24Sql,
+    "q25_running_window" -> q25Sql)
+}

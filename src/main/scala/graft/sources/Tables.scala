@@ -25,7 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. Read nanos as long (legacy conf) and convert
+    * to a micros timestamp — truncation toward zero matches how micro-native
+    * readers (e.g. DuckDB) downcast the same column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(s, d, "events").withColumn("ts",
+      timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
