@@ -2,14 +2,18 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: the full OMM cancellation pipeline (snapshot → parse →
+    * dedup) over the deterministic fixtures; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.omm.{CancellationPipeline => P, OmmFixtures => F}
+    F.ensure(spark)
+    P.run(spark, F.dir, P.FromNow, F.now, F.today, F.lookbackSeconds, F.zone)
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.TestdataQueries.queries
+    graft.queries.TestdataQueries.queries ++ graft.queries.OmmQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.TestdataQueries.oracleSql
+    graft.queries.TestdataQueries.oracleSql ++ graft.queries.OmmQueries.oracleSql
 }

@@ -44,6 +44,11 @@ object Smoke {
     pairs.show(10)
     println(s"pair count: ${pairs.count()}")
 
+    println("== SparkEntry.entry (OMM flagship, driver smoke) ==")
+    val entry = graft.SparkEntry.entry(spark)
+    entry.show(10, 40)
+    println(s"entry rows: ${entry.count()}")
+
     spark.stop()
   }
 }

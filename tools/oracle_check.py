@@ -16,11 +16,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    if v is None or (isinstance(v, float) and v != v):
+        return "\x00NULL"
     if isinstance(v, float):
-        return round(v, 9)
+        return str(round(v, 9))
     if isinstance(v, bytes):
         return v.hex()
-    return str(v) if v is not None else None
+    return str(v)
 
 
 def main(sf_dir, out_dir):
