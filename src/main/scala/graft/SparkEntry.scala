@@ -11,9 +11,13 @@ object SparkEntry {
   }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.TestdataQueries.queries ++ graft.queries.OmmQueries.queries
+    graft.queries.TestdataQueries.queries ++
+      graft.queries.OmmQueries.queries ++
+      graft.queries.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.TestdataQueries.oracleSql ++ graft.queries.OmmQueries.oracleSql
+    graft.queries.TestdataQueries.oracleSql ++
+      graft.queries.OmmQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,99 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2.10): image/audio/video as opaque
+  * `binary` columns with typed metadata, processed by per-partition batch
+  * operators (`mapPartitions` over typed Datasets — the Scala analog of
+  * `mapInPandas`: iterator-in/iterator-out, one batch per partition, no
+  * per-row UDF dispatch).
+  *
+  * The actual codec work is STUBBED (this container ships no image/audio
+  * libraries): `StubCodecs` documents exactly where a real decoder plugs in
+  * and substitutes a deterministic fake so the pipeline — schemas, encoders,
+  * partitioning, batch iteration, downstream joins — is real and testable.
+  *
+  * At scale: binary payloads never pass through a shuffle here; decode and
+  * featurize are map-side, and anything keyed (top-k over features) shuffles
+  * only the small derived columns.
+  */
+object MultimodalOps {
+
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Int,
+                       width: Int, height: Int, channels: Int, mean_code: Long)
+  case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int)
+  case class MediaFeature(media_id: Long, feature: Array[Float])
+
+  /** Where a real `ImageIO.read`/ffmpeg/soundfile call would go. The fake is
+    * a pure function of the payload so tests and oracles are deterministic. */
+  object StubCodecs {
+    /** STUB ≙ image decode: dimensions derived from payload length, mean
+      * from the UTF-8 code points (a real decoder returns pixel stats). */
+    def decodeImage(content: Array[Byte]): (Int, Int, Int, Long) = {
+      val n = content.length
+      val codes = new String(content, "UTF-8").codePoints().toArray
+      val mean = if (codes.isEmpty) 0L else codes.map(_.toLong).sum / codes.length
+      ((n * 7919) % 1920 + 1, (n * 104729) % 1080 + 1, 3, mean)
+    }
+
+    /** STUB ≙ video frame extraction: fixed-size slices stand in for frames. */
+    val frameBytes = 256
+
+    /** STUB ≙ a learned visual/audio encoder: a hash-derived unit-scale
+      * vector, deterministic per (payload length, position). */
+    def featurize(mediaId: Long, content: Array[Byte], dim: Int): Array[Float] = {
+      val n = content.length
+      Array.tabulate(dim) { i =>
+        val h = (mediaId * 31L + i) * 2654435761L + n * 97L
+        ((h % 2000L) - 1000L).toFloat / 1000.0f
+      }
+    }
+  }
+
+  /** A synthetic media table: document text bytes as the opaque payload
+    * (deterministic; lets the fixtures exercise real multi-KB binaries). */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+  }
+
+  /** Decode/metadata extraction — batch-per-partition over the binary
+    * column; the codec call is the stub. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, c, mean) = StubCodecs.decodeImage(m.content)
+      MediaMeta(m.media_id, m.kind, m.content.length, w, h, c, mean)
+    })
+  }
+
+  /** Frame sampling: every `everyN`-th fixed-size slice of the payload
+    * (≙ ffmpeg -vf select; one output row per sampled frame). */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val nFrames = (m.content.length + StubCodecs.frameBytes - 1) / StubCodecs.frameBytes
+      (0 until nFrames by everyN).map { idx =>
+        val start = idx * StubCodecs.frameBytes
+        Frame(m.media_id, idx,
+          math.min(StubCodecs.frameBytes, m.content.length - start))
+      }
+    })
+  }
+
+  /** Feature extraction to a dense vector column — composable with the
+    * Similarity operators (brute-force / IVF top-k). */
+  def featurize(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m =>
+      MediaFeature(m.media_id, StubCodecs.featurize(m.media_id, m.content, dim))))
+  }
+}

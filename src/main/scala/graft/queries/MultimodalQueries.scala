@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Multimodal operators registered over the synthetic media table derived
+  * from `documents` (§2.10). The stub codecs are pure functions of the
+  * payload, so decode/frame-sample have exact DuckDB oracles — they verify
+  * the Spark-side plumbing (schema, batch iteration, explode shape), which
+  * is the part that's real.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, d: String) =
+    MultimodalOps.mediaFromDocuments(Tables.documents(s, d))
+
+  private def q26MediaMeta(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.decodeMeta(media(s, d)).toDF()
+
+  private val q26Sql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  CAST((octet_length(encode(text)) * 7919) % 1920 + 1 AS INTEGER) AS width,
+      |  CAST((octet_length(encode(text)) * 104729) % 1080 + 1 AS INTEGER) AS height,
+      |  3 AS channels,
+      |  CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
+      |       // len(string_split(text, '')) AS BIGINT) AS mean_code
+      |FROM documents""".stripMargin
+
+  private def q27FrameSample(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.sampleFrames(media(s, d), everyN = 2).toDF()
+
+  private val q27Sql =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT media_id, CAST(idx AS INTEGER) AS frame_idx,
+      |  CAST(least(256, n - idx * 256) AS INTEGER) AS n_bytes
+      |FROM v, unnest(range(0, CAST((n + 255) // 256 AS BIGINT), 2)) AS t(idx)""".stripMargin
+
+  private def q28MediaTopK(s: SparkSession, d: String): DataFrame = {
+    val feats = MultimodalOps.featurize(media(s, d), dim = 16).toDF()
+    Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 5),
+      "media_id", "feature", k = 3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_media_meta" -> (q26MediaMeta _),
+    "q27_frame_sample" -> (q27FrameSample _),
+    "q28_media_embed_topk" -> (q28MediaTopK _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_media_meta" -> q26Sql,
+    "q27_frame_sample" -> q27Sql)
+}
