@@ -52,7 +52,8 @@ object CancellationPipeline {
     * projection, ordered by DC.last_modified (O1). `now`/`today` are the
     * per-poll wall-clock parameter bindings (S2, OmmConnector.java:61–81). */
   def snapshot(t: OmmTables, mode: Mode, now: String, today: String,
-               lookbackSeconds: Long = 1800L): DataFrame = {
+               lookbackSeconds: Long = 1800L,
+               cancellationTypesOnly: Boolean = false): DataFrame = {
     val nowTs = lit(now).cast("timestamp")
     val todayD = lit(today).cast("date")
     val lookbackTs = lit(now).cast("timestamp") - expr(s"INTERVAL $lookbackSeconds SECONDS")
@@ -107,6 +108,14 @@ object CancellationPipeline {
             col("DEVIATION_CASES_LAST_MODIFIED") >= lookbackTs)
     }
 
+    // F7: the reference ships this predicate commented out (CC:31) — all
+    // deviation types flow through by default; kept available behind a flag.
+    val typeFilter =
+      if (cancellationTypesOnly)
+        col("DEVIATION_CASES_TYPE") === "CANCEL_DEPARTURE" &&
+          col("AFFECTED_DEPARTURES_TYPE") === "CANCEL_ENTIRE_DEPARTURE"
+      else lit(true)
+
     dc
       .join(ad, col("deviation_case_id") === col("ad_case_id"), "left") // J1
       .join(blm, col("dc_bulletin_id") === col("blm_bulletins_id"), "left") // J2
@@ -124,6 +133,7 @@ object CancellationPipeline {
       .filter(col("ot_name") === "VehicleJourney") // F4
       .filter(col("gid").isNotNull) // F5
       .filter(col("IsReplacedById").isNull) // F6
+      .filter(typeFilter) // F7 (disabled by default, as in the reference)
       .select( // P1: the 17-column result relation (CC:1–19)
         col("deviation_case_id"),
         col("VALID_FROM"), col("VALID_TO"),
