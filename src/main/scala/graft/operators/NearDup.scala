@@ -28,20 +28,31 @@ object NearDup {
 
   /** Exact all-pairs Jaccard over word n-gram shingle sets, emitting pairs with
     * similarity ≥ `threshold`. `maxPostings` drops shingles whose posting list
-    * exceeds the cap (ubiquitous shingles carry no signal and quadratic cost). */
+    * exceeds the cap (ubiquitous shingles carry no signal and quadratic cost).
+    *
+    * Plan shape: the posting file (id, shingle) is shuffled ONCE into
+    * per-shingle posting lists (`collect_list`, memory-bounded by the
+    * df-cut: a list never exceeds maxPostings ids), pairs come from a
+    * nested explode of each list, and sizes re-derive from the same
+    * aggregate. Alternatives measured at sf0.1: count-over-window df-cut +
+    * posting self-join = 1 extra sort + join of two full posting streams;
+    * broadcast-anti hot-list = recomputes the tokenize+explode twice. */
   def shingleJaccardPairs(docs: DataFrame, id: Column, text: Column,
                           n: Int, threshold: Double,
                           maxPostings: Int = 1000): DataFrame = {
     val sh = shingles(docs, id, text, n)
-    val filtered = sh
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("__df") <= maxPostings)
-      .drop("__df")
-    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col("id").as("id_a"), col("shingle"))
-    val b = filtered.select(col("id").as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    // one shuffle: posting lists per shingle, df-cut applied on list size
+    val posting = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxPostings)
+    // sizes count every kept shingle (including singletons — they stay in
+    // the Jaccard denominator even though they generate no pairs)
+    val sizes = posting.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = posting
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -143,13 +154,19 @@ object NearDup {
                             dim: Int, bits: Int, seed: Long,
                             threshold: Double): DataFrame = {
     import graft.functions.VectorExprs
+    // norms precomputed per row; the bucket shuffle materializes them, so
+    // per-pair work is a single dot product
     val bucketed = embs.select(id.as("id"), vec.as("v"),
-      VectorExprs.lshBucket(vec, dim, bits, seed).as("bucket"))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+      VectorExprs.lshBucket(vec, dim, bits, seed).as("bucket"),
+      VectorExprs.norm2(vec).as("n2"))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("va"), col("n2").as("n2a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"), col("n2").as("n2b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorExprs.cosine(col("va"), col("vb")))
+      .withColumn("cos", VectorExprs.dot(col("va"), col("vb")) /
+        (sqrt(col("n2a")) * sqrt(col("n2b"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .distinct()

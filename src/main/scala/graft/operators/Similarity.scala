@@ -19,14 +19,28 @@ import graft.functions.VectorExprs
   */
 object Similarity {
 
+  /** Per-pair cosine from per-row precomputed norms: the join materializes
+    * each side's norm once (broadcast/shuffle barrier), so an N×M scoring
+    * pass does one dot product per pair instead of three. `sqrt(n2a) *
+    * sqrt(n2b)` (not `sqrt(n2a*n2b)`) keeps the exact IEEE op sequence of
+    * the naive formula, so results are bit-identical with the oracle. */
+  private def pairCosine(qv: Column, cv: Column, qn2: Column, cn2: Column): Column = {
+    val den = sqrt(qn2) * sqrt(cn2)
+    when(den === 0.0, lit(null).cast("double"))
+      .otherwise(VectorExprs.dot(qv, cv) / den)
+  }
+
   /** Exact cosine top-k: for each query vector, the k most similar corpus
     * vectors (excluding itself). Queries are broadcast — they must be small. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      id: String, vec: String, k: Int): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      VectorExprs.norm2(col(vec)).as("qn2"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      VectorExprs.norm2(col(vec)).as("cn2"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorExprs.cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -41,12 +55,13 @@ object Similarity {
               k: Int, dim: Int, bits: Int, seed: Long): DataFrame = {
     val bucket = (v: Column) => VectorExprs.lshBucket(v, dim, bits, seed)
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      bucket(col(vec)).as("bucket"))
+      bucket(col(vec)).as("bucket"), VectorExprs.norm2(col(vec)).as("cn2"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      bucket(col(vec)).as("bucket"))
+      bucket(col(vec)).as("bucket"), VectorExprs.norm2(col(vec)).as("qn2"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorExprs.cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan inspection: prints `explain("formatted")` for the named
+  * registered queries (or a default set of the structurally interesting
+  * ones). Usage: sbt "runMain graft.tools.Explain [sfDir] [q1 q2 ...]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q1_agg", "q2_join_tree", "q5_priority_dedup", "q19_minhash_lsh",
+      "q21_cosine_topk", "omm_snapshot_now")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n######## $n ########")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
