@@ -73,6 +73,39 @@ object TextExprs {
     aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
   }
 
+  /** GPT-2-style pre-tokenizer as a pure regex (the "BPE-ish" token count:
+    * contractions, letter runs, digit runs, punctuation runs, each with an
+    * optional leading space — the shape BPE vocabularies segment on). The
+    * merge step needs a vocabulary; counting pre-tokens is the standard
+    * vocabulary-free token estimate. */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0)) // whole-match group
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Fraction of tokens that are stopwords (quality-score feature). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    val hits = size(array_intersect(ts, array(stopwords.map(lit): _*)))
+    hits.cast("double") / greatest(size(ts), lit(1)).cast("double")
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  /** Composite document quality score in [0,1]: letters dominate, some
+    * stopword mass (fluent prose), enough length. Fixed op order so the
+    * same arithmetic is expressible in an oracle. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, defaultStopwords) * 5.0, lit(1.0))
+    alphaRatio(text) * 0.4 + stopScore * 0.3 + lenScore * 0.3
+  }
+
   /** Cheap n-gram-free language-ID heuristic: count stopword hits per
     * language and take the argmax. Returns the language code column. */
   def langIdGuess(text: Column): Column = {

@@ -473,6 +473,41 @@ object TestdataQueries {
       |                 ROWS UNBOUNDED PRECEDING) AS running_n
       |FROM events""".stripMargin
 
+  // ------------------------------------------- BPE-ish tokens + quality
+  private def q29Bpeish(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextExprs.bpeishTokenCount(col("text")).as("n_bpe"),
+      TextExprs.tokenCount(col("text")).as("n_ws"))
+
+  private val q29Sql = {
+    val pat = TextExprs.bpePattern.replace("\\", "\\").replace("'", "''")
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$pat')) AS n_bpe,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws
+       |FROM documents""".stripMargin
+  }
+
+  private def q30Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0) // parity with the oracle WHERE
+      .select(
+        col("doc_id"),
+        round(TextExprs.qualityScore(col("text")), 6).as("quality"))
+
+  private val q30Sql = {
+    val stops = TextExprs.defaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, round(
+       |  (CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+       |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4
+       |  + least((CAST(len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'), $stops)) AS DOUBLE)
+       |           / CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) AS DOUBLE)) * 5.0, 1.0) * 0.3
+       |  + least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3,
+       |  6) AS quality
+       |FROM documents WHERE length(trim(text)) > 0""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -500,7 +535,9 @@ object TestdataQueries {
     "q22_cosine_ivf" -> (q22CosineIvf _),
     "q23_emb_neardup" -> (q23EmbNearDup _),
     "q24_props_extract" -> (q24PropsExtract _),
-    "q25_running_window" -> (q25RunningSum _))
+    "q25_running_window" -> (q25RunningSum _),
+    "q29_bpeish_tokens" -> (q29Bpeish _),
+    "q30_quality_score" -> (q30Quality _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -523,5 +560,7 @@ object TestdataQueries {
     "q18_shingle_jaccard" -> q18Sql,
     "q21_cosine_topk" -> q21Sql,
     "q24_props_extract" -> q24Sql,
-    "q25_running_window" -> q25Sql)
+    "q25_running_window" -> q25Sql,
+    "q29_bpeish_tokens" -> q29Sql,
+    "q30_quality_score" -> q30Sql)
 }
