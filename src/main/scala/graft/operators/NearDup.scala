@@ -148,6 +148,35 @@ object NearDup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** SimHash near-duplicate pairs: 64-bit signatures split into 4×16-bit
+    * bands; by pigeonhole, any pair with Hamming distance ≤ 3 shares at
+    * least one exact band, so the band join finds all such pairs with an
+    * O(n·4) shuffle. Candidates are verified with `bit_count(xor) ≤
+    * maxHamming` (exact). maxHamming > 3 lowers recall (documented trade). */
+  def simhashNearDupPairs(docs: DataFrame, id: Column, text: Column,
+                          maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(id.as("id"), simhash(text).as("sig"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        call_function("shiftrightunsigned", col("sig"), lit(16 * b))
+          .bitwiseAND(lit(0xFFFFL)).as("value"))
+    }
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"),
+        col("bb.value").as("value"))
+    val l = banded.select(col("band"), col("value"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("value"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "value"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: same bucket →
     * exact cosine — approximate recall, linear shuffle. */
   def embeddingNearDupPairs(embs: DataFrame, id: Column, vec: Column,

@@ -49,6 +49,58 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF with a LEARNED coarse quantizer (k-means, MLlib) and multi-probe:
+    * corpus rows are assigned to their nearest centroid once; each query
+    * probes its `nProbe` nearest centroids, so recall degrades gracefully
+    * (unlike single-bucket LSH). At scale the corpus partitioning by
+    * centroid id is the shuffle key; the centroid table itself is tiny and
+    * broadcast. Training uses MLlib's parallel k-means on the (sampled)
+    * corpus — the model is dimension-scale driver state, like any IVF index. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, k: Int, nCentroids: Int, nProbe: Int,
+                    seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(col(id).as("neighbor_id"),
+      col(vec).as("cv"), array_to_vector(col(vec)).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("features").fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"),
+        col("prediction").as("centroid_id"),
+        VectorExprs.norm2(col("cv")).as("cn2"))
+
+    // tiny centroid relation (id, center as array<double>)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("centroid_id", "center")
+
+    // each query probes its nProbe nearest centroids (L2 on the tiny table)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      VectorExprs.norm2(col(vec)).as("qn2"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("cdist", VectorExprs.l2sq(col("qv"), col("center")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn2"), col("centroid_id"))
+
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF-style ANN: corpus is pre-bucketed by LSH; each query probes only its
     * bucket. Trades recall for a ~2^bits reduction in scored pairs. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,

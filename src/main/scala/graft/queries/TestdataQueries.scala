@@ -303,6 +303,7 @@ object TestdataQueries {
       TextExprs.tokenCount(col("text")).as("n_tokens"),
       size(TextExprs.distinctTokens(col("text"))).as("n_distinct"),
       length(col("text")).as("n_chars_m"),
+      TextExprs.meanTokenLenX100(col("text")).as("mean_tok_x100"),
       round(TextExprs.punctRatio(col("text")), 6).as("punct_ratio"),
       round(TextExprs.alphaRatio(col("text")), 6).as("alpha_ratio"))
 
@@ -313,6 +314,8 @@ object TestdataQueries {
       |  CASE WHEN length(trim(text)) = 0 THEN 0
       |       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct,
       |  length(text) AS n_chars_m,
+      |  CAST((list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t -> CAST(len(t) AS BIGINT))) * 100)
+      |    // greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 1) AS BIGINT) AS mean_tok_x100,
       |  round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
       |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
       |  round(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
@@ -445,6 +448,19 @@ object TestdataQueries {
       col("vec_id"), col("embedding"), dim = 64, bits = 4, seed = 7L,
       threshold = 0.4)
 
+  // Learned-quantizer IVF (k-means + multi-probe) — rows-only (model
+  // training is engine-side; not SQL-expressible).
+  private def q31IvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    Similarity.ivfKmeansTopK(embs, embs.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 2, seed = 42L)
+  }
+
+  // SimHash banded near-dup pairs (hamming ≤ 3 exact via pigeonhole).
+  private def q32SimhashPairs(s: SparkSession, d: String): DataFrame =
+    NearDup.simhashNearDupPairs(Tables.documents(s, d),
+      col("doc_id"), col("text"), maxHamming = 3)
+
   // ------------------------------------------------------------- JSON props
   // Regex field extraction from the events.props JSON blob (kept regex-based
   // so the oracle needs no DuckDB JSON extension).
@@ -537,7 +553,9 @@ object TestdataQueries {
     "q24_props_extract" -> (q24PropsExtract _),
     "q25_running_window" -> (q25RunningSum _),
     "q29_bpeish_tokens" -> (q29Bpeish _),
-    "q30_quality_score" -> (q30Quality _))
+    "q30_quality_score" -> (q30Quality _),
+    "q31_ivf_kmeans" -> (q31IvfKmeans _),
+    "q32_simhash_pairs" -> (q32SimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,

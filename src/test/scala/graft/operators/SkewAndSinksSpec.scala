@@ -50,6 +50,13 @@ class SkewAndSinksSpec extends SparkSpec {
   test("bucketed tables join without a shuffle on either side") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a dropped catalog entry can leave its managed location behind from a
+    // previous JVM — Spark then refuses to recreate the table
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
     val orders = (1L to 100L).map(i => (i, s"o$i")).toDF("okey", "otag")
     val items = (1L to 300L).map(i => (i % 100 + 1, i)).toDF("okey", "item")
     Sinks.writeBucketed(orders, "b_orders", 4, Seq("okey"), Seq("okey"))
