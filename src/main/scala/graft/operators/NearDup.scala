@@ -153,9 +153,30 @@ object NearDup {
     * least one exact band, so the band join finds all such pairs with an
     * O(n·4) shuffle. Candidates are verified with `bit_count(xor) ≤
     * maxHamming` (exact). maxHamming > 3 lowers recall (documented trade). */
+  /** SimHash signatures via exploded-token aggregation: 64 small integer
+    * sums in one hash aggregate (vectorized codegen) instead of the scalar
+    * `simhash` expression's per-token 64-array fold — and the aggregation
+    * doubles as the materialization barrier, so downstream band expressions
+    * read plain columns. Empty docs produce no tokens and no signature.
+    * Values are identical to the scalar `simhash` (same hash, same
+    * majority rule). */
+  def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("id"),
+      explode(TextExprs.tokens(text)).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"__s$b"))
+    val counted = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    counted.select(col("id"), sig.as("sig"))
+  }
+
   def simhashNearDupPairs(docs: DataFrame, id: Column, text: Column,
                           maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(id.as("id"), simhash(text).as("sig"))
+    val sigs = simhashSignatures(docs, id, text)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         call_function("shiftrightunsigned", col("sig"), lit(16 * b))

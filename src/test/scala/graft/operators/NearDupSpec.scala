@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Near-dup operator invariants. */
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with nothing shared here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "")).toDF("id", "text")
+
+  test("simhashSignatures equals the scalar simhash expression") {
+    val scalar = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("id"), NearDup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val agg = NearDup.simhashSignatures(docs, col("id"), col("text"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(agg === scalar)
+    assert(agg.length === 4) // empty doc has no signature
+  }
+
+  test("simhashNearDupPairs finds near-identical docs, not distinct ones") {
+    val pairs = NearDup.simhashNearDupPairs(docs, col("id"), col("text"),
+        maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → hamming 0
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhashLshPairs finds the exact duplicate with jaccard 1.0") {
+    val pairs = NearDup.minhashLshPairs(docs, col("id"), col("text"),
+      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
+  }
+
+  test("shingleJaccardPairs: overlapping docs scored, singleton shingles count") {
+    val pairs = NearDup.shingleJaccardPairs(docs, col("id"), col("text"),
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
+    // 1 vs 2: 7 shingles each, 6 shared → 6/8 = 0.75
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 0.75 })
+  }
+}
