@@ -89,6 +89,23 @@ object MultimodalOps {
     })
   }
 
+  case class ResizedMedia(media_id: Long, kind: String, n_bytes_in: Int,
+                          n_bytes_out: Int, content_out: Array[Byte])
+
+  /** Resize ≙ re-encode to a fixed target size: truncate or cycle-pad the
+    * payload to `targetBytes` (a real implementation decodes, scales, and
+    * re-encodes; the byte plumbing — new binary column, deterministic
+    * output size — is what's exercised). */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val out = Array.tabulate[Byte](targetBytes) { i =>
+        if (m.content.isEmpty) 0 else m.content(i % m.content.length)
+      }
+      ResizedMedia(m.media_id, m.kind, m.content.length, out.length, out)
+    })
+  }
+
   /** Feature extraction to a dense vector column — composable with the
     * Similarity operators (brute-force / IVF top-k). */
   def featurize(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {

@@ -232,6 +232,42 @@ object CancellationPipeline {
       to_json(payload).cast("binary").as("value"))
   }
 
+  /** Typed tail of the pipeline (SURVEY.md §1.3–1.4): the protobuf
+    * builder's field surface as a case class, with the envelope metadata
+    * the reference carries alongside (`CancellationData`, Hand:31–55). */
+  case class TripCancellation(
+      deviation_case_id: Long, route_id: String, direction_id: Int,
+      start_date: String, start_time: String, status: String,
+      schema_version: Int, trip_id: String, deviation_cases_type: String,
+      affected_departures_type: String, title: String, description: String,
+      category: String, sub_category: String)
+  case class CancellationData(payload: TripCancellation,
+                              timestampEpochMs: Long, dvjId: String,
+                              deviationCaseId: Long)
+
+  /** Deduped rows as a typed `Dataset[CancellationData]` — compile-checked
+    * field access for library users who prefer the Dataset API. */
+  def typed(deduped: DataFrame): org.apache.spark.sql.Dataset[CancellationData] = {
+    val spark = deduped.sparkSession
+    import spark.implicits._
+    deduped.select(
+      struct(
+        col("deviation_case_id"), col("ROUTE_NAME").as("route_id"),
+        col("DIRECTION").as("direction_id"),
+        col("OPERATING_DAY").as("start_date"),
+        col("START_TIME").as("start_time"), col("status"),
+        col("schema_version"), col("trip_id"),
+        col("DEVIATION_CASES_TYPE").as("deviation_cases_type"),
+        col("AFFECTED_DEPARTURES_TYPE").as("affected_departures_type"),
+        col("TITLE").as("title"), col("DESCRIPTION").as("description"),
+        col("CATEGORY").as("category"), col("SUB_CATEGORY").as("sub_category")
+      ).as("payload"),
+      col("event_ts_ms").as("timestampEpochMs"),
+      col("trip_id").as("dvjId"),
+      col("deviation_case_id").as("deviationCaseId")
+    ).as[CancellationData]
+  }
+
   /** The full batch pipeline for one poll. */
   def run(spark: SparkSession, dir: String, mode: Mode, now: String,
           today: String, lookbackSeconds: Long, zone: String): DataFrame =

@@ -50,12 +50,26 @@ object MultimodalQueries {
       "media_id", "feature", k = 3)
   }
 
+  private def q36Resize(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.resize(media(s, d), targetBytes = 512)
+      .toDF().select("media_id", "kind", "n_bytes_in", "n_bytes_out")
+
+  private val q36Sql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes_in,
+      |  512 AS n_bytes_out
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_media_meta" -> (q26MediaMeta _),
     "q27_frame_sample" -> (q27FrameSample _),
-    "q28_media_embed_topk" -> (q28MediaTopK _))
+    "q28_media_embed_topk" -> (q28MediaTopK _),
+    "q36_media_resize" -> (q36Resize _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_media_meta" -> q26Sql,
-    "q27_frame_sample" -> q27Sql)
+    "q27_frame_sample" -> q27Sql,
+    "q36_media_resize" -> q36Sql)
 }

@@ -524,6 +524,45 @@ object TestdataQueries {
        |FROM documents WHERE length(trim(text)) > 0""".stripMargin
   }
 
+  // ---------------------------------------------- skew salting + windows
+  // Salted two-phase count: identical result to a plain GROUP BY — the
+  // oracle IS the plain GROUP BY.
+  private def q33SaltedCount(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedCount(
+      Tables.events(s, d).select("user_id", "event_type"),
+      Seq("user_id", "event_type"), saltFactor = 8)
+
+  private val q33Sql =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+
+  private def q34SaltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+      Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity"),
+      Tables.supplier(s, d).select("s_suppkey", "s_name"),
+      "l_suppkey", "s_suppkey", saltFactor = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+
+  private val q34Sql =
+    """SELECT s_name, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name""".stripMargin
+
+  // Event-time tumbling window aggregation (batch mode of the streaming
+  // operator; Spark windows and DuckDB time_bucket are both epoch-aligned).
+  private def q35WindowedCounts(s: SparkSession, d: String): DataFrame =
+    graft.streaming.WindowedStats.tumblingCounts(
+      Tables.events(s, d), "ts", "event_type", "6 hours", "1 hour")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"))
+
+  private val q35Sql =
+    """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -555,7 +594,10 @@ object TestdataQueries {
     "q29_bpeish_tokens" -> (q29Bpeish _),
     "q30_quality_score" -> (q30Quality _),
     "q31_ivf_kmeans" -> (q31IvfKmeans _),
-    "q32_simhash_pairs" -> (q32SimhashPairs _))
+    "q32_simhash_pairs" -> (q32SimhashPairs _),
+    "q33_salted_count" -> (q33SaltedCount _),
+    "q34_salted_join" -> (q34SaltedJoin _),
+    "q35_windowed_counts" -> (q35WindowedCounts _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -580,5 +622,8 @@ object TestdataQueries {
     "q24_props_extract" -> q24Sql,
     "q25_running_window" -> q25Sql,
     "q29_bpeish_tokens" -> q29Sql,
-    "q30_quality_score" -> q30Sql)
+    "q30_quality_score" -> q30Sql,
+    "q33_salted_count" -> q33Sql,
+    "q34_salted_join" -> q34Sql,
+    "q35_windowed_counts" -> q35Sql)
 }

@@ -82,6 +82,16 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(new String(row.getAs[Array[Byte]]("value")).contains("28:15:00"))
   }
 
+  test("typed Dataset tail carries the full payload surface") {
+    val ds = P.typed(deduped)
+    val rec = ds.collect().find(_.dvjId == "613").get
+    assert(rec.payload.start_time === "28:15:00")
+    assert(rec.payload.status === "CANCELED")
+    assert(rec.payload.route_id === "Route 113")
+    assert(rec.deviationCaseId === 13L)
+    assert(rec.timestampEpochMs === 1715759820000L)
+  }
+
   test("A2 diff vs a later poll finds new + repeated trips") {
     val prev = P.dedup(P.parse(P.snapshot(tables, P.FromNow,
       "2024-05-17 12:00:00", "2024-05-17", F.lookbackSeconds), F.zone))
