@@ -46,15 +46,24 @@ object Dedup {
   def newRows(curr: DataFrame, prev: DataFrame, keys: Seq[String]): DataFrame =
     curr.join(prev.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** 128 bits of key hash (two independently-seeded xxhash64 lanes):
+    * shuffling an exact-dedup of document text on the raw key ships the
+    * full text bytes through the exchange; the hash pair ships 16 bytes
+    * with ~2⁻¹²⁸ per-pair collision odds — the standard content-dedup
+    * trade at corpus scale. */
+  private def keyHash128(key: Column): Column =
+    struct(xxhash64(key), xxhash64(key, lit(1)))
+
   /** Exact duplicate groups by arbitrary key expression: representative =
-    * min(id), plus copy count. One shuffle. */
+    * min(id), plus copy count. One shuffle, keyed on a 128-bit hash of the
+    * key rather than the key bytes. */
   def exactDupGroups(df: DataFrame, key: Column, id: Column): DataFrame =
-    df.groupBy(key.as("dup_key"))
+    df.groupBy(keyHash128(key).as("dup_key"))
       .agg(min(id).as("representative_id"), count(lit(1)).as("n_copies"))
 
   /** Keep one representative row per exact key (smallest `id` wins). */
   def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(id.asc)
+    val w = Window.partitionBy(keyHash128(key)).orderBy(id.asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
