@@ -563,6 +563,54 @@ object TestdataQueries {
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------- §2.7 surface (free from Spark)
+  // Rollup (grouping-set aggregation): subtotals + grand total.
+  private def q37Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  private val q37Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // Set operators: EXCEPT / INTERSECT / UNION over customer key sets.
+  private def q38SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    val failed = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    open.except(failed).withColumn("tag", lit("open_only"))
+      .union(open.intersect(failed).withColumn("tag", lit("both")))
+  }
+
+  private val q38Sql =
+    """SELECT o_custkey, 'open_only' AS tag FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_custkey, 'both' AS tag FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
+
+  // Structured JSON parsing (from_json → typed struct, vs q24's regex path).
+  private def q39FromJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k").cast("long")).as("sum_k"), count(lit(1)).as("n"))
+
+  private val q39Sql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -597,7 +645,10 @@ object TestdataQueries {
     "q32_simhash_pairs" -> (q32SimhashPairs _),
     "q33_salted_count" -> (q33SaltedCount _),
     "q34_salted_join" -> (q34SaltedJoin _),
-    "q35_windowed_counts" -> (q35WindowedCounts _))
+    "q35_windowed_counts" -> (q35WindowedCounts _),
+    "q37_rollup" -> (q37Rollup _),
+    "q38_setops" -> (q38SetOps _),
+    "q39_from_json" -> (q39FromJson _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -625,5 +676,8 @@ object TestdataQueries {
     "q30_quality_score" -> q30Sql,
     "q33_salted_count" -> q33Sql,
     "q34_salted_join" -> q34Sql,
-    "q35_windowed_counts" -> q35Sql)
+    "q35_windowed_counts" -> q35Sql,
+    "q37_rollup" -> q37Sql,
+    "q38_setops" -> q38Sql,
+    "q39_from_json" -> q39Sql)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.omm.OmmFixtures
+
+/** Physical-plan regression guards: the optimizations SCALE.md claims are
+  * asserted against the actual formatted plans, so a refactor that silently
+  * loses a pushdown, a broadcast, or WindowGroupLimit fails CI — not a
+  * 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    OmmFixtures.ensure(spark)
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q1_agg: partial aggregation, single exchange, pruned scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    // "(n) Exchange" is the node-detail header — one per physical node
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      "expected exactly 1 exchange")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string,l_linestatus:string>"),
+      "column pruning lost")
+  }
+
+  test("q2_join_tree: dims broadcast, filters pushed to scans") {
+    val p = plan("q2_join_tree")
+    assert(p.contains("BroadcastHashJoin"), "broadcast join missing")
+    assert(p.contains("GreaterThan(p_size,10)"), "p_size pushdown missing")
+    assert(p.contains("GreaterThan(s_acctbal,0.0)"), "s_acctbal pushdown missing")
+  }
+
+  test("q5_priority_dedup: map-side rank pruning (WindowGroupLimit)") {
+    val p = plan("q5_priority_dedup")
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+  }
+
+  test("omm snapshot: per-table filter pushdown + broadcast EAV dims") {
+    val p = plan("omm_snapshot_now")
+    assert(p.contains("EqualTo(language_code,fi)"), "F1 pushdown missing")
+    assert(p.contains("In(Name, [JoreIdentity,JoreRouteIdentity,RouteName])"),
+      "F3 pushdown missing")
+    assert(p.contains("IsNull(IsReplacedById)"), "F6 pushdown missing")
+    assert(p.contains("IsNotNull(IsWorkedOnDirectionOfLineGid)"),
+      "F5 pushdown missing")
+    assert("(?m)^\\(\\d+\\) BroadcastExchange".r.findAllIn(p).size >= 3,
+      "KVT/KT/OT should broadcast")
+  }
+
+  test("q19_minhash_lsh: signature aggregation barrier present") {
+    val p = plan("q19_minhash_lsh")
+    // the signature must be built by an aggregate (min per hash lane), not
+    // inlined into band-key projections
+    assert(p.contains("partial_min"), "signature aggregation barrier lost")
+  }
+}
