@@ -611,6 +611,49 @@ object TestdataQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  // Exact percentiles (deterministic, unlike approx sketches — oracle-able).
+  private def q40Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_extendedprice, array(0.25, 0.75))").as("p_price"))
+      .select(col("l_returnflag"), round(col("p50_qty"), 4).as("p50_qty"),
+        round(col("p_price")(0), 4).as("p25_price"),
+        round(col("p_price")(1), 4).as("p75_price"))
+
+  private val q40Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // Edit-distance near-dup pairs (the 5th dedup family): exact levenshtein
+  // over 40-char prefixes. All-pairs is inherently quadratic, so the
+  // candidate set is capped at 500 docs (scale-invariant bench cost); at
+  // corpus scale the candidates come from a cheap blocker first (shingle
+  // or minhash candidates -> levenshtein verify), not from a cross join.
+  private def q41EditDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= 12)
+      .select("id_a", "id_b", "dist")
+  }
+
+  private val q41Sql =
+    """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS prefix
+      |           FROM documents WHERE doc_id < 500)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+      |FROM p a JOIN p b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.prefix, b.prefix) <= 12""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -648,7 +691,9 @@ object TestdataQueries {
     "q35_windowed_counts" -> (q35WindowedCounts _),
     "q37_rollup" -> (q37Rollup _),
     "q38_setops" -> (q38SetOps _),
-    "q39_from_json" -> (q39FromJson _))
+    "q39_from_json" -> (q39FromJson _),
+    "q40_percentiles" -> (q40Percentiles _),
+    "q41_edit_distance" -> (q41EditDistance _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -679,5 +724,7 @@ object TestdataQueries {
     "q35_windowed_counts" -> q35Sql,
     "q37_rollup" -> q37Sql,
     "q38_setops" -> q38Sql,
-    "q39_from_json" -> q39Sql)
+    "q39_from_json" -> q39Sql,
+    "q40_percentiles" -> q40Sql,
+    "q41_edit_distance" -> q41Sql)
 }
