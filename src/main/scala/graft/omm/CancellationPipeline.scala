@@ -148,8 +148,16 @@ object CancellationPipeline {
         TimeExprs.serviceDayTime( // P6+P7+P8: >24h-safe service-day time
           lit("1900-01-01 00:00:00").cast("timestamp"),
           col("PlannedStartOffsetDateTime")).as("START_TIME"))
-      .orderBy(col("DEVIATION_CASES_LAST_MODIFIED")) // O1
   }
+
+  /** O1: the reference's `ORDER BY DC.last_modified` (CC:39). Applied at
+    * the SINK boundary (sendOrdered), not inside `snapshot` — a global
+    * range-sort mid-pipeline is pure waste: the dedup window re-shuffles
+    * by key right after and destroys the order (measured: the mid-pipeline
+    * sort added a full extra exchange+sort of the 17-column snapshot at
+    * 1M cases). */
+  def sendOrdered(df: DataFrame): DataFrame =
+    df.orderBy(col("DEVIATION_CASES_LAST_MODIFIED"))
 
   /** Row-validity predicate of the parse stage (F8 enum allow-lists, F9
     * timestamp null-drop, AD-status parse). Factored out so `parse` and

@@ -61,9 +61,10 @@ object CancellationStream {
       case None => (deduped.select("trip_id").distinct().count(), 0L)
     }
 
-    // S4: keyed envelope appended per poll (≙ per-record producer.send).
+    // S4: keyed envelope appended per poll (≙ per-record producer.send),
+    // in DC.last_modified send order (O1, applied here at the sink).
     val sent = deduped.count()
-    P.envelope(deduped)
+    P.envelope(P.sendOrdered(deduped))
       .withColumn("poll_time", lit(now))
       .write.mode("append").parquet(sinkDir)
 

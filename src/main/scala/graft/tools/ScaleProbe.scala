@@ -1,0 +1,169 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.omm.{CancellationPipeline => P}
+import graft.operators.NearDup
+
+/** Measured scale probe ("measure, don't guess"): synthesizes OMM source
+  * tables at parameterized row counts and multi-size document corpora in
+  * /tmp, then times the flagship snapshot→parse→dedup and the near-dup
+  * operators at increasing scale. Results are recorded in SCALE.md.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleProbe [nCases] [docMultipliers...]"
+  */
+object ScaleProbe {
+
+  def genOmm(spark: SparkSession, dir: String, nCases: Long): Unit = {
+    val nBulletins = 1000L
+    val nJourneys = nCases // one departure per case on average
+
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+
+    // deviation_cases: 80% currently valid, 10% cancellation-of-cancellation
+    // (null valid_to), 10% stale-past; last_modified spread over a month
+    write(spark.range(nCases).select(
+      col("id").as("deviation_case_id"),
+      (col("id") % nBulletins + 21).as("bulletin_id"),
+      lit("2024-05-01 00:00:00").cast("timestamp").as("valid_from"),
+      when(col("id") % 10 === 0, lit(null).cast("timestamp"))
+        .when(col("id") % 10 === 1, lit("2024-05-01 00:00:00").cast("timestamp"))
+        .otherwise(lit("2024-06-01 00:00:00").cast("timestamp")).as("valid_to"),
+      lit("CANCEL_DEPARTURE").as("type"),
+      timestamp_micros(lit(1715000000000000L) + col("id") % 2592000L * 1000000L)
+        .as("last_modified")), "deviation_cases")
+
+    // affected_departures: 1–2 rows per case (20% doubled → dedup work)
+    val ad1 = spark.range(nCases).select(
+      col("id").as("deviation_case_id"), (col("id") + 600000000L).as("departure_id"),
+      when(col("id") % 10 === 0, "deleted").otherwise("active").as("status"),
+      lit("CANCEL_ENTIRE_DEPARTURE").as("type"),
+      timestamp_micros(lit(1715700000000000L) + (col("id") % 86400L) * 1000000L)
+        .as("last_modified"))
+    val ad2 = spark.range(nCases / 5).select(
+      (col("id") * 5).as("deviation_case_id"),
+      (col("id") * 5 + 600000000L).as("departure_id"),
+      lit("deleted").as("status"),
+      lit("CANCEL_ENTIRE_DEPARTURE").as("type"),
+      timestamp_micros(lit(1715710000000000L) + (col("id") % 86400L) * 1000000L)
+        .as("last_modified"))
+    write(ad1.union(ad2), "affected_departures")
+
+    write(spark.range(21L, 21L + nBulletins).select(
+      col("id").as("bulletins_id"),
+      lit("VEHICLE_BREAKDOWN").as("category"),
+      lit("BREAK_MALFUNCTION").as("sub_category")), "bulletins")
+
+    // fi row for every bulletin + sv rows (dropped by F1) for half
+    val blmFi = spark.range(21L, 21L + nBulletins).select(
+      col("id").as("bulletins_id"), lit("fi").as("language_code"),
+      concat(lit("Peruttu "), col("id")).as("title"),
+      concat(lit("Kuvaus "), col("id")).as("description"))
+    val blmSv = spark.range(21L, 21L + nBulletins / 2).select(
+      col("id").as("bulletins_id"), lit("sv").as("language_code"),
+      concat(lit("Inställd "), col("id")).as("title"),
+      concat(lit("Text "), col("id")).as("description"))
+    write(blmFi.union(blmSv), "bulletin_localized_messages")
+
+    // journeys: 1% replaced (F6), operating days around today
+    write(spark.range(nJourneys).select(
+      (col("id") + 600000000L).as("Id"),
+      date_add(lit("2024-05-14").cast("date"),
+        (col("id") % 5).cast("int")).as("OperatingDayDate"),
+      (col("id") + 500000000L).as("IsBasedOnVehicleJourneyId"),
+      (col("id") + 700000000L).as("IsBasedOnVehicleJourneyTemplateId"),
+      when(col("id") % 100 === 0, 999L).otherwise(lit(null).cast("long"))
+        .as("IsReplacedById"),
+      timestamp_micros(lit(-2208988800000000L) + (col("id") % 1800L) * 60000000L)
+        .as("PlannedStartOffsetDateTime")), "DatedVehicleJourney")
+
+    write(spark.range(nJourneys)
+      .select((col("id") + 500000000L).as("Id")), "VehicleJourney")
+
+    // 0.5% null GID (F5)
+    write(spark.range(nJourneys).select(
+      (col("id") + 700000000L).as("Id"),
+      when(col("id") % 200 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("12345678901"),
+          (col("id") % 2 + 1).cast("string"),
+          lpad((col("id") % 10000).cast("string"), 4, "0")))
+        .as("IsWorkedOnDirectionOfLineGid")), "VehicleJourneyTemplate")
+
+    write(spark.range(nJourneys).select(
+      (col("id") + 500000000L).as("IsForObjectId"),
+      lit(13L).as("IsOfKeyVariantTypeId"),
+      concat(lit("Route "), col("id") % 500).as("StringValue")), "KeyVariantValue")
+
+    import spark.implicits._
+    write(Seq((13L, 3L)).toDF("Id", "IsForKeyTypeId"), "KeyVariantType")
+    write(Seq((3L, 100, "RouteName"), (4L, 100, "SomeOtherKey"))
+      .toDF("Id", "ExtendsObjectTypeNumber", "Name"), "KeyType")
+    write(Seq((100, "VehicleJourney"), (200, "Route"))
+      .toDF("Number", "Name"), "ObjectType")
+  }
+
+  /** Replicate the sf0.01 documents table k× with perturbed ids/text. */
+  def genDocs(spark: SparkSession, k: Int): DataFrame = {
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val n = 500L
+    spark.range(k).crossJoin(base).select(
+      (col("doc_id") + col("id") * n).as("doc_id"),
+      // perturb each copy so replicas aren't byte-identical
+      concat(col("text"), lit(" copy"), col("id")).as("text"))
+  }
+
+  private def time[A](what: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $what%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCases = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val docMults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1, 4, 16)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = "/tmp/omm_scale"
+    time(s"generate OMM tables ($nCases cases)") { genOmm(spark, dir, nCases) }
+    val t = P.loadTables(spark, dir)
+    val now = "2024-05-15 12:00:00"; val today = "2024-05-15"
+
+    val snap = P.snapshot(t, P.FromNow, now, today, 1800L)
+    val nSnap = time("NOW snapshot count") { snap.count() }
+    val deduped = P.dedup(P.parse(snap, "Europe/Helsinki"))
+    val nDedup = time("parse+dedup count") { deduped.count() }
+    val nPast = time("PAST snapshot count") {
+      P.snapshot(t, P.FromPast, now, today, 1800L).count()
+    }
+    println(s"[probe] rows: snapshot=$nSnap deduped=$nDedup past=$nPast")
+
+    docMults.foreach { k =>
+      val docs = genDocs(spark, k).cache()
+      val n = docs.count()
+      time(f"minhashLshPairs  ($n%7d docs)") {
+        NearDup.minhashLshPairs(docs, col("doc_id"), col("text"),
+          3, 8, 2, 0.8).count()
+      }
+      time(f"shingleJaccard   ($n%7d docs)") {
+        NearDup.shingleJaccardPairs(docs, col("doc_id"), col("text"),
+          3, 0.8, 1000).count()
+      }
+      time(f"simhashPairs     ($n%7d docs)") {
+        NearDup.simhashNearDupPairs(docs, col("doc_id"), col("text"), 3).count()
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}
