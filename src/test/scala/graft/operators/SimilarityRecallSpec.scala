@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Measured recall of the approximate ANN variants against the exact
+  * brute-force top-k on the real embeddings table — the "trades recall for
+  * shuffle reduction" claims get numbers and floors. */
+class SimilarityRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val k = 5
+
+  private lazy val embs = Tables.embeddings(spark, sf)
+  private lazy val queries = embs.filter(col("vec_id") < 20)
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+
+  private lazy val exact = pairs(
+    Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k))
+
+  test("exact top-k returns k neighbors per query") {
+    assert(exact.size === 20 * k)
+  }
+
+  test("k-means IVF with multi-probe recalls most exact neighbors") {
+    val ivf = pairs(Similarity.ivfKmeansTopK(embs, queries, "vec_id",
+      "embedding", k, nCentroids = 8, nProbe = 2, seed = 42L))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    info(f"k-means IVF recall@$k = $recall%.3f")
+    assert(recall >= 0.5, s"recall $recall below floor")
+  }
+
+  test("LSH IVF recalls a usable fraction; k-means beats single-probe LSH") {
+    val lsh = pairs(Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k, dim = 64, bits = 4, seed = 42L))
+    val lshRecall = (lsh intersect exact).size.toDouble / exact.size
+    val km = pairs(Similarity.ivfKmeansTopK(embs, queries, "vec_id",
+      "embedding", k, nCentroids = 8, nProbe = 2, seed = 42L))
+    val kmRecall = (km intersect exact).size.toDouble / exact.size
+    info(f"LSH recall@$k = $lshRecall%.3f, k-means recall@$k = $kmRecall%.3f")
+    // single-probe 4-bit LSH measures ~0.10 on this near-uniform corpus —
+    // the weak recall is exactly why ivfKmeansTopK (multi-probe, learned
+    // centroids, measured 0.65) exists as the preferred scale path
+    assert(lshRecall >= 0.05, s"LSH recall $lshRecall below floor")
+    assert(kmRecall >= lshRecall,
+      "multi-probe k-means should not lose to single-probe LSH")
+  }
+}
