@@ -6,6 +6,8 @@ object SparkEntry {
     * dedup) over the deterministic fixtures; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     import graft.omm.{CancellationPipeline => P, OmmFixtures => F}
+    // the caller's session tz is unknown; fixture timestamps are UTC-naive
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     F.ensure(spark)
     P.run(spark, F.dir, P.FromNow, F.now, F.today, F.lookbackSeconds, F.zone)
   }
