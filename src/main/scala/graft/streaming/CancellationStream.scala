@@ -42,9 +42,13 @@ object CancellationStream {
     * the previous poll's key set, append the envelope to the keyed sink,
     * replace the state. Returns the per-poll counts (A3 metrics,
     * ≙ Hand:223–224). */
+  /** Slow-poll warning threshold ≙ OmmConnector.java:86–89. */
+  val slowPollWarnMs = 4000L
+
   def pollOnce(spark: SparkSession, tablesDir: String, sinkDir: String,
                stateDir: String, mode: P.Mode, nowInstant: Instant,
                lookbackSeconds: Long, zone: String): PollResult = {
+    val t0 = System.nanoTime()
     val (now, today) = localNowStrings(nowInstant, zone)
     val deduped = P.run(spark, tablesDir, mode, now, today, lookbackSeconds, zone)
 
@@ -79,6 +83,10 @@ object CancellationStream {
     fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(stateDir))
 
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    if (elapsedMs > slowPollWarnMs)
+      println(s"[warn] poll took ${elapsedMs} ms (query+process+send " +
+        s"> $slowPollWarnMs ms threshold)")
     PollResult(sent, newT, repT)
   }
 

@@ -148,6 +148,16 @@ object ScaleProbe {
     }
     println(s"[probe] rows: snapshot=$nSnap deduped=$nDedup past=$nPast")
 
+    // one real poll (sink+state+diff) over the large tables — also
+    // exercises the slow-poll warning (threshold 4 s, ≙ OmmConnector:86–89)
+    val r = time("pollOnce (sink+state+diff)") {
+      graft.streaming.CancellationStream.pollOnce(spark, dir,
+        "/tmp/omm_scale_sink", "/tmp/omm_scale_state", P.FromNow,
+        java.time.Instant.parse("2024-05-15T09:00:00Z"), 1800L,
+        "Europe/Helsinki")
+    }
+    println(s"[probe] poll result: $r")
+
     docMults.foreach { k =>
       val docs = genDocs(spark, k).cache()
       val n = docs.count()
