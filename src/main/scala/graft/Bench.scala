@@ -27,10 +27,17 @@ object Bench {
     } + "\""
 
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to sort first
+    // whichever query happens to sort first. OMM fixture generation and a
+    // first read of every table family are warmed too — otherwise the
+    // alphabetically-first omm_* query pays fixture generation for the
+    // whole family and the per-query table misattributes the cost.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+      graft.omm.OmmFixtures.ensure(spark)
+      spark.read.parquet(graft.omm.OmmFixtures.path("deviation_cases"))
+        .limit(1).count()
+      Seq("lineitem", "orders", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
     } catch { case _: Throwable => () }
 
     var errors = Map.empty[String, String]

@@ -48,15 +48,32 @@ object CancellationPipeline {
       kvt = rd("KeyVariantType"), kt = rd("KeyType"), ot = rd("ObjectType"))
   }
 
+  private val wallClockFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** PAST-mode lookback bound, computed the way the reference does
+    * (OmmConnector.java:76): subtract on the *Instant*, then render the
+    * result as wall-clock in the zone. Subtracting on the wall-clock string
+    * instead would narrow/widen the re-emission window across the two DST
+    * transitions each year. */
+  def lookbackBound(now: String, zone: String, lookbackSeconds: Long): String =
+    java.time.LocalDateTime.parse(now, wallClockFmt)
+      .atZone(java.time.ZoneId.of(zone))
+      .toInstant.minusSeconds(lookbackSeconds)
+      .atZone(java.time.ZoneId.of(zone)).format(wallClockFmt)
+
   /** The snapshot query: J1–J10 + F1–F6 (+F2b in PAST mode) + the 17-column
     * projection, ordered by DC.last_modified (O1). `now`/`today` are the
-    * per-poll wall-clock parameter bindings (S2, OmmConnector.java:61–81). */
+    * per-poll wall-clock parameter bindings (S2, OmmConnector.java:61–81);
+    * `lookback` is the PAST-mode re-emission bound, pre-rendered driver-side
+    * (see `lookbackBound`) so the instant-space subtraction semantics are
+    * preserved across DST transitions. */
   def snapshot(t: OmmTables, mode: Mode, now: String, today: String,
-               lookbackSeconds: Long = 1800L,
+               lookback: String,
                cancellationTypesOnly: Boolean = false): DataFrame = {
     val nowTs = lit(now).cast("timestamp")
     val todayD = lit(today).cast("date")
-    val lookbackTs = lit(now).cast("timestamp") - expr(s"INTERVAL $lookbackSeconds SECONDS")
+    val lookbackTs = lit(lookback).cast("timestamp")
 
     val dc = t.dc.select(
       col("deviation_case_id"), col("bulletin_id").as("dc_bulletin_id"),
@@ -162,7 +179,7 @@ object CancellationPipeline {
   /** Row-validity predicate of the parse stage (F8 enum allow-lists, F9
     * timestamp null-drop, AD-status parse). Factored out so `parse` and
     * `rejects` are exact complements. */
-  private def parseChecks: Seq[(String, Column)] = Seq(
+  private def parseChecks(zone: String): Seq[(String, Column)] = Seq(
     "unknown_deviation_cases_type" ->
       col("DEVIATION_CASES_TYPE").isin(OmmSchemas.deviationCasesTypes.map(lit): _*),
     "unknown_affected_departures_type" ->
@@ -176,7 +193,7 @@ object CancellationPipeline {
         lower(col("AFFECTED_DEPARTURES_STATUS")).isin(OmmSchemas.adStatuses.map(lit): _*)),
     // F9: unparseable/NULL event timestamp → row dropped (Hand:154–160)
     "null_event_timestamp" ->
-      TimeExprs.toUtcEpochMs(col("AFFECTED_DEPARTURES_LAST_MODIFIED"), OmmFixtures.zone).isNotNull)
+      TimeExprs.toUtcEpochMs(col("AFFECTED_DEPARTURES_LAST_MODIFIED"), zone).isNotNull)
 
   /** Columns added by parsing: derived status (U5), UTC event time (U1),
     * trip id (the Pulsar partition key). */
@@ -192,14 +209,14 @@ object CancellationPipeline {
     * OmmCancellationHandler.java:106–166). */
   def parse(snapshot: DataFrame, zone: String): DataFrame =
     derived(zone).foldLeft(
-      snapshot.filter(parseChecks.map(_._2).reduce(_ && _))) {
+      snapshot.filter(parseChecks(zone).map(_._2).reduce(_ && _))) {
       case (df, (name, c)) => df.withColumn(name, c)
     }
 
   /** Side-output of rows the parse stage dropped, with the first failing
     * check as the reason (≙ the reference's error logs, Hand:161–163). */
   def rejects(snapshot: DataFrame, zone: String): DataFrame = {
-    val reason = parseChecks.reverse.foldLeft(lit(null).cast("string")) {
+    val reason = parseChecks(zone).reverse.foldLeft(lit(null).cast("string")) {
       case (acc, (name, check)) => when(!check, name).otherwise(acc)
     }
     snapshot.withColumn("reject_reason", reason)
@@ -280,5 +297,5 @@ object CancellationPipeline {
   def run(spark: SparkSession, dir: String, mode: Mode, now: String,
           today: String, lookbackSeconds: Long, zone: String): DataFrame =
     dedup(parse(snapshot(loadTables(spark, dir), mode, now, today,
-      lookbackSeconds), zone))
+      lookbackBound(now, zone, lookbackSeconds)), zone))
 }

@@ -27,6 +27,10 @@ object OmmFixtures {
   val today = "2024-05-15"
   val lookbackSeconds = 1800L
   val zone = "Europe/Helsinki"
+  /** Pre-rendered PAST-mode lookback bound (instant-space subtraction,
+    * = "2024-05-15 11:30:00" — no DST transition at the fixture instant). */
+  val lookback: String =
+    CancellationPipeline.lookbackBound(now, zone, lookbackSeconds)
 
   def path(table: String): String = s"$dir/$table.parquet"
 

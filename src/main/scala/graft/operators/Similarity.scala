@@ -56,16 +56,37 @@ object Similarity {
     * centroid id is the shuffle key; the centroid table itself is tiny and
     * broadcast. Training uses MLlib's parallel k-means on the (sampled)
     * corpus — the model is dimension-scale driver state, like any IVF index. */
+  /** Train the coarse quantizer on a BOUNDED sample of the corpus: k-means
+    * over every row of a 100 TB corpus is an unbounded MLlib job before any
+    * query runs, and centroid quality converges long before full-corpus
+    * training. Assignment (done by the caller) still covers the full corpus.
+    * Returns the model plus the actual training row count so tests can pin
+    * the bound. */
+  def fitQuantizer(corpusVec: DataFrame, nCentroids: Int, seed: Long,
+                   maxTrainRows: Long): (org.apache.spark.ml.clustering.KMeansModel, Long) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val n = corpusVec.count()
+    val train =
+      if (n <= maxTrainRows) corpusVec
+      else corpusVec.sample(withReplacement = false,
+        maxTrainRows.toDouble / n, seed)
+    val cached = train.persist()
+    try {
+      val cnt = cached.count()
+      val model = new KMeans().setK(nCentroids).setSeed(seed)
+        .setFeaturesCol("features").fit(cached)
+      (model, cnt)
+    } finally cached.unpersist()
+  }
+
   def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, id: String,
                     vec: String, k: Int, nCentroids: Int, nProbe: Int,
-                    seed: Long): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+                    seed: Long, maxTrainRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
 
     val corpusVec = corpus.select(col(id).as("neighbor_id"),
       col(vec).as("cv"), array_to_vector(col(vec)).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setFeaturesCol("features").fit(corpusVec)
+    val (model, _) = fitQuantizer(corpusVec, nCentroids, seed, maxTrainRows)
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"), col("cv"),
         col("prediction").as("centroid_id"),

@@ -13,13 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salt that varies WITHIN a key group: derived from the row's physical
+    * position (partition id + per-partition row index), not from the row's
+    * content — a content hash is a pure function of the key when the input
+    * is projected to the key columns, so every row of a hot group would get
+    * the same salt and no spreading would occur. Position-based salt is
+    * deterministic for a given run's partitioning, which is all a spreading
+    * device needs (the final re-aggregation erases it from the result). */
+  private def positionSalt(saltFactor: Int): Column =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+
   /** Two-phase salted count: partial count on (keys, salt) spreads a hot
-    * key over `saltFactor` reducers, final phase re-aggregates per key.
-    * The salt derives from a hash of the whole row (deterministic, no rand). */
+    * key over `saltFactor` reducers, final phase re-aggregates per key. */
   def saltedCount(df: DataFrame, keys: Seq[String],
                   saltFactor: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor)))
+    val salted = df.withColumn("__salt", positionSalt(saltFactor))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__partial"))
@@ -34,8 +42,7 @@ object Skew {
     * Inner join only (replication breaks outer-join null semantics). */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltFactor: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltFactor)))
+    val saltedBig = big.withColumn("__salt", positionSalt(saltFactor))
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedBig

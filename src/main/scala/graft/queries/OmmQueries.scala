@@ -24,10 +24,13 @@ object OmmQueries {
   private val today2 = "2024-05-17"
 
   // ---------------------------------------------------------------- oracle
-  /** DuckDB translation of the snapshot query for a given mode/params. */
+  /** DuckDB translation of the snapshot query for a given mode/params.
+    * `lookbackStr` is the pre-rendered instant-space bound (same value the
+    * Spark side binds — P.lookbackBound), so both engines compare against
+    * the identical wall-clock literal. */
   private def snapshotSql(mode: P.Mode, now: String, today: String,
-                          lookbackSeconds: Long): String = {
-    val lookback = s"(TIMESTAMP '$now' - INTERVAL ${lookbackSeconds} SECONDS)"
+                          lookbackStr: String): String = {
+    val lookback = s"TIMESTAMP '$lookbackStr'"
     val currentOrFuture =
       s"""(DC.valid_to::TIMESTAMP > TIMESTAMP '$now'
          |   OR (DC.valid_to IS NULL AND AD.status = 'deleted'
@@ -99,7 +102,7 @@ object OmmQueries {
       s"epoch_ms(timezone('${F.zone}', ad_last_modified::TIMESTAMP)) IS NOT NULL")
 
   private def parsedSql(mode: P.Mode, now: String, today: String): String =
-    s"""WITH snap AS (${snapshotSql(mode, now, today, F.lookbackSeconds)})
+    s"""WITH snap AS (${snapshotSql(mode, now, today, F.lookback)})
        |SELECT dvj_id AS trip_id, deviation_case_id,
        |  CASE WHEN lower(ad_status) = 'deleted' THEN 'RUNNING'
        |       ELSE 'CANCELED' END AS status,
@@ -149,7 +152,7 @@ object OmmQueries {
 
   private def snap(s: SparkSession, mode: P.Mode,
                    now: String = F.now, today: String = F.today): DataFrame =
-    P.snapshot(P.loadTables(s, F.dir), mode, now, today, F.lookbackSeconds)
+    P.snapshot(P.loadTables(s, F.dir), mode, now, today, F.lookback)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "omm_snapshot_now" -> ((s, _) => withFixtures(s) {
@@ -188,11 +191,11 @@ object OmmQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
-    "omm_snapshot_now" -> snapshotSql(P.FromNow, F.now, F.today, F.lookbackSeconds),
-    "omm_snapshot_past" -> snapshotSql(P.FromPast, F.now, F.today, F.lookbackSeconds),
+    "omm_snapshot_now" -> snapshotSql(P.FromNow, F.now, F.today, F.lookback),
+    "omm_snapshot_past" -> snapshotSql(P.FromPast, F.now, F.today, F.lookback),
     "omm_parsed" -> parsedSql(P.FromNow, F.now, F.today),
     "omm_rejects" ->
-      s"""WITH snap AS (${snapshotSql(P.FromNow, F.now, F.today, F.lookbackSeconds)})
+      s"""WITH snap AS (${snapshotSql(P.FromNow, F.now, F.today, F.lookback)})
          |SELECT deviation_case_id, dvj_id,
          |  CASE ${parseChecksSql.map { case (n, c) => s"WHEN NOT ($c) THEN '$n'" }.mkString("\n       ")}
          |  END AS reject_reason

@@ -50,44 +50,60 @@ object CancellationStream {
                lookbackSeconds: Long, zone: String): PollResult = {
     val t0 = System.nanoTime()
     val (now, today) = localNowStrings(nowInstant, zone)
-    val deduped = P.run(spark, tablesDir, mode, now, today, lookbackSeconds, zone)
+    // PAST-mode lookback: subtract on the Instant, render in the zone
+    // (≙ OmmConnector.java:76) — wall-clock subtraction would drift across
+    // DST transitions.
+    val lookback = nowInstant.minusSeconds(lookbackSeconds)
+      .atZone(ZoneId.of(zone))
+      .format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    // One poll = ONE evaluation of the 10-join snapshot+parse+dedup: the
+    // result is persisted, the first action below materializes the cache,
+    // and the diff/count/sink/state actions all read the InMemoryRelation
+    // (asserted in CancellationStreamSpec). Without the persist each action
+    // re-ran the whole pipeline — 4 evaluations per poll, the first thing
+    // to blow the 30 s poll budget at scale.
+    val deduped = P.dedup(P.parse(P.snapshot(
+      P.loadTables(spark, tablesDir), mode, now, today, lookback), zone))
+      .persist()
+    try {
+      val sent = deduped.count() // materializes the cache
 
-    // A2: hash anti-join against the checkpointed previous key set.
-    val prevKeys: Option[DataFrame] =
-      if (new java.io.File(stateDir).exists)
-        Some(spark.read.parquet(stateDir))
-      else None
-    val (newT, repT) = prevKeys match {
-      case Some(prev) =>
-        val d = Dedup.batchDiffCounts(deduped, prev, "trip_id")
-          .collect()(0)
-        (d.getLong(0), d.getLong(1))
-      case None => (deduped.select("trip_id").distinct().count(), 0L)
-    }
+      // A2: hash anti-join against the checkpointed previous key set.
+      val prevKeys: Option[DataFrame] =
+        if (new java.io.File(stateDir).exists)
+          Some(spark.read.parquet(stateDir))
+        else None
+      val (newT, repT) = prevKeys match {
+        case Some(prev) =>
+          val d = Dedup.batchDiffCounts(deduped, prev, "trip_id")
+            .collect()(0)
+          (d.getLong(0), d.getLong(1))
+        case None => (deduped.select("trip_id").distinct().count(), 0L)
+      }
 
-    // S4: keyed envelope appended per poll (≙ per-record producer.send),
-    // in DC.last_modified send order (O1, applied here at the sink).
-    val sent = deduped.count()
-    P.envelope(P.sendOrdered(deduped))
-      .withColumn("poll_time", lit(now))
-      .write.mode("append").parquet(sinkDir)
+      // S4: keyed envelope appended per poll (≙ per-record producer.send),
+      // in DC.last_modified send order (O1, applied here at the sink).
+      P.envelope(P.sendOrdered(deduped))
+        .withColumn("poll_time", lit(now))
+        .write.mode("append").parquet(sinkDir)
 
-    // Replace state AFTER the sink write (at-least-once on restart — the
-    // reference's semantics are also at-least-once, SURVEY.md §2.9).
-    val tmp = stateDir + "_next"
-    deduped.select("trip_id").distinct()
-      .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(stateDir))
+      // Replace state AFTER the sink write (at-least-once on restart — the
+      // reference's semantics are also at-least-once, SURVEY.md §2.9).
+      val tmp = stateDir + "_next"
+      deduped.select("trip_id").distinct()
+        .write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(stateDir))
 
-    val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    if (elapsedMs > slowPollWarnMs)
-      println(s"[warn] poll took ${elapsedMs} ms (query+process+send " +
-        s"> $slowPollWarnMs ms threshold)")
-    PollResult(sent, newT, repT)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      if (elapsedMs > slowPollWarnMs)
+        println(s"[warn] poll took ${elapsedMs} ms (query+process+send " +
+          s"> $slowPollWarnMs ms threshold)")
+      PollResult(sent, newT, repT)
+    } finally deduped.unpersist()
   }
 
   /** Start the polling stream: fixed-rate micro-batches every

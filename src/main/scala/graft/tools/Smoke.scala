@@ -52,9 +52,9 @@ object Smoke {
     println("== F7 flag: cancellation-types-only filter ==")
     import graft.omm.{CancellationPipeline => P, OmmFixtures => F}
     val tables = P.loadTables(spark, F.dir)
-    val all = P.snapshot(tables, P.FromNow, F.now, F.today, F.lookbackSeconds)
+    val all = P.snapshot(tables, P.FromNow, F.now, F.today, F.lookback)
     val strict = P.snapshot(tables, P.FromNow, F.now, F.today,
-      F.lookbackSeconds, cancellationTypesOnly = true)
+      F.lookback, cancellationTypesOnly = true)
     println(s"F7 off: ${all.count()} rows; F7 on: ${strict.count()} rows " +
       "(drops the UNKNOWN_TYPE/WEIRD_AD_TYPE fixtures)")
 

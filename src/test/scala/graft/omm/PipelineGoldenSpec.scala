@@ -13,8 +13,8 @@ class PipelineGoldenSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val tables = { F.ensure(spark); P.loadTables(spark, F.dir) }
-  private lazy val snapNow = P.snapshot(tables, P.FromNow, F.now, F.today, F.lookbackSeconds)
-  private lazy val snapPast = P.snapshot(tables, P.FromPast, F.now, F.today, F.lookbackSeconds)
+  private lazy val snapNow = P.snapshot(tables, P.FromNow, F.now, F.today, F.lookback)
+  private lazy val snapPast = P.snapshot(tables, P.FromPast, F.now, F.today, F.lookback)
   private lazy val parsed = P.parse(snapNow, F.zone)
   private lazy val deduped = P.dedup(parsed)
 
@@ -94,7 +94,8 @@ class PipelineGoldenSpec extends SparkSpec {
 
   test("A2 diff vs a later poll finds new + repeated trips") {
     val prev = P.dedup(P.parse(P.snapshot(tables, P.FromNow,
-      "2024-05-17 12:00:00", "2024-05-17", F.lookbackSeconds), F.zone))
+      "2024-05-17 12:00:00", "2024-05-17",
+      P.lookbackBound("2024-05-17 12:00:00", F.zone, F.lookbackSeconds)), F.zone))
     val diff = graft.operators.Dedup.batchDiffCounts(deduped, prev, "trip_id")
       .as[(Long, Long)].head()
     assert(diff === ((2L, 3L))) // 602, 604 new; 601, 603, 613 repeated

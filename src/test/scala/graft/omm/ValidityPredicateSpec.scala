@@ -49,8 +49,8 @@ class ValidityPredicateSpec extends SparkSpec {
       kvt = Seq((13L, 3L)).toDF("Id", "IsForKeyTypeId"),
       kt = Seq((3L, 100, "RouteName")).toDF("Id", "ExtendsObjectTypeNumber", "Name"),
       ot = Seq((100, "VehicleJourney")).toDF("Number", "Name"))
-    (P.snapshot(t, P.FromNow, F.now, F.today, F.lookbackSeconds).count() == 1,
-      P.snapshot(t, P.FromPast, F.now, F.today, F.lookbackSeconds).count() == 1)
+    (P.snapshot(t, P.FromNow, F.now, F.today, F.lookback).count() == 1,
+      P.snapshot(t, P.FromPast, F.now, F.today, F.lookback).count() == 1)
   }
 
   test("valid_to in the future → kept in both modes") {
@@ -117,9 +117,9 @@ class ValidityPredicateSpec extends SparkSpec {
     F.ensure(spark)
     val base = P.loadTables(spark, F.dir)
     val tables = base.copy(dc = dc)
-    assert(P.snapshot(tables, P.FromNow, F.now, F.today, F.lookbackSeconds,
+    assert(P.snapshot(tables, P.FromNow, F.now, F.today, F.lookback,
       cancellationTypesOnly = true).count() === 0)
-    assert(P.snapshot(tables, P.FromNow, F.now, F.today, F.lookbackSeconds,
+    assert(P.snapshot(tables, P.FromNow, F.now, F.today, F.lookback,
       cancellationTypesOnly = false).count() > 0)
   }
 }

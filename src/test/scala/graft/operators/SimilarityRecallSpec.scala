@@ -37,6 +37,27 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall below floor")
   }
 
+  test("quantizer training input is bounded by maxTrainRows, not corpus size") {
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = embs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), array_to_vector(col("embedding")).as("features"))
+    val n = corpusVec.count()
+    val bound = 40L
+    val (_, trained) = Similarity.fitQuantizer(corpusVec, nCentroids = 4,
+      seed = 42L, maxTrainRows = bound)
+    info(s"corpus=$n trained-on=$trained (bound $bound)")
+    assert(trained < n, "sampling should engage when corpus > maxTrainRows")
+    // Bernoulli sample targets the bound in expectation; allow 2x headroom
+    assert(trained <= bound * 2, s"fit input $trained not bounded by $bound")
+    // sampled fit still yields a usable quantizer end-to-end
+    val sampled = pairs(Similarity.ivfKmeansTopK(embs, queries, "vec_id",
+      "embedding", k, nCentroids = 8, nProbe = 2, seed = 42L,
+      maxTrainRows = bound))
+    val recall = (sampled intersect exact).size.toDouble / exact.size
+    info(f"sampled-fit k-means recall@$k = $recall%.3f")
+    assert(recall >= 0.3, s"sampled-fit recall $recall collapsed")
+  }
+
   test("LSH IVF recalls a usable fraction; k-means beats single-probe LSH") {
     val lsh = pairs(Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
       k, dim = 64, bits = 4, seed = 42L))
