@@ -42,16 +42,30 @@ object VectorExprs {
     (dot(v, p) >= 0.0).cast("int")
   }
 
+  /** The deterministic random-hyperplane set behind `lshBucket`. Exposed so
+    * the exact plane coefficients can be rendered as literals into oracle
+    * SQL — the bucketing is then fully reproducible by another engine. */
+  def lshPlanes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
   /** k-bit random-hyperplane LSH bucket id for cosine similarity.
     * Planes are generated from a deterministic seed at plan time (driver
     * side), so the bucketing is stable across runs and executors. At scale
     * this is the shuffle key that turns an O(n²) all-pairs similarity into
     * per-bucket local joins. */
-  def lshBucket(v: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
-    planes.zipWithIndex.map { case (plane, i) =>
+  def lshBucket(v: Column, dim: Int, bits: Int, seed: Long): Column =
+    lshPlanes(dim, bits, seed).zipWithIndex.map { case (plane, i) =>
       hyperplaneBit(v, plane) * (1 << i)
     }.reduce(_ + _)
+
+  /** All bucket ids within Hamming distance `maxHamming` of `bucket` — the
+    * multi-probe set. The XOR masks are plan-time literals; the result is a
+    * small array column to `explode` on the (broadcast) query side. */
+  def probeBuckets(bucket: Column, bits: Int, maxHamming: Int): Column = {
+    val masks = (0 until (1 << bits))
+      .filter(m => Integer.bitCount(m) <= maxHamming)
+    array(masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
   }
 }

@@ -122,15 +122,23 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** IVF-style ANN: corpus is pre-bucketed by LSH; each query probes only its
-    * bucket. Trades recall for a ~2^bits reduction in scored pairs. */
+  /** IVF-style ANN: corpus is pre-bucketed by LSH; each query MULTI-PROBES
+    * every bucket within `probeHamming` bit flips of its own (single-bucket
+    * probing measured recall@5 ≈ 0.10 on near-uniform embeddings — an ANN
+    * that misses 90% of true neighbors is a trap, so the probe ring is the
+    * default). The corpus side still carries exactly one bucket per row, so
+    * the probe expansion multiplies only the tiny broadcast query side. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, dim: Int, bits: Int, seed: Long): DataFrame = {
+              k: Int, dim: Int, bits: Int, seed: Long,
+              probeHamming: Int = 1): DataFrame = {
     val bucket = (v: Column) => VectorExprs.lshBucket(v, dim, bits, seed)
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
       bucket(col(vec)).as("bucket"), VectorExprs.norm2(col(vec)).as("cn2"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      bucket(col(vec)).as("bucket"), VectorExprs.norm2(col(vec)).as("qn2"))
+      bucket(col(vec)).as("qbucket"), VectorExprs.norm2(col(vec)).as("qn2"))
+      .withColumn("bucket",
+        explode(VectorExprs.probeBuckets(col("qbucket"), bits, probeHamming)))
+      .drop("qbucket")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",

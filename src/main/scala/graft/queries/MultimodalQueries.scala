@@ -50,6 +50,29 @@ object MultimodalQueries {
       "media_id", "feature", k = 3)
   }
 
+  // The stub featurizer is a pure arithmetic function of (media_id, payload
+  // length), so the whole embed→top-k chain is oracle-expressible: rebuild
+  // the float feature vector in SQL (FLOAT division both sides — verified
+  // bit-identical), cast to double, and mirror q21's cosine/rank shape.
+  private val q28Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+      |f AS (
+      |  SELECT media_id,
+      |    CAST([CAST((((media_id*31 + i)*2654435761 + n*97) % 2000) - 1000 AS FLOAT)
+      |            / CAST(1000 AS FLOAT) for i in range(0, 16)] AS DOUBLE[]) AS v
+      |  FROM m),
+      |q AS (SELECT media_id AS query_id, v AS qv FROM f WHERE media_id < 5),
+      |s AS (
+      |  SELECT q.query_id, f.media_id AS neighbor_id,
+      |    list_inner_product(q.qv, f.v) /
+      |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(f.v, f.v))) AS c
+      |  FROM f CROSS JOIN q WHERE q.query_id <> f.media_id)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cos
+      |FROM (SELECT *, CAST(row_number() OVER (
+      |        PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+      |      FROM s) WHERE rank <= 3""".stripMargin
+
   private def q36Resize(s: SparkSession, d: String): DataFrame =
     MultimodalOps.resize(media(s, d), targetBytes = 512)
       .toDF().select("media_id", "kind", "n_bytes_in", "n_bytes_out")
@@ -71,5 +94,6 @@ object MultimodalQueries {
   val oracleSql: Map[String, String] = Map(
     "q26_media_meta" -> q26Sql,
     "q27_frame_sample" -> q27Sql,
+    "q28_media_embed_topk" -> q28Sql,
     "q36_media_resize" -> q36Sql)
 }

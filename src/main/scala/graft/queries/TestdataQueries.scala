@@ -432,12 +432,47 @@ object TestdataQueries {
       |        PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
       |      FROM s) WHERE rank <= 5""".stripMargin
 
-  // IVF/LSH-bucketed ANN (Scala-side RNG planes — rows-only check) and
-  // embedding near-dup pairs.
+  /** The LSH planes are driver-side constants, so the exact bucketing is
+    * reproducible by the oracle: render each plane as a literal DOUBLE[]
+    * (Double.toString round-trips) and rebuild the bucket id with the same
+    * sign tests. The approximate operator is thereby *fully* specified —
+    * the oracle checks the real semantics, not a recall proxy. */
+  private def sqlBucket(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product($v, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // Multi-probe LSH ANN: 6-bit buckets, probe ring = Hamming ≤ 2 (22 of 64
+  // buckets ≈ 1/3 of the corpus per query; measured recall@5 in
+  // SimilarityRecallSpec — single-probe was a near-useless 0.10).
+  private val q22Bits = 6
+  private val q22Probe = 2
+
   private def q22CosineIvf(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
     Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, dim = 64, bits = 4, seed = 42L)
+      "vec_id", "embedding", k = 5, dim = 64, bits = q22Bits, seed = 42L,
+      probeHamming = q22Probe)
+  }
+
+  private val q22Sql = {
+    val bucket = sqlBucket("v", VectorExprs.lshPlanes(64, q22Bits, 42L))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket,
+       |             list_inner_product(v, v) AS n2 FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb, n2 AS qn2
+       |      FROM b WHERE vec_id < 10),
+       |s AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_inner_product(q.qv, c.v) / (sqrt(q.qn2) * sqrt(c.n2)) AS c2
+       |  FROM b c JOIN q
+       |    ON bit_count(xor(CAST(c.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= $q22Probe
+       |  WHERE q.query_id <> c.vec_id)
+       |SELECT query_id, rank, neighbor_id, round(c2, 4) AS cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY c2 DESC, neighbor_id) AS INTEGER) AS rank
+       |      FROM s) WHERE rank <= 5""".stripMargin
   }
 
   // The synthetic embeddings top out at pairwise cosine ≈0.51, so 0.4 is the
@@ -447,6 +482,17 @@ object TestdataQueries {
     NearDup.embeddingNearDupPairs(Tables.embeddings(s, d),
       col("vec_id"), col("embedding"), dim = 64, bits = 4, seed = 7L,
       threshold = 0.4)
+
+  private val q23Sql = {
+    val bucket = sqlBucket("v", VectorExprs.lshPlanes(64, 4, 7L))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket,
+       |             list_inner_product(v, v) AS n2 FROM e)
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(list_inner_product(a.v, c.v) / (sqrt(a.n2) * sqrt(c.n2)), 6) AS cos
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE list_inner_product(a.v, c.v) / (sqrt(a.n2) * sqrt(c.n2)) >= 0.4""".stripMargin
+  }
 
   // Learned-quantizer IVF (k-means + multi-probe) — rows-only (model
   // training is engine-side; not SQL-expressible).
@@ -715,6 +761,8 @@ object TestdataQueries {
     "q17_fingerprint" -> q17Sql,
     "q18_shingle_jaccard" -> q18Sql,
     "q21_cosine_topk" -> q21Sql,
+    "q22_cosine_ivf" -> q22Sql,
+    "q23_emb_neardup" -> q23Sql,
     "q24_props_extract" -> q24Sql,
     "q25_running_window" -> q25Sql,
     "q29_bpeish_tokens" -> q29Sql,

@@ -58,19 +58,20 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.3, s"sampled-fit recall $recall collapsed")
   }
 
-  test("LSH IVF recalls a usable fraction; k-means beats single-probe LSH") {
-    val lsh = pairs(Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
-      k, dim = 64, bits = 4, seed = 42L))
-    val lshRecall = (lsh intersect exact).size.toDouble / exact.size
-    val km = pairs(Similarity.ivfKmeansTopK(embs, queries, "vec_id",
-      "embedding", k, nCentroids = 8, nProbe = 2, seed = 42L))
-    val kmRecall = (km intersect exact).size.toDouble / exact.size
-    info(f"LSH recall@$k = $lshRecall%.3f, k-means recall@$k = $kmRecall%.3f")
+  test("multi-probe LSH clears the 0.4 recall floor; single-probe shows why") {
     // single-probe 4-bit LSH measures ~0.10 on this near-uniform corpus —
-    // the weak recall is exactly why ivfKmeansTopK (multi-probe, learned
-    // centroids, measured 0.65) exists as the preferred scale path
-    assert(lshRecall >= 0.05, s"LSH recall $lshRecall below floor")
-    assert(kmRecall >= lshRecall,
-      "multi-probe k-means should not lose to single-probe LSH")
+    // a registered ANN that misses 90% of true neighbors is a trap, which
+    // is why ivfTopK now multi-probes by default (q22 registers Hamming≤2)
+    val single = pairs(Similarity.ivfTopK(embs, queries, "vec_id",
+      "embedding", k, dim = 64, bits = 4, seed = 42L, probeHamming = 0))
+    val singleRecall = (single intersect exact).size.toDouble / exact.size
+    val multi = pairs(Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k, dim = 64, bits = 6, seed = 42L, probeHamming = 2))
+    val multiRecall = (multi intersect exact).size.toDouble / exact.size
+    info(f"single-probe recall@$k = $singleRecall%.3f, " +
+      f"multi-probe(6 bits, h<=2) recall@$k = $multiRecall%.3f")
+    assert(multiRecall >= 0.4, s"multi-probe recall $multiRecall below floor")
+    assert(multiRecall > singleRecall,
+      "probe ring should strictly improve recall")
   }
 }
