@@ -174,9 +174,11 @@ object NearDup {
     counted.select(col("id"), sig.as("sig"))
   }
 
-  def simhashNearDupPairs(docs: DataFrame, id: Column, text: Column,
-                          maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, id, text)
+  /** Banded pair generation shared by the simhash variants: 4×16-bit bands
+    * over a (id, sig) relation; by pigeonhole, any pair with Hamming
+    * distance ≤ 3 shares at least one exact band, so the band join finds
+    * ALL such pairs (recall exactly 1.0) with an O(n·4) shuffle. */
+  private def simhashBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         call_function("shiftrightunsigned", col("sig"), lit(16 * b))
@@ -197,6 +199,45 @@ object NearDup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  def simhashNearDupPairs(docs: DataFrame, id: Column, text: Column,
+                          maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(simhashSignatures(docs, id, text), maxHamming)
+
+  /** 62-bit ORACLE-PORTABLE token hash: two independent polynomial rolling
+    * hashes over the token's code points, each mod a prime < 2^31, packed
+    * as `h1·2^31 + h2`. Unlike xxhash64 (engine-specific), the recurrence
+    * `h ← (h·m + code) mod p` is reproducible in ANSI-ish SQL
+    * (list_reduce), so simhash signatures built from it can be verified
+    * bit-for-bit by an external engine. Top two bits are always 0 — bands
+    * still discriminate (62 live bits across 4 bands). */
+  def portableTokenHash(tok: Column): Column = {
+    val codes = transform(split(tok, ""), c => ascii(c).cast("long"))
+    def poly(mult: Long, p: Long): Column =
+      aggregate(codes, lit(0L), (a, c) => (a * mult + c) % p)
+    poly(31L, 2147483647L) * lit(2147483648L) + poly(131L, 2147483629L)
+  }
+
+  /** SimHash signatures over the portable token hash (bits 0..61): same
+    * exploded-token aggregation shape as `simhashSignatures`, different
+    * hash. Empty docs produce no tokens and no signature. */
+  def simhashPolySignatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("id"),
+      explode(TextExprs.tokens(text)).as("tok"))
+      .select(col("id"), portableTokenHash(col("tok")).as("h"))
+    val bitSums = (0 until 62).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"__s$b"))
+    val counted = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 62).map(b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    counted.select(col("id"), sig.as("sig"))
+  }
+
+  def simhashPolyNearDupPairs(docs: DataFrame, id: Column, text: Column,
+                              maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(simhashPolySignatures(docs, id, text), maxHamming)
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: same bucket →
     * exact cosine — approximate recall, linear shuffle. */

@@ -399,15 +399,77 @@ object TestdataQueries {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8""".stripMargin
 
-  // MinHash+LSH and SimHash are xxhash64-based (engine-specific hash) — no
-  // DuckDB oracle; driver records the weaker rows-only check.
+  // MinHash+LSH with enough bands that recall on ≥0.8-Jaccard pairs is
+  // effectively certain (16 bands × 2 rows: P(miss | j=0.8) = 0.36^16 ≈
+  // 7e-8), and every candidate is verified by exact Jaccard — so the
+  // output EQUALS the exact shingle-Jaccard pair set and the oracle is the
+  // exact computation itself. A red row here means the LSH lost a pair.
   private def q19MinhashLsh(s: SparkSession, d: String): DataFrame =
     NearDup.minhashLshPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-      n = 3, bands = 8, rowsPerBand = 2, threshold = 0.8)
+      n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
 
+  private val q19Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+      |  )) AS shingle FROM toks WHERE len(ts) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) /
+      |        CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8""".stripMargin
+
+  // SimHash registered over the ORACLE-PORTABLE polynomial token hash
+  // (NearDup.portableTokenHash) so another engine can rebuild the 62-bit
+  // signatures bit-for-bit; the xxhash64 variant stays as the faster
+  // library path (values unit-tested equivalent in shape, not registered).
   private def q20Simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), NearDup.simhash(col("text")).as("simhash"))
+    NearDup.simhashPolySignatures(Tables.documents(s, d),
+      col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("sig").as("simhash"))
+
+  /** Shared CTE body rebuilding the portable simhash signatures in DuckDB:
+    * per-token 62-bit poly hash (two list_reduce folds — fold-from-first-
+    * element equals fold-from-0 for this recurrence), then the 62 per-bit
+    * majority sums. */
+  private def simhashSigSql(sigAlias: String): String = {
+    val sums = (0 until 62).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val sig = (0 until 62).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |                (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+       |    + list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |                  (a, c) -> (a * 131 + c) % 2147483629) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id),
+       |$sigAlias AS (SELECT doc_id, $sig AS sig FROM bits)""".stripMargin
+  }
+
+  private val q20Sql =
+    s"""WITH ${simhashSigSql("sig")}
+       |SELECT doc_id, sig AS simhash FROM sig""".stripMargin
 
   // --------------------------------------------------------- similarity §2.10
   // Brute-force exact cosine top-k: queries = vec_id < 10, broadcast side.
@@ -502,10 +564,20 @@ object TestdataQueries {
       "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 2, seed = 42L)
   }
 
-  // SimHash banded near-dup pairs (hamming ≤ 3 exact via pigeonhole).
+  // SimHash banded near-dup pairs (hamming ≤ 3): the 4×16-bit pigeonhole
+  // bands guarantee recall EXACTLY 1.0, so the banded result equals the
+  // all-pairs computation — which is what the oracle runs (fine at oracle
+  // scale; the banded O(n·4) shuffle is the engine's scale path).
   private def q32SimhashPairs(s: SparkSession, d: String): DataFrame =
-    NearDup.simhashNearDupPairs(Tables.documents(s, d),
+    NearDup.simhashPolyNearDupPairs(Tables.documents(s, d),
       col("doc_id"), col("text"), maxHamming = 3)
+
+  private val q32Sql =
+    s"""WITH ${simhashSigSql("sig")}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
 
   // ------------------------------------------------------------- JSON props
   // Regex field extraction from the events.props JSON blob (kept regex-based
@@ -760,6 +832,8 @@ object TestdataQueries {
     "q16_lang_id" -> q16Sql,
     "q17_fingerprint" -> q17Sql,
     "q18_shingle_jaccard" -> q18Sql,
+    "q19_minhash_lsh" -> q19Sql,
+    "q20_simhash" -> q20Sql,
     "q21_cosine_topk" -> q21Sql,
     "q22_cosine_ivf" -> q22Sql,
     "q23_emb_neardup" -> q23Sql,
@@ -767,6 +841,7 @@ object TestdataQueries {
     "q25_running_window" -> q25Sql,
     "q29_bpeish_tokens" -> q29Sql,
     "q30_quality_score" -> q30Sql,
+    "q32_simhash_pairs" -> q32Sql,
     "q33_salted_count" -> q33Sql,
     "q34_salted_join" -> q34Sql,
     "q35_windowed_counts" -> q35Sql,
