@@ -556,12 +556,38 @@ object TestdataQueries {
        |WHERE list_inner_product(a.v, c.v) / (sqrt(a.n2) * sqrt(c.n2)) >= 0.4""".stripMargin
   }
 
-  // Learned-quantizer IVF (k-means + multi-probe) — rows-only (model
-  // training is engine-side; not SQL-expressible).
+  // Learned-quantizer IVF (k-means + multi-probe). The trained centroids
+  // are not SQL-expressible, so the registered output is the per-query
+  // overlap between the IVF top-k and the exact brute-force top-k — small
+  // integers, fully determined by (data, seed, partitioning). The oracle
+  // pins the expected table measured at the driver's verification scale
+  // (sf0.01, fixed seed 42): a regression signal for both the quantizer
+  // math and its recall, where previously the driver had nothing to check.
   private def q31IvfKmeans(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
-    Similarity.ivfKmeansTopK(embs, embs.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 2, seed = 42L)
+    val qset = embs.filter(col("vec_id") < 10)
+    val ann = Similarity.ivfKmeansTopK(embs, qset, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 2, seed = 42L)
+    val exact = Similarity.bruteForceTopK(embs, qset, "vec_id", "embedding",
+      k = 5)
+    val hitCounts = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    qset.select(col("vec_id").as("query_id"))
+      .join(hitCounts, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  // Expected hits@5 per query at sf0.01 (measured; see q31IvfKmeans note).
+  private val q31ExpectedHits: Seq[(Int, Int)] = Seq(
+    0 -> 2, 1 -> 2, 2 -> 2, 3 -> 1, 4 -> 3,
+    5 -> 3, 6 -> 2, 7 -> 4, 8 -> 3, 9 -> 4)
+
+  private val q31Sql = {
+    val rows = q31ExpectedHits.map { case (q, h) => s"($q, $h)" }.mkString(", ")
+    s"""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(hits AS BIGINT) AS hits
+       |FROM (VALUES $rows) AS t(query_id, hits)""".stripMargin
   }
 
   // SimHash banded near-dup pairs (hamming ≤ 3): the 4×16-bit pigeonhole
@@ -841,6 +867,7 @@ object TestdataQueries {
     "q25_running_window" -> q25Sql,
     "q29_bpeish_tokens" -> q29Sql,
     "q30_quality_score" -> q30Sql,
+    "q31_ivf_kmeans" -> q31Sql,
     "q32_simhash_pairs" -> q32Sql,
     "q33_salted_count" -> q33Sql,
     "q34_salted_join" -> q34Sql,
