@@ -236,8 +236,10 @@ object CancellationPipeline {
       tieBreak = struct(col("ROUTE_NAME"), col("TITLE")))
 
   /** U6/S4: the keyed sink envelope — partition key, event time, properties,
-    * and the payload as a typed struct + canonical JSON bytes
-    * (≙ sendPulsarMessage, OmmCancellationHandler.java:234–254). */
+    * the payload as a typed struct, protobuf wire bytes as the message
+    * `value` (≙ `tripCancellation.toByteArray()`, OmmCancellationHandler
+    * .java:236; descriptor at src/main/protobuf/trip_cancellation.proto),
+    * and canonical JSON alongside for debuggability. */
   def envelope(deduped: DataFrame): DataFrame = {
     val payload = struct(
       col("deviation_case_id"), col("ROUTE_NAME").as("route_id"),
@@ -254,7 +256,8 @@ object CancellationPipeline {
       map(lit("dvj-id"), col("trip_id"),
         lit("protobuf-schema"), lit("TripCancellation")).as("properties"),
       payload.as("payload"),
-      to_json(payload).cast("binary").as("value"))
+      graft.functions.ProtoWire.toProto(payload).as("value"),
+      to_json(payload).cast("binary").as("value_json"))
   }
 
   /** Typed tail of the pipeline (SURVEY.md §1.3–1.4): the protobuf

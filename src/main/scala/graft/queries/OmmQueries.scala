@@ -111,6 +111,30 @@ object OmmQueries {
        |FROM snap
        |WHERE ${parseChecksSql.map(_._2).mkString("\n  AND ")}""".stripMargin
 
+  /** Full-width parse+dedup (every payload field) for the protobuf
+    * round-trip check; same predicates/ordering as parsedSql/dedupSql. */
+  private def parsedFullSql(mode: P.Mode, now: String, today: String): String =
+    s"""WITH snap AS (${snapshotSql(mode, now, today, F.lookback)})
+       |SELECT dvj_id AS trip_id, deviation_case_id,
+       |  CASE WHEN lower(ad_status) = 'deleted' THEN 'RUNNING'
+       |       ELSE 'CANCELED' END AS status,
+       |  epoch_ms(timezone('${F.zone}', ad_last_modified::TIMESTAMP)) AS event_ts_ms,
+       |  route_name, direction, operating_day, start_time, title,
+       |  description, category, sub_category, dc_type, ad_type
+       |FROM snap
+       |WHERE ${parseChecksSql.map(_._2).mkString("\n  AND ")}""".stripMargin
+
+  private def dedupFullSql(mode: P.Mode, now: String, today: String): String =
+    s"""WITH parsed AS (${parsedFullSql(mode, now, today)})
+       |SELECT trip_id, deviation_case_id, status, event_ts_ms,
+       |  route_name, direction, operating_day, start_time, title,
+       |  description, category, sub_category, dc_type, ad_type
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY trip_id, deviation_case_id
+       |        ORDER BY (CASE WHEN status = 'CANCELED' THEN 0 ELSE 1 END),
+       |                 event_ts_ms DESC, route_name, title) AS rn
+       |      FROM parsed) WHERE rn = 1""".stripMargin
+
   private def dedupSql(mode: P.Mode, now: String, today: String): String =
     s"""WITH parsed AS (${parsedSql(mode, now, today)})
        |SELECT trip_id, deviation_case_id, status, event_ts_ms,
@@ -182,6 +206,18 @@ object OmmQueries {
           col("payload.route_id").as("route_id"),
           col("payload.status").as("status"))
     }),
+    "omm_envelope_proto" -> ((s, _) => withFixtures(s) {
+      // U6 round trip: envelope value (protobuf wire bytes) decoded back
+      // to the full payload field surface; the oracle recomputes the same
+      // fields relationally — a red row means the wire codec lost or
+      // mangled a field.
+      P.envelope(P.dedup(P.parse(snap(s, P.FromNow), F.zone)))
+        .select(col("key"), col("event_time_ms"),
+          graft.functions.ProtoWire.fromProto(col("value")).as("p"))
+        .select(Seq(col("key"), col("event_time_ms")) ++
+          graft.functions.ProtoWire.payloadSchema.fieldNames.toSeq
+            .map(f => col(s"p.$f").as(f)): _*)
+    }),
     "omm_batch_diff" -> ((s, _) => withFixtures(s) {
       // A2 ≙ logChangesInCancellations: previous poll evaluated two days
       // later (fewer rows), current poll at the canonical now.
@@ -208,6 +244,16 @@ object OmmQueries {
          |SELECT trip_id AS key, event_ts_ms AS event_time_ms,
          |  trip_id AS prop_dvj_id, 'TripCancellation' AS prop_schema,
          |  route_name AS route_id, status
+         |FROM deduped""".stripMargin,
+    "omm_envelope_proto" ->
+      s"""WITH deduped AS (${dedupFullSql(P.FromNow, F.now, F.today)})
+         |SELECT trip_id AS key, event_ts_ms AS event_time_ms,
+         |  deviation_case_id, route_name AS route_id,
+         |  direction AS direction_id, operating_day AS start_date,
+         |  start_time, status, CAST(1 AS INTEGER) AS schema_version,
+         |  trip_id, dc_type AS deviation_cases_type,
+         |  ad_type AS affected_departures_type,
+         |  title, description, category, sub_category
          |FROM deduped""".stripMargin,
     "omm_batch_diff" ->
       s"""WITH curr AS (${dedupSql(P.FromNow, F.now, F.today)}),
