@@ -239,6 +239,44 @@ object NearDup {
                               maxHamming: Int = 3): DataFrame =
     simhashBandPairs(simhashPolySignatures(docs, id, text), maxHamming)
 
+  /** Edit-distance near-duplicate pairs (the 5th dedup family) at FULL
+    * corpus cardinality: a char-q-gram blocker — candidates must share at
+    * least one q-gram of the (whitespace-normalized) prefix, built from
+    * df-cut posting lists exactly like `shingleJaccardPairs` — followed by
+    * an exact `levenshtein` verify. No cross join anywhere (asserted in
+    * PlanShapeSpec); cost is Σ|posting list|² per gram, bounded by the
+    * df-cut.
+    *
+    * The blocker is part of the declared semantics (the oracle encodes the
+    * same q-gram condition): for prefixes longer than q·(maxDist+1), any
+    * pair within maxDist shares a q-gram by pigeonhole, so on real text
+    * the result coincides with true edit-distance pairs while staying
+    * linear-ish in corpus size. Docs with an empty prefix are excluded
+    * (every empty doc is trivially distance-0 from every other). */
+  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
+                        prefixLen: Int, q: Int, maxDist: Int,
+                        maxPostings: Int = 1000): DataFrame = {
+    val pref = docs
+      .select(id.as("id"), substring(text, 1, prefixLen).as("prefix"))
+      .filter(length(trim(col("prefix"))) > 0)
+    val grams = pref.select(col("id"),
+      explode(TextExprs.charShingles(col("prefix"), q)).as("gram"))
+    val posting = grams.groupBy(col("gram"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxPostings))
+    val cand = posting
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    cand
+      .join(pref.select(col("id").as("id_a"), col("prefix").as("pa")), Seq("id_a"))
+      .join(pref.select(col("id").as("id_b"), col("prefix").as("pb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: same bucket →
     * exact cosine — approximate recall, linear shuffle. */
   def embeddingNearDupPairs(embs: DataFrame, id: Column, vec: Column,

@@ -773,30 +773,38 @@ object TestdataQueries {
       |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  // Edit-distance near-dup pairs (the 5th dedup family): exact levenshtein
-  // over 40-char prefixes. All-pairs is inherently quadratic, so the
-  // candidate set is capped at 500 docs (scale-invariant bench cost); at
-  // corpus scale the candidates come from a cheap blocker first (shingle
-  // or minhash candidates -> levenshtein verify), not from a cross join.
-  private def q41EditDistance(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .filter(col("doc_id") < 500)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
-    val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
-    val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb")))
-      .filter(col("dist") <= 12)
-      .select("id_a", "id_b", "dist")
-  }
+  // Edit-distance near-dup pairs (the 5th dedup family) at FULL documents
+  // cardinality: char-8-gram blocker → exact levenshtein verify over
+  // 40-char prefixes (NearDup.editDistancePairs — no cross join, no row
+  // cap; the old registration silently capped at doc_id < 500 with an
+  // all-pairs join). The oracle encodes the identical blocker semantics.
+  private def q41EditDistance(s: SparkSession, d: String): DataFrame =
+    NearDup.editDistancePairs(Tables.documents(s, d), col("doc_id"),
+      col("text"), prefixLen = 40, q = 8, maxDist = 12, maxPostings = 1000)
 
   private val q41Sql =
-    """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS prefix
-      |           FROM documents WHERE doc_id < 500)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
-      |FROM p a JOIN p b ON a.doc_id < b.doc_id
-      |WHERE levenshtein(a.prefix, b.prefix) <= 12""".stripMargin
+    """WITH p AS (
+      |  SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents
+      |  WHERE length(trim(substring(text, 1, 40))) > 0),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [substring(np, i, 8) for i in range(1, greatest(len(np) - 7, 1) + 1)]
+      |  )) AS gram
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(trim(prefix), '\s+', ' ', 'g') AS np FROM p)),
+      |g AS (
+      |  SELECT doc_id, gram FROM (
+      |    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      |    FROM g0) WHERE df <= 1000),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(levenshtein(pa.prefix, pb.prefix) AS INTEGER) AS dist
+      |FROM cand
+      |JOIN p pa ON pa.doc_id = id_a
+      |JOIN p pb ON pb.doc_id = id_b
+      |WHERE levenshtein(pa.prefix, pb.prefix) <= 12""".stripMargin
 
   // ------------------------------------------------------------------------
 

@@ -57,4 +57,11 @@ class PlanShapeSpec extends SparkSpec {
     // inlined into band-key projections
     assert(p.contains("partial_min"), "signature aggregation barrier lost")
   }
+
+  test("q41_edit_distance: blocked join, no cartesian product") {
+    val p = plan("q41_edit_distance")
+    assert(!p.contains("CartesianProduct"), "all-pairs cross join crept back")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "non-equi join crept back into the blocker")
+  }
 }
