@@ -185,6 +185,14 @@ object OmmQueries {
     "omm_snapshot_past" -> ((s, _) => withFixtures(s) {
       sel17(snap(s, P.FromPast))
     }),
+    // F7 with the flag ON: the reference ships this predicate commented out
+    // (cancellations_current_future.sql:31); this registration proves the
+    // behind-the-flag semantics (drops every non-CANCEL_DEPARTURE /
+    // non-CANCEL_ENTIRE_DEPARTURE row) against the translated predicate.
+    "omm_snapshot_types_only" -> ((s, _) => withFixtures(s) {
+      sel17(P.snapshot(P.loadTables(s, F.dir), P.FromNow, F.now, F.today,
+        F.lookback, cancellationTypesOnly = true))
+    }),
     "omm_parsed" -> ((s, _) => withFixtures(s) {
       selParsed(P.parse(snap(s, P.FromNow), F.zone))
     }),
@@ -229,6 +237,10 @@ object OmmQueries {
   val oracleSql: Map[String, String] = Map(
     "omm_snapshot_now" -> snapshotSql(P.FromNow, F.now, F.today, F.lookback),
     "omm_snapshot_past" -> snapshotSql(P.FromPast, F.now, F.today, F.lookback),
+    "omm_snapshot_types_only" ->
+      (snapshotSql(P.FromNow, F.now, F.today, F.lookback) +
+        "\n  AND DC.type = 'CANCEL_DEPARTURE'" +
+        "\n  AND AD.type = 'CANCEL_ENTIRE_DEPARTURE'"),
     "omm_parsed" -> parsedSql(P.FromNow, F.now, F.today),
     "omm_rejects" ->
       s"""WITH snap AS (${snapshotSql(P.FromNow, F.now, F.today, F.lookback)})

@@ -29,20 +29,33 @@ object JdbcSource {
       .options(options)
       .load()
 
-  /** The 11 OMM relations from their two catalogs
-    * (cancellations_current_future.sql:20–30). */
+  /** Logical table name → the reference's fully-qualified SQL Server name,
+    * two catalogs (cancellations_current_future.sql:20–30). */
+  val referenceNames: Map[String, String] = Map(
+    "deviation_cases" -> "OMM_Community.dbo.deviation_cases",
+    "affected_departures" -> "OMM_Community.dbo.affected_departures",
+    "bulletin_localized_messages" -> "OMM_Community.dbo.bulletin_localized_messages",
+    "bulletins" -> "OMM_Community.dbo.bulletins",
+    "DatedVehicleJourney" -> "ptDOI4_Community.dbo.DatedVehicleJourney",
+    "VehicleJourney" -> "ptDOI4_Community.dbo.VehicleJourney",
+    "VehicleJourneyTemplate" -> "ptDOI4_Community.dbo.VehicleJourneyTemplate",
+    "KeyVariantValue" -> "ptDOI4_Community.T.KeyVariantValue",
+    "KeyVariantType" -> "ptDOI4_Community.dbo.KeyVariantType",
+    "KeyType" -> "ptDOI4_Community.dbo.KeyType",
+    "ObjectType" -> "ptDOI4_Community.dbo.ObjectType")
+
+  /** The 11 OMM relations; `nameFor` maps the logical table name to the
+    * database-side identifier (defaults to the reference's SQL Server
+    * names; tests map to an embedded database's identifiers). */
   def loadTables(spark: SparkSession, url: String,
-                 options: Map[String, String] = Map.empty): OmmTables =
+                 options: Map[String, String] = Map.empty,
+                 nameFor: String => String = referenceNames): OmmTables = {
+    def t(name: String): DataFrame = table(spark, url, nameFor(name), options)
     OmmTables(
-      dc = table(spark, url, "OMM_Community.dbo.deviation_cases", options),
-      ad = table(spark, url, "OMM_Community.dbo.affected_departures", options),
-      blm = table(spark, url, "OMM_Community.dbo.bulletin_localized_messages", options),
-      b = table(spark, url, "OMM_Community.dbo.bulletins", options),
-      dvj = table(spark, url, "ptDOI4_Community.dbo.DatedVehicleJourney", options),
-      vj = table(spark, url, "ptDOI4_Community.dbo.VehicleJourney", options),
-      vjt = table(spark, url, "ptDOI4_Community.dbo.VehicleJourneyTemplate", options),
-      kvv = table(spark, url, "ptDOI4_Community.T.KeyVariantValue", options),
-      kvt = table(spark, url, "ptDOI4_Community.dbo.KeyVariantType", options),
-      kt = table(spark, url, "ptDOI4_Community.dbo.KeyType", options),
-      ot = table(spark, url, "ptDOI4_Community.dbo.ObjectType", options))
+      dc = t("deviation_cases"), ad = t("affected_departures"),
+      blm = t("bulletin_localized_messages"), b = t("bulletins"),
+      dvj = t("DatedVehicleJourney"), vj = t("VehicleJourney"),
+      vjt = t("VehicleJourneyTemplate"), kvv = t("KeyVariantValue"),
+      kvt = t("KeyVariantType"), kt = t("KeyType"), ot = t("ObjectType"))
+  }
 }

@@ -58,6 +58,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min"), "signature aggregation barrier lost")
   }
 
+  test("top-k windows prune map-side (WindowGroupLimit): q14/q21/q22") {
+    // the brute-force/ANN top-k scale story depends on rank pruning before
+    // the shuffle — each partition forwards only its local top k, not every
+    // scored pair (q31 shares q21/q22's window code path)
+    Seq("q14_topn", "q21_cosine_topk", "q22_cosine_ivf").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q lost map-side rank pruning")
+    }
+  }
+
   test("q41_edit_distance: blocked join, no cartesian product") {
     val p = plan("q41_edit_distance")
     assert(!p.contains("CartesianProduct"), "all-pairs cross join crept back")

@@ -19,7 +19,7 @@ class OmmConfigSpec extends AnyFunSuite {
   test("environment variables override, as in the reference") {
     val c = OmmConfig.fromEnv(Map(
       "POLLER_INTERVAL_SECS" -> "60",
-      "OMM_TIMEZONE" -> "UTC",
+      "OMM_DATA_TIMEZONE" -> "UTC",
       "CANCELLATIONS_FROM_TIME" -> "PAST",
       "TRANSITDATA_PUBTRANS_CONN_STRING" -> "jdbc:sqlserver://db"))
     assert(c.intervalSeconds === 60)
@@ -33,5 +33,40 @@ class OmmConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       OmmConfig.fromEnv(Map("CANCELLATIONS_FROM_TIME" -> "YESTERDAY"))
     }
+  }
+
+  test("HOCON-subset parse: blocks, quotes, comments, include, last-wins") {
+    val conf = OmmConfig.parseConf(
+      """include "common.conf"
+        |# comment
+        |pulsar {
+        |  producer {
+        |    topic="omm-cancellations"  # trailing comment
+        |    topic=${?PULSAR_PRODUCER_TOPIC}
+        |  }
+        |}
+        |omm {
+        |  interval=30
+        |  interval=${?POLLER_INTERVAL_SECS}
+        |  timezone="Europe/Helsinki"
+        |}""".stripMargin,
+      env = Map("POLLER_INTERVAL_SECS" -> "45"))
+    assert(conf("pulsar.producer.topic") === "omm-cancellations")
+    assert(conf("omm.interval") === "45")
+    assert(conf("omm.timezone") === "Europe/Helsinki")
+  }
+
+  test("${?VAR} with the variable unset keeps the earlier assignment") {
+    val conf = OmmConfig.parseConf(
+      "omm {\n  interval=30\n  interval=${?POLLER_INTERVAL_SECS}\n}",
+      env = Map.empty)
+    assert(conf("omm.interval") === "30")
+  }
+
+  test("fromConf over a full conf file mirrors fromEnv semantics") {
+    val c = OmmConfig.fromConf(OmmConfig.defaultConf,
+      Map("CANCELLATIONS_FROM_TIME" -> "PAST"))
+    assert(c.mode === P.FromPast)
+    assert(c.intervalSeconds === 30)
   }
 }
