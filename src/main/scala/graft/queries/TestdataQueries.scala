@@ -780,7 +780,7 @@ object TestdataQueries {
   // all-pairs join). The oracle encodes the identical blocker semantics.
   private def q41EditDistance(s: SparkSession, d: String): DataFrame =
     NearDup.editDistancePairs(Tables.documents(s, d), col("doc_id"),
-      col("text"), prefixLen = 40, q = 8, maxDist = 12, maxPostings = 1000)
+      col("text"), prefixLen = 40, q = 8, maxDist = 12, maxPostings = 200)
 
   private val q41Sql =
     """WITH p AS (
@@ -795,7 +795,7 @@ object TestdataQueries {
       |g AS (
       |  SELECT doc_id, gram FROM (
       |    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
-      |    FROM g0) WHERE df <= 1000),
+      |    FROM g0) WHERE df <= 200),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)
