@@ -408,8 +408,11 @@ object TestdataQueries {
     NearDup.minhashLshPairs(Tables.documents(s, d), col("doc_id"), col("text"),
       n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
 
-  private val q19Sql =
-    """WITH toks AS (
+  /** CTE chain computing exact word-3-shingle Jaccard for every
+    * intersecting doc pair (`jpairs`): the oracle for q19 and the edge set
+    * for q44's connected components. */
+  private val jaccardPairsCte =
+    """toks AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
       |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
@@ -422,14 +425,19 @@ object TestdataQueries {
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT id_a, id_b,
-      |  round(CAST(n_inter AS DOUBLE) /
-      |        CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = id_a
-      |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8""".stripMargin
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jpairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_inter AS DOUBLE) /
+      |      CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
+  private val q19Sql =
+    s"""WITH $jaccardPairsCte
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+       |FROM jpairs WHERE jaccard >= 0.8""".stripMargin
 
   // SimHash registered over the ORACLE-PORTABLE polynomial token hash
   // (NearDup.portableTokenHash) so another engine can rebuild the 62-bit
@@ -806,6 +814,96 @@ object TestdataQueries {
       |JOIN p pb ON pb.doc_id = id_b
       |WHERE levenshtein(pa.prefix, pb.prefix) <= 12""".stripMargin
 
+  // ------------------------------------------------- as-of join (§2.10 ext)
+  // For each click, the user's most recent purchase at-or-before the click.
+  // The right side is deduped to one row per (user, ts) so the match is a
+  // total function (both engines agree on ties). Oracle: DuckDB's native
+  // ASOF LEFT JOIN.
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def q42AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(min(col("event_id")).as("purchase_id"))
+    graft.operators.AsOfJoin.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", "pts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("asof_purchase_id"),
+        date_format(col("asof_pts"), tsFmt).as("pts_str"))
+  }
+
+  private val q42Sql =
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, ts AS pts, min(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT c.event_id, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  p.purchase_id AS asof_purchase_id,
+      |  strftime(p.pts, '%Y-%m-%d %H:%M:%S.%f') AS pts_str
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin
+
+  // ---------------------------------------------- sessionization (§2.10 ext)
+  private def q43Sessionize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessionStats(Tables.events(s, d),
+        Seq("user_id"), col("ts").cast("timestamp"), col("event_id"),
+        gapSeconds = 3600L)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        date_format(col("session_start"), tsFmt).as("start_str"),
+        date_format(col("session_end"), tsFmt).as("end_str"),
+        col("duration_s"))
+
+  private val q43Sql =
+    """WITH b AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_ms(ts) // 1000 - epoch_ms(lag(ts) OVER w) // 1000 > 3600
+      |         THEN 1 ELSE 0 END AS nb
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM b)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_str,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_str,
+      |  max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000) AS duration_s
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+  // -------------------------------------- duplicate clusters (§2.10 dedup)
+  // Near-dup pairs → connected components → min-id representative: the
+  // "keep one per cluster" step of corpus dedup. Edges are the (recall-1.0)
+  // minhash-LSH pairs, so the oracle can rebuild the identical edge set
+  // exactly (jaccardPairsCte) and resolve components with a recursive CTE.
+  private def q44DupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = NearDup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.operators.DupClusters.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("cluster_rep"))
+  }
+
+  private val q44Sql =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.8
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.8),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN und e ON e.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -845,7 +943,10 @@ object TestdataQueries {
     "q38_setops" -> (q38SetOps _),
     "q39_from_json" -> (q39FromJson _),
     "q40_percentiles" -> (q40Percentiles _),
-    "q41_edit_distance" -> (q41EditDistance _))
+    "q41_edit_distance" -> (q41EditDistance _),
+    "q42_asof_join" -> (q42AsofJoin _),
+    "q43_sessionize" -> (q43Sessionize _),
+    "q44_dup_clusters" -> (q44DupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -884,5 +985,8 @@ object TestdataQueries {
     "q38_setops" -> q38Sql,
     "q39_from_json" -> q39Sql,
     "q40_percentiles" -> q40Sql,
-    "q41_edit_distance" -> q41Sql)
+    "q41_edit_distance" -> q41Sql,
+    "q42_asof_join" -> q42Sql,
+    "q43_sessionize" -> q43Sql,
+    "q44_dup_clusters" -> q44Sql)
 }

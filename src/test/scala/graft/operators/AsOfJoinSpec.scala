@@ -1,0 +1,121 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, "a", ts("2024-01-01 10:00:00")), // before any right row
+    (2L, "a", ts("2024-01-01 12:00:00")), // equal ts to right r1 → eligible
+    (3L, "a", ts("2024-01-01 15:00:00")), // after r1 and r2 → latest (r2)
+    (4L, "b", ts("2024-01-01 12:30:00")), // other key: only b's rows match
+    (5L, "c", ts("2024-01-01 12:30:00"))  // key with no right rows at all
+  ).toDF("id", "k", "t")
+
+  private lazy val right = Seq(
+    ("a", ts("2024-01-01 12:00:00"), 101L),
+    ("a", ts("2024-01-01 14:00:00"), 102L),
+    ("b", ts("2024-01-01 12:15:00"), 201L)
+  ).toDF("k", "rt", "rid")
+
+  private lazy val joined = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt")
+    .select($"id", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+
+  test("picks the latest right row at-or-before each left timestamp") {
+    assert(joined(2L) === Some(101L), "equal timestamp must be eligible")
+    assert(joined(3L) === Some(102L), "must carry the LATEST matching row")
+  }
+
+  test("left rows with no eligible match keep null right columns") {
+    assert(joined(1L) === None, "left row before all right rows")
+    assert(joined(5L) === None, "key absent from right side")
+  }
+
+  test("keys do not leak into each other") {
+    assert(joined(4L) === Some(201L))
+    assert(joined.size === 5, "exactly one output row per left row")
+  }
+
+  test("plan shape: one exchange, no join node, no cartesian blowup") {
+    val plan = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(n =>
+      assert(!plan.contains(n), s"merge-based as-of must not plan a $n"))
+    assert(plan.contains("Exchange hashpartitioning"),
+      "single hash repartition expected")
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val ev = Seq(
+    (1L, "u1", ts("2024-01-01 10:00:00")),
+    (2L, "u1", ts("2024-01-01 10:30:00")), // same session (gap 1800 < 3600)
+    (3L, "u1", ts("2024-01-01 12:00:00")), // 5400s gap → new session
+    (4L, "u2", ts("2024-01-01 10:00:00"))  // other user: own session
+  ).toDF("event_id", "user_id", "ts")
+
+  test("gap over threshold starts a new session; sessions are per key") {
+    val out = Sessionize.assignSessions(ev, Seq("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 3600L)
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("sessionStats aggregates bounds and duration") {
+    val stats = Sessionize.sessionStats(ev, Seq("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 3600L)
+      .select($"user_id", $"session_idx", $"n_events", $"duration_s")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stats === Set(("u1", 1L, 2L, 1800L), ("u1", 2L, 1L, 0L),
+      ("u2", 1L, 1L, 0L)))
+  }
+
+  test("matches Spark's built-in session_window aggregation") {
+    // same gap semantics: merged windows = gap-based sessions
+    val builtin = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "3600 seconds"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select($"user_id", $"n_events", $"session_start")
+      .as[(String, Long, java.sql.Timestamp)].collect().toSet
+    val ours = Sessionize.sessionStats(ev, Seq("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 3600L)
+      .select($"user_id", $"n_events", $"session_start")
+      .as[(String, Long, java.sql.Timestamp)].collect().toSet
+    assert(ours === builtin)
+  }
+}
+
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multi-hop chains resolve to the component minimum") {
+    val vertices = (1L to 7L).toDF("id")
+    // chain 1-2-3-4 (diameter 3), pair 5-6, singleton 7
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L)).toDF("src", "dst")
+    val labels = DupClusters.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("clusterSizes reports members per representative") {
+    val vertices = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val sizes = DupClusters.clusterSizes(
+        DupClusters.connectedComponents(vertices, edges))
+      .as[(Long, Long)].collect().toMap
+    assert(sizes === Map(1L -> 3L, 4L -> 1L))
+  }
+}
