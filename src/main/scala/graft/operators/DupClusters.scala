@@ -23,13 +23,18 @@ object DupClusters {
     * (undirected pairs, any orientation). Returns (id, cluster_rep). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // persist the DIRECTED edges before mirroring: the union references the
+    // input twice and the propagation join reads it every round — without
+    // the persist an expensive upstream edge producer (a whole minhash-LSH
+    // pipeline) executes 2× on materialization and again per iteration
+    val directed = edges.select(col("src"), col("dst")).persist()
+    val und = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col("id"), col("id").as("label")).persist()
     labels.count()
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    try while (!converged && iter < maxIter) {
       val neighborMin = und
         .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
         .groupBy(col("dst")).agg(min(col("label")).as("__nlabel"))
@@ -47,7 +52,7 @@ object DupClusters {
       labels = next
       converged = changed == 0
       iter += 1
-    }
+    } finally directed.unpersist()
     labels.withColumnRenamed("label", "cluster_rep")
   }
 
