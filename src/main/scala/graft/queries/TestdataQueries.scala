@@ -904,6 +904,61 @@ object TestdataQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN und e ON e.src = reach.id)
        |SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
+  // ------------------------------------------- range join (§2.10 ext)
+  // Clicks matched to every same-user purchase window [pts, pts+1h] that
+  // contains them — bucketed interval join (one bucket per point, interval
+  // replicated per covered bucket, equi-join + exact containment filter).
+  private def q45RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pstart"))
+      .agg(min(col("event_id")).as("purchase_id"))
+      .withColumn("pend", col("pstart") + expr("INTERVAL 3600 SECONDS"))
+    graft.operators.RangeJoin.pointInIntervalJoin(clicks, windows,
+        Seq("user_id"), "ts", "pstart", "pend", bucketSeconds = 3600L)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("iv_purchase_id"),
+        date_format(col("iv_pstart"), tsFmt).as("pstart_str"))
+  }
+
+  private val q45Sql =
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, ts AS pstart, min(event_id) AS purchase_id,
+      |    ts + INTERVAL 3600 SECONDS AS pend
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT c.event_id, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  p.purchase_id AS iv_purchase_id,
+      |  strftime(p.pstart, '%Y-%m-%d %H:%M:%S.%f') AS pstart_str
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.pstart <= c.ts AND c.ts <= p.pend""".stripMargin
+
+  // ----------------------------------------------------- pivot (§2.7 ext)
+  // Wide per-user event-type counts: Spark relational pivot with an
+  // explicit value list (deterministic schema); absent combinations are
+  // NULL, mirrored with sum-CASE in the oracle.
+  private val pivotTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  private def q46Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+
+  private val q46Sql = {
+    val cols = pivotTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -946,7 +1001,9 @@ object TestdataQueries {
     "q41_edit_distance" -> (q41EditDistance _),
     "q42_asof_join" -> (q42AsofJoin _),
     "q43_sessionize" -> (q43Sessionize _),
-    "q44_dup_clusters" -> (q44DupClusters _))
+    "q44_dup_clusters" -> (q44DupClusters _),
+    "q45_range_join" -> (q45RangeJoin _),
+    "q46_pivot" -> (q46Pivot _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -988,5 +1045,7 @@ object TestdataQueries {
     "q41_edit_distance" -> q41Sql,
     "q42_asof_join" -> q42Sql,
     "q43_sessionize" -> q43Sql,
-    "q44_dup_clusters" -> q44Sql)
+    "q44_dup_clusters" -> q44Sql,
+    "q45_range_join" -> q45Sql,
+    "q46_pivot" -> q46Sql)
 }
