@@ -172,8 +172,49 @@ object ScaleProbe {
       time(f"simhashPairs     ($n%7d docs)") {
         NearDup.simhashNearDupPairs(docs, col("doc_id"), col("text"), 3).count()
       }
+      time(f"editDistancePairs($n%7d docs)") {
+        NearDup.editDistancePairs(docs, col("doc_id"), col("text"),
+          40, 8, 12, 200).count()
+      }
+      time(f"dupClusters      ($n%7d docs)") {
+        graft.operators.DupClusters.connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          NearDup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 8, 2, 0.8)
+            .select(col("id_a").as("src"), col("id_b").as("dst"))).count()
+      }
       docs.unpersist()
     }
+
+    // temporal operators over synthetic events: nCases rows, 100k users,
+    // ~10% purchases — as-of/range cost must stay linear in events, never
+    // |clicks_user| × |purchases_user|
+    val ev = spark.range(nCases).select(
+      col("id").as("event_id"),
+      (col("id") % 100000L).as("user_id"),
+      timestamp_micros(lit(1714500000000000L) +
+        (col("id") * 37L % 2592000L) * 1000000L).as("ts"),
+      when(col("id") % 10 === 0, "purchase").otherwise("click")
+        .as("event_type")).cache()
+    ev.count()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(min(col("event_id")).as("purchase_id"))
+    time(s"asofJoin         ($nCases events)") {
+      graft.operators.AsOfJoin.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", "pts").count()
+    }
+    time(s"rangeJoin        ($nCases events)") {
+      graft.operators.RangeJoin.pointInIntervalJoin(clicks,
+        purchases.withColumn("pend", col("pts") + expr("INTERVAL 3600 SECONDS")),
+        Seq("user_id"), "ts", "pts", "pend", bucketSeconds = 3600L).count()
+    }
+    time(s"sessionize       ($nCases events)") {
+      graft.operators.Sessionize.sessionStats(ev, Seq("user_id"),
+        col("ts"), col("event_id"), 3600L).count()
+    }
+    ev.unpersist()
     spark.stop()
   }
 }
