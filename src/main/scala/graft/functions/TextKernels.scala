@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftext.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd text kernels for the near-dup hot path.
+  *
+  * `boundedLevenshtein(a, b, k)` is the banded (Ukkonen) edit distance:
+  * exact distance when ≤ k, −1 otherwise. The full DP computes |a|·|b|
+  * cells; the band computes at most (2k+1)·min(|a|,|b|) and exits the
+  * moment a whole band row exceeds k — for a verify stage that mostly
+  * REJECTS candidate pairs (the common case in blocker→verify dedup),
+  * rejection costs O(k²) instead of O(n²). The expression participates in
+  * whole-stage codegen via `doGenCode` (a static-call kernel, the same
+  * shape Spark's own string expressions use) — no boxing, no fallback.
+  */
+object TextKernels {
+
+  /** Banded Levenshtein over code points. Returns the exact distance if
+    * it is ≤ k, else −1. Matches `levenshtein()` semantics in the ≤ k
+    * regime (unit-tested against the full DP on random inputs). */
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, k: Int): Int = {
+    if (k < 0) return -1
+    val s = a.toString.codePoints.toArray
+    val t = b.toString.codePoints.toArray
+    // rows iterate the LONGER string; one band row over the shorter
+    val (sh, lo) = if (s.length <= t.length) (t, s) else (s, t)
+    val m = sh.length
+    val n = lo.length
+    if (m - n > k) return -1
+    if (n == 0) return m // m ≤ k guaranteed by the length test above
+    val inf = k + 1 // any value > k behaves identically; capping avoids overflow
+    val row = new Array[Int](n + 1) // D[i-1][*] within the previous band
+    var j = 0
+    while (j <= n) { row(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= m) {
+      val from = math.max(1, i - k)
+      val to = math.min(n, i + k)
+      val prevBandHi = math.min(n, i - 1 + k)
+      var diag = if (from - 1 <= prevBandHi) row(from - 1) else inf // D[i-1][from-1]
+      var left = if (from == 1 && i <= k) i else inf // D[i][from-1]
+      // store the left edge: the NEXT row's diag may read row(from-1)
+      row(from - 1) = left
+      var best = inf
+      j = from
+      while (j <= to) {
+        val up = if (j <= prevBandHi) row(j) else inf // D[i-1][j]
+        val cost = if (sh(i - 1) == lo(j - 1)) 0 else 1
+        var v = diag + cost
+        if (up + 1 < v) v = up + 1
+        if (left + 1 < v) v = left + 1
+        if (v > inf) v = inf
+        row(j) = v
+        diag = up
+        left = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best >= inf) return -1 // whole band exceeded k: early exit
+      i += 1
+    }
+    if (row(n) <= k) row(n) else -1
+  }
+
+  case class BoundedLevenshtein(first: Expression, second: Expression,
+                                third: Expression)
+      extends TernaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (StringType, StringType, IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other =>
+          TypeCheckResult.TypeCheckFailure(
+            s"bounded_levenshtein expects (string, string, int), got $other")
+      }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bounded_levenshtein"
+
+    override protected def nullSafeEval(a: Any, b: Any, k: Any): Any =
+      boundedLevenshtein(a.asInstanceOf[UTF8String],
+        b.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, k) =>
+        s"graft.functions.TextKernels.boundedLevenshtein($a, $b, $k)")
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** Column API: exact distance if ≤ `bound`, −1 otherwise. */
+  def boundedLevenshtein(a: Column, b: Column, bound: Int): Column =
+    ColumnBridge.column(BoundedLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      org.apache.spark.sql.catalyst.expressions.Literal(bound)))
+}

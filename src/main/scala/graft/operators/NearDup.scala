@@ -269,11 +269,16 @@ object NearDup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+    // verify with the banded kernel: exact distance when ≤ maxDist, -1
+    // otherwise — rejection (the common case for blocker candidates) costs
+    // O(k·min_len) with early exit instead of the full |a|·|b| DP, and the
+    // expression stays inside whole-stage codegen (TextKernels.doGenCode)
     cand
       .join(pref.select(col("id").as("id_a"), col("prefix").as("pa")), Seq("id_a"))
       .join(pref.select(col("id").as("id_b"), col("prefix").as("pb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        graft.functions.TextKernels.boundedLevenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
