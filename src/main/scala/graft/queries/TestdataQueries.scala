@@ -959,6 +959,44 @@ object TestdataQueries {
        |FROM events GROUP BY user_id""".stripMargin
   }
 
+  // ------------------------------------------------- tf-idf (§2.10 text)
+  private def q47TfIdf(s: SparkSession, d: String): DataFrame =
+    graft.operators.TfIdf.topTerms(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q47Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |wt AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS weight
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, rank, term, tf, df, round(weight, 6) AS weight
+      |FROM (SELECT *, CAST(row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY weight DESC, term) AS INTEGER) AS rank
+      |      FROM wt) WHERE rank <= 3""".stripMargin
+
+  // --------------------------------- deterministic hash sampling (§2.10)
+  // Content-hash sampling: keep ~5% of docs by polynomial fingerprint —
+  // reproducible across engines and runs (unlike rand()/TABLESAMPLE),
+  // the standard way to cut a stable eval slice from a training corpus.
+  private def q48HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .filter(pmod(TextExprs.polyFingerprint(col("text")), lit(100L)) < 5)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  private val q48Sql =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE length(text) > 0
+      |  AND list_reduce(
+      |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |        (a, c) -> (a * 31 + c) % 1000000007) % 100 < 5""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1003,7 +1041,9 @@ object TestdataQueries {
     "q43_sessionize" -> (q43Sessionize _),
     "q44_dup_clusters" -> (q44DupClusters _),
     "q45_range_join" -> (q45RangeJoin _),
-    "q46_pivot" -> (q46Pivot _))
+    "q46_pivot" -> (q46Pivot _),
+    "q47_tfidf" -> (q47TfIdf _),
+    "q48_hash_sample" -> (q48HashSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1047,5 +1087,7 @@ object TestdataQueries {
     "q43_sessionize" -> q43Sql,
     "q44_dup_clusters" -> q44Sql,
     "q45_range_join" -> q45Sql,
-    "q46_pivot" -> q46Sql)
+    "q46_pivot" -> q46Sql,
+    "q47_tfidf" -> q47Sql,
+    "q48_hash_sample" -> q48Sql)
 }
