@@ -47,7 +47,8 @@ object CancellationStream {
 
   def pollOnce(spark: SparkSession, tablesDir: String, sinkDir: String,
                stateDir: String, mode: P.Mode, nowInstant: Instant,
-               lookbackSeconds: Long, zone: String): PollResult = {
+               lookbackSeconds: Long, zone: String,
+               tableLoader: Option[SparkSession => P.OmmTables] = None): PollResult = {
     val t0 = System.nanoTime()
     val (now, today) = localNowStrings(nowInstant, zone)
     // PAST-mode lookback: subtract on the Instant, render in the zone
@@ -62,8 +63,10 @@ object CancellationStream {
     // (asserted in CancellationStreamSpec). Without the persist each action
     // re-ran the whole pipeline — 4 evaluations per poll, the first thing
     // to blow the 30 s poll budget at scale.
-    val deduped = P.dedup(P.parse(P.snapshot(
-      P.loadTables(spark, tablesDir), mode, now, today, lookback), zone))
+    val tables = tableLoader.getOrElse(
+      (s: SparkSession) => P.loadTables(s, tablesDir))(spark)
+    val deduped = P.dedup(P.parse(
+      P.snapshot(tables, mode, now, today, lookback), zone))
       .persist()
     try {
       val sent = deduped.count() // materializes the cache
@@ -111,7 +114,8 @@ object CancellationStream {
   def start(spark: SparkSession, tablesDir: String, sinkDir: String,
             stateDir: String, checkpointDir: String, mode: P.Mode,
             intervalSeconds: Int, lookbackSeconds: Long, zone: String,
-            nowProvider: () => Instant = () => Instant.now()): StreamingQuery =
+            nowProvider: () => Instant = () => Instant.now(),
+            tableLoader: Option[SparkSession => P.OmmTables] = None): StreamingQuery =
     spark.readStream
       .format("rate").option("rowsPerSecond", 1).load()
       .writeStream
@@ -119,7 +123,7 @@ object CancellationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, batchId: Long) =>
         val r = pollOnce(spark, tablesDir, sinkDir, stateDir, mode,
-          nowProvider(), lookbackSeconds, zone)
+          nowProvider(), lookbackSeconds, zone, tableLoader)
         // A3: per-poll counts (≙ Hand:223–224 log line)
         println(s"[poll $batchId] sent=${r.sent} new=${r.newTrips} " +
           s"repeated=${r.repeatedTrips}")

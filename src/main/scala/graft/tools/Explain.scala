@@ -11,7 +11,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q1_agg", "q2_join_tree", "q5_priority_dedup", "q19_minhash_lsh",
-      "q21_cosine_topk", "omm_snapshot_now")
+      "q21_cosine_topk", "omm_snapshot_now", "q41_edit_distance",
+      "q42_asof_join", "q45_range_join", "q43_sessionize")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

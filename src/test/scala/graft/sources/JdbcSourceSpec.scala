@@ -62,6 +62,16 @@ class JdbcSourceSpec extends SparkSpec {
     assert(plan.contains("IsNull(IsReplacedById)"), "F6 not pushed to the DB")
   }
 
+  test("a full poll runs through the JDBC table loader (service wiring)") {
+    loadIntoDerby
+    val base = java.nio.file.Files.createTempDirectory("jdbcpoll").toString
+    val r = graft.streaming.CancellationStream.pollOnce(spark,
+      tablesDir = null, s"$base/sink", s"$base/state", P.FromNow,
+      java.time.Instant.parse("2024-05-15T09:00:00Z"), 1800L, F.zone,
+      tableLoader = Some(s => JdbcSource.loadTables(s, url, nameFor = quoted)))
+    assert(r.sent === 6, "poll through JDBC must emit the golden dedup count")
+  }
+
   test("single-table read honors extra JDBC options") {
     loadIntoDerby
     val df = JdbcSource.table(spark, url, quoted("deviation_cases"),
