@@ -980,6 +980,36 @@ object TestdataQueries {
       |        PARTITION BY doc_id ORDER BY weight DESC, term) AS INTEGER) AS rank
       |      FROM wt) WHERE rank <= 3""".stripMargin
 
+  // ------------------------- session_window aggregation (§2.9 streaming)
+  // The built-in merging session window, run in batch mode (same plan
+  // serves streaming); oracle rebuilds the merge with lag/cumsum at full
+  // microsecond precision (session_window merges gaps STRICTLY < gap).
+  private def q49SessionWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.WindowedStats.sessionCounts(Tables.events(s, d),
+        "ts", "user_id", "3600 seconds", "0 seconds")
+      .select(col("user_id"),
+        date_format(col("window_start"), tsFmt).as("ws"),
+        date_format(col("window_end"), tsFmt).as("we"),
+        col("n"))
+
+  private val q49Sql =
+    """WITH b AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+      |         THEN 1 ELSE 0 END AS nb
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+      |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM b)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS ws,
+      |  strftime(max(ts) + INTERVAL 3600 SECONDS, '%Y-%m-%d %H:%M:%S.%f') AS we,
+      |  count(*) AS n
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   // --------------------------------- deterministic hash sampling (§2.10)
   // Content-hash sampling: keep ~5% of docs by polynomial fingerprint —
   // reproducible across engines and runs (unlike rand()/TABLESAMPLE),
@@ -1043,7 +1073,8 @@ object TestdataQueries {
     "q45_range_join" -> (q45RangeJoin _),
     "q46_pivot" -> (q46Pivot _),
     "q47_tfidf" -> (q47TfIdf _),
-    "q48_hash_sample" -> (q48HashSample _))
+    "q48_hash_sample" -> (q48HashSample _),
+    "q49_session_window" -> (q49SessionWindow _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1089,5 +1120,6 @@ object TestdataQueries {
     "q45_range_join" -> q45Sql,
     "q46_pivot" -> q46Sql,
     "q47_tfidf" -> q47Sql,
-    "q48_hash_sample" -> q48Sql)
+    "q48_hash_sample" -> q48Sql,
+    "q49_session_window" -> q49Sql)
 }

@@ -40,4 +40,23 @@ object WindowedStats {
                            keys: Seq[String], lateness: String): DataFrame =
     df.withWatermark(eventTime, lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Gap-based session aggregates via the built-in `session_window`
+    * (merging event-time windows + watermark state eviction) — the
+    * STREAMING counterpart of `operators.Sessionize` (which additionally
+    * yields per-event assignments in batch). Boundary note: session_window
+    * merges gaps STRICTLY smaller than `gap` (windows are [ts, ts+gap));
+    * Sessionize's lag-based rule merges gaps ≤ gapSeconds — identical
+    * sessions except for events exactly `gap` apart. Works on batch or
+    * streaming input. */
+  def sessionCounts(df: DataFrame, eventTime: String, key: String,
+                    gap: String, lateness: String): DataFrame =
+    df.withWatermark(eventTime, lateness)
+      .groupBy(session_window(col(eventTime), gap), col(key))
+      .agg(count(lit(1)).as("n"),
+        min(col(eventTime)).as("session_start_ev"),
+        max(col(eventTime)).as("session_end_ev"))
+      .select(col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"), col(key), col("n"),
+        col("session_start_ev"), col("session_end_ev"))
 }

@@ -64,4 +64,30 @@ class WindowedStatsSpec extends SparkSpec {
       .collect().sorted
     assert(trips === Array("601", "602"))
   }
+
+  test("sessionCounts merges gap-adjacent events and closes via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = WindowedStats.sessionCounts(
+      input.toDF().toDF("ts", "k"), "ts", "k", "5 minutes", "1 minute")
+
+    val q = sessions.writeStream.format("memory").queryName("sess_counts")
+      .outputMode("append").start()
+    // one session of 3 events (gaps < 5 min), then a 10-min silence
+    input.addData((ts("2024-05-15 12:00:00"), "a"),
+      (ts("2024-05-15 12:03:00"), "a"),
+      (ts("2024-05-15 12:06:00"), "a"))
+    q.processAllAvailable()
+    // advance the watermark past the session's close → it finalizes
+    input.addData((ts("2024-05-15 12:30:00"), "a"))
+    input.addData((ts("2024-05-15 12:50:00"), "flush"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_counts")
+      .as[(Timestamp, Timestamp, String, Long, Timestamp, Timestamp)]
+      .collect().map { case (ws, we, k, n, _, _) => (ws.toString, we.toString, k, n) }
+    assert(rows.contains(("2024-05-15 12:00:00.0", "2024-05-15 12:11:00.0", "a", 3L)),
+      s"merged 3-event session missing from ${rows.toSeq}")
+  }
 }
