@@ -1027,6 +1027,105 @@ object TestdataQueries {
       |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
       |        (a, c) -> (a * 31 + c) % 1000000007) % 100 < 5""".stripMargin
 
+  // ------------------------- product quantization (§2.10 embeddings)
+  // 64-dim floats → 8 one-byte codes (32× storage compression) via
+  // seed-row codebooks (subvectors of designated corpus rows — reachable
+  // by the oracle through plain joins), plus ADC top-k that reads only
+  // the codes at query time. Exact same slice/fold arithmetic mirrored
+  // in SQL; argmin tiebreak = lexicographic (dist, code) on both sides.
+  private val pqSeedIds: Seq[Long] = (10L to 25L)
+  private val pqM = 8
+  private val pqDim = 64
+  private val pqSub = pqDim / pqM
+
+  private def q50PqEncode(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val cb = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), pqSeedIds)
+    graft.operators.Quantize.pqEncode(embs, col("vec_id"), col("embedding"),
+        cb, pqM, pqDim)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private def pqDistSql(j: Int, cbAlias: String): String = {
+    val lo = j * pqSub + 1
+    val hi = lo + pqSub
+    val diff = s"[e.v[i] - $cbAlias.cv[i] for i in range($lo, $hi)]"
+    s"list_inner_product($diff, $diff)"
+  }
+
+  private def pqCbCtes: String =
+    pqSeedIds.zipWithIndex.map { case (cid, c) =>
+      s"cb$c AS (SELECT v AS cv FROM e WHERE vec_id = $cid)"
+    }.mkString(",\n")
+
+  private val q50Sql = {
+    val mins = (0 until pqM).map { j =>
+      "list_min([" + pqSeedIds.indices.map(c =>
+        s"[${pqDistSql(j, s"cb$c")}, $c.0]").mkString(", ") + s"]) AS m$j"
+    }.mkString(",\n    ")
+    val codes = (0 until pqM).map(j => s"CAST(m$j[2] AS INTEGER) AS c$j")
+      .mkString(", ")
+    val mse = (0 until pqM).map(j => s"m$j[1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqCbCtes,
+       |p AS (
+       |  SELECT e.vec_id,
+       |    $mins
+       |  FROM e${pqSeedIds.indices.map(c => s" CROSS JOIN cb$c").mkString})
+       |SELECT vec_id, $codes, round($mse, 6) AS distortion FROM p""".stripMargin
+  }
+
+  private def q51PqAdc(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val cb = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), pqSeedIds)
+    val codes = graft.operators.Quantize.pqEncode(embs, col("vec_id"),
+      col("embedding"), cb, pqM, pqDim).drop("distortion")
+    graft.operators.Quantize.pqAdcTopK(codes,
+      embs.filter(col("vec_id") < 5), "vec_id", "embedding", cb,
+      pqM, pqDim, k = 3)
+  }
+
+  private val q51Sql = {
+    // rebuild the codes (q50 logic), then ADC = Σ_j dist(query_sub_j,
+    // centroid[c_j]) via one cb join per subspace
+    val mins = (0 until pqM).map { j =>
+      "list_min([" + pqSeedIds.indices.map(c =>
+        s"[${pqDistSql(j, s"cb$c")}, $c.0]").mkString(", ") + s"]) AS m$j"
+    }.mkString(",\n    ")
+    val codeSel = (0 until pqM).map(j => s"CAST(m$j[2] AS INTEGER) AS c$j")
+      .mkString(", ")
+    def qDist(j: Int, alias: String): String = {
+      val lo = j * pqSub + 1
+      val hi = lo + pqSub
+      val diff = s"[q.qv[i] - $alias.cv[i] for i in range($lo, $hi)]"
+      s"list_inner_product($diff, $diff)"
+    }
+    val adc = (0 until pqM).map(j => qDist(j, s"b$j")).mkString(" + ")
+    val cbJoins = (0 until pqM).map(j => s"JOIN cb b$j ON b$j.code = k.c$j")
+      .mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqCbCtes,
+       |cb AS (${pqSeedIds.indices.map(c => s"SELECT $c AS code, cv FROM cb$c").mkString(" UNION ALL ")}),
+       |p AS (
+       |  SELECT e.vec_id,
+       |    $mins
+       |  FROM e${pqSeedIds.indices.map(c => s" CROSS JOIN cb$c").mkString}),
+       |codes AS (SELECT vec_id AS id, $codeSel FROM p),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.query_id, k.id AS neighbor_id, $adc AS adc
+       |  FROM codes k
+       |  CROSS JOIN qs q
+       |  $cbJoins
+       |  WHERE q.query_id <> k.id)
+       |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+       |      FROM s) WHERE rank <= 3""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1074,7 +1173,9 @@ object TestdataQueries {
     "q46_pivot" -> (q46Pivot _),
     "q47_tfidf" -> (q47TfIdf _),
     "q48_hash_sample" -> (q48HashSample _),
-    "q49_session_window" -> (q49SessionWindow _))
+    "q49_session_window" -> (q49SessionWindow _),
+    "q50_pq_encode" -> (q50PqEncode _),
+    "q51_pq_adc_topk" -> (q51PqAdc _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1121,5 +1222,7 @@ object TestdataQueries {
     "q46_pivot" -> q46Sql,
     "q47_tfidf" -> q47Sql,
     "q48_hash_sample" -> q48Sql,
-    "q49_session_window" -> q49Sql)
+    "q49_session_window" -> q49Sql,
+    "q50_pq_encode" -> q50Sql,
+    "q51_pq_adc_topk" -> q51Sql)
 }

@@ -58,6 +58,37 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.3, s"sampled-fit recall $recall collapsed")
   }
 
+  test("PQ ADC top-k recalls exact-L2 neighbors despite 32x compression") {
+    import graft.operators.Quantize
+    import graft.functions.VectorExprs
+    val cb = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      (10L to 25L))
+    val codes = Quantize.pqEncode(embs, col("vec_id"), col("embedding"),
+      cb, m = 8, dim = 64).drop("distortion")
+    val adc = pairs(Quantize.pqAdcTopK(codes, queries, "vec_id", "embedding",
+      cb, m = 8, dim = 64, k = k)
+      .withColumnRenamed("adc_dist", "cos")) // column shape reuse for pairs()
+    // exact L2 top-k (ADC approximates L2, not cosine)
+    val c = embs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("neighbor_id").asc)
+    val exactL2 = pairs(c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("l2", VectorExprs.l2sq(col("qv"), col("cv")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= k))
+    val recall = (adc intersect exactL2).size.toDouble / exactL2.size
+    info(f"PQ ADC recall@$k vs exact L2 = $recall%.3f (8 subspaces, 16 codes)")
+    // near-uniform random embeddings are PQ's adversarial case (no cluster
+    // structure for the codebook to exploit); the floor guards against
+    // regression, not against the data
+    assert(recall >= 0.15, s"ADC recall $recall collapsed")
+  }
+
   test("multi-probe LSH clears the 0.4 recall floor; single-probe shows why") {
     // single-probe 4-bit LSH measures ~0.10 on this near-uniform corpus —
     // a registered ANN that misses 90% of true neighbors is a trap, which
