@@ -35,6 +35,7 @@ object Quantize {
   def pqEncode(embs: DataFrame, id: Column, vec: Column,
                centroids: Seq[(Int, Seq[Double])], m: Int,
                dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val v = vec.cast("array<double>")
     val perSubspace = (0 until m).map { j =>
@@ -95,6 +96,8 @@ object Quantize {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
       .toMap
+    val missing = centroidIds.filterNot(rows.contains)
+    require(missing.isEmpty, s"seed centroid rows not found: $missing")
     centroidIds.zipWithIndex.map { case (cid, code) => code -> rows(cid) }
   }
 }

@@ -215,6 +215,23 @@ object ScaleProbe {
         col("ts"), col("event_id"), 3600L).count()
     }
     ev.unpersist()
+
+    // PQ encode over synthetic 64-dim vectors: pure map-side against a
+    // broadcast codebook — cost must scale linearly with corpus size
+    val dim = 64
+    val vecs = spark.range(nCases / 4).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => sin(col("id") * 37 + i * 11).cast("double")).as("embedding"))
+      .cache()
+    vecs.count()
+    val cb = graft.operators.Quantize.seedCodebook(
+      vecs, col("vec_id"), col("embedding"), (10L to 25L))
+    time(s"pqEncode         (${nCases / 4} vecs)") {
+      graft.operators.Quantize.pqEncode(vecs, col("vec_id"),
+        col("embedding"), cb, m = 8, dim = dim).count()
+    }
+    vecs.unpersist()
     spark.stop()
   }
 }
