@@ -5,7 +5,6 @@ import java.io.ByteArrayOutputStream
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftext.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,11 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `spark-protobuf` is not on this classpath, so the wire format (varint
   * tags + length-delimited strings — the whole message is flat) is encoded
-  * directly by a pair of Catalyst expressions. They are `CodegenFallback`
-  * by design: encode/decode sit at the SINK boundary (once per emitted
-  * row, exactly where the reference calls `toByteArray`), not in the
-  * relational hot path, so interpreted eval costs nothing measurable while
-  * keeping the byte layout in one auditable place.
+  * directly by a pair of Catalyst expressions whose `doGenCode` emits a
+  * static kernel call — the sink projection stays inside whole-stage
+  * codegen, and the byte layout lives in one auditable place.
   */
 object ProtoWire {
 
@@ -148,7 +145,7 @@ object ProtoWire {
   }
 
   case class TripCancellationToProto(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -161,13 +158,18 @@ object ProtoWire {
       }
     override protected def nullSafeEval(input: Any): Any =
       encode(input.asInstanceOf[InternalRow])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.ProtoWire.encode((org.apache.spark.sql.catalyst.InternalRow) $c)")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "trip_cancellation_to_proto"
   }
 
   case class TripCancellationFromProto(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = payloadSchema
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -179,6 +181,11 @@ object ProtoWire {
       }
     override protected def nullSafeEval(input: Any): Any =
       decode(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.ProtoWire.decode((byte[]) $c)")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = "trip_cancellation_from_proto"
