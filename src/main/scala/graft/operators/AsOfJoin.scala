@@ -64,13 +64,16 @@ object AsOfJoin {
       it.flatMap { row =>
         val key = (0 until nKeys).map(row.get)
         if (key != curKey) { curKey = key; lastRight = null }
+        // SQL join semantics: a NULL key never matches anything — rows in
+        // a null-key group neither provide nor receive matches
+        val nullKey = key.exists(_ == null)
         if (row.getInt(nKeys + 1) == 0) { // right side: remember, emit nothing
-          lastRight = row.getStruct(nKeys + 3)
+          if (!nullKey) lastRight = row.getStruct(nKeys + 3)
           Iterator.empty
         } else {
           val lRow = row.getStruct(nKeys + 2)
           val rVals =
-            if (lastRight == null) Seq.fill[Any](nR)(null)
+            if (nullKey || lastRight == null) Seq.fill[Any](nR)(null)
             else lastRight.toSeq
           Iterator.single(Row.fromSeq(lRow.toSeq ++ rVals))
         }

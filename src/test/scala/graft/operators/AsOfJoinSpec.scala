@@ -43,6 +43,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined.size === 5, "exactly one output row per left row")
   }
 
+  test("NULL keys never match (SQL join semantics, like the ASOF oracle)") {
+    val l = Seq((1L, Option("a"), ts("2024-01-01 12:30:00")),
+      (2L, Option.empty[String], ts("2024-01-01 12:30:00")))
+      .toDF("id", "k", "t")
+    val r = Seq((Option("a"), ts("2024-01-01 12:00:00"), 101L),
+      (Option.empty[String], ts("2024-01-01 12:00:00"), 102L))
+      .toDF("k", "rt", "rid")
+    val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt")
+      .select($"id", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(101L))
+    assert(out(2L) === None, "null-key left row must not match null-key right")
+  }
+
   test("plan shape: one exchange, no join node, no cartesian blowup") {
     val plan = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt")
       .queryExecution.executedPlan.toString
