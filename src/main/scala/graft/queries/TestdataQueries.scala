@@ -1126,6 +1126,54 @@ object TestdataQueries {
        |      FROM s) WHERE rank <= 3""".stripMargin
   }
 
+  // -------------------------------- stratified sampling (§2.10 corpus ops)
+  // Per-language sampling rates over the same deterministic content
+  // fingerprint as q48: high-resource langs downsampled hard, low-resource
+  // kept — the standard corpus-rebalancing cut, reproducible everywhere.
+  private val q52Rates: Seq[(String, Int)] =
+    Seq("en" -> 5, "de" -> 10, "es" -> 10, "fr" -> 20, "zh" -> 50)
+
+  private def q52StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rate = q52Rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .filter(pmod(TextExprs.polyFingerprint(col("text")), lit(100L)) < rate)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+  }
+
+  private val q52Sql = {
+    val rate = "CASE " + q52Rates.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN $r" }.mkString(" ") + " ELSE 0 END"
+    s"""SELECT lang, count(*) AS n_sampled FROM documents
+       |WHERE length(text) > 0
+       |  AND list_reduce(
+       |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |        (a, c) -> (a * 31 + c) % 1000000007) % 100 < $rate
+       |GROUP BY lang""".stripMargin
+  }
+
+  // ----------------------------------------- full outer join (§2.7 surface)
+  // Per-customer order counts vs lineitem supplier counts, full-outer on
+  // the key so rows exclusive to either side survive with nulls.
+  private def q53FullOuter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_orders"))
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    o.join(c, Seq("custkey"), "full_outer")
+      .select(col("custkey"), col("n_orders"), col("c_name"))
+  }
+
+  private val q53Sql =
+    """SELECT COALESCE(o.custkey, c.c_custkey) AS custkey, o.n_orders, c.c_name
+      |FROM (SELECT o_custkey AS custkey, count(*) AS n_orders
+      |      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+      |FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
+      |                 WHERE c_acctbal > 9000) c
+      |  ON o.custkey = c.c_custkey""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1175,7 +1223,9 @@ object TestdataQueries {
     "q48_hash_sample" -> (q48HashSample _),
     "q49_session_window" -> (q49SessionWindow _),
     "q50_pq_encode" -> (q50PqEncode _),
-    "q51_pq_adc_topk" -> (q51PqAdc _))
+    "q51_pq_adc_topk" -> (q51PqAdc _),
+    "q52_stratified_sample" -> (q52StratifiedSample _),
+    "q53_full_outer" -> (q53FullOuter _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1224,5 +1274,7 @@ object TestdataQueries {
     "q48_hash_sample" -> q48Sql,
     "q49_session_window" -> q49Sql,
     "q50_pq_encode" -> q50Sql,
-    "q51_pq_adc_topk" -> q51Sql)
+    "q51_pq_adc_topk" -> q51Sql,
+    "q52_stratified_sample" -> q52Sql,
+    "q53_full_outer" -> q53Sql)
 }
