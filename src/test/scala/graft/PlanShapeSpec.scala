@@ -74,4 +74,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "non-equi join crept back into the blocker")
   }
+
+  test("q47_tfidf: per-doc top-k window prunes map-side") {
+    assert(plan("q47_tfidf").contains("WindowGroupLimit"),
+      "tf-idf top-terms lost rank pruning")
+  }
+
+  test("q50_pq_encode: PQ encoding is pure map-side — zero exchanges") {
+    val p = plan("q50_pq_encode")
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).isEmpty,
+      "PQ encode must not shuffle (codebook is a plan-time literal)")
+  }
 }
