@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, print ONE JSON line. A query that throws is reported
   * explicitly in "errors" (and as -1 in "queries") instead of being silently
   * folded into the total — a bench can't look green with broken queries.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * MEDIAN is reported: single-shot numbers at codegen-dominated fixture
+  * scale swing ±2× with run order and JIT state, which made round-over-round
+  * comparison noise-bound. The median of 3 is stable across consecutive
+  * bench invocations.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,20 +49,24 @@ object Bench {
 
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-          name -> -1.0
-      }
+      val times = (0 until reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            -1.0
+        }
+      }.takeWhile(_ >= 0).toVector // an error rep aborts the remaining reps
+      if (times.size < reps) name -> -1.0
+      else name -> times.sorted.apply(reps / 2) // median
     }
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -70,11 +70,19 @@ object CancellationPipeline {
     * preserved across DST transitions. */
   def snapshot(t: OmmTables, mode: Mode, now: String, today: String,
                lookback: String,
-               cancellationTypesOnly: Boolean = false): DataFrame = {
-    val nowTs = lit(now).cast("timestamp")
-    val todayD = lit(today).cast("date")
-    val lookbackTs = lit(lookback).cast("timestamp")
+               cancellationTypesOnly: Boolean = false): DataFrame =
+    applyValidity(snapshotBase(t, cancellationTypesOnly),
+      mode, now, today, lookback)
 
+  /** The poll-INVARIANT part of the snapshot: joins J1–J10, static filters
+    * F1/F3–F7, and the 17-column projection (plus the raw
+    * `OperatingDayDate` the validity predicate needs). Split out so a
+    * caller evaluating the SAME data under several `(now, today)` bindings
+    * (batch-over-batch diff, backfills) can persist this subtree once and
+    * apply each per-poll validity filter to the cached relation instead of
+    * re-running the whole join tree per binding. */
+  def snapshotBase(t: OmmTables,
+                   cancellationTypesOnly: Boolean = false): DataFrame = {
     val dc = t.dc.select(
       col("deviation_case_id"), col("bulletin_id").as("dc_bulletin_id"),
       col("valid_from").as("VALID_FROM"), col("valid_to").as("VALID_TO"),
@@ -106,25 +114,6 @@ object CancellationPipeline {
       col("ExtendsObjectTypeNumber"), col("Name").as("kt_name"))
     val ot = t.ot.select(col("Number").as("ot_number"), col("Name").as("ot_name"))
 
-    // F2: "valid in the future, or a cancellation-of-cancellation still
-    // relevant today" (CC:33–35); PAST mode adds re-emission of past rows
-    // modified within the lookback window (PCF:34–37).
-    val currentOrFuture =
-      col("VALID_TO") > nowTs ||
-        (col("VALID_TO").isNull &&
-          col("AFFECTED_DEPARTURES_STATUS") === "deleted" &&
-          col("OperatingDayDate") >= todayD)
-    val validity = mode match {
-      case FromNow => currentOrFuture
-      case FromPast =>
-        currentOrFuture ||
-          ((col("VALID_TO") <= nowTs ||
-            (col("VALID_TO").isNull &&
-              col("AFFECTED_DEPARTURES_STATUS") === "deleted" &&
-              col("OperatingDayDate") < todayD)) &&
-            col("DEVIATION_CASES_LAST_MODIFIED") >= lookbackTs)
-    }
-
     // F7: the reference ships this predicate commented out (CC:31) — all
     // deviation types flow through by default; kept available behind a flag.
     val typeFilter =
@@ -145,7 +134,6 @@ object CancellationPipeline {
       .join(broadcast(kt), col("kt_id") === col("IsForKeyTypeId")) // J9
       .join(broadcast(ot), col("ot_number") === col("ExtendsObjectTypeNumber")) // J10
       .filter(col("language_code") === "fi") // F1 (turns J2 inner for null BLM)
-      .filter(validity) // F2 / F2b
       .filter(col("kt_name").isin("JoreIdentity", "JoreRouteIdentity", "RouteName")) // F3
       .filter(col("ot_name") === "VehicleJourney") // F4
       .filter(col("gid").isNotNull) // F5
@@ -164,7 +152,39 @@ object CancellationPipeline {
         TimeExprs.style112(col("OperatingDayDate")).as("OPERATING_DAY"), // P5
         TimeExprs.serviceDayTime( // P6+P7+P8: >24h-safe service-day time
           lit("1900-01-01 00:00:00").cast("timestamp"),
-          col("PlannedStartOffsetDateTime")).as("START_TIME"))
+          col("PlannedStartOffsetDateTime")).as("START_TIME"),
+        col("OperatingDayDate")) // raw date for applyValidity; dropped there
+  }
+
+  /** The per-poll part of the snapshot: F2 (/F2b) temporal validity under
+    * a concrete `(now, today, lookback)` binding, over `snapshotBase`
+    * output. In the plain `snapshot` path Catalyst pushes this filter down
+    * through the projection to the scans exactly as before; over a
+    * persisted base it filters the cached relation. */
+  def applyValidity(base: DataFrame, mode: Mode, now: String, today: String,
+                    lookback: String): DataFrame = {
+    val nowTs = lit(now).cast("timestamp")
+    val todayD = lit(today).cast("date")
+    val lookbackTs = lit(lookback).cast("timestamp")
+    // F2: "valid in the future, or a cancellation-of-cancellation still
+    // relevant today" (CC:33–35); PAST mode adds re-emission of past rows
+    // modified within the lookback window (PCF:34–37).
+    val currentOrFuture =
+      col("VALID_TO") > nowTs ||
+        (col("VALID_TO").isNull &&
+          col("AFFECTED_DEPARTURES_STATUS") === "deleted" &&
+          col("OperatingDayDate") >= todayD)
+    val validity = mode match {
+      case FromNow => currentOrFuture
+      case FromPast =>
+        currentOrFuture ||
+          ((col("VALID_TO") <= nowTs ||
+            (col("VALID_TO").isNull &&
+              col("AFFECTED_DEPARTURES_STATUS") === "deleted" &&
+              col("OperatingDayDate") < todayD)) &&
+            col("DEVIATION_CASES_LAST_MODIFIED") >= lookbackTs)
+    }
+    base.filter(validity).drop("OperatingDayDate") // F2 / F2b
   }
 
   /** O1: the reference's `ORDER BY DC.last_modified` (CC:39). Applied at

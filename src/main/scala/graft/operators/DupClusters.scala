@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 
 /** Duplicate-cluster resolution: connected components over a near-dup pair
   * graph, labeling every document with the minimum id of its component —
@@ -9,20 +10,43 @@ import org.apache.spark.sql.functions._
   * into "keep one representative per cluster" for corpus dedup.
   *
   * Algorithm: iterative min-label propagation (the simple variant of
-  * large-star/small-star). Each round is two hash-partitioned shuffles
-  * (edge×label join + min aggregate); rounds needed = component diameter,
-  * which for near-dup clusters is tiny (dup families are cliques-ish).
-  * The driver loop materializes each round via `persist` + a convergence
-  * count — the canonical Spark pattern for iterative graph algorithms —
-  * and `maxIter` bounds the worst case. Labels-only state shuffles
+  * large-star/small-star), restricted to the vertices that actually touch
+  * an edge. In any real corpus the overwhelming majority of documents are
+  * isolated (near-dup families are small), and an isolated vertex's label
+  * is its own id by definition — so the iteration works only over the
+  * edge-incident vertex set and the isolated rest is unioned back with
+  * `label = id` at the end. Per-round cost is O(dup-set), not O(corpus).
+  *
+  * Each round is two hash-partitioned shuffles (edge×label join + min
+  * aggregate); rounds needed = component diameter, which for near-dup
+  * clusters is tiny (dup families are cliques-ish). Rounds materialize via
+  * `persist` + a convergence count, and every third round goes through
+  * `localCheckpoint` so lineage (and with it plan size and recovery cost)
+  * stays bounded regardless of iteration count. Labels-only state shuffles
   * (id, label) pairs: 16 bytes a row at any corpus scale.
   */
 object DupClusters {
 
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** The working set of the propagation loop: every vertex that appears as
+    * an endpoint of some edge, restricted to the given vertex universe. */
+  def incidentVertices(vertices: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .join(vertices.select(col("id")), Seq("id"), "left_semi")
+
   /** `vertices`: one column `id`; `edges`: columns `src`, `dst`
-    * (undirected pairs, any orientation). Returns (id, cluster_rep). */
+    * (undirected pairs, any orientation). Returns (id, cluster_rep).
+    *
+    * Exiting at `maxIter` without convergence means long-chain components
+    * may carry partially-propagated labels; that is logged as a warning,
+    * or thrown when `failOnNonConvergence` is set — non-converged output
+    * is never returned silently. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          failOnNonConvergence: Boolean = false): DataFrame = {
     // persist the DIRECTED edges before mirroring: the union references the
     // input twice and the propagation join reads it every round — without
     // the persist an expensive upstream edge producer (a whole minhash-LSH
@@ -30,30 +54,51 @@ object DupClusters {
     val directed = edges.select(col("src"), col("dst")).persist()
     val und = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = vertices.select(col("id"), col("id").as("label")).persist()
+    // iterate ONLY over edge-incident vertices; isolated ones are done at
+    // round 0 and never need to enter (or be re-shuffled by) the loop
+    val incident = incidentVertices(vertices, edges).persist()
+    var labels = incident.select(col("id"), col("id").as("label")).persist()
     labels.count()
     var iter = 0
     var converged = false
-    try while (!converged && iter < maxIter) {
-      val neighborMin = und
-        .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
-        .groupBy(col("dst")).agg(min(col("label")).as("__nlabel"))
-      val next = labels
-        .join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__nlabel"), col("label")))
-            .as("label"))
-        .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "__old")
-          .withColumnRenamed("id", "__id"), col("id") === col("__id"))
-        .filter(col("label") < col("__old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        val neighborMin = und
+          .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
+          .groupBy(col("dst")).agg(min(col("label")).as("__nlabel"))
+        val propagated = labels
+          .join(neighborMin, col("id") === col("dst"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__nlabel"), col("label")))
+              .as("label"))
+        // localCheckpoint every 3rd round: persist alone caches rows but
+        // keeps the full lineage, so the logical plan (and failure-recovery
+        // chain) would otherwise grow with the iteration count
+        // (localCheckpoint caches the underlying RDD itself — no extra persist)
+        val next =
+          if (iter % 3 == 2) propagated.localCheckpoint(eager = false)
+          else propagated.persist()
+        val changed = next
+          .join(labels.withColumnRenamed("label", "__old")
+            .withColumnRenamed("id", "__id"), col("id") === col("__id"))
+          .filter(col("label") < col("__old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged) {
+        val msg = s"connectedComponents exited at maxIter=$maxIter without " +
+          "converging: components with diameter > maxIter carry " +
+          "partially-propagated labels"
+        if (failOnNonConvergence) throw new IllegalStateException(msg)
+        log.warn(msg)
+      }
+      val isolated = vertices.select(col("id"))
+        .join(incident, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_rep"))
+      labels.withColumnRenamed("label", "cluster_rep").union(isolated)
     } finally directed.unpersist()
-    labels.withColumnRenamed("label", "cluster_rep")
   }
 
   /** Cluster sizes + representative, for "how much of the corpus is

@@ -20,13 +20,29 @@ import graft.functions.VectorExprs
   * Scale shape: codebooks are dim×k doubles — broadcast; encoding and ADC
   * scoring are pure map-side projections over the corpus (no shuffle);
   * the only shuffle anywhere is the final top-k window by query.
+  *
+  * The m row subvectors are materialized ONCE per row in a staging
+  * projection and every centroid distance term references that staged
+  * column — m slices per row, not m×k. The centroid side is sliced at
+  * PLAN time (the codebook is a Scala literal), so no runtime array copy
+  * happens for it at all.
   */
 object Quantize {
 
-  /** Per-subspace squared L2 between a vector slice and a centroid slice,
-    * with the same left-to-right fold order as `VectorExprs.l2sq`. */
-  private def subL2(v: Column, c: Column, lo: Int, len: Int): Column =
-    VectorExprs.l2sq(slice(v, lo, len), slice(c, lo, len))
+  /** The j-th subvector of a literal codebook vector, cut at plan time. */
+  private def centroidSub(cv: Seq[Double], j: Int, sub: Int): Column =
+    array(cv.slice(j * sub, (j + 1) * sub).map(lit): _*)
+
+  /** Staging projection: `keep` columns plus `__s0..__s{m-1}` row
+    * subvectors, computed once and reused by every distance term. The
+    * zip_with fold inside `VectorExprs.l2sq` then runs over the staged
+    * slice — identical IEEE order to slicing inline. */
+  private def stageSubvectors(df: DataFrame, keep: Seq[Column], vec: Column,
+                              m: Int, sub: Int): DataFrame = {
+    val v = vec.cast("array<double>")
+    val subCols = (0 until m).map(j => slice(v, j * sub + 1, sub).as(s"__s$j"))
+    df.select((keep ++ subCols): _*)
+  }
 
   /** Encode: for each row, `m` code columns `c0..c{m-1}` plus the exact
     * reconstruction distortion (sum of per-subspace min distances).
@@ -37,19 +53,17 @@ object Quantize {
                dim: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val v = vec.cast("array<double>")
+    val staged = stageSubvectors(embs, Seq(id.as("id")), vec, m, sub)
     val perSubspace = (0 until m).map { j =>
-      val lo = j * sub + 1
       // (dist, code) structs; array_min picks min dist, ties → min code
       val cands = centroids.map { case (code, cv) =>
         struct(
-          subL2(v, array(cv.map(lit): _*), lo, sub).as("dist"),
+          VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub)).as("dist"),
           lit(code).as("code"))
       }
       array_min(array(cands: _*)).as(s"__m$j")
     }
-    val encoded = embs.select(
-      (id.as("id") +: vec.as("__v") +: perSubspace): _*)
+    val encoded = staged.select((col("id") +: perSubspace): _*)
     val codeCols = (0 until m).map(j => col(s"__m$j.code").as(s"c$j"))
     val mse = (0 until m).map(j => col(s"__m$j.dist")).reduce(_ + _)
     encoded.select((col("id") +: codeCols :+ round(mse, 6).as("distortion")): _*)
@@ -64,15 +78,16 @@ object Quantize {
                 centroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
                 k: Int): DataFrame = {
     val sub = dim / m
-    val qv = col(vec).cast("array<double>")
-    // per query: m arrays of per-code distances (the ADC lookup tables)
+    // per query: m arrays of per-code distances (the ADC lookup tables),
+    // built over the staged query subvectors — m slices per query row
+    val qStaged = stageSubvectors(queries, Seq(col(id).as("query_id")),
+      col(vec), m, sub)
     val tables = (0 until m).map { j =>
-      val lo = j * sub + 1
       array(centroids.sortBy(_._1).map { case (_, cv) =>
-        subL2(qv, array(cv.map(lit): _*), lo, sub)
+        VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub))
       }: _*).as(s"__t$j")
     }
-    val q = queries.select((col(id).as("query_id") +: tables): _*)
+    val q = qStaged.select((col("query_id") +: tables): _*)
     val adc = (0 until m).map(j =>
       element_at(col(s"__t$j"), col(s"c$j") + 1)).reduce(_ + _)
     val scored = codes.withColumnRenamed("id", "neighbor_id")

@@ -228,10 +228,17 @@ object OmmQueries {
     }),
     "omm_batch_diff" -> ((s, _) => withFixtures(s) {
       // A2 ≙ logChangesInCancellations: previous poll evaluated two days
-      // later (fewer rows), current poll at the canonical now.
-      val curr = P.dedup(P.parse(snap(s, P.FromNow), F.zone))
-      val prev = P.dedup(P.parse(snap(s, P.FromNow, now2, today2), F.zone))
-      graft.operators.Dedup.batchDiffCounts(curr, prev, "trip_id")
+      // later (fewer rows), current poll at the canonical now. Both polls
+      // see the SAME data under different (now, today) bindings, so the
+      // poll-invariant join tree is persisted once and each poll applies
+      // only its validity filter to the cached relation — the bench line
+      // measures diff cost, not two full 10-join evaluations.
+      val base = P.snapshotBase(P.loadTables(s, F.dir)).persist()
+      def poll(now: String, today: String): DataFrame =
+        P.dedup(P.parse(
+          P.applyValidity(base, P.FromNow, now, today, F.lookback), F.zone))
+      graft.operators.Dedup.batchDiffCounts(
+        poll(F.now, F.today), poll(now2, today2), "trip_id")
     }))
 
   val oracleSql: Map[String, String] = Map(

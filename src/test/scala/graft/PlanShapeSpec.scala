@@ -85,4 +85,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).isEmpty,
       "PQ encode must not shuffle (codebook is a plan-time literal)")
   }
+
+  test("q50/q51: row subvectors staged once — m slices, not m×k") {
+    // pqEncode/pqAdcTopK must slice each vector into its m subvectors in
+    // ONE staging projection and have every centroid distance term
+    // reference the staged column; the centroid side is cut at plan time
+    // (literal), so the optimized plan carries exactly m runtime slice()
+    // calls per row side — not one per (subspace × centroid)
+    // q51 = encode side (m) + ADC query staging (m) = 16
+    Seq("q50_pq_encode" -> 8, "q51_pq_adc_topk" -> 16).foreach {
+      case (q, m) =>
+        val opt = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.optimizedPlan.toString
+        val slices = "slice\\(".r.findAllIn(opt).size
+        assert(slices == m, s"$q: expected $m slice() calls, got $slices")
+    }
+  }
 }

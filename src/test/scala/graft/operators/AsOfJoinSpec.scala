@@ -131,4 +131,43 @@ class DupClustersSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sizes === Map(1L -> 3L, 4L -> 1L))
   }
+
+  test("iteration working set is restricted to edge-incident vertices") {
+    // 1000 vertices, only 4 touch an edge: the loop must work over 4 rows,
+    // with the isolated 996 unioned back as their own representative
+    val vertices = (1L to 1000L).toDF("id")
+    val edges = Seq((10L, 20L), (20L, 30L), (500L, 400L)).toDF("src", "dst")
+    val incident = DupClusters.incidentVertices(vertices, edges)
+      .as[Long].collect().toSet
+    assert(incident === Set(10L, 20L, 30L, 400L, 500L))
+    val labeled = DupClusters.connectedComponents(vertices, edges)
+    // the isolated branch re-enters as a Union in the final plan
+    assert(labeled.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.nonEmpty, "expected isolated-vertex union-back in the plan")
+    val labels = labeled.as[(Long, Long)].collect().toMap
+    assert(labels.size === 1000)
+    assert(labels(10L) === 10L && labels(20L) === 10L && labels(30L) === 10L)
+    assert(labels(400L) === 400L && labels(500L) === 400L)
+    // spot-check isolated vertices map to themselves
+    assert(labels(1L) === 1L && labels(999L) === 999L)
+  }
+
+  test("incidentVertices respects the vertex universe") {
+    val vertices = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 99L)).toDF("src", "dst")
+    assert(DupClusters.incidentVertices(vertices, edges)
+      .as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("failOnNonConvergence throws when maxIter truncates propagation") {
+    val vertices = (1L to 5L).toDF("id")
+    // chain of diameter 4 cannot converge in one round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      DupClusters.connectedComponents(vertices, edges, maxIter = 1,
+        failOnNonConvergence = true).collect()
+    }
+    assert(e.getMessage.contains("without converging"))
+  }
 }
