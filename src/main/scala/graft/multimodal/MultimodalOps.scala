@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: iterator-in/iterator-out, one batch per partition, no
   * per-row UDF dispatch).
   *
-  * The actual codec work is STUBBED (this container ships no image/audio
-  * libraries): `StubCodecs` documents exactly where a real decoder plugs in
-  * and substitutes a deterministic fake so the pipeline — schemas, encoders,
-  * partitioning, batch iteration, downstream joins — is real and testable.
+  * The IMAGE path is REAL: image rows carry actual PNG bytes and
+  * `decodeMeta` decodes them with `javax.imageio` (see [[Png]]) — width,
+  * height, channel count, and mean pixel all come from decoded pixels.
+  * Audio/video decode stays STUBBED (the JDK ships no audio/video codec
+  * and this container has no media libraries): `StubCodecs` documents
+  * exactly where ffmpeg/soundfile would plug in and substitutes a
+  * deterministic fake so the pipeline — schemas, encoders, partitioning,
+  * batch iteration, downstream joins — is real and testable.
   *
   * At scale: binary payloads never pass through a shuffle here; decode and
   * featurize are map-side, and anything keyed (top-k over features) shuffles
@@ -26,12 +30,14 @@ object MultimodalOps {
   case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int)
   case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  /** Where a real `ImageIO.read`/ffmpeg/soundfile call would go. The fake is
-    * a pure function of the payload so tests and oracles are deterministic. */
+  /** Where a real ffmpeg/soundfile call would go for audio/video. The fake
+    * is a pure function of the payload so tests and oracles are
+    * deterministic. (The image path no longer uses this — see [[Png]].) */
   object StubCodecs {
-    /** STUB ≙ image decode: dimensions derived from payload length, mean
-      * from the UTF-8 code points (a real decoder returns pixel stats). */
-    def decodeImage(content: Array[Byte]): (Int, Int, Int, Long) = {
+    /** STUB ≙ audio/video stream probe: dimensions derived from payload
+      * length, mean from the UTF-8 code points (a real probe returns
+      * sample-rate/frame stats). */
+    def probeAv(content: Array[Byte]): (Int, Int, Int, Long) = {
       val n = content.length
       val codes = new String(content, "UTF-8").codePoints().toArray
       val mean = if (codes.isEmpty) 0L else codes.map(_.toLong).sum / codes.length
@@ -52,25 +58,38 @@ object MultimodalOps {
     }
   }
 
-  /** A synthetic media table: document text bytes as the opaque payload
-    * (deterministic; lets the fixtures exercise real multi-KB binaries). */
+  /** Deterministic image parameters for a synthetic media id: dimensions
+    * and solid-fill RGB a relational oracle can re-derive. */
+  def imageParams(id: Long): (Int, Int, Int, Int, Int) =
+    ((id % 31 + 1).toInt, (id % 17 + 1).toInt,
+      (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+
+  /** A synthetic media table. Image rows carry REAL PNG bytes (solid-fill,
+    * dimensions/color derived from the id — see `imageParams`), generated
+    * executor-side per partition; audio/video rows carry the document text
+    * bytes as the opaque payload (deterministic; multi-KB binaries). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, textBytes) =>
+        if (id % 3 == 0) {
+          val (w, h, r, g, b) = imageParams(id)
+          MediaRow(id, "image", Png.encodeSolid(w, h, r, g, b))
+        } else MediaRow(id, if (id % 3 == 1) "audio" else "video", textBytes)
+      })
   }
 
   /** Decode/metadata extraction — batch-per-partition over the binary
-    * column; the codec call is the stub. */
+    * column. Images go through the REAL `javax.imageio` decoder; the
+    * audio/video probe is the stub. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val (w, h, c, mean) = StubCodecs.decodeImage(m.content)
+      val (w, h, c, mean) =
+        if (m.kind == "image") Png.decode(m.content)
+        else StubCodecs.probeAv(m.content)
       MediaMeta(m.media_id, m.kind, m.content.length, w, h, c, mean)
     })
   }

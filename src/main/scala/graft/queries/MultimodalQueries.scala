@@ -8,30 +8,51 @@ import graft.operators.Similarity
 import graft.sources.Tables
 
 /** Multimodal operators registered over the synthetic media table derived
-  * from `documents` (§2.10). The stub codecs are pure functions of the
-  * payload, so decode/frame-sample have exact DuckDB oracles — they verify
-  * the Spark-side plumbing (schema, batch iteration, explode shape), which
-  * is the part that's real.
+  * from `documents` (§2.10).
+  *
+  * Image rows are REAL: the payload is an actual PNG and q26's width/
+  * height/channels/mean come from `javax.imageio`-decoded pixels. The
+  * oracle can still verify them exactly because the fixture images are
+  * solid-fill with id-derived dimensions/color, and the stored-deflate
+  * writer makes even the PNG byte LENGTH an arithmetic function of the id
+  * (Png.encodedLength). Audio/video remain stub codecs — pure functions of
+  * the payload — so their rows verify the Spark-side plumbing (schema,
+  * batch iteration, explode shape).
   */
 object MultimodalQueries {
 
   private def media(s: SparkSession, d: String) =
     MultimodalOps.mediaFromDocuments(Tables.documents(s, d))
 
+  // id-derived image params, mirrored from MultimodalOps.imageParams:
+  // W ∈ [1,31], H ∈ [1,17] keep raw = H*(3W+1) under one deflate block
+  private val imgW = "((doc_id % 31) + 1)"
+  private val imgH = "((doc_id % 17) + 1)"
+  /** Png.encodedLength for a one-block image: 68 + raw. */
+  private val imgLen = s"(68 + $imgH * (3 * $imgW + 1))"
+  private val imgMean =
+    "(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) // 3)"
+  /** Payload length per kind: PNG bytes for images, text bytes otherwise. */
+  private val payloadLen =
+    s"CASE WHEN doc_id % 3 = 0 THEN $imgLen ELSE octet_length(encode(text)) END"
+
   private def q26MediaMeta(s: SparkSession, d: String): DataFrame =
     MultimodalOps.decodeMeta(media(s, d)).toDF()
 
   private val q26Sql =
-    """SELECT doc_id AS media_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-      |  CAST((octet_length(encode(text)) * 7919) % 1920 + 1 AS INTEGER) AS width,
-      |  CAST((octet_length(encode(text)) * 104729) % 1080 + 1 AS INTEGER) AS height,
-      |  3 AS channels,
-      |  CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
-      |       // len(string_split(text, '')) AS BIGINT) AS mean_code
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST($payloadLen AS INTEGER) AS n_bytes,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgW
+       |       ELSE (octet_length(encode(text)) * 7919) % 1920 + 1 END AS INTEGER) AS width,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgH
+       |       ELSE (octet_length(encode(text)) * 104729) % 1080 + 1 END AS INTEGER) AS height,
+       |  3 AS channels,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgMean
+       |       ELSE list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
+       |            // len(string_split(text, '')) END AS BIGINT) AS mean_code
+       |FROM documents""".stripMargin
 
   private def q27FrameSample(s: SparkSession, d: String): DataFrame =
     MultimodalOps.sampleFrames(media(s, d), everyN = 2).toDF()
@@ -55,8 +76,8 @@ object MultimodalQueries {
   // the float feature vector in SQL (FLOAT division both sides — verified
   // bit-identical), cast to double, and mirror q21's cosine/rank shape.
   private val q28Sql =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id, $payloadLen AS n FROM documents),
       |f AS (
       |  SELECT media_id,
       |    CAST([CAST((((media_id*31 + i)*2654435761 + n*97) % 2000) - 1000 AS FLOAT)
@@ -78,12 +99,12 @@ object MultimodalQueries {
       .toDF().select("media_id", "kind", "n_bytes_in", "n_bytes_out")
 
   private val q36Sql =
-    """SELECT doc_id AS media_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes_in,
-      |  512 AS n_bytes_out
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST($payloadLen AS INTEGER) AS n_bytes_in,
+       |  512 AS n_bytes_out
+       |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_media_meta" -> (q26MediaMeta _),

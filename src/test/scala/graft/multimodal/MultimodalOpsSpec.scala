@@ -13,14 +13,54 @@ class MultimodalOpsSpec extends SparkSpec {
       MediaRow(id, kind, text.getBytes("UTF-8"))
     }.toDS()
 
-  test("decodeMeta: deterministic stub stats per payload") {
-    val out = decodeMeta(media((1L, "image", "abcd"))).collect()
+  test("decodeMeta: deterministic stub stats per audio/video payload") {
+    val out = decodeMeta(media((1L, "audio", "abcd"))).collect()
     assert(out.length === 1)
     val m = out.head
     assert(m.n_bytes === 4)
     assert(m.width === (4 * 7919) % 1920 + 1)
     assert(m.height === (4 * 104729) % 1080 + 1)
     assert(m.mean_code === ('a' + 'b' + 'c' + 'd').toLong / 4)
+  }
+
+  test("Png round trip: ImageIO decodes hand-written PNG bit-exactly") {
+    // a real javax.imageio decode of the stored-deflate writer's output:
+    // dimensions, band count, and every pixel must come back exactly
+    val bytes = Png.encodeSolid(5, 3, 10, 20, 33)
+    assert(bytes.length === Png.encodedLength(5, 3))
+    assert(bytes.length === 68 + 3 * (3 * 5 + 1)) // 63 + 5*1 + raw
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 5 && img.getHeight === 3)
+    val raster = img.getRaster
+    assert(raster.getNumBands === 3)
+    for (x <- 0 until 5; y <- 0 until 3)
+      assert((raster.getSample(x, y, 0), raster.getSample(x, y, 1),
+        raster.getSample(x, y, 2)) === ((10, 20, 33)))
+    val (w, h, c, mean) = Png.decode(bytes)
+    assert((w, h, c) === ((5, 3, 3)))
+    assert(mean === (10L + 20L + 33L) / 3) // solid fill → exact channel mean
+  }
+
+  test("decodeMeta: image rows are decoded from real PNG payloads") {
+    val id = 6L // % 3 == 0 → image
+    val (w, h, r, g, b) = imageParams(id)
+    val row = MediaRow(id, "image", Png.encodeSolid(w, h, r, g, b))
+    val out = decodeMeta(spark.createDataset(Seq(row))).collect().head
+    assert(out.width === w && out.height === h && out.channels === 3)
+    assert(out.mean_code === (r + g + b).toLong / 3)
+    assert(out.n_bytes === Png.encodedLength(w, h))
+  }
+
+  test("mediaFromDocuments: image kind carries decodable PNG bytes") {
+    val docs = Seq((0L, "some text"), (1L, "other"), (2L, "third"))
+      .toDF("doc_id", "text")
+    val rows = mediaFromDocuments(docs).collect().sortBy(_.media_id)
+    assert(rows.map(_.kind).toSeq === Seq("image", "audio", "video"))
+    val img = rows(0)
+    val (w, h, r, g, b) = imageParams(0L)
+    assert(Png.decode(img.content) === ((w, h, 3, (r + g + b).toLong / 3)))
+    // audio/video payloads stay the raw text bytes
+    assert(new String(rows(1).content, "UTF-8") === "other")
   }
 
   test("sampleFrames: every-Nth fixed-size slice, video only") {
