@@ -141,6 +141,9 @@ object ProtoWire {
           s"unsupported wire type $w for field $f")
       }
     }
+    // proto2 declared default: `schema_version [default = 1]` — a
+    // spec-compliant decoder reports 1, not null, when field 7 is absent
+    if (values(6) == null) values(6) = 1
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 

@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.StructType
   * the quadratic join. Left rows with no match keep null right columns
   * (left-outer semantics, like DuckDB's ASOF LEFT JOIN which the oracle
   * uses).
+  *
+  * Ties: when several right rows share (key, rightTs), the winner is the
+  * GREATEST row by lexicographic struct comparison over the right columns
+  * — an explicit total order, deterministic across runs and partitionings
+  * (the right struct is the final sort key, and the merge keeps the last
+  * eligible right row). If the right schema contains an unorderable type
+  * (e.g. a map column), the tie-break cannot be expressed and ties fall
+  * back to sort-incidental order — deduplicate such inputs on
+  * (key, rightTs) first.
   */
 object AsOfJoin {
 
@@ -48,10 +57,16 @@ object AsOfJoin {
         col(rightTs).cast("timestamp").as("__ts"), lit(0).as("__side"),
         lit(null).cast(lType).as("__left"), rStruct.as("__right")): _*)
 
+    // final sort key = the right struct itself: deterministic tie-break
+    // among right rows equal on (key, ts) — last (= greatest) one wins
+    val tieBreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rType))
+        Seq(col("__right")) else Seq.empty
     val sorted = l.unionByName(r)
       .repartition(keys.map(col): _*)
       .sortWithinPartitions(
-        (keys.map(col) :+ col("__ts") :+ col("__side")).map(_.asc): _*)
+        (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ tieBreak)
+          .map(_.asc): _*)
 
     val nKeys = keys.length
     val outSchema = StructType(lType.fields ++

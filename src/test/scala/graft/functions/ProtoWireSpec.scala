@@ -75,6 +75,16 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(ProtoWire.decode(extra) === ProtoWire.decode(known))
   }
 
+  test("absent field 7 decodes to the declared default schema_version = 1") {
+    // proto2: `optional int32 schema_version = 7 [default = 1]` — when the
+    // writer skipped the field (null), a compliant reader reports 1
+    val enc = ProtoWire.encode(row(5L, "1014", 2, "20240516", "08:40:00",
+      "CANCELED", null, "603", "t", "t", "T", "D", "C", "S"))
+    val back = ProtoWire.decode(enc)
+    assert(!back.isNullAt(6), "schema_version must not be null")
+    assert(back.getInt(6) === 1)
+  }
+
   test("unknown status fails encode loudly") {
     intercept[IllegalArgumentException] {
       ProtoWire.encode(row(1L, "r", 1, "d", "t", "NOT_A_STATUS", 1, "i",

@@ -56,6 +56,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L) === None, "null-key left row must not match null-key right")
   }
 
+  test("right rows tied on (key, ts) resolve to the greatest row — deterministically") {
+    // three right rows at the identical (key, ts): the winner must be the
+    // lexicographically greatest right struct (k, rt, rid) → rid 303,
+    // regardless of input order or partitioning
+    val l = Seq((1L, "a", ts("2024-01-01 13:00:00"))).toDF("id", "k", "t")
+    val r = Seq(("a", ts("2024-01-01 12:00:00"), 303L),
+      ("a", ts("2024-01-01 12:00:00"), 301L),
+      ("a", ts("2024-01-01 12:00:00"), 302L))
+      .toDF("k", "rt", "rid").repartition(3) // scatter the tied rows
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt")
+        .select($"asof_rid").as[Long].collect().toSeq
+      assert(out === Seq(303L))
+    }
+  }
+
   test("plan shape: one exchange, no join node, no cartesian blowup") {
     val plan = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt")
       .queryExecution.executedPlan.toString
