@@ -83,4 +83,100 @@ class CancellationStreamSpec extends SparkSpec {
     assert(sunk.count() >= 6)
     assert(sunk.select("key").distinct().count() === 5)
   }
+
+  private def awaitBatches(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           n: Int, timeoutMs: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (q.recentProgress.length < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(q.recentProgress.length >= n,
+      s"only ${q.recentProgress.length}/$n micro-batches completed")
+  }
+
+  test("multi-poll end-to-end: advancing now, sink accumulation, state replacement") {
+    F.ensure(spark)
+    val base = Files.createTempDirectory("streamm").toString
+    // S2 per-poll binding: the clock ADVANCES between triggers — poll 1
+    // evaluates at t1 (the later wall-clock, 4 rows), every poll after at
+    // t2 (the canonical now, 6 rows)
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = CancellationStream.start(spark, F.dir, s"$base/sink",
+      s"$base/state", s"$base/ckpt", P.FromNow,
+      intervalSeconds = 1, lookbackSeconds = F.lookbackSeconds,
+      zone = F.zone,
+      nowProvider = () => if (polls.getAndIncrement() == 0) t1 else t2)
+    try awaitBatches(q, 2) finally q.stop()
+
+    // sink accumulated every poll, keyed and stamped with its poll time
+    val sunk = spark.read.parquet(s"$base/sink")
+    assert(sunk.select("poll_time").distinct().count() >= 2,
+      "each poll must stamp its own now-binding")
+    assert(sunk.count() >= 4 + 6, "poll 1 (4 rows) + poll 2 (6 rows) appended")
+    // state was REPLACED per poll: it holds the last poll's key set (t2's
+    // 5 distinct trips), not poll 1's 3
+    val state = spark.read.parquet(s"$base/state")
+    assert(state.count() === 5, "state must be the latest poll's key set")
+  }
+
+  test("fail-fast: a poisoned poll stops the query and propagates the error") {
+    F.ensure(spark)
+    val base = Files.createTempDirectory("streamf").toString
+    // ≙ Main.java:56-65 shutdown-on-error: any poll exception must kill
+    // the stream, not be swallowed and retried forever
+    val q = CancellationStream.start(spark, F.dir, s"$base/sink",
+      s"$base/state", s"$base/ckpt", P.FromNow,
+      intervalSeconds = 1, lookbackSeconds = F.lookbackSeconds,
+      zone = F.zone, nowProvider = () => t2,
+      tableLoader = Some(_ => throw new RuntimeException("poisoned poll")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+      fail("query should have terminated with the poll error")
+    }
+    assert(!q.isActive, "query must be stopped after a failed poll")
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => String.valueOf(c.getMessage)).toSeq
+    assert(causes(e).exists(_.contains("poisoned poll")),
+      s"poll error must propagate, got: ${causes(e)}")
+  }
+
+  test("restart: checkpoint + state dir survive a kill and resume at-least-once") {
+    F.ensure(spark)
+    val base = Files.createTempDirectory("streamr").toString
+    def run(now: Instant, nBatches: Int): Unit = {
+      val q = CancellationStream.start(spark, F.dir, s"$base/sink",
+        s"$base/state", s"$base/ckpt", P.FromNow,
+        intervalSeconds = 1, lookbackSeconds = F.lookbackSeconds,
+        zone = F.zone, nowProvider = () => now)
+      try awaitBatches(q, nBatches) finally q.stop()
+    }
+    // stream 1: one poll at t1, then killed
+    run(t1, 1)
+    assert(spark.read.parquet(s"$base/state").count() === 3,
+      "pre-restart state: poll 1's 3 distinct trips")
+    // stream 2: SAME checkpoint/state/sink dirs — the second incarnation
+    // must see stream 1's state (A2 continuity across restarts)
+    run(t2, 1)
+    val sunk = spark.read.parquet(s"$base/sink")
+    assert(sunk.select("poll_time").distinct().count() >= 2,
+      "sink must accumulate across the restart")
+    assert(spark.read.parquet(s"$base/state").count() === 5,
+      "post-restart state replaced with poll 2's key set")
+
+    // at-least-once, not exactly-once: a crash AFTER the sink write but
+    // BEFORE the state replacement re-sends on recovery (≙ the reference,
+    // which loses its in-memory previousCancellations entirely on crash)
+    val crashBase = Files.createTempDirectory("streamc").toString
+    val r1 = CancellationStream.pollOnce(spark, F.dir, s"$crashBase/sink",
+      s"$crashBase/state", P.FromNow, t2, F.lookbackSeconds, F.zone)
+    // simulate the torn poll: sink kept, state replacement lost
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$crashBase/state"), true)
+    val r2 = CancellationStream.pollOnce(spark, F.dir, s"$crashBase/sink",
+      s"$crashBase/state", P.FromNow, t2, F.lookbackSeconds, F.zone)
+    assert(r2.newTrips === r1.newTrips && r2.repeatedTrips === 0,
+      "recovery re-sends the full key set as new (at-least-once)")
+    assert(spark.read.parquet(s"$crashBase/sink").count() === r1.sent + r2.sent,
+      "both deliveries present in the sink — duplicates, never loss")
+  }
 }
