@@ -568,9 +568,10 @@ object TestdataQueries {
   // are not SQL-expressible, so the registered output is the per-query
   // overlap between the IVF top-k and the exact brute-force top-k — small
   // integers, fully determined by (data, seed, partitioning). The oracle
-  // pins the expected table measured at the driver's verification scale
-  // (sf0.01, fixed seed 42): a regression signal for both the quantizer
-  // math and its recall, where previously the driver had nothing to check.
+  // pins the expected table at all three driver scale factors (see
+  // q31ExpectedHits), selected by the scale the oracle is reading: a
+  // regression signal for both the quantizer math and its recall at every
+  // scale the harness runs.
   private def q31IvfKmeans(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
     val qset = embs.filter(col("vec_id") < 10)
@@ -587,15 +588,33 @@ object TestdataQueries {
       .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
-  // Expected hits@5 per query at sf0.01 (measured; see q31IvfKmeans note).
-  private val q31ExpectedHits: Seq[(Int, Int)] = Seq(
-    0 -> 2, 1 -> 2, 2 -> 2, 3 -> 1, 4 -> 3,
-    5 -> 3, 6 -> 2, 7 -> 4, 8 -> 3, 9 -> 4)
+  // Expected hits@5 per query, pinned at THREE scale factors (measured via
+  // graft.Verify at each; seed 42). The oracle selects the pin set by the
+  // scale it is actually reading — keyed on lineitem cardinality, which
+  // distinguishes the driver's sf tiers where the embeddings count alone
+  // does not (sf0.001 and sf0.01 both carry 500 vectors of different
+  // data). A quantizer bug can no longer hide behind single-scale
+  // constants: it would have to reproduce all three tables at once. An
+  // unpinned scale yields zero oracle rows — a loud row-count failure,
+  // never a silent pass.
+  private val q31ExpectedHits: Map[Long, Seq[(Int, Int)]] = Map(
+    6000L -> Seq( // sf0.001
+      0 -> 3, 1 -> 3, 2 -> 5, 3 -> 2, 4 -> 4,
+      5 -> 3, 6 -> 4, 7 -> 2, 8 -> 1, 9 -> 4),
+    60000L -> Seq( // sf0.01 (the driver's verification scale)
+      0 -> 2, 1 -> 2, 2 -> 2, 3 -> 1, 4 -> 3,
+      5 -> 3, 6 -> 2, 7 -> 4, 8 -> 3, 9 -> 4),
+    600000L -> Seq( // sf0.1 (the bench scale)
+      0 -> 2, 1 -> 3, 2 -> 1, 3 -> 2, 4 -> 4,
+      5 -> 2, 6 -> 4, 7 -> 4, 8 -> 3, 9 -> 5))
 
   private val q31Sql = {
-    val rows = q31ExpectedHits.map { case (q, h) => s"($q, $h)" }.mkString(", ")
+    val rows = q31ExpectedHits.toSeq.sortBy(_._1).flatMap { case (sc, hs) =>
+      hs.map { case (q, h) => s"($sc, $q, $h)" }
+    }.mkString(", ")
     s"""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(hits AS BIGINT) AS hits
-       |FROM (VALUES $rows) AS t(query_id, hits)""".stripMargin
+       |FROM (VALUES $rows) AS t(scale_key, query_id, hits)
+       |WHERE scale_key = (SELECT count(*) FROM lineitem)""".stripMargin
   }
 
   // SimHash banded near-dup pairs (hamming ≤ 3): the 4×16-bit pigeonhole
