@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: iterator-in/iterator-out, one batch per partition, no
   * per-row UDF dispatch).
   *
-  * The IMAGE path is REAL: image rows carry actual PNG bytes and
-  * `decodeMeta` decodes them with `javax.imageio` (see [[Png]]) — width,
-  * height, channel count, and mean pixel all come from decoded pixels.
-  * Audio/video decode stays STUBBED (the JDK ships no audio/video codec
-  * and this container has no media libraries): `StubCodecs` documents
-  * exactly where ffmpeg/soundfile would plug in and substitutes a
+  * The IMAGE and AUDIO paths are REAL: image rows carry actual PNG bytes
+  * decoded with `javax.imageio` (see [[Png]]) — width, height, channel
+  * count, mean pixel all from decoded pixels — and audio rows carry
+  * actual RIFF/WAV bytes decoded with `javax.sound.sampled` (see [[Wav]])
+  * — sample rate, channels, frame count, mean amplitude all from decoded
+  * PCM samples. Only VIDEO decode stays STUBBED (the JDK ships no video
+  * codec and this container has no media libraries): `StubCodecs`
+  * documents exactly where ffmpeg would plug in and substitutes a
   * deterministic fake so the pipeline — schemas, encoders, partitioning,
   * batch iteration, downstream joins — is real and testable.
   *
@@ -30,13 +32,13 @@ object MultimodalOps {
   case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int)
   case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  /** Where a real ffmpeg/soundfile call would go for audio/video. The fake
-    * is a pure function of the payload so tests and oracles are
-    * deterministic. (The image path no longer uses this — see [[Png]].) */
+  /** Where a real ffmpeg call would go for video. The fake is a pure
+    * function of the payload so tests and oracles are deterministic.
+    * (Image and audio no longer use this — see [[Png]] and [[Wav]].) */
   object StubCodecs {
-    /** STUB ≙ audio/video stream probe: dimensions derived from payload
+    /** STUB ≙ video stream probe: dimensions derived from payload
       * length, mean from the UTF-8 code points (a real probe returns
-      * sample-rate/frame stats). */
+      * frame stats). */
     def probeAv(content: Array[Byte]): (Int, Int, Int, Long) = {
       val n = content.length
       val codes = new String(content, "UTF-8").codePoints().toArray
@@ -64,10 +66,20 @@ object MultimodalOps {
     ((id % 31 + 1).toInt, (id % 17 + 1).toInt,
       (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
 
+  /** Deterministic audio parameters: sample count + the i-th PCM sample,
+    * both arithmetic in the id so a relational oracle can re-derive the
+    * decoded waveform exactly. */
+  def audioNumSamples(id: Long): Int = (id % 400 + 50).toInt
+  def audioSample(id: Long, i: Int): Short =
+    ((id * 31 + i * 7) % 2001 - 1000).toShort
+  val audioSampleRate = 8000
+
   /** A synthetic media table. Image rows carry REAL PNG bytes (solid-fill,
-    * dimensions/color derived from the id — see `imageParams`), generated
-    * executor-side per partition; audio/video rows carry the document text
-    * bytes as the opaque payload (deterministic; multi-KB binaries). */
+    * dimensions/color derived from the id — `imageParams`); audio rows
+    * carry REAL RIFF/WAV bytes (16-bit mono PCM, waveform derived from the
+    * id — `audioSample`); both generated executor-side per partition.
+    * Video rows carry the document text bytes as the opaque payload
+    * (deterministic; multi-KB binaries). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -77,20 +89,42 @@ object MultimodalOps {
         if (id % 3 == 0) {
           val (w, h, r, g, b) = imageParams(id)
           MediaRow(id, "image", Png.encodeSolid(w, h, r, g, b))
-        } else MediaRow(id, if (id % 3 == 1) "audio" else "video", textBytes)
+        } else if (id % 3 == 1) {
+          val samples = Array.tabulate(audioNumSamples(id))(audioSample(id, _))
+          MediaRow(id, "audio", Wav.encodePcm16Mono(audioSampleRate, samples))
+        } else MediaRow(id, "video", textBytes)
       })
   }
 
   /** Decode/metadata extraction — batch-per-partition over the binary
-    * column. Images go through the REAL `javax.imageio` decoder; the
-    * audio/video probe is the stub. */
+    * column. Images go through the REAL `javax.imageio` decoder, audio
+    * through the REAL `javax.sound.sampled` decoder (frames × 1 as the
+    * generic dims, mean |amplitude| as the code); the video probe is the
+    * stub. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val (w, h, c, mean) =
-        if (m.kind == "image") Png.decode(m.content)
-        else StubCodecs.probeAv(m.content)
+      val (w, h, c, mean) = m.kind match {
+        case "image" => Png.decode(m.content)
+        case "audio" =>
+          val (_, ch, frames, meanAbs) = Wav.decode(m.content)
+          (frames.toInt, 1, ch, meanAbs)
+        case _ => StubCodecs.probeAv(m.content)
+      }
       MediaMeta(m.media_id, m.kind, m.content.length, w, h, c, mean)
+    })
+  }
+
+  case class AudioMeta(media_id: Long, n_bytes: Int, sample_rate: Int,
+                       channels: Int, n_samples: Long, mean_abs: Long)
+
+  /** Audio-typed metadata over the REAL WAV decoder — the audio analog of
+    * q26's generic decode, with the format fields spelled out. */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { m =>
+      val (rate, ch, frames, meanAbs) = Wav.decode(m.content)
+      AudioMeta(m.media_id, m.content.length, rate, ch, frames, meanAbs)
     })
   }
 

@@ -10,14 +10,16 @@ import graft.sources.Tables
 /** Multimodal operators registered over the synthetic media table derived
   * from `documents` (§2.10).
   *
-  * Image rows are REAL: the payload is an actual PNG and q26's width/
-  * height/channels/mean come from `javax.imageio`-decoded pixels. The
-  * oracle can still verify them exactly because the fixture images are
-  * solid-fill with id-derived dimensions/color, and the stored-deflate
-  * writer makes even the PNG byte LENGTH an arithmetic function of the id
-  * (Png.encodedLength). Audio/video remain stub codecs — pure functions of
-  * the payload — so their rows verify the Spark-side plumbing (schema,
-  * batch iteration, explode shape).
+  * Image and audio rows are REAL: the image payload is an actual PNG whose
+  * width/height/channels/mean come from `javax.imageio`-decoded pixels,
+  * and the audio payload is an actual RIFF/WAV whose rate/channels/frames/
+  * mean-amplitude come from `javax.sound.sampled`-decoded PCM. The oracle
+  * can still verify both exactly: fixtures are id-derived (solid-fill
+  * dims/color for images, an arithmetic waveform for audio), and the
+  * writers make even the payload byte LENGTHS arithmetic in the id
+  * (Png.encodedLength / Wav.encodedLength). Video remains a stub codec —
+  * a pure function of the payload — so its rows verify the Spark-side
+  * plumbing (schema, batch iteration, explode shape).
   */
 object MultimodalQueries {
 
@@ -32,9 +34,19 @@ object MultimodalQueries {
   private val imgLen = s"(68 + $imgH * (3 * $imgW + 1))"
   private val imgMean =
     "(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) // 3)"
-  /** Payload length per kind: PNG bytes for images, text bytes otherwise. */
+  // id-derived audio params, mirrored from MultimodalOps.audioNumSamples/
+  // audioSample: n samples, 16-bit mono, mean |amplitude|
+  private val audN = "((doc_id % 400) + 50)"
+  /** Wav.encodedLength: canonical 44-byte header + 2 bytes per sample. */
+  private val audLen = s"(44 + 2 * $audN)"
+  private val audMean =
+    s"(list_sum([abs((doc_id * 31 + i * 7) % 2001 - 1000) for i in range(0, $audN)]) // $audN)"
+  /** Payload length per kind: PNG for images, WAV for audio, text bytes
+    * for video. */
   private val payloadLen =
-    s"CASE WHEN doc_id % 3 = 0 THEN $imgLen ELSE octet_length(encode(text)) END"
+    s"""CASE WHEN doc_id % 3 = 0 THEN $imgLen
+       |       WHEN doc_id % 3 = 1 THEN $audLen
+       |       ELSE octet_length(encode(text)) END""".stripMargin
 
   private def q26MediaMeta(s: SparkSession, d: String): DataFrame =
     MultimodalOps.decodeMeta(media(s, d)).toDF()
@@ -45,11 +57,14 @@ object MultimodalQueries {
        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        |  CAST($payloadLen AS INTEGER) AS n_bytes,
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgW
+       |       WHEN doc_id % 3 = 1 THEN $audN
        |       ELSE (octet_length(encode(text)) * 7919) % 1920 + 1 END AS INTEGER) AS width,
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgH
+       |       WHEN doc_id % 3 = 1 THEN 1
        |       ELSE (octet_length(encode(text)) * 104729) % 1080 + 1 END AS INTEGER) AS height,
-       |  3 AS channels,
+       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgMean
+       |       WHEN doc_id % 3 = 1 THEN $audMean
        |       ELSE list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
        |            // len(string_split(text, '')) END AS BIGINT) AS mean_code
        |FROM documents""".stripMargin
@@ -106,15 +121,32 @@ object MultimodalQueries {
        |  512 AS n_bytes_out
        |FROM documents""".stripMargin
 
+  // Audio-typed metadata over the REAL javax.sound.sampled decoder: every
+  // field — container size, format, frame count, mean |amplitude| — is
+  // recomputed by the oracle from the id-derived waveform definition.
+  private def q54AudioMeta(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.decodeAudioMeta(media(s, d)).toDF()
+
+  private val q54Sql =
+    s"""SELECT doc_id AS media_id,
+       |  CAST($audLen AS INTEGER) AS n_bytes,
+       |  ${MultimodalOps.audioSampleRate} AS sample_rate,
+       |  1 AS channels,
+       |  CAST($audN AS BIGINT) AS n_samples,
+       |  CAST($audMean AS BIGINT) AS mean_abs
+       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_media_meta" -> (q26MediaMeta _),
     "q27_frame_sample" -> (q27FrameSample _),
     "q28_media_embed_topk" -> (q28MediaTopK _),
-    "q36_media_resize" -> (q36Resize _))
+    "q36_media_resize" -> (q36Resize _),
+    "q54_audio_meta" -> (q54AudioMeta _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_media_meta" -> q26Sql,
     "q27_frame_sample" -> q27Sql,
     "q28_media_embed_topk" -> q28Sql,
-    "q36_media_resize" -> q36Sql)
+    "q36_media_resize" -> q36Sql,
+    "q54_audio_meta" -> q54Sql)
 }

@@ -13,8 +13,8 @@ class MultimodalOpsSpec extends SparkSpec {
       MediaRow(id, kind, text.getBytes("UTF-8"))
     }.toDS()
 
-  test("decodeMeta: deterministic stub stats per audio/video payload") {
-    val out = decodeMeta(media((1L, "audio", "abcd"))).collect()
+  test("decodeMeta: deterministic stub stats per video payload") {
+    val out = decodeMeta(media((1L, "video", "abcd"))).collect()
     assert(out.length === 1)
     val m = out.head
     assert(m.n_bytes === 4)
@@ -51,16 +51,55 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.n_bytes === Png.encodedLength(w, h))
   }
 
-  test("mediaFromDocuments: image kind carries decodable PNG bytes") {
+  test("mediaFromDocuments: image/audio kinds carry decodable real payloads") {
     val docs = Seq((0L, "some text"), (1L, "other"), (2L, "third"))
       .toDF("doc_id", "text")
     val rows = mediaFromDocuments(docs).collect().sortBy(_.media_id)
     assert(rows.map(_.kind).toSeq === Seq("image", "audio", "video"))
-    val img = rows(0)
     val (w, h, r, g, b) = imageParams(0L)
-    assert(Png.decode(img.content) === ((w, h, 3, (r + g + b).toLong / 3)))
-    // audio/video payloads stay the raw text bytes
-    assert(new String(rows(1).content, "UTF-8") === "other")
+    assert(Png.decode(rows(0).content) === ((w, h, 3, (r + g + b).toLong / 3)))
+    val (rate, ch, frames, _) = Wav.decode(rows(1).content)
+    assert((rate, ch, frames) ===
+      ((audioSampleRate, 1, audioNumSamples(1L).toLong)))
+    // video payloads stay the raw text bytes
+    assert(new String(rows(2).content, "UTF-8") === "third")
+  }
+
+  test("Wav round trip: javax.sound.sampled decodes hand-written PCM exactly") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val bytes = Wav.encodePcm16Mono(8000, samples)
+    assert(bytes.length === Wav.encodedLength(samples.length))
+    val in = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate === 8000.0f && fmt.getChannels === 1)
+    assert(fmt.getSampleSizeInBits === 16)
+    assert(in.getFrameLength === samples.length)
+    // decoded PCM bytes must be the samples bit-for-bit (little-endian)
+    val pcm = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Array.tabulate(samples.length)(i => bb.getShort(i * 2)) === samples)
+    val (_, _, frames, meanAbs) = Wav.decode(bytes)
+    assert(frames === samples.length)
+    assert(meanAbs === samples.map(s => math.abs(s.toLong)).sum / samples.length)
+  }
+
+  test("decodeAudioMeta: audio rows only, fields from real WAV decode") {
+    val docs = Seq((1L, "a"), (4L, "b"), (6L, "c")).toDF("doc_id", "text")
+    val metas = decodeAudioMeta(mediaFromDocuments(docs))
+      .collect().sortBy(_.media_id)
+    assert(metas.map(_.media_id).toSeq === Seq(1L, 4L)) // 6 is image kind
+    metas.foreach { m =>
+      val id = m.media_id
+      val n = audioNumSamples(id)
+      assert(m.n_bytes === Wav.encodedLength(n))
+      assert(m.sample_rate === audioSampleRate && m.channels === 1)
+      assert(m.n_samples === n.toLong)
+      val expMean = (0 until n).map(i => math.abs(audioSample(id, i).toLong))
+        .sum / n
+      assert(m.mean_abs === expMean)
+    }
   }
 
   test("sampleFrames: every-Nth fixed-size slice, video only") {
