@@ -409,14 +409,15 @@ object TestdataQueries {
       n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
 
   /** CTE chain computing exact word-3-shingle Jaccard for every
-    * intersecting doc pair (`jpairs`): the oracle for q19 and the edge set
-    * for q44's connected components. */
-  private val jaccardPairsCte =
-    """toks AS (
+    * intersecting doc pair (`jpairs`) of `src`: the oracle for q19, the
+    * edge set for q44's connected components, and (over the curated
+    * survivor set) q55's near-dup stage. */
+  private def jaccardPairsCteOver(src: String): String =
+    s"""toks AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
-      |  FROM documents),
+      |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+      |  FROM $src),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
@@ -433,6 +434,8 @@ object TestdataQueries {
       |  FROM inter
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
+  private val jaccardPairsCte = jaccardPairsCteOver("documents")
 
   private val q19Sql =
     s"""WITH $jaccardPairsCte
@@ -683,17 +686,22 @@ object TestdataQueries {
         col("doc_id"),
         round(TextExprs.qualityScore(col("text")), 6).as("quality"))
 
-  private val q30Sql = {
+  /** TextExprs.qualityScore mirrored in DuckDB, over a column `text`
+    * (shared by q30 and q55's quality-floor stage). */
+  private val qualitySqlBody = {
     val stops = TextExprs.defaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""SELECT doc_id, round(
-       |  (CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+    s"""(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
        |     / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4
        |  + least((CAST(len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'), $stops)) AS DOUBLE)
        |           / CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) AS DOUBLE)) * 5.0, 1.0) * 0.3
-       |  + least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3,
+       |  + least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3""".stripMargin
+  }
+
+  private val q30Sql =
+    s"""SELECT doc_id, round(
+       |  $qualitySqlBody,
        |  6) AS quality
        |FROM documents WHERE length(trim(text)) > 0""".stripMargin
-  }
 
   // ---------------------------------------------- skew salting + windows
   // Salted two-phase count: identical result to a plain GROUP BY — the
@@ -1193,6 +1201,59 @@ object TestdataQueries {
       |                 WHERE c_acctbal > 9000) c
       |  ON o.custkey = c.c_custkey""".stripMargin
 
+  // ------------------------------------ corpus curation composition (§2.10)
+  // The end-to-end training-set cut, composed from the proven pieces:
+  // quality floor (q30's score) → exact dedup keep-min-id (q9) → recall-
+  // certain minhash near-dup clusters keep-one-representative (q19/q44).
+  // Each stage's semantics are mirrored stage-by-stage in the oracle, so
+  // the COMPOSITION — stage order, survivor propagation, which rows the
+  // cluster representatives come from — is what gets hash-checked.
+  private val q55QualityFloor = 0.4
+
+  private def q55CorpusCuration(s: SparkSession, d: String): DataFrame = {
+    val flt = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("quality",
+        round(TextExprs.qualityScore(col("text")), 6))
+      .filter(col("quality") >= q55QualityFloor)
+    val exact = Dedup.exactDedup(flt, col("text"), col("doc_id"))
+    val edges = NearDup.minhashLshPairs(exact, col("doc_id"), col("text"),
+        n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val reps = graft.operators.DupClusters.connectedComponents(
+        exact.select(col("doc_id").as("id")), edges)
+      .filter(col("id") === col("cluster_rep"))
+      .select(col("id").as("doc_id"))
+    exact.join(reps, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  private val q55Sql =
+    s"""WITH RECURSIVE
+       |flt AS (
+       |  SELECT doc_id, lang, text, round(
+       |  $qualitySqlBody,
+       |  6) AS quality
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |q AS (SELECT * FROM flt WHERE quality >= $q55QualityFloor),
+       |ex AS (
+       |  SELECT doc_id, lang, text, quality FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM q) WHERE rn = 1),
+       |${jaccardPairsCteOver("ex")},
+       |und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.8
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.8),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM ex
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN und e ON e.src = reach.id),
+       |labels AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id)
+       |SELECT ex.doc_id, ex.lang, ex.quality
+       |FROM ex JOIN labels ON labels.id = ex.doc_id
+       |WHERE labels.cluster_rep = ex.doc_id""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1244,7 +1305,8 @@ object TestdataQueries {
     "q50_pq_encode" -> (q50PqEncode _),
     "q51_pq_adc_topk" -> (q51PqAdc _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
-    "q53_full_outer" -> (q53FullOuter _))
+    "q53_full_outer" -> (q53FullOuter _),
+    "q55_corpus_curation" -> (q55CorpusCuration _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1295,5 +1357,6 @@ object TestdataQueries {
     "q50_pq_encode" -> q50Sql,
     "q51_pq_adc_topk" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,
-    "q53_full_outer" -> q53Sql)
+    "q53_full_outer" -> q53Sql,
+    "q55_corpus_curation" -> q55Sql)
 }

@@ -185,6 +185,26 @@ object ScaleProbe {
       docs.unpersist()
     }
 
+    // connected components on an isolated-heavy corpus — the realistic
+    // shape (dup families are a sliver of any real corpus). The loop must
+    // pay per round only for the edge-incident vertices (the working-set
+    // restriction), so 2M isolated vertices + a 10k-vertex dup-set should
+    // cost barely more than the dup-set alone.
+    {
+      val nV = 2000000L
+      val verts = spark.range(nV).select(col("id")).cache()
+      verts.count()
+      val chainEdges = spark.range(10000L) // 2k chains of 5 (diameter 4)
+        .filter(col("id") % 5 =!= 4)
+        .select(col("id").as("src"), (col("id") + 1).as("dst")).cache()
+      chainEdges.count()
+      time(s"dupClustersIsolated ($nV verts, 10k edge-incident)") {
+        graft.operators.DupClusters.connectedComponents(verts, chainEdges)
+          .count()
+      }
+      verts.unpersist(); chainEdges.unpersist()
+    }
+
     // temporal operators over synthetic events: nCases rows, 100k users,
     // ~10% purchases — as-of/range cost must stay linear in events, never
     // |clicks_user| × |purchases_user|
