@@ -50,6 +50,11 @@ object Bench {
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).iterator.map { _ =>
+        // drop persisted relations left by a previous rep of the same query:
+        // cache lookup is by canonicalized plan, so without this a
+        // persist-using query's reps 2..n would read rep 1's cache and the
+        // median would under-report its real cost
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -47,18 +47,32 @@ object DupClusters {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           failOnNonConvergence: Boolean = false): DataFrame = {
-    // persist the DIRECTED edges before mirroring: the union references the
-    // input twice and the propagation join reads it every round — without
-    // the persist an expensive upstream edge producer (a whole minhash-LSH
-    // pipeline) executes 2× on materialization and again per iteration
+    // persist + MATERIALIZE the directed edges before anything reads them:
+    // the incident-vertex derivation and the mirrored union each reference
+    // the input again, and the propagation join reads it every round —
+    // without an eager persist an expensive upstream edge producer (a
+    // whole minhash-LSH pipeline) executes once per reference instead of
+    // once total
     val directed = edges.select(col("src"), col("dst")).persist()
+    directed.count()
     val und = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
     // iterate ONLY over edge-incident vertices; isolated ones are done at
-    // round 0 and never need to enter (or be re-shuffled by) the loop
-    val incident = incidentVertices(vertices, edges).persist()
+    // round 0 and never need to enter (or be re-shuffled by) the loop.
+    // Derived from the CACHED directed relation, not the raw edges plan.
+    val incident = directed.select(col("src").as("id"))
+      .union(directed.select(col("dst").as("id")))
+      .distinct()
+      .join(vertices.select(col("id")), Seq("id"), "left_semi")
+      .persist()
     var labels = incident.select(col("id"), col("id").as("label")).persist()
-    labels.count()
+    // convergence probe: min-label propagation only ever DECREASES labels,
+    // so the label sum is strictly monotone until fixpoint — an unchanged
+    // sum IS convergence. One cheap aggregate per round instead of a
+    // changed-rows self-join. decimal(38) so huge id sums cannot overflow.
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).get(0)
+    var prevSum = labelSum(labels) // also materializes the persist
     var iter = 0
     var converged = false
     try {
@@ -78,13 +92,11 @@ object DupClusters {
         val next =
           if (iter % 3 == 2) propagated.localCheckpoint(eager = false)
           else propagated.persist()
-        val changed = next
-          .join(labels.withColumnRenamed("label", "__old")
-            .withColumnRenamed("id", "__id"), col("id") === col("__id"))
-          .filter(col("label") < col("__old")).count()
+        val nextSum = labelSum(next) // materializes next
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = nextSum == prevSum
+        prevSum = nextSum
         iter += 1
       }
       if (!converged) {

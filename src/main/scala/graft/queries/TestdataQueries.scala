@@ -1216,7 +1216,10 @@ object TestdataQueries {
       .withColumn("quality",
         round(TextExprs.qualityScore(col("text")), 6))
       .filter(col("quality") >= q55QualityFloor)
-    val exact = Dedup.exactDedup(flt, col("text"), col("doc_id"))
+    // referenced three times below (edge pipeline, CC vertices, final
+    // semijoin) — persist so the regex-heavy quality scoring and the
+    // dedup window run once, not per reference
+    val exact = Dedup.exactDedup(flt, col("text"), col("doc_id")).persist()
     val edges = NearDup.minhashLshPairs(exact, col("doc_id"), col("text"),
         n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
