@@ -30,19 +30,26 @@ object NearDup {
     * similarity ≥ `threshold`. `maxPostings` drops shingles whose posting list
     * exceeds the cap (ubiquitous shingles carry no signal and quadratic cost).
     *
-    * Plan shape: the posting file (id, shingle) is shuffled ONCE into
-    * per-shingle posting lists (`collect_list`, memory-bounded by the
-    * df-cut: a list never exceeds maxPostings ids), pairs come from a
-    * nested explode of each list, and sizes re-derive from the same
-    * aggregate. Alternatives measured at sf0.1: count-over-window df-cut +
-    * posting self-join = 1 extra sort + join of two full posting streams;
+    * Plan shape: the posting file is shuffled ONCE into per-shingle posting
+    * lists (`collect_list`, memory-bounded by the df-cut: a list never
+    * exceeds maxPostings ids), pairs come from a nested explode of each
+    * list, and sizes re-derive from the same aggregate. The shuffle key is
+    * a 128-bit hash of the shingle, NOT the shingle string — grouping is
+    * by shingle identity either way, but the exchange ships 16 bytes per
+    * posting instead of the n-gram text (the same content-hash trade
+    * `Dedup.exactDedup` documents; ~2⁻¹²⁸ per-pair collision odds).
+    * Alternatives measured at sf0.1: count-over-window df-cut + posting
+    * self-join = 1 extra sort + join of two full posting streams;
     * broadcast-anti hot-list = recomputes the tokenize+explode twice. */
   def shingleJaccardPairs(docs: DataFrame, id: Column, text: Column,
                           n: Int, threshold: Double,
                           maxPostings: Int = 1000): DataFrame = {
     val sh = shingles(docs, id, text, n)
-    // one shuffle: posting lists per shingle, df-cut applied on list size
-    val posting = sh.groupBy(col("shingle"))
+    // one shuffle: posting lists per shingle (128-bit hashed key), df-cut
+    // applied on list size
+    val posting = sh.groupBy(
+        struct(xxhash64(col("shingle")),
+          xxhash64(col("shingle"), lit(1))).as("shingle_key"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxPostings)
     // sizes count every kept shingle (including singletons — they stay in
