@@ -190,8 +190,7 @@ object ScaleProbe {
     // pay per round only for the edge-incident vertices (the working-set
     // restriction), so 2M isolated vertices + a 10k-vertex dup-set should
     // cost barely more than the dup-set alone.
-    {
-      val nV = 2000000L
+    Seq(2000000L, 8000000L).foreach { nV =>
       val verts = spark.range(nV).select(col("id")).cache()
       verts.count()
       val chainEdges = spark.range(10000L) // 2k chains of 5 (diameter 4)
