@@ -1,0 +1,83 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs
+
+/** Distributed cardinality sketching (§2.10 extension surface).
+  *
+  * KMV (k minimum values): keep the k smallest distinct hash values of the
+  * key; if the sketch fills, the k-th smallest value h_k estimates the
+  * distinct count as (k-1) * H / h_k (hashes ~ uniform on [0, H)). The
+  * classic mergeable distinct-count sketch — union = merge-and-truncate —
+  * with a priori error O(1/√k).
+  *
+  * Unlike HLL (`approx_count_distinct`), this implementation is EXACTLY
+  * reproducible by another engine: the hash is the repo's portable
+  * polynomial fingerprint (`TextExprs.polyFingerprint`, a left fold any
+  * SQL dialect can express), so the k-set — and therefore the estimate —
+  * is a deterministic function of the data, bit-for-bit verifiable by the
+  * DuckDB oracle. A sketch you can hash-check is a sketch you can trust in
+  * a correctness gate.
+  *
+  * Scale shape: one `mapPartitions` pass holds a k-bounded ordered set per
+  * partition (memory O(k), duplicates collapse on insert), so only
+  * partitions × k hash values — 8 bytes each — ever leave the executors;
+  * the final merge sorts that tiny union. No full-corpus distinct shuffle
+  * at any point, which is the entire advantage over exact countDistinct
+  * at 100 TB.
+  */
+object Sketch {
+
+  /** One-row distinct-count estimate for `key`:
+    * (k, n_in_sketch, kth_min, est_distinct). When fewer than k distinct
+    * hashes exist the sketch IS the distinct set and the estimate is its
+    * exact size (standard KMV small-cardinality fallback). */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = 1000000007L // hash space [0, p): polyFingerprint's modulus
+    // The raw fingerprint of SHORT keys never wraps p (a 5-char key tops
+    // out near 31⁴·127 ≈ 5e7), so its values bunch at the bottom of the
+    // space and would wreck the uniformity KMV's estimator assumes. Two
+    // affine/multiplicative rounds mod the prime scatter them across
+    // [0, p) — and each round is a BIJECTION mod p (gcd(a, p) = 1), so
+    // distinct keys stay distinct and the oracle reproduces every value.
+    def mix(h: Column): Column = {
+      val r1 = (h * lit(1103515245L) + lit(12345L)) % lit(p)
+      (r1 * lit(2654435761L)) % lit(p) // products stay < 2⁶³
+    }
+    val hashed = df
+      .select(mix(TextExprs.polyFingerprint(key.cast("string"))).as("h"))
+      .filter(col("h").isNotNull)
+      .as[Long]
+    // k-bounded per-partition sketch: an ordered set that never exceeds k
+    // entries (insert, then drop the largest) — O(k) memory, duplicates
+    // collapse for free, and only k values per partition are emitted
+    val partial = hashed.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        set.add(h)
+        if (set.size > k) set.pollLast()
+      }
+      set.iterator().asScala.map(Long.unbox)
+    }
+    // merge: distinct-sort-truncate the ≤ partitions×k survivors
+    val merged = partial.distinct().orderBy(col("value").asc).limit(k)
+    merged
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("value")).as("kth_min"))
+      .select(
+        lit(k).as("k"),
+        col("n_in_sketch"),
+        col("kth_min"),
+        round(
+          when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble) * lit(p.toDouble) /
+                col("kth_min").cast("double")), 4).as("est_distinct"))
+  }
+}

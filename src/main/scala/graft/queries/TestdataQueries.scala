@@ -1257,6 +1257,32 @@ object TestdataQueries {
        |FROM ex JOIN labels ON labels.id = ex.doc_id
        |WHERE labels.cluster_rep = ex.doc_id""".stripMargin
 
+  // --------------------------------------- KMV distinct sketch (§2.10 ext)
+  // Mergeable bounded-memory cardinality estimate over l_partkey. The
+  // portable polynomial hash makes the k-set — and so the ESTIMATE itself —
+  // a deterministic function of the data: the oracle rebuilds the same
+  // k smallest distinct hashes and the same arithmetic, bit for bit
+  // (something `approx_count_distinct`'s HLL can never offer an oracle).
+  private val q56K = 512
+
+  private def q56KmvDistinct(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketch.kmvDistinct(
+      Tables.lineitem(s, d), col("l_partkey"), q56K)
+
+  private val q56Sql = {
+    val raw = "list_reduce(list_transform(string_split(CAST(l_partkey AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    // the two bijective mix rounds of Sketch.kmvDistinct, verbatim
+    val h = s"((($raw * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    s"""WITH hs AS (SELECT DISTINCT $h AS h FROM lineitem),
+       |sk AS (SELECT h FROM hs ORDER BY h LIMIT $q56K)
+       |SELECT $q56K AS k, count(*) AS n_in_sketch, max(h) AS kth_min,
+       |  round(CASE WHEN count(*) < $q56K THEN CAST(count(*) AS DOUBLE)
+       |        ELSE ${(q56K - 1).toDouble} * 1000000007.0 / CAST(max(h) AS DOUBLE)
+       |        END, 4) AS est_distinct
+       |FROM sk""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1309,7 +1335,8 @@ object TestdataQueries {
     "q51_pq_adc_topk" -> (q51PqAdc _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q53_full_outer" -> (q53FullOuter _),
-    "q55_corpus_curation" -> (q55CorpusCuration _))
+    "q55_corpus_curation" -> (q55CorpusCuration _),
+    "q56_kmv_distinct" -> (q56KmvDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1361,5 +1388,6 @@ object TestdataQueries {
     "q51_pq_adc_topk" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,
     "q53_full_outer" -> q53Sql,
-    "q55_corpus_curation" -> q55Sql)
+    "q55_corpus_curation" -> q55Sql,
+    "q56_kmv_distinct" -> q56Sql)
 }

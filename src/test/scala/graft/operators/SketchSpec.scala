@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** KMV distinct sketch: estimator accuracy, determinism, and the
+  * small-cardinality exact fallback. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimate lands within KMV error bounds on a known cardinality") {
+    // 20,000 distinct keys, each duplicated 3x — duplicates must not bias
+    val n = 20000
+    val df = spark.range(n * 3).select((col("id") % n).as("key"))
+    val row = Sketch.kmvDistinct(df, col("key"), k = 512).collect().head
+    val est = row.getAs[Double]("est_distinct")
+    // standard error ~ 1/sqrt(k-2) ≈ 4.4%; assert a generous 3-sigma band
+    assert(math.abs(est - n) / n < 0.15, s"estimate $est vs true $n")
+    assert(row.getAs[Long]("n_in_sketch") === 512L)
+  }
+
+  test("deterministic: same data, same estimate, any partitioning") {
+    val df = spark.range(5000).select((col("id") * 7 % 3000).as("key"))
+    val a = Sketch.kmvDistinct(df, col("key"), 256).collect().head
+    val b = Sketch.kmvDistinct(df.repartition(13), col("key"), 256)
+      .collect().head
+    assert(a === b, "sketch must not depend on partitioning")
+  }
+
+  test("fewer distinct keys than k: sketch is exact") {
+    val df = spark.range(10000).select((col("id") % 37).as("key"))
+    val row = Sketch.kmvDistinct(df, col("key"), k = 512).collect().head
+    assert(row.getAs[Long]("n_in_sketch") === 37L)
+    assert(row.getAs[Double]("est_distinct") === 37.0)
+  }
+
+  test("per-partition state is k-bounded (only parts*k values merge)") {
+    // huge skewed partition count: the merge input must stay tiny
+    val df = spark.range(100000).repartition(32)
+      .select(col("id").as("key"))
+    val row = Sketch.kmvDistinct(df, col("key"), k = 64).collect().head
+    assert(row.getAs[Long]("n_in_sketch") === 64L)
+    val est = row.getAs[Double]("est_distinct")
+    assert(est > 100000 * 0.5 && est < 100000 * 2.0, s"est $est")
+  }
+}
