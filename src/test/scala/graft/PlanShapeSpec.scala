@@ -101,4 +101,16 @@ class PlanShapeSpec extends SparkSpec {
         assert(slices == m, s"$q: expected $m slice() calls, got $slices")
     }
   }
+
+  test("q56_kmv_distinct: hashes are k-bounded BEFORE any exchange") {
+    // the whole point of the KMV sketch at scale: only partitions×k hash
+    // values may enter a shuffle — the subtree below the mapPartitions
+    // bounding stage (printed after it, root-first) must be exchange-free
+    val p = SparkEntry.queries("q56_kmv_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val mpIdx = p.indexOf("MapPartitions")
+    assert(mpIdx >= 0, "expected a MapPartitions sketch stage")
+    assert(!p.substring(mpIdx).contains("Exchange"),
+      "raw hashes shuffled before the k-bounding stage")
+  }
 }
