@@ -12,7 +12,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q1_agg", "q2_join_tree", "q5_priority_dedup", "q19_minhash_lsh",
       "q21_cosine_topk", "omm_snapshot_now", "q41_edit_distance",
-      "q42_asof_join", "q45_range_join", "q43_sessionize")
+      "q42_asof_join", "q45_range_join", "q43_sessionize",
+      "q50_pq_encode", "q51_pq_adc_topk", "q55_corpus_curation",
+      "q56_kmv_distinct")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
