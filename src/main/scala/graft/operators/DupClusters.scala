@@ -19,11 +19,17 @@ import org.slf4j.LoggerFactory
   *
   * Each round is two hash-partitioned shuffles (edge×label join + min
   * aggregate); rounds needed = component diameter, which for near-dup
-  * clusters is tiny (dup families are cliques-ish). Rounds materialize via
-  * `persist` + a convergence count, and every third round goes through
-  * `localCheckpoint` so lineage (and with it plan size and recovery cost)
-  * stays bounded regardless of iteration count. Labels-only state shuffles
-  * (id, label) pairs: 16 bytes a row at any corpus scale.
+  * clusters is tiny (dup families are cliques-ish). If a component is NOT
+  * shallow, rounds 6+ add a pointer-jumping step (label ← label[label],
+  * halving the remaining distance each round) so even a diameter-d chain
+  * converges in ~5 + log₂(d) rounds instead of d — deep components can
+  * slip past maxIter only in theory, not in practice. Shallow graphs
+  * converge before the jumping kicks in and never pay for it. Rounds
+  * materialize via `persist` + a convergence probe, and every third round
+  * goes through `localCheckpoint` so lineage (and with it plan size and
+  * recovery cost) stays bounded regardless of iteration count.
+  * Labels-only state shuffles (id, label) pairs: 16 bytes a row at any
+  * corpus scale.
   */
 object DupClusters {
 
@@ -80,11 +86,26 @@ object DupClusters {
         val neighborMin = und
           .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
           .groupBy(col("dst")).agg(min(col("label")).as("__nlabel"))
-        val propagated = labels
+        val oneHop = labels
           .join(neighborMin, col("id") === col("dst"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("__nlabel"), col("label")))
               .as("label"))
+        // still not converged after 5 rounds → the graph has deep
+        // components; compress paths with label ← label[label] (every
+        // label IS a working-set vertex id, so the self-join is total).
+        // oneHop is persisted for the round: the self-join references it
+        // twice and would otherwise evaluate the propagation join twice
+        val jumping = iter >= 5
+        val hop = if (jumping) oneHop.persist() else oneHop
+        val propagated =
+          if (!jumping) hop
+          else hop.as("a")
+            .join(hop.withColumnRenamed("id", "__pid")
+              .withColumnRenamed("label", "__plabel"),
+              col("a.label") === col("__pid"))
+            .select(col("a.id").as("id"),
+              least(col("a.label"), col("__plabel")).as("label"))
         // localCheckpoint every 3rd round: persist alone caches rows but
         // keeps the full lineage, so the logical plan (and failure-recovery
         // chain) would otherwise grow with the iteration count
@@ -93,6 +114,7 @@ object DupClusters {
           if (iter % 3 == 2) propagated.localCheckpoint(eager = false)
           else propagated.persist()
         val nextSum = labelSum(next) // materializes next
+        if (jumping) hop.unpersist()
         labels.unpersist()
         labels = next
         converged = nextSum == prevSum

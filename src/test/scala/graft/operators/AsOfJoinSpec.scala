@@ -176,6 +176,21 @@ class DupClustersSpec extends SparkSpec {
       .as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("deep chains converge in log rounds via pointer jumping") {
+    // a diameter-199 chain needs 199 plain min-label rounds; with pointer
+    // jumping from round 6 the remaining distance halves each round, so
+    // maxIter = 14 must suffice (5 + ~log2(200)). strict mode makes a
+    // convergence failure loud instead of silently mislabeled.
+    val n = 200L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = DupClusters.connectedComponents(vertices, edges,
+        maxIter = 14, failOnNonConvergence = true)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === n)
+    assert(labels.values.forall(_ === 1L), "whole chain labels to the min id")
+  }
+
   test("failOnNonConvergence throws when maxIter truncates propagation") {
     val vertices = (1L to 5L).toDF("id")
     // chain of diameter 4 cannot converge in one round
