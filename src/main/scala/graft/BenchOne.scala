@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = args.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.omm.OmmFixtures.ensure(spark)
+    try Seq("lineitem", "orders", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()) catch { case _: Throwable => () }
+    for (n <- names; rep <- 1 to 3) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"TIMING $n rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.slf4j.LoggerFactory
+
+import scala.collection.mutable
 
 /** Duplicate-cluster resolution: connected components over a near-dup pair
   * graph, labeling every document with the minimum id of its component —
@@ -43,8 +46,38 @@ object DupClusters {
       .distinct()
       .join(vertices.select(col("id")), Seq("id"), "left_semi")
 
+  /** Total ordering used to pick the component-minimum representative in
+    * the local-finish path, for the id types the engine's tables use.
+    * An id type outside this set simply keeps the iterative path. */
+  private def minOrdering(dt: DataType): Option[Ordering[Any]] = {
+    def o[T](ord: Ordering[T]): Option[Ordering[Any]] =
+      Some(ord.asInstanceOf[Ordering[Any]])
+    dt match {
+      case LongType    => o(Ordering.Long)
+      case IntegerType => o(Ordering.Int)
+      case ShortType   => o(Ordering.Short)
+      case ByteType    => o(Ordering.Byte)
+      case StringType  => o(Ordering.String)
+      case _           => None
+    }
+  }
+
   /** `vertices`: one column `id`; `edges`: columns `src`, `dst`
     * (undirected pairs, any orientation). Returns (id, cluster_rep).
+    *
+    * When the edge set is small — `edgeCount <= localMaxEdges`, known for
+    * free because the edges are counted to materialize their persist —
+    * the components are resolved by a single-task union-find over the
+    * edge list instead of the distributed loop. This is the common case
+    * by construction: near-dup families are a vanishingly small fraction
+    * of any real corpus, so even a 100 TB corpus's verified near-dup EDGE
+    * set is millions of rows, not billions. The corpus-scale work (edge
+    * production, the isolated-vertex anti-join) stays fully distributed;
+    * only the O(dup-set) contraction runs in one task — the same
+    * "finish small graphs locally" regime production CC implementations
+    * use, and ~10× fewer Spark jobs than the loop at bench scale. Above
+    * the threshold (default 1M edges ≈ tens of MB in one task) the
+    * iterative min-label/pointer-jumping path below takes over.
     *
     * Exiting at `maxIter` without convergence means long-chain components
     * may carry partially-propagated labels; that is logged as a warning,
@@ -52,7 +85,8 @@ object DupClusters {
     * is never returned silently. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
-                          failOnNonConvergence: Boolean = false): DataFrame = {
+                          failOnNonConvergence: Boolean = false,
+                          localMaxEdges: Long = 1000000L): DataFrame = {
     // persist + MATERIALIZE the directed edges before anything reads them:
     // the incident-vertex derivation and the mirrored union each reference
     // the input again, and the propagation join reads it every round —
@@ -60,17 +94,105 @@ object DupClusters {
     // whole minhash-LSH pipeline) executes once per reference instead of
     // once total
     val directed = edges.select(col("src"), col("dst")).persist()
-    directed.count()
+    val edgeCount = directed.count()
     val und = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
     // iterate ONLY over edge-incident vertices; isolated ones are done at
     // round 0 and never need to enter (or be re-shuffled by) the loop.
     // Derived from the CACHED directed relation, not the raw edges plan.
-    val incident = directed.select(col("src").as("id"))
+    val endpoints = directed.select(col("src").as("id"))
       .union(directed.select(col("dst").as("id")))
       .distinct()
-      .join(vertices.select(col("id")), Seq("id"), "left_semi")
-      .persist()
+    val idType = directed.schema("src").dataType
+    val localOrd =
+      if (edgeCount <= localMaxEdges) minOrdering(idType) else None
+    // endpoints ∩ vertex universe. In the small-edge regime the endpoint
+    // set is broadcast so the (possibly corpus-sized) vertex scan is
+    // streamed map-side — the big regime keeps the plain semi-join and
+    // lets the planner shuffle both sides.
+    val incident = (localOrd match {
+      case Some(_) => vertices.select(col("id"))
+        .join(broadcast(endpoints), Seq("id"), "left_semi")
+      case None => endpoints
+        .join(vertices.select(col("id")), Seq("id"), "left_semi")
+    }).persist()
+    localOrd match {
+      case Some(ord) =>
+        // materialize ONCE before the fan-out: the union-find input
+        // references incident three times (self-edges + two broadcast
+        // semi-joins), and concurrent broadcast jobs against an
+        // unmaterialized persist each recompute its plan — measured 3×
+        incident.count()
+        val labeled =
+          localUnionFind(directed, incident, idType, ord).persist()
+        // materialize labeled BEFORE releasing its inputs: the returned
+        // DataFrame is lazy, so unpersisting first would make the
+        // caller's eventual action recompute the whole upstream edge
+        // pipeline inside the single coalesced task (measured 3.5 s for
+        // a 768-row union-find)
+        labeled.count()
+        directed.unpersist()
+        incident.unpersist()
+        // one broadcast left join instead of anti-join + union: the
+        // labeled set is bounded by 2·localMaxEdges rows, so the corpus
+        // scan stays map-side — no shuffle of the (possibly huge)
+        // vertex set at all
+        vertices.select(col("id"))
+          .join(broadcast(labeled), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
+      case None =>
+        iterativeMinLabel(vertices, directed, und, incident,
+          maxIter, failOnNonConvergence)
+    }
+  }
+
+  /** Single-task exact contraction for the small-edge-set regime: the
+    * incident vertices enter as self-edges (so vertices whose only edges
+    * point outside the universe still label themselves), edges are
+    * restricted to universe-internal pairs with broadcast semi-joins
+    * against the (small) incident set — identical semantics to the
+    * propagation loop, where an out-of-universe endpoint never carries a
+    * label. Union-by-min roots make each root the component minimum. */
+  private def localUnionFind(directed: DataFrame, incident: DataFrame,
+                             idType: DataType,
+                             ord: Ordering[Any]): DataFrame = {
+    val validEdges = directed
+      .join(broadcast(incident.withColumnRenamed("id", "src")),
+        Seq("src"), "left_semi")
+      .join(broadcast(incident.withColumnRenamed("id", "dst")),
+        Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    val selfEdges = incident.select(col("id").as("src"), col("id").as("dst"))
+    val out = StructType(Seq(
+      StructField("id", idType), StructField("cluster_rep", idType)))
+    selfEdges.union(validEdges).coalesce(1).mapPartitions { rows =>
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def add(x: Any): Unit = if (!parent.contains(x)) parent(x) = x
+      rows.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // attach the larger root under the smaller: roots stay minima
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keysIterator.map(k => Row(k, find(k)))
+    }(Encoders.row(out))
+  }
+
+  private def iterativeMinLabel(vertices: DataFrame, directed: DataFrame,
+                                und: DataFrame, incident: DataFrame,
+                                maxIter: Int,
+                                failOnNonConvergence: Boolean): DataFrame = {
     var labels = incident.select(col("id"), col("id").as("label")).persist()
     // convergence probe: min-label propagation only ever DECREASES labels,
     // so the label sum is strictly monotone until fixpoint — an unchanged

@@ -156,7 +156,8 @@ class DupClustersSpec extends SparkSpec {
     val incident = DupClusters.incidentVertices(vertices, edges)
       .as[Long].collect().toSet
     assert(incident === Set(10L, 20L, 30L, 400L, 500L))
-    val labeled = DupClusters.connectedComponents(vertices, edges)
+    val labeled = DupClusters.connectedComponents(vertices, edges,
+      localMaxEdges = 0L) // force the distributed loop under test
     // the isolated branch re-enters as a Union in the final plan
     assert(labeled.queryExecution.optimizedPlan.collect {
       case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
@@ -185,10 +186,50 @@ class DupClustersSpec extends SparkSpec {
     val vertices = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
     val labels = DupClusters.connectedComponents(vertices, edges,
-        maxIter = 14, failOnNonConvergence = true)
+        maxIter = 14, failOnNonConvergence = true, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(labels.size === n)
     assert(labels.values.forall(_ === 1L), "whole chain labels to the min id")
+  }
+
+  test("local union-find path equals the distributed loop on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val vertices = (1L to n.toLong).toDF("id")
+      val edges = Seq.fill(n / 2)(
+          (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .toDF("src", "dst")
+      val local = DupClusters.connectedComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      val loop = DupClusters.connectedComponents(vertices, edges,
+          failOnNonConvergence = true, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === loop, s"trial $trial diverged")
+    }
+  }
+
+  test("local path ignores edges with out-of-universe endpoints, like the loop") {
+    // edge 2-99 has an endpoint outside the universe; in the propagation
+    // loop an unlabeled endpoint never carries a label across, so 2 stays
+    // its own representative — the local path must match
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((2L, 99L), (99L, 3L)).toDF("src", "dst")
+    val local = DupClusters.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val loop = DupClusters.connectedComponents(vertices, edges,
+        localMaxEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(local === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(local === loop)
+  }
+
+  test("local path handles string ids with lexicographic minima") {
+    val vertices = Seq("d", "b", "a", "c", "z").toDF("id")
+    val edges = Seq(("d", "b"), ("b", "c")).toDF("src", "dst")
+    val labels = DupClusters.connectedComponents(vertices, edges)
+      .as[(String, String)].collect().toMap
+    assert(labels === Map("a" -> "a", "b" -> "b", "c" -> "b",
+      "d" -> "b", "z" -> "z"))
   }
 
   test("failOnNonConvergence throws when maxIter truncates propagation") {
@@ -197,7 +238,7 @@ class DupClustersSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
       DupClusters.connectedComponents(vertices, edges, maxIter = 1,
-        failOnNonConvergence = true).collect()
+        failOnNonConvergence = true, localMaxEdges = 0L).collect()
     }
     assert(e.getMessage.contains("without converging"))
   }
