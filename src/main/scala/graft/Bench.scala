@@ -12,6 +12,18 @@ import org.apache.spark.sql.SparkSession
   * scale swing ±2× with run order and JIT state, which made round-over-round
   * comparison noise-bound. The median of 3 is stable across consecutive
   * bench invocations.
+  *
+  * Between queries the JVM is returned to a known-clean state so query k's
+  * number does not depend on queries 1..k-1 (round-5 forensics: q44 read
+  * 22.9 s in the 66-query bench vs 7.0 s standalone, and untouched queries
+  * drifted ±2 s round-over-round — shared-JVM residue, not the operators):
+  *  - `clearCache` drops catalog-tracked Dataset persists;
+  *  - `getPersistentRDDs` + unpersist drops what clearCache cannot see —
+  *    `localCheckpoint` RDDs and any RDD-level persist;
+  *  - `System.gc()` + a short settle lets the ContextCleaner reclaim
+  *    broadcast blocks (broadcasts are reference-collected, so without an
+  *    explicit GC they accumulate across all 66 queries and the heavy tail
+  *    pays the heap pressure).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,14 +59,29 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
     } catch { case _: Throwable => () }
 
+    // drop every form of cached state a query (or rep) can leave behind;
+    // see the class doc for why clearCache alone is not enough
+    def resetJvmState(settle: Boolean): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (settle) {
+        System.gc()
+        Thread.sleep(100)
+      }
+    }
+
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // full reset + GC before each query so its reps start from the same
+      // heap/broadcast state regardless of position in the alphabet
+      resetJvmState(settle = true)
       val times = (0 until reps).iterator.map { _ =>
         // drop persisted relations left by a previous rep of the same query:
         // cache lookup is by canonicalized plan, so without this a
         // persist-using query's reps 2..n would read rep 1's cache and the
         // median would under-report its real cost
-        spark.catalog.clearCache()
+        resetJvmState(settle = false)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -15,7 +15,11 @@ object BenchOne {
     try Seq("lineitem", "orders", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()) catch { case _: Throwable => () }
     for (n <- names; rep <- 1 to 3) {
+      // mirror Bench's per-rep reset exactly so standalone numbers are
+      // comparable with in-bench medians
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       println(f"TIMING $n rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")

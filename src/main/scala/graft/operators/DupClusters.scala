@@ -38,14 +38,6 @@ object DupClusters {
 
   private val log = LoggerFactory.getLogger(getClass)
 
-  /** The working set of the propagation loop: every vertex that appears as
-    * an endpoint of some edge, restricted to the given vertex universe. */
-  def incidentVertices(vertices: DataFrame, edges: DataFrame): DataFrame =
-    edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-      .join(vertices.select(col("id")), Seq("id"), "left_semi")
-
   /** Total ordering used to pick the component-minimum representative in
     * the local-finish path, for the id types the engine's tables use.
     * An id type outside this set simply keeps the iterative path. */
@@ -75,9 +67,15 @@ object DupClusters {
     * production, the isolated-vertex anti-join) stays fully distributed;
     * only the O(dup-set) contraction runs in one task — the same
     * "finish small graphs locally" regime production CC implementations
-    * use, and ~10× fewer Spark jobs than the loop at bench scale. Above
-    * the threshold (default 1M edges ≈ tens of MB in one task) the
-    * iterative min-label/pointer-jumping path below takes over.
+    * use, and ~10× fewer Spark jobs than the loop at bench scale. The
+    * 1M-edge default is MEASURED, not guessed (ScaleProbe `uf` mode,
+    * chains-of-5 shape, local[32]): local wins 8.4 s vs 14.5 s at 1M
+    * edges, ties at 2M (21.0 vs 19.1), loses at 4M (41.6 vs 19.9) — the
+    * crossover sits near 2M and the default stays on its safe side. The
+    * primitive long→long parent table ([[LongLongMap]]) holds ~19 MB at
+    * the threshold (vs several hundred MB for the previous boxed
+    * HashMap[Any,Any]). Above the threshold the iterative
+    * min-label/pointer-jumping path below takes over.
     *
     * Exiting at `maxIter` without convergence means long-chain components
     * may carry partially-propagated labels; that is logged as a warning,
@@ -123,16 +121,21 @@ object DupClusters {
         // semi-joins), and concurrent broadcast jobs against an
         // unmaterialized persist each recompute its plan — measured 3×
         incident.count()
-        val labeled =
-          localUnionFind(directed, incident, idType, ord).persist()
-        // materialize labeled BEFORE releasing its inputs: the returned
-        // DataFrame is lazy, so unpersisting first would make the
-        // caller's eventual action recompute the whole upstream edge
-        // pipeline inside the single coalesced task (measured 3.5 s for
-        // a 768-row union-find)
-        labeled.count()
+        // The contraction output is bounded by 2·localMaxEdges rows and
+        // is destined for the BUILD side of a broadcast join — which
+        // collects to the driver anyway — so collect it explicitly and
+        // rebuild it as a LocalRelation: identical data movement, one
+        // fewer Spark job, and no persisted relation escapes the
+        // operator (the previous `labeled.persist()` here outlived the
+        // call and accumulated in long-lived sessions).
+        val labeledRows = localUnionFind(directed, incident, idType, ord)
+          .collect()
         directed.unpersist()
         incident.unpersist()
+        val outSchema = StructType(Seq(
+          StructField("id", idType), StructField("cluster_rep", idType)))
+        val labeled = vertices.sparkSession.createDataFrame(
+          java.util.Arrays.asList(labeledRows: _*), outSchema)
         // one broadcast left join instead of anti-join + union: the
         // labeled set is bounded by 2·localMaxEdges rows, so the corpus
         // scan stays map-side — no shuffle of the (possibly huge)
@@ -166,27 +169,62 @@ object DupClusters {
     val selfEdges = incident.select(col("id").as("src"), col("id").as("dst"))
     val out = StructType(Seq(
       StructField("id", idType), StructField("cluster_rep", idType)))
-    selfEdges.union(validEdges).coalesce(1).mapPartitions { rows =>
-      val parent = mutable.HashMap.empty[Any, Any]
-      def find(x: Any): Any = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
+    val fn: Iterator[Row] => Iterator[Row] =
+      if (idType == LongType) unionFindLong else unionFindGeneric(ord)
+    selfEdges.union(validEdges).coalesce(1).mapPartitions(fn)(Encoders.row(out))
+  }
+
+  /** Primitive-keyed union-find for Long ids (every registered caller's id
+    * type): the parent table is an open-addressing long→long map at ~16
+    * bytes/entry instead of a boxed `HashMap[Any,Any]` at ~80, so the
+    * single contraction task at the 1M-edge threshold holds ~32 MB of
+    * parent state, not hundreds (see SCALE.md's union-find probe). */
+  private def unionFindLong(rows: Iterator[Row]): Iterator[Row] = {
+    val parent = new LongLongMap(1 << 12)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent.put(a, a)
+      if (!parent.contains(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // attach the larger root under the smaller: roots stay minima
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
-      def add(x: Any): Unit = if (!parent.contains(x)) parent(x) = x
-      rows.foreach { row =>
-        val a = row.get(0); val b = row.get(1)
-        add(a); add(b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          // attach the larger root under the smaller: roots stay minima
-          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
-        }
+    }
+    // path-compression puts during the sweep only overwrite existing
+    // slots (every key is already present), so iterating the key set
+    // while calling find is safe
+    parent.keyIterator.map(k => Row(k, find(k)))
+  }
+
+  /** Boxed fallback for the remaining id types (string ids etc.). */
+  private def unionFindGeneric(ord: Ordering[Any])
+                              (rows: Iterator[Row]): Iterator[Row] = {
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def add(x: Any): Unit = if (!parent.contains(x)) parent(x) = x
+    rows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
-      parent.keysIterator.map(k => Row(k, find(k)))
-    }(Encoders.row(out))
+    }
+    parent.keysIterator.map(k => Row(k, find(k)))
   }
 
   private def iterativeMinLabel(vertices: DataFrame, directed: DataFrame,
@@ -262,4 +300,85 @@ object DupClusters {
   def clusterSizes(labeled: DataFrame): DataFrame =
     labeled.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
+}
+
+/** Minimal open-addressing long→long hash map: power-of-two capacity,
+  * linear probing, 0.75 load factor, `Long.MinValue` as the empty-slot
+  * sentinel (the sentinel key itself is carried out-of-band so the full
+  * Long domain is usable). Exists because the union-find parent table is
+  * the single-task hot spot of the local CC path: primitive arrays cost
+  * ~16 bytes/entry where a boxed `HashMap[Any,Any]` costs ~80 with a Node
+  * and two boxes per entry, and probe reads are cache-line-friendly. */
+private[operators] final class LongLongMap(expected: Int) {
+  private[this] final val EMPTY = Long.MinValue
+  private[this] var cap = {
+    var c = 16
+    while (c < expected * 2 && c > 0) c <<= 1
+    c
+  }
+  private[this] var mask = cap - 1
+  private[this] var keys = {
+    val a = new Array[Long](cap); java.util.Arrays.fill(a, EMPTY); a
+  }
+  private[this] var vals = new Array[Long](cap)
+  private[this] var n = 0
+  private[this] var hasSentinel = false
+  private[this] var sentinelVal = 0L
+
+  // splitmix64-style finalizer: sequential doc ids must not cluster probes
+  private def slot(k: Long): Int = {
+    var h = k * -7046029254386353131L
+    h ^= h >>> 32
+    h.toInt & mask
+  }
+
+  /** Value for `k`; caller guarantees the key is present (union-find only
+    * ever reads keys it inserted). */
+  def get(k: Long): Long = {
+    if (k == EMPTY) return sentinelVal
+    var i = slot(k)
+    while (keys(i) != k) i = (i + 1) & mask
+    vals(i)
+  }
+
+  def contains(k: Long): Boolean = {
+    if (k == EMPTY) return hasSentinel
+    var i = slot(k)
+    while (true) {
+      val kk = keys(i)
+      if (kk == k) return true
+      if (kk == EMPTY) return false
+      i = (i + 1) & mask
+    }
+    false
+  }
+
+  def put(k: Long, v: Long): Unit = {
+    if (k == EMPTY) { hasSentinel = true; sentinelVal = v; return }
+    var i = slot(k)
+    while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & mask
+    if (keys(i) == EMPTY) {
+      keys(i) = k; vals(i) = v; n += 1
+      if (n * 4 > cap * 3) grow()
+    } else vals(i) = v
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); java.util.Arrays.fill(keys, EMPTY)
+    vals = new Array[Long](cap); n = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) != EMPTY) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  def size: Int = n + (if (hasSentinel) 1 else 0)
+
+  def keyIterator: Iterator[Long] = {
+    val base = keys.iterator.filter(_ != EMPTY)
+    if (hasSentinel) Iterator.single(EMPTY) ++ base else base
+  }
 }

@@ -1218,7 +1218,11 @@ object TestdataQueries {
       .filter(col("quality") >= q55QualityFloor)
     // referenced three times below (edge pipeline, CC vertices, final
     // semijoin) — persist so the regex-heavy quality scoring and the
-    // dedup window run once, not per reference
+    // dedup window run once, not per reference. CALLER CONTRACT: the
+    // persist backs the returned (lazy) DataFrame and cannot be released
+    // here; a long-lived session must clear it after consuming the result
+    // (Bench/Verify do so via clearCache + getPersistentRDDs between
+    // queries — see Bench.resetJvmState).
     val exact = Dedup.exactDedup(flt, col("text"), col("doc_id")).persist()
     val edges = NearDup.minhashLshPairs(exact, col("doc_id"), col("text"),
         n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)

@@ -121,8 +121,43 @@ object ScaleProbe {
     r
   }
 
+  /** Sizes the `localMaxEdges` default from measurement instead of a guess:
+    * times the single-task union-find vs the distributed min-label loop on
+    * the SAME graph at edge counts bracketing the threshold, and reports
+    * the parent-table size the task holds (2 long arrays ≈ 16 B/entry
+    * after the primitive-map specialization). Graph shape is the realistic
+    * one — many small families (chains of 5 edges), vertices ≈ 1.2× edges.
+    * Run: sbt "runMain graft.tools.ScaleProbe uf"; results in SCALE.md. */
+  def unionFindProbe(spark: SparkSession): Unit = {
+    import graft.operators.DupClusters
+    Seq(250000L, 1000000L, 4000000L).foreach { nE =>
+      val nIds = nE * 6 / 5 + 1
+      val edges = spark.range(nIds - 1).filter(col("id") % 6 =!= 5)
+        .select(col("id").as("src"), (col("id") + 1).as("dst")).cache()
+      val ne = edges.count()
+      val verts = spark.range(nIds).select(col("id")).cache()
+      verts.count()
+      // ~2.4 longs of parent state per edge at this shape (keys+vals at
+      // 0.75 max load rounds capacity to the next power of two)
+      println(f"[probe] union-find parent table ≈ ${ne * 1.2 * 16 / 1e6}%.0f MB raw" +
+        f" for $ne%d edges (pre-pow2-rounding)")
+      time(f"unionFindLocal   ($ne%8d edges)") {
+        DupClusters.connectedComponents(verts, edges,
+          localMaxEdges = Long.MaxValue).count()
+      }
+      time(f"unionFindLoop    ($ne%8d edges)") {
+        DupClusters.connectedComponents(verts, edges,
+          localMaxEdges = 0L).count()
+      }
+      verts.unpersist(); edges.unpersist()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val nCases = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nCases = args.headOption.filter(_ != "uf").map(_.toLong)
+      .getOrElse(1000000L)
     val docMults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
       else Seq(1, 4, 16)
     val spark = SparkSession.builder()
@@ -133,6 +168,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.headOption.contains("uf")) {
+      unionFindProbe(spark); spark.stop(); return
+    }
 
     val dir = "/tmp/omm_scale"
     time(s"generate OMM tables ($nCases cases)") { genOmm(spark, dir, nCases) }

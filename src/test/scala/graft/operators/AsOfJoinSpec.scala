@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -153,7 +154,7 @@ class DupClustersSpec extends SparkSpec {
     // with the isolated 996 unioned back as their own representative
     val vertices = (1L to 1000L).toDF("id")
     val edges = Seq((10L, 20L), (20L, 30L), (500L, 400L)).toDF("src", "dst")
-    val incident = DupClusters.incidentVertices(vertices, edges)
+    val incident = incidentVertices(vertices, edges)
       .as[Long].collect().toSet
     assert(incident === Set(10L, 20L, 30L, 400L, 500L))
     val labeled = DupClusters.connectedComponents(vertices, edges,
@@ -170,10 +171,19 @@ class DupClustersSpec extends SparkSpec {
     assert(labels(1L) === 1L && labels(999L) === 999L)
   }
 
+  // spec-local mirror of the working-set derivation both CC paths inline
+  // (endpoints ∩ vertex universe) — kept here as the reference semantics
+  // the tests assert against, since the operator no longer exports it
+  private def incidentVertices(vertices: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .join(vertices.select(col("id")), Seq("id"), "left_semi")
+
   test("incidentVertices respects the vertex universe") {
     val vertices = Seq(1L, 2L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 99L)).toDF("src", "dst")
-    assert(DupClusters.incidentVertices(vertices, edges)
+    assert(incidentVertices(vertices, edges)
       .as[Long].collect().toSet === Set(1L, 2L))
   }
 
@@ -230,6 +240,23 @@ class DupClustersSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(labels === Map("a" -> "a", "b" -> "b", "c" -> "b",
       "d" -> "b", "z" -> "z"))
+  }
+
+  test("LongLongMap matches a boxed map under random churn, incl. sentinels") {
+    val rnd = new scala.util.Random(11)
+    val m = new LongLongMap(4) // force several grows
+    val ref = scala.collection.mutable.HashMap.empty[Long, Long]
+    val keys = Seq(Long.MinValue, Long.MaxValue, 0L, -1L) ++
+      Seq.fill(5000)(rnd.nextLong() % 1000) // heavy overwrite traffic
+    keys.foreach { k =>
+      val v = rnd.nextLong()
+      m.put(k, v); ref(k) = v
+      assert(m.contains(k) && m.get(k) === v)
+    }
+    assert(m.size === ref.size)
+    assert(m.keyIterator.toSet === ref.keySet)
+    ref.foreach { case (k, v) => assert(m.get(k) === v) }
+    assert(!m.contains(123456789012L))
   }
 
   test("failOnNonConvergence throws when maxIter truncates propagation") {
