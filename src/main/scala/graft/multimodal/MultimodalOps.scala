@@ -9,16 +9,18 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: iterator-in/iterator-out, one batch per partition, no
   * per-row UDF dispatch).
   *
-  * The IMAGE and AUDIO paths are REAL: image rows carry actual PNG bytes
-  * decoded with `javax.imageio` (see [[Png]]) — width, height, channel
-  * count, mean pixel all from decoded pixels — and audio rows carry
+  * ALL THREE media kinds are REAL containers now: image rows carry actual
+  * PNG bytes decoded with `javax.imageio` (see [[Png]]) — width, height,
+  * channel count, mean pixel all from decoded pixels; audio rows carry
   * actual RIFF/WAV bytes decoded with `javax.sound.sampled` (see [[Wav]])
   * — sample rate, channels, frame count, mean amplitude all from decoded
-  * PCM samples. Only VIDEO decode stays STUBBED (the JDK ships no video
-  * codec and this container has no media libraries): `StubCodecs`
-  * documents exactly where ffmpeg would plug in and substitutes a
-  * deterministic fake so the pipeline — schemas, encoders, partitioning,
-  * batch iteration, downstream joins — is real and testable.
+  * PCM samples; video rows carry actual RIFF/AVI bytes with uncompressed
+  * DIB frames, parsed by an in-repo spec-conformant chunk walker (see
+  * [[Avi]]) — width, height, bit depth, frame count, mean pixel all read
+  * from container structure and real frame bytes. The only remaining stub
+  * is `StubCodecs.featurize`, which stands in for a LEARNED embedding
+  * model (no model weights belong in this container); its plumbing —
+  * schema, batching, downstream top-k — is real and oracle-checked.
   *
   * At scale: binary payloads never pass through a shuffle here; decode and
   * featurize are map-side, and anything keyed (top-k over features) shuffles
@@ -32,23 +34,11 @@ object MultimodalOps {
   case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int)
   case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  /** Where a real ffmpeg call would go for video. The fake is a pure
-    * function of the payload so tests and oracles are deterministic.
-    * (Image and audio no longer use this — see [[Png]] and [[Wav]].) */
+  /** Where a real learned encoder would plug in. The fake is a pure
+    * function of (id, payload length) so tests and oracles are
+    * deterministic. (Image/audio/video DECODE no longer stubs anything —
+    * see [[Png]], [[Wav]], [[Avi]].) */
   object StubCodecs {
-    /** STUB ≙ video stream probe: dimensions derived from payload
-      * length, mean from the UTF-8 code points (a real probe returns
-      * frame stats). */
-    def probeAv(content: Array[Byte]): (Int, Int, Int, Long) = {
-      val n = content.length
-      val codes = new String(content, "UTF-8").codePoints().toArray
-      val mean = if (codes.isEmpty) 0L else codes.map(_.toLong).sum / codes.length
-      ((n * 7919) % 1920 + 1, (n * 104729) % 1080 + 1, 3, mean)
-    }
-
-    /** STUB ≙ video frame extraction: fixed-size slices stand in for frames. */
-    val frameBytes = 256
-
     /** STUB ≙ a learned visual/audio encoder: a hash-derived unit-scale
       * vector, deterministic per (payload length, position). */
     def featurize(mediaId: Long, content: Array[Byte], dim: Int): Array[Float] = {
@@ -74,33 +64,44 @@ object MultimodalOps {
     ((id * 31 + i * 7) % 2001 - 1000).toShort
   val audioSampleRate = 8000
 
-  /** A synthetic media table. Image rows carry REAL PNG bytes (solid-fill,
-    * dimensions/color derived from the id — `imageParams`); audio rows
-    * carry REAL RIFF/WAV bytes (16-bit mono PCM, waveform derived from the
-    * id — `audioSample`); both generated executor-side per partition.
-    * Video rows carry the document text bytes as the opaque payload
-    * (deterministic; multi-KB binaries). */
+  /** Deterministic video parameters for a synthetic media id: even width
+    * (unpadded AVI frame chunks), height, frame count, and the solid fill
+    * byte of frame f — all arithmetic in the id for the oracle. */
+  def videoParams(id: Long): (Int, Int, Int) =
+    (((id % 16) + 1).toInt * 2, (id % 9 + 2).toInt, (id % 24 + 2).toInt)
+  def videoFrameFill(id: Long, f: Int): Int = ((id * 31 + f * 7) % 256).toInt
+
+  /** A synthetic media table — every kind is a REAL container generated
+    * executor-side per partition: image rows are decodable PNGs
+    * (solid-fill, dims/color from `imageParams`), audio rows are decodable
+    * RIFF/WAVs (16-bit mono PCM, waveform from `audioSample`), video rows
+    * are parseable RIFF/AVIs with uncompressed DIB frames (dims/frame
+    * count/fills from `videoParams`/`videoFrameFill`). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, textBytes) =>
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
         if (id % 3 == 0) {
           val (w, h, r, g, b) = imageParams(id)
           MediaRow(id, "image", Png.encodeSolid(w, h, r, g, b))
         } else if (id % 3 == 1) {
           val samples = Array.tabulate(audioNumSamples(id))(audioSample(id, _))
           MediaRow(id, "audio", Wav.encodePcm16Mono(audioSampleRate, samples))
-        } else MediaRow(id, "video", textBytes)
+        } else {
+          val (w, h, nF) = videoParams(id)
+          MediaRow(id, "video",
+            Avi.encodeSolid(w, h, Array.tabulate(nF)(videoFrameFill(id, _))))
+        }
       })
   }
 
   /** Decode/metadata extraction — batch-per-partition over the binary
     * column. Images go through the REAL `javax.imageio` decoder, audio
     * through the REAL `javax.sound.sampled` decoder (frames × 1 as the
-    * generic dims, mean |amplitude| as the code); the video probe is the
-    * stub. */
+    * generic dims, mean |amplitude| as the code), video through the REAL
+    * RIFF/AVI container parse (dims + bit depth from the headers, mean
+    * over actual frame pixel bytes). */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
@@ -109,7 +110,7 @@ object MultimodalOps {
         case "audio" =>
           val (_, ch, frames, meanAbs) = Wav.decode(m.content)
           (frames.toInt, 1, ch, meanAbs)
-        case _ => StubCodecs.probeAv(m.content)
+        case _ => Avi.decode(m.content)
       }
       MediaMeta(m.media_id, m.kind, m.content.length, w, h, c, mean)
     })
@@ -128,16 +129,14 @@ object MultimodalOps {
     })
   }
 
-  /** Frame sampling: every `everyN`-th fixed-size slice of the payload
-    * (≙ ffmpeg -vf select; one output row per sampled frame). */
+  /** Frame sampling: every `everyN`-th REAL `00db` frame chunk of the AVI
+    * container (≙ ffmpeg -vf select; one output row per sampled frame,
+    * sizes read from the movi chunk headers). */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
-      val nFrames = (m.content.length + StubCodecs.frameBytes - 1) / StubCodecs.frameBytes
-      (0 until nFrames by everyN).map { idx =>
-        val start = idx * StubCodecs.frameBytes
-        Frame(m.media_id, idx,
-          math.min(StubCodecs.frameBytes, m.content.length - start))
+      Avi.frames(m.content).collect {
+        case (idx, nBytes) if idx % everyN == 0 => Frame(m.media_id, idx, nBytes)
       }
     })
   }

@@ -10,16 +10,17 @@ import graft.sources.Tables
 /** Multimodal operators registered over the synthetic media table derived
   * from `documents` (§2.10).
   *
-  * Image and audio rows are REAL: the image payload is an actual PNG whose
-  * width/height/channels/mean come from `javax.imageio`-decoded pixels,
-  * and the audio payload is an actual RIFF/WAV whose rate/channels/frames/
-  * mean-amplitude come from `javax.sound.sampled`-decoded PCM. The oracle
-  * can still verify both exactly: fixtures are id-derived (solid-fill
-  * dims/color for images, an arithmetic waveform for audio), and the
-  * writers make even the payload byte LENGTHS arithmetic in the id
-  * (Png.encodedLength / Wav.encodedLength). Video remains a stub codec —
-  * a pure function of the payload — so its rows verify the Spark-side
-  * plumbing (schema, batch iteration, explode shape).
+  * ALL media rows are REAL containers: the image payload is an actual PNG
+  * whose width/height/channels/mean come from `javax.imageio`-decoded
+  * pixels, the audio payload is an actual RIFF/WAV whose rate/channels/
+  * frames/mean-amplitude come from `javax.sound.sampled`-decoded PCM, and
+  * the video payload is an actual RIFF/AVI with uncompressed DIB frames
+  * whose width/height/bit-depth/frame-count/mean come from the in-repo
+  * spec-conformant container parse ([[graft.multimodal.Avi]]). The oracle
+  * verifies all three exactly: fixtures are id-derived (solid-fill dims/
+  * color for images, an arithmetic waveform for audio, solid-fill frames
+  * for video), and the writers make even the payload byte LENGTHS
+  * arithmetic in the id (Png/Wav/Avi `encodedLength`).
   */
 object MultimodalQueries {
 
@@ -41,12 +42,23 @@ object MultimodalQueries {
   private val audLen = s"(44 + 2 * $audN)"
   private val audMean =
     s"(list_sum([abs((doc_id * 31 + i * 7) % 2001 - 1000) for i in range(0, $audN)]) // $audN)"
-  /** Payload length per kind: PNG for images, WAV for audio, text bytes
-    * for video. */
+  // id-derived video params, mirrored from MultimodalOps.videoParams /
+  // videoFrameFill: even width, height, frame count, solid fill per frame
+  private val vidW = "(((doc_id % 16) + 1) * 2)"
+  private val vidH = "((doc_id % 9) + 2)"
+  private val vidN = "((doc_id % 24) + 2)"
+  /** Avi.encodedLength: 224-byte container skeleton + framed DIB chunks. */
+  private val vidLen = s"(224 + $vidN * (8 + $vidW * $vidH * 3))"
+  // mean over all frame pixel bytes; every byte of frame f equals the fill,
+  // so the grand mean reduces to floor(sum(fills)/nFrames)
+  private val vidMean =
+    s"(list_sum([(doc_id * 31 + f * 7) % 256 for f in range(0, $vidN)]) // $vidN)"
+  /** Payload length per kind: PNG for images, WAV for audio, AVI for
+    * video — all exact container arithmetic. */
   private val payloadLen =
     s"""CASE WHEN doc_id % 3 = 0 THEN $imgLen
        |       WHEN doc_id % 3 = 1 THEN $audLen
-       |       ELSE octet_length(encode(text)) END""".stripMargin
+       |       ELSE $vidLen END""".stripMargin
 
   private def q26MediaMeta(s: SparkSession, d: String): DataFrame =
     MultimodalOps.decodeMeta(media(s, d)).toDF()
@@ -58,27 +70,28 @@ object MultimodalQueries {
        |  CAST($payloadLen AS INTEGER) AS n_bytes,
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgW
        |       WHEN doc_id % 3 = 1 THEN $audN
-       |       ELSE (octet_length(encode(text)) * 7919) % 1920 + 1 END AS INTEGER) AS width,
+       |       ELSE $vidW END AS INTEGER) AS width,
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgH
        |       WHEN doc_id % 3 = 1 THEN 1
-       |       ELSE (octet_length(encode(text)) * 104729) % 1080 + 1 END AS INTEGER) AS height,
+       |       ELSE $vidH END AS INTEGER) AS height,
        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN $imgMean
        |       WHEN doc_id % 3 = 1 THEN $audMean
-       |       ELSE list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
-       |            // len(string_split(text, '')) END AS BIGINT) AS mean_code
+       |       ELSE $vidMean END AS BIGINT) AS mean_code
        |FROM documents""".stripMargin
 
   private def q27FrameSample(s: SparkSession, d: String): DataFrame =
     MultimodalOps.sampleFrames(media(s, d), everyN = 2).toDF()
 
+  // every 2nd REAL movi frame chunk; chunk size = w*h*3 (24-bit DIB)
   private val q27Sql =
-    """WITH v AS (
-      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+    s"""WITH v AS (
+      |  SELECT doc_id AS media_id, $vidW AS w, $vidH AS h,
+      |    CAST($vidN AS BIGINT) AS nf
       |  FROM documents WHERE doc_id % 3 = 2)
       |SELECT media_id, CAST(idx AS INTEGER) AS frame_idx,
-      |  CAST(least(256, n - idx * 256) AS INTEGER) AS n_bytes
-      |FROM v, unnest(range(0, CAST((n + 255) // 256 AS BIGINT), 2)) AS t(idx)""".stripMargin
+      |  CAST(w * h * 3 AS INTEGER) AS n_bytes
+      |FROM v, unnest(range(0, nf, 2)) AS t(idx)""".stripMargin
 
   private def q28MediaTopK(s: SparkSession, d: String): DataFrame = {
     val feats = MultimodalOps.featurize(media(s, d), dim = 16).toDF()

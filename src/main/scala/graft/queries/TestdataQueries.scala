@@ -569,12 +569,23 @@ object TestdataQueries {
 
   // Learned-quantizer IVF (k-means + multi-probe). The trained centroids
   // are not SQL-expressible, so the registered output is the per-query
-  // overlap between the IVF top-k and the exact brute-force top-k — small
-  // integers, fully determined by (data, seed, partitioning). The oracle
-  // pins the expected table at all three driver scale factors (see
-  // q31ExpectedHits), selected by the scale the oracle is reading: a
-  // regression signal for both the quantizer math and its recall at every
-  // scale the harness runs.
+  // overlap between the IVF top-k and the exact brute-force top-k,
+  // asserted as a RECALL FLOOR rather than exact pinned hit counts: each
+  // query must find at least one true neighbor AND the 10 queries together
+  // must land >= 15 of 50 (recall >= 0.3 with generous margin — measured
+  // recall is 0.52–0.62 at every SF, table below). Floors survive an
+  // MLlib/Spark upgrade that perturbs KMeans internals; exact pins did
+  // not (they silently re-measured, losing their regression value —
+  // round-5 ADVICE). The floor is scale-independent, so every SF runs the
+  // same oracle with no scale-key plumbing.
+  //
+  // Measured hits@5 per query for drift diagnosis (seed 42, local[32]):
+  //   sf0.001: 0→3 1→3 2→5 3→2 4→4 5→3 6→4 7→2 8→1 9→4  (Σ31, recall .62)
+  //   sf0.01:  0→2 1→2 2→2 3→1 4→3 5→3 6→2 7→4 8→3 9→4  (Σ26, recall .52)
+  //   sf0.1:   0→2 1→3 2→1 3→2 4→4 5→2 6→4 7→4 8→3 9→5  (Σ30, recall .60)
+  private val q31PerQueryFloor = 1L
+  private val q31TotalFloor = 15L
+
   private def q31IvfKmeans(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
     val qset = embs.filter(col("vec_id") < 10)
@@ -589,36 +600,14 @@ object TestdataQueries {
     qset.select(col("vec_id").as("query_id"))
       .join(hitCounts, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .select(col("query_id"),
+        (col("hits") >= q31PerQueryFloor &&
+          sum(col("hits")).over() >= q31TotalFloor).as("recall_ok"))
   }
 
-  // Expected hits@5 per query, pinned at THREE scale factors (measured via
-  // graft.Verify at each; seed 42). The oracle selects the pin set by the
-  // scale it is actually reading — keyed on lineitem cardinality, which
-  // distinguishes the driver's sf tiers where the embeddings count alone
-  // does not (sf0.001 and sf0.01 both carry 500 vectors of different
-  // data). A quantizer bug can no longer hide behind single-scale
-  // constants: it would have to reproduce all three tables at once. An
-  // unpinned scale yields zero oracle rows — a loud row-count failure,
-  // never a silent pass.
-  private val q31ExpectedHits: Map[Long, Seq[(Int, Int)]] = Map(
-    6000L -> Seq( // sf0.001
-      0 -> 3, 1 -> 3, 2 -> 5, 3 -> 2, 4 -> 4,
-      5 -> 3, 6 -> 4, 7 -> 2, 8 -> 1, 9 -> 4),
-    60000L -> Seq( // sf0.01 (the driver's verification scale)
-      0 -> 2, 1 -> 2, 2 -> 2, 3 -> 1, 4 -> 3,
-      5 -> 3, 6 -> 2, 7 -> 4, 8 -> 3, 9 -> 4),
-    600000L -> Seq( // sf0.1 (the bench scale)
-      0 -> 2, 1 -> 3, 2 -> 1, 3 -> 2, 4 -> 4,
-      5 -> 2, 6 -> 4, 7 -> 4, 8 -> 3, 9 -> 5))
-
-  private val q31Sql = {
-    val rows = q31ExpectedHits.toSeq.sortBy(_._1).flatMap { case (sc, hs) =>
-      hs.map { case (q, h) => s"($sc, $q, $h)" }
-    }.mkString(", ")
-    s"""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(hits AS BIGINT) AS hits
-       |FROM (VALUES $rows) AS t(scale_key, query_id, hits)
-       |WHERE scale_key = (SELECT count(*) FROM lineitem)""".stripMargin
-  }
+  private val q31Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
 
   // SimHash banded near-dup pairs (hamming ≤ 3): the 4×16-bit pigeonhole
   // bands guarantee recall EXACTLY 1.0, so the banded result equals the

@@ -2,25 +2,42 @@ package graft.multimodal
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: typed Dataset shapes, stub codec determinism,
-  * frame-sampling arithmetic, feature vectors feeding similarity ops. */
+/** Multimodal plumbing: typed Dataset shapes, real container round trips
+  * (PNG / WAV / AVI), frame-sampling over real movi chunks, feature
+  * vectors feeding similarity ops. */
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
   import MultimodalOps._
 
-  private def media(rows: (Long, String, String)*): org.apache.spark.sql.Dataset[MediaRow] =
-    rows.map { case (id, kind, text) =>
-      MediaRow(id, kind, text.getBytes("UTF-8"))
-    }.toDS()
+  private def media(rows: (Long, String, Array[Byte])*): org.apache.spark.sql.Dataset[MediaRow] =
+    rows.map { case (id, kind, bytes) => MediaRow(id, kind, bytes) }.toDS()
 
-  test("decodeMeta: deterministic stub stats per video payload") {
-    val out = decodeMeta(media((1L, "video", "abcd"))).collect()
-    assert(out.length === 1)
-    val m = out.head
-    assert(m.n_bytes === 4)
-    assert(m.width === (4 * 7919) % 1920 + 1)
-    assert(m.height === (4 * 104729) % 1080 + 1)
-    assert(m.mean_code === ('a' + 'b' + 'c' + 'd').toLong / 4)
+  test("Avi round trip: chunk walker parses hand-written container exactly") {
+    val fills = Array(10, 200, 0, 255)
+    val bytes = Avi.encodeSolid(6, 4, fills) // fb = 72 bytes/frame
+    assert(bytes.length === Avi.encodedLength(6, 4, fills.length))
+    val (w, h, c, mean) = Avi.decode(bytes)
+    assert((w, h, c) === ((6, 4, 3)))
+    // solid fills → grand mean = floor(sum(fills)/n)
+    assert(mean === fills.map(_.toLong).sum / fills.length)
+    assert(Avi.frames(bytes).toSeq ===
+      Seq((0, 72), (1, 72), (2, 72), (3, 72)))
+    // header frame count is validated against physical movi chunks
+    val truncated = java.util.Arrays.copyOf(bytes, bytes.length - 80)
+    intercept[IllegalArgumentException](Avi.decode(truncated))
+    intercept[IllegalArgumentException](
+      Avi.decode("RIFFxxxxWAVE".getBytes("US-ASCII")))
+  }
+
+  test("decodeMeta: video stats come from real AVI container parse") {
+    val id = 2L // % 3 == 2 → video
+    val (w, h, nF) = videoParams(id)
+    val payload = Avi.encodeSolid(w, h, Array.tabulate(nF)(videoFrameFill(id, _)))
+    val m = decodeMeta(media((id, "video", payload))).collect().head
+    assert(m.n_bytes === Avi.encodedLength(w, h, nF))
+    assert(m.width === w && m.height === h && m.channels === 3)
+    assert(m.mean_code ===
+      (0 until nF).map(videoFrameFill(id, _).toLong).sum / nF)
   }
 
   test("Png round trip: ImageIO decodes hand-written PNG bit-exactly") {
@@ -51,7 +68,7 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.n_bytes === Png.encodedLength(w, h))
   }
 
-  test("mediaFromDocuments: image/audio kinds carry decodable real payloads") {
+  test("mediaFromDocuments: all three kinds carry decodable real payloads") {
     val docs = Seq((0L, "some text"), (1L, "other"), (2L, "third"))
       .toDF("doc_id", "text")
     val rows = mediaFromDocuments(docs).collect().sortBy(_.media_id)
@@ -61,8 +78,10 @@ class MultimodalOpsSpec extends SparkSpec {
     val (rate, ch, frames, _) = Wav.decode(rows(1).content)
     assert((rate, ch, frames) ===
       ((audioSampleRate, 1, audioNumSamples(1L).toLong)))
-    // video payloads stay the raw text bytes
-    assert(new String(rows(2).content, "UTF-8") === "third")
+    val (vw, vh, nF) = videoParams(2L)
+    val (dw, dh, dc, _) = Avi.decode(rows(2).content)
+    assert((dw, dh, dc) === ((vw, vh, 3)))
+    assert(Avi.frames(rows(2).content).length === nF)
   }
 
   test("Wav round trip: javax.sound.sampled decodes hand-written PCM exactly") {
@@ -102,21 +121,22 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
-  test("sampleFrames: every-Nth fixed-size slice, video only") {
-    val text = "x" * 1000 // 1000 bytes → 4 frames of ≤256
-    val out = sampleFrames(media((1L, "video", text), (2L, "image", text)),
+  test("sampleFrames: every-Nth real movi chunk, video only") {
+    val avi = Avi.encodeSolid(4, 2, Array(1, 2, 3, 4, 5)) // 5 frames, 24 B each
+    val png = Png.encodeSolid(3, 3, 1, 2, 3)
+    val out = sampleFrames(media((1L, "video", avi), (2L, "image", png)),
       everyN = 2).collect().sortBy(_.frame_idx)
     assert(out.map(_.media_id).distinct === Array(1L))
-    assert(out.map(_.frame_idx) === Array(0, 2))
-    assert(out.map(_.n_bytes) === Array(256, 256)) // frame 2 starts at 512
-    // last (unsampled) frame would be the 232-byte tail: 1000 - 3*256
-    val all = sampleFrames(media((1L, "video", text)), everyN = 1).collect()
-    assert(all.map(_.n_bytes).toSeq === Seq(256, 256, 256, 232))
+    assert(out.map(_.frame_idx) === Array(0, 2, 4))
+    assert(out.map(_.n_bytes).distinct === Array(4 * 2 * 3))
+    val all = sampleFrames(media((1L, "video", avi)), everyN = 1).collect()
+    assert(all.map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2, 3, 4))
   }
 
   test("featurize: stable vectors usable by similarity search") {
-    val a = featurize(media((1L, "image", "abc")), dim = 8).collect().head
-    val b = featurize(media((1L, "image", "abc")), dim = 8).collect().head
+    val abc = "abc".getBytes("UTF-8")
+    val a = featurize(media((1L, "image", abc)), dim = 8).collect().head
+    val b = featurize(media((1L, "image", abc)), dim = 8).collect().head
     assert(a.feature.toSeq === b.feature.toSeq)
     assert(a.feature.length === 8)
     assert(a.feature.forall(f => f >= -1.0f && f <= 1.0f))
