@@ -100,9 +100,13 @@ object NearDup {
     *    shuffle bytes are O(n·bands·16B), independent of text size;
     *  - docs with an empty shingle set produce no bands and are never
     *    candidates (two empty docs are not near-dups of each other). */
-  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
-                      n: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+  /** The LSH band rows (id, band, bucket) of every doc — the unit of both
+    * the batch candidate join below and the accumulated band index the
+    * streaming variant ([[graft.streaming.NearDupStream]]) carries across
+    * micro-batches. Signature built under an aggregation barrier (one
+    * tokenize per doc), band key = hash of the band's signature slice. */
+  def minhashBands(docs: DataFrame, id: Column, text: Column,
+                   n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numPerms = bands * rowsPerBand
     val sh = shingles(docs, id, text, n)
     val sigAggs = (0 until numPerms).map(i =>
@@ -115,9 +119,15 @@ object NearDup {
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",", slice: _*)).as("bucket"))
     }
-    val banded = sig
+    sig
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val banded = minhashBands(docs, id, text, n, bands, rowsPerBand)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))

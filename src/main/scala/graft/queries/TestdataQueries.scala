@@ -442,6 +442,30 @@ object TestdataQueries {
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
        |FROM jpairs WHERE jaccard >= 0.8""".stripMargin
 
+  // Streaming near-dup (§2.10 + reference micro-batch model): the SAME
+  // corpus fed as three arrival batches through the incremental band-index
+  // stream (NearDupStream.ingestBatch). Batch equivalence — every pair is
+  // found exactly once, when its later endpoint arrives — makes the
+  // accumulated sink EQUAL the one-shot batch operator, so q19's exact-
+  // Jaccard oracle is this query's oracle too. The split key (id % 3)
+  // deliberately separates most near-dup pairs into different arrival
+  // batches, exercising the cross-generation index-probe path, not just
+  // the within-batch self-join.
+  private def q57StreamingNeardup(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("neardup_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+    (0 until 3).foreach { b =>
+      graft.streaming.NearDupStream.ingestBatch(s,
+        docs.filter(col("id") % 3 === b),
+        s"$base/state", s"$base/sink",
+        n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+    }
+    s.read.parquet(s"$base/sink")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // SimHash registered over the ORACLE-PORTABLE polynomial token hash
   // (NearDup.portableTokenHash) so another engine can rebuild the 62-bit
   // signatures bit-for-bit; the xxhash64 variant stays as the faster
@@ -1298,6 +1322,7 @@ object TestdataQueries {
     "q17_fingerprint" -> (q17Fingerprint _),
     "q18_shingle_jaccard" -> (q18ShingleJaccard _),
     "q19_minhash_lsh" -> (q19MinhashLsh _),
+    "q57_streaming_neardup" -> (q57StreamingNeardup _),
     "q20_simhash" -> (q20Simhash _),
     "q21_cosine_topk" -> (q21CosineTopK _),
     "q22_cosine_ivf" -> (q22CosineIvf _),
@@ -1351,6 +1376,7 @@ object TestdataQueries {
     "q17_fingerprint" -> q17Sql,
     "q18_shingle_jaccard" -> q18Sql,
     "q19_minhash_lsh" -> q19Sql,
+    "q57_streaming_neardup" -> q19Sql,
     "q20_simhash" -> q20Sql,
     "q21_cosine_topk" -> q21Sql,
     "q22_cosine_ivf" -> q22Sql,
