@@ -87,8 +87,14 @@ object NearDupStream {
           .filter(col("id_new") < col("id_b"))
           .select(col("id_new").as("id_a"), col("id_b"))
         val cand = candOld.union(candNew).distinct()
-        // verify with exact shingle Jaccard; the doc store is scanned but
-        // only candidate-matched rows are shingled (projection after join)
+        // verify with exact shingle Jaccard. The shingle projection sits
+        // below the verify join, so every corpus row is tokenized per
+        // batch; restricting the corpus to candidate ids first (semi-join,
+        // plain or broadcast) was MEASURED SLOWER at bench scale — the
+        // extra exchange/broadcast job costs more than shingling short
+        // docs saves. At 100 TB the trade flips only if docs are huge;
+        // then add `corpus.join(broadcast(candIds), "left_semi")` before
+        // this projection.
         val corpus =
           if (exists(spark, docsPath))
             spark.read.parquet(docsPath).unionByName(nd)
