@@ -1300,6 +1300,108 @@ object TestdataQueries {
        |FROM sk""".stripMargin
   }
 
+  // ------------------------------- exact heavy hitters (§2.10 ext)
+  // Hot-token mining over the corpus: per-partition Misra-Gries candidates
+  // (bounded memory, candidates-only shuffle) + exact recount. The sketch
+  // in the middle is invisible to the oracle: with minShare above the MG
+  // guarantee the output is EXACTLY the GROUP BY / HAVING set.
+  private val q58MinShare = 0.02
+
+  private def q58HeavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frequent.heavyHitters(
+      Tables.documents(s, d)
+        .select(explode(TextExprs.tokens(col("text"))).as("item")),
+      col("item"), minShare = q58MinShare, counters = 256)
+
+  private val q58Sql =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS item
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tot AS (SELECT count(*) AS n_total FROM toks)
+       |SELECT item, count(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+       |FROM toks GROUP BY item
+       |HAVING count(*) >=
+       |  CAST(ceil($q58MinShare * (SELECT n_total FROM tot)) AS BIGINT)""".stripMargin
+
+  // ------------------------- repetition quality signals (§2.10 ext)
+  // Gopher-style per-document repetition stats: distinct-token ratio
+  // ingredients and the top word-2gram count — the "is this document
+  // degenerate boilerplate" filter of a training-data pipeline. Bigram
+  // mode via explode + two-level agg (per-doc key shuffle, map-combined),
+  // not per-row O(m²) array scans. Integer outputs hash exactly;
+  // `repetitive` mirrors Gopher's top-2gram fraction > 0.2 as an integer
+  // comparison (cnt * 5 > n) — no float division in compared output.
+  private def q59Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextExprs.tokens(col("text")).as("ts"))
+    val base = toks.select(col("doc_id"),
+      size(col("ts")).cast("long").as("n_tokens"),
+      size(array_distinct(col("ts"))).cast("long").as("n_distinct_tok"))
+    val bigrams = toks
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as("top_bigram_cnt"), sum(col("c")).as("n_bigrams"))
+    base.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tok"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        (coalesce(col("top_bigram_cnt"), lit(0L)) * 5 >
+          coalesce(col("n_bigrams"), lit(0L))).as("repetitive"))
+  }
+
+  private val q59Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(ts) AS n_tokens,
+      |    len(list_distinct(ts)) AS n_distinct_tok FROM t),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bg
+      |  FROM t WHERE len(ts) >= 2),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      |agg AS (SELECT doc_id, max(c) AS top_bigram_cnt,
+      |        CAST(sum(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY doc_id)
+      |SELECT base.doc_id, n_tokens, n_distinct_tok,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(top_bigram_cnt, 0) AS top_bigram_cnt,
+      |  coalesce(top_bigram_cnt, 0) * 5 > coalesce(n_bigrams, 0) AS repetitive
+      |FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id""".stripMargin
+
+  // ------------------------- token-budget sharding (§2.10 ext)
+  // Global exclusive-prefix-sum sharding without the single-task window:
+  // the oracle IS the naive `SUM() OVER (ORDER BY ...)` — the operator
+  // must equal it while never moving the table into one task.
+  private val q60Budget = 2000L
+
+  private def q60TokenShards(s: SparkSession, d: String): DataFrame =
+    graft.operators.Shard.byBudget(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextExprs.tokenCount(col("text")).cast("long").as("n_tok")),
+      orderCol = "doc_id", weightCol = "n_tok", budget = q60Budget)
+
+  private val q60Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |         AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT doc_id, n_tok,
+       |  CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // $q60Budget AS BIGINT) AS shard
+       |FROM t""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1354,7 +1456,10 @@ object TestdataQueries {
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q53_full_outer" -> (q53FullOuter _),
     "q55_corpus_curation" -> (q55CorpusCuration _),
-    "q56_kmv_distinct" -> (q56KmvDistinct _))
+    "q56_kmv_distinct" -> (q56KmvDistinct _),
+    "q58_heavy_hitters" -> (q58HeavyHitters _),
+    "q59_repetition_stats" -> (q59Repetition _),
+    "q60_token_shards" -> (q60TokenShards _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1408,5 +1513,8 @@ object TestdataQueries {
     "q52_stratified_sample" -> q52Sql,
     "q53_full_outer" -> q53Sql,
     "q55_corpus_curation" -> q55Sql,
-    "q56_kmv_distinct" -> q56Sql)
+    "q56_kmv_distinct" -> q56Sql,
+    "q58_heavy_hitters" -> q58Sql,
+    "q59_repetition_stats" -> q59Sql,
+    "q60_token_shards" -> q60Sql)
 }

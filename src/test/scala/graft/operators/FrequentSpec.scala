@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Exact heavy hitters: the Misra-Gries candidate pass must never lose a
+  * true heavy hitter (no false negatives), the recount must kill every
+  * false positive, and the thresholded output must equal the plain
+  * GROUP BY / HAVING answer for ANY partitioning. */
+class FrequentSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Exact reference: items with freq >= ceil(share * n). */
+  private def exact(items: Seq[String], share: Double): Map[String, Long] = {
+    val t = math.ceil(share * items.size).toLong
+    items.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= t).toMap
+  }
+
+  test("equals GROUP BY/HAVING on a skewed vocabulary") {
+    // zipfish: item i appears ~ 2000/i times, heavy head + long tail
+    val items = (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"w$i"))
+    val df = items.toDF("item")
+    val got = Frequent.heavyHitters(df, col("item"), minShare = 0.02,
+      counters = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact(items, 0.02))
+  }
+
+  test("partitioning-independent: candidates vary, output never does") {
+    val items = (1 to 100).flatMap(i => Seq.fill(500 / i)(s"t$i"))
+    val df = items.toDF("item")
+    val a = Frequent.heavyHitters(df.repartition(1), col("item"), 0.05, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val b = Frequent.heavyHitters(df.repartition(17), col("item"), 0.05, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("adversarial tail floods the sketch but no heavy hitter is lost") {
+    // one heavy item just over threshold drowned in unique noise: MG's
+    // decrement-all must still surface it in some partition
+    val heavy = Seq.fill(300)("HH")
+    val noise = (1 to 9700).map(i => s"u$i")
+    val items = scala.util.Random.shuffle(heavy ++ noise)
+    val got = Frequent.heavyHitters(items.toDF("item"), col("item"),
+      minShare = 0.03, counters = 64).collect()
+    assert(got.map(_.getString(0)).toSet === Set("HH"))
+    assert(got.head.getLong(1) === 300L)
+    assert(got.head.getLong(2) === 10000L)
+  }
+
+  test("minShare below the MG guarantee is rejected") {
+    val df = Seq("a", "b").toDF("item")
+    intercept[IllegalArgumentException] {
+      Frequent.heavyHitters(df, col("item"), minShare = 0.001, counters = 64)
+    }
+  }
+
+  test("null keys are ignored, not counted") {
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("item")
+    val got = Frequent.heavyHitters(df, col("item"), 0.5, 16).collect()
+    assert(got.map(_.getString(0)).toSet === Set("a"))
+    // n_total counts only non-null keys
+    assert(got.head.getLong(2) === 3L)
+  }
+}
