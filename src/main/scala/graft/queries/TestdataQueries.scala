@@ -1402,6 +1402,50 @@ object TestdataQueries {
        |    // $q60Budget AS BIGINT) AS shard
        |FROM t""".stripMargin
 
+  // ------------------------------- Z-order layout key (§2.10 ext)
+  // Morton interleave of (l_partkey, l_suppkey) — the file-skipping
+  // layout key (Layout.writeZOrdered gives every output file a narrow
+  // min/max range in BOTH columns). Registered as the key computation
+  // itself: pure integer bit arithmetic, identical on any engine. The
+  // quantization ranges are data min/max — a 1-row metadata agg on the
+  // Spark side, scalar subqueries in the oracle.
+  private val q61Bits = 8
+
+  private def q61Zorder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // 1-row bounds collect: metadata, same class as the seed codebook
+    val b = li.agg(
+      min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long"))
+      .collect()(0)
+    li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"),
+      graft.operators.Layout.zValue(col("l_partkey"), col("l_suppkey"),
+        b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+        bits = q61Bits).as("z"))
+  }
+
+  private val q61Sql = {
+    val qMax = (1 << q61Bits) - 1
+    val inter = (0 until q61Bits).map(i =>
+      s"(((qx >> $i) & 1) << ${2 * i}) + (((qy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT CAST(min(l_partkey) AS BIGINT) AS xlo,
+       |         CAST(max(l_partkey) AS BIGINT) AS xhi,
+       |         CAST(min(l_suppkey) AS BIGINT) AS ylo,
+       |         CAST(max(l_suppkey) AS BIGINT) AS yhi
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    ((CAST(l_partkey AS BIGINT) - xlo) * $qMax) // (xhi - xlo) AS qx,
+       |    ((CAST(l_suppkey AS BIGINT) - ylo) * $qMax) // (yhi - ylo) AS qy
+       |  FROM lineitem, r)
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CAST($inter AS BIGINT) AS z
+       |FROM q""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1459,7 +1503,8 @@ object TestdataQueries {
     "q56_kmv_distinct" -> (q56KmvDistinct _),
     "q58_heavy_hitters" -> (q58HeavyHitters _),
     "q59_repetition_stats" -> (q59Repetition _),
-    "q60_token_shards" -> (q60TokenShards _))
+    "q60_token_shards" -> (q60TokenShards _),
+    "q61_zorder_key" -> (q61Zorder _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1516,5 +1561,6 @@ object TestdataQueries {
     "q56_kmv_distinct" -> q56Sql,
     "q58_heavy_hitters" -> q58Sql,
     "q59_repetition_stats" -> q59Sql,
-    "q60_token_shards" -> q60Sql)
+    "q60_token_shards" -> q60Sql,
+    "q61_zorder_key" -> q61Sql)
 }

@@ -128,6 +128,31 @@ object ScaleProbe {
     * after the primitive-map specialization). Graph shape is the realistic
     * one — many small families (chains of 5 edges), vertices ≈ 1.2× edges.
     * Run: sbt "runMain graft.tools.ScaleProbe uf"; results in SCALE.md. */
+  /** Heavy hitters + prefix-sum sharding at token volumes far beyond the
+    * testdata: a 100M-token zipf-ish stream (wide vocabulary, heavy head)
+    * through Frequent.heavyHitters, and a 20M-row corpus through
+    * Shard.byBudget. Both must stay flat-per-token: the MG pass shuffles
+    * only candidates, the shard pass shuffles once by range. */
+  def frequentProbe(spark: SparkSession): Unit = {
+    val nTok = 100000000L
+    // zipf-ish: rank r = id mod 1e6 with probability tilt via square —
+    // ~1e6 distinct items, top item ~1% share
+    val toks = spark.range(nTok).select(
+      concat(lit("w"), (pmod(hash(col("id")), lit(1000)) *
+        pmod(hash(col("id") + 1), lit(1000))).cast("long")).as("item"))
+    time(f"heavyHitters ($nTok%11d tokens)") {
+      graft.operators.Frequent.heavyHitters(
+        toks, col("item"), minShare = 0.005, counters = 512).count()
+    }
+    val nDocs = 20000000L
+    val docs = spark.range(nDocs).select(
+      col("id"), (pmod(hash(col("id")), lit(900)) + 100).cast("long").as("w"))
+    time(f"shardByBudget($nDocs%11d rows  )") {
+      graft.operators.Shard.byBudget(docs, "id", "w", budget = 1000000L)
+        .agg(max(col("shard"))).collect()
+    }
+  }
+
   def unionFindProbe(spark: SparkSession): Unit = {
     import graft.operators.DupClusters
     Seq(250000L, 1000000L, 4000000L).foreach { nE =>
@@ -156,7 +181,8 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val nCases = args.headOption.filter(_ != "uf").map(_.toLong)
+    val nCases = args.headOption.filter(a => a != "uf" && a != "hh")
+      .map(_.toLong)
       .getOrElse(1000000L)
     val docMults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
       else Seq(1, 4, 16)
@@ -171,6 +197,9 @@ object ScaleProbe {
 
     if (args.headOption.contains("uf")) {
       unionFindProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("hh")) {
+      frequentProbe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"

@@ -102,6 +102,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q58_heavy_hitters: broadcast semi-join recount, map-combined agg") {
+    val p = plan("q58_heavy_hitters")
+    // the recount pass must keep the corpus scan map-side (candidates are
+    // broadcast) and partial-aggregate before its single count shuffle
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate restriction must be a broadcast semi-join")
+    assert(p.contains("partial_count"), "recount lost map-side combine")
+  }
+
+  test("q59_repetition_stats: bigram aggs map-combine; one doc_id join") {
+    val p = plan("q59_repetition_stats")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "bigram aggregation lost map-side combine")
+    // doc-level stats joined back once, on doc_id only
+    assert("(?m)^\\(\\d+\\) SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "expected a single doc_id join")
+  }
+
   test("q56_kmv_distinct: hashes are k-bounded BEFORE any exchange") {
     // the whole point of the KMV sketch at scale: only partitions×k hash
     // values may enter a shuffle — the subtree below the mapPartitions
