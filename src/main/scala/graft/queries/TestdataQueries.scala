@@ -1446,6 +1446,65 @@ object TestdataQueries {
        |FROM q""".stripMargin
   }
 
+  // ------------------------- benchmark decontamination (§2.10 ext)
+  // Test-set contamination check (the GPT-3-paper decontamination step):
+  // per corpus doc, the fraction of its distinct 3-gram shingles that
+  // appear in ANY benchmark doc. Benchmark sets are tiny vs a 100 TB
+  // corpus, so the benchmark shingle set broadcasts and the corpus scan
+  // stays map-side: one explode + one map-combined groupBy, no corpus
+  // shuffle by shingle. Integer outputs; `contaminated` = overlap >= 0.5
+  // as an integer comparison.
+  private val q62BenchMod = 50L
+
+  private def q62Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), TextExprs.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val benchSet = sh.filter(col("doc_id") % q62BenchMod === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % q62BenchMod =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(benchSet), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") * 2 >= col("n_shingles")).as("contaminated"))
+  }
+
+  private val q62Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS s FROM toks WHERE len(ts) > 0),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $q62BenchMod = 0),
+       |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % $q62BenchMod <> 0)
+       |SELECT doc_id, count(*) AS n_shingles, count(b.s) AS n_overlap,
+       |  count(b.s) * 2 >= count(*) AS contaminated
+       |FROM corp LEFT JOIN bench b ON corp.s = b.s
+       |GROUP BY doc_id""".stripMargin
+
+  // Dense global row ids without a single-task window: Shard.byBudget
+  // with unit weights and budget 1 IS zipWithIndex under a total order —
+  // the training-example-id assignment primitive, same two-phase prefix
+  // sum, oracle = row_number() - 1.
+  private def q63GlobalRowIds(s: SparkSession, d: String): DataFrame =
+    graft.operators.Shard.byBudget(
+      Tables.documents(s, d)
+        .select(col("doc_id"), lit(1L).as("one")),
+      orderCol = "doc_id", weightCol = "one", budget = 1L)
+      .select(col("doc_id"), col("shard").as("row_idx"))
+
+  private val q63Sql =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS row_idx
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1504,7 +1563,9 @@ object TestdataQueries {
     "q58_heavy_hitters" -> (q58HeavyHitters _),
     "q59_repetition_stats" -> (q59Repetition _),
     "q60_token_shards" -> (q60TokenShards _),
-    "q61_zorder_key" -> (q61Zorder _))
+    "q61_zorder_key" -> (q61Zorder _),
+    "q62_decontaminate" -> (q62Decontaminate _),
+    "q63_global_row_ids" -> (q63GlobalRowIds _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1562,5 +1623,7 @@ object TestdataQueries {
     "q58_heavy_hitters" -> q58Sql,
     "q59_repetition_stats" -> q59Sql,
     "q60_token_shards" -> q60Sql,
-    "q61_zorder_key" -> q61Sql)
+    "q61_zorder_key" -> q61Sql,
+    "q62_decontaminate" -> q62Sql,
+    "q63_global_row_ids" -> q63Sql)
 }

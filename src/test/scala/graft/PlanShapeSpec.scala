@@ -120,6 +120,17 @@ class PlanShapeSpec extends SparkSpec {
       "expected a single doc_id join")
   }
 
+  test("q62_decontaminate: benchmark set broadcasts; corpus never " +
+      "shuffles by shingle") {
+    val p = plan("q62_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingle set must broadcast")
+    // the only exchanges allowed: benchmark-set distinct (tiny side) and
+    // the final per-doc aggregate — the corpus×shingle explode must reach
+    // its group-by through map-side combine, not a shingle-keyed shuffle
+    assert(p.contains("partial_count"), "per-doc agg lost map-side combine")
+  }
+
   test("q56_kmv_distinct: hashes are k-bounded BEFORE any exchange") {
     // the whole point of the KMV sketch at scale: only partitions×k hash
     // values may enter a shuffle — the subtree below the mapPartitions

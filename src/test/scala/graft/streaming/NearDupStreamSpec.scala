@@ -82,9 +82,20 @@ class NearDupStreamSpec extends SparkSpec {
       // drop the corpus as two files; the second completes the families
       docs.filter(col("id") <= 5).write.mode("append").parquet(incoming)
       val deadline = System.currentTimeMillis() + 180000
+      // explicit schema: while a batch is mid-append the sink dir exists
+      // with no committed part files yet — inference would throw
+      // UNABLE_TO_INFER_SCHEMA on that transient state, an explicit
+      // schema just reads it as empty
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType)))
       def sunkPairs(): Set[(Long, Long, Double)] =
         if (new java.io.File(s"$base/sink").exists)
-          spark.read.parquet(s"$base/sink")
+          spark.read.schema(sinkSchema).parquet(s"$base/sink")
             .as[(Long, Long, Double)].collect().toSet
         else Set.empty
       docs.filter(col("id") > 5).write.mode("append").parquet(incoming)
