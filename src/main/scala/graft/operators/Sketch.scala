@@ -32,6 +32,68 @@ import graft.functions.TextExprs
   */
 object Sketch {
 
+  private val P = 1000000007L // hash space [0, P): polyFingerprint's modulus
+
+  /** The portable KMV hash: polyFingerprint scattered over [0, P) by two
+    * bijective affine/multiplicative rounds mod the prime (gcd(a, P) = 1
+    * — distinct keys stay distinct, and the oracle reproduces every
+    * value; see kmvDistinct's scaladoc for why raw fingerprints of short
+    * keys would bunch at the bottom of the space). */
+  private def mixedHash(s: Column): Column = {
+    val raw = TextExprs.polyFingerprint(s)
+    val r1 = (raw * lit(1103515245L) + lit(12345L)) % lit(P)
+    (r1 * lit(2654435761L)) % lit(P) // products stay < 2⁶³
+  }
+
+  /** Per-group distinct-count estimates: `kmvDistinct` keyed by `group`
+    * — one row per group, same (n_in_sketch, kth_min, est_distinct)
+    * columns. The per-partition pass holds one k-bounded set PER GROUP
+    * (memory O(groups × k) per task — the documented contract: group
+    * cardinality must be modest, the classic sketch-by-key regime), so
+    * again only partitions × groups × k hash values reach the exchange —
+    * NOT the full distinct (group, key) set, which is what a relational
+    * distinct-then-rank formulation would shuffle and what this operator
+    * exists to avoid at 100 TB. */
+  def kmvDistinctByGroup(df: DataFrame, group: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(group.cast("string").as("g"),
+        mixedHash(key.cast("string")).as("h"))
+      .filter(col("g").isNotNull && col("h").isNotNull)
+      .as[(String, Long)]
+    val partial = hashed.mapPartitions { it =>
+      val sets = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
+      it.foreach { case (g, h) =>
+        var set = sets.get(g)
+        if (set == null) { set = new java.util.TreeSet[java.lang.Long](); sets.put(g, set) }
+        set.add(h)
+        if (set.size > k) set.pollLast()
+      }
+      sets.entrySet().iterator().asScala.flatMap { e =>
+        e.getValue.iterator().asScala.map(h => (e.getKey, Long.unbox(h)))
+      }
+    }
+    // merge per group: k smallest distinct survivors (WindowGroupLimit
+    // prunes the rank map-side)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h").asc)
+    val ranked = partial.toDF("g", "h").distinct()
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    ranked
+      .groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
+      .select(col("grp"), lit(k).as("k"), col("n_in_sketch"), col("kth_min"),
+        round(
+          when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble) * lit(P.toDouble) /
+                col("kth_min").cast("double")), 4).as("est_distinct"))
+  }
+
   /** One-row distinct-count estimate for `key`:
     * (k, n_in_sketch, kth_min, est_distinct). When fewer than k distinct
     * hashes exist the sketch IS the distinct set and the estimate is its
@@ -40,19 +102,12 @@ object Sketch {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val p = 1000000007L // hash space [0, p): polyFingerprint's modulus
-    // The raw fingerprint of SHORT keys never wraps p (a 5-char key tops
+    // The raw fingerprint of SHORT keys never wraps P (a 5-char key tops
     // out near 31⁴·127 ≈ 5e7), so its values bunch at the bottom of the
-    // space and would wreck the uniformity KMV's estimator assumes. Two
-    // affine/multiplicative rounds mod the prime scatter them across
-    // [0, p) — and each round is a BIJECTION mod p (gcd(a, p) = 1), so
-    // distinct keys stay distinct and the oracle reproduces every value.
-    def mix(h: Column): Column = {
-      val r1 = (h * lit(1103515245L) + lit(12345L)) % lit(p)
-      (r1 * lit(2654435761L)) % lit(p) // products stay < 2⁶³
-    }
+    // space and would wreck the uniformity KMV's estimator assumes.
+    // mixedHash's two bijective rounds scatter them across [0, P).
     val hashed = df
-      .select(mix(TextExprs.polyFingerprint(key.cast("string"))).as("h"))
+      .select(mixedHash(key.cast("string")).as("h"))
       .filter(col("h").isNotNull)
       .as[Long]
     // k-bounded per-partition sketch: an ordered set that never exceeds k
@@ -77,7 +132,7 @@ object Sketch {
         round(
           when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
             .otherwise(
-              lit((k - 1).toDouble) * lit(p.toDouble) /
+              lit((k - 1).toDouble) * lit(P.toDouble) /
                 col("kth_min").cast("double")), 4).as("est_distinct"))
   }
 }

@@ -1505,6 +1505,34 @@ object TestdataQueries {
       |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS row_idx
       |FROM documents""".stripMargin
 
+  // ------------------------- per-group KMV sketch (§2.10 ext)
+  // Distinct users per event type as a mergeable sketch aggregation: one
+  // k-bounded set per (partition, group) — the full distinct (group, key)
+  // set never shuffles, which is the entire point at 100 TB. Same
+  // portable hash as q56, so the per-group k-sets — and the estimates —
+  // are bit-for-bit oracle-checkable.
+  private val q64K = 64
+
+  private def q64KmvByGroup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketch.kmvDistinctByGroup(
+      Tables.events(s, d), col("event_type"), col("user_id"), q64K)
+
+  private val q64Sql = {
+    val raw = "list_reduce(list_transform(string_split(CAST(user_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val h = s"((($raw * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type AS grp, $h AS h FROM events
+       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       |sk AS (SELECT grp, h,
+       |       row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM hs)
+       |SELECT grp, $q64K AS k, count(*) AS n_in_sketch, max(h) AS kth_min,
+       |  round(CASE WHEN count(*) < $q64K THEN CAST(count(*) AS DOUBLE)
+       |        ELSE ${(q64K - 1).toDouble} * 1000000007.0 / CAST(max(h) AS DOUBLE)
+       |        END, 4) AS est_distinct
+       |FROM sk WHERE r <= $q64K GROUP BY grp""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1565,7 +1593,8 @@ object TestdataQueries {
     "q60_token_shards" -> (q60TokenShards _),
     "q61_zorder_key" -> (q61Zorder _),
     "q62_decontaminate" -> (q62Decontaminate _),
-    "q63_global_row_ids" -> (q63GlobalRowIds _))
+    "q63_global_row_ids" -> (q63GlobalRowIds _),
+    "q64_kmv_by_group" -> (q64KmvByGroup _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1625,5 +1654,6 @@ object TestdataQueries {
     "q60_token_shards" -> q60Sql,
     "q61_zorder_key" -> q61Sql,
     "q62_decontaminate" -> q62Sql,
-    "q63_global_row_ids" -> q63Sql)
+    "q63_global_row_ids" -> q63Sql,
+    "q64_kmv_by_group" -> q64Sql)
 }

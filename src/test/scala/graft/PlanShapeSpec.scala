@@ -142,4 +142,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(mpIdx).contains("Exchange"),
       "raw hashes shuffled before the k-bounding stage")
   }
+
+  test("q64_kmv_by_group: per-group k-bounding before any exchange, " +
+      "rank pruned map-side") {
+    val p = SparkEntry.queries("q64_kmv_by_group")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val mpIdx = p.indexOf("MapPartitions")
+    assert(mpIdx >= 0, "expected a MapPartitions sketch stage")
+    assert(!p.substring(mpIdx).contains("Exchange"),
+      "raw (group, hash) pairs shuffled before the k-bounding stage")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group k-min rank lost map-side pruning")
+  }
 }

@@ -35,6 +35,29 @@ class SketchSpec extends SparkSpec {
     assert(row.getAs[Double]("est_distinct") === 37.0)
   }
 
+  test("by-group: under-k groups are exact, saturated groups estimate") {
+    // group "small": 10 distinct keys (< k → exact); "big": 5000 (> k)
+    val small = spark.range(100).select(lit("small").as("g"), (col("id") % 10).as("key"))
+    val big = spark.range(5000).select(lit("big").as("g"), (col("id") + 1000).as("key"))
+    val rows = Sketch.kmvDistinctByGroup(small.union(big), col("g"),
+      col("key"), k = 256).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("small").getAs[Double]("est_distinct") === 10.0)
+    assert(rows("small").getAs[Long]("n_in_sketch") === 10L)
+    val bigEst = rows("big").getAs[Double]("est_distinct")
+    assert(math.abs(bigEst - 5000) / 5000 < 0.2, s"big est $bigEst")
+  }
+
+  test("by-group: deterministic under repartitioning") {
+    val df = spark.range(3000).select(
+      concat(lit("g"), col("id") % 3).as("g"), (col("id") % 700).as("key"))
+    val a = Sketch.kmvDistinctByGroup(df, col("g"), col("key"), 128)
+      .orderBy("grp").collect().toSeq
+    val b = Sketch.kmvDistinctByGroup(df.repartition(11), col("g"),
+      col("key"), 128).orderBy("grp").collect().toSeq
+    assert(a === b)
+  }
+
   test("per-partition state is k-bounded (only parts*k values merge)") {
     // huge skewed partition count: the merge input must stay tiny
     val df = spark.range(100000).repartition(32)
