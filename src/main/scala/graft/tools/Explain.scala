@@ -14,7 +14,8 @@ object Explain {
       "q21_cosine_topk", "omm_snapshot_now", "q41_edit_distance",
       "q42_asof_join", "q45_range_join", "q43_sessionize",
       "q50_pq_encode", "q51_pq_adc_topk", "q55_corpus_curation",
-      "q56_kmv_distinct")
+      "q56_kmv_distinct", "q58_heavy_hitters", "q60_token_shards",
+      "q61_zorder_key", "q62_decontaminate", "q64_kmv_by_group")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

@@ -58,6 +58,24 @@ class FrequentSpec extends SparkSpec {
     }
   }
 
+  test("20 seeded random multisets: always equals the exact threshold set") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      // random skew profile each trial: alphabet size, zipf tilt, size
+      val alpha = rng.nextInt(40) + 5
+      val items = Seq.fill(rng.nextInt(3000) + 500) {
+        s"k${(math.pow(rng.nextDouble(), 2.5) * alpha).toInt}"
+      }
+      val share = Seq(0.02, 0.05, 0.1)(rng.nextInt(3))
+      val parts = rng.nextInt(15) + 1
+      val got = Frequent.heavyHitters(items.toDF("item").repartition(parts),
+        col("item"), share, counters = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === exact(items, share),
+        s"trial $trial: alpha=$alpha share=$share parts=$parts")
+    }
+  }
+
   test("null keys are ignored, not counted") {
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("item")
     val got = Frequent.heavyHitters(df, col("item"), 0.5, 16).collect()
