@@ -40,13 +40,16 @@ object Layout {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     require(xHi > xLo && yHi > yLo, "empty quantization range")
     val qMax = (1L << bits) - 1
+    require((xHi - xLo) <= (1L << 53) / qMax && (yHi - yLo) <= (1L << 53) / qMax,
+      s"range too wide for exact $bits-bit quantization (product must stay < 2^53)")
     def quant(v: Column, lo: Long, hi: Long): Column = {
       val clamped = least(greatest(v.cast("long"), lit(lo)), lit(hi))
       // exact integer floor-division (Column./ is DOUBLE division, whose
       // rounding could flip a quantization bucket): subtracting the pmod
-      // remainder first makes the quotient an exact integer, so the
-      // double division is exact for products < 2^53 — overflow-safe for
-      // ranges up to 2^37 at 16 bits
+      // remainder first makes the numerator an exact multiple of the
+      // divisor, so the double division yields the integer quotient
+      // EXACTLY while (hi-lo)*qMax < 2^53 (the numerator's double is
+      // exact) — enforced below rather than assumed
       val prod = (clamped - lit(lo)) * lit(qMax)
       ((prod - pmod(prod, lit(hi - lo))) / lit(hi - lo)).cast("long")
     }
