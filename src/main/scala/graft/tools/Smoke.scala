@@ -49,6 +49,25 @@ object Smoke {
     entry.show(10, 40)
     println(s"entry rows: ${entry.count()}")
 
+    println("== heavyHitters (MG candidates + exact recount) ==")
+    graft.operators.Frequent.heavyHitters(
+      docs.select(explode(TextExprs.tokens(col("text"))).as("item")),
+      col("item"), minShare = 0.02, counters = 256)
+      .orderBy(desc("cnt")).show(10)
+
+    println("== Shard.byBudget (distributed prefix-sum sharding) ==")
+    graft.operators.Shard.byBudget(
+      docs.select(col("doc_id"),
+        TextExprs.tokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", budget = 2000L)
+      .groupBy("shard").count().orderBy("shard").show(5)
+
+    println("== Layout.zValue (Morton key sample) ==")
+    Tables.lineitem(spark, sfDir).select(col("l_partkey"), col("l_suppkey"),
+      graft.operators.Layout.zValue(col("l_partkey"), col("l_suppkey"),
+        1L, 2000L, 1L, 100L, bits = 8).as("z"))
+      .orderBy("z").show(5)
+
     println("== F7 flag: cancellation-types-only filter ==")
     import graft.omm.{CancellationPipeline => P, OmmFixtures => F}
     val tables = P.loadTables(spark, F.dir)
