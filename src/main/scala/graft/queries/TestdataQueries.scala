@@ -1456,39 +1456,22 @@ object TestdataQueries {
   // as an integer comparison.
   private val q62BenchMod = 50L
 
+  // Plan-shape notes (measured at sf0.1): the doc_id split sits BELOW the
+  // shingle projection and explode runs directly on the shingle
+  // expression, so each side shingles its own rows exactly once — a
+  // `size(sh) > 0` pre-filter over a shared projection re-evaluated the
+  // shingles per consumer (6.7 s; the repo's #1 recurring hazard). Join
+  // keys are 128-bit shingle hashes (3.3-4.1 s; string-join within
+  // noise, kept for the broadcast-size win). Hashing token windows
+  // inside the shingle HOF measured clearly WORSE (6.2 s — per-window
+  // array slice + array hash beats building each string once only in
+  // theory) and was rejected.
   private def q62Decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // doc_id filters sit BELOW the shingle projection and explode runs
-    // directly on the shingle expression: each side shingles its own
-    // rows exactly once (the benchmark side shingles only its ~2% of
-    // docs) — a `size(sh) > 0` pre-filter would re-evaluate the shingle
-    // expression per consumer (the repo's #1 measured hazard); explode
-    // dropping empty arrays gives the same row set for free.
-    // Measured at sf0.1: 6.7 s (shared-projection version) → 3.3-4.1 s.
-    // the probe joins on a 128-bit shingle hash, not the shingle string
-    // (q18's idiom — same 2^-128 collision argument as exact dedup):
-    // smaller broadcast, cheaper probe than string equality (measured
-    // 3.3-4.1 s vs 4.0 s at sf0.1 — within noise of the string join,
-    // kept for the broadcast-size win). One variant measured clearly
-    // WORSE and was rejected: hashing token windows inside the shingle
-    // HOF (6.2 s — per-window array slice + array hash costs more than
-    // building each string once).
-    def sk(s: Column): Column =
-      struct(xxhash64(s).as("h1"), xxhash64(s, lit(1)).as("h2"))
-    val benchSet = docs.filter(col("doc_id") % q62BenchMod === 0)
-      .select(explode(TextExprs.wordShingles(col("text"), 3)).as("s"))
-      .select(sk(col("s")).as("sk"))
-      .distinct()
-      .withColumn("hit", lit(1))
-    docs.filter(col("doc_id") % q62BenchMod =!= 0)
-      .select(col("doc_id"),
-        explode(TextExprs.wordShingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), sk(col("s")).as("sk"))
-      .join(broadcast(benchSet), Seq("sk"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
-      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-        (col("n_overlap") * 2 >= col("n_shingles")).as("contaminated"))
+    graft.operators.Contamination.overlapVsBenchmark(
+      corpus = docs.filter(col("doc_id") % q62BenchMod =!= 0),
+      benchmark = docs.filter(col("doc_id") % q62BenchMod === 0),
+      id = col("doc_id"), text = col("text"), n = 3)
   }
 
   private val q62Sql =

@@ -151,6 +151,16 @@ object ScaleProbe {
       graft.operators.Shard.byBudget(docs, "id", "w", budget = 1000000L)
         .agg(max(col("shard"))).collect()
     }
+    // decontamination at 16x the sf0.01 corpus (32k docs, ~2% benchmark)
+    val corpus = genDocs(spark, 16).cache()
+    val nC = corpus.count()
+    time(f"decontaminate($nC%11d docs  )") {
+      graft.operators.Contamination.overlapVsBenchmark(
+        corpus.filter(col("doc_id") % 50 =!= 0),
+        corpus.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text")).count()
+    }
+    corpus.unpersist()
   }
 
   def unionFindProbe(spark: SparkSession): Unit = {
