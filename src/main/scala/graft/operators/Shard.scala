@@ -43,7 +43,9 @@ object Shard {
 
   /** Assign `shard` ids by accumulating `weightCol` (cast to long) in
     * `orderCol` (long) order against `budget` per shard. Output columns:
-    * (orderCol, weightCol, shard). */
+    * (orderCol, weightCol, shard). Contract: both columns non-null and
+    * weights non-negative (ids and token counts in every registered
+    * use); a null would fail the tuple encoder loudly, not corrupt. */
   def byBudget(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
