@@ -121,13 +121,6 @@ object ScaleProbe {
     r
   }
 
-  /** Sizes the `localMaxEdges` default from measurement instead of a guess:
-    * times the single-task union-find vs the distributed min-label loop on
-    * the SAME graph at edge counts bracketing the threshold, and reports
-    * the parent-table size the task holds (2 long arrays ≈ 16 B/entry
-    * after the primitive-map specialization). Graph shape is the realistic
-    * one — many small families (chains of 5 edges), vertices ≈ 1.2× edges.
-    * Run: sbt "runMain graft.tools.ScaleProbe uf"; results in SCALE.md. */
   /** Heavy hitters + prefix-sum sharding at token volumes far beyond the
     * testdata: a 100M-token zipf-ish stream (wide vocabulary, heavy head)
     * through Frequent.heavyHitters, and a 20M-row corpus through
@@ -151,7 +144,7 @@ object ScaleProbe {
       graft.operators.Shard.byBudget(docs, "id", "w", budget = 1000000L)
         .agg(max(col("shard"))).collect()
     }
-    // decontamination at 16x the sf0.01 corpus (32k docs, ~2% benchmark)
+    // decontamination at 16x the sf0.01 corpus (8k docs, ~2% benchmark)
     val corpus = genDocs(spark, 16).cache()
     val nC = corpus.count()
     time(f"decontaminate($nC%11d docs  )") {
@@ -163,6 +156,44 @@ object ScaleProbe {
     corpus.unpersist()
   }
 
+  /** Read-side proof of the z-order layout claim: write 20M (x, y) rows
+    * once sorted by x and once z-ordered, then time a selective filter
+    * on Y — the column the x-sort cannot prune. Parquet row-group
+    * min/max stats + pushed filters do the skipping; the z layout should
+    * scan a fraction of what the x-sort scans. */
+  def zorderProbe(spark: SparkSession): Unit = {
+    import graft.operators.Layout
+    val n = 20000000L
+    val df = spark.range(n).select(
+      (col("id") % 10000).as("x"),
+      (pmod(hash(col("id")), lit(10000))).cast("long").as("y"))
+    val zDir = "/tmp/zprobe_z"; val xDir = "/tmp/zprobe_x"
+    time(s"write x-sorted   ($n rows, 64 files)") {
+      df.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xDir)
+    }
+    time(s"write z-ordered  ($n rows, 64 files)") {
+      Layout.writeZOrdered(df, zDir, "x", "y", 0L, 9999L, 0L, 9999L,
+        files = 64, bits = 10)
+    }
+    // selective Y-range predicate: x-sort leaves y unsorted in every
+    // file (no pruning); z-order gives each file a narrow y span
+    for ((label, dir) <- Seq("x-sorted" -> xDir, "z-ordered" -> zDir)) {
+      val c = time(f"filter y∈[100,199] over $label%-9s") {
+        spark.read.parquet(dir)
+          .filter(col("y") >= 100 && col("y") <= 199).count()
+      }
+      println(s"[probe]   rows: $c")
+    }
+  }
+
+  /** Sizes the `localMaxEdges` default from measurement instead of a guess:
+    * times the single-task union-find vs the distributed min-label loop on
+    * the SAME graph at edge counts bracketing the threshold, and reports
+    * the parent-table size the task holds (2 long arrays ≈ 16 B/entry
+    * after the primitive-map specialization). Graph shape is the realistic
+    * one — many small families (chains of 5 edges), vertices ≈ 1.2× edges.
+    * Run: sbt "runMain graft.tools.ScaleProbe uf"; results in SCALE.md. */
   def unionFindProbe(spark: SparkSession): Unit = {
     import graft.operators.DupClusters
     Seq(250000L, 1000000L, 4000000L).foreach { nE =>
@@ -191,7 +222,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val nCases = args.headOption.filter(a => a != "uf" && a != "hh")
+    val nCases = args.headOption.filter(a => a != "uf" && a != "hh" && a != "z")
       .map(_.toLong)
       .getOrElse(1000000L)
     val docMults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
@@ -210,6 +241,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("hh")) {
       frequentProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("z")) {
+      zorderProbe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
