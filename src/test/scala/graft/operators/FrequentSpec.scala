@@ -76,6 +76,11 @@ class FrequentSpec extends SparkSpec {
     }
   }
 
+  test("empty input yields an empty result, not a failure") {
+    val empty = Seq.empty[String].toDF("item")
+    assert(Frequent.heavyHitters(empty, col("item"), 0.5, 16).count() === 0L)
+  }
+
   test("null keys are ignored, not counted") {
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("item")
     val got = Frequent.heavyHitters(df, col("item"), 0.5, 16).collect()

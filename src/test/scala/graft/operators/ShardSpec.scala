@@ -55,6 +55,11 @@ class ShardSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 2L))
   }
 
+  test("empty input yields an empty result, not a failure") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(Shard.byBudget(empty, "id", "w", budget = 10).count() === 0L)
+  }
+
   test("shard weights are budget-bounded apart from oversize rows") {
     val rows = (0L until 2000L).map(i => (i, i % 7 + 1))
     val budget = 61L
