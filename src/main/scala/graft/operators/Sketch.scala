@@ -102,29 +102,39 @@ object Sketch {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    // The raw fingerprint of SHORT keys never wraps P (a 5-char key tops
-    // out near 31⁴·127 ≈ 5e7), so its values bunch at the bottom of the
-    // space and would wreck the uniformity KMV's estimator assumes.
-    // mixedHash's two bijective rounds scatter them across [0, P).
-    val hashed = df
-      .select(mixedHash(key.cast("string")).as("h"))
+    // merge: distinct-sort-truncate the ≤ partitions×k survivors
+    val merged = kBoundedHashes(df, key, k)
+      .distinct().orderBy(col("value").asc).limit(k)
+    estimateFrom(merged.toDF("h"), k)
+  }
+
+  /** The k-bounding pass shared by batch and incremental KMV: hash, then
+    * hold a k-bounded ordered set per partition (insert, drop-largest —
+    * O(k) memory, duplicates collapse on insert), so only partitions × k
+    * hash values are emitted. The raw fingerprint of SHORT keys never
+    * wraps P (a 5-char key tops out near 31⁴·127 ≈ 5e7) and would bunch
+    * at the bottom of the space, wrecking the estimator's uniformity
+    * assumption — mixedHash's two bijective rounds scatter it. */
+  private def kBoundedHashes(df: DataFrame, key: Column, k: Int) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(mixedHash(key.cast("string")).as("h"))
       .filter(col("h").isNotNull)
       .as[Long]
-    // k-bounded per-partition sketch: an ordered set that never exceeds k
-    // entries (insert, then drop the largest) — O(k) memory, duplicates
-    // collapse for free, and only k values per partition are emitted
-    val partial = hashed.mapPartitions { it =>
-      val set = new java.util.TreeSet[java.lang.Long]()
-      it.foreach { h =>
-        set.add(h)
-        if (set.size > k) set.pollLast()
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          set.add(h)
+          if (set.size > k) set.pollLast()
+        }
+        set.iterator().asScala.map(Long.unbox)
       }
-      set.iterator().asScala.map(Long.unbox)
-    }
-    // merge: distinct-sort-truncate the ≤ partitions×k survivors
-    val merged = partial.distinct().orderBy(col("value").asc).limit(k)
+  }
+
+  /** The one-row estimate from a DataFrame of ≤ k merged hashes `h`. */
+  private def estimateFrom(merged: DataFrame, k: Int): DataFrame =
     merged
-      .agg(count(lit(1)).as("n_in_sketch"), max(col("value")).as("kth_min"))
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
       .select(
         lit(k).as("k"),
         col("n_in_sketch"),
@@ -134,5 +144,42 @@ object Sketch {
             .otherwise(
               lit((k - 1).toDouble) * lit(P.toDouble) /
                 col("kth_min").cast("double")), 4).as("est_distinct"))
+
+  /** Incremental KMV over micro-batches (the sketch counterpart of the
+    * streaming near-dup pattern): the state is the k smallest distinct
+    * hashes seen so far — at most k longs, read as plain parquet. KMV
+    * merge is union-then-truncate and fully associative/commutative, so
+    * for ANY split of a dataset into arrival batches the final state is
+    * BIT-IDENTICAL to `kmvDistinct` over the whole dataset (a global
+    * top-k-min hash survives every intermediate truncation by
+    * definition), and the batch oracle carries over unchanged.
+    *
+    * Scale shape: the distributed work per batch is the same k-bounding
+    * pass as the batch sketch over the BATCH only; the merge against
+    * state is k-sized driver arithmetic (the state IS metadata — ≤ k
+    * longs), written back atomically via overwrite. */
+  def kmvIngestBatch(batch: DataFrame, key: Column, k: Int,
+      statePath: String): Unit = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchMin: Array[Long] = kBoundedHashes(batch, key, k)
+      .distinct().orderBy(col("value").asc).limit(k).collect()
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prior: Array[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+        spark.read.parquet(statePath).as[Long].collect()
+      else Array.empty[Long]
+    val merged = (prior ++ batchMin).distinct.sorted.take(k)
+    // state is ≤ k longs: a single-partition write IS the right layout
+    merged.toSeq.toDF("h").coalesce(1)
+      .write.mode("overwrite").parquet(statePath)
   }
+
+  /** The one-row estimate (same schema as `kmvDistinct`) from a state
+    * directory maintained by `kmvIngestBatch`. */
+  def kmvFromState(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      k: Int): DataFrame =
+    estimateFrom(spark.read.parquet(statePath), k)
 }

@@ -1535,6 +1535,23 @@ object TestdataQueries {
        |FROM sk WHERE r <= $q64K GROUP BY grp""".stripMargin
   }
 
+  // ------------------- incremental KMV over micro-batches (§2.10 ext)
+  // The sketch counterpart of q57: lineitem arrives as 3 batches, each
+  // merged into a k-long parquet state. KMV merge is associative
+  // union-truncate, so the final state — and the estimate — is
+  // BIT-IDENTICAL to the batch sketch for any arrival split: q65 shares
+  // q56's oracle verbatim.
+  private def q65StreamingKmv(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("kmv_stream")
+      .toString + "/state"
+    val li = Tables.lineitem(s, d)
+    (0 until 3).foreach { b =>
+      graft.operators.Sketch.kmvIngestBatch(
+        li.filter(col("l_orderkey") % 3 === b), col("l_partkey"), q56K, state)
+    }
+    graft.operators.Sketch.kmvFromState(s, state, q56K)
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1596,7 +1613,8 @@ object TestdataQueries {
     "q61_zorder_key" -> (q61Zorder _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_global_row_ids" -> (q63GlobalRowIds _),
-    "q64_kmv_by_group" -> (q64KmvByGroup _))
+    "q64_kmv_by_group" -> (q64KmvByGroup _),
+    "q65_streaming_kmv" -> (q65StreamingKmv _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1657,5 +1675,6 @@ object TestdataQueries {
     "q61_zorder_key" -> q61Sql,
     "q62_decontaminate" -> q62Sql,
     "q63_global_row_ids" -> q63Sql,
-    "q64_kmv_by_group" -> q64Sql)
+    "q64_kmv_by_group" -> q64Sql,
+    "q65_streaming_kmv" -> q56Sql)
 }

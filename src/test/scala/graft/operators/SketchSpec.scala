@@ -58,6 +58,31 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("incremental: ANY arrival split reproduces the batch sketch bit-for-bit") {
+    val df = spark.range(20000).select((col("id") * 13 % 7000).as("key"))
+    val batch = Sketch.kmvDistinct(df, col("key"), 256).collect().head
+    for (splits <- Seq(1, 2, 5)) {
+      val state = java.nio.file.Files
+        .createTempDirectory("kmvinc").toString + "/state"
+      (0 until splits).foreach { b =>
+        Sketch.kmvIngestBatch(df.filter(col("id") % splits === b),
+          col("key"), 256, state)
+      }
+      val inc = Sketch.kmvFromState(spark, state, 256).collect().head
+      assert(inc === batch, s"$splits-batch split diverged from batch sketch")
+    }
+  }
+
+  test("incremental: empty batches leave the state unchanged") {
+    val df = spark.range(1000).select(col("id").as("key"))
+    val state = java.nio.file.Files
+      .createTempDirectory("kmvempty").toString + "/state"
+    Sketch.kmvIngestBatch(df, col("key"), 64, state)
+    val before = Sketch.kmvFromState(spark, state, 64).collect().head
+    Sketch.kmvIngestBatch(df.limit(0), col("key"), 64, state)
+    assert(Sketch.kmvFromState(spark, state, 64).collect().head === before)
+  }
+
   test("per-partition state is k-bounded (only parts*k values merge)") {
     // huge skewed partition count: the merge input must stay tiny
     val df = spark.range(100000).repartition(32)
