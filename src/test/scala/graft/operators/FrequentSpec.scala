@@ -43,7 +43,7 @@ class FrequentSpec extends SparkSpec {
     // decrement-all must still surface it in some partition
     val heavy = Seq.fill(300)("HH")
     val noise = (1 to 9700).map(i => s"u$i")
-    val items = scala.util.Random.shuffle(heavy ++ noise)
+    val items = new scala.util.Random(11).shuffle(heavy ++ noise)
     val got = Frequent.heavyHitters(items.toDF("item"), col("item"),
       minShare = 0.03, counters = 64).collect()
     assert(got.map(_.getString(0)).toSet === Set("HH"))
