@@ -68,4 +68,66 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Exact duplicated n-gram span statistics — the "exact substring dedup"
+    * pass of Lee et al. 2021 (Deduplicating Training Data Makes Language
+    * Models Better), re-expressed relationally at token granularity: a
+    * position's k-gram is DUPLICATED when the identical k-token window
+    * occurs ≥ 2 times anywhere in the corpus (another document or elsewhere
+    * in the same one). Returns one row per doc:
+    * `(doc_id, n_tokens, n_grams, n_dup_grams, n_dup_tokens)` where
+    * `n_dup_tokens` is the number of token positions covered by at least
+    * one duplicated gram — exactly the text a span-cutting dedup would
+    * remove, so `n_dup_tokens / n_tokens` is the doc's duplication load.
+    *
+    * Scale shape (the suffix-array pass of the paper is a single-machine
+    * construction; this is the shuffle-friendly equivalent for the common
+    * fixed-k case):
+    *  - grams leave the scan as 128-bit hashes (16 bytes/posting), never
+    *    as text;
+    *  - the global gram-frequency aggregate is map-combinable (partial
+    *    counts, no posting lists — immune to boilerplate grams that occur
+    *    in millions of docs, which would OOM a collect_list formulation);
+    *  - only grams with count ≥ 2 (the duplicated minority) flow into the
+    *    join back to positions, a classic runtime-bloom-filter shape
+    *    (RuntimeFilterSpec proves InjectRuntimeFilter fires for this
+    *    pattern);
+    *  - gram regeneration for the join-back is pure map-side work —
+    *    cheaper than persisting the full gram stream at corpus scale;
+    *  - span-coverage union is a per-doc higher-order expression, no UDFs.
+    */
+  def dupNgramSpans(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"span grams need k >= 2, got $k")
+    import graft.functions.TextExprs
+    val base = docs.select(id.as("doc_id"), TextExprs.tokens(text).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"), col("ts"))
+    // (doc_id, pos, gram-hash128) for every k-gram start position
+    val grams = base
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("n_tokens") - k), i => {
+          val gram = array_join(slice(col("ts"), i + 1, lit(k)), " ")
+          struct(xxhash64(gram).as("h1"), xxhash64(gram, lit(1)).as("h2"))
+        })))
+      .select(col("doc_id"), col("pos"), col("col").as("gkey"))
+    val dupKeys = grams.groupBy(col("gkey"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gkey"))
+    val perDoc = grams.join(dupKeys, Seq("gkey"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sort_array(collect_list(col("pos"))).as("__ps"))
+      .withColumn("n_dup_tokens",
+        size(array_distinct(flatten(
+          transform(col("__ps"), p => sequence(p, p + (k - 1)))))))
+      .select(col("doc_id"), col("n_dup_grams"),
+        col("n_dup_tokens").cast("long").as("n_dup_tokens"))
+    base
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0)).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_grams", "n_dup_tokens"))
+  }
 }

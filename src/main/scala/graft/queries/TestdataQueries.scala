@@ -1552,6 +1552,43 @@ object TestdataQueries {
     graft.operators.Sketch.kmvFromState(s, state, q56K)
   }
 
+  // -------------------- exact duplicated n-gram spans (§2.10 ext)
+  // The "exact substring dedup" pass of Lee et al. 2021 at token
+  // granularity: per doc, how many token positions sit under a k-gram
+  // that occurs ≥ 2 times anywhere in the corpus. All-integer output;
+  // the oracle rebuilds the same grams with a DuckDB list comprehension
+  // and the same coverage union.
+  private val q66K = 8
+
+  private def q66DupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupNgramSpans(Tables.documents(s, d), col("doc_id"), col("text"),
+      k = q66K)
+
+  private val q66Sql = {
+    val k = q66K
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |b AS (SELECT doc_id, len(ts) AS n_tokens, ts FROM toks),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+${k - 1}], ' ') AS gram
+       |  FROM b, UNNEST(range(1, n_tokens - ${k - 2})) AS u(i)
+       |  WHERE n_tokens >= $k),
+       |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |pd AS (
+       |  SELECT g.doc_id, count(*) AS n_dup_grams,
+       |    len(list_distinct(flatten(
+       |      list(range(pos, pos + $k) ORDER BY pos)))) AS n_dup_tokens
+       |  FROM g JOIN d USING (gram) GROUP BY g.doc_id)
+       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(greatest(b.n_tokens - ${k - 1}, 0) AS BIGINT) AS n_grams,
+       |  COALESCE(pd.n_dup_grams, 0) AS n_dup_grams,
+       |  CAST(COALESCE(pd.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+       |FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1614,7 +1651,8 @@ object TestdataQueries {
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_global_row_ids" -> (q63GlobalRowIds _),
     "q64_kmv_by_group" -> (q64KmvByGroup _),
-    "q65_streaming_kmv" -> (q65StreamingKmv _))
+    "q65_streaming_kmv" -> (q65StreamingKmv _),
+    "q66_dup_spans" -> (q66DupSpans _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1676,5 +1714,6 @@ object TestdataQueries {
     "q62_decontaminate" -> q62Sql,
     "q63_global_row_ids" -> q63Sql,
     "q64_kmv_by_group" -> q64Sql,
-    "q65_streaming_kmv" -> q56Sql)
+    "q65_streaming_kmv" -> q56Sql,
+    "q66_dup_spans" -> q66Sql)
 }
