@@ -182,4 +182,63 @@ object Sketch {
   def kmvFromState(spark: org.apache.spark.sql.SparkSession, statePath: String,
       k: Int): DataFrame =
     estimateFrom(spark.read.parquet(statePath), k)
+
+  /** Deterministic quantile sketch: a bottom-k-by-hash row sample (the k
+    * smallest distinct `(mixedHash(uniq), value)` pairs — a simple random
+    * sample under the uniform-hash assumption, so quantile rank error is
+    * the classic O(1/√k)), then the exact rank-`ceil(p·n)` element of the
+    * sorted sample per requested probability. One row per prob:
+    * `(prob, est_value, n_sample, k)`.
+    *
+    * Like `kmvDistinct` (and unlike `approx_percentile`'s KLL sketch,
+    * whose internals no other engine reproduces), the sample — and thus
+    * every estimate — is a deterministic function of the DATA: the hash
+    * is the portable polynomial fingerprint, so the DuckDB oracle
+    * rebuilds the identical sample with `ORDER BY h, v LIMIT k` and picks
+    * identical ranks. A quantile estimator you can hash-check.
+    *
+    * Scale shape: the same k-bounded `mapPartitions` pass as KMV — O(k)
+    * memory per partition, partitions × k `(long, double)` pairs at the
+    * exchange, never the full value column; the final sort ranks ≤ k
+    * rows. `uniq` must identify rows (duplicate `(hash, value)` pairs
+    * collapse on both sides by construction). */
+  def quantileSketch(df: DataFrame, value: Column, uniq: Column, k: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(mixedHash(uniq.cast("string")).as("h"),
+        value.cast("double").as("v"))
+      .filter(col("h").isNotNull && col("v").isNotNull)
+      .as[(Long, Double)]
+    val partial = hashed.mapPartitions { it =>
+      val set = scala.collection.mutable.TreeSet.empty[(Long, Double)]
+      it.foreach { hv =>
+        set.add(hv)
+        if (set.size > k) set.remove(set.last)
+      }
+      set.iterator
+    }
+    // merge: k smallest distinct (h, v) survivors (selection order = hash),
+    // then re-rank the surviving sample BY VALUE for the quantile pick;
+    // both windows run over ≤ partitions×k rows — single tiny task by design
+    val wSel = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h").asc, col("v").asc)
+    val wVal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc, col("h").asc)
+    val sample = partial.toDF("h", "v").distinct()
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= k)
+      .withColumn("qrn", row_number().over(wVal))
+    val n = sample.agg(max(col("qrn")).as("n_sample"))
+    val probsDf = probs.toDF("prob")
+    probsDf.crossJoin(broadcast(n))
+      .withColumn("rank", ceil(col("prob") * col("n_sample")).cast("int"))
+      .join(sample.select(col("qrn"), col("v")), col("rank") === col("qrn"))
+      .select(col("prob"), col("v").as("est_value"),
+        col("n_sample").cast("long").as("n_sample"), lit(k).as("k"))
+  }
 }

@@ -1589,6 +1589,39 @@ object TestdataQueries {
        |FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id""".stripMargin
   }
 
+  // ------------------- deterministic quantile sketch (§2.10 ext)
+  // Bottom-k-by-portable-hash row sample → exact rank pick: a mergeable
+  // quantile estimator (O(1/√k) rank error) whose sample — and therefore
+  // every estimate — is a deterministic function of the data, so the
+  // oracle rebuilds it exactly. Complements q56/q64 (distinct count) and
+  // q58 (heavy hitters) in the sketch family.
+  private val q67K = 256
+  private val q67Probs = Seq(0.5, 0.9, 0.99)
+
+  private def q67QuantileSketch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketch.quantileSketch(
+      Tables.lineitem(s, d), col("l_extendedprice"),
+      col("l_orderkey") * 10 + col("l_linenumber"), q67K, q67Probs)
+
+  private val q67Sql = {
+    val raw = "list_reduce(list_transform(string_split(" +
+      "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val h = s"((($raw * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    val vals = q67Probs.map(p => s"(CAST($p AS DOUBLE))").mkString(", ")
+    s"""WITH hv AS (
+       |  SELECT DISTINCT $h AS h, CAST(l_extendedprice AS DOUBLE) AS v
+       |  FROM lineitem),
+       |sel AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn FROM hv
+       |        QUALIFY rn <= $q67K),
+       |s AS (SELECT v, row_number() OVER (ORDER BY v, h) AS qrn FROM sel),
+       |n AS (SELECT max(qrn) AS n_sample FROM s)
+       |SELECT p.prob, s.v AS est_value,
+       |  CAST(n.n_sample AS BIGINT) AS n_sample, $q67K AS k
+       |FROM (VALUES $vals) p(prob) CROSS JOIN n
+       |JOIN s ON s.qrn = CAST(ceil(p.prob * n.n_sample) AS INTEGER)""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1652,7 +1685,8 @@ object TestdataQueries {
     "q63_global_row_ids" -> (q63GlobalRowIds _),
     "q64_kmv_by_group" -> (q64KmvByGroup _),
     "q65_streaming_kmv" -> (q65StreamingKmv _),
-    "q66_dup_spans" -> (q66DupSpans _))
+    "q66_dup_spans" -> (q66DupSpans _),
+    "q67_quantile_sketch" -> (q67QuantileSketch _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1715,5 +1749,6 @@ object TestdataQueries {
     "q63_global_row_ids" -> q63Sql,
     "q64_kmv_by_group" -> q64Sql,
     "q65_streaming_kmv" -> q56Sql,
-    "q66_dup_spans" -> q66Sql)
+    "q66_dup_spans" -> q66Sql,
+    "q67_quantile_sketch" -> q67Sql)
 }

@@ -92,4 +92,41 @@ class SketchSpec extends SparkSpec {
     val est = row.getAs[Double]("est_distinct")
     assert(est > 100000 * 0.5 && est < 100000 * 2.0, s"est $est")
   }
+
+  test("quantile sketch: k >= n makes every quantile exact") {
+    // 100 rows, value == id+1 (1..100): with the whole data in the sample,
+    // rank ceil(p*100) of the sorted values IS the exact quantile
+    val df = spark.range(100).select(col("id").as("uid"),
+      (col("id") + 1).cast("double").as("v"))
+    val out = Sketch.quantileSketch(df, col("v"), col("uid"), k = 512,
+        probs = Seq(0.5, 0.9, 0.99))
+      .select("prob", "est_value", "n_sample")
+      .as[(Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0.5) === ((0.5, 50.0, 100L)))
+    assert(out(0.9) === ((0.9, 90.0, 100L)))
+    assert(out(0.99) === ((0.99, 99.0, 100L)))
+  }
+
+  test("quantile sketch: saturated sample lands near true quantiles") {
+    // 50,000 rows with value == id: rank error is O(1/sqrt(k)); assert a
+    // generous band (3 sigma ≈ 3*n/sqrt(k) ≈ 9,400 at k=256)
+    val n = 50000
+    val df = spark.range(n).select(col("id").as("uid"),
+      col("id").cast("double").as("v"))
+    val out = Sketch.quantileSketch(df, col("v"), col("uid"), k = 256,
+        probs = Seq(0.5, 0.9))
+      .select("prob", "est_value").as[(Double, Double)].collect().toMap
+    assert(math.abs(out(0.5) - n * 0.5) < n * 0.2, s"p50 ${out(0.5)}")
+    assert(math.abs(out(0.9) - n * 0.9) < n * 0.2, s"p90 ${out(0.9)}")
+  }
+
+  test("quantile sketch is deterministic under repartitioning") {
+    val df = spark.range(20000).select(col("id").as("uid"),
+      (col("id") % 997).cast("double").as("v"))
+    val a = Sketch.quantileSketch(df, col("v"), col("uid"), 128, Seq(0.5, 0.99))
+      .orderBy("prob").collect().toSeq
+    val b = Sketch.quantileSketch(df.repartition(17), col("v"), col("uid"),
+      128, Seq(0.5, 0.99)).orderBy("prob").collect().toSeq
+    assert(a === b, "sample must not depend on partitioning")
+  }
 }
