@@ -1622,6 +1622,65 @@ object TestdataQueries {
        |JOIN s ON s.qrn = CAST(ceil(p.prob * n.n_sample) AS INTEGER)""".stripMargin
   }
 
+  // --------------------------- BM25 top-k retrieval (§2.10 ext)
+  // Okapi BM25 with the Robertson idf over fixed term queries — the
+  // lexical-retrieval primitive (decontamination lookups, seed-doc
+  // expansion). Query terms are plan-time literals, so each score is one
+  // fixed-order scalar expression the oracle replays verbatim — including
+  // the ln, whose cross-engine last-ulp risk is absorbed by round(…, 4)
+  // (score is ranked on the rounded value with a doc-id tie-break).
+  private val q68Queries: Seq[(String, Seq[String])] = Seq(
+    "narrow" -> Seq("spark", "window"),
+    "mixed" -> Seq("customer", "fast", "join"),
+    "stop" -> Seq("the", "scan"))
+  private val q68K1 = 1.2
+  private val q68B = 0.75
+  private val q68TopK = 5
+
+  private def q68Bm25(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bm25.topK(Tables.documents(s, d), col("doc_id"),
+      col("text"), q68Queries, q68K1, q68B, q68TopK)
+
+  private val q68Sql = {
+    val terms = q68Queries.flatMap(_._2).distinct
+    val dfIdx = terms.zipWithIndex.toMap
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n      ")
+    val k1p1 = (q68K1 + 1.0).toString
+    val oneMinusB = (1.0 - q68B).toString
+    def contrib(t: String): String = {
+      val df = s"CAST(df_${dfIdx(t)} AS DOUBLE)"
+      val tf = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
+      s"ln(((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) + 1.0) * " +
+        s"(($tf * $k1p1) / ($tf + $q68K1 * ($oneMinusB + $q68B * " +
+        s"(CAST(len(ts) AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+    }
+    val scoreCols = q68Queries.zipWithIndex.map { case ((_, ts), i) =>
+      ts.map(contrib).mkString(" + ") + s" AS s$i"
+    }.mkString(",\n      ")
+    val union = q68Queries.zipWithIndex.map { case ((qid, _), i) =>
+      s"SELECT '$qid' AS query_id, doc_id, round(s$i, 4) AS score FROM sc"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |st AS (SELECT count(*) AS n_docs, sum(CAST(len(ts) AS BIGINT)) AS sum_dl,
+       |      $dfAggs
+       |    FROM toks),
+       |sc AS (SELECT doc_id,
+       |      $scoreCols
+       |    FROM toks CROSS JOIN st),
+       |u AS ($union),
+       |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |      FROM u)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+       |FROM r WHERE rank <= $q68TopK""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1686,7 +1745,8 @@ object TestdataQueries {
     "q64_kmv_by_group" -> (q64KmvByGroup _),
     "q65_streaming_kmv" -> (q65StreamingKmv _),
     "q66_dup_spans" -> (q66DupSpans _),
-    "q67_quantile_sketch" -> (q67QuantileSketch _))
+    "q67_quantile_sketch" -> (q67QuantileSketch _),
+    "q68_bm25_topk" -> (q68Bm25 _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1750,5 +1810,6 @@ object TestdataQueries {
     "q64_kmv_by_group" -> q64Sql,
     "q65_streaming_kmv" -> q56Sql,
     "q66_dup_spans" -> q66Sql,
-    "q67_quantile_sketch" -> q67Sql)
+    "q67_quantile_sketch" -> q67Sql,
+    "q68_bm25_topk" -> q68Sql)
 }
