@@ -127,4 +127,35 @@ object TextExprs {
     // resolve by lang string ordering; deterministic either way.
     greatest(structs: _*).getField("lang")
   }
+
+  /** PII scrubbing patterns, applied IN THIS ORDER (each replacement token
+    * is digit-free, so earlier classes never feed later ones). Patterns
+    * stay inside the Java∩RE2 common subset — ASCII classes, bounded
+    * repetition, \b word boundaries; no lookaround, no backrefs — so an
+    * RE2-based engine (or the DuckDB oracle) applies them identically. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+?\\d[\\d\\s()-]{6,}\\d", "[PHONE]"),
+    ("number", "\\d+", "[NUM]"))
+
+  /** Redacted text: every pattern class replaced by its token, in order.
+    * Chained codegen'd regexp_replace — no UDFs. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, java.util.regex.Matcher.quoteReplacement(tok))
+    }
+
+  /** Per-class redaction counts as one struct column (fields = class
+    * names). Each class counts matches on the text AFTER all earlier
+    * classes were replaced — the same value its replacement pass sees. */
+  def piiCounts(text: Column): Column = {
+    val (_, fields) = piiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((c, acc), (name, re, tok)) =>
+        val counted = regexp_count(c, lit(re)).cast("long").as(s"n_$name")
+        (regexp_replace(c, re,
+          java.util.regex.Matcher.quoteReplacement(tok)), acc :+ counted)
+    }
+    struct(fields: _*)
+  }
 }

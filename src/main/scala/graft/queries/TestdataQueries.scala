@@ -1681,6 +1681,40 @@ object TestdataQueries {
        |FROM r WHERE rank <= $q68TopK""".stripMargin
   }
 
+  // ----------------------------- PII redaction (§2.10 ext)
+  // Ordered-class scrubbing (email → ip → phone → number) with per-class
+  // match counts — the privacy pass of a training-data pipeline. Patterns
+  // live in TextExprs.piiPatterns (Java∩RE2 subset) and the oracle SQL is
+  // GENERATED from the same list, one CTE per class, so Spark and DuckDB
+  // replay the identical replace cascade. The events.props JSON exercises
+  // the number class on real data; all classes are unit-spec'd.
+  private def q69PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val counts = TextExprs.piiCounts(col("props")).as("c")
+    Tables.events(s, d)
+      .select(col("event_id"), counts,
+        TextExprs.piiRedact(col("props")).as("redacted"))
+      .select(col("event_id"), col("c.n_email"), col("c.n_ip"),
+        col("c.n_phone"), col("c.n_number"), col("redacted"))
+  }
+
+  private val q69Sql = {
+    val steps = TextExprs.piiPatterns
+    val sb = new StringBuilder(
+      "WITH s0 AS (SELECT event_id, props AS t FROM events)")
+    var carried = Seq.empty[String]
+    steps.zipWithIndex.foreach { case ((name, re, tok), i) =>
+      val cols = (carried :+
+        s"CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_$name")
+        .mkString(", ")
+      sb.append(s",\ns${i + 1} AS (SELECT event_id, $cols, " +
+        s"regexp_replace(t, '$re', '$tok', 'g') AS t FROM s$i)")
+      carried = carried :+ s"n_$name"
+    }
+    sb.append(s"\nSELECT event_id, ${carried.mkString(", ")}, t AS redacted " +
+      s"FROM s${steps.length}")
+    sb.toString
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1746,7 +1780,8 @@ object TestdataQueries {
     "q65_streaming_kmv" -> (q65StreamingKmv _),
     "q66_dup_spans" -> (q66DupSpans _),
     "q67_quantile_sketch" -> (q67QuantileSketch _),
-    "q68_bm25_topk" -> (q68Bm25 _))
+    "q68_bm25_topk" -> (q68Bm25 _),
+    "q69_pii_redact" -> (q69PiiRedact _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1811,5 +1846,6 @@ object TestdataQueries {
     "q65_streaming_kmv" -> q56Sql,
     "q66_dup_spans" -> q66Sql,
     "q67_quantile_sketch" -> q67Sql,
-    "q68_bm25_topk" -> q68Sql)
+    "q68_bm25_topk" -> q68Sql,
+    "q69_pii_redact" -> q69Sql)
 }
