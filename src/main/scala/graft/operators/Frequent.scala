@@ -39,58 +39,141 @@ import org.apache.spark.sql.functions._
   */
 object Frequent {
 
-  /** Items of `key` with frequency >= ceil(minShare * n), exact counts.
-    * Output: (item, cnt, n_total). Requires minShare > 1/(counters+1)
-    * so the Misra–Gries union provably contains every heavy hitter. */
-  def heavyHitters(df: DataFrame, key: Column, minShare: Double,
-      counters: Int = 256): DataFrame = {
+  /** The per-partition Misra–Gries pass shared by batch and incremental
+    * use: each partition emits its surviving counters as (item, c) plus
+    * one (null, n_p) total row — ≤ partitions × (counters+1) tuples of
+    * sketch metadata, collected to the driver. */
+  private def mgPartials(df: DataFrame, key: Column,
+      counters: Int): Array[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .as[String].mapPartitions { it =>
+        val counts = new java.util.HashMap[String, java.lang.Long](counters * 2)
+        var np = 0L
+        it.foreach { k =>
+          np += 1
+          val cur = counts.get(k)
+          if (cur != null) counts.put(k, cur + 1L)
+          else if (counts.size < counters) counts.put(k, 1L)
+          else {
+            // decrement-all step: drop every counter by one, evict zeros
+            val e = counts.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove()
+              else en.setValue(en.getValue - 1L)
+            }
+          }
+        }
+        counts.entrySet().iterator().asScala
+          .map(en => (en.getKey, Long.unbox(en.getValue))) ++
+          Iterator.single((null: String, np))
+      }.collect()
+  }
+
+  /** The Agarwal et al. (2013) MG merge compression: if more than
+    * `counters` items survive a sum-merge, subtract the (counters+1)-th
+    * largest count from every item and drop the non-positive — deviation
+    * stays ≤ N/(counters+1) under ANY merge tree, which is what keeps
+    * the no-false-negative guarantee through batching. */
+  private def compress(m: Map[String, Long], counters: Int): Map[String, Long] =
+    if (m.size <= counters) m
+    else {
+      val d = m.values.toSeq.sorted(Ordering[Long].reverse).apply(counters)
+      m.collect { case (k, c) if c - d > 0 => k -> (c - d) }
+    }
+
+  /** The exact-recount pass shared by batch and incremental use:
+    * candidates broadcast as a semi-join (scan stays map-side), exact
+    * groupBy bounded by the candidate count, exact threshold. */
+  private def recount(df: DataFrame, key: Column, candidates: Seq[String],
+      nTotal: Long, minShare: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val threshold = math.ceil(minShare * nTotal).toLong
+    df.select(key.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .join(broadcast(candidates.toDF("item")), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .select(col("item"), col("cnt"), lit(nTotal).as("n_total"))
+  }
+
+  private def requireGuarantee(minShare: Double, counters: Int): Unit = {
     require(minShare > 0.0 && minShare < 1.0,
       s"minShare must be in (0,1), got $minShare")
     require(minShare > 1.0 / (counters + 1),
       s"minShare=$minShare below the Misra-Gries guarantee 1/(counters+1)=" +
         s"${1.0 / (counters + 1)} — raise counters or minShare")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keys = df.select(key.cast("string").as("item"))
-      .filter(col("item").isNotNull)
+  }
 
-    // Pass 1: per-partition Misra-Gries; each partition emits its
-    // candidates as (item, 0) plus one (null, n_p) total row, so the
-    // threshold needs no separate counting scan.
-    val summary: Array[(String, Long)] = keys.as[String].mapPartitions { it =>
-      val counts = new java.util.HashMap[String, java.lang.Long](counters * 2)
-      var np = 0L
-      it.foreach { k =>
-        np += 1
-        val cur = counts.get(k)
-        if (cur != null) counts.put(k, cur + 1L)
-        else if (counts.size < counters) counts.put(k, 1L)
-        else {
-          // decrement-all step: drop every counter by one, evict zeros
-          val e = counts.entrySet().iterator()
-          while (e.hasNext) {
-            val en = e.next()
-            if (en.getValue == 1L) e.remove()
-            else en.setValue(en.getValue - 1L)
-          }
-        }
-      }
-      counts.keySet().iterator().asScala.map(k => (k, 0L)) ++
-        Iterator.single((null: String, np))
-    }.collect()
-
+  /** Items of `key` with frequency >= ceil(minShare * n), exact counts.
+    * Output: (item, cnt, n_total). Requires minShare > 1/(counters+1)
+    * so the Misra–Gries union provably contains every heavy hitter. */
+  def heavyHitters(df: DataFrame, key: Column, minShare: Double,
+      counters: Int = 256): DataFrame = {
+    requireGuarantee(minShare, counters)
+    val summary = mgPartials(df, key, counters)
     val nTotal = summary.collect { case (null, np) => np }.sum
-    val threshold = math.ceil(minShare * nTotal).toLong
     val candidates = summary.collect { case (k, _) if k != null => k }
-      .distinct.toSeq.toDF("item")
+      .distinct.toSeq
+    recount(df, key, candidates, nTotal, minShare)
+  }
 
-    // Pass 2: exact recount over candidate rows only; broadcast semi-join
-    // keeps the scan map-side, partial agg bounds the shuffle by the
-    // candidate count.
-    keys
-      .join(broadcast(candidates), Seq("item"), "left_semi")
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= threshold)
-      .select(col("item"), col("cnt"), lit(nTotal).as("n_total"))
+  /** Incremental Misra–Gries over micro-batches (the heavy-hitter
+    * counterpart of the streaming KMV): the state is ONE compressed MG
+    * summary — ≤ counters (item, c) rows plus a (null, n_total) row,
+    * read as plain parquet. Each batch runs the same per-partition MG
+    * pass over the BATCH only; the batch partials, the prior state, and
+    * the compression all merge on the driver (sketch metadata, ≤
+    * counters entries). Because MG summaries are fully mergeable with
+    * deviation ≤ N/(counters+1) under any merge tree, the state's
+    * candidate set provably contains every item with global share >
+    * 1/(counters+1) — for ANY split of the data into arrival batches. */
+  def mgIngestBatch(batch: DataFrame, key: Column, counters: Int,
+      statePath: String): Unit = {
+    require(counters >= 1, s"need counters >= 1, got $counters")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val partials = mgPartials(batch, key, counters)
+    val nBatch = partials.collect { case (null, np) => np }.sum
+    val batchSketch = partials.filter(_._1 != null)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (priorSketch, priorN) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) {
+        val rows = spark.read.parquet(statePath)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        (rows.filter(_._1 != null).toMap,
+          rows.collect { case (null, n) => n }.sum)
+      } else (Map.empty[String, Long], 0L)
+    val merged = compress(
+      (priorSketch.keySet ++ batchSketch.keySet).map(k =>
+        k -> (priorSketch.getOrElse(k, 0L) + batchSketch.getOrElse(k, 0L)))
+        .toMap, counters)
+    // state is ≤ counters+1 rows: a single-partition write IS the layout
+    (merged.toSeq :+ ((null: String, priorN + nBatch)))
+      .toDF("item", "c").coalesce(1)
+      .write.mode("overwrite").parquet(statePath)
+  }
+
+  /** Exact heavy hitters from a state directory maintained by
+    * `mgIngestBatch`, recounted against the accumulated corpus (same
+    * schema as `heavyHitters`, and — by the mergeability guarantee —
+    * the same OUTPUT as running `heavyHitters` over `corpus` directly,
+    * regardless of how ingestion was batched). */
+  def heavyHittersFromState(statePath: String, corpus: DataFrame,
+      key: Column, minShare: Double, counters: Int = 256): DataFrame = {
+    requireGuarantee(minShare, counters)
+    val spark = corpus.sparkSession
+    val rows = spark.read.parquet(statePath)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1)))
+    val nTotal = rows.collect { case (null, n) => n }.sum
+    val candidates = rows.collect { case (k, _) if k != null => k }.toSeq
+    recount(corpus, key, candidates, nTotal, minShare)
   }
 }

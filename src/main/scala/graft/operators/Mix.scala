@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture sampling (§2.10 extension surface): cut each source /
+  * domain / language slice of a corpus down to a per-group token budget,
+  * deterministically — the "data mixing" stage that turns raw crawls into
+  * a training mixture with chosen proportions (the static-weights regime
+  * of DoReMi/Pile-style mixture design).
+  *
+  * The keep decision is pure integer arithmetic on a portable hash, so the
+  * sample is a deterministic function of the data (same discipline as the
+  * KMV/count-min sketches): group G with total weight T keeps rows whose
+  * `mixedHash(id) mod scale < floor(budget·scale / T)` — an expected kept
+  * weight ≤ budget (floor bias keeps it under, accuracy O(1/scale)), with
+  * no RNG, no float, and an oracle that replays every row's decision.
+  *
+  * Scale shape: one tiny per-group aggregate (groups × 1 rows) broadcast
+  * back onto the corpus; the filter itself is map-side — the corpus is
+  * never shuffled. Groups must be low-cardinality (sources/languages —
+  * the mixing use case), which is what makes the broadcast correct.
+  */
+object Mix {
+
+  /** Sample `df` down to ≈`budget` total `weight` per `group`. Output:
+    * the kept rows as `(id, group, weight, rate_bp)` where `rate_bp` is
+    * the group's keep rate in basis points of `scale` (scale = keep all).
+    * Groups already under budget keep every row. `id` must identify rows
+    * (it keys the hash); null ids/groups are dropped. */
+  def sampleToBudget(df: DataFrame, id: Column, group: Column,
+      weight: Column, budget: Long, scale: Int = 10000): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(scale >= 2, s"scale must be >= 2, got $scale")
+    val rows = df.select(id.as("id"), group.as("grp"),
+      weight.cast("long").as("w"))
+      .filter(col("id").isNotNull && col("grp").isNotNull)
+    val rates = rows.groupBy(col("grp"))
+      .agg(sum(col("w")).as("t_total"))
+      .select(col("grp"), least(lit(scale.toLong),
+        call_function("div", lit(budget) * scale, col("t_total")))
+        .as("rate_bp"))
+    rows.join(broadcast(rates), Seq("grp"))
+      .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
+        lit(scale.toLong)) < col("rate_bp"))
+      .select(col("id"), col("grp"), col("w"), col("rate_bp"))
+  }
+}

@@ -39,7 +39,7 @@ object Sketch {
     * — distinct keys stay distinct, and the oracle reproduces every
     * value; see kmvDistinct's scaladoc for why raw fingerprints of short
     * keys would bunch at the bottom of the space). */
-  private def mixedHash(s: Column): Column = {
+  private[operators] def mixedHash(s: Column): Column = {
     val raw = TextExprs.polyFingerprint(s)
     val r1 = (raw * lit(1103515245L) + lit(12345L)) % lit(P)
     (r1 * lit(2654435761L)) % lit(P) // products stay < 2⁶³
@@ -240,5 +240,81 @@ object Sketch {
       .join(sample.select(col("qrn"), col("v")), col("rank") === col("qrn"))
       .select(col("prob"), col("v").as("est_value"),
         col("n_sample").cast("long").as("n_sample"), lit(k).as("k"))
+  }
+
+  /** Count-min hash rows: pairwise-independent-style affine mixes of the
+    * portable fingerprint, `((fp·a + b) mod P) mod width`. P is prime, so
+    * every a < P is invertible — each row is a bijection of fp before the
+    * width fold. Public so the spec and oracle generator share it. */
+  val countMinHashParams: Seq[(Long, Long)] =
+    Seq((1103515245L, 12345L), (69069L, 362437L), (1664525L, 1013904223L))
+
+  private def cmBucket(fp: Column, a: Long, b: Long, width: Int): Column =
+    ((fp * lit(a) + lit(b)) % lit(P)) % lit(width.toLong)
+
+  /** The count-min sketch counter table for `key`: one row per
+    * (hash_row, bucket) with the number of input rows landing there —
+    * `depth × width` rows total, regardless of input size.
+    *
+    * Scale shape: the groupBy key domain is depth×width (a few hundred
+    * values), so partial aggregation collapses each task's contribution
+    * to at most depth×width counters before the exchange — the shuffle
+    * is O(partitions × depth × width), never O(rows). That bounded-state
+    * property is the same reason the sketch works as streaming state.
+    *
+    * Like KMV, this sketch is exactly reproducible by another engine:
+    * the hash rows are affine mixes of the portable polynomial
+    * fingerprint, so every counter — and every estimate — is a
+    * deterministic function of the data the oracle can rebuild. */
+  def countMinCounters(df: DataFrame, key: Column, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= countMinHashParams.length,
+      s"depth must be in [1, ${countMinHashParams.length}], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val fp = TextExprs.polyFingerprint(key.cast("string"))
+    val buckets = array(countMinHashParams.take(depth).map {
+      case (a, b) => cmBucket(fp, a, b, width)
+    }: _*)
+    df.select(posexplode(buckets).as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates for `probes` against the count-min sketch
+    * of `key`, next to the exact count: one row per probe,
+    * `(token, est, exact)`. `est = min_i counter[h_i(probe)]` — the
+    * classic CM guarantee `est >= exact` (collisions only ever add) holds
+    * bit-exactly here and is what the spec asserts.
+    *
+    * The probe side is a plan-literal local relation run through the SAME
+    * bucket expressions as the corpus side, then broadcast against the
+    * depth×width counter table; the exact counts reuse the corpus scan
+    * with an `isin` pushdown. Nothing in the estimate path shuffles more
+    * than the counter table itself. */
+  def countMinEstimates(df: DataFrame, key: Column, depth: Int, width: Int,
+      probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counters = countMinCounters(df, key, depth, width)
+    val fp = TextExprs.polyFingerprint(col("token"))
+    val probeBuckets = probes.toDF("token")
+      .select(col("token"), posexplode(array(
+        countMinHashParams.take(depth).map {
+          case (a, b) => cmBucket(fp, a, b, width)
+        }: _*)).as(Seq("row_i", "bucket")))
+    // a probe bucket no corpus key ever hit has no counter row → count 0;
+    // the depth×width counter table is the broadcast side (a left join
+    // cannot broadcast its own build side)
+    val est = probeBuckets
+      .join(broadcast(counters), Seq("row_i", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    val exact = df.select(key.cast("string").as("token"))
+      .filter(col("token").isin(probes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
   }
 }

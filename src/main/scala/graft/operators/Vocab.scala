@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExprs
+
+/** Vocabulary-induction and n-gram language-model statistics over a token
+  * corpus (§2.10 extension surface — the "train a tokenizer / score with a
+  * cheap LM" stages of a training-data pipeline).
+  *
+  * Both operators are pure relational compositions over the adjacent-token
+  * pair stream: explode once, aggregate with map-side combine, never
+  * collect. The pair stream is the corpus's bigram multiset — the exact
+  * object BPE training (Sennrich et al. 2016) counts each merge round, and
+  * the sufficient statistic of a bigram MLE language model.
+  */
+object Vocab {
+
+  /** Adjacent token pairs of `text`, one row per occurrence:
+    * `(l_tok, r_tok)`. Docs with < 2 tokens contribute nothing. */
+  private def pairStream(text: Column): Column = {
+    val ts = TextExprs.tokens(text)
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i =>
+        struct(element_at(ts, i).as("l_tok"),
+          element_at(ts, i + 1).as("r_tok"))))
+      .otherwise(array().cast("array<struct<l_tok:string,r_tok:string>>"))
+  }
+
+  /** One BPE-training merge round: the top-`k` adjacent token pairs by
+    * corpus count — `(rank, l_tok, r_tok, n)`, ties broken
+    * pair-lexicographically so the ranking is total and oracle-stable.
+    *
+    * Scale shape: one explode + a map-combinable pair count (partial
+    * aggregation collapses each task to its distinct-pair set), then a
+    * DISTRIBUTED top-k — `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    * stage), NOT a no-partition row_number window that would drag the
+    * whole pair-count table into one task. The rank column is minted
+    * after the limit, over k rows. */
+  def topPairs(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val counts = df.select(explode(pairStream(text)).as("p"))
+      .select(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+      .groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
+      .limit(k)
+    // k rows by construction — the window is fine here
+    val w = Window.orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("l_tok"), col("r_tok"), col("n"))
+  }
+
+  /** Per-document bigram-MLE negative log-likelihood — the classic cheap
+    * quality/fluency signal (a KenLM-style filter with the corpus itself
+    * as training set): `(id, n_bigrams, avg_nll)` where
+    * `avg_nll = -mean ln C(l,r)/Cleft(l)` over the doc's adjacent pairs
+    * and `Cleft(l)` is the left-context marginal (how many bigrams start
+    * with `l`). Every doc bigram is in the corpus counts by construction,
+    * so no smoothing term is needed and every probability is in (0, 1].
+    * Docs with < 2 tokens have no bigrams and are excluded. The ln is the
+    * one cross-engine float risk; round(…, 4) absorbs it (same discipline
+    * as BM25's idf).
+    *
+    * Scale shape: the pair stream is exploded once per side; the count
+    * table gets its left marginal from a window PARTITIONED BY l_tok (no
+    * global window), and the score join is a single pair-keyed shuffle
+    * join of the stream against the (vocab²-bounded) count table, then a
+    * map-combinable per-doc aggregate. */
+  def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val pairs = df.select(id.as("id"), explode(pairStream(text)).as("p"))
+      .select(col("id"), col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+    val counts = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("c_lr"))
+    val withMarginal = counts.withColumn("c_l",
+      sum(col("c_lr")).over(Window.partitionBy(col("l_tok"))))
+    pairs.join(withMarginal, Seq("l_tok", "r_tok"))
+      .select(col("id"),
+        log(col("c_lr").cast("double") / col("c_l").cast("double")).as("ll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll"))
+  }
+}

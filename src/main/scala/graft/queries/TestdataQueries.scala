@@ -1715,6 +1715,183 @@ object TestdataQueries {
     sb.toString
   }
 
+  // ----------------------------- count-min sketch (§2.10 ext)
+  // Point-frequency estimation over the token stream: depth×width bounded
+  // counters (the shuffle is O(depth×width), never O(tokens)), probes
+  // replayed through the same affine hash rows, est >= exact by
+  // construction. The oracle rebuilds every counter from the portable
+  // fingerprint — a frequency sketch you can hash-check.
+  private val q70Depth = 3
+  private val q70Width = 16 // narrow on purpose: collisions make est > exact visible
+  private val q70Probes =
+    Seq("table", "spark", "the", "vector", "unseen_token_xyz")
+
+  private def q70CountMin(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextExprs.tokens(col("text"))).as("tok"))
+    graft.operators.Sketch.countMinEstimates(
+      toks, col("tok"), q70Depth, q70Width, q70Probes)
+  }
+
+  private val q70Sql = {
+    def poly(c: String) =
+      s"list_reduce(list_transform(string_split($c, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val hp = graft.operators.Sketch.countMinHashParams.take(q70Depth)
+      .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val pr = q70Probes.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+       |  FROM documents),
+       |hp(i, a, b) AS (VALUES $hp),
+       |fp AS (SELECT tok, ${poly("tok")} AS f FROM toks),
+       |cnt AS (SELECT i, ((f * a + b) % 1000000007) % $q70Width AS bucket,
+       |      count(*) AS c
+       |    FROM fp CROSS JOIN hp GROUP BY 1, 2),
+       |pr(token) AS (VALUES $pr),
+       |pb AS (SELECT token, i,
+       |      ((${poly("token")} * a + b) % 1000000007) % $q70Width AS bucket
+       |    FROM pr CROSS JOIN hp),
+       |est AS (SELECT token, min(coalesce(c, 0)) AS est
+       |    FROM pb LEFT JOIN cnt USING (i, bucket) GROUP BY token),
+       |ex AS (SELECT tok AS token, count(*) AS exact FROM toks GROUP BY 1)
+       |SELECT token, est, coalesce(exact, 0) AS exact
+       |FROM est LEFT JOIN ex USING (token)""".stripMargin
+  }
+
+  // ----------------------------- vocab induction + bigram LM (§2.10 ext)
+  // One BPE-training merge round (top adjacent-pair counts, distributed
+  // top-k) and the per-doc bigram-MLE NLL quality signal built from the
+  // same pair stream. Shared CTEs on the oracle side mirror the shared
+  // explode on the Spark side.
+  private val q71TopK = 20
+
+  private def q71BpePairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.topPairs(
+      Tables.documents(s, d), col("text"), q71TopK)
+
+  private val q71PairsCte =
+    """WITH toks AS (
+      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, ts[i] AS l_tok, ts[i + 1] AS r_tok
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks))""".stripMargin
+
+  private val q71Sql =
+    s"""$q71PairsCte,
+       |cnt AS (SELECT l_tok, r_tok, count(*) AS n FROM pairs GROUP BY 1, 2),
+       |r AS (SELECT l_tok, r_tok, n, row_number() OVER (
+       |        ORDER BY n DESC, l_tok, r_tok) AS rank FROM cnt)
+       |SELECT CAST(rank AS INTEGER) AS rank, l_tok, r_tok, n
+       |FROM r WHERE rank <= $q71TopK""".stripMargin
+
+  private def q72BigramNll(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.bigramNll(
+      Tables.documents(s, d), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val q72Sql =
+    s"""$q71PairsCte,
+       |cnt AS (SELECT l_tok, r_tok, count(*) AS c_lr FROM pairs GROUP BY 1, 2),
+       |cl AS (SELECT l_tok, r_tok, c_lr,
+       |      sum(c_lr) OVER (PARTITION BY l_tok) AS c_l FROM cnt),
+       |sc AS (SELECT p.doc_id, ln(CAST(c_lr AS DOUBLE) / CAST(c_l AS DOUBLE)) AS ll
+       |       FROM pairs p JOIN cl USING (l_tok, r_tok))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(-sum(ll) / count(*), 4) AS avg_nll
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  // ----------------------------- mixture sampling (§2.10 ext)
+  // Per-source token-budget downsampling: integer keep-rate from the
+  // group totals, portable-hash keep decision — the corpus never
+  // shuffles, and the oracle replays every row's decision.
+  private val q73Budget = 800L
+  private val q73Scale = 10000
+
+  private def q73MixSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.sampleToBudget(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextExprs.tokenCount(col("text")).as("n_toks")),
+      col("doc_id"), col("source"), col("n_toks"), q73Budget, q73Scale)
+      .select(col("id").as("doc_id"), col("grp").as("source"),
+        col("w").as("n_toks"), col("rate_bp"))
+
+  private val q73Sql = {
+    val poly = "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |rates AS (
+       |  SELECT source, CAST(least($q73Scale,
+       |      ($q73Budget * $q73Scale) // sum(n_toks)) AS BIGINT) AS rate_bp
+       |  FROM rows_ GROUP BY source),
+       |h AS (SELECT doc_id, source, n_toks, $mh AS mh FROM rows_)
+       |SELECT h.doc_id, h.source, h.n_toks, r.rate_bp
+       |FROM h JOIN rates r USING (source)
+       |WHERE mh % $q73Scale < rate_bp""".stripMargin
+  }
+
+  // ----------------------------- sequence packing (§2.10 ext)
+  // Fixed-length training-example assembly: distributed prefix offsets
+  // (Shard.byBudget, unit budget) + map-side span explode. The oracle IS
+  // the single-task running-sum window the operator avoids.
+  private val q74SeqLen = 128
+
+  private def q74PackExamples(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pack.packExamples(
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextExprs.tokenCount(col("text")).as("n_toks")),
+      "doc_id", "n_toks", q74SeqLen)
+      .select(col("doc_id"), col("example_id"), col("tok_start"), col("tok_len"))
+
+  private val q74Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |t AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS w FROM toks),
+       |o AS (SELECT doc_id, w, CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |      FROM t),
+       |e AS (SELECT doc_id, w, off,
+       |        unnest(range(off // $q74SeqLen, (off + w - 1) // $q74SeqLen + 1)) AS example_id
+       |      FROM o WHERE w > 0)
+       |SELECT doc_id, example_id,
+       |  CAST(greatest(0, example_id * $q74SeqLen - off) AS BIGINT) AS tok_start,
+       |  CAST(least(w, (example_id + 1) * $q74SeqLen - off)
+       |    - greatest(0, example_id * $q74SeqLen - off) AS BIGINT) AS tok_len
+       |FROM e""".stripMargin
+
+  // ----------------------- streaming heavy hitters (§2.10 ext)
+  // Incremental Misra-Gries over micro-batches: three arrival batches
+  // (doc_id mod 3) ingest into one compressed MG state (≤ counters+1
+  // parquet rows); the exact recount against the accumulated corpus
+  // equals the batch operator's output for ANY arrival split — q75
+  // shares q58's oracle, like q65 shares q56's.
+  private def q75StreamingHh(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("mg_stream")
+      .toString + "/state"
+    val toks = (b: Int) => Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === b)
+      .select(explode(TextExprs.tokens(col("text"))).as("item"))
+    (0 until 3).foreach { b =>
+      graft.operators.Frequent.mgIngestBatch(
+        toks(b), col("item"), counters = 256, state)
+    }
+    graft.operators.Frequent.heavyHittersFromState(state,
+      Tables.documents(s, d)
+        .select(explode(TextExprs.tokens(col("text"))).as("item")),
+      col("item"), minShare = q58MinShare, counters = 256)
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1781,7 +1958,13 @@ object TestdataQueries {
     "q66_dup_spans" -> (q66DupSpans _),
     "q67_quantile_sketch" -> (q67QuantileSketch _),
     "q68_bm25_topk" -> (q68Bm25 _),
-    "q69_pii_redact" -> (q69PiiRedact _))
+    "q69_pii_redact" -> (q69PiiRedact _),
+    "q70_countmin" -> (q70CountMin _),
+    "q71_bpe_pairs" -> (q71BpePairs _),
+    "q72_bigram_nll" -> (q72BigramNll _),
+    "q73_mix_sample" -> (q73MixSample _),
+    "q74_pack_examples" -> (q74PackExamples _),
+    "q75_streaming_hh" -> (q75StreamingHh _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -1847,5 +2030,11 @@ object TestdataQueries {
     "q66_dup_spans" -> q66Sql,
     "q67_quantile_sketch" -> q67Sql,
     "q68_bm25_topk" -> q68Sql,
-    "q69_pii_redact" -> q69Sql)
+    "q69_pii_redact" -> q69Sql,
+    "q70_countmin" -> q70Sql,
+    "q71_bpe_pairs" -> q71Sql,
+    "q72_bigram_nll" -> q72Sql,
+    "q73_mix_sample" -> q73Sql,
+    "q74_pack_examples" -> q74Sql,
+    "q75_streaming_hh" -> q58Sql)
 }

@@ -88,4 +88,46 @@ class FrequentSpec extends SparkSpec {
     // n_total counts only non-null keys
     assert(got.head.getLong(2) === 3L)
   }
+
+  // ------------------------------------------------ incremental (q75)
+
+  test("incremental MG over any arrival split equals the batch operator") {
+    val items = (1 to 150).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val df = items.toDF("item").withColumn("b", pmod(hash(col("item")), lit(4)))
+    val batch = Frequent.heavyHitters(df, col("item"), 0.02, 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // split 1: round-robin by hash; split 2: sorted runs (adversarial —
+    // each batch has a totally different item distribution)
+    for ((splits, label) <- Seq(
+      (0 until 4).map(b => df.filter(col("b") === b)) -> "hash split",
+      Seq(df.filter(col("item") <= "w2"), df.filter(col("item") > "w2")) ->
+        "sorted-run split")) {
+      val state = java.nio.file.Files
+        .createTempDirectory("mgspec").toString + "/s"
+      splits.foreach(s => Frequent.mgIngestBatch(s, col("item"), 128, state))
+      val inc = Frequent.heavyHittersFromState(state, df, col("item"),
+        0.02, 128)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(inc === batch, label)
+    }
+  }
+
+  test("incremental state stays bounded at counters+1 rows") {
+    val state = java.nio.file.Files
+      .createTempDirectory("mgspec2").toString + "/s"
+    // 3 batches of mostly-unique noise: the state must never exceed
+    // counters candidates no matter how much distinct vocabulary flows by
+    val batches = (0 until 3).map { b =>
+      ((1 to 5000).map(i => s"u${b}_$i") ++ Seq.fill(400)("HH")).toDF("item")
+    }
+    batches.foreach(b => Frequent.mgIngestBatch(b, col("item"), 32, state))
+    val rows = spark.read.parquet(state).collect()
+    assert(rows.length <= 33, s"state grew to ${rows.length} rows")
+    val corpus = batches.reduce(_ union _)
+    val hh = Frequent.heavyHittersFromState(state, corpus, col("item"),
+      0.05, 32).collect()
+    assert(hh.map(_.getString(0)).toSet === Set("HH"))
+    assert(hh.head.getLong(1) === 1200L)
+    assert(hh.head.getLong(2) === 16200L)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Vocab induction (BPE pair counts) and the bigram-MLE NLL signal. */
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topPairs counts adjacent pairs and ranks with lexicographic ties") {
+    val docs = Seq("a b a b", "b a", "x").toDF("text")
+    val rows = Vocab.topPairs(docs, col("text"), k = 10).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("l_tok"),
+        r.getAs[String]("r_tok"), r.getAs[Long]("n")))
+    // pairs: (a,b)x2, (b,a)x2 ("a b a b" has b->a once, plus doc2) — tie
+    // broken lexicographically; single-token doc contributes nothing
+    assert(rows.toSeq === Seq((1, "a", "b", 2L), (2, "b", "a", 2L)))
+  }
+
+  test("topPairs plans a distributed top-k, not a global window") {
+    val docs = Seq("a b c d e f g").toDF("text")
+    val plan = Vocab.topPairs(docs, col("text"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    // the rank-minting window must sit ABOVE the limit (k rows), i.e.
+    // appear before TakeOrderedAndProject in the tree print — a window
+    // below it would drag the whole pair-count table into one task
+    assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      s"the only window must consume the k-limited rows:\n$plan")
+  }
+
+  test("bigramNll matches a hand-computed corpus") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val rows = Vocab.bigramNll(docs, col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    // C(a,b)=2, C(a,c)=1, Cleft(a)=3
+    assert(rows(1L) === ((1L, 0.4055))) // -ln(2/3)
+    assert(rows(2L) === ((1L, 0.4055)))
+    assert(rows(3L) === ((1L, 1.0986))) // -ln(1/3)
+  }
+
+  test("bigramNll excludes docs with fewer than two tokens") {
+    val docs = Seq((1L, "only"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val ids = Vocab.bigramNll(docs, col("doc_id"), col("text"))
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(3L))
+  }
+}
