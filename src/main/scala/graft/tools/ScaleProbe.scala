@@ -156,6 +156,48 @@ object ScaleProbe {
     corpus.unpersist()
   }
 
+  /** The round-6 extension operators at token/row volumes far beyond
+    * the testdata: count-min counters over a 100M-token stream (the
+    * shuffle must stay depth×width, flat per token), BPE pair top-k
+    * over the same stream read as 2-token windows, sequence packing and
+    * mixture sampling over 20M docs, and bigram NLL over a 16× corpus.
+    * Everything here must scale with input size or better. */
+  def newOpsProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Mix, Pack, Sketch, Vocab}
+    val nTok = 100000000L
+    val toks = spark.range(nTok).select(
+      concat(lit("w"), (pmod(hash(col("id")), lit(1000)) *
+        pmod(hash(col("id") + 1), lit(1000))).cast("long")).as("item"))
+    time(f"countMinCounters ($nTok%11d tokens)") {
+      Sketch.countMinCounters(toks, col("item"), 3, 1024).count()
+    }
+    time(f"countMinEstimates($nTok%11d tokens)") {
+      Sketch.countMinEstimates(toks, col("item"), 3, 1024,
+        Seq("w0", "w999", "w123456")).count()
+    }
+    val nDocs = 20000000L
+    val docs = spark.range(nDocs).select(
+      col("id"), (pmod(hash(col("id")), lit(900)) + 100).cast("long").as("w"),
+      concat(lit("s"), pmod(col("id"), lit(20))).as("src"))
+    time(f"packExamples     ($nDocs%11d rows  )") {
+      Pack.packExamples(docs, "id", "w", seqLen = 2048)
+        .agg(max(col("example_id"))).collect()
+    }
+    time(f"mixSampleToBudget($nDocs%11d rows  )") {
+      Mix.sampleToBudget(docs, col("id"), col("src"), col("w"),
+        budget = 100000000L).count()
+    }
+    val corpus16 = genDocs(spark, 16).cache()
+    val nC = corpus16.count()
+    time(f"topPairs         ($nC%11d docs  )") {
+      Vocab.topPairs(corpus16, col("text"), 100).count()
+    }
+    time(f"bigramNll        ($nC%11d docs  )") {
+      Vocab.bigramNll(corpus16, col("doc_id"), col("text")).count()
+    }
+    corpus16.unpersist()
+  }
+
   /** Read-side proof of the z-order layout claim: write 20M (x, y) rows
     * once sorted by x and once z-ordered, then time a selective filter
     * on Y — the column the x-sort cannot prune. Parquet row-group
@@ -222,7 +264,8 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val nCases = args.headOption.filter(a => a != "uf" && a != "hh" && a != "z")
+    val modes = Set("uf", "hh", "z", "ops")
+    val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
     val docMults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
@@ -244,6 +287,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("z")) {
       zorderProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops")) {
+      newOpsProbe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
