@@ -168,7 +168,13 @@ object ScaleProbe {
     val toks = spark.range(nTok).select(
       concat(lit("w"), (pmod(hash(col("id")), lit(1000)) *
         pmod(hash(col("id") + 1), lit(1000))).cast("long")).as("item"))
-    time(f"countMinCounters ($nTok%11d tokens)") {
+    // run twice: the portable hash is a higher-order-function fold that
+    // runs interpreted — the first pass pays C2 warmup, the second is the
+    // steady state a long-lived cluster JVM sees
+    time(f"countMinCounters ($nTok%11d tokens) cold") {
+      Sketch.countMinCounters(toks, col("item"), 3, 1024).count()
+    }
+    time(f"countMinCounters ($nTok%11d tokens) warm") {
       Sketch.countMinCounters(toks, col("item"), 3, 1024).count()
     }
     time(f"countMinEstimates($nTok%11d tokens)") {
