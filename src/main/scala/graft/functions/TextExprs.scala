@@ -21,28 +21,38 @@ object TextExprs {
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
+  /** A `let` for Column expressions: binds `v` ONCE as a lambda variable
+    * and evaluates `body` against the binding. Higher-order functions run
+    * interpreted with no common-subexpression elimination into lambda
+    * bodies, so any expensive expression referenced per-element of a
+    * `transform` (a tokenize, a regex normalize) would otherwise be
+    * recomputed on every element — O(n) evaluations of an O(n) expression.
+    * Measured on the shingle path: ~2× end-to-end on q18 at sf0.1. */
+  private def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Word n-gram shingles, e.g. n=3 → "a b c" strings. Docs shorter than n
     * tokens yield a single shingle of all their tokens (never empty — keeps
     * short docs joinable in near-dup pipelines). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    val k  = size(ts)
-    val slide = transform(
-      sequence(lit(0), greatest(k - n, lit(0))),
-      i => array_join(slice(ts, i + 1, lit(n)), " "))
-    // Empty doc → empty shingle set (not [""]): otherwise every empty doc
-    // becomes a mutual near-dup candidate of every other empty doc.
-    when(k === 0, array().cast("array<string>"))
-      .otherwise(array_distinct(slide))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    bind(tokens(text)) { ts =>
+      val k = size(ts)
+      val slide = transform(
+        sequence(lit(0), greatest(k - n, lit(0))),
+        i => array_join(slice(ts, i + 1, lit(n)), " "))
+      // Empty doc → empty shingle set (not [""]): otherwise every empty
+      // doc becomes a mutual near-dup candidate of every other empty doc.
+      when(k === 0, array().cast("array<string>"))
+        .otherwise(array_distinct(slide))
+    }
 
   /** Character n-grams of the whitespace-normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(trim(text), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n))))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    bind(regexp_replace(trim(text), "\\s+", " ")) { norm =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))))
+    }
 
   /** Ratio of punctuation chars to total chars (quality-score feature). */
   def punctRatio(text: Column): Column = {
