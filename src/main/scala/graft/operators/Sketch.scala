@@ -205,42 +205,88 @@ object Sketch {
   def quantileSketch(df: DataFrame, value: Column, uniq: Column, k: Int,
       probs: Seq[Double]): DataFrame = {
     require(k >= 2, s"quantile sketch needs k >= 2, got $k")
-    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
-      s"probs must be in (0, 1], got $probs")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hashed = df
-      .select(mixedHash(uniq.cast("string")).as("h"),
-        value.cast("double").as("v"))
-      .filter(col("h").isNotNull && col("v").isNotNull)
-      .as[(Long, Double)]
-    val partial = hashed.mapPartitions { it =>
-      val set = scala.collection.mutable.TreeSet.empty[(Long, Double)]
-      it.foreach { hv =>
-        set.add(hv)
-        if (set.size > k) set.remove(set.last)
-      }
-      set.iterator
-    }
-    // merge: k smallest distinct (h, v) survivors (selection order = hash),
-    // then re-rank the surviving sample BY VALUE for the quantile pick;
-    // both windows run over ≤ partitions×k rows — single tiny task by design
+    // merge: k smallest distinct (h, v) survivors (selection order = hash)
     val wSel = org.apache.spark.sql.expressions.Window
       .orderBy(col("h").asc, col("v").asc)
-    val wVal = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v").asc, col("h").asc)
-    val sample = partial.toDF("h", "v").distinct()
+    val sample = bottomKPairs(df, value, uniq, k).toDF("h", "v").distinct()
       .withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= k)
-      .withColumn("qrn", row_number().over(wVal))
-    val n = sample.agg(max(col("qrn")).as("n_sample"))
-    val probsDf = probs.toDF("prob")
-    probsDf.crossJoin(broadcast(n))
+    quantilesFromSample(sample, k, probs)
+  }
+
+  /** The k-bounded (hash, value) pass shared by batch and incremental
+    * quantile sketching — O(k) per-partition state, partitions × k pairs
+    * at the exchange. */
+  private def bottomKPairs(df: DataFrame, value: Column, uniq: Column,
+      k: Int) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(mixedHash(uniq.cast("string")).as("h"),
+      value.cast("double").as("v"))
+      .filter(col("h").isNotNull && col("v").isNotNull)
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val set = scala.collection.mutable.TreeSet.empty[(Long, Double)]
+        it.foreach { hv =>
+          set.add(hv)
+          if (set.size > k) set.remove(set.last)
+        }
+        set.iterator
+      }
+  }
+
+  /** Rank-pick estimates from a merged ≤ k-row sample `(h, v)`: re-rank
+    * BY VALUE, pick rank `ceil(p·n)` per prob. The windows run over ≤ k
+    * rows — single tiny task by design. */
+  private def quantilesFromSample(sample: DataFrame, k: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val wVal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc, col("h").asc)
+    val ranked = sample.withColumn("qrn", row_number().over(wVal))
+    val n = ranked.agg(max(col("qrn")).as("n_sample"))
+    probs.toDF("prob").crossJoin(broadcast(n))
       .withColumn("rank", ceil(col("prob") * col("n_sample")).cast("int"))
-      .join(sample.select(col("qrn"), col("v")), col("rank") === col("qrn"))
+      .join(ranked.select(col("qrn"), col("v")), col("rank") === col("qrn"))
       .select(col("prob"), col("v").as("est_value"),
         col("n_sample").cast("long").as("n_sample"), lit(k).as("k"))
   }
+
+  /** Incremental quantile sketch over micro-batches (completing the
+    * streaming-sketch family with KMV and Misra–Gries): the state is the
+    * k smallest distinct (hash, value) pairs seen so far, read as plain
+    * parquet. Bottom-k-by-hash is union-then-truncate — associative and
+    * commutative — so for ANY split into arrival batches the state is
+    * BIT-IDENTICAL to the batch sample, and `quantilesFromState` returns
+    * exactly what `quantileSketch` returns over the whole dataset. */
+  def quantileIngestBatch(batch: DataFrame, value: Column, uniq: Column,
+      k: Int, statePath: String): Unit = {
+    require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchMin: Array[(Long, Double)] = bottomKPairs(batch, value, uniq, k)
+      .distinct().orderBy(col("_1").asc, col("_2").asc).limit(k).collect()
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prior: Array[(Long, Double)] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+        spark.read.parquet(statePath)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      else Array.empty
+    val merged = (prior ++ batchMin).distinct.sorted.take(k)
+    merged.toSeq.toDF("h", "v").coalesce(1)
+      .write.mode("overwrite").parquet(statePath)
+  }
+
+  /** The estimates (same schema as `quantileSketch`) from a state
+    * directory maintained by `quantileIngestBatch`. */
+  def quantilesFromState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, k: Int, probs: Seq[Double]): DataFrame =
+    quantilesFromSample(spark.read.parquet(statePath).toDF("h", "v"),
+      k, probs)
 
   /** Count-min hash rows: pairwise-independent-style affine mixes of the
     * portable fingerprint, `((fp·a + b) mod P) mod width`. P is prime, so

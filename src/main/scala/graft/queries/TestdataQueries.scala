@@ -1892,6 +1892,23 @@ object TestdataQueries {
       col("item"), minShare = q58MinShare, counters = 256)
   }
 
+  // ----------------------- streaming quantile sketch (§2.10 ext)
+  // Incremental bottom-k-by-hash over micro-batches: union-then-truncate
+  // state is bit-identical to the batch sample for any arrival split, so
+  // q76 shares q67's oracle — completing the streaming-sketch family
+  // (q65 KMV, q75 Misra-Gries, q76 quantiles).
+  private def q76StreamingQuantile(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("qt_stream")
+      .toString + "/state"
+    val li = Tables.lineitem(s, d)
+    (0 until 3).foreach { b =>
+      graft.operators.Sketch.quantileIngestBatch(
+        li.filter(col("l_orderkey") % 3 === b), col("l_extendedprice"),
+        col("l_orderkey") * 10 + col("l_linenumber"), q67K, state)
+    }
+    graft.operators.Sketch.quantilesFromState(s, state, q67K, q67Probs)
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1964,7 +1981,8 @@ object TestdataQueries {
     "q72_bigram_nll" -> (q72BigramNll _),
     "q73_mix_sample" -> (q73MixSample _),
     "q74_pack_examples" -> (q74PackExamples _),
-    "q75_streaming_hh" -> (q75StreamingHh _))
+    "q75_streaming_hh" -> (q75StreamingHh _),
+    "q76_streaming_quantile" -> (q76StreamingQuantile _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2036,5 +2054,6 @@ object TestdataQueries {
     "q72_bigram_nll" -> q72Sql,
     "q73_mix_sample" -> q73Sql,
     "q74_pack_examples" -> q74Sql,
-    "q75_streaming_hh" -> q58Sql)
+    "q75_streaming_hh" -> q58Sql,
+    "q76_streaming_quantile" -> q67Sql)
 }

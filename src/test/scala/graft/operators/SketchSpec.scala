@@ -129,4 +129,24 @@ class SketchSpec extends SparkSpec {
       128, Seq(0.5, 0.99)).orderBy("prob").collect().toSeq
     assert(a === b, "sample must not depend on partitioning")
   }
+
+  test("incremental quantile sketch: any arrival split is bit-identical") {
+    val df = spark.range(20000).select(col("id").as("uid"),
+      (col("id") % 997).cast("double").as("v"))
+    val batchOut = Sketch.quantileSketch(df, col("v"), col("uid"), 128,
+      Seq(0.5, 0.9, 0.99)).orderBy("prob").collect().toSeq
+    for ((nb, label) <- Seq(2 -> "2 batches", 5 -> "5 batches")) {
+      val state = java.nio.file.Files
+        .createTempDirectory("qtspec").toString + "/s"
+      (0 until nb).foreach { b =>
+        Sketch.quantileIngestBatch(df.filter(col("uid") % nb === b),
+          col("v"), col("uid"), 128, state)
+      }
+      // state is exactly the batch sample: <= k rows, same pairs
+      assert(spark.read.parquet(state).count() === 128L)
+      val inc = Sketch.quantilesFromState(spark, state, 128,
+        Seq(0.5, 0.9, 0.99)).orderBy("prob").collect().toSeq
+      assert(inc === batchOut, label)
+    }
+  }
 }
