@@ -15,7 +15,9 @@ object Explain {
       "q42_asof_join", "q45_range_join", "q43_sessionize",
       "q50_pq_encode", "q51_pq_adc_topk", "q55_corpus_curation",
       "q56_kmv_distinct", "q58_heavy_hitters", "q60_token_shards",
-      "q61_zorder_key", "q62_decontaminate", "q64_kmv_by_group")
+      "q61_zorder_key", "q62_decontaminate", "q64_kmv_by_group",
+      "q68_bm25_topk", "q70_countmin", "q71_bpe_pairs", "q72_bigram_nll",
+      "q73_mix_sample", "q74_pack_examples")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
