@@ -75,13 +75,13 @@ object TextExprs {
   }
 
   /** Deterministic 64-bit document fingerprint: polynomial rolling hash over
-    * the raw bytes (h ← (h·31 + code) mod 1e9+7). Same recurrence is
+    * the characters (h ← (h·31 + code) mod 1e9+7). Same recurrence is
     * expressible in ANSI SQL (list_reduce), giving an oracle-checkable
-    * fingerprint — unlike xxhash64 which is engine-specific. */
-  def polyFingerprint(text: Column): Column = {
-    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
-  }
+    * fingerprint — unlike xxhash64 which is engine-specific. Evaluated by
+    * the codegen'd `HashKernels.PolyHash` (bit-identical to the HOF fold
+    * it replaces — pinned by HashKernelsSpec and the oracle gate). */
+  def polyFingerprint(text: Column): Column =
+    HashKernels.polyHash(text, 31L, 1000000007L)
 
   /** GPT-2-style pre-tokenizer as a pure regex (the "BPE-ish" token count:
     * contractions, letter runs, digit runs, punctuation runs, each with an

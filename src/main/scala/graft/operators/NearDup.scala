@@ -229,10 +229,9 @@ object NearDup {
     * bit-for-bit by an external engine. Top two bits are always 0 — bands
     * still discriminate (62 live bits across 4 bands). */
   def portableTokenHash(tok: Column): Column = {
-    val codes = transform(split(tok, ""), c => ascii(c).cast("long"))
-    def poly(mult: Long, p: Long): Column =
-      aggregate(codes, lit(0L), (a, c) => (a * mult + c) % p)
-    poly(31L, 2147483647L) * lit(2147483648L) + poly(131L, 2147483629L)
+    import graft.functions.HashKernels
+    HashKernels.polyHash(tok, 31L, 2147483647L) * lit(2147483648L) +
+      HashKernels.polyHash(tok, 131L, 2147483629L)
   }
 
   /** SimHash signatures over the portable token hash (bits 0..61): same
