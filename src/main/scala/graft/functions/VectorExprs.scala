@@ -6,18 +6,16 @@ import org.apache.spark.sql.functions._
 /** Dense-vector scalar expressions over `array<float>` / `array<double>`
   * embedding columns (SURVEY.md §2.10 similarity search).
   *
-  * Built from higher-order functions (`zip_with`, `aggregate`, `transform`) —
-  * codegen-friendly, no UDF boxing, and the arithmetic order is a plain
-  * left-to-right fold so results are reproducible and oracle-comparable.
-  * All math is done in double regardless of input element type.
+  * The arithmetic contract is the plain left-to-right fold
+  * `aggregate(zip_with(a, b, x·y), 0.0, +)` in double — reproducible and
+  * oracle-comparable. `dot`/`l2sq` are evaluated by the codegen'd
+  * `VecKernels.VecCombine` (bit-identical to that fold — higher-order
+  * functions run interpreted and boxed every element; see
+  * VecKernelsSpec for the pinned parity).
   */
 object VectorExprs {
 
-  private def asDouble(v: Column): Column = v.cast("array<double>")
-
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = VecKernels.dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -31,9 +29,7 @@ object VectorExprs {
   }
 
   /** Squared L2 distance. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  def l2sq(a: Column, b: Column): Column = VecKernels.l2sq(a, b)
 
   /** Sign bit of the projection onto a fixed hyperplane — one bit of a
     * random-hyperplane LSH signature. `plane` must be a literal array. */

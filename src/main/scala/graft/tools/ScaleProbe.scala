@@ -202,6 +202,22 @@ object ScaleProbe {
       Vocab.bigramNll(corpus16, col("doc_id"), col("text")).count()
     }
     corpus16.unpersist()
+    // brute-force cosine top-k at 1M x 64-dim against 8 queries: the
+    // scoring inner loop is VecKernels.dot — 8M dot products, 512M
+    // multiply-adds, all map-side against the broadcast query set
+    val nVec = 1000000L
+    val vecs = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 37 + i * 11).cast("float")).as("embedding"))
+      .cache()
+    vecs.count()
+    time(f"bruteForceTopK   ($nVec%11d vecs  )") {
+      graft.operators.Similarity.bruteForceTopK(
+        vecs, vecs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10).count()
+    }
+    vecs.unpersist()
   }
 
   /** Read-side proof of the z-order layout claim: write 20M (x, y) rows
