@@ -1909,6 +1909,45 @@ object TestdataQueries {
     graft.operators.Sketch.quantilesFromState(s, state, q67K, q67Probs)
   }
 
+  // ----------------- hashed linear classifier inference (§2.10 ext)
+  // fastText-style quality-filter scoring: D hashed buckets, plan-literal
+  // weights, decimal-exact mean, one sigmoid. The model weights are
+  // deterministic pseudo-random values rounded to 6 decimals (exactly
+  // representable in decimal(28,12)), rendered as literals into BOTH the
+  // Spark plan and the oracle SQL — the oracle never re-derives them.
+  private val q77D = 64
+  private val q77Bias = -0.1
+  private val q77Weights: Seq[Double] = {
+    val rng = new scala.util.Random(13)
+    Seq.fill(q77D)(math.rint(rng.nextGaussian() * 1e6) / 1e6)
+  }
+
+  private def q77LinearScore(s: SparkSession, d: String): DataFrame =
+    graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q77Sql = {
+    val poly = "list_reduce(list_transform(string_split(tok, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val values = q77Weights.zipWithIndex.map { case (w, i) =>
+      s"($i, CAST($w AS DECIMAL(28,12)))"
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |w(bucket, wv) AS (VALUES $values),
+       |b AS (SELECT doc_id, $poly % $q77D AS bucket FROM toks),
+       |sc AS (SELECT doc_id, count(*) AS n_toks,
+       |      CAST(sum(wv) AS DOUBLE) AS z
+       |    FROM b JOIN w USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, n_toks,
+       |  round(1.0 / (1.0 + exp(-($q77Bias + z / CAST(n_toks AS DOUBLE)))), 4)
+       |    AS score
+       |FROM sc""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1982,7 +2021,8 @@ object TestdataQueries {
     "q73_mix_sample" -> (q73MixSample _),
     "q74_pack_examples" -> (q74PackExamples _),
     "q75_streaming_hh" -> (q75StreamingHh _),
-    "q76_streaming_quantile" -> (q76StreamingQuantile _))
+    "q76_streaming_quantile" -> (q76StreamingQuantile _),
+    "q77_linear_score" -> (q77LinearScore _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2055,5 +2095,6 @@ object TestdataQueries {
     "q73_mix_sample" -> q73Sql,
     "q74_pack_examples" -> q74Sql,
     "q75_streaming_hh" -> q58Sql,
-    "q76_streaming_quantile" -> q67Sql)
+    "q76_streaming_quantile" -> q67Sql,
+    "q77_linear_score" -> q77Sql)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hashed linear classifier inference: hand-computed scores, no-join
+  * plan, determinism, and the empty-doc exclusion. */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("score matches the hand-computed sigmoid of the bucket-weight mean") {
+    // D=1: every token hits bucket 0 — score = sigmoid(bias + w0)
+    val docs = Seq((1L, "a b c"), (2L, "xyz")).toDF("doc_id", "text")
+    val got = Classify.hashedLinearScore(docs, col("doc_id"), col("text"),
+      weights = Seq(0.5), bias = -0.25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expected = math.rint(1.0 / (1.0 + math.exp(-0.25)) * 1e4) / 1e4
+    assert(got(1L) === ((3L, expected)))
+    assert(got(2L) === ((1L, expected)))
+  }
+
+  test("docs with no tokens are excluded, not scored") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "tok")).toDF("doc_id", "text")
+    val ids = Classify.hashedLinearScore(docs, col("doc_id"), col("text"),
+      Seq(0.1, 0.2), 0.0).select("id").as[Long].collect().toSet
+    assert(ids === Set(3L))
+  }
+
+  test("model rides the plan: no join, no extra shuffle beyond the combine") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = Classify.hashedLinearScore(docs, col("doc_id"), col("text"),
+      Seq.fill(64)(0.01), 0.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"weights must be plan literals:\n$plan")
+  }
+
+  test("deterministic under repartitioning (decimal-exact accumulation)") {
+    val rng = new scala.util.Random(3)
+    val docs = (1L to 200L).map(i =>
+      (i, Seq.fill(rng.nextInt(30) + 1)(s"t${rng.nextInt(50)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ws = Seq.fill(64)(math.rint(rng.nextGaussian() * 1e6) / 1e6)
+    val a = Classify.hashedLinearScore(docs, col("doc_id"), col("text"), ws, 0.2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = Classify.hashedLinearScore(docs.repartition(13), col("doc_id"),
+      col("text"), ws, 0.2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a === b)
+  }
+}
