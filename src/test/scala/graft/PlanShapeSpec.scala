@@ -154,4 +154,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       "per-group k-min rank lost map-side pruning")
   }
+
+  test("q70_countmin: both corpus scans prune to the text column; the " +
+      "counter aggregate map-combines") {
+    val p = plan("q70_countmin")
+    assert(!p.contains("ReadSchema: struct<doc_id"),
+      "documents scan must not read doc_id for the token sketch")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "text-only pruning lost")
+    assert(p.contains("partial_count"), "map-side combine missing")
+  }
+
+  test("q73_mix_sample: rate table broadcasts; the kept-row filter is " +
+      "map-side (corpus never shuffles)") {
+    val p = plan("q73_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), "rate join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle to join")
+  }
+
+  test("q77_linear_score: model rides the plan — no join at all, one " +
+      "map-combined per-doc aggregate") {
+    val p = plan("q77_linear_score")
+    assert(!p.contains("Join"), "weights must be plan literals, not a join")
+    assert(p.contains("partial_count"), "map-side combine missing")
+    assert(p.contains("poly_hash"),
+      "bucketing must run through the codegen'd kernel")
+  }
+
+  test("q21_cosine_topk: scoring runs on the codegen'd vector kernel " +
+      "inside a broadcast join, top-k prunes map-side") {
+    val p = plan("q21_cosine_topk")
+    assert(p.contains("vec_dot"), "cosine must use the native kernel")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(p.contains("WindowGroupLimit"), "top-k rank lost map-side pruning")
+  }
 }
