@@ -338,11 +338,18 @@ object Sketch {
     * with an `isin` pushdown. Nothing in the estimate path shuffles more
     * than the counter table itself. */
   def countMinEstimates(df: DataFrame, key: Column, depth: Int, width: Int,
+      probes: Seq[String]): DataFrame =
+    countMinEstimatesFrom(countMinCounters(df, key, depth, width),
+      df, key, depth, width, probes)
+
+  /** The estimate+exact join against an externally built counter table —
+    * shared by the batch path and the incremental state path. */
+  private def countMinEstimatesFrom(counters: DataFrame, df: DataFrame,
+      key: Column, depth: Int, width: Int,
       probes: Seq[String]): DataFrame = {
     require(probes.nonEmpty, "need at least one probe")
     val spark = df.sparkSession
     import spark.implicits._
-    val counters = countMinCounters(df, key, depth, width)
     val fp = TextExprs.polyFingerprint(col("token"))
     val probeBuckets = probes.toDF("token")
       .select(col("token"), posexplode(array(
@@ -363,4 +370,44 @@ object Sketch {
       .select(col("token"), col("est"),
         coalesce(col("exact"), lit(0L)).as("exact"))
   }
+
+  /** Incremental count-min over micro-batches (the fourth and last
+    * streaming-sketch variant, with KMV, Misra–Gries, and quantiles):
+    * counter addition is exact and commutative, so the merged state is
+    * BIT-IDENTICAL to the batch counter table for ANY arrival split —
+    * no compression step, no approximation in the merge. The state is ≤
+    * depth×width (row_i, bucket, c) parquet rows; each batch's counters
+    * collapse to that size via the same bounded groupBy before the
+    * driver-side add. */
+  def countMinIngestBatch(batch: DataFrame, key: Column, depth: Int,
+      width: Int, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchCounters = countMinCounters(batch, key, depth, width)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prior: Map[(Int, Long), Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+        spark.read.parquet(statePath).collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      else Map.empty
+    val merged = (prior.keySet ++ batchCounters.map(_._1)).toSeq.map { k =>
+      (k._1, k._2,
+        prior.getOrElse(k, 0L) + batchCounters.toMap.getOrElse(k, 0L))
+    }
+    merged.toDF("row_i", "bucket", "c").coalesce(1)
+      .write.mode("overwrite").parquet(statePath)
+  }
+
+  /** Point-frequency estimates from a state directory maintained by
+    * `countMinIngestBatch`, with exact counts recounted from the
+    * accumulated `corpus` (same schema and — by exact counter merge —
+    * the same output as `countMinEstimates` over the whole corpus). */
+  def countMinEstimatesFromState(statePath: String, corpus: DataFrame,
+      key: Column, depth: Int, width: Int,
+      probes: Seq[String]): DataFrame =
+    countMinEstimatesFrom(
+      corpus.sparkSession.read.parquet(statePath),
+      corpus, key, depth, width, probes)
 }

@@ -1948,6 +1948,27 @@ object TestdataQueries {
        |FROM sc""".stripMargin
   }
 
+  // ------------------- streaming count-min sketch (§2.10 ext)
+  // Counter addition is exact, so the merged micro-batch state is
+  // bit-identical to the batch counter table for any arrival split —
+  // q78 shares q70's oracle, closing the streaming-sketch family
+  // (q65 KMV, q75 MG, q76 quantiles, q78 count-min).
+  private def q78StreamingCountmin(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("cm_stream")
+      .toString + "/state"
+    val toks = (b: Int) => Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === b)
+      .select(explode(TextExprs.tokens(col("text"))).as("tok"))
+    (0 until 3).foreach { b =>
+      graft.operators.Sketch.countMinIngestBatch(
+        toks(b), col("tok"), q70Depth, q70Width, state)
+    }
+    graft.operators.Sketch.countMinEstimatesFromState(state,
+      Tables.documents(s, d)
+        .select(explode(TextExprs.tokens(col("text"))).as("tok")),
+      col("tok"), q70Depth, q70Width, q70Probes)
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2022,7 +2043,8 @@ object TestdataQueries {
     "q74_pack_examples" -> (q74PackExamples _),
     "q75_streaming_hh" -> (q75StreamingHh _),
     "q76_streaming_quantile" -> (q76StreamingQuantile _),
-    "q77_linear_score" -> (q77LinearScore _))
+    "q77_linear_score" -> (q77LinearScore _),
+    "q78_streaming_countmin" -> (q78StreamingCountmin _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2096,5 +2118,6 @@ object TestdataQueries {
     "q74_pack_examples" -> q74Sql,
     "q75_streaming_hh" -> q58Sql,
     "q76_streaming_quantile" -> q67Sql,
-    "q77_linear_score" -> q77Sql)
+    "q77_linear_score" -> q77Sql,
+    "q78_streaming_countmin" -> q70Sql)
 }

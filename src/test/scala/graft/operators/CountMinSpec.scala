@@ -59,4 +59,29 @@ class CountMinSpec extends SparkSpec {
       probes).collect().sortBy(_.getString(0)).toSeq
     assert(a === b)
   }
+
+  test("incremental ingest over any arrival split equals the batch sketch") {
+    val df = zipfKeys(9000)
+    val probes = Seq("tok0", "tok3", "tok17", "zzz_absent")
+    val batch = Sketch.countMinEstimates(df, col("key"), 3, 16, probes)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    for (nb <- Seq(2, 5)) {
+      val state = java.nio.file.Files
+        .createTempDirectory("cmspec").toString + "/s"
+      (0 until nb).foreach { b =>
+        Sketch.countMinIngestBatch(
+          df.filter(pmod(hash(col("key")), lit(nb)) === b),
+          col("key"), 3, 16, state)
+      }
+      // state is the batch counter table bit for bit (counter add is exact)
+      val stateRows = spark.read.parquet(state)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val batchRows = Sketch.countMinCounters(df, col("key"), 3, 16)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(stateRows === batchRows, s"$nb batches: counter tables differ")
+      val inc = Sketch.countMinEstimatesFromState(state, df, col("key"),
+        3, 16, probes).collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(inc === batch, s"$nb batches")
+    }
+  }
 }
