@@ -1969,6 +1969,25 @@ object TestdataQueries {
       col("tok"), q70Depth, q70Width, q70Probes)
   }
 
+  // ------------------------ interchange formats (§2.10 edges)
+  // ORC round-trip under the q1 aggregation: lineitem is exported to ORC
+  // (hive-partitioned) and read back with an EXPLICIT schema — no
+  // inference job — then aggregated. Sharing q1's oracle pins that the
+  // format edge is content-transparent.
+  private def q79FormatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt")
+      .toString + "/lineitem"
+    graft.sources.Formats.write(base, dir, "orc",
+      partitionBy = Seq("l_returnflag"))
+    graft.sources.Formats.read(s, dir, "orc", base.schema)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2044,7 +2063,8 @@ object TestdataQueries {
     "q75_streaming_hh" -> (q75StreamingHh _),
     "q76_streaming_quantile" -> (q76StreamingQuantile _),
     "q77_linear_score" -> (q77LinearScore _),
-    "q78_streaming_countmin" -> (q78StreamingCountmin _))
+    "q78_streaming_countmin" -> (q78StreamingCountmin _),
+    "q79_format_roundtrip" -> (q79FormatRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2119,5 +2139,6 @@ object TestdataQueries {
     "q75_streaming_hh" -> q58Sql,
     "q76_streaming_quantile" -> q67Sql,
     "q77_linear_score" -> q77Sql,
-    "q78_streaming_countmin" -> q70Sql)
+    "q78_streaming_countmin" -> q70Sql,
+    "q79_format_roundtrip" -> q1Sql)
 }
