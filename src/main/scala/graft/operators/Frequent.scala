@@ -176,4 +176,79 @@ object Frequent {
     val candidates = rows.collect { case (k, _) if k != null => k }.toSeq
     recount(corpus, key, candidates, nTotal, minShare)
   }
+
+  /** Per-event-time-window exact heavy hitters ("trending keys"): items
+    * with share >= minShare WITHIN their `windowSeconds` bucket. Output:
+    * `(w_start, item, cnt, n_total)` with `w_start` in epoch seconds.
+    *
+    * Unlike the single-window operators above, this one is fully
+    * relational end to end — no driver summary: pass 1 runs Misra–Gries
+    * PER (partition, window) and emits its candidates (≤ partitions ×
+    * windows × counters rows) plus one total row per (partition,
+    * window) as a DataFrame; the threshold join and exact recount are
+    * ordinary bounded aggregations, so window count never bottlenecks
+    * the driver. Per-task memory is O(windows-seen-by-partition ×
+    * counters) — the sketch-by-key regime (event streams are roughly
+    * time-ordered, so most partitions see few windows; same documented
+    * contract as `Sketch.kmvDistinctByGroup`). The MG guarantee applies
+    * per window (pigeonhole within the window's rows), so with
+    * minShare > 1/(counters+1) no within-window heavy hitter is lost,
+    * and the exact recount makes the output identical to the plain
+    * per-window GROUP BY/HAVING. */
+  def heavyHittersByWindow(df: DataFrame, ts: Column, key: Column,
+      windowSeconds: Long, minShare: Double,
+      counters: Int = 256): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0, got $windowSeconds")
+    requireGuarantee(minShare, counters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+      (floor(ts.cast("long") / windowSeconds).cast("long") *
+        windowSeconds).as("w_start"),
+      key.cast("string").as("item"))
+      .filter(col("item").isNotNull && col("w_start").isNotNull)
+    // pass 1: MG per (partition, window); emit (w, item) candidates and
+    // one (w, null, n) total row per partition-window
+    val partial = rows.as[(Long, String)].mapPartitions { it =>
+      val sketches = new java.util.HashMap[java.lang.Long,
+        java.util.HashMap[String, java.lang.Long]]()
+      val totals = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      it.foreach { case (w, k) =>
+        totals.merge(w, 1L, (a, b) => a + b)
+        var counts = sketches.get(w)
+        if (counts == null) {
+          counts = new java.util.HashMap[String, java.lang.Long](counters * 2)
+          sketches.put(w, counts)
+        }
+        val cur = counts.get(k)
+        if (cur != null) counts.put(k, cur + 1L)
+        else if (counts.size < counters) counts.put(k, 1L)
+        else {
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove()
+            else en.setValue(en.getValue - 1L)
+          }
+        }
+      }
+      sketches.entrySet().iterator().asScala.flatMap { we =>
+        we.getValue.keySet().iterator().asScala
+          .map(k => (Long.unbox(we.getKey), k, 0L))
+      } ++ totals.entrySet().iterator().asScala.map(te =>
+        (Long.unbox(te.getKey), null: String, Long.unbox(te.getValue)))
+    }.toDF("w_start", "item", "n")
+    val candidates = partial.filter(col("item").isNotNull)
+      .select(col("w_start"), col("item")).distinct()
+    val totals = partial.filter(col("item").isNull)
+      .groupBy(col("w_start")).agg(sum(col("n")).as("n_total"))
+    // pass 2: exact recount over candidate (window, item) pairs only,
+    // thresholded per window — both joins on bounded relations
+    rows.join(candidates, Seq("w_start", "item"), "left_semi")
+      .groupBy(col("w_start"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(totals, Seq("w_start"))
+      .filter(col("cnt") >= ceil(lit(minShare) * col("n_total")).cast("long"))
+      .select(col("w_start"), col("item"), col("cnt"), col("n_total"))
+  }
 }

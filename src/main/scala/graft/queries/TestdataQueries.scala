@@ -1988,6 +1988,27 @@ object TestdataQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // ----------------- per-window heavy hitters / trending (§2.10 ext)
+  // Hot users per day-window of the event stream: Misra-Gries per
+  // (partition, window) with a fully relational candidate/threshold
+  // path — no driver summary — and an exact recount, so the output IS
+  // the per-window GROUP BY/HAVING the oracle runs.
+  private val q80WindowSec = 86400L
+  private val q80MinShare = 0.02
+
+  private def q80TrendingUsers(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frequent.heavyHittersByWindow(
+      Tables.events(s, d), col("ts"), col("user_id"),
+      q80WindowSec, q80MinShare, counters = 128)
+
+  private val q80Sql =
+    s"""WITH w AS (SELECT CAST(floor(epoch(ts)/$q80WindowSec) AS BIGINT)*$q80WindowSec AS w_start,
+       |    CAST(user_id AS VARCHAR) AS item FROM events),
+       |t AS (SELECT w_start, count(*) AS n_total FROM w GROUP BY 1),
+       |c AS (SELECT w_start, item, count(*) AS cnt FROM w GROUP BY 1, 2)
+       |SELECT c.w_start, item, cnt, n_total FROM c JOIN t USING (w_start)
+       |WHERE cnt >= CAST(ceil($q80MinShare * n_total) AS BIGINT)""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2064,7 +2085,8 @@ object TestdataQueries {
     "q76_streaming_quantile" -> (q76StreamingQuantile _),
     "q77_linear_score" -> (q77LinearScore _),
     "q78_streaming_countmin" -> (q78StreamingCountmin _),
-    "q79_format_roundtrip" -> (q79FormatRoundtrip _))
+    "q79_format_roundtrip" -> (q79FormatRoundtrip _),
+    "q80_trending_users" -> (q80TrendingUsers _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2140,5 +2162,6 @@ object TestdataQueries {
     "q76_streaming_quantile" -> q67Sql,
     "q77_linear_score" -> q77Sql,
     "q78_streaming_countmin" -> q70Sql,
-    "q79_format_roundtrip" -> q1Sql)
+    "q79_format_roundtrip" -> q1Sql,
+    "q80_trending_users" -> q80Sql)
 }

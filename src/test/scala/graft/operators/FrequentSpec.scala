@@ -112,6 +112,48 @@ class FrequentSpec extends SparkSpec {
     }
   }
 
+  test("per-window heavy hitters equal per-window GROUP BY/HAVING") {
+    // 4 windows of 1000s; each window has its own heavy key plus noise —
+    // a key hot in window 0 must NOT leak into window 1's output
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 4).flatMap { wi =>
+      val hot = Seq.fill(80)((wi * 1000L + rng.nextInt(1000), s"hot$wi"))
+      val noise = Seq.fill(400)(
+        (wi * 1000L + rng.nextInt(1000), s"u${rng.nextInt(300)}"))
+      hot ++ noise
+    }
+    val df = rows.toDF("sec", "item")
+      .select(col("sec").cast("timestamp").as("ts"), col("item"))
+    val got = Frequent.heavyHittersByWindow(df, col("ts"), col("item"),
+      windowSeconds = 1000L, minShare = 0.05, counters = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // exact reference
+    val byWindow = rows.groupBy(_._1 / 1000L * 1000L)
+    val expected = byWindow.flatMap { case (w, rs) =>
+      val t = math.ceil(0.05 * rs.size).toLong
+      rs.groupBy(_._2).collect {
+        case (k, occ) if occ.size >= t =>
+          (w, k) -> (occ.size.toLong, rs.size.toLong)
+      }
+    }
+    assert(got === expected)
+    // windows don't leak
+    assert(got.keySet.count(_._2.startsWith("hot")) === 4)
+  }
+
+  test("per-window pass is partitioning-independent") {
+    val rows = (0 until 2000).map(i =>
+      ((i % 3) * 500L + i % 499, s"k${i % 40}"))
+    val df = rows.toDF("sec", "item")
+      .select(col("sec").cast("timestamp").as("ts"), col("item"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Frequent.heavyHittersByWindow(d, col("ts"), col("item"), 500L,
+        0.04, 32).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(run(df.repartition(1)) === run(df.repartition(17)))
+  }
+
   test("incremental state stays bounded at counters+1 rows") {
     val state = java.nio.file.Files
       .createTempDirectory("mgspec2").toString + "/s"
