@@ -255,6 +255,59 @@ object Sketch {
         col("n_sample").cast("long").as("n_sample"), lit(k).as("k"))
   }
 
+  /** Per-group quantile estimates: `quantileSketch` keyed by `group` —
+    * one row per (group, prob), `(grp, prob, est_value, n_sample, k)`.
+    * The per-partition pass holds one k-bounded (hash, value) set PER
+    * GROUP (memory O(groups × k) per task — the same sketch-by-key
+    * contract as `kmvDistinctByGroup`), so only partitions × groups × k
+    * pairs reach the exchange, never a group's value column. The merge
+    * and rank-pick windows are PARTITIONED BY group — no global window
+    * at any size. */
+  def quantileSketchByGroup(df: DataFrame, group: Column, value: Column,
+      uniq: Column, k: Int, probs: Seq[Double]): DataFrame = {
+    require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(group.cast("string").as("g"),
+      mixedHash(uniq.cast("string")).as("h"), value.cast("double").as("v"))
+      .filter(col("g").isNotNull && col("h").isNotNull && col("v").isNotNull)
+      .as[(String, Long, Double)]
+    val partial = hashed.mapPartitions { it =>
+      val sets = new java.util.HashMap[String,
+        scala.collection.mutable.TreeSet[(Long, Double)]]()
+      it.foreach { case (g, h, v) =>
+        var set = sets.get(g)
+        if (set == null) {
+          set = scala.collection.mutable.TreeSet.empty[(Long, Double)]
+          sets.put(g, set)
+        }
+        set.add((h, v))
+        if (set.size > k) set.remove(set.last)
+      }
+      sets.entrySet().iterator().asScala.flatMap { e =>
+        e.getValue.iterator.map { case (h, v) => (e.getKey, h, v) }
+      }
+    }.toDF("g", "h", "v")
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h").asc, col("v").asc)
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").asc, col("h").asc)
+    val sample = partial.distinct()
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= k)
+      .withColumn("qrn", row_number().over(wVal))
+    val n = sample.groupBy(col("g")).agg(max(col("qrn")).as("n_sample"))
+    probs.toDF("prob").crossJoin(n)
+      .withColumn("rank", ceil(col("prob") * col("n_sample")).cast("int"))
+      .join(sample.select(col("g"), col("qrn"), col("v")),
+        Seq("g"), "inner")
+      .filter(col("rank") === col("qrn"))
+      .select(col("g").as("grp"), col("prob"), col("v").as("est_value"),
+        col("n_sample").cast("long").as("n_sample"), lit(k).as("k"))
+  }
+
   /** Incremental quantile sketch over micro-batches (completing the
     * streaming-sketch family with KMV and Misra–Gries): the state is the
     * k smallest distinct (hash, value) pairs seen so far, read as plain

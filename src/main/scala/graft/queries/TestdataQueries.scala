@@ -2009,6 +2009,40 @@ object TestdataQueries {
        |SELECT c.w_start, item, cnt, n_total FROM c JOIN t USING (w_start)
        |WHERE cnt >= CAST(ceil($q80MinShare * n_total) AS BIGINT)""".stripMargin
 
+  // -------------------- per-group quantile sketch (§2.10 ext)
+  // Price quantiles per return flag at sketch cost: one k-bounded
+  // (hash, value) set per (partition, group) — the same sketch-by-key
+  // contract as q64 — with every window PARTITIONED BY group. The
+  // oracle replays the identical per-group sample.
+  private val q81K = 128
+
+  private def q81QuantilesByGroup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketch.quantileSketchByGroup(
+      Tables.lineitem(s, d), col("l_returnflag"), col("l_extendedprice"),
+      col("l_orderkey") * 10 + col("l_linenumber"), q81K, q67Probs)
+
+  private val q81Sql = {
+    val raw = "list_reduce(list_transform(string_split(" +
+      "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val h = s"((($raw * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    val pv = q67Probs.map(p => s"($p)").mkString(", ")
+    s"""WITH hv AS (SELECT l_returnflag AS grp, $h AS h,
+       |      CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+       |d AS (SELECT DISTINCT grp, h, v FROM hv),
+       |r AS (SELECT grp, h, v, row_number() OVER (
+       |        PARTITION BY grp ORDER BY h, v) AS rn FROM d),
+       |s AS (SELECT grp, h, v, row_number() OVER (
+       |        PARTITION BY grp ORDER BY v, h) AS qrn
+       |      FROM r WHERE rn <= $q81K),
+       |n AS (SELECT grp, max(qrn) AS n_sample FROM s GROUP BY grp),
+       |p(prob) AS (VALUES $pv)
+       |SELECT s.grp, prob, v AS est_value,
+       |  CAST(n.n_sample AS BIGINT) AS n_sample, $q81K AS k
+       |FROM p CROSS JOIN n JOIN s ON s.grp = n.grp
+       |  AND s.qrn = CAST(ceil(prob * n.n_sample) AS INTEGER)""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2086,7 +2120,8 @@ object TestdataQueries {
     "q77_linear_score" -> (q77LinearScore _),
     "q78_streaming_countmin" -> (q78StreamingCountmin _),
     "q79_format_roundtrip" -> (q79FormatRoundtrip _),
-    "q80_trending_users" -> (q80TrendingUsers _))
+    "q80_trending_users" -> (q80TrendingUsers _),
+    "q81_quantiles_by_group" -> (q81QuantilesByGroup _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2163,5 +2198,6 @@ object TestdataQueries {
     "q77_linear_score" -> q77Sql,
     "q78_streaming_countmin" -> q70Sql,
     "q79_format_roundtrip" -> q1Sql,
-    "q80_trending_users" -> q80Sql)
+    "q80_trending_users" -> q80Sql,
+    "q81_quantiles_by_group" -> q81Sql)
 }

@@ -130,6 +130,25 @@ class SketchSpec extends SparkSpec {
     assert(a === b, "sample must not depend on partitioning")
   }
 
+  test("by-group quantiles: small groups exact, isolation between groups") {
+    // group "small": 40 values 1..40 (< k → sample IS the data, quantiles
+    // exact); group "big": 5000 values shifted by 10000 — its presence
+    // must not perturb "small"'s estimates
+    val small = spark.range(40).select(lit("small").as("g"),
+      (col("id") + 1).cast("double").as("v"), col("id").as("uid"))
+    val big = spark.range(5000).select(lit("big").as("g"),
+      (col("id") + 10000).cast("double").as("v"), (col("id") + 1000).as("uid"))
+    val out = Sketch.quantileSketchByGroup(small.union(big), col("g"),
+      col("v"), col("uid"), k = 256, probs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("small", 0.5)) === 20.0) // rank ceil(0.5*40) = 20
+    assert(out(("small", 0.9)) === 36.0)
+    assert(out(("big", 0.5)) >= 10000.0, "groups must not bleed")
+    // big is saturated: estimate within the sketch error band
+    assert(math.abs(out(("big", 0.5)) - 12500.0) < 1500.0)
+  }
+
   test("incremental quantile sketch: any arrival split is bit-identical") {
     val df = spark.range(20000).select(col("id").as("uid"),
       (col("id") % 997).cast("double").as("v"))
