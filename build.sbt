@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes to sbt's own stdout UNWRAPPED. The default
+// (LoggedOutput) prefixes every child line with "[info] ", which breaks
+// line-level JSON parsing of Bench's output in the capturing harness —
+// every BENCH_r1..r6 artifact came back parsed:null partly because of it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,9 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every registered query against
-  * SPARK_GRAFT_SF_DIR, print ONE JSON line. A query that throws is reported
-  * explicitly in "errors" (and as -1 in "queries") instead of being silently
+  * SPARK_GRAFT_SF_DIR. A query that throws is reported explicitly in
+  * "errors" (and as -1 in its per-query line) instead of being silently
   * folded into the total — a bench can't look green with broken queries.
+  *
+  * Output layout (round-7 fix): the driver captures only the LAST ~2000
+  * characters of stdout, so the round-6 single giant JSON line (with
+  * "total" printed FIRST) self-truncated — BENCH_r06.json had parsed:null
+  * and the front ~30 query timings missing. Now:
+  *  - one SHORT JSON line per query as it completes, carrying the median,
+  *    the raw per-rep times, and /proc/loadavg at completion (rep-level
+  *    contention evidence lives in stdout and in the detail file);
+  *  - the FULL result (all queries, reps, loadavg, uptime) is written to
+  *    BENCH_DETAIL.json in the working directory;
+  *  - the LAST line is a compact summary (total, counts, start/end load,
+  *    the 10 slowest query medians) small enough to always survive the
+  *    tail capture and parse. A contended run (e.g. round-6 q44 46.5 s vs
+  *    2.4 s idle) is now diagnosable from the artifact alone: loadavg >>
+  *    ncpus at the slow query's completion line says "box was busy",
+  *    divergent reps inside one query say "transient spike".
   *
   * Each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
   * MEDIAN is reported: single-shot numbers at codegen-dominated fixture
@@ -71,6 +87,26 @@ object Bench {
       }
     }
 
+    // sbt's in-process `run` replaces System.out with a logger that
+    // prefixes every line with "[info] " — which breaks a per-line
+    // json.loads in the capturing driver (every BENCH_r1..r6 artifact has
+    // parsed:null). FileDescriptor.out is the real fd 1, untouched by the
+    // logger swap: JSON written here reaches the capture raw.
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+
+    // 1-minute loadavg: the contention witness. Reading it per query (not
+    // once at the end) is what lets the artifact distinguish "slow operator"
+    // from "busy box" after the fact.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(' ')(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def uptimeSec(): Double =
+      try scala.io.Source.fromFile("/proc/uptime").mkString.split(' ')(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000 // ms precision, short JSON
+
+    val loadStart = loadavg()
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // full reset + GC before each query so its reps start from the same
@@ -92,14 +128,38 @@ object Bench {
             -1.0
         }
       }.takeWhile(_ >= 0).toVector // an error rep aborts the remaining reps
-      if (times.size < reps) name -> -1.0
-      else name -> times.sorted.apply(reps / 2) // median
+      val median = if (times.size < reps) -1.0 else times.sorted.apply(reps / 2)
+      val load = loadavg()
+      // one short evidence line per query, printed BEFORE the summary so a
+      // tail capture keeps the summary; the detail file keeps everything
+      rawOut.println(s"""{"q":${q(name)},"median":${r3(median)},"reps":[${times.map(r3).mkString(",")}],"load":$load}""")
+      (name, median, times, load)
     }
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val loadEnd = loadavg()
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)}}""")
+
+    // full artifact on disk: every query's median, raw reps, and loadavg
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailEntries = results.map { case (k, v, ts, ld) =>
+      s"""${q(k)}:{"median":$v,"reps":[${ts.mkString(",")}],"load":$ld}"""
+    }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailEntries,"errors":$es,"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"load_start":$loadStart,"load_end":$loadEnd,"uptime_sec":${uptimeSec()}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
+
+    // compact trailing summary: total LAST on stdout, slowest-10 medians
+    // in-line (q44-class outliers are thus always in-artifact), bounded
+    // size (~600 chars for 91 queries) so the 2000-char tail always holds
+    // a parseable JSON object even with sbt's epilogue after it
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
     spark.stop()
+    // print the summary AFTER spark.stop() so no late executor/log line can
+    // land between it and the end of the capture window
+    rawOut.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }
