@@ -14,15 +14,25 @@ object BenchOne {
     graft.omm.OmmFixtures.ensure(spark)
     try Seq("lineitem", "orders", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()) catch { case _: Throwable => () }
+    // job counter: scheduling latency of many small jobs is what a
+    // contended box amplifies (round-6 q44 forensics), so the job count
+    // per query is a first-class figure next to the wall time
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     for (n <- names; rep <- 1 to 3) {
       // mirror Bench's per-rep reset exactly so standalone numbers are
       // comparable with in-bench medians
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"TIMING $n rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"TIMING $n rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s jobs=${jobs.get()-j0}")
     }
     spark.stop()
   }

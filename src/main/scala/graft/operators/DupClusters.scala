@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.slf4j.LoggerFactory
@@ -59,21 +59,26 @@ object DupClusters {
     *
     * When the edge set is small — `edgeCount <= localMaxEdges`, known for
     * free because the edges are counted to materialize their persist —
-    * the components are resolved by a single-task union-find over the
-    * edge list instead of the distributed loop. This is the common case
-    * by construction: near-dup families are a vanishingly small fraction
-    * of any real corpus, so even a 100 TB corpus's verified near-dup EDGE
-    * set is millions of rows, not billions. The corpus-scale work (edge
-    * production, the isolated-vertex anti-join) stays fully distributed;
-    * only the O(dup-set) contraction runs in one task — the same
-    * "finish small graphs locally" regime production CC implementations
-    * use, and ~10× fewer Spark jobs than the loop at bench scale. The
-    * 1M-edge default is MEASURED, not guessed (ScaleProbe `uf` mode,
-    * chains-of-5 shape, local[32]): local wins 8.4 s vs 14.5 s at 1M
-    * edges, ties at 2M (21.0 vs 19.1), loses at 4M (41.6 vs 19.9) — the
-    * crossover sits near 2M and the default stays on its safe side. The
-    * primitive long→long parent table ([[LongLongMap]]) holds ~19 MB at
-    * the threshold (vs several hundred MB for the previous boxed
+    * the components are resolved by a driver-side union-find over the
+    * collected edge list instead of the distributed loop. This is the
+    * common case by construction: near-dup families are a vanishingly
+    * small fraction of any real corpus, so even a 100 TB corpus's verified
+    * near-dup EDGE set is millions of rows, not billions — and those rows
+    * were ALREADY driver-bound in any local finish (the labeled output is
+    * the build side of a broadcast join). The corpus-scale work (edge
+    * production, the incident-vertex semi-join, the final labeling join)
+    * stays fully distributed; only the O(dup-set) contraction runs on the
+    * driver — the same "finish small graphs locally" regime production CC
+    * implementations use, at exactly 3 Spark jobs before the caller's
+    * action (round 6 ran ~8: two broadcast-semi-join builds, a separate
+    * incident count, and a coalesce(1) contraction task on top — job
+    * scheduling latency was the contention amplifier in two rounds of
+    * bench artifacts). The 1M-edge default is MEASURED, not guessed
+    * (ScaleProbe `uf` mode, chains-of-5 shape, local[32]): local wins
+    * 8.4 s vs 14.5 s at 1M edges, ties at 2M (21.0 vs 19.1), loses at 4M
+    * (41.6 vs 19.9) — the crossover sits near 2M and the default stays on
+    * its safe side. The primitive long→long parent table ([[LongLongMap]])
+    * holds ~19 MB at the threshold (vs several hundred MB for a boxed
     * HashMap[Any,Any]). Above the threshold the iterative
     * min-label/pointer-jumping path below takes over.
     *
@@ -93,45 +98,60 @@ object DupClusters {
     // once total
     val directed = edges.select(col("src"), col("dst")).persist()
     val edgeCount = directed.count()
-    val und = directed
-      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-    // iterate ONLY over edge-incident vertices; isolated ones are done at
-    // round 0 and never need to enter (or be re-shuffled by) the loop.
-    // Derived from the CACHED directed relation, not the raw edges plan.
-    val endpoints = directed.select(col("src").as("id"))
-      .union(directed.select(col("dst").as("id")))
-      .distinct()
     val idType = directed.schema("src").dataType
     val localOrd =
       if (edgeCount <= localMaxEdges) minOrdering(idType) else None
-    // endpoints ∩ vertex universe. In the small-edge regime the endpoint
-    // set is broadcast so the (possibly corpus-sized) vertex scan is
-    // streamed map-side — the big regime keeps the plain semi-join and
-    // lets the planner shuffle both sides.
-    val incident = (localOrd match {
-      case Some(_) => vertices.select(col("id"))
-        .join(broadcast(endpoints), Seq("id"), "left_semi")
-      case None => endpoints
-        .join(vertices.select(col("id")), Seq("id"), "left_semi")
-    }).persist()
     localOrd match {
       case Some(ord) =>
-        // materialize ONCE before the fan-out: the union-find input
-        // references incident three times (self-edges + two broadcast
-        // semi-joins), and concurrent broadcast jobs against an
-        // unmaterialized persist each recompute its plan — measured 3×
-        incident.count()
-        // The contraction output is bounded by 2·localMaxEdges rows and
-        // is destined for the BUILD side of a broadcast join — which
-        // collects to the driver anyway — so collect it explicitly and
-        // rebuild it as a LocalRelation: identical data movement, one
-        // fewer Spark job, and no persisted relation escapes the
-        // operator (the previous `labeled.persist()` here outlived the
-        // call and accumulated in long-lived sessions).
-        val labeledRows = localUnionFind(directed, incident, idType, ord)
-          .collect()
+        // Small-edge regime, round-7 shape: the edge set is bounded by
+        // localMaxEdges, i.e. the SAME rows the previous plan shipped to
+        // the driver twice as broadcast builds and once through a
+        // single-task contraction — so ship them once, explicitly, and do
+        // everything bounded on the driver. Exactly THREE Spark jobs
+        // before the caller's action (count → collect-from-cache →
+        // incident semi-join collect) where the previous shape ran ~8
+        // (count, incident count, two broadcast builds, coalesce(1)
+        // contraction, labeled collect, plus AQE re-plans); measured via
+        // BenchOne jobs=: q44 18→9, q55 28→19. Scheduling latency of many
+        // small jobs — not data volume — was what a contended box
+        // amplified 10–20× in two rounds of official bench artifacts.
+        val edgeRows = directed.collect()
         directed.unpersist()
-        incident.unpersist()
+        // endpoints + incident ∩ vertex universe. The endpoint set is a
+        // driver-built LocalRelation broadcast against the (possibly
+        // corpus-sized) vertex scan, which therefore stays map-side; its
+        // result is bounded by 2·edgeCount rows, safe to collect.
+        val endpointSchema = StructType(Seq(StructField("id", idType)))
+        val endpointRows: java.util.List[Row] = {
+          val seen = new java.util.HashSet[Any]()
+          val out = new java.util.ArrayList[Row]()
+          edgeRows.foreach { r =>
+            val a = r.get(0); val b = r.get(1)
+            if (seen.add(a)) out.add(Row(a))
+            if (seen.add(b)) out.add(Row(b))
+          }
+          out
+        }
+        val endpointsDf = vertices.sparkSession
+          .createDataFrame(endpointRows, endpointSchema)
+        val incidentRows = vertices.select(col("id"))
+          .join(broadcast(endpointsDf), Seq("id"), "left_semi")
+          .collect()
+        // driver-side exact contraction — no Spark job at all: the
+        // incident vertices enter as self-edges (so vertices whose only
+        // edges point outside the universe still label themselves), edges
+        // are restricted to universe-internal pairs — identical semantics
+        // to the propagation loop, where an out-of-universe endpoint
+        // never carries a label. Union-by-min roots make each root the
+        // component minimum.
+        val incidentSet = new java.util.HashSet[Any](incidentRows.length * 2)
+        incidentRows.foreach(r => incidentSet.add(r.get(0)))
+        val selfEdges = incidentRows.iterator.map(r => Row(r.get(0), r.get(0)))
+        val validEdges = edgeRows.iterator.filter(r =>
+          incidentSet.contains(r.get(0)) && incidentSet.contains(r.get(1)))
+        val fn: Iterator[Row] => Iterator[Row] =
+          if (idType == LongType) unionFindLong else unionFindGeneric(ord)
+        val labeledRows = fn(selfEdges ++ validEdges).toArray
         val outSchema = StructType(Seq(
           StructField("id", idType), StructField("cluster_rep", idType)))
         val labeled = vertices.sparkSession.createDataFrame(
@@ -145,39 +165,27 @@ object DupClusters {
           .select(col("id"),
             coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
       case None =>
+        val und = directed
+          .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+        // iterate ONLY over edge-incident vertices; isolated ones are done
+        // at round 0 and never need to enter (or be re-shuffled by) the
+        // loop. Derived from the CACHED directed relation, not the raw
+        // edges plan.
+        val endpoints = directed.select(col("src").as("id"))
+          .union(directed.select(col("dst").as("id")))
+          .distinct()
+        val incident = endpoints
+          .join(vertices.select(col("id")), Seq("id"), "left_semi")
+          .persist()
         iterativeMinLabel(vertices, directed, und, incident,
           maxIter, failOnNonConvergence)
     }
   }
 
-  /** Single-task exact contraction for the small-edge-set regime: the
-    * incident vertices enter as self-edges (so vertices whose only edges
-    * point outside the universe still label themselves), edges are
-    * restricted to universe-internal pairs with broadcast semi-joins
-    * against the (small) incident set — identical semantics to the
-    * propagation loop, where an out-of-universe endpoint never carries a
-    * label. Union-by-min roots make each root the component minimum. */
-  private def localUnionFind(directed: DataFrame, incident: DataFrame,
-                             idType: DataType,
-                             ord: Ordering[Any]): DataFrame = {
-    val validEdges = directed
-      .join(broadcast(incident.withColumnRenamed("id", "src")),
-        Seq("src"), "left_semi")
-      .join(broadcast(incident.withColumnRenamed("id", "dst")),
-        Seq("dst"), "left_semi")
-      .select(col("src"), col("dst"))
-    val selfEdges = incident.select(col("id").as("src"), col("id").as("dst"))
-    val out = StructType(Seq(
-      StructField("id", idType), StructField("cluster_rep", idType)))
-    val fn: Iterator[Row] => Iterator[Row] =
-      if (idType == LongType) unionFindLong else unionFindGeneric(ord)
-    selfEdges.union(validEdges).coalesce(1).mapPartitions(fn)(Encoders.row(out))
-  }
-
   /** Primitive-keyed union-find for Long ids (every registered caller's id
     * type): the parent table is an open-addressing long→long map at ~16
     * bytes/entry instead of a boxed `HashMap[Any,Any]` at ~80, so the
-    * single contraction task at the 1M-edge threshold holds ~32 MB of
+    * driver-side contraction at the 1M-edge threshold holds ~32 MB of
     * parent state, not hundreds (see SCALE.md's union-find probe). */
   private def unionFindLong(rows: Iterator[Row]): Iterator[Row] = {
     val parent = new LongLongMap(1 << 12)
