@@ -4,7 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector scalar expressions over `array<float>` / `array<double>`
-  * embedding columns (SURVEY.md §2.10 similarity search).
+  * embedding columns (SURVEY.md §2.10 similarity search). Integral element
+  * types (`array<int>` etc.) are accepted too — the kernel widens each
+  * element to double, exactly what the former `cast('array<double>')`
+  * fallback produced, so pre-kernel external callers keep working.
   *
   * The arithmetic contract is the plain left-to-right fold
   * `aggregate(zip_with(a, b, x·y), 0.0, +)` in double — reproducible and

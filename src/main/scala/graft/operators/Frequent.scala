@@ -141,11 +141,9 @@ object Frequent {
     val nBatch = partials.collect { case (null, np) => np }.sum
     val batchSketch = partials.filter(_._1 != null)
       .groupMapReduce(_._1)(_._2)(_ + _)
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val (priorSketch, priorN) =
-      if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) {
-        val rows = spark.read.parquet(statePath)
+      if (SketchState.exists(spark, statePath)) {
+        val rows = SketchState.read(spark, statePath)
           .collect().map(r => (r.getString(0), r.getLong(1)))
         (rows.filter(_._1 != null).toMap,
           rows.collect { case (null, n) => n }.sum)
@@ -154,10 +152,10 @@ object Frequent {
       (priorSketch.keySet ++ batchSketch.keySet).map(k =>
         k -> (priorSketch.getOrElse(k, 0L) + batchSketch.getOrElse(k, 0L)))
         .toMap, counters)
-    // state is ≤ counters+1 rows: a single-partition write IS the layout
-    (merged.toSeq :+ ((null: String, priorN + nBatch)))
-      .toDF("item", "c").coalesce(1)
-      .write.mode("overwrite").parquet(statePath)
+    // crash-safe swap; state is ≤ counters+1 rows (see SketchState)
+    SketchState.write(
+      (merged.toSeq :+ ((null: String, priorN + nBatch))).toDF("item", "c"),
+      statePath)
   }
 
   /** Exact heavy hitters from a state directory maintained by
@@ -169,7 +167,7 @@ object Frequent {
       key: Column, minShare: Double, counters: Int = 256): DataFrame = {
     requireGuarantee(minShare, counters)
     val spark = corpus.sparkSession
-    val rows = spark.read.parquet(statePath)
+    val rows = SketchState.read(spark, statePath)
       .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
         r.getLong(1)))
     val nTotal = rows.collect { case (null, n) => n }.sum

@@ -32,14 +32,30 @@ object Mix {
       weight: Column, budget: Long, scale: Int = 10000): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(scale >= 2, s"scale must be >= 2, got $scale")
+    // budget·scale is computed in Long inside the rate expression — an
+    // unguarded huge budget would overflow silently (ANSI off) and flip
+    // keep rates negative
+    require(budget <= Long.MaxValue / scale,
+      s"budget * scale overflows Long: budget=$budget scale=$scale")
     val rows = df.select(id.as("id"), group.as("grp"),
       weight.cast("long").as("w"))
       .filter(col("id").isNotNull && col("grp").isNotNull)
+    // negative weights make the budget arithmetic meaningless — fail the
+    // job with a clear message (distributed check, no extra pass: min(w)
+    // rides the same aggregate). A group whose total weight is 0 (all-zero
+    // weights) is trivially under any budget → keep-all, NOT the silent
+    // null→least()-skip that previously also yielded keep-all but by
+    // accident of null semantics.
     val rates = rows.groupBy(col("grp"))
-      .agg(sum(col("w")).as("t_total"))
-      .select(col("grp"), least(lit(scale.toLong),
-        call_function("div", lit(budget) * scale, col("t_total")))
-        .as("rate_bp"))
+      .agg(sum(col("w")).as("t_total"), min(col("w")).as("w_min"))
+      .select(col("grp"),
+        when(col("w_min") < 0, raise_error(concat(
+            lit("Mix.sampleToBudget: negative weight in group "),
+            col("grp").cast("string"))).cast("long"))
+          .when(col("t_total") <= 0, lit(scale.toLong))
+          .otherwise(least(lit(scale.toLong),
+            call_function("div", lit(budget) * scale, col("t_total"))))
+          .as("rate_bp"))
     rows.join(broadcast(rates), Seq("grp"))
       .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
         lit(scale.toLong)) < col("rate_bp"))

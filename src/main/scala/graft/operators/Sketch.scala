@@ -157,7 +157,7 @@ object Sketch {
     * Scale shape: the distributed work per batch is the same k-bounding
     * pass as the batch sketch over the BATCH only; the merge against
     * state is k-sized driver arithmetic (the state IS metadata — ≤ k
-    * longs), written back atomically via overwrite. */
+    * longs), written back via the crash-safe [[SketchState]] swap. */
   def kmvIngestBatch(batch: DataFrame, key: Column, k: Int,
       statePath: String): Unit = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
@@ -165,23 +165,20 @@ object Sketch {
     import spark.implicits._
     val batchMin: Array[Long] = kBoundedHashes(batch, key, k)
       .distinct().orderBy(col("value").asc).limit(k).collect()
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val prior: Array[Long] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
-        spark.read.parquet(statePath).as[Long].collect()
+      if (SketchState.exists(spark, statePath))
+        SketchState.read(spark, statePath).as[Long].collect()
       else Array.empty[Long]
     val merged = (prior ++ batchMin).distinct.sorted.take(k)
-    // state is ≤ k longs: a single-partition write IS the right layout
-    merged.toSeq.toDF("h").coalesce(1)
-      .write.mode("overwrite").parquet(statePath)
+    // crash-safe swap; state is ≤ k longs (see SketchState)
+    SketchState.write(merged.toSeq.toDF("h"), statePath)
   }
 
   /** The one-row estimate (same schema as `kmvDistinct`) from a state
     * directory maintained by `kmvIngestBatch`. */
   def kmvFromState(spark: org.apache.spark.sql.SparkSession, statePath: String,
       k: Int): DataFrame =
-    estimateFrom(spark.read.parquet(statePath), k)
+    estimateFrom(SketchState.read(spark, statePath), k)
 
   /** Deterministic quantile sketch: a bottom-k-by-hash row sample (the k
     * smallest distinct `(mixedHash(uniq), value)` pairs — a simple random
@@ -322,23 +319,20 @@ object Sketch {
     import spark.implicits._
     val batchMin: Array[(Long, Double)] = bottomKPairs(batch, value, uniq, k)
       .distinct().orderBy(col("_1").asc, col("_2").asc).limit(k).collect()
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val prior: Array[(Long, Double)] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
-        spark.read.parquet(statePath)
+      if (SketchState.exists(spark, statePath))
+        SketchState.read(spark, statePath)
           .collect().map(r => (r.getLong(0), r.getDouble(1)))
       else Array.empty
     val merged = (prior ++ batchMin).distinct.sorted.take(k)
-    merged.toSeq.toDF("h", "v").coalesce(1)
-      .write.mode("overwrite").parquet(statePath)
+    SketchState.write(merged.toSeq.toDF("h", "v"), statePath)
   }
 
   /** The estimates (same schema as `quantileSketch`) from a state
     * directory maintained by `quantileIngestBatch`. */
   def quantilesFromState(spark: org.apache.spark.sql.SparkSession,
       statePath: String, k: Int, probs: Seq[Double]): DataFrame =
-    quantilesFromSample(spark.read.parquet(statePath).toDF("h", "v"),
+    quantilesFromSample(SketchState.read(spark, statePath).toDF("h", "v"),
       k, probs)
 
   /** Count-min hash rows: pairwise-independent-style affine mixes of the
@@ -436,21 +430,17 @@ object Sketch {
       width: Int, statePath: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val batchCounters = countMinCounters(batch, key, depth, width)
-      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val batchMap = countMinCounters(batch, key, depth, width)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
     val prior: Map[(Int, Long), Long] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
-        spark.read.parquet(statePath).collect()
+      if (SketchState.exists(spark, statePath))
+        SketchState.read(spark, statePath).collect()
           .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
       else Map.empty
-    val merged = (prior.keySet ++ batchCounters.map(_._1)).toSeq.map { k =>
-      (k._1, k._2,
-        prior.getOrElse(k, 0L) + batchCounters.toMap.getOrElse(k, 0L))
+    val merged = (prior.keySet ++ batchMap.keySet).toSeq.map { k =>
+      (k._1, k._2, prior.getOrElse(k, 0L) + batchMap.getOrElse(k, 0L))
     }
-    merged.toDF("row_i", "bucket", "c").coalesce(1)
-      .write.mode("overwrite").parquet(statePath)
+    SketchState.write(merged.toDF("row_i", "bucket", "c"), statePath)
   }
 
   /** Point-frequency estimates from a state directory maintained by
@@ -461,6 +451,6 @@ object Sketch {
       key: Column, depth: Int, width: Int,
       probes: Seq[String]): DataFrame =
     countMinEstimatesFrom(
-      corpus.sparkSession.read.parquet(statePath),
+      SketchState.read(corpus.sparkSession, statePath),
       corpus, key, depth, width, probes)
 }

@@ -168,9 +168,9 @@ object ScaleProbe {
     val toks = spark.range(nTok).select(
       concat(lit("w"), (pmod(hash(col("id")), lit(1000)) *
         pmod(hash(col("id") + 1), lit(1000))).cast("long")).as("item"))
-    // run twice: the portable hash is a higher-order-function fold that
-    // runs interpreted — the first pass pays C2 warmup, the second is the
-    // steady state a long-lived cluster JVM sees
+    // run twice: the hash is now the codegen'd HashKernels.PolyHash, so
+    // the cold/warm pair measures JIT warmup of the generated kernel —
+    // the second pass is the steady state a long-lived cluster JVM sees
     time(f"countMinCounters ($nTok%11d tokens) cold") {
       Sketch.countMinCounters(toks, col("item"), 3, 1024).count()
     }

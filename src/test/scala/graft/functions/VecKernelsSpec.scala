@@ -72,4 +72,16 @@ class VecKernelsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("*(") && l.contains("vec_dot")), s"plan:\n$plan")
   }
+
+  test("integral element types are widened like the old array<double> cast") {
+    val df = Seq((Seq(1, 2, 3), Seq(4L, 5L, 6L))).toDF("a", "b")
+    val r = df.select(
+      VecKernels.dot(col("a"), col("b")).as("kd"),
+      hofDot(col("a"), col("b")).as("hd"),
+      VecKernels.l2sq(col("a"), col("b")).as("kl"),
+      hofL2(col("a"), col("b")).as("hl")).collect()(0)
+    assert(r.getDouble(0) === r.getDouble(1))   // 32.0
+    assert(r.getDouble(2) === r.getDouble(3))   // 27.0
+    assert(r.getDouble(0) === 32.0)
+  }
 }

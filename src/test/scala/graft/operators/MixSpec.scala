@@ -48,4 +48,33 @@ class MixSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"rate join must broadcast, got:\n$plan")
   }
+
+  test("zero-total-weight group keeps every row at full rate, not by accident") {
+    val zw = spark.range(4).select(col("id"),
+      when(col("id") < 2, lit("zero")).otherwise(lit("pos")).as("src"),
+      when(col("id") < 2, lit(0L)).otherwise(lit(10L)).as("w"))
+    val kept = Mix.sampleToBudget(zw, col("id"), col("src"), col("w"), 100L)
+    val zero = kept.filter(col("grp") === "zero").collect()
+    assert(zero.length === 2, "0-weight group is under any budget: keep all")
+    assert(zero.forall(_.getAs[Long]("rate_bp") === 10000L))
+  }
+
+  test("negative weight fails the job with a clear message") {
+    val neg = Seq((1L, "g", -5L), (2L, "g", 10L)).toDF("id", "src", "w")
+    val e = intercept[Exception] {
+      Mix.sampleToBudget(neg, col("id"), col("src"), col("w"), 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative weight")), s"got: $e")
+  }
+
+  test("budget that would overflow Long at the given scale is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Mix.sampleToBudget(corpus, col("id"), col("src"), col("w"),
+        budget = Long.MaxValue / 100, scale = 10000)
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Crash-safety of the incremental-sketch state swap: every crash point
+  * of the write protocol leaves either the prior or the new state fully
+  * readable — never an empty/missing directory. */
+class SketchStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("sketchstate")
+      .resolve("state").toString
+
+  test("write then read round-trips, and a rewrite replaces the state") {
+    val p = freshPath()
+    SketchState.write(Seq(1L, 2L).toDF("h"), p)
+    assert(SketchState.exists(spark, p))
+    assert(SketchState.read(spark, p).as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    SketchState.write(Seq(7L).toDF("h"), p)
+    assert(SketchState.read(spark, p).as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("crash during the swap write leaves the prior state untouched") {
+    val p = freshPath()
+    SketchState.write(Seq(1L).toDF("h"), p)
+    // simulate a writer that died mid-write: an INCOMPLETE swap dir
+    // (no _SUCCESS marker) next to the live state
+    val swap = new java.io.File(p + ".__swap")
+    swap.mkdirs()
+    java.nio.file.Files.write(swap.toPath.resolve("part-garbage"),
+      Array[Byte](1, 2, 3))
+    assert(SketchState.exists(spark, p))
+    assert(SketchState.read(spark, p).as[Long].collect().toSeq === Seq(1L))
+    // and the next write clobbers the dead swap instead of tripping on it
+    SketchState.write(Seq(2L).toDF("h"), p)
+    assert(SketchState.read(spark, p).as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("crash between delete and rename is recovered from the complete swap") {
+    val p = freshPath()
+    // simulate the post-delete pre-rename window: live path missing, swap
+    // dir COMPLETE (parquet commit wrote _SUCCESS)
+    Seq(42L).toDF("h").coalesce(1)
+      .write.mode("overwrite").parquet(p + ".__swap")
+    assert(new java.io.File(p + ".__swap", "_SUCCESS").exists(),
+      "test setup: parquet commit must leave a _SUCCESS marker")
+    assert(SketchState.exists(spark, p), "complete swap must be adopted")
+    assert(SketchState.read(spark, p).as[Long].collect().toSeq === Seq(42L))
+    assert(!new java.io.File(p + ".__swap").exists(),
+      "adopted swap dir must have been renamed into place")
+  }
+
+  test("kmv ingest state survives a simulated interrupted swap mid-stream") {
+    val p = freshPath()
+    Sketch.kmvIngestBatch(Seq("a", "b", "c").toDF("s"),
+      org.apache.spark.sql.functions.col("s"), k = 8, statePath = p)
+    // interrupted second ingest: its COMPLETE swap sits there, live deleted
+    val live = new java.io.File(p)
+    val merged = SketchState.read(spark, p)
+    merged.coalesce(1).write.mode("overwrite").parquet(p + ".__swap")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(live)
+    // the third ingest recovers the state and keeps accumulating
+    Sketch.kmvIngestBatch(Seq("d").toDF("s"),
+      org.apache.spark.sql.functions.col("s"), k = 8, statePath = p)
+    val est = Sketch.kmvFromState(spark, p, k = 8).collect()(0)
+    assert(est.getLong(est.fieldIndex("n_in_sketch")) === 4L,
+      "all 4 distinct keys must be present after recovery")
+  }
+}
