@@ -51,10 +51,22 @@ object NearDupStream {
 
   /** One micro-batch increment: band the new docs, probe the accumulated
     * index, verify, append sink + state. `newDocs` must carry columns
-    * (id, text); ids must be globally unique across the stream's life. */
+    * (id, text); ids must be globally unique across the stream's life.
+    *
+    * `semiJoinCorpusRatio` governs the verify step's corpus access: when
+    * accumulated-docs / batch-docs exceeds it, the doc store is restricted
+    * to candidate ids (broadcast semi-join) BEFORE shingling, so verify
+    * cost tracks the candidate set, not the corpus. Below it the plain
+    * full-corpus shingle projection wins — the extra broadcast job costs
+    * more than shingling a small store saves. The default crossover is
+    * MEASURED (ScaleProbe `nd` mode, SCALE.md): full-scan wins at ratio
+    * ≤ ~8, semi-join wins from ~30× and is 2.5× faster at 125×; at
+    * corpus ≫ batch (the steady state of any long-lived stream — and any
+    * 100 TB deployment) the semi-join is the only shape that works. */
   def ingestBatch(spark: SparkSession, newDocs: DataFrame, stateDir: String,
                   sinkDir: String, n: Int, bands: Int, rowsPerBand: Int,
-                  threshold: Double): BatchResult = {
+                  threshold: Double,
+                  semiJoinCorpusRatio: Long = 16L): BatchResult = {
     val bandsPath = s"$stateDir/bands"
     val docsPath = s"$stateDir/docs"
     val nd = newDocs.select(col("id"), col("text")).persist()
@@ -87,19 +99,32 @@ object NearDupStream {
           .filter(col("id_new") < col("id_b"))
           .select(col("id_new").as("id_a"), col("id_b"))
         val cand = candOld.union(candNew).distinct()
-        // verify with exact shingle Jaccard. The shingle projection sits
-        // below the verify join, so every corpus row is tokenized per
-        // batch; restricting the corpus to candidate ids first (semi-join,
-        // plain or broadcast) was MEASURED SLOWER at bench scale — the
-        // extra exchange/broadcast job costs more than shingling short
-        // docs saves. At 100 TB the trade flips only if docs are huge;
-        // then add `corpus.join(broadcast(candIds), "left_semi")` before
-        // this projection.
-        val corpus =
-          if (exists(spark, docsPath))
-            spark.read.parquet(docsPath).unionByName(nd)
-          else nd
-        val sh = corpus.select(col("id"),
+        // verify with exact shingle Jaccard. Two corpus-access shapes:
+        //  - full scan: shingle the whole accumulated store + batch. Cost
+        //    grows with the corpus but pays zero extra jobs — wins while
+        //    the store is still batch-sized (early stream life, and the
+        //    bench-scale regime round 6 measured).
+        //  - candidate restriction: broadcast-semi-join the store down to
+        //    candidate ids first. One extra tiny job (the candidate-id
+        //    distinct feeds a broadcast), but shingling cost now tracks
+        //    the CANDIDATE set — the only viable shape once the corpus
+        //    dwarfs the batch. Candidate ids are bounded by the batch's
+        //    band collisions (≤ 2 × candidate pairs), broadcastable by
+        //    construction for sane banding configs.
+        // The ratio switch picks per batch; crossover measured in SCALE.md.
+        val priorDocs =
+          if (exists(spark, docsPath)) Some(spark.read.parquet(docsPath))
+          else None
+        val corpus = priorDocs.map(_.unionByName(nd)).getOrElse(nd)
+        // zero-column parquet scan: footer-row-count work, not data I/O
+        val corpusRows = priorDocs.map(_.count()).getOrElse(0L) + nNew
+        val verifySource =
+          if (corpusRows > semiJoinCorpusRatio * nNew) {
+            val candIds = cand.select(col("id_a").as("id"))
+              .union(cand.select(col("id_b").as("id"))).distinct()
+            corpus.join(broadcast(candIds), Seq("id"), "left_semi")
+          } else corpus
+        val sh = verifySource.select(col("id"),
           TextExprs.wordShingles(col("text"), n).as("sh"))
         val verified = cand
           .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -128,7 +153,8 @@ object NearDupStream {
   def start(spark: SparkSession, incomingDir: String, stateDir: String,
             sinkDir: String, checkpointDir: String, n: Int, bands: Int,
             rowsPerBand: Int, threshold: Double,
-            intervalSeconds: Int = 1): StreamingQuery =
+            intervalSeconds: Int = 1,
+            semiJoinCorpusRatio: Long = 16L): StreamingQuery =
     spark.readStream
       .schema(docSchema)
       .parquet(incomingDir)
@@ -137,7 +163,7 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val r = ingestBatch(spark, batch, stateDir, sinkDir,
-          n, bands, rowsPerBand, threshold)
+          n, bands, rowsPerBand, threshold, semiJoinCorpusRatio)
         println(s"[neardup batch $batchId] docs=${r.newDocs} " +
           s"pairs=${r.verifiedPairs}")
       }

@@ -121,6 +121,65 @@ object ScaleProbe {
     r
   }
 
+  /** Crossover measurement for NearDupStream's verify-side corpus access
+    * (full-scan shingle vs candidate-id broadcast semi-join) at growing
+    * corpus/batch ratios. State is seeded directly with what ingestBatch
+    * leaves behind (docs + band index), fresh per variant so both time the
+    * IDENTICAL increment. */
+  def nearDupStreamProbe(spark: SparkSession): Unit = {
+    import graft.streaming.NearDupStream
+    val (n, bands, rpb, thr) = (3, 8, 2, 0.8)
+    // realistic candidate shape: dup families are a SLIVER of the corpus
+    // (the whole premise of the dedup family) — 30-word docs over a 100k
+    // vocabulary almost never collide, and 10% of the batch duplicates a
+    // specific corpus doc. A candidate-rich corpus (every corpus doc a
+    // near-dup of the batch) inverts the result: the semi-join restricts
+    // nothing and pays its jobs for free — measured 9.4 vs 7.0 s at
+    // ratio 125 in that degenerate shape.
+    def text(idc: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(0), lit(149)),
+        i => concat(lit("w"), pmod(hash(idc * 31 + i), lit(100000)))))
+    val nBatch = 500L
+    val batch = spark.range(nBatch).select(
+        (col("id") + 900000000L).as("id"),
+        when(col("id") < nBatch / 10, text(col("id"))) // dup of corpus id
+          .otherwise(text(col("id") + 500000000L)).as("text"))
+      .cache()
+    batch.count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    var warmed = false
+    Seq(8, 32, 125, 500).foreach { ratio =>
+      val nCorpus = nBatch * ratio
+      val corpus = spark.range(nCorpus)
+        .select(col("id"), text(col("id")).as("text")).cache()
+      corpus.count()
+      Seq(("full-scan", Long.MaxValue), ("semi-join", 0L)).foreach {
+        case (label, r) =>
+          val base = s"/tmp/nd_probe_${ratio}_$label"
+          fs.delete(new org.apache.hadoop.fs.Path(base), true)
+          corpus.write.mode("overwrite").parquet(s"$base/state/docs")
+          NearDup.minhashBands(corpus, col("id"), col("text"), n, bands, rpb)
+            .write.mode("overwrite").parquet(s"$base/state/bands")
+          if (!warmed) { // JIT/codegen warmup outside every timed window
+            NearDupStream.ingestBatch(spark, batch, s"$base/state",
+              s"$base/sink-warm", n, bands, rpb, thr)
+            fs.delete(new org.apache.hadoop.fs.Path(base), true)
+            corpus.write.mode("overwrite").parquet(s"$base/state/docs")
+            NearDup.minhashBands(corpus, col("id"), col("text"), n, bands, rpb)
+              .write.mode("overwrite").parquet(s"$base/state/bands")
+            warmed = true
+          }
+          time(f"ndstream $label%-9s corpus=$nCorpus%7d ratio=$ratio%3d") {
+            NearDupStream.ingestBatch(spark, batch, s"$base/state",
+              s"$base/sink", n, bands, rpb, thr, semiJoinCorpusRatio = r)
+          }
+      }
+      corpus.unpersist()
+    }
+    batch.unpersist()
+  }
+
   /** Heavy hitters + prefix-sum sharding at token volumes far beyond the
     * testdata: a 100M-token zipf-ish stream (wide vocabulary, heavy head)
     * through Frequent.heavyHitters, and a 20M-row corpus through
@@ -286,7 +345,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val modes = Set("uf", "hh", "z", "ops")
+    val modes = Set("uf", "hh", "z", "ops", "nd")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -312,6 +371,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops")) {
       newOpsProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("nd")) {
+      nearDupStreamProbe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"

@@ -35,12 +35,17 @@ class NearDupStreamSpec extends SparkSpec {
 
   test("any arrival split accumulates exactly the batch operator's pairs") {
     val (n, b, r, t) = params
-    for (splits <- Seq(Seq(0L), Seq(0L, 1L), Seq(0L, 1L, 2L))) {
+    // both verify-side corpus-access shapes must be batch-equivalent:
+    // MaxValue pins the full-corpus shingle scan, 0 pins the candidate-id
+    // broadcast semi-join (the corpus ≫ batch shape)
+    for (ratio <- Seq(Long.MaxValue, 0L);
+         splits <- Seq(Seq(0L), Seq(0L, 1L), Seq(0L, 1L, 2L))) {
       val base = Files.createTempDirectory("ndstream").toString
       val results = splits.map { s =>
         NearDupStream.ingestBatch(spark,
           docs.filter(col("id") % splits.length === s),
-          s"$base/state", s"$base/sink", n, b, r, t)
+          s"$base/state", s"$base/sink", n, b, r, t,
+          semiJoinCorpusRatio = ratio)
       }
       assert(results.map(_.newDocs).sum === 7)
       val sunk = spark.read.parquet(s"$base/sink")
@@ -48,7 +53,7 @@ class NearDupStreamSpec extends SparkSpec {
       // exactly-once: no pair appears twice across batches
       assert(sunk.length === sunk.toSet.size, "duplicate pair emitted")
       assert(sunk.toSet === batchPairs,
-        s"${splits.length}-batch split diverged from the batch operator")
+        s"${splits.length}-batch split (ratio=$ratio) diverged from batch")
     }
   }
 
