@@ -187,17 +187,19 @@ object Frequent {
     * ordinary bounded aggregations, so window count never bottlenecks
     * the driver. Per-task memory is O(windows-seen-by-partition ×
     * counters) — the sketch-by-key regime (event streams are roughly
-    * time-ordered, so most partitions see few windows; same documented
-    * contract as `Sketch.kmvDistinctByGroup`). The MG guarantee applies
+    * time-ordered, so most partitions see few windows; same contract as
+    * `Sketch.kmvDistinctByGroup`, enforced by the same per-task ceiling
+    * via `maxWindowsPerTask`). The MG guarantee applies
     * per window (pigeonhole within the window's rows), so with
     * minShare > 1/(counters+1) no within-window heavy hitter is lost,
     * and the exact recount makes the output identical to the plain
     * per-window GROUP BY/HAVING. */
   def heavyHittersByWindow(df: DataFrame, ts: Column, key: Column,
       windowSeconds: Long, minShare: Double,
-      counters: Int = 256): DataFrame = {
+      counters: Int = 256, maxWindowsPerTask: Int = -1): DataFrame = {
     require(windowSeconds > 0, s"windowSeconds must be > 0, got $windowSeconds")
     requireGuarantee(minShare, counters)
+    val ceiling = Sketch.groupCeiling(counters, maxWindowsPerTask)
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(
@@ -215,6 +217,8 @@ object Frequent {
         totals.merge(w, 1L, (a, b) => a + b)
         var counts = sketches.get(w)
         if (counts == null) {
+          Sketch.checkGroupCeiling(sketches.size(), ceiling,
+            "heavyHittersByWindow")
           counts = new java.util.HashMap[String, java.lang.Long](counters * 2)
           sketches.put(w, counts)
         }

@@ -45,6 +45,30 @@ object Sketch {
     (r1 * lit(2654435761L)) % lit(P) // products stay < 2⁶³
   }
 
+  /** Fail-fast guard for the sketch-by-key regime: per-task memory of the
+    * by-group/by-window sketch passes is O(groups-seen-by-task ×
+    * per-group entries), and NOTHING upstream bounds the group column's
+    * cardinality — a caller who keys a sketch by a high-cardinality
+    * column would silently OOM an executor at scale. The ceiling defaults
+    * to ~16M resident entries per task (max(1024, 2²⁴ / perGroupEntries)
+    * groups — a few hundred MB boxed, inside any sane executor), and the
+    * operators fail with a clear redirect instead of dying in GC. */
+  private[operators] def groupCeiling(perGroupEntries: Int,
+      maxGroupsPerTask: Int): Int =
+    if (maxGroupsPerTask > 0) maxGroupsPerTask
+    else math.max(1024, (1 << 24) / math.max(1, perGroupEntries))
+
+  private[operators] def checkGroupCeiling(nGroups: Int, ceiling: Int,
+      op: String): Unit =
+    if (nGroups >= ceiling) throw new IllegalStateException(
+      s"$op: a single task saw more than $ceiling distinct groups; " +
+        "per-task memory is O(groups × sketch size), so this input is " +
+        "outside the sketch-by-key regime. Reduce group cardinality, " +
+        "repartition by the group column first (so each task sees fewer " +
+        "groups), use the exact relational formulation (groupBy + " +
+        "distinct/percentile/count), or raise maxGroupsPerTask if task " +
+        "memory genuinely allows it.")
+
   /** Per-group distinct-count estimates: `kmvDistinct` keyed by `group`
     * — one row per group, same (n_in_sketch, kth_min, est_distinct)
     * columns. The per-partition pass holds one k-bounded set PER GROUP
@@ -53,10 +77,14 @@ object Sketch {
     * again only partitions × groups × k hash values reach the exchange —
     * NOT the full distinct (group, key) set, which is what a relational
     * distinct-then-rank formulation would shuffle and what this operator
-    * exists to avoid at 100 TB. */
+    * exists to avoid at 100 TB. The contract is ENFORCED, not just
+    * documented: a task that sees more groups than `maxGroupsPerTask`
+    * (default ~2²⁴/k — a few hundred MB resident) fails fast with a
+    * redirect to the exact formulation instead of OOMing the executor. */
   def kmvDistinctByGroup(df: DataFrame, group: Column, key: Column,
-      k: Int): DataFrame = {
+      k: Int, maxGroupsPerTask: Int = -1): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    val ceiling = groupCeiling(k, maxGroupsPerTask)
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df
@@ -68,7 +96,10 @@ object Sketch {
       val sets = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
       it.foreach { case (g, h) =>
         var set = sets.get(g)
-        if (set == null) { set = new java.util.TreeSet[java.lang.Long](); sets.put(g, set) }
+        if (set == null) {
+          checkGroupCeiling(sets.size(), ceiling, "kmvDistinctByGroup")
+          set = new java.util.TreeSet[java.lang.Long](); sets.put(g, set)
+        }
         set.add(h)
         if (set.size > k) set.pollLast()
       }
@@ -256,13 +287,16 @@ object Sketch {
     * one row per (group, prob), `(grp, prob, est_value, n_sample, k)`.
     * The per-partition pass holds one k-bounded (hash, value) set PER
     * GROUP (memory O(groups × k) per task — the same sketch-by-key
-    * contract as `kmvDistinctByGroup`), so only partitions × groups × k
+    * contract as `kmvDistinctByGroup`, enforced by the same per-task
+    * group ceiling), so only partitions × groups × k
     * pairs reach the exchange, never a group's value column. The merge
     * and rank-pick windows are PARTITIONED BY group — no global window
     * at any size. */
   def quantileSketchByGroup(df: DataFrame, group: Column, value: Column,
-      uniq: Column, k: Int, probs: Seq[Double]): DataFrame = {
+      uniq: Column, k: Int, probs: Seq[Double],
+      maxGroupsPerTask: Int = -1): DataFrame = {
     require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    val ceiling = groupCeiling(k, maxGroupsPerTask)
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"probs must be in (0, 1], got $probs")
     val spark = df.sparkSession
@@ -277,6 +311,7 @@ object Sketch {
       it.foreach { case (g, h, v) =>
         var set = sets.get(g)
         if (set == null) {
+          checkGroupCeiling(sets.size(), ceiling, "quantileSketchByGroup")
           set = scala.collection.mutable.TreeSet.empty[(Long, Double)]
           sets.put(g, set)
         }

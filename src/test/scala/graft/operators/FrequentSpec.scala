@@ -172,4 +172,17 @@ class FrequentSpec extends SparkSpec {
     assert(hh.head.getLong(1) === 1200L)
     assert(hh.head.getLong(2) === 16200L)
   }
+
+  test("per-window pass fails fast past the window ceiling, not OOM") {
+    val many = spark.range(64).select(
+      timestamp_seconds(lit(1714521600L) + col("id") * 3600L).as("ts"),
+      lit("k").as("item")).coalesce(1)
+    val e = intercept[Exception] {
+      Frequent.heavyHittersByWindow(many, col("ts"), col("item"),
+        windowSeconds = 3600L, minShare = 0.01, counters = 256,
+        maxWindowsPerTask = 16).collect()
+    }
+    assert(e.toString.contains("sketch-by-key") ||
+      String.valueOf(e.getCause).contains("sketch-by-key"), s"got $e")
+  }
 }

@@ -168,4 +168,26 @@ class SketchSpec extends SparkSpec {
       assert(inc === batchOut, label)
     }
   }
+
+  test("by-group ops fail fast past the per-task group ceiling, not OOM") {
+    val many = spark.range(64).select(
+      concat(lit("g"), col("id")).as("g"), col("id").cast("string").as("k"),
+      col("id").cast("double").as("v")).coalesce(1)
+    val e1 = intercept[Exception] {
+      Sketch.kmvDistinctByGroup(many, col("g"), col("k"), k = 8,
+        maxGroupsPerTask = 16).collect()
+    }
+    assert(e1.toString.contains("sketch-by-key") ||
+      String.valueOf(e1.getCause).contains("sketch-by-key"), s"got $e1")
+    val e2 = intercept[Exception] {
+      Sketch.quantileSketchByGroup(many, col("g"), col("v"), col("k"),
+        k = 8, probs = Seq(0.5), maxGroupsPerTask = 16).collect()
+    }
+    assert(e2.toString.contains("sketch-by-key") ||
+      String.valueOf(e2.getCause).contains("sketch-by-key"), s"got $e2")
+    // and a ceiling that fits changes nothing
+    val ok = Sketch.kmvDistinctByGroup(many, col("g"), col("k"), k = 8,
+      maxGroupsPerTask = 100)
+    assert(ok.count() === 64)
+  }
 }
