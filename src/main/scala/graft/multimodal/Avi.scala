@@ -112,11 +112,17 @@ object Avi {
   def frames(content: Array[Byte]): IndexedSeq[(Int, Int)] =
     parse(content).frames.toIndexedSeq
 
+  /** Floor-mean pixel byte of each decoded frame, in stream order — the
+    * per-frame brightness curve, pure integer until the caller scales. */
+  def frameMeans(content: Array[Byte]): IndexedSeq[Long] =
+    parse(content).frameMeans.toIndexedSeq
+
   private final class Parsed {
     var width = -1; var height = -1; var bitCount = -1; var totalFrames = -1
     var framesSeen = 0
     var pixelSum = 0L; var pixelCount = 0L
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val frameMeans = scala.collection.mutable.ArrayBuffer.empty[Long]
   }
 
   private def parse(content: Array[Byte]): Parsed = {
@@ -148,7 +154,10 @@ object Avi {
             p.framesSeen += 1
             var i = off + 8
             val end = off + 8 + size
-            while (i < end) { p.pixelSum += (content(i) & 0xff); i += 1 }
+            var frameSum = 0L
+            while (i < end) { frameSum += (content(i) & 0xff); i += 1 }
+            p.frameMeans += (if (size == 0) 0L else frameSum / size)
+            p.pixelSum += frameSum
             p.pixelCount += size
           case _ => () // unknown chunks are legal RIFF; skip
         }

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * PCM samples; video rows carry actual RIFF/AVI bytes with uncompressed
   * DIB frames, parsed by an in-repo spec-conformant chunk walker (see
   * [[Avi]]) — width, height, bit depth, frame count, mean pixel all read
-  * from container structure and real frame bytes. The only remaining stub
-  * is `StubCodecs.featurize`, which stands in for a LEARNED embedding
-  * model (no model weights belong in this container); its plumbing —
-  * schema, batching, downstream top-k — is real and oracle-checked.
+  * from container structure and real frame bytes. Feature extraction
+  * ([[ContentFeatures]]) is likewise computed from the decoded signal
+  * (luma grid / PCM envelope / frame-brightness curve) — a LEARNED
+  * encoder would replace those descriptors behind the same schema,
+  * batching, and downstream top-k, all of which are oracle-checked.
   *
   * At scale: binary payloads never pass through a shuffle here; decode and
   * featurize are map-side, and anything keyed (top-k over features) shuffles
@@ -34,20 +35,34 @@ object MultimodalOps {
   case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int)
   case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  /** Where a real learned encoder would plug in. The fake is a pure
-    * function of (id, payload length) so tests and oracles are
-    * deterministic. (Image/audio/video DECODE no longer stubs anything —
-    * see [[Png]], [[Wav]], [[Avi]].) */
-  object StubCodecs {
-    /** STUB ≙ a learned visual/audio encoder: a hash-derived unit-scale
-      * vector, deterministic per (payload length, position). */
-    def featurize(mediaId: Long, content: Array[Byte], dim: Int): Array[Float] = {
-      val n = content.length
-      Array.tabulate(dim) { i =>
-        val h = (mediaId * 31L + i) * 2654435761L + n * 97L
-        ((h % 2000L) - 1000L).toFloat / 1000.0f
+  /** Deterministic features of the DECODED media — classical signal
+    * descriptors, not a learned model (no model weights belong in this
+    * container), but every value comes from real decoded content:
+    *  - image: g×g downsampled luma grid (g = ⌊√dim⌋) over the
+    *    `javax.imageio`-decoded pixels, per-cell floor-mean band sum
+    *    scaled by 1/768 (3 bands × 256) — cells beyond g·g are 0;
+    *  - audio: dim-window envelope over the `javax.sound.sampled`-decoded
+    *    PCM stream, per-window floor-mean |amplitude| scaled by 1/32768;
+    *  - video: per-frame brightness curve from the RIFF/AVI frame bytes,
+    *    resampled to dim frames, scaled by 1/256.
+    * All arithmetic is integer until the single float scale, so the
+    * embed→top-k chain stays bit-for-bit oracle-replayable. */
+  object ContentFeatures {
+    def featurize(kind: String, content: Array[Byte], dim: Int): Array[Float] =
+      kind match {
+        case "image" =>
+          val g = math.sqrt(dim.toDouble).toInt
+          val cells = Png.cellMeans(content, g)
+          Array.tabulate(dim)(i =>
+            if (i < g * g) cells(i) / 768.0f else 0.0f)
+        case "audio" =>
+          val means = Wav.windowMeanAbs(content, dim)
+          Array.tabulate(dim)(means(_) / 32768.0f)
+        case _ =>
+          val fm = Avi.frameMeans(content)
+          Array.tabulate(dim)(i =>
+            fm((i.toLong * fm.length / dim).toInt) / 256.0f)
       }
-    }
   }
 
   /** Deterministic image parameters for a synthetic media id: dimensions
@@ -159,10 +174,12 @@ object MultimodalOps {
   }
 
   /** Feature extraction to a dense vector column — composable with the
-    * Similarity operators (brute-force / IVF top-k). */
+    * Similarity operators (brute-force / IVF top-k). Features are
+    * classical descriptors of the DECODED content ([[ContentFeatures]]):
+    * luma grid / audio envelope / frame-brightness curve. */
   def featurize(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
-      MediaFeature(m.media_id, StubCodecs.featurize(m.media_id, m.content, dim))))
+      MediaFeature(m.media_id, ContentFeatures.featurize(m.kind, m.content, dim))))
   }
 }

@@ -117,4 +117,43 @@ object Png {
     val count = img.getWidth.toLong * img.getHeight * bands
     (img.getWidth, img.getHeight, bands, sum / count)
   }
+
+  /** g×g downsampled "luma" grid over the decoded pixels: cell (gy, gx)
+    * covers rows [gy·h/g, (gy+1)·h/g) × cols [gx·w/g, (gx+1)·w/g) and
+    * carries the floor-mean of the per-pixel band SUM (r+g+b for RGB) —
+    * pure integer until the caller scales. Empty cells (image smaller
+    * than the grid on an axis) carry 0. Row-major, length g·g. */
+  def cellMeans(content: Array[Byte], g: Int): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(content))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Long](g * g)
+    var gy = 0
+    while (gy < g) {
+      val y0 = (gy.toLong * h / g).toInt; val y1 = ((gy + 1).toLong * h / g).toInt
+      var gx = 0
+      while (gx < g) {
+        val x0 = (gx.toLong * w / g).toInt; val x1 = ((gx + 1).toLong * w / g).toInt
+        if (y1 > y0 && x1 > x0) {
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              var c = 0
+              while (c < bands) { sum += raster.getSample(x, y, c); c += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          out(gy * g + gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
 }

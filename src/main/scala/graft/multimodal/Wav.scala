@@ -63,4 +63,34 @@ object Wav {
         if (n == 0) 0L else sum / n)
     } finally in.close()
   }
+
+  /** `nWin` equal-ish windows over the decoded sample stream: window i
+    * covers samples [i·n/nWin, (i+1)·n/nWin) and carries the floor-mean
+    * |amplitude| — the envelope curve, pure integer until the caller
+    * scales. Empty windows (fewer samples than windows) carry 0. */
+  def windowMeanAbs(content: Array[Byte], nWin: Int): Array[Long] = {
+    val in = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new ByteArrayInputStream(content))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+      val bytes = in.readAllBytes()
+      val order =
+        if (fmt.isBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+      val bb = ByteBuffer.wrap(bytes).order(order)
+      val n = bytes.length / 2
+      Array.tabulate(nWin) { i =>
+        val lo = (i.toLong * n / nWin).toInt
+        val hi = ((i + 1).toLong * n / nWin).toInt
+        if (hi <= lo) 0L
+        else {
+          var sum = 0L
+          var j = lo
+          while (j < hi) { sum += math.abs(bb.getShort(j * 2).toLong); j += 1 }
+          sum / (hi - lo)
+        }
+      }
+    } finally in.close()
+  }
 }

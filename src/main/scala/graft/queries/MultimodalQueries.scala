@@ -99,17 +99,41 @@ object MultimodalQueries {
       "media_id", "feature", k = 3)
   }
 
-  // The stub featurizer is a pure arithmetic function of (media_id, payload
-  // length), so the whole embed→top-k chain is oracle-expressible: rebuild
-  // the float feature vector in SQL (FLOAT division both sides — verified
-  // bit-identical), cast to double, and mirror q21's cosine/rank shape.
+  // The featurizer is a classical descriptor of the DECODED media (luma
+  // grid / PCM envelope / frame-brightness curve), and the fixtures are
+  // id-derived, so the whole decode→embed→top-k chain is still
+  // oracle-expressible: rebuild each kind's float feature vector in SQL
+  // (integer arithmetic + one FLOAT scale, bit-identical to the Scala
+  // side), cast to double, and mirror q21's cosine/rank shape.
+  //  - image (solid fill): every nonempty 4×4 grid cell = (r+g+b)/768f;
+  //    a cell is empty iff its row/col pixel range is empty at W×H;
+  //  - audio: window i covers samples [i·N/16, (i+1)·N/16) of the
+  //    arithmetic waveform, floor-mean |amp| / 32768f (N ≥ 50 > 16, so
+  //    windows are never empty);
+  //  - video (solid frames): resampled frame k = (i·NF)/16's fill / 256f.
   private val q28Sql =
     s"""WITH m AS (
-      |  SELECT doc_id AS media_id, $payloadLen AS n FROM documents),
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256) AS rgb,
+      |    $imgW AS iw, $imgH AS ih, $audN AS an, $vidN AS vn
+      |  FROM documents),
       |f AS (
       |  SELECT media_id,
-      |    CAST([CAST((((media_id*31 + i)*2654435761 + n*97) % 2000) - 1000 AS FLOAT)
-      |            / CAST(1000 AS FLOAT) for i in range(0, 16)] AS DOUBLE[]) AS v
+      |    CAST(CASE
+      |      WHEN media_id % 3 = 0 THEN
+      |        [CASE WHEN ((i // 4 + 1) * ih) // 4 > ((i // 4) * ih) // 4
+      |              AND ((i % 4 + 1) * iw) // 4 > ((i % 4) * iw) // 4
+      |              THEN CAST(rgb AS FLOAT) / CAST(768 AS FLOAT)
+      |              ELSE CAST(0 AS FLOAT) END for i in range(0, 16)]
+      |      WHEN media_id % 3 = 1 THEN
+      |        [CAST(list_sum([abs((media_id * 31 + j * 7) % 2001 - 1000)
+      |                        for j in range((i * an) // 16, ((i + 1) * an) // 16)])
+      |              // (((i + 1) * an) // 16 - (i * an) // 16) AS FLOAT)
+      |           / CAST(32768 AS FLOAT) for i in range(0, 16)]
+      |      ELSE
+      |        [CAST((media_id * 31 + ((i * vn) // 16) * 7) % 256 AS FLOAT)
+      |           / CAST(256 AS FLOAT) for i in range(0, 16)]
+      |      END AS DOUBLE[]) AS v
       |  FROM m),
       |q AS (SELECT media_id AS query_id, v AS qv FROM f WHERE media_id < 5),
       |s AS (

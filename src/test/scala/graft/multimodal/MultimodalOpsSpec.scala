@@ -133,12 +133,30 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(all.map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2, 3, 4))
   }
 
-  test("featurize: stable vectors usable by similarity search") {
-    val abc = "abc".getBytes("UTF-8")
-    val a = featurize(media((1L, "image", abc)), dim = 8).collect().head
-    val b = featurize(media((1L, "image", abc)), dim = 8).collect().head
-    assert(a.feature.toSeq === b.feature.toSeq)
-    assert(a.feature.length === 8)
-    assert(a.feature.forall(f => f >= -1.0f && f <= 1.0f))
+  test("featurize: content-derived descriptors, exact on known media") {
+    // image: 8×4 solid (10,20,30) → every 4×4 grid cell nonempty, mean
+    // band sum = 60 → 60/768f in all 16 dims
+    val png = Png.encodeSolid(8, 4, 10, 20, 30)
+    val img = featurize(media((1L, "image", png)), dim = 16).collect().head
+    assert(img.feature.toSeq === Seq.fill(16)(60.0f / 768.0f))
+    // audio: 32 samples alternating +100/−300 → 16 windows of 2 samples,
+    // floor-mean |amp| = 200 → 200/32768f everywhere
+    val samples = Array.tabulate(32)(i =>
+      (if (i % 2 == 0) 100 else -300).toShort)
+    val wav = Wav.encodePcm16Mono(8000, samples)
+    val aud = featurize(media((2L, "audio", wav)), dim = 16).collect().head
+    assert(aud.feature.toSeq === Seq.fill(16)(200.0f / 32768.0f))
+    // video: 8 solid frames filled 0,10,…,70 → resampled curve repeats
+    // each frame mean twice, /256f
+    val avi = Avi.encodeSolid(4, 2, Array.tabulate(8)(_ * 10))
+    val vid = featurize(media((3L, "video", avi)), dim = 16).collect().head
+    assert(vid.feature.toSeq === (0 until 16).map(i => (i / 2 * 10) / 256.0f))
+    // image grid smaller than dim: g=⌊√8⌋=2 → 4 cells, rest zero-padded
+    val small = featurize(media((4L, "image", png)), dim = 8).collect().head
+    assert(small.feature.toSeq ===
+      Seq.fill(4)(60.0f / 768.0f) ++ Seq.fill(4)(0.0f))
+    // deterministic across runs
+    val again = featurize(media((3L, "video", avi)), dim = 16).collect().head
+    assert(vid.feature.toSeq === again.feature.toSeq)
   }
 }
