@@ -189,4 +189,64 @@ class PlanShapeSpec extends SparkSpec {
       "query side must broadcast")
     assert(p.contains("WindowGroupLimit"), "top-k rank lost map-side pruning")
   }
+
+  test("q44/q55 cluster labeling: labels broadcast onto the corpus scan, " +
+      "no cartesian anywhere") {
+    // the CC local-finish contract: the corpus-sized vertex relation is
+    // labeled by ONE broadcast hash join against a driver-built local
+    // relation — never shuffled, never nested-loop-joined
+    Seq("q44_dup_clusters", "q55_corpus_curation").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a nested-loop join")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: cluster labels must broadcast onto the corpus")
+      assert(p.contains("LocalTableScan"),
+        s"$q: the labeled set should enter as a driver-built local relation")
+    }
+  }
+
+  test("q57 streaming ingest: equi-join index probe, broadcast candidate " +
+      "restriction, no cartesian in any batch plan") {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("ndplan").toString
+      val fam = Seq(
+        1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa x",
+        3L -> "unrelated words entirely different content for this one doc")
+      graft.streaming.NearDupStream.ingestBatch(spark,
+        fam.take(1).toDF("id", "text"), s"$base/state", s"$base/sink",
+        3, 8, 2, 0.6)
+      // second batch probes the accumulated index with the candidate
+      // restriction forced ON (the corpus ≫ batch shape)
+      graft.streaming.NearDupStream.ingestBatch(spark,
+        fam.drop(1).toDF("id", "text"), s"$base/state", s"$base/sink",
+        3, 8, 2, 0.6, semiJoinCorpusRatio = 0L)
+      // QueryExecutionListener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def snap() = { import scala.jdk.CollectionConverters._; plans.asScala.toVector }
+      while (System.nanoTime() < deadline &&
+        !snap().exists(p => p.contains("BroadcastHashJoin") &&
+          p.contains("LeftSemi"))) Thread.sleep(100)
+      val all = snap()
+      assert(all.nonEmpty, "no batch plans captured")
+      assert(!all.exists(_.contains("CartesianProduct")),
+        "a streaming batch plan grew a cartesian product")
+      assert(all.exists(p => p.contains("BroadcastHashJoin") &&
+        p.contains("LeftSemi")),
+        "candidate restriction must be a broadcast semi-join")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
