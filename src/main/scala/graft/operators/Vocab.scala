@@ -67,6 +67,79 @@ object Vocab {
       .select(col("rank"), col("l_tok"), col("r_tok"), col("n"))
   }
 
+  // wrapped-string corpus form for multi-round BPE: every token sits in
+  // \u0001...\u0002 brackets, so one string `replace` of
+  // "<1>l<2><1>r<2>" -> "<1>lr<2>" IS the greedy
+  // left-to-right non-overlapping merge of pair (l, r) — the exact BPE
+  // round semantics ("a a a" merges the first two), with identical
+  // behavior in any engine's standard replace (the oracle replays every
+  // round in SQL). Control chars don't appear in whitespace-split tokens.
+  private val S1 = "\u0001"
+  private val S2 = "\u0002"
+
+  /** Multi-round BPE training (Sennrich et al. 2016): K merge rounds,
+    * each re-deriving adjacent-pair counts over the MERGED token
+    * sequences of the previous round and merging the single most frequent
+    * pair (ties pair-lexicographic, same total order as [[topPairs]]).
+    * Returns the merge table `(round, l_tok, r_tok, n)` — the actual
+    * tokenizer-training artifact.
+    *
+    * Scale shape: the corpus is held as one wrapped string per doc; each
+    * round is (a) a split+explode pair count with map-side combine and a
+    * distributed top-1 (TakeOrderedAndProject — ONE row to the driver,
+    * which is the algorithm's inherent sequential decision, not a
+    * driver-side loop over data), and (b) a map-side `replace` applying
+    * the merge — the corpus never shuffles. Rounds materialize via
+    * persist so round k+1 reads cached sequences, not a k-deep replace
+    * chain. BPE training is inherently sequential in its merge decisions;
+    * K bounded-size jobs is its minimal distributed form. */
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val spark = df.sparkSession
+    var seqs = df.select(
+      concat_ws("", transform(TextExprs.tokens(text), t =>
+        concat(lit(S1), t, lit(S2)))).as("s"))
+      .filter(length(col("s")) > 0)
+      .persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val toksDf = seqs.select(
+        split(expr("substring(s, 2, length(s) - 2)"),
+          java.util.regex.Pattern.quote(S2 + S1)).as("__ts"))
+      val tsc = col("__ts")
+      val pairs = toksDf.select(explode(
+        when(size(tsc) >= 2,
+          transform(sequence(lit(1), size(tsc) - 1), i =>
+            struct(element_at(tsc, i).as("l_tok"),
+              element_at(tsc, i + 1).as("r_tok"))))
+          .otherwise(array().cast(
+            "array<struct<l_tok:string,r_tok:string>>"))).as("p"))
+        .select(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+      val top = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val rt = top(0).getString(1)
+        merges += ((r, l, rt, top(0).getLong(2)))
+        val next = seqs.select(
+          replace(col("s"), lit(S1 + l + S2 + S1 + rt + S2),
+            lit(S1 + l + rt + S2)).as("s"))
+          .persist()
+        next.count() // materialize before releasing the parent cache
+        seqs.unpersist()
+        seqs = next
+      }
+      r += 1
+    }
+    seqs.unpersist()
+    import spark.implicits._
+    merges.result().toDF("round", "l_tok", "r_tok", "n")
+  }
+
   /** Per-document bigram-MLE negative log-likelihood — the classic cheap
     * quality/fluency signal (a KenLM-style filter with the corpus itself
     * as training set): `(id, n_bigrams, avg_nll)` where

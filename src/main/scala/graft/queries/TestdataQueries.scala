@@ -2043,6 +2043,48 @@ object TestdataQueries {
        |  AND s.qrn = CAST(ceil(prob * n.n_sample) AS INTEGER)""".stripMargin
   }
 
+  // ----------------------------- multi-round BPE training (§2.10 ext)
+  // K full merge rounds with pair re-derivation over the merged token
+  // sequences — the real tokenizer-training loop (Sennrich et al. 2016),
+  // not just round 1's counts (q71). The oracle replays every round as an
+  // unrolled CTE chain on the wrapped-string form: tokens bracketed by
+  // chr(1)/chr(2) make one standard `replace` the exact greedy
+  // left-to-right non-overlapping merge in BOTH engines.
+  private val q82Rounds = 8
+
+  private def q82BpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.bpeTrain(
+      Tables.documents(s, d), col("text"), q82Rounds)
+
+  private val q82Sql = {
+    val w1 = "chr(1)"; val w2 = "chr(2)"
+    val roundCtes = (1 to q82Rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT ts[j] AS l_tok, ts[j + 1] AS r_tok
+         |  FROM (SELECT ts, unnest(range(1, len(ts))) AS j
+         |        FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+         |                       $w2 || $w1) AS ts FROM r${i - 1}))),
+         |m$i AS (
+         |  SELECT l_tok, r_tok, count(*) AS n FROM p$i GROUP BY 1, 2
+         |  ORDER BY n DESC, l_tok, r_tok LIMIT 1),
+         |r$i AS (
+         |  SELECT replace(s, $w1 || l_tok || $w2 || $w1 || r_tok || $w2,
+         |                 $w1 || l_tok || r_tok || $w2) AS s
+         |  FROM r${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to q82Rounds)
+      .map(i => s"SELECT $i AS round, l_tok, r_tok, n FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH r0 AS (
+       |  SELECT $w1 || array_to_string(
+       |           regexp_split_to_array(trim(text), '\\s+'), $w2 || $w1)
+       |         || $w2 AS s
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |$roundCtes
+       |SELECT CAST(round AS INTEGER) AS round, l_tok, r_tok, n FROM (
+       |  $unioned)""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2121,7 +2163,8 @@ object TestdataQueries {
     "q78_streaming_countmin" -> (q78StreamingCountmin _),
     "q79_format_roundtrip" -> (q79FormatRoundtrip _),
     "q80_trending_users" -> (q80TrendingUsers _),
-    "q81_quantiles_by_group" -> (q81QuantilesByGroup _))
+    "q81_quantiles_by_group" -> (q81QuantilesByGroup _),
+    "q82_bpe_train" -> (q82BpeTrain _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2199,5 +2242,6 @@ object TestdataQueries {
     "q78_streaming_countmin" -> q70Sql,
     "q79_format_roundtrip" -> q1Sql,
     "q80_trending_users" -> q80Sql,
-    "q81_quantiles_by_group" -> q81Sql)
+    "q81_quantiles_by_group" -> q81Sql,
+    "q82_bpe_train" -> q82Sql)
 }

@@ -49,4 +49,31 @@ class VocabSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(ids === Set(3L))
   }
+
+  test("bpeTrain: multi-round merges match a hand computation") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val m = Vocab.bpeTrain(docs, col("text"), rounds = 3)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    // r1: (a,b)x3 -> "ab"; r2 over [ab ab c],[ab c d]: (ab,c)x2 -> "abc";
+    // r3 over [ab abc],[abc d]: tie at n=1, (ab,abc) < (abc,d) lex
+    assert(m === Seq((1, "a", "b", 3L), (2, "ab", "c", 2L),
+      (3, "ab", "abc", 1L)))
+  }
+
+  test("bpeTrain: greedy left-to-right non-overlapping merge (a a a)") {
+    val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val m = Vocab.bpeTrain(docs, col("text"), rounds = 2)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    // round 1 counts (a,a)=2 but merges only the FIRST occurrence ->
+    // [aa, a]; round 2 merges (aa, a)
+    assert(m === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((1L, "x y"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val m = Vocab.bpeTrain(docs, col("text"), rounds = 5)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    // r1 merges (x,y); r2 has only single-token docs -> exhausted
+    assert(m === Seq((1, "x", "y", 1L)))
+  }
 }
