@@ -140,6 +140,37 @@ object Vocab {
     merges.result().toDF("round", "l_tok", "r_tok", "n")
   }
 
+  /** Apply a trained merge list (as produced by [[bpeTrain]], in training
+    * order) to the corpus — BPE ENCODING, the inference half of the
+    * tokenizer: `(id, n_raw, n_bpe, compression)` per document with ≥ 1
+    * token, where `n_bpe` counts tokens after all merges and
+    * `compression = n_raw / n_bpe` (rounded 4) is the per-doc
+    * bytes-per-token proxy quality/efficiency signal.
+    *
+    * Scale shape: the merge list rides the plan as literals (same
+    * discipline as Classify's model weights — no join), each merge is one
+    * map-side `replace` on the wrapped-string form, and the token count
+    * is recovered by counting markers — the corpus NEVER shuffles and the
+    * whole encode is a single projection. */
+  def bpeEncode(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val s0: Column = concat_ws("", transform(TextExprs.tokens(text), t =>
+      concat(lit(S1), t, lit(S2))))
+    val sN = merges.foldLeft(s0) { case (acc, (l, r)) =>
+      replace(acc, lit(S1 + l + S2 + S1 + r + S2), lit(S1 + l + r + S2))
+    }
+    df.select(id.as("id"), size(TextExprs.tokens(text)).as("__nr"),
+        sN.as("__s"))
+      .filter(col("__nr") > 0)
+      .select(col("id"),
+        col("__nr").cast("long").as("n_raw"),
+        (length(col("__s")) -
+          length(replace(col("__s"), lit(S1), lit(""))))
+          .cast("long").as("n_bpe"))
+      .withColumn("compression",
+        round(col("n_raw").cast("double") / col("n_bpe"), 4))
+  }
+
   /** Per-document bigram-MLE negative log-likelihood — the classic cheap
     * quality/fluency signal (a KenLM-style filter with the corpus itself
     * as training set): `(id, n_bigrams, avg_nll)` where

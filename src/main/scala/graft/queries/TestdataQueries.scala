@@ -2056,7 +2056,10 @@ object TestdataQueries {
     graft.operators.Vocab.bpeTrain(
       Tables.documents(s, d), col("text"), q82Rounds)
 
-  private val q82Sql = {
+  /** The unrolled K-round CTE chain shared by q82 (training output = the
+    * m_i merge rows) and q83 (encoding output = the r_K merged strings,
+    * carrying doc_id and the raw token count through every round). */
+  private val q82Ctes = {
     val w1 = "chr(1)"; val w2 = "chr(2)"
     val roundCtes = (1 to q82Rounds).map { i =>
       s"""p$i AS (
@@ -2068,22 +2071,48 @@ object TestdataQueries {
          |  SELECT l_tok, r_tok, count(*) AS n FROM p$i GROUP BY 1, 2
          |  ORDER BY n DESC, l_tok, r_tok LIMIT 1),
          |r$i AS (
-         |  SELECT replace(s, $w1 || l_tok || $w2 || $w1 || r_tok || $w2,
-         |                 $w1 || l_tok || r_tok || $w2) AS s
+         |  SELECT doc_id, n_raw,
+         |    replace(s, $w1 || l_tok || $w2 || $w1 || r_tok || $w2,
+         |            $w1 || l_tok || r_tok || $w2) AS s
          |  FROM r${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
+    s"""WITH r0 AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_raw,
+       |    $w1 || array_to_string(
+       |      regexp_split_to_array(trim(text), '\\s+'), $w2 || $w1)
+       |    || $w2 AS s
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |$roundCtes""".stripMargin
+  }
+
+  private val q82Sql = {
     val unioned = (1 to q82Rounds)
       .map(i => s"SELECT $i AS round, l_tok, r_tok, n FROM m$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH r0 AS (
-       |  SELECT $w1 || array_to_string(
-       |           regexp_split_to_array(trim(text), '\\s+'), $w2 || $w1)
-       |         || $w2 AS s
-       |  FROM documents WHERE length(trim(text)) > 0),
-       |$roundCtes
-       |SELECT CAST(round AS INTEGER) AS round, l_tok, r_tok, n FROM (
-       |  $unioned)""".stripMargin
+    // q82Ctes is already margin-stripped — re-stripping would eat the
+    // leading "||" continuation lines down to a single "|"
+    q82Ctes + "\nSELECT CAST(round AS INTEGER) AS round, l_tok, r_tok, n " +
+      s"FROM (\n  $unioned)"
   }
+
+  private def q83BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Vocab
+      .bpeTrain(docs, col("text"), q82Rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Vocab.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q83Sql =
+    q82Ctes + s"""
+SELECT doc_id, CAST(n_raw AS BIGINT) AS n_raw,
+  CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_bpe,
+  round(CAST(n_raw AS DOUBLE) /
+        (length(s) - length(replace(s, chr(1), ''))), 4) AS compression
+FROM r$q82Rounds"""
 
   // ------------------------------------------------------------------------
 
@@ -2164,7 +2193,8 @@ object TestdataQueries {
     "q79_format_roundtrip" -> (q79FormatRoundtrip _),
     "q80_trending_users" -> (q80TrendingUsers _),
     "q81_quantiles_by_group" -> (q81QuantilesByGroup _),
-    "q82_bpe_train" -> (q82BpeTrain _))
+    "q82_bpe_train" -> (q82BpeTrain _),
+    "q83_bpe_encode" -> (q83BpeEncode _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2243,5 +2273,6 @@ object TestdataQueries {
     "q79_format_roundtrip" -> q1Sql,
     "q80_trending_users" -> q80Sql,
     "q81_quantiles_by_group" -> q81Sql,
-    "q82_bpe_train" -> q82Sql)
+    "q82_bpe_train" -> q82Sql,
+    "q83_bpe_encode" -> q83Sql)
 }

@@ -76,4 +76,24 @@ class VocabSpec extends SparkSpec {
     // r1 merges (x,y); r2 has only single-token docs -> exhausted
     assert(m === Seq((1, "x", "y", 1L)))
   }
+
+  test("bpeEncode applies trained merges in order, counts both sides") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, col("text"), rounds = 2)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === Seq(("a", "b"), ("ab", "c")))
+    val enc = Vocab.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: [a b a b c] -> [ab ab c] -> [ab abc]: 5 raw, 2 bpe
+    // doc2: [a b c d] -> [ab c d] -> [abc d]: 4 raw, 2 bpe
+    // doc3: empty -> excluded
+    assert(enc === Seq((1L, 5L, 2L, 2.5), (2L, 4L, 2L, 2.0)))
+  }
+
+  test("bpeEncode with no merges is the identity token count") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val enc = Vocab.bpeEncode(docs, col("doc_id"), col("text"), Seq.empty)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(enc === Seq((1L, 3L, 3L, 1.0)))
+  }
 }
