@@ -97,7 +97,9 @@ object DupClusters {
     // whole minhash-LSH pipeline) executes once per reference instead of
     // once total
     val directed = edges.select(col("src"), col("dst")).persist()
-    val edgeCount = directed.count()
+    val edgeCount =
+      try directed.count()
+      catch { case t: Throwable => directed.unpersist(); throw t }
     val idType = directed.schema("src").dataType
     val localOrd =
       if (edgeCount <= localMaxEdges) minOrdering(idType) else None
@@ -112,11 +114,13 @@ object DupClusters {
         // incident semi-join collect) where the previous shape ran ~8
         // (count, incident count, two broadcast builds, coalesce(1)
         // contraction, labeled collect, plus AQE re-plans); measured via
-        // BenchOne jobs=: q44 18→9, q55 28→19. Scheduling latency of many
-        // small jobs — not data volume — was what a contended box
-        // amplified 10–20× in two rounds of official bench artifacts.
-        val edgeRows = directed.collect()
-        directed.unpersist()
+        // BenchOne jobs=: q44 18→13, q55 28→23 end to end. Scheduling
+        // latency of many small jobs — not data volume — was what a
+        // contended box amplified 10–20× in two rounds of official bench
+        // artifacts.
+        val edgeRows =
+          try directed.collect()
+          finally directed.unpersist()
         // endpoints + incident ∩ vertex universe. The endpoint set is a
         // driver-built LocalRelation broadcast against the (possibly
         // corpus-sized) vertex scan, which therefore stays map-side; its

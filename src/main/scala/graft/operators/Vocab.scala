@@ -101,41 +101,51 @@ object Vocab {
         concat(lit(S1), t, lit(S2)))).as("s"))
       .filter(length(col("s")) > 0)
       .persist()
+    // the previous round's cache is released only AFTER the current
+    // round's top-1 has materialized the current cache (the aggregate
+    // below reads seqs through its persist) — one job per round, no
+    // separate materializing count(), and never an unmaterialized persist
+    // chain that would recompute back to round 0
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val toksDf = seqs.select(
-        split(expr("substring(s, 2, length(s) - 2)"),
-          java.util.regex.Pattern.quote(S2 + S1)).as("__ts"))
-      val tsc = col("__ts")
-      val pairs = toksDf.select(explode(
-        when(size(tsc) >= 2,
-          transform(sequence(lit(1), size(tsc) - 1), i =>
-            struct(element_at(tsc, i).as("l_tok"),
-              element_at(tsc, i + 1).as("r_tok"))))
-          .otherwise(array().cast(
-            "array<struct<l_tok:string,r_tok:string>>"))).as("p"))
-        .select(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
-      val top = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val l = top(0).getString(0)
-        val rt = top(0).getString(1)
-        merges += ((r, l, rt, top(0).getLong(2)))
-        val next = seqs.select(
-          replace(col("s"), lit(S1 + l + S2 + S1 + rt + S2),
-            lit(S1 + l + rt + S2)).as("s"))
-          .persist()
-        next.count() // materialize before releasing the parent cache
-        seqs.unpersist()
-        seqs = next
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val toksDf = seqs.select(
+          split(expr("substring(s, 2, length(s) - 2)"),
+            java.util.regex.Pattern.quote(S2 + S1)).as("__ts"))
+        val tsc = col("__ts")
+        val pairs = toksDf.select(explode(
+          when(size(tsc) >= 2,
+            transform(sequence(lit(1), size(tsc) - 1), i =>
+              struct(element_at(tsc, i).as("l_tok"),
+                element_at(tsc, i + 1).as("r_tok"))))
+            .otherwise(array().cast(
+              "array<struct<l_tok:string,r_tok:string>>"))).as("p"))
+          .select(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+        val top = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
+          .limit(1).collect() // materializes seqs' persist
+        if (prev != null) { prev.unpersist(); prev = null }
+        if (top.isEmpty) exhausted = true
+        else {
+          val l = top(0).getString(0)
+          val rt = top(0).getString(1)
+          merges += ((r, l, rt, top(0).getLong(2)))
+          val next = seqs.select(
+            replace(col("s"), lit(S1 + l + S2 + S1 + rt + S2),
+              lit(S1 + l + rt + S2)).as("s"))
+            .persist()
+          prev = seqs
+          seqs = next
+        }
+        r += 1
       }
-      r += 1
+    } finally {
+      if (prev != null) prev.unpersist()
+      seqs.unpersist()
     }
-    seqs.unpersist()
     import spark.implicits._
     merges.result().toDF("round", "l_tok", "r_tok", "n")
   }
