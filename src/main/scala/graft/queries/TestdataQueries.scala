@@ -2114,6 +2114,34 @@ SELECT doc_id, CAST(n_raw AS BIGINT) AS n_raw,
         (length(s) - length(replace(s, chr(1), ''))), 4) AS compression
 FROM r$q82Rounds"""
 
+  // ----------------------------- document chunking (§2.10 ext)
+  // Fixed-size token windows with overlap — the context-length prep stage
+  // before packing, and the RAG index unit. Map-side only; the oracle
+  // replays window arithmetic and the space-rejoin exactly.
+  private val q84Size = 64
+  private val q84Overlap = 16
+
+  private def q84Chunks(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunk.tokenChunks(Tables.documents(s, d),
+        col("doc_id"), col("text"), q84Size, q84Overlap)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q84Sql = {
+    val sz = q84Size; val st = q84Size - q84Overlap
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |c AS (
+       |  SELECT doc_id, ts,
+       |    CASE WHEN len(ts) <= $sz THEN 1
+       |         ELSE 1 + (len(ts) - $sz + $st - 1) // $st END AS nc
+       |  FROM toks)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |  CAST(least($sz, len(ts) - i * $st) AS INTEGER) AS n_tokens,
+       |  array_to_string(ts[i * $st + 1 : i * $st + $sz], ' ') AS chunk_text
+       |FROM (SELECT doc_id, ts, unnest(range(0, nc)) AS i FROM c)""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2194,7 +2222,8 @@ FROM r$q82Rounds"""
     "q80_trending_users" -> (q80TrendingUsers _),
     "q81_quantiles_by_group" -> (q81QuantilesByGroup _),
     "q82_bpe_train" -> (q82BpeTrain _),
-    "q83_bpe_encode" -> (q83BpeEncode _))
+    "q83_bpe_encode" -> (q83BpeEncode _),
+    "q84_doc_chunks" -> (q84Chunks _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2274,5 +2303,6 @@ FROM r$q82Rounds"""
     "q80_trending_users" -> q80Sql,
     "q81_quantiles_by_group" -> q81Sql,
     "q82_bpe_train" -> q82Sql,
-    "q83_bpe_encode" -> q83Sql)
+    "q83_bpe_encode" -> q83Sql,
+    "q84_doc_chunks" -> q84Sql)
 }
