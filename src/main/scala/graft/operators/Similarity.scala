@@ -49,6 +49,41 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** k-NN majority-vote classification over a LABELED embedding corpus —
+    * the semantic-filtering primitive of corpus curation (label a small
+    * seed set "keep/drop" or by topic, classify the rest by embedding
+    * neighborhood): for each query vector, the `k` nearest labeled
+    * neighbors by cosine vote; the winner is `(query_id, pred_label,
+    * votes)` with ties broken toward the smallest label (total order,
+    * oracle-stable).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast,
+    * scoring map-side on the codegen'd vector kernel, per-query rank
+    * prunes map-side (WindowGroupLimit), and the vote aggregate runs over
+    * queries × k rows, which is metadata-sized. The label column rides
+    * the corpus scan; no extra join. */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, id: String,
+      vec: String, label: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      VectorExprs.norm2(col(vec)).as("qn2"))
+    val c = labeled.select(col(id).as("neighbor_id"), col(label).as("lab"),
+      col(vec).as("cv"), VectorExprs.norm2(col(vec)).as("cn2"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("lab").asc)
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("lab"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__r", row_number().over(wVote))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("lab").as("pred_label"), col("votes"))
+  }
+
   /** IVF with a LEARNED coarse quantizer (k-means, MLlib) and multi-probe:
     * corpus rows are assigned to their nearest centroid once; each query
     * probes its `nProbe` nearest centroids, so recall degrades gracefully

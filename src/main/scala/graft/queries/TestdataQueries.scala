@@ -2142,6 +2142,35 @@ FROM r$q82Rounds"""
        |FROM (SELECT doc_id, ts, unnest(range(0, nc)) AS i FROM c)""".stripMargin
   }
 
+  // ----------------------------- kNN classification (§2.10 ext)
+  // Majority vote of the 5 nearest labeled embeddings — the semantic
+  // seed-set filtering primitive. Shares q21's exact-cosine/rank replay;
+  // the vote and its smallest-label tie-break are total orders.
+  private def q85KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Similarity.knnClassify(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
+  }
+
+  private val q85Sql =
+    """WITH e AS (SELECT vec_id, label,
+      |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS lab,
+      |    list_inner_product(q.qv, e.v) /
+      |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS c
+      |  FROM e CROSS JOIN q WHERE q.query_id <> e.vec_id),
+      |r AS (SELECT query_id, lab, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      |      FROM s),
+      |v AS (SELECT query_id, lab, count(*) AS votes
+      |      FROM r WHERE rank <= 5 GROUP BY 1, 2)
+      |SELECT query_id, pred_label, votes FROM (
+      |  SELECT query_id, lab AS pred_label, votes, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY votes DESC, lab) AS rr FROM v)
+      |WHERE rr = 1""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2223,7 +2252,8 @@ FROM r$q82Rounds"""
     "q81_quantiles_by_group" -> (q81QuantilesByGroup _),
     "q82_bpe_train" -> (q82BpeTrain _),
     "q83_bpe_encode" -> (q83BpeEncode _),
-    "q84_doc_chunks" -> (q84Chunks _))
+    "q84_doc_chunks" -> (q84Chunks _),
+    "q85_knn_classify" -> (q85KnnClassify _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2304,5 +2334,6 @@ FROM r$q82Rounds"""
     "q81_quantiles_by_group" -> q81Sql,
     "q82_bpe_train" -> q82Sql,
     "q83_bpe_encode" -> q83Sql,
-    "q84_doc_chunks" -> q84Sql)
+    "q84_doc_chunks" -> q84Sql,
+    "q85_knn_classify" -> q85Sql)
 }

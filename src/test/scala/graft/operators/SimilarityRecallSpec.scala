@@ -105,4 +105,38 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(multiRecall > singleRecall,
       "probe ring should strictly improve recall")
   }
+
+  test("knnClassify: majority of the k nearest labels, smallest-label ties") {
+    // two tight clusters on orthogonal axes + one off-label impostor in
+    // cluster A; queries sit on each axis
+    val labeled = Seq(
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(0.9f, 0.1f), 0),
+      (12L, Array(0.95f, 0.05f), 1), // impostor inside cluster A
+      (20L, Array(0.0f, 1.0f), 1), (21L, Array(0.1f, 0.9f), 1),
+      (22L, Array(0.05f, 0.95f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val qs = Seq((1L, Array(1.0f, 0.01f), -1), (2L, Array(0.01f, 1.0f), -1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(labeled, qs, "vec_id", "embedding",
+        "label", k = 3)
+      .orderBy("query_id").as[(Long, Int, Long)].collect().toSeq
+    // query 1's 3-NN = {10, 11, 12}: labels 0,0,1 -> 0 with 2 votes
+    // query 2's 3-NN = {20, 21, 22}: all 1 -> 1 with 3 votes
+    assert(out === Seq((1L, 0, 2L), (2L, 1, 3L)))
+    // k=2 on query 1 -> {10, 12}: one vote each, smallest label wins
+    val tie = Similarity.knnClassify(labeled, qs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(tie === Seq((1L, 0, 1L)))
+  }
+
+  test("knnClassify keeps the brute-force plan shape (broadcast + " +
+      "map-side rank pruning)") {
+    val p = Similarity.knnClassify(embs, queries, "vec_id", "embedding",
+        "label", k)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), "rank must prune map-side")
+    assert(p.contains("vec_dot"), "scoring must use the native kernel")
+    assert(!p.contains("CartesianProduct"), "no cartesian allowed")
+  }
 }
