@@ -17,7 +17,8 @@ object Explain {
       "q56_kmv_distinct", "q58_heavy_hitters", "q60_token_shards",
       "q61_zorder_key", "q62_decontaminate", "q64_kmv_by_group",
       "q68_bm25_topk", "q70_countmin", "q71_bpe_pairs", "q72_bigram_nll",
-      "q73_mix_sample", "q74_pack_examples")
+      "q73_mix_sample", "q74_pack_examples", "q84_doc_chunks",
+      "q85_knn_classify")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
