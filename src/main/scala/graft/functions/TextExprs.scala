@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextExprs {
 
+  /** Canonical text normalization — the curation stage that runs BEFORE
+    * exact dedup / fingerprinting so byte-different renderings of the
+    * same text collapse: Unicode NFC composition (codegen'd kernel,
+    * zero-copy for already-normal text), lowercase, control chars →
+    * space, whitespace runs collapsed, ends trimmed. Every step is a
+    * deterministic builtin (or the NFC kernel) with an exact cross-engine
+    * replay — fully oracle-expressible, all map-side. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(TextKernels.nfcNormalize(text)),
+        "\\p{Cntrl}", " "),
+      "\\s+", " "))
+
   /** Whitespace tokenization. Empty input → empty array (not [""]). */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))

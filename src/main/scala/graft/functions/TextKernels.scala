@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftext.ColumnBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
@@ -101,4 +101,42 @@ object TextKernels {
     ColumnBridge.column(BoundedLevenshtein(
       ColumnBridge.expression(a), ColumnBridge.expression(b),
       org.apache.spark.sql.catalyst.expressions.Literal(bound)))
+
+  /** Unicode NFC normalization (canonical composition): "é" as e+combining
+    * acute and "é" precomposed become the SAME string — the prerequisite
+    * for exact dedup / fingerprinting over text from mixed encoders.
+    * Already-normalized strings (the overwhelming common case — ASCII is
+    * always NFC) pass through with a cheap quick-check and ZERO copies.
+    * Static-call kernel with `doGenCode`: stays inside whole-stage
+    * codegen like the Levenshtein and PolyHash kernels. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects a string input, got $other")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override protected def nullSafeEval(input: Any): Any =
+      nfc(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.nfc($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: Unicode NFC canonical composition. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

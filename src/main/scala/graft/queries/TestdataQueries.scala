@@ -2171,6 +2171,25 @@ FROM r$q82Rounds"""
       |    PARTITION BY query_id ORDER BY votes DESC, lab) AS rr FROM v)
       |WHERE rr = 1""".stripMargin
 
+  // ----------------------------- text normalization (§2.10 ext)
+  // Canonical form before dedup/fingerprinting: NFC (codegen'd kernel),
+  // lowercase, control chars → space, whitespace collapse, trim. The
+  // oracle replays the identical chain with DuckDB's nfc_normalize.
+  private def q86Normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextExprs.normalizeText(col("text")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+
+  private val q86Sql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(
+      |    lower(nfc_normalize(text)), '[[:cntrl:]]', ' ', 'g'),
+      |    '\s+', ' ', 'g')) AS norm_text,
+      |  CAST(length(trim(regexp_replace(regexp_replace(
+      |    lower(nfc_normalize(text)), '[[:cntrl:]]', ' ', 'g'),
+      |    '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2253,7 +2272,8 @@ FROM r$q82Rounds"""
     "q82_bpe_train" -> (q82BpeTrain _),
     "q83_bpe_encode" -> (q83BpeEncode _),
     "q84_doc_chunks" -> (q84Chunks _),
-    "q85_knn_classify" -> (q85KnnClassify _))
+    "q85_knn_classify" -> (q85KnnClassify _),
+    "q86_normalize_text" -> (q86Normalize _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2335,5 +2355,6 @@ FROM r$q82Rounds"""
     "q82_bpe_train" -> q82Sql,
     "q83_bpe_encode" -> q83Sql,
     "q84_doc_chunks" -> q84Sql,
-    "q85_knn_classify" -> q85Sql)
+    "q85_knn_classify" -> q85Sql,
+    "q86_normalize_text" -> q86Sql)
 }

@@ -82,4 +82,35 @@ class BoundedLevenshteinExprSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), "filter stage lost whole-stage codegen")
   }
+
+  test("nfcNormalize composes decomposed sequences, zero-copies NFC text") {
+    // "e" + COMBINING ACUTE (U+0301) composes to precomposed U+00E9
+    val decomposed = "caf" + "e\u0301"
+    val composed = "caf\u00e9"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        TextKernels.nfcNormalize(col("t")).as("n"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out(0)._2 === composed, "decomposed input must compose")
+    assert(out(1)._2 === composed)
+    assert(out(2)._2 === "plain ascii")
+  }
+
+  test("normalizeText: NFC + lower + control strip + whitespace collapse") {
+    // "Cafe" + combining acute composes to precomposed E9 then lowercases;
+    // tab/newline are control chars -> spaces -> collapsed; ends trimmed
+    val df = Seq((1L, "  CAFE\u0301\tNoir\n  x ")).toDF("id", "t")
+    val out = df.select(graft.functions.TextExprs.normalizeText(col("t")))
+      .as[String].collect().head
+    assert(out === "caf\u00e9 noir x")
+  }
+
+  test("nfcNormalize participates in whole-stage codegen") {
+    val df = spark.range(5).select(concat(lit("v"), col("id")).as("t"))
+    val plan = df.select(TextKernels.nfcNormalize(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("nfc_normalize")), s"plan:\n$plan")
+  }
 }
