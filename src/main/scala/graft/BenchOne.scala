@@ -32,7 +32,11 @@ object BenchOne {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"TIMING $n rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s jobs=${jobs.get()-j0}")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener delivery is async: give the bus a moment to drain so
+      // this rep's onJobStart events don't land in the next rep's window
+      Thread.sleep(500)
+      println(f"TIMING $n rep$rep $wall%.2f s jobs=${jobs.get()-j0}")
     }
     spark.stop()
   }

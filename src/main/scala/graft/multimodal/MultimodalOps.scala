@@ -58,10 +58,15 @@ object MultimodalOps {
         case "audio" =>
           val means = Wav.windowMeanAbs(content, dim)
           Array.tabulate(dim)(means(_) / 32768.0f)
-        case _ =>
+        case "video" =>
           val fm = Avi.frameMeans(content)
-          Array.tabulate(dim)(i =>
+          // a container with zero movi frames has no brightness curve
+          if (fm.isEmpty) Array.fill(dim)(0.0f)
+          else Array.tabulate(dim)(i =>
             fm((i.toLong * fm.length / dim).toInt) / 256.0f)
+        // unknown kinds get a defined (zero) feature instead of being
+        // fed to a parser that will throw — featurize stays total
+        case _ => Array.fill(dim)(0.0f)
       }
   }
 

@@ -73,9 +73,21 @@ object Vocab {
   // left-to-right non-overlapping merge of pair (l, r) — the exact BPE
   // round semantics ("a a a" merges the first two), with identical
   // behavior in any engine's standard replace (the oracle replays every
-  // round in SQL). Control chars don't appear in whitespace-split tokens.
+  // round in SQL). The bracket chars are NOT guaranteed absent from raw
+  // text (control chars are not whitespace, so tokens() would keep them)
+  // — wrappedSeqs scrubs them to spaces first, making the boundary
+  // invariant real rather than assumed; the oracle scrubs identically.
   private val S1 = "\u0001"
   private val S2 = "\u0002"
+
+  /** The wrapped-string corpus: brackets scrubbed from the raw text, one
+    * row per doc with ≥ 1 token. */
+  private def wrappedSeqs(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      concat_ws("", transform(
+        TextExprs.tokens(regexp_replace(text, "[\u0001\u0002]", " ")),
+        t => concat(lit(S1), t, lit(S2)))).as("s"))
+      .filter(length(col("s")) > 0)
 
   /** Multi-round BPE training (Sennrich et al. 2016): K merge rounds,
     * each re-deriving adjacent-pair counts over the MERGED token
@@ -96,11 +108,7 @@ object Vocab {
   def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val spark = df.sparkSession
-    var seqs = df.select(
-      concat_ws("", transform(TextExprs.tokens(text), t =>
-        concat(lit(S1), t, lit(S2)))).as("s"))
-      .filter(length(col("s")) > 0)
-      .persist()
+    var seqs = wrappedSeqs(df, text).persist()
     // the previous round's cache is released only AFTER the current
     // round's top-1 has materialized the current cache (the aggregate
     // below reads seqs through its persist) — one job per round, no
@@ -164,12 +172,13 @@ object Vocab {
     * whole encode is a single projection. */
   def bpeEncode(df: DataFrame, id: Column, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val s0: Column = concat_ws("", transform(TextExprs.tokens(text), t =>
+    val clean = regexp_replace(text, "[\u0001\u0002]", " ")
+    val s0: Column = concat_ws("", transform(TextExprs.tokens(clean), t =>
       concat(lit(S1), t, lit(S2))))
     val sN = merges.foldLeft(s0) { case (acc, (l, r)) =>
       replace(acc, lit(S1 + l + S2 + S1 + r + S2), lit(S1 + l + r + S2))
     }
-    df.select(id.as("id"), size(TextExprs.tokens(text)).as("__nr"),
+    df.select(id.as("id"), size(TextExprs.tokens(clean)).as("__nr"),
         sN.as("__s"))
       .filter(col("__nr") > 0)
       .select(col("id"),

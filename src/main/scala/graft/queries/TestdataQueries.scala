@@ -2072,17 +2072,21 @@ object TestdataQueries {
          |  ORDER BY n DESC, l_tok, r_tok LIMIT 1),
          |r$i AS (
          |  SELECT doc_id, n_raw,
-         |    replace(s, $w1 || l_tok || $w2 || $w1 || r_tok || $w2,
-         |            $w1 || l_tok || r_tok || $w2) AS s
-         |  FROM r${i - 1}, m$i)""".stripMargin
+         |    coalesce(replace(s, $w1 || l_tok || $w2 || $w1 || r_tok || $w2,
+         |                     $w1 || l_tok || r_tok || $w2), s) AS s
+         |  FROM r${i - 1} LEFT JOIN m$i ON true)""".stripMargin
     }.mkString(",\n")
-    s"""WITH r0 AS (
+    s"""WITH d0 AS (
        |  SELECT doc_id,
-       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_raw,
+       |    trim(regexp_replace(text, '[' || $w1 || $w2 || ']', ' ', 'g')) AS t
+       |  FROM documents),
+       |r0 AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(t, '\\s+')) AS n_raw,
        |    $w1 || array_to_string(
-       |      regexp_split_to_array(trim(text), '\\s+'), $w2 || $w1)
+       |      regexp_split_to_array(t, '\\s+'), $w2 || $w1)
        |    || $w2 AS s
-       |  FROM documents WHERE length(trim(text)) > 0),
+       |  FROM d0 WHERE length(t) > 0),
        |$roundCtes""".stripMargin
   }
 

@@ -60,9 +60,11 @@ object NearDupStream {
     * full-corpus shingle projection wins — the extra broadcast job costs
     * more than shingling a small store saves. The default crossover is
     * MEASURED (ScaleProbe `nd` mode, SCALE.md): full-scan wins at ratio
-    * ≤ ~8, semi-join wins from ~30× and is 2.5× faster at 125×; at
-    * corpus ≫ batch (the steady state of any long-lived stream — and any
-    * 100 TB deployment) the semi-join is the only shape that works. */
+    * 8 (7.9 vs 10.4 s), ~tie at 32, semi-join 2× at 125 and 5.8× at 500
+    * (26.4 vs 4.5 s) — full-scan cost grows with the corpus while the
+    * semi-join's stays candidate-bounded; at corpus ≫ batch (the steady
+    * state of any long-lived stream — and any 100 TB deployment) the
+    * semi-join is the only shape that works. */
   def ingestBatch(spark: SparkSession, newDocs: DataFrame, stateDir: String,
                   sinkDir: String, n: Int, bands: Int, rowsPerBand: Int,
                   threshold: Double,
@@ -118,15 +120,23 @@ object NearDupStream {
         val corpus = priorDocs.map(_.unionByName(nd)).getOrElse(nd)
         // zero-column parquet scan: footer-row-count work, not data I/O
         val corpusRows = priorDocs.map(_.count()).getOrElse(0L) + nNew
+        // division form: `corpusRows > ratio * nNew` overflows Long for
+        // sentinel ratios like Long.MaxValue and silently INVERTS the
+        // switch (nNew > 0 here — the nNew == 0 case returned above)
+        val restrict = corpusRows / nNew > semiJoinCorpusRatio
+        // in semi-join mode cand is read twice (candidate-id build +
+        // verify join) — persist it so the band-probe/union/distinct
+        // plan executes once per batch
+        val candMat = if (restrict) cand.persist() else cand
         val verifySource =
-          if (corpusRows > semiJoinCorpusRatio * nNew) {
-            val candIds = cand.select(col("id_a").as("id"))
-              .union(cand.select(col("id_b").as("id"))).distinct()
+          if (restrict) {
+            val candIds = candMat.select(col("id_a").as("id"))
+              .union(candMat.select(col("id_b").as("id"))).distinct()
             corpus.join(broadcast(candIds), Seq("id"), "left_semi")
           } else corpus
         val sh = verifySource.select(col("id"),
           TextExprs.wordShingles(col("text"), n).as("sh"))
-        val verified = cand
+        val verified = candMat
           .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
           .withColumn("jaccard",
@@ -143,7 +153,11 @@ object NearDupStream {
           newBands.write.mode("append").parquet(bandsPath)
           nd.write.mode("append").parquet(docsPath)
           BatchResult(nNew, nPairs)
-        } finally verified.unpersist()
+        } finally {
+          verified.unpersist()
+          if (restrict) candMat.unpersist()
+          ()
+        }
       } finally newBands.unpersist()
     } finally nd.unpersist()
   }
