@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextExprs
+
 /** Corpus mixture sampling (§2.10 extension surface): cut each source /
   * domain / language slice of a corpus down to a per-group token budget,
   * deterministically — the "data mixing" stage that turns raw crawls into
@@ -60,5 +62,38 @@ object Mix {
       .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
         lit(scale.toLong)) < col("rate_bp"))
       .select(col("id"), col("grp"), col("w"), col("rate_bp"))
+  }
+
+  /** Deterministic train/val/test (or any n-way) split assignment: each
+    * row's portable id-hash lands in one of `fractions`' cumulative
+    * buckets over [0, scale). Appends a `split` column; the assignment is
+    * a pure function of the id — stable across runs, partitionings, and
+    * engines (the oracle replays the hash), and rows never move between
+    * splits when the corpus grows, which is what makes held-out sets
+    * stay held out across dataset versions. Map-side only: no shuffle,
+    * no RNG, no join. Fractions must be positive and sum to 1; bucket
+    * edges are rounded to `scale`, so realized proportions are exact to
+    * 1/scale. */
+  def assignSplits(df: DataFrame, id: Column,
+      fractions: Seq[(String, Double)], scale: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split names in ${fractions.map(_._1)}")
+    require(fractions.forall(_._2 > 0), s"fractions must be positive: $fractions")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $total")
+    val thresholds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * scale))
+    val h = pmod(TextExprs.polyFingerprint(id.cast("string")),
+      lit(scale.toLong))
+    // when-cascade over the first n-1 buckets; the last absorbs rounding
+    val split = fractions.init.zip(thresholds.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>
+        Some(acc.map(_.when(h < t, name)).getOrElse(when(h < t, name)))
+      }
+      .map(_.otherwise(fractions.last._1))
+      .getOrElse(lit(fractions.last._1))
+    df.withColumn("split", split)
   }
 }

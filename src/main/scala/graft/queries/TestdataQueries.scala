@@ -2194,6 +2194,28 @@ FROM r$q82Rounds"""
       |    '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
       |FROM documents""".stripMargin
 
+  // ----------------------------- train/val/test split (§2.10 ext)
+  // Deterministic 90/5/5 assignment by portable id-hash buckets — held-out
+  // sets stay held out across dataset versions because a row's split is a
+  // pure function of its id. The oracle replays the hash fold.
+  private def q87Splits(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.assignSplits(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))
+
+  private val q87Sql =
+    """SELECT doc_id,
+      |  CASE WHEN h < 9000 THEN 'train'
+      |       WHEN h < 9500 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+      |                     c -> CAST(ascii(c) AS BIGINT)),
+      |      (a, c) -> (a * 31 + c) % 1000000007) % 10000 AS h
+      |  FROM documents)""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2277,7 +2299,8 @@ FROM r$q82Rounds"""
     "q83_bpe_encode" -> (q83BpeEncode _),
     "q84_doc_chunks" -> (q84Chunks _),
     "q85_knn_classify" -> (q85KnnClassify _),
-    "q86_normalize_text" -> (q86Normalize _))
+    "q86_normalize_text" -> (q86Normalize _),
+    "q87_split_assign" -> (q87Splits _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2360,5 +2383,6 @@ FROM r$q82Rounds"""
     "q83_bpe_encode" -> q83Sql,
     "q84_doc_chunks" -> q84Sql,
     "q85_knn_classify" -> q85Sql,
-    "q86_normalize_text" -> q86Sql)
+    "q86_normalize_text" -> q86Sql,
+    "q87_split_assign" -> q87Sql)
 }

@@ -77,4 +77,35 @@ class MixSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("overflows"))
   }
+
+  test("assignSplits: deterministic, exhaustive, proportional, stable") {
+    val docs = spark.range(2000).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Mix.assignSplits(docs, col("id"), fr)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a.keySet === Set("train", "val", "test"))
+    assert(a.values.sum === 2000L)
+    // hash buckets: expect ~80/10/10 within a loose tolerance
+    assert(a("train") > 1400 && a("train") < 1800, s"train=${a("train")}")
+    assert(a("val") > 100 && a("val") < 320, s"val=${a("val")}")
+    // identical assignment under repartitioning (pure function of id)
+    val b = Mix.assignSplits(docs.repartition(7), col("id"), fr)
+      .as[(Long, String)].collect().toMap
+    val a2 = Mix.assignSplits(docs, col("id"), fr)
+      .as[(Long, String)].collect().toMap
+    assert(a2 === b)
+  }
+
+  test("assignSplits: no shuffle in the plan; bad fractions rejected") {
+    val docs = spark.range(10).toDF("id")
+    val p = Mix.assignSplits(docs, col("id"), Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+    intercept[IllegalArgumentException](
+      Mix.assignSplits(docs, col("id"), Seq("a" -> 0.5, "b" -> 0.6)))
+    intercept[IllegalArgumentException](
+      Mix.assignSplits(docs, col("id"), Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      Mix.assignSplits(docs, col("id"), Seq.empty))
+  }
 }
