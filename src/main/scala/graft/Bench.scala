@@ -29,6 +29,22 @@ import org.apache.spark.sql.SparkSession
   * comparison noise-bound. The median of 3 is stable across consecutive
   * bench invocations.
   *
+  * Round-8: the artifact RESISTS contention instead of merely recording it.
+  * Round-7 forensics: a single contended window let one 836 s rep (q57,
+  * load 7.2) and neighbors set official medians 6–16× above idle-box truth.
+  * Three countermeasures, all per query:
+  *  - ADAPTIVE REPS: if max(rep)/min(rep) > 3 after the base reps, up to 2
+  *    extra reps run — a transient spike gets outvoted by the honest
+  *    majority instead of owning the median of 3;
+  *  - MEDIAN AND MIN are both reported. min is the contention-immune bound
+  *    (a busy box can only make a rep slower, never faster), so a reader
+  *    comparing rounds has a number no co-tenant can inflate;
+  *  - a "contended": true flag when the spread stays > 3× even after the
+  *    extra reps, backed by the per-query /proc/stat CPU-steal delta
+  *    (field 8 of the aggregate cpu line — on this firecracker VM steal,
+  *    i.e. the hypervisor running someone else on our vCPU, is the real
+  *    confounder; loadavg only sees our own runqueue).
+  *
   * Between queries the JVM is returned to a known-clean state so query k's
   * number does not depend on queries 1..k-1 (round-5 forensics: q44 read
   * 22.9 s in the 66-query bench vs 7.0 s standalone, and untouched queries
@@ -104,15 +120,34 @@ object Bench {
     def uptimeSec(): Double =
       try scala.io.Source.fromFile("/proc/uptime").mkString.split(' ')(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // cumulative CPU-steal jiffies (USER_HZ=100): aggregate "cpu" line,
+    // field 8 after the label (user nice system idle iowait irq softirq
+    // STEAL). Deltas across a query expose hypervisor co-tenancy that
+    // loadavg cannot see — the adjudicated confounder of rounds 6–7.
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000 // ms precision, short JSON
 
     val loadStart = loadavg()
+    val stealStart = stealJiffies()
     var errors = Map.empty[String, String]
+    // a rep's spread counts as contaminated when max/min exceeds this: an
+    // honest fixture-scale rep varies ±2× with JIT state; 3× is outside that
+    val SpreadLimit = 3.0
+    val ExtraReps = 2
+    case class QRes(name: String, median: Double, min: Double,
+                    times: Vector[Double], load: Double, stealD: Long,
+                    contended: Boolean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // full reset + GC before each query so its reps start from the same
       // heap/broadcast state regardless of position in the alphabet
       resetJvmState(settle = true)
-      val times = (0 until reps).iterator.map { _ =>
+      val stealQ0 = stealJiffies()
+      var failed = false
+      def runRep(): Double = {
         // drop persisted relations left by a previous rep of the same query:
         // cache lookup is by canonicalized plan, so without this a
         // persist-using query's reps 2..n would read rep 1's cache and the
@@ -125,27 +160,53 @@ object Bench {
         } catch {
           case e: Throwable =>
             errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            failed = true
             -1.0
         }
-      }.takeWhile(_ >= 0).toVector // an error rep aborts the remaining reps
-      val median = if (times.size < reps) -1.0 else times.sorted.apply(reps / 2)
+      }
+      var times = (0 until reps).iterator.map(_ => runRep())
+        .takeWhile(_ >= 0).toVector // an error rep aborts the remaining reps
+      def median(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
+      def spreadOk(ts: Vector[Double]): Boolean =
+        ts.size < 2 || ts.max / ts.min.max(1e-9) <= SpreadLimit
+      // adaptive reps: a transient contention spike that owned one of 3 reps
+      // gets outvoted by honest extras; stop once the median is within
+      // SpreadLimit of the contention-immune min (median trustworthy again)
+      var extras = 0
+      while (!failed && reps > 1 && extras < ExtraReps && !spreadOk(times) &&
+             median(times) / times.min.max(1e-9) > SpreadLimit) {
+        val t = runRep()
+        if (t >= 0) times = times :+ t
+        extras += 1
+      }
+      val med = if (failed || times.size < reps) -1.0 else median(times)
+      val mn = if (times.isEmpty) -1.0 else times.min
+      // contended = spread stayed past the limit even after extra reps: the
+      // median may still be contaminated; trust min and the steal evidence
+      val contended = !failed && !spreadOk(times)
       val load = loadavg()
+      val stealD = { val s1 = stealJiffies(); if (s1 >= 0 && stealQ0 >= 0) s1 - stealQ0 else -1L }
       // one short evidence line per query, printed BEFORE the summary so a
       // tail capture keeps the summary; the detail file keeps everything
-      rawOut.println(s"""{"q":${q(name)},"median":${r3(median)},"reps":[${times.map(r3).mkString(",")}],"load":$load}""")
-      (name, median, times, load)
+      rawOut.println(s"""{"q":${q(name)},"median":${r3(med)},"min":${r3(mn)},"reps":[${times.map(r3).mkString(",")}],"load":$load,"steal_d":$stealD,"contended":$contended}""")
+      QRes(name, med, mn, times, load, stealD, contended)
     }
     val loadEnd = loadavg()
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val stealEnd = stealJiffies()
+    val total = results.collect { case r if r.median >= 0 => r.median }.sum
+    // contention-immune companion total: a co-tenant can only inflate reps,
+    // never deflate them, so sum-of-mins is the floor no busy box can move
+    val totalMin = results.collect { case r if r.min >= 0 => r.min }.sum
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
 
-    // full artifact on disk: every query's median, raw reps, and loadavg
+    // full artifact on disk: every query's median/min, raw reps, loadavg,
+    // per-query steal delta and the contended verdict
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val detailEntries = results.map { case (k, v, ts, ld) =>
-      s"""${q(k)}:{"median":$v,"reps":[${ts.mkString(",")}],"load":$ld}"""
+    val detailEntries = results.map { r =>
+      s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"contended":${r.contended}}"""
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailEntries,"errors":$es,"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"load_start":$loadStart,"load_end":$loadEnd,"uptime_sec":${uptimeSec()}}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$detailEntries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"uptime_sec":${uptimeSec()}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
@@ -154,12 +215,17 @@ object Bench {
     // in-line (q44-class outliers are thus always in-artifact), bounded
     // size (~600 chars for 91 queries) so the 2000-char tail always holds
     // a parseable JSON object even with sbt's epilogue after it
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val slow = results.filter(_.median >= 0).sortBy(-_.median).take(10)
+      .map { r => s"${q(r.name)}:${r3(r.median)}" }.mkString("{", ",", "}")
+    // contended queries by name (capped at 10 to keep the tail bounded):
+    // for these, trust "min"/"value_min", not the median — the per-query
+    // lines above carry the rep + steal evidence
+    val contendedNames = results.filter(_.contended).take(10)
+      .map(r => q(r.name)).mkString("[", ",", "]")
     spark.stop()
     // print the summary AFTER spark.stop() so no late executor/log line can
     // land between it and the end of the capture window
-    rawOut.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
+    rawOut.println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"contended":$contendedNames,"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -23,6 +23,16 @@ object BenchOne {
         jobs.incrementAndGet(); ()
       }
     })
+    // same contention witnesses as Bench: loadavg sees our own runqueue,
+    // /proc/stat steal (field 8) sees the hypervisor running a co-tenant
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(' ')(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     for (n <- names; rep <- 1 to 3) {
       // mirror Bench's per-rep reset exactly so standalone numbers are
       // comparable with in-bench medians
@@ -30,13 +40,14 @@ object BenchOne {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       val j0 = jobs.get()
+      val s0 = stealJiffies()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       // listener delivery is async: give the bus a moment to drain so
       // this rep's onJobStart events don't land in the next rep's window
       Thread.sleep(500)
-      println(f"TIMING $n rep$rep $wall%.2f s jobs=${jobs.get()-j0}")
+      println(f"TIMING $n rep$rep $wall%.2f s jobs=${jobs.get()-j0} load=${loadavg()}%.2f steal_d=${stealJiffies()-s0}")
     }
     spark.stop()
   }
