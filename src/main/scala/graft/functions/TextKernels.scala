@@ -105,11 +105,16 @@ object TextKernels {
   /** Unicode NFC normalization (canonical composition): "é" as e+combining
     * acute and "é" precomposed become the SAME string — the prerequisite
     * for exact dedup / fingerprinting over text from mixed encoders.
-    * Already-normalized strings (the overwhelming common case — ASCII is
-    * always NFC) pass through with a cheap quick-check and ZERO copies.
-    * Static-call kernel with `doGenCode`: stays inside whole-stage
-    * codegen like the Levenshtein and PolyHash kernels. */
+    * Pure-ASCII strings (the overwhelming common case) are screened on
+    * the UTF8String BYTES — truly zero-copy: ASCII is closed under NFC,
+    * so no `toString` materialization is ever paid for them. Non-ASCII
+    * already-NFC strings pay one String copy for the quick-check
+    * (`isNormalized`) and pass the original through; only denormalized
+    * input pays the full normalize. Static-call kernel with `doGenCode`:
+    * stays inside whole-stage codegen like the Levenshtein and PolyHash
+    * kernels. */
   def nfc(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

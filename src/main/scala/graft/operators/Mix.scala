@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextExprs
-
 /** Corpus mixture sampling (§2.10 extension surface): cut each source /
   * domain / language slice of a corpus down to a per-group token budget,
   * deterministically — the "data mixing" stage that turns raw crawls into
@@ -47,14 +45,18 @@ object Mix {
     // rides the same aggregate). A group whose total weight is 0 (all-zero
     // weights) is trivially under any budget → keep-all, NOT the silent
     // null→least()-skip that previously also yielded keep-all but by
-    // accident of null semantics.
+    // accident of null semantics. An all-NULL-weight group has t_total =
+    // NULL (sum ignores nulls): it contributes no measurable weight, so
+    // it gets the same explicit keep-all — previously the NULL flowed
+    // through the rate division and the filter dropped every row of the
+    // group silently.
     val rates = rows.groupBy(col("grp"))
       .agg(sum(col("w")).as("t_total"), min(col("w")).as("w_min"))
       .select(col("grp"),
         when(col("w_min") < 0, raise_error(concat(
             lit("Mix.sampleToBudget: negative weight in group "),
             col("grp").cast("string"))).cast("long"))
-          .when(col("t_total") <= 0, lit(scale.toLong))
+          .when(col("t_total").isNull || col("t_total") <= 0, lit(scale.toLong))
           .otherwise(least(lit(scale.toLong),
             call_function("div", lit(budget) * scale, col("t_total"))))
           .as("rate_bp"))
@@ -73,7 +75,14 @@ object Mix {
     * stay held out across dataset versions. Map-side only: no shuffle,
     * no RNG, no join. Fractions must be positive and sum to 1; bucket
     * edges are rounded to `scale`, so realized proportions are exact to
-    * 1/scale. */
+    * 1/scale.
+    *
+    * The bucket hash is `Sketch.mixedHash`, not the raw base-31
+    * polynomial fold: the raw fold does not avalanche, so structured id
+    * sets (fixed-stride or shared-suffix ids) land in correlated buckets
+    * and can skew realized proportions well past 1/scale. The two
+    * bijective mix rounds scatter the fingerprint — the same reason the
+    * KMV sketch and `sampleToBudget` mix before bucketing. */
   def assignSplits(df: DataFrame, id: Column,
       fractions: Seq[(String, Double)], scale: Int = 10000): DataFrame = {
     require(fractions.nonEmpty, "need at least one split")
@@ -85,8 +94,7 @@ object Mix {
       s"fractions must sum to 1, got $total")
     val thresholds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c * scale))
-    val h = pmod(TextExprs.polyFingerprint(id.cast("string")),
-      lit(scale.toLong))
+    val h = pmod(Sketch.mixedHash(id.cast("string")), lit(scale.toLong))
     // when-cascade over the first n-1 buckets; the last absorbs rounding
     val split = fractions.init.zip(thresholds.init)
       .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>

@@ -61,14 +61,25 @@ object Similarity {
     * scoring map-side on the codegen'd vector kernel, per-query rank
     * prunes map-side (WindowGroupLimit), and the vote aggregate runs over
     * queries × k rows, which is metadata-sized. The label column rides
-    * the corpus scan; no extra join. */
+    * the corpus scan; no extra join.
+    *
+    * `excludeSelf` (default true) drops pairs with `query_id ==
+    * neighbor_id` — the leave-one-out contract for queries drawn FROM the
+    * labeled corpus (q85's shape). It assumes query ids share the corpus
+    * id space: for a DISJOINT query table whose ids are minted
+    * independently, pass `excludeSelf = false`, or a legitimate nearest
+    * neighbor that coincidentally shares an id is dropped and can flip a
+    * small-k vote. */
   def knnClassify(labeled: DataFrame, queries: DataFrame, id: String,
-      vec: String, label: String, k: Int): DataFrame = {
+      vec: String, label: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
       VectorExprs.norm2(col(vec)).as("qn2"))
     val c = labeled.select(col(id).as("neighbor_id"), col(label).as("lab"),
       col(vec).as("cv"), VectorExprs.norm2(col(vec)).as("cn2"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val joinCond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = c.join(broadcast(q), joinCond)
       .withColumn("cos",
         pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
     val wRank = Window.partitionBy(col("query_id"))

@@ -625,8 +625,12 @@ object TestdataQueries {
       .join(hitCounts, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
       .select(col("query_id"),
+        // always-zero non-foldable key over the ≤|Q|-row recall table:
+        // explicit partition spec, no empty-spec global window (see
+        // Sketch.quantilesFromSample's scaladoc for the repo-wide rule)
         (col("hits") >= q31PerQueryFloor &&
-          sum(col("hits")).over() >= q31TotalFloor).as("recall_ok"))
+          sum(col("hits")).over(Window.partitionBy(pmod(col("hits"), lit(1L))))
+            >= q31TotalFloor).as("recall_ok"))
   }
 
   private val q31Sql =
@@ -2204,17 +2208,18 @@ FROM r$q82Rounds"""
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .select(col("doc_id"), col("split"))
 
-  private val q87Sql =
-    """SELECT doc_id,
-      |  CASE WHEN h < 9000 THEN 'train'
-      |       WHEN h < 9500 THEN 'val' ELSE 'test' END AS split
-      |FROM (
-      |  SELECT doc_id,
-      |    list_reduce(
-      |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-      |                     c -> CAST(ascii(c) AS BIGINT)),
-      |      (a, c) -> (a * 31 + c) % 1000000007) % 10000 AS h
-      |  FROM documents)""".stripMargin
+  private val q87Sql = {
+    // the raw polynomial fold, then Sketch.mixedHash's two bijective mix
+    // rounds verbatim (same replay as the q56/q73 oracles) — assignSplits
+    // buckets on the MIXED hash so structured id sets can't skew splits
+    val poly = "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    s"""SELECT doc_id,
+       |  CASE WHEN h < 9000 THEN 'train'
+       |       WHEN h < 9500 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, $mh % 10000 AS h FROM documents)""".stripMargin
+  }
 
   // ------------------------------------------------------------------------
 

@@ -207,6 +207,73 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** Registry-wide structural sweep. Two permanent invariants over EVERY
+    * registered query's physical plan (the returned DataFrame; internal
+    * jobs of imperative sims are covered by their own specs, e.g. the q57
+    * listener test below):
+    *
+    *  1. no CartesianProduct — an all-pairs join is never acceptable in a
+    *     100 TB engine;
+    *  2. no WindowExec/WindowGroupLimitExec with an EMPTY partition spec,
+    *     unless the query is whitelisted with a proof that the window's
+    *     input is bounded by construction (≤ k rows regardless of corpus
+    *     size). An unpartitioned window demands AllTuples — every row
+    *     through ONE task — which is exactly how the round-7
+    *     quantile-sketch merge (partitions × k rows through a global
+    *     row_number) became a scale-killer in an otherwise k-bounded
+    *     operator. This sweep makes that class of regression impossible
+    *     to reintroduce silently.
+    */
+  // EMPTY by design: every input-bounded global rank in the repo now
+  // carries a CONSTANT partition key (Window.partitionBy(lit(0)) — see
+  // Sketch.quantilesFromSample's scaladoc), which is physically identical
+  // for its ≤ k-row input but makes the partition spec explicit, so no
+  // registered query plans an empty-spec window at all. The whitelist
+  // mechanism stays: a future operator with a PROVEN input-bounded window
+  // that cannot take the constant-key form must be listed here with the
+  // proof, not silently exempted.
+  private val boundedGlobalWindowOk: Map[String, String] = Map.empty
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val here = p match {
+      // AQE hides the real tree behind a leaf wrapper; sweep its input plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.inputPlan)
+      // persisted relations hide their build plan inside InMemoryRelation
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allNodes(im.relation.cachedPlan)
+      case _ => Seq.empty
+    }
+    (p +: here) ++ p.children.flatMap(allNodes) ++
+      p.subqueries.flatMap(allNodes)
+  }
+
+  test("registry sweep: no cartesian product, no unbounded " +
+      "single-partition window, in ANY query's plan") {
+    OmmFixtures.ensure(spark)
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nodes = allNodes(fn(spark, sf).queryExecution.executedPlan)
+      nodes.foreach {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          offenders += s"$name: CartesianProduct"
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty &&
+              !boundedGlobalWindowOk.contains(name) =>
+          offenders += s"$name: unpartitioned WindowExec (AllTuples - " +
+            "one task ranks every row; partition it or prove the input " +
+            "k-bounded and whitelist with the proof)"
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty &&
+              !boundedGlobalWindowOk.contains(name) =>
+          offenders += s"$name: unpartitioned WindowGroupLimit"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty, offenders.distinct.mkString("; "))
+  }
+
   test("q57 streaming ingest: equi-join index probe, broadcast candidate " +
       "restriction, no cartesian in any batch plan") {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
