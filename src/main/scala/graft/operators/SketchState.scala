@@ -39,7 +39,12 @@ object SketchState {
     val fs = fsOf(spark, live)
     if (!fs.exists(live)) {
       val swap = swapPath(statePath)
-      if (fs.exists(new Path(swap, "_SUCCESS"))) fs.rename(swap, live)
+      // a failed adoption rename must THROW (as write() does): swallowing
+      // it makes the accumulated state look absent, so the caller restarts
+      // from empty and the next write() clobbers the only surviving copy
+      if (fs.exists(new Path(swap, "_SUCCESS")) && !fs.rename(swap, live))
+        throw new java.io.IOException(
+          s"SketchState: swap adoption rename $swap -> $live failed")
     }
     fs.exists(live)
   }
@@ -53,12 +58,21 @@ object SketchState {
 
   /** Replace the state with `df` (state is metadata-sized, so the
     * single-partition layout IS the right one). */
-  def write(df: DataFrame, statePath: String): Unit = {
+  def write(df: DataFrame, statePath: String): Unit =
+    swapReplace(df.coalesce(1), statePath)
+
+  /** The raw write-swap-delete-rename protocol with the CALLER's layout —
+    * the crash-safe replace for state that is NOT metadata-sized (e.g.
+    * NearDupStream's corpus-scale band-index/doc-store compaction, which
+    * repartitions by bytes). `df` may read from `statePath` itself: the
+    * swap write materializes the full copy before the live dir is
+    * touched. Same single-writer contract as [[write]]. */
+  def swapReplace(df: DataFrame, statePath: String): Unit = {
     val spark = df.sparkSession
     val live = new Path(statePath)
     val swap = swapPath(statePath)
     val fs = fsOf(spark, live)
-    df.coalesce(1).write.mode("overwrite").parquet(swap.toString)
+    df.write.mode("overwrite").parquet(swap.toString)
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(swap, live))
       throw new java.io.IOException(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.TextExprs
-import graft.operators.NearDup
+import graft.operators.{NearDup, SketchState}
 
 /** Incremental MinHash-LSH near-duplicate detection over micro-batches —
   * the §2.10 dedup family unified with the reference's micro-batch model
@@ -36,6 +36,20 @@ import graft.operators.NearDup
   * `<stateDir>/docs` the (id, text) verification store. At scale both are
   * partitioned tables the per-batch join shuffles against — the index
   * grows with the corpus, the probe side stays batch-sized.
+  *
+  * COMPACTION: every ingest appends a batch-sized set of part files to
+  * each state dir, so after thousands of micro-batches the index probe
+  * would open thousands of tiny files — the classic streaming-state
+  * small-file wall (footer reads and task-scheduling overhead dwarf the
+  * data I/O). When a state dir's part-file count exceeds
+  * `compactAfterFiles`, the ingest rewrites it to
+  * ceil(bytes / spark.sql.files.maxPartitionBytes) files — the layout a
+  * fresh scan would want — via [[SketchState.swapReplace]]'s
+  * write-swap-delete-rename discipline, so a crash mid-compaction never
+  * loses state (a complete swap is adopted by the next read). Amortized
+  * cost is O(state / compactAfterFiles) rewritten bytes per batch;
+  * output pairs are unaffected (the spec pins identical pair output
+  * across compacted and uncompacted runs).
   */
 object NearDupStream {
 
@@ -44,10 +58,31 @@ object NearDupStream {
 
   case class BatchResult(newDocs: Long, verifiedPairs: Long)
 
+  // SketchState.exists: also ADOPTS a complete compaction swap left by a
+  // crash between the live-dir delete and the rename (the state dirs share
+  // SketchState's swap-replace protocol since compaction landed)
   private def exists(spark: SparkSession, path: String): Boolean =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
+    SketchState.exists(spark, path)
+
+  /** Rewrite `path` when its part-file count exceeds `maxFiles`: read,
+    * repartition to ceil(bytes / files.maxPartitionBytes), swap-replace.
+    * Returns true when a rewrite happened (the spec's witness). */
+  private[streaming] def compactIfNeeded(spark: SparkSession, path: String,
+      maxFiles: Int): Boolean = {
+    if (maxFiles <= 0 || !exists(spark, path)) return false
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (parts.length <= maxFiles) return false
+    val totalBytes = parts.map(_.getLen).sum
+    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .min(parts.length.toLong).toInt
+    SketchState.swapReplace(
+      spark.read.parquet(path).repartition(nFiles), path)
+    true
+  }
 
   /** One micro-batch increment: band the new docs, probe the accumulated
     * index, verify, append sink + state. `newDocs` must carry columns
@@ -68,7 +103,8 @@ object NearDupStream {
   def ingestBatch(spark: SparkSession, newDocs: DataFrame, stateDir: String,
                   sinkDir: String, n: Int, bands: Int, rowsPerBand: Int,
                   threshold: Double,
-                  semiJoinCorpusRatio: Long = 16L): BatchResult = {
+                  semiJoinCorpusRatio: Long = 16L,
+                  compactAfterFiles: Int = 64): BatchResult = {
     val bandsPath = s"$stateDir/bands"
     val docsPath = s"$stateDir/docs"
     val nd = newDocs.select(col("id"), col("text")).persist()
@@ -152,6 +188,11 @@ object NearDupStream {
           // same ordering contract as CancellationStream's key-set state)
           newBands.write.mode("append").parquet(bandsPath)
           nd.write.mode("append").parquet(docsPath)
+          // size-triggered small-file compaction AFTER the appends: the
+          // batch's state is durable first, and a crash mid-compaction
+          // leaves either the old files or an adoptable complete swap
+          compactIfNeeded(spark, bandsPath, compactAfterFiles)
+          compactIfNeeded(spark, docsPath, compactAfterFiles)
           BatchResult(nNew, nPairs)
         } finally {
           verified.unpersist()
@@ -168,7 +209,8 @@ object NearDupStream {
             sinkDir: String, checkpointDir: String, n: Int, bands: Int,
             rowsPerBand: Int, threshold: Double,
             intervalSeconds: Int = 1,
-            semiJoinCorpusRatio: Long = 16L): StreamingQuery =
+            semiJoinCorpusRatio: Long = 16L,
+            compactAfterFiles: Int = 64): StreamingQuery =
     spark.readStream
       .schema(docSchema)
       .parquet(incomingDir)
@@ -177,7 +219,8 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val r = ingestBatch(spark, batch, stateDir, sinkDir,
-          n, bands, rowsPerBand, threshold, semiJoinCorpusRatio)
+          n, bands, rowsPerBand, threshold, semiJoinCorpusRatio,
+          compactAfterFiles)
         println(s"[neardup batch $batchId] docs=${r.newDocs} " +
           s"pairs=${r.verifiedPairs}")
       }

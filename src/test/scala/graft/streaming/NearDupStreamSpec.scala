@@ -76,6 +76,52 @@ class NearDupStreamSpec extends SparkSpec {
     assert(pairs === Set((5L, 6L), (5L, 8L), (6L, 8L)))
   }
 
+  test("compaction: many tiny batches stay under the file ceiling with " +
+      "identical pair output") {
+    val (n, b, r, t) = params
+    def partFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && f.getName.startsWith("part-"))
+    }
+    def run(compactAfter: Int): (String, Int, Int) = {
+      val base = Files.createTempDirectory(s"ndcompact$compactAfter").toString
+      // one doc per batch — 7 ingests, each appending its own part files
+      docs.orderBy("id").as[(Long, String)].collect().foreach { case (id, _) =>
+        NearDupStream.ingestBatch(spark, docs.filter(col("id") === id),
+          s"$base/state", s"$base/sink", n, b, r, t,
+          compactAfterFiles = compactAfter)
+      }
+      (base, partFiles(s"$base/state/bands"), partFiles(s"$base/state/docs"))
+    }
+    // compaction OFF (ceiling never reached): files accumulate per batch
+    val (offBase, offBands, offDocs) = run(Int.MaxValue)
+    // compaction ON with a ceiling of 2: every ingest that pushes a state
+    // dir past 2 part files triggers a rewrite, so the count stays bounded
+    // near ceil(bytes/maxPartitionBytes) = 1 regardless of batch count
+    val (onBase, onBands, onDocs) = run(2)
+    assert(offBands > 2 && offDocs > 2,
+      s"fixture too small to exercise compaction: $offBands/$offDocs files")
+    assert(onBands <= 2 && onDocs <= 2,
+      s"compaction did not bound state files: bands=$onBands docs=$onDocs")
+    // the compacted stream's sink is EXACTLY the uncompacted (and batch
+    // operator's) pair set — compaction is layout-only
+    val sunkOn = spark.read.parquet(s"$onBase/sink")
+      .as[(Long, Long, Double)].collect()
+    assert(sunkOn.length === sunkOn.toSet.size, "duplicate pair emitted")
+    assert(sunkOn.toSet === batchPairs, "compacted run diverged from batch")
+    assert(spark.read.parquet(s"$offBase/sink")
+      .as[(Long, Long, Double)].collect().toSet === batchPairs)
+    // and the compacted state dirs are still a correct index: one more
+    // ingest of a fresh near-dup finds its earlier-generation partner
+    val extra = Seq(10L -> "the quick brown fox jumps over the lazy dog tonight yes")
+      .toDF("id", "text")
+    val r4 = NearDupStream.ingestBatch(spark, extra,
+      s"$onBase/state", s"$onBase/sink", n, b, r, t, compactAfterFiles = 2)
+    assert(r4.verifiedPairs >= 1,
+      "post-compaction index lost earlier generations")
+  }
+
   test("file-source streaming wrapper: dropped files become increments") {
     val (n, b, r, t) = params
     val base = Files.createTempDirectory("ndq").toString
