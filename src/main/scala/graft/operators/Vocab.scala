@@ -94,23 +94,223 @@ object Vocab {
         t => concat(lit(S1), t, lit(S2)))).as("s"))
       .filter(length(col("s")) > 0)
 
+  /** The signed adjacent-pair stream of a materialized token-array
+    * column: `(l_tok, r_tok, w)` structs with weight `w` per occurrence.
+    * `ts` must be a plain column reference (HOF CSE discipline — the
+    * lambda re-evaluates its argument per element access). */
+  private def weightedPairs(ts: Column, w: Long): Column =
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i =>
+        struct(element_at(ts, i).as("l_tok"),
+          element_at(ts, i + 1).as("r_tok"), lit(w).as("w"))))
+      .otherwise(array().cast(
+        "array<struct<l_tok:string,r_tok:string,w:bigint>>"))
+
+  /** The full pair-count table `(l_tok, r_tok, n)` of a wrapped-string
+    * corpus — ONE explode + map-combined count. The incremental trainer
+    * pays this exactly once (round 1); every later round maintains it by
+    * delta. */
+  private def pairCounts(seqs: DataFrame): DataFrame = {
+    val toksDf = seqs.select(
+      split(expr("substring(s, 2, length(s) - 2)"),
+        java.util.regex.Pattern.quote(S2 + S1)).as("__ts"))
+    val tsc = col("__ts")
+    toksDf.select(explode(weightedPairs(tsc, 1L)).as("p"))
+      .select(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+      .groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n"))
+  }
+
+  /** The signed per-pair delta of applying merge `pat -> rep` to the
+    * rows of `seqs` that contain `pat`: ONE scan of the affected subset,
+    * both token arrays materialized as columns BEFORE the pair lambdas
+    * (HOF CSE discipline), −1 per pre-merge pair occurrence, +1 per
+    * post-merge. Rows without `pat` contribute nothing by construction —
+    * the Sennrich delta trick's correctness core. */
+  private def pairDelta(seqs: DataFrame, pat: String,
+      rep: String): DataFrame =
+    seqs.filter(col("s").contains(pat))
+      .select(col("s").as("sb"),
+        replace(col("s"), lit(pat), lit(rep)).as("sa"))
+      .select(
+        split(expr("substring(sb, 2, length(sb) - 2)"),
+          java.util.regex.Pattern.quote(S2 + S1)).as("tb"),
+        split(expr("substring(sa, 2, length(sa) - 2)"),
+          java.util.regex.Pattern.quote(S2 + S1)).as("ta"))
+      .select(explode(concat(
+        weightedPairs(col("tb"), -1L),
+        weightedPairs(col("ta"), 1L))).as("p"))
+      .groupBy(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+      .agg(sum(col("p.w")).as("n"))
+
   /** Multi-round BPE training (Sennrich et al. 2016): K merge rounds,
-    * each re-deriving adjacent-pair counts over the MERGED token
-    * sequences of the previous round and merging the single most frequent
-    * pair (ties pair-lexicographic, same total order as [[topPairs]]).
-    * Returns the merge table `(round, l_tok, r_tok, n)` — the actual
-    * tokenizer-training artifact.
+    * each merging the single most frequent adjacent pair of the previous
+    * round's merged token sequences (ties pair-lexicographic, same total
+    * order as [[topPairs]]). Returns the merge table
+    * `(round, l_tok, r_tok, n)` — the actual tokenizer-training artifact.
     *
-    * Scale shape: the corpus is held as one wrapped string per doc; each
-    * round is (a) a split+explode pair count with map-side combine and a
-    * distributed top-1 (TakeOrderedAndProject — ONE row to the driver,
-    * which is the algorithm's inherent sequential decision, not a
-    * driver-side loop over data), and (b) a map-side `replace` applying
-    * the merge — the corpus never shuffles. Rounds materialize via
-    * persist so round k+1 reads cached sequences, not a k-deep replace
-    * chain. BPE training is inherently sequential in its merge decisions;
-    * K bounded-size jobs is its minimal distributed form. */
-  def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    * INCREMENTAL pair-count maintenance (the trick that makes real merge
+    * counts K = 30–50k feasible): merging (l, r) only changes pair counts
+    * on sequences that CONTAIN an (l, r) occurrence, so after ONE full
+    * pair count, each round recounts only the affected rows
+    * ([[pairDelta]] — a `contains` filter over the cached corpus) and
+    * folds the signed delta into the maintained count table. The corpus
+    * itself never shuffles (merges apply as map-side `replace`), and the
+    * full explode+count of the naive formulation (O(K · corpus), see
+    * [[bpeTrainRecount]]) is paid exactly once.
+    *
+    * Two count-table regimes, same measured-crossover discipline as
+    * DupClusters' union-find:
+    *  - `|pairs| ≤ maxDriverPairs` (every real tokenizer run: the table
+    *    is DISTINCT BIGRAM TYPES, bounded ~vocab², not corpus size — a
+    *    50k-merge GPT-2-style run holds ~10⁵–10⁶ pairs): the table lives
+    *    in a driver hash map with a TreeSet priority index, exactly like
+    *    Sennrich's in-process implementation — top-1 is O(log n), each
+    *    round is ONE Spark job (the delta collect; delta is
+    *    affected-subset-bounded), zero count-table shuffles ever.
+    *  - above the ceiling (degenerate open vocabularies): the table stays
+    *    a persisted DataFrame, top-1 is a distributed
+    *    TakeOrderedAndProject, and the delta folds in via union+sum —
+    *    count-table-bounded shuffle per round, still never the corpus.
+    *
+    * Exactness: the delta replays full affected rows, so the maintained
+    * table equals the recount table bit-exactly every round — both
+    * regimes produce merge tables IDENTICAL to [[bpeTrainRecount]]
+    * (property-checked in VocabSpec across both regimes), and the q82
+    * oracle (which unrolls rounds in SQL) checks any of them. */
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int,
+      maxDriverPairs: Int = 2000000): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    require(maxDriverPairs >= 0, s"maxDriverPairs must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seqs0 = wrappedSeqs(df, text).persist()
+    // one full pair count, capped at ceiling+1 rows: the limit makes the
+    // regime probe itself driver-safe (never collects an unbounded table)
+    val probe = pairCounts(seqs0)
+      .limit(math.min(maxDriverPairs.toLong + 1, Int.MaxValue).toInt)
+      .collect() // materializes seqs0's persist
+    val merges =
+      if (probe.length <= maxDriverPairs)
+        trainDriverDelta(seqs0, probe, rounds)
+      else trainDistributedDelta(seqs0, rounds)
+    merges.toDF("round", "l_tok", "r_tok", "n")
+  }
+
+  /** Driver-resident count table (hash map + TreeSet priority index,
+    * ordered (n desc, l asc, r asc) — the same total order as the
+    * distributed top-1). Takes ownership of `seqs0`'s persist. One Spark
+    * job per round: the affected-subset delta collect. */
+  private def trainDriverDelta(seqs0: DataFrame,
+      initial: Array[org.apache.spark.sql.Row],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.by((t: (Long, String, String)) => (-t._1, t._2, t._3))
+    val index =
+      scala.collection.mutable.TreeSet.empty[(Long, String, String)](ord)
+    initial.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      counts.put(k, r.getLong(2))
+      index.add((r.getLong(2), k._1, k._2))
+    }
+    var seqs = seqs0
+    var prev: DataFrame = null
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        if (index.isEmpty) exhausted = true
+        else {
+          val (n, l, rt) = index.head // O(log n) top-1, total order
+          merges += ((r, l, rt, n))
+          val pat = S1 + l + S2 + S1 + rt + S2
+          val rep = S1 + l + rt + S2
+          val delta = pairDelta(seqs, pat, rep)
+            .collect() // the round's ONE job; materializes seqs' persist
+          if (prev != null) { prev.unpersist(); prev = null }
+          delta.foreach { d =>
+            val k = (d.getString(0), d.getString(1))
+            val old = counts.getOrDefault(k, 0L)
+            if (old != 0L) index.remove((old, k._1, k._2))
+            val now = old + d.getLong(2)
+            if (now > 0L) { counts.put(k, now); index.add((now, k._1, k._2)) }
+            else counts.remove(k)
+          }
+          val next = seqs.select(
+            replace(col("s"), lit(pat), lit(rep)).as("s")).persist()
+          prev = seqs
+          seqs = next
+        }
+        r += 1
+      }
+    } finally {
+      if (prev != null) prev.unpersist()
+      seqs.unpersist()
+    }
+    merges.result()
+  }
+
+  /** Distributed count table for the above-ceiling regime. Takes
+    * ownership of `seqs0`'s persist. One job per round (the top-1
+    * collect); counts_r materializes at round r's collect (reading
+    * seqs_{r-1}'s cache through the delta), seqs_r at round r+1's (the
+    * affected filter scans it), so the trailing TWO seqs and one counts
+    * generations stay pinned and every materialization is a one-step
+    * read from cache, never a replay to round 0. */
+  private def trainDistributedDelta(seqs0: DataFrame,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var seqs = seqs0
+    var counts = pairCounts(seqs).persist()
+    var seqsOld1: DataFrame = null // seqs_{r-1}: may back seqs_r / counts_r
+    var seqsOld2: DataFrame = null // seqs_{r-2}: droppable after the collect
+    var countsPrev: DataFrame = null
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = counts
+          .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
+          .limit(1).collect() // the round's ONE job
+        // counts_r is now cached (and seqs_{r-1} fully materialized via
+        // the delta's affected scan): release the generations nothing
+        // can read again
+        if (countsPrev != null) { countsPrev.unpersist(); countsPrev = null }
+        if (seqsOld2 != null) { seqsOld2.unpersist(); seqsOld2 = null }
+        if (top.isEmpty) exhausted = true
+        else {
+          val l = top(0).getString(0)
+          val rt = top(0).getString(1)
+          merges += ((r, l, rt, top(0).getLong(2)))
+          val pat = S1 + l + S2 + S1 + rt + S2
+          val rep = S1 + l + rt + S2
+          val nextCounts = counts.unionByName(pairDelta(seqs, pat, rep))
+            .groupBy("l_tok", "r_tok").agg(sum(col("n")).as("n"))
+            .filter(col("n") > 0).persist()
+          val nextSeqs = seqs.select(
+            replace(col("s"), lit(pat), lit(rep)).as("s")).persist()
+          seqsOld2 = seqsOld1
+          seqsOld1 = seqs
+          seqs = nextSeqs
+          countsPrev = counts
+          counts = nextCounts
+        }
+        r += 1
+      }
+    } finally {
+      Seq(seqs, seqsOld1, seqsOld2, counts, countsPrev)
+        .filter(_ != null).foreach(_.unpersist())
+    }
+    merges.result()
+  }
+
+  /** The naive O(K · corpus) formulation — a FULL pair recount
+    * (split+explode+count over every sequence) per merge round. Kept as
+    * the independently-derived witness for [[bpeTrain]]'s delta
+    * maintenance (VocabSpec pins identical merge tables) and as the
+    * ScaleProbe `bpe` baseline; unusable beyond K ≈ 10² rounds. */
+  def bpeTrainRecount(df: DataFrame, text: Column, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val spark = df.sparkSession
     var seqs = wrappedSeqs(df, text).persist()
@@ -125,19 +325,7 @@ object Vocab {
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
-        val toksDf = seqs.select(
-          split(expr("substring(s, 2, length(s) - 2)"),
-            java.util.regex.Pattern.quote(S2 + S1)).as("__ts"))
-        val tsc = col("__ts")
-        val pairs = toksDf.select(explode(
-          when(size(tsc) >= 2,
-            transform(sequence(lit(1), size(tsc) - 1), i =>
-              struct(element_at(tsc, i).as("l_tok"),
-                element_at(tsc, i + 1).as("r_tok"))))
-            .otherwise(array().cast(
-              "array<struct<l_tok:string,r_tok:string>>"))).as("p"))
-          .select(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
-        val top = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n"))
+        val top = pairCounts(seqs)
           .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
           .limit(1).collect() // materializes seqs' persist
         if (prev != null) { prev.unpersist(); prev = null }

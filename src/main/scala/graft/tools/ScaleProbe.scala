@@ -279,6 +279,106 @@ object ScaleProbe {
     vecs.unpersist()
   }
 
+  /** K-scaling of BPE training: the delta-maintained count table
+    * ([[graft.operators.Vocab.bpeTrain]] — driver-resident regime, and
+    * the above-ceiling distributed regime forced via maxDriverPairs = 0)
+    * vs the naive full recount-per-round ([[Vocab.bpeTrainRecount]]) at
+    * growing merge counts. Recount is O(K · corpus) by construction —
+    * its per-round cost is FLAT in K (a full explode+count each round) —
+    * while the delta paths pay the full count once and then only
+    * affected-row deltas, so their marginal round cost falls as merges
+    * get rarer. The small (8k-doc) series shows the fixture-scale
+    * regime; the 2M-doc × 50-token series is the real one (a full
+    * recount pass is ~100M pair occurrences; a delta round is a cached
+    * substring filter + the affected sliver). Run: sbt "runMain
+    * graft.tools.ScaleProbe bpe"; figures in SCALE.md. */
+  def bpeProbe(spark: SparkSession): Unit = {
+    import graft.operators.Vocab
+    val small = genDocs(spark, 16).cache()
+    val nSmall = small.count()
+    Seq(8, 32, 128).foreach { k =>
+      time(f"bpe driver-delta ($nSmall%7d docs, K=$k%4d)") {
+        Vocab.bpeTrain(small, col("text"), k).count()
+      }
+      time(f"bpe dist-delta   ($nSmall%7d docs, K=$k%4d)") {
+        Vocab.bpeTrain(small, col("text"), k, maxDriverPairs = 0).count()
+      }
+      time(f"bpe recount      ($nSmall%7d docs, K=$k%4d)") {
+        Vocab.bpeTrainRecount(small, col("text"), k).count()
+      }
+    }
+    small.unpersist()
+    // 100M-token corpus, closed 500-token vocabulary (≤ 250k pair types:
+    // the count table is TYPES-bounded — tiny next to 98M occurrences)
+    val nDocs = 2000000L
+    val big = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(500)))))
+        .as("text")).cache()
+    val nBig = big.count()
+    Seq(8, 32).foreach { k =>
+      time(f"bpe driver-delta ($nBig%7d docs, K=$k%4d)") {
+        Vocab.bpeTrain(big, col("text"), k).count()
+      }
+    }
+    time(f"bpe recount      ($nBig%7d docs, K=   8)") {
+      Vocab.bpeTrainRecount(big, col("text"), 8).count()
+    }
+    big.unpersist()
+  }
+
+  /** The round-7 extension operators (q82–q87 shapes) at the same
+    * 100M-token / 1M-vector volumes as [[newOpsProbe]]: document
+    * chunking, NFC normalization, BPE encoding (64 chained map-side
+    * replaces), and kNN classification. Everything here must scale
+    * linearly with input — chunking and encoding are exchange-free
+    * projections, normalization is a codegen'd kernel with an ASCII
+    * byte fast path, kNN is map-side scoring against a broadcast query
+    * set. Run: sbt "runMain graft.tools.ScaleProbe ops7". */
+  def ops7Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Chunk, Similarity, Vocab}
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(5000)))))
+        .as("text")).cache()
+    val nTok = docs.count() * tokPerDoc
+    time(f"tokenChunks      ($nTok%11d tokens)") {
+      Chunk.tokenChunks(docs, col("doc_id"), col("text"),
+        size = 16, overlap = 4).agg(count(lit(1))).collect()
+    }
+    time(f"nfcNormalize     ($nTok%11d tokens)") {
+      docs.select(sum(length(
+        graft.functions.TextExprs.normalizeText(col("text"))))).collect()
+    }
+    // a chained 64-merge table in the synthetic vocabulary: each merge's
+    // pattern actually occurs, so the replace chain does real work
+    val merges = (0 until 64).map { i =>
+      if (i == 0) ("w0", "w1") else (s"w0w1${"w2" * (i - 1)}", "w2")
+    }
+    time(f"bpeEncode        ($nTok%11d tokens, 64 merges)") {
+      Vocab.bpeEncode(docs, col("doc_id"), col("text"), merges)
+        .agg(avg(col("compression"))).collect()
+    }
+    docs.unpersist()
+    val nVec = 1000000L
+    val vecs = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      pmod(col("id"), lit(10)).cast("string").as("label"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 37 + i * 11).cast("float")).as("embedding"))
+      .cache()
+    vecs.count()
+    time(f"knnClassify      ($nVec%11d vecs, 8 queries)") {
+      Similarity.knnClassify(vecs, vecs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 10).count()
+    }
+    vecs.unpersist()
+  }
+
   /** Read-side proof of the z-order layout claim: write 20M (x, y) rows
     * once sorted by x and once z-ordered, then time a selective filter
     * on Y — the column the x-sort cannot prune. Parquet row-group
@@ -345,7 +445,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val modes = Set("uf", "hh", "z", "ops", "nd")
+    val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -374,6 +474,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("nd")) {
       nearDupStreamProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("bpe")) {
+      bpeProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops7")) {
+      ops7Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"

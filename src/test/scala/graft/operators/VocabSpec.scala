@@ -77,6 +77,42 @@ class VocabSpec extends SparkSpec {
     assert(m === Seq((1, "x", "y", 1L)))
   }
 
+  test("bpeTrain (incremental delta) equals bpeTrainRecount on varied corpora") {
+    // the delta-maintained count table must track the full recount
+    // bit-exactly through repeats, overlaps (a a a), ties, early
+    // exhaustion, and pairs whose count hits zero mid-training
+    val corpora = Seq(
+      Seq("a b a b c", "a b c d", "b c a"),
+      Seq("a a a a", "a a"),
+      Seq("x y x y x", "y x y", "z"),
+      Seq("p q r p q r p q", "q r p", "r p q"),
+      Seq("m n", "n m", "m n m n", "solo", ""))
+    for ((texts, ci) <- corpora.zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // driver-resident count table (the default regime)…
+      val incDriver = Vocab.bpeTrain(docs, col("text"), rounds = 6)
+        .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+      // …the distributed count table (maxDriverPairs = 0 forces the
+      // above-ceiling regime)…
+      val incDist = Vocab.bpeTrain(docs, col("text"), rounds = 6,
+          maxDriverPairs = 0)
+        .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+      // …and the independently-derived full recount must all agree
+      val rec = Vocab.bpeTrainRecount(docs, col("text"), rounds = 6)
+        .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+      assert(incDriver === rec, s"corpus $ci: driver-delta diverged from recount")
+      assert(incDist === rec, s"corpus $ci: distributed-delta diverged from recount")
+    }
+  }
+
+  test("bpeTrain leaves no cached state behind") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    Vocab.bpeTrain(docs, col("text"), rounds = 3).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "bpeTrain must unpersist every generation it pins")
+  }
+
   test("bpeEncode applies trained merges in order, counts both sides") {
     val docs = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "")).toDF("doc_id", "text")
     val merges = Vocab.bpeTrain(docs, col("text"), rounds = 2)
