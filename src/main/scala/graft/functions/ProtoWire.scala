@@ -18,6 +18,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * directly by a pair of Catalyst expressions whose `doGenCode` emits a
   * static kernel call — the sink projection stays inside whole-stage
   * codegen, and the byte layout lives in one auditable place.
+  *
+  * CONFORMANCE: the encoding is SCHEMA-faithful but not WIRE-compatible
+  * with the reference's downstream consumers. The reference serializes
+  * `transitdata-common`'s `InternalMessages.TripCancellation` (a maven
+  * dependency, reference pom.xml — its `.proto` is not present in the
+  * reference checkout and not obtainable in this sandbox), whose field
+  * NUMBERING is unknown here and whose enum-typed fields
+  * (deviation_cases_type, affected_departures_type, category,
+  * sub_category, and status' exact variant set) go on the wire as VARINT
+  * enum ordinals. This codec assigns field numbers 1–14 in
+  * [[payloadSchema]] order and encodes those five fields as
+  * length-delimited strings (except status, varint with the proto2
+  * `[default = RUNNING]` omission rule honored). A consumer compiled
+  * against the upstream proto could NOT decode these payloads; consumers
+  * compiled against this repo's src/main/protobuf/trip_cancellation.proto
+  * can (round-trip + hand-derived golden bytes are spec'd). If the
+  * upstream `internal-messages.proto` ever becomes available, adopt its
+  * numbering/enum ordinals here and re-pin ProtoWireSpec's golden bytes.
   */
 object ProtoWire {
 
