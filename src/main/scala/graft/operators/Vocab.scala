@@ -183,17 +183,35 @@ object Vocab {
     require(maxDriverPairs >= 0, s"maxDriverPairs must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val seqs0 = wrappedSeqs(df, text).persist()
-    // one full pair count, capped at ceiling+1 rows: the limit makes the
-    // regime probe itself driver-safe (never collects an unbounded table)
-    val probe = pairCounts(seqs0)
-      .limit(math.min(maxDriverPairs.toLong + 1, Int.MaxValue).toInt)
-      .collect() // materializes seqs0's persist
-    val merges =
+    val merges = withRddCleanup(spark) {
+      val seqs0 = wrappedSeqs(df, text).persist()
+      // one full pair count, capped at ceiling+1 rows: the limit makes the
+      // regime probe itself driver-safe (never collects an unbounded table)
+      val probe = pairCounts(seqs0)
+        .limit(math.min(maxDriverPairs.toLong + 1, Int.MaxValue).toInt)
+        .collect() // materializes seqs0's persist
       if (probe.length <= maxDriverPairs)
         trainDriverDelta(seqs0, probe, rounds)
       else trainDistributedDelta(seqs0, rounds)
+    }
     merges.toDF("round", "l_tok", "r_tok", "n")
+  }
+
+  /** Scoped cache-hygiene guard: `Dataset.unpersist` does not release the
+    * RDD-level cache a `localCheckpoint` pins, so the lineage-truncation
+    * generations would otherwise leak into `getPersistentRDDs` for the
+    * session's lifetime. The guard diffs the persistent-RDD set around
+    * the training loop and drops ONLY the entries the loop created — the
+    * result is a driver-side Seq, so nothing the caller can observe
+    * depends on those caches. */
+  private def withRddCleanup[A](
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try f finally {
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Driver-resident count table (hash map + TreeSet priority index,
@@ -237,8 +255,15 @@ object Vocab {
             if (now > 0L) { counts.put(k, now); index.add((now, k._1, k._2)) }
             else counts.remove(k)
           }
-          val next = seqs.select(
-            replace(col("s"), lit(pat), lit(rep)).as("s")).persist()
+          // localCheckpoint every 3rd generation (same discipline as
+          // DupClusters' label loop): persist alone caches rows but keeps
+          // the full replace-chain lineage, so plan size — and the nested
+          // InMemoryRelation trees Spark renders for logging — would grow
+          // with K and OOM the driver around K ≈ 30 (measured)
+          val next0 = seqs.select(
+            replace(col("s"), lit(pat), lit(rep)).as("s"))
+          val next = if (r % 3 == 0) next0.localCheckpoint(eager = false)
+            else next0.persist()
           prev = seqs
           seqs = next
         }
@@ -285,11 +310,18 @@ object Vocab {
           merges += ((r, l, rt, top(0).getLong(2)))
           val pat = S1 + l + S2 + S1 + rt + S2
           val rep = S1 + l + rt + S2
-          val nextCounts = counts.unionByName(pairDelta(seqs, pat, rep))
+          // lineage truncation every 3rd round for BOTH growing chains
+          // (the replace chain and the union+sum counts chain) — see
+          // trainDriverDelta's comment
+          val nextCounts0 = counts.unionByName(pairDelta(seqs, pat, rep))
             .groupBy("l_tok", "r_tok").agg(sum(col("n")).as("n"))
-            .filter(col("n") > 0).persist()
-          val nextSeqs = seqs.select(
-            replace(col("s"), lit(pat), lit(rep)).as("s")).persist()
+            .filter(col("n") > 0)
+          val nextCounts = if (r % 3 == 0)
+            nextCounts0.localCheckpoint(eager = false) else nextCounts0.persist()
+          val nextSeqs0 = seqs.select(
+            replace(col("s"), lit(pat), lit(rep)).as("s"))
+          val nextSeqs = if (r % 3 == 0)
+            nextSeqs0.localCheckpoint(eager = false) else nextSeqs0.persist()
           seqsOld2 = seqsOld1
           seqsOld1 = seqs
           seqs = nextSeqs
@@ -313,42 +345,47 @@ object Vocab {
   def bpeTrainRecount(df: DataFrame, text: Column, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val spark = df.sparkSession
-    var seqs = wrappedSeqs(df, text).persist()
-    // the previous round's cache is released only AFTER the current
-    // round's top-1 has materialized the current cache (the aggregate
-    // below reads seqs through its persist) — one job per round, no
-    // separate materializing count(), and never an unmaterialized persist
-    // chain that would recompute back to round 0
-    var prev: DataFrame = null
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    try {
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        val top = pairCounts(seqs)
-          .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
-          .limit(1).collect() // materializes seqs' persist
-        if (prev != null) { prev.unpersist(); prev = null }
-        if (top.isEmpty) exhausted = true
-        else {
-          val l = top(0).getString(0)
-          val rt = top(0).getString(1)
-          merges += ((r, l, rt, top(0).getLong(2)))
-          val next = seqs.select(
-            replace(col("s"), lit(S1 + l + S2 + S1 + rt + S2),
-              lit(S1 + l + rt + S2)).as("s"))
-            .persist()
-          prev = seqs
-          seqs = next
+    val result = withRddCleanup(spark) {
+      var seqs = wrappedSeqs(df, text).persist()
+      // the previous round's cache is released only AFTER the current
+      // round's top-1 has materialized the current cache (the aggregate
+      // below reads seqs through its persist) — one job per round, no
+      // separate materializing count(), and never an unmaterialized persist
+      // chain that would recompute back to round 0
+      var prev: DataFrame = null
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      try {
+        var r = 1
+        var exhausted = false
+        while (r <= rounds && !exhausted) {
+          val top = pairCounts(seqs)
+            .orderBy(col("n").desc, col("l_tok").asc, col("r_tok").asc)
+            .limit(1).collect() // materializes seqs' persist
+          if (prev != null) { prev.unpersist(); prev = null }
+          if (top.isEmpty) exhausted = true
+          else {
+            val l = top(0).getString(0)
+            val rt = top(0).getString(1)
+            merges += ((r, l, rt, top(0).getLong(2)))
+            // same every-3rd-round lineage truncation as the delta paths
+            val next0 = seqs.select(
+              replace(col("s"), lit(S1 + l + S2 + S1 + rt + S2),
+                lit(S1 + l + rt + S2)).as("s"))
+            val next = if (r % 3 == 0) next0.localCheckpoint(eager = false)
+              else next0.persist()
+            prev = seqs
+            seqs = next
+          }
+          r += 1
         }
-        r += 1
+      } finally {
+        if (prev != null) prev.unpersist()
+        seqs.unpersist()
       }
-    } finally {
-      if (prev != null) prev.unpersist()
-      seqs.unpersist()
+      merges.result()
     }
     import spark.implicits._
-    merges.result().toDF("round", "l_tok", "r_tok", "n")
+    result.toDF("round", "l_tok", "r_tok", "n")
   }
 
   /** Apply a trained merge list (as produced by [[bpeTrain]], in training
