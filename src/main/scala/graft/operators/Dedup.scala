@@ -96,6 +96,64 @@ object Dedup {
     *    cheaper than persisting the full gram stream at corpus scale;
     *  - span-coverage union is a per-doc higher-order expression, no UDFs.
     */
+  /** Cross-document segment dedup — the paragraph-hash dedup pass of CCNet
+    * (Wenzek et al. 2020), re-expressed at token granularity because this
+    * corpus has no line structure: documents split into DISJOINT `w`-token
+    * segments (the last may be short), and only the FIRST occurrence of
+    * each distinct segment corpus-wide survives (first = smallest
+    * `(doc_id, pos)` — a deterministic total order, not arrival order).
+    * Returns one row per input doc:
+    * `(doc_id, n_segments, n_kept, text)` with `text` rebuilt from the
+    * kept segments in position order ('' when everything was dropped or
+    * the doc was empty).
+    *
+    * Scale shape:
+    *  - the dedup decision traffic is ids + 128-bit segment hashes only
+    *    (16 B + 12 B per segment posting): segment TEXT never enters the
+    *    first-occurrence shuffle, and the keep set flows back as a
+    *    per-doc int-array (`n/w` entries), not as text;
+    *  - first-occurrence selection is `min(struct(doc_id, pos))` — a
+    *    map-combinable aggregate, no posting lists, immune to boilerplate
+    *    segments occurring in millions of docs;
+    *  - document text crosses exactly ONE exchange: the rebuild join by
+    *    `doc_id` (unavoidable — the decision must meet the doc; bucketing
+    *    the corpus by `doc_id` makes even that one exchange-free);
+    *  - the rebuild is a higher-order slice/flatten over the doc's own
+    *    token array — kept segments are re-sliced in place, never shipped.
+    */
+  def dedupSegments(docs: DataFrame, id: Column, text: Column,
+                    w: Int): DataFrame = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    import graft.functions.TextExprs
+    val base = docs.select(id.as("doc_id"), TextExprs.tokens(text).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+    val nSeg = floor((col("n") + (w - 1)) / lit(w)).cast("long")
+    // (doc_id, pos, segment-hash128) for every disjoint w-token block
+    val segs = base
+      .filter(col("n") > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), (nSeg - 1).cast("int")), i => {
+          val seg = array_join(slice(col("ts"), i * w + 1, lit(w)), " ")
+          struct(xxhash64(seg).as("h1"), xxhash64(seg, lit(1)).as("h2"))
+        })))
+      .select(col("doc_id"), col("pos"), col("col").as("skey"))
+    val first = segs.groupBy(col("skey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val keptPos = segs.join(first, Seq("skey"))
+      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__kp"),
+        count(lit(1)).as("n_kept"))
+    base.join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nSeg.as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("__kp").isNull, lit(""))
+          .otherwise(concat_ws(" ", flatten(
+            transform(col("__kp"), p => slice(col("ts"), p * w + 1, lit(w))))))
+          .as("text"))
+  }
+
   def dupNgramSpans(docs: DataFrame, id: Column, text: Column,
                     k: Int): DataFrame = {
     require(k >= 2, s"span grams need k >= 2, got $k")

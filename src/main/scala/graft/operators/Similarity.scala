@@ -196,4 +196,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** Embedding-level semantic dedup — the SemDeDup decision (Abbas et al.
+    * 2023: cluster, then drop near-identical embeddings within a cluster),
+    * with random-hyperplane LSH buckets as the clustering (deterministic,
+    * training-free, and — unlike k-means — fully oracle-expressible, so
+    * the EXACT semantics is checked, not a recall proxy). A vector is
+    * DROPPED when some smaller-id vector in its bucket has cosine ≥
+    * `threshold`; ties in an ε-ball thus resolve to the smallest id in
+    * one pass (the standard non-iterative approximation — a dropped
+    * vector can itself justify another drop, which only errs toward
+    * dropping more of a tight cluster, never toward keeping a duplicate
+    * pair). Returns every input id with a `kept` flag — stable row count,
+    * so downstream joins and the oracle see the whole corpus.
+    *
+    * Scale shape: rides [[NearDup.embeddingNearDupPairs]] — one bucket
+    * shuffle (ids + vectors), within-bucket pairing only (never all-pairs;
+    * bucket population is controlled by `bits`), then an ids-only
+    * distinct + left-anti join back. The flag join is id-keyed; the drop
+    * set is typically a small fraction of the corpus. */
+  def semanticDedup(embs: DataFrame, id: Column, vec: Column, dim: Int,
+                    bits: Int, seed: Long, threshold: Double): DataFrame = {
+    val drops = NearDup.embeddingNearDupPairs(embs, id, vec, dim, bits,
+        seed, threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+    embs.select(id.as("vec_id"))
+      .join(drops, col("vec_id") === col("__drop_id"), "left")
+      .select(col("vec_id"), col("__drop_id").isNull.as("kept"))
+  }
 }

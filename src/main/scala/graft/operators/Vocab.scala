@@ -448,4 +448,50 @@ object Vocab {
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll"))
   }
+
+  /** Per-document add-k–smoothed trigram NLL — [[bigramNll]] with one more
+    * token of context and Lidstone smoothing:
+    * `P(w3|w1,w2) = (C(w1,w2,w3) + k) / (C(w1,w2,·) + k·V)` with `V` the
+    * corpus unigram vocabulary size. The longer context sharpens the
+    * fluency signal (a shuffled doc scores far worse than under the
+    * bigram model); the smoothing keeps the scorer total when applied to
+    * held-out text whose trigrams the corpus lacks — on the training
+    * corpus itself every scored trigram is seen, but the k·V mass still
+    * shifts probabilities, so the oracle replays the exact formula. Docs
+    * with < 3 tokens have no trigrams and are excluded; round(…, 4)
+    * absorbs the cross-engine ln/sum-order float risk (q72 discipline).
+    *
+    * Scale shape: identical to [[bigramNll]] — the count table is
+    * trigram-TYPES-bounded, its context marginal is a window PARTITIONED
+    * BY (w1, w2), V is a one-row broadcast riding a crossJoin (the BM25
+    * corpus-stats shape), and the per-doc aggregate is map-combinable. */
+  def trigramNll(df: DataFrame, id: Column, text: Column,
+                 addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"add-k smoothing needs k > 0, got $addK")
+    val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
+    val ts = col("__ts")
+    val triples = base.select(col("id"), explode(
+        when(size(ts) >= 3,
+          transform(sequence(lit(1), size(ts) - 2), i =>
+            struct(element_at(ts, i).as("w1"),
+              element_at(ts, i + 1).as("w2"),
+              element_at(ts, i + 2).as("w3"))))
+          .otherwise(array().cast(
+            "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val counts = triples.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+      .withColumn("c2",
+        sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+    val vocab = base.select(explode(ts).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    triples.join(counts, Seq("w1", "w2", "w3"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        log((col("c3") + addK) / (col("c2") + col("v") * addK)).as("ll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll"))
+  }
 }

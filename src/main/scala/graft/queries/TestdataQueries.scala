@@ -1775,14 +1775,17 @@ object TestdataQueries {
     graft.operators.Vocab.topPairs(
       Tables.documents(s, d), col("text"), q71TopK)
 
-  private val q71PairsCte =
+  private val q71TokensCte =
     """WITH toks AS (
       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
       |       ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
-      |  FROM documents),
-      |pairs AS (
-      |  SELECT doc_id, ts[i] AS l_tok, ts[i + 1] AS r_tok
-      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks))""".stripMargin
+      |  FROM documents)""".stripMargin
+
+  private val q71PairsCte =
+    s"""$q71TokensCte,
+       |pairs AS (
+       |  SELECT doc_id, ts[i] AS l_tok, ts[i + 1] AS r_tok
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks))""".stripMargin
 
   private val q71Sql =
     s"""$q71PairsCte,
@@ -2221,6 +2224,94 @@ FROM r$q82Rounds"""
        |FROM (SELECT doc_id, $mh % 10000 AS h FROM documents)""".stripMargin
   }
 
+  // ----------------------------- cross-doc segment dedup (§2.10 ext)
+  // CCNet-style paragraph-hash dedup at token granularity: disjoint
+  // 8-token segments, first occurrence corpus-wide survives (smallest
+  // (doc_id, pos)), docs rebuilt from kept segments. The Spark side keys
+  // the first-occurrence shuffle on a 128-bit segment hash (ids+hashes
+  // only — q9's content-dedup trade); the oracle groups by the segment
+  // text itself, so a hash collision would surface as a mismatch.
+  private val q88W = 8
+
+  private def q88SegmentDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSegments(Tables.documents(s, d), col("doc_id"), col("text"),
+      w = q88W)
+
+  private val q88Sql = {
+    val w = q88W
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    array_to_string(ts[i * $w + 1 : i * $w + $w], ' ') AS seg
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(range(0, (len(ts) + ${w - 1}) // $w)) AS i FROM toks)),
+       |kept AS (
+       |  SELECT doc_id, pos, seg FROM (
+       |    SELECT doc_id, pos, seg, row_number() OVER (
+       |        PARTITION BY seg ORDER BY doc_id, pos) AS rn
+       |    FROM segs) WHERE rn = 1),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(seg, ' ' ORDER BY pos) AS txt
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST((len(t.ts) + ${w - 1}) // $w AS BIGINT) AS n_segments,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(a.txt, '') AS text
+       |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  // ----------------------------- semantic dedup (§2.10 ext)
+  // SemDeDup decision with LSH buckets as the clustering: drop a vector
+  // when a smaller-id bucket-mate has cosine >= threshold. Same planes/
+  // threshold as q23, so the oracle replays the exact bucketing and the
+  // NOT EXISTS mirrors the drop rule — full semantics, no recall proxy.
+  private def q89SemanticDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), col("vec_id"),
+      col("embedding"), dim = 64, bits = 4, seed = 7L, threshold = 0.4)
+
+  private val q89Sql = {
+    val bucket = sqlBucket("v", VectorExprs.lshPlanes(64, 4, 7L))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket,
+       |             list_inner_product(v, v) AS n2 FROM e)
+       |SELECT x.vec_id, NOT EXISTS (
+       |    SELECT 1 FROM b y
+       |    WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
+       |      AND list_inner_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2))
+       |            >= 0.4) AS kept
+       |FROM b x""".stripMargin
+  }
+
+  // ----------------------------- trigram LM scoring (§2.10 ext)
+  // q72's fluency signal with one more token of context and add-k
+  // (Lidstone) smoothing: P(w3|w1,w2) = (c3 + k) / (c2 + k*V). The
+  // oracle replays the exact formula including the corpus vocab size V.
+  private def q90TrigramNll(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.trigramNll(
+      Tables.documents(s, d), col("doc_id"), col("text"), addK = 0.5)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q90Sql =
+    s"""$q71TokensCte,
+       |tri AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks)),
+       |cnt AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+       |cc AS (SELECT w1, w2, w3, c3,
+       |         sum(c3) OVER (PARTITION BY w1, w2) AS c2 FROM cnt),
+       |voc AS (SELECT count(DISTINCT t) AS v
+       |        FROM (SELECT unnest(ts) AS t FROM toks)),
+       |sc AS (SELECT t.doc_id,
+       |         ln((c3 + 0.5) / (c2 + 0.5 * v)) AS ll
+       |       FROM tri t JOIN cc USING (w1, w2, w3) CROSS JOIN voc)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  round(-sum(ll) / count(*), 4) AS avg_nll
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2305,7 +2396,10 @@ FROM r$q82Rounds"""
     "q84_doc_chunks" -> (q84Chunks _),
     "q85_knn_classify" -> (q85KnnClassify _),
     "q86_normalize_text" -> (q86Normalize _),
-    "q87_split_assign" -> (q87Splits _))
+    "q87_split_assign" -> (q87Splits _),
+    "q88_segment_dedup" -> (q88SegmentDedup _),
+    "q89_semantic_dedup" -> (q89SemanticDedup _),
+    "q90_trigram_nll" -> (q90TrigramNll _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2389,5 +2483,8 @@ FROM r$q82Rounds"""
     "q84_doc_chunks" -> q84Sql,
     "q85_knn_classify" -> q85Sql,
     "q86_normalize_text" -> q86Sql,
-    "q87_split_assign" -> q87Sql)
+    "q87_split_assign" -> q87Sql,
+    "q88_segment_dedup" -> q88Sql,
+    "q89_semantic_dedup" -> q89Sql,
+    "q90_trigram_nll" -> q90Sql)
 }

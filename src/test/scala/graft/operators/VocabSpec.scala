@@ -50,6 +50,27 @@ class VocabSpec extends SparkSpec {
     assert(ids === Set(3L))
   }
 
+  test("trigramNll matches a hand-computed add-k corpus") {
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val rows = Vocab.trigramNll(docs, col("doc_id"), col("text"), addK = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_nll"))).toMap
+    // trigram counts: (a,b,a)=2, (b,a,b)=1, (a,b,c)=1; contexts:
+    // (a,b)=3, (b,a)=1; V=3, k=0.5:
+    //   P(aba) = 2.5/4.5, P(bab) = 1.5/2.5, P(abc) = 1.5/4.5
+    // doc 1 = -(2 ln(2.5/4.5) + ln(1.5/2.5)) / 3, doc 2 = -ln(1.5/4.5)
+    assert(rows(1L) === ((3L, 0.5621)))
+    assert(rows(2L) === ((1L, 1.0986)))
+  }
+
+  test("trigramNll excludes docs with fewer than three tokens") {
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
+    val ids = Vocab.trigramNll(docs, col("doc_id"), col("text"))
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(3L))
+  }
+
   test("bpeTrain: multi-round merges match a hand computation") {
     val docs = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val m = Vocab.bpeTrain(docs, col("text"), rounds = 3)
