@@ -210,18 +210,37 @@ object Similarity {
     * pair). Returns every input id with a `kept` flag — stable row count,
     * so downstream joins and the oracle see the whole corpus.
     *
-    * Scale shape: rides [[NearDup.embeddingNearDupPairs]] — one bucket
-    * shuffle (ids + vectors), within-bucket pairing only (never all-pairs;
-    * bucket population is controlled by `bits`), then an ids-only
-    * distinct + left-anti join back. The flag join is id-keyed; the drop
-    * set is typically a small fraction of the corpus. */
+    * Scale shape: an exact-duplicate collapse runs FIRST — identical
+    * vectors (128-bit content hash, the q9 trade) fold to their min-id
+    * representative before any bucket join. This is semantics-preserving,
+    * not an approximation: copies share the bucket and every cosine, so
+    * (a) every non-min copy is dropped by its own family min, and (b) for
+    * any other vector, a justifying smaller-id copy implies the family
+    * min (smaller still) also justifies. Without the collapse, an
+    * exact-duplicate flood (N copies of one boilerplate embedding — the
+    * common real-corpus skew) puts N co-bucketed rows into the pair join
+    * and the within-bucket quadratic term takes over; the ops8 probe
+    * measured exactly that wall. After the collapse the pair join runs on
+    * DISTINCT vectors only ([[NearDup.embeddingNearDupPairs]]: one bucket
+    * shuffle, within-bucket pairing, expected population controlled by
+    * `bits` — near-identical-but-unequal floods remain the operator's
+    * documented residual skew risk). Total vector exchanges: the hash
+    * partition (collapse window) + the bucket shuffle; decision traffic
+    * back is ids-only. */
   def semanticDedup(embs: DataFrame, id: Column, vec: Column, dim: Int,
                     bits: Int, seed: Long, threshold: Double): DataFrame = {
-    val drops = NearDup.embeddingNearDupPairs(embs, id, vec, dim, bits,
-        seed, threshold)
+    val keyed = embs.select(id.as("vec_id"), vec.as("__v"),
+      xxhash64(vec).as("__h1"), xxhash64(vec, lit(1)).as("__h2"))
+      .withColumn("__rep_id", min(col("vec_id"))
+        .over(Window.partitionBy(col("__h1"), col("__h2"))))
+    val reps = keyed.filter(col("vec_id") === col("__rep_id"))
+      .select(col("vec_id"), col("__v"))
+    val pairDrops = NearDup.embeddingNearDupPairs(reps, col("vec_id"),
+        col("__v"), dim, bits, seed, threshold)
       .select(col("id_b").as("__drop_id")).distinct()
-    embs.select(id.as("vec_id"))
-      .join(drops, col("vec_id") === col("__drop_id"), "left")
-      .select(col("vec_id"), col("__drop_id").isNull.as("kept"))
+    keyed.join(pairDrops, col("vec_id") === col("__drop_id"), "left")
+      .select(col("vec_id"),
+        (col("vec_id") === col("__rep_id") && col("__drop_id").isNull)
+          .as("kept"))
   }
 }

@@ -379,6 +379,72 @@ object ScaleProbe {
     vecs.unpersist()
   }
 
+  /** The round-8 extension operators (q88–q90 shapes) at probe scale:
+    * cross-document segment dedup over 100M tokens with a 20% templated
+    * (heavily duplicated) sub-corpus, semantic dedup over 1M vectors with
+    * a 20% exact-duplicate tail, and smoothed trigram scoring over 100M
+    * tokens at two vocabulary regimes — 100 types (Zipf-like: the count
+    * table is TYPES-bounded and tiny) and 5000 types (adversarial
+    * near-unique trigrams: the count table degrades toward corpus size,
+    * the documented worst case). Run: sbt "runMain graft.tools.ScaleProbe ops8". */
+  def ops8Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Dedup, Similarity, Vocab}
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    // 20% of docs are drawn from a 1000-template pool (every segment of a
+    // templated doc duplicates across ~400 docs); the rest are unique
+    def synth(vocab: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(
+          when(col("id") % 5 === 0, col("id") % 1000)
+            .otherwise(col("id")) * 53 + i), lit(vocab)))))
+        .as("text"))
+    val docs = synth(5000).cache()
+    val nTok = docs.count() * tokPerDoc
+    val dd = time(f"dedupSegments    ($nTok%11d tokens, w=16)") {
+      Dedup.dedupSegments(docs, col("doc_id"), col("text"), w = 16)
+        .agg(sum(col("n_segments")), sum(col("n_kept"))).collect()(0)
+    }
+    println(s"[probe]   segments=${dd.getLong(0)} kept=${dd.getLong(1)}")
+    time(f"trigramNll v5000 ($nTok%11d tokens, near-unique trigrams)") {
+      Vocab.trigramNll(docs, col("doc_id"), col("text"))
+        .agg(avg(col("avg_nll"))).collect()
+    }
+    docs.unpersist()
+    val zipf = synth(100).cache()
+    zipf.count()
+    time(f"trigramNll v100  ($nTok%11d tokens, types-bounded)") {
+      Vocab.trigramNll(zipf, col("doc_id"), col("text"))
+        .agg(avg(col("avg_nll"))).collect()
+    }
+    zipf.unpersist()
+    // 1M vectors, 20% exact duplicates (ids >= 800k repeat the low range);
+    // bits=16 keeps EXPECTED bucket population ~15, so within-bucket
+    // pairing stays linear-ish — the bits-sizing contract the scaladoc
+    // states. Components come from a hash (pseudo-uniform in [-1, 1]):
+    // sin-of-arithmetic-progression vectors (the ops7 shape) concentrate
+    // plane signs into a few huge buckets and the quadratic within-bucket
+    // term takes over — the probe's first run demonstrated exactly the
+    // skew failure the scaladoc warns about.
+    val nVec = 1000000L
+    val vecs = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => ((pmod(hash(pmod(col("id"), lit(800000L)) * 53 + i), lit(2001))
+          - 1000) / 1000.0).cast("float"))
+        .as("embedding")).cache()
+    vecs.count()
+    val sd = time(f"semanticDedup    ($nVec%11d vecs, bits=16)") {
+      Similarity.semanticDedup(vecs, col("vec_id"), col("embedding"),
+          dim = 64, bits = 16, seed = 7L, threshold = 0.95)
+        .agg(count(lit(1)), sum(when(col("kept"), 0L).otherwise(1L)))
+        .collect()(0)
+    }
+    println(s"[probe]   rows=${sd.getLong(0)} dropped=${sd.getLong(1)}")
+    vecs.unpersist()
+  }
+
   /** Read-side proof of the z-order layout claim: write 20M (x, y) rows
     * once sorted by x and once z-ordered, then time a selective filter
     * on Y — the column the x-sort cannot prune. Parquet row-group
@@ -445,7 +511,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7")
+    val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -480,6 +546,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops7")) {
       ops7Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops8")) {
+      ops8Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
