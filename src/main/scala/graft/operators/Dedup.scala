@@ -124,29 +124,49 @@ object Dedup {
   def dedupSegments(docs: DataFrame, id: Column, text: Column,
                     w: Int): DataFrame = {
     require(w >= 1, s"segment width must be >= 1, got $w")
+    val base = segmentBase(docs, id, text)
+    val segs = segmentRows(base, w)
+    val first = segs.groupBy(col("skey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val winners = segs.join(first, Seq("skey"))
+      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+    rebuildFromKept(base, winners, w)
+  }
+
+  /** `(doc_id, ts, n)` token base shared by the segment-dedup family. */
+  private[graft] def segmentBase(docs: DataFrame, id: Column,
+                                 text: Column): DataFrame = {
     import graft.functions.TextExprs
-    val base = docs.select(id.as("doc_id"), TextExprs.tokens(text).as("ts"))
+    docs.select(id.as("doc_id"), TextExprs.tokens(text).as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
-    val nSeg = floor((col("n") + (w - 1)) / lit(w)).cast("long")
-    // (doc_id, pos, segment-hash128) for every disjoint w-token block
-    val segs = base
-      .filter(col("n") > 0)
+  }
+
+  /** Segment count of a [[segmentBase]] row: ceil(n / w). */
+  private[graft] def segmentCount(w: Int): Column =
+    floor((col("n") + (w - 1)) / lit(w)).cast("long")
+
+  /** `(doc_id, pos, skey)` — one row per disjoint w-token block, keyed by
+    * a 128-bit hash of the block text (ids+hashes only past this point). */
+  private[graft] def segmentRows(base: DataFrame, w: Int): DataFrame =
+    base.filter(col("n") > 0)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), (nSeg - 1).cast("int")), i => {
+        transform(sequence(lit(0), (segmentCount(w) - 1).cast("int")), i => {
           val seg = array_join(slice(col("ts"), i * w + 1, lit(w)), " ")
           struct(xxhash64(seg).as("h1"), xxhash64(seg, lit(1)).as("h2"))
         })))
       .select(col("doc_id"), col("pos"), col("col").as("skey"))
-    val first = segs.groupBy(col("skey"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val keptPos = segs.join(first, Seq("skey"))
-      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
-      .groupBy(col("doc_id"))
+
+  /** Rebuild `(doc_id, n_segments, n_kept, text)` for EVERY base doc from
+    * the kept segment occurrences (rows carrying doc_id + pos): positions
+    * group per doc, the doc's own token array is re-sliced in place. */
+  private[graft] def rebuildFromKept(base: DataFrame, kept: DataFrame,
+                                     w: Int): DataFrame = {
+    val keptPos = kept.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__kp"),
         count(lit(1)).as("n_kept"))
     base.join(keptPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        nSeg.as("n_segments"),
+        segmentCount(w).as("n_segments"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         when(col("__kp").isNull, lit(""))
           .otherwise(concat_ws(" ", flatten(

@@ -2264,6 +2264,26 @@ FROM r$q82Rounds"""
        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  // ----------------------------- streaming segment dedup (§2.10 ext)
+  // q88's incremental counterpart: three doc_id-monotone micro-batches
+  // through SegDedupStream must reproduce the batch operator exactly, so
+  // the oracle IS q88's SQL (the q57/q19 equivalence pattern).
+  private def q91StreamingSegDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("segdedup_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+    val n = docs.count()
+    val bounds = Seq(0L, n / 3, 2 * n / 3, Long.MaxValue)
+    (0 until 3).foreach { b =>
+      graft.streaming.SegDedupStream.ingestBatch(s,
+        docs.filter(col("id") >= bounds(b) && col("id") < bounds(b + 1)),
+        s"$dir/state", s"$dir/sink", w = q88W)
+    }
+    s.read.parquet(s"$dir/sink")
+      .select(col("doc_id"), col("n_segments"), col("n_kept"), col("text"))
+  }
+
   // ----------------------------- semantic dedup (§2.10 ext)
   // SemDeDup decision with LSH buckets as the clustering: drop a vector
   // when a smaller-id bucket-mate has cosine >= threshold. Same planes/
@@ -2398,6 +2418,7 @@ FROM r$q82Rounds"""
     "q86_normalize_text" -> (q86Normalize _),
     "q87_split_assign" -> (q87Splits _),
     "q88_segment_dedup" -> (q88SegmentDedup _),
+    "q91_streaming_segdedup" -> (q91StreamingSegDedup _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q90_trigram_nll" -> (q90TrigramNll _))
 
@@ -2485,6 +2506,7 @@ FROM r$q82Rounds"""
     "q86_normalize_text" -> q86Sql,
     "q87_split_assign" -> q87Sql,
     "q88_segment_dedup" -> q88Sql,
+    "q91_streaming_segdedup" -> q88Sql,
     "q89_semantic_dedup" -> q89Sql,
     "q90_trigram_nll" -> q90Sql)
 }
