@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Session cache hygiene for loop-shaped operators.
+  *
+  * Iterative operators (BPE training, connected components) bound their
+  * lineage with `localCheckpoint`, and `Dataset.unpersist` CANNOT release
+  * the RDD-level cache a `localCheckpoint` pins — without a scoped guard
+  * the truncation generations leak into `getPersistentRDDs` for the
+  * session's lifetime, accumulating pinned blocks per call in a long-lived
+  * session (exactly the failure a 1000-executor deployment would hit after
+  * a day of queries). Both loop owners route their cleanup through here.
+  */
+object CacheHygiene {
+
+  /** Scoped cache-hygiene guard: diffs the persistent-RDD set around `f`
+    * and drops ONLY the entries `f` created. Callers must ensure nothing
+    * the caller can observe depends on those caches: either `f` returns
+    * driver-side data (Vocab's merge tables) or the returned plan was
+    * decoupled first (see [[spillToTempParquet]]). */
+  def withRddCleanup[A](spark: SparkSession)(f: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try f finally {
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  // JVM-lifetime spill dirs, removed by one shutdown hook. Registered
+  // lazily so plain batch jobs never pay for the hook.
+  private val spillDirs = mutable.Buffer.empty[java.io.File]
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      spillDirs.synchronized { spillDirs.foreach(deleteRecursively) }))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Decouple a loop result from its loop caches: write `df` to a
+    * JVM-lifetime temp parquet dir and read it back. The returned plan
+    * references FILES, not any persisted or checkpoint-pinned RDD, so it
+    * survives [[withRddCleanup]] dropping every cache the loop created —
+    * and re-consumption never replays the loop. Intended for working-set
+    * sized data (a dup-cluster label table, ids+label at 16 B/row), not
+    * corpus-sized relations; the spill files live until JVM exit. */
+  def spillToTempParquet(df: DataFrame, prefix: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    hookInstalled
+    spillDirs.synchronized { spillDirs += dir; () }
+    val path = new java.io.File(dir, "data").getAbsolutePath
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}

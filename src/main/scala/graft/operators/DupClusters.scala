@@ -32,7 +32,10 @@ import scala.collection.mutable
   * goes through `localCheckpoint` so lineage (and with it plan size and
   * recovery cost) stays bounded regardless of iteration count.
   * Labels-only state shuffles (id, label) pairs: 16 bytes a row at any
-  * corpus scale.
+  * corpus scale. The whole loop runs under [[CacheHygiene.withRddCleanup]]
+  * with its result spill-decoupled first, so no loop cache — including the
+  * checkpoint-pinned generations `Dataset.unpersist` can't release —
+  * outlives the call.
   */
 object DupClusters {
 
@@ -169,20 +172,27 @@ object DupClusters {
           .select(col("id"),
             coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
       case None =>
-        val und = directed
-          .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-        // iterate ONLY over edge-incident vertices; isolated ones are done
-        // at round 0 and never need to enter (or be re-shuffled by) the
-        // loop. Derived from the CACHED directed relation, not the raw
-        // edges plan.
-        val endpoints = directed.select(col("src").as("id"))
-          .union(directed.select(col("dst").as("id")))
-          .distinct()
-        val incident = endpoints
-          .join(vertices.select(col("id")), Seq("id"), "left_semi")
-          .persist()
-        iterativeMinLabel(vertices, directed, und, incident,
-          maxIter, failOnNonConvergence)
+        // the scoped guard releases EVERY cache the loop creates — incl.
+        // the localCheckpoint-pinned truncation generations that
+        // Dataset.unpersist cannot reach (CacheHygiene doc) — once the
+        // loop has decoupled its result via spill; a long-lived session
+        // therefore holds zero pinned RDDs between dupClusters calls
+        CacheHygiene.withRddCleanup(vertices.sparkSession) {
+          val und = directed
+            .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+          // iterate ONLY over edge-incident vertices; isolated ones are done
+          // at round 0 and never need to enter (or be re-shuffled by) the
+          // loop. Derived from the CACHED directed relation, not the raw
+          // edges plan.
+          val endpoints = directed.select(col("src").as("id"))
+            .union(directed.select(col("dst").as("id")))
+            .distinct()
+          val incident = endpoints
+            .join(vertices.select(col("id")), Seq("id"), "left_semi")
+            .persist()
+          iterativeMinLabel(vertices, directed, und, incident,
+            maxIter, failOnNonConvergence)
+        }
     }
   }
 
@@ -300,10 +310,22 @@ object DupClusters {
         if (failOnNonConvergence) throw new IllegalStateException(msg)
         log.warn(msg)
       }
+      // Decouple the result from the loop's caches before the scoped
+      // guard (in connectedComponents) drops them: several label
+      // generations are localCheckpoint-pinned, so the returned plan must
+      // not reference ANY of them. The converged working-set labels —
+      // (id, label), 16 B/row, dup-set-bounded, NOT corpus-sized — spill
+      // to a JVM-lifetime temp parquet, and the isolated complement is
+      // derived from the spilled id set (the spill holds exactly the
+      // edge-incident vertices), so the output plan references only the
+      // vertex scan and the spill files: consuming it after cleanup never
+      // replays the loop or the caller's edge-producer pipeline.
+      val spilled = CacheHygiene.spillToTempParquet(
+        labels.withColumnRenamed("label", "cluster_rep"), "graft-cc-labels-")
       val isolated = vertices.select(col("id"))
-        .join(incident, Seq("id"), "left_anti")
+        .join(spilled.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster_rep"))
-      labels.withColumnRenamed("label", "cluster_rep").union(isolated)
+      spilled.union(isolated)
     } finally directed.unpersist()
   }
 

@@ -197,22 +197,12 @@ object Vocab {
     merges.toDF("round", "l_tok", "r_tok", "n")
   }
 
-  /** Scoped cache-hygiene guard: `Dataset.unpersist` does not release the
-    * RDD-level cache a `localCheckpoint` pins, so the lineage-truncation
-    * generations would otherwise leak into `getPersistentRDDs` for the
-    * session's lifetime. The guard diffs the persistent-RDD set around
-    * the training loop and drops ONLY the entries the loop created — the
-    * result is a driver-side Seq, so nothing the caller can observe
-    * depends on those caches. */
+  /** Scoped cache-hygiene guard — see [[CacheHygiene.withRddCleanup]]:
+    * the training result is a driver-side Seq, so nothing the caller can
+    * observe depends on the loop's caches. */
   private def withRddCleanup[A](
-      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    try f finally {
-      spark.sparkContext.getPersistentRDDs
-        .filter { case (id, _) => !before.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A =
+    CacheHygiene.withRddCleanup(spark)(f)
 
   /** Driver-resident count table (hash map + TreeSet priority index,
     * ordered (n desc, l asc, r asc) — the same total order as the

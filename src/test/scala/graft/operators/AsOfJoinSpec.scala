@@ -259,6 +259,23 @@ class DupClustersSpec extends SparkSpec {
     assert(!m.contains(123456789012L))
   }
 
+  test("distributed loop leaves no cached state; result survives cleanup") {
+    // deep chain → the loop runs past round 3, so localCheckpoint
+    // truncation generations exist — exactly the RDDs Dataset.unpersist
+    // cannot release. The scoped guard must drop them all before return,
+    // and the spill-decoupled result must stay consumable afterwards.
+    val vertices = (1L to 50L).toDF("id")
+    val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labeled = DupClusters.connectedComponents(vertices, edges,
+      maxIter = 14, failOnNonConvergence = true, localMaxEdges = 0L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"dupClusters leaked persistent RDDs: $leaked")
+    val labels = labeled.as[(Long, Long)].collect().toMap
+    assert(labels.size === 50 && labels(20L) === 1L && labels(50L) === 50L)
+    assert(labeled.count() === 50) // re-consumption: reads the spill again
+  }
+
   test("failOnNonConvergence throws when maxIter truncates propagation") {
     val vertices = (1L to 5L).toDF("id")
     // chain of diameter 4 cannot converge in one round
