@@ -24,14 +24,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // per-query cache-hygiene check: a query that leaves NEW persistent
+      // RDDs behind is named HERE, at the offender — not two suites later
+      // by an unrelated global assertion (the round-8 DupClusters leak was
+      // found that way). PlanShapeSpec asserts the same invariant; this
+      // report is the driver-visible evidence.
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release anything a query persisted/localCheckpointed: 66 queries in
-      // one JVM otherwise accumulate cached relations (same residue that
-      // distorted the round-5 bench tail)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(rddsBefore)
+      if (leaked.nonEmpty)
+        System.err.println(s"[verify][hygiene] $name left ${leaked.size} " +
+          s"persistent RDDs behind: ids=${leaked.toSeq.sorted.mkString(",")}")
+      // release anything a query persisted/localCheckpointed: 101 queries
+      // in one JVM otherwise accumulate cached relations (same residue
+      // that distorted the round-5 bench tail)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -44,6 +44,16 @@ object CacheHygiene {
     f.delete(); ()
   }
 
+  /** Decouple a BOUNDED result from the caches it reads: collect and
+    * rebuild as a driver-local relation. Only for outputs whose row count
+    * is bounded by construction (a one-row diff, a k-row top-k) — never
+    * corpus-cardinality data; use [[spillToTempParquet]] for those. */
+  def materializeLocal(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Decouple a loop result from its loop caches: write `df` to a
     * JVM-lifetime temp parquet dir and read it back. The returned plan
     * references FILES, not any persisted or checkpoint-pinned RDD, so it

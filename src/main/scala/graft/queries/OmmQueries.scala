@@ -232,13 +232,19 @@ object OmmQueries {
       // see the SAME data under different (now, today) bindings, so the
       // poll-invariant join tree is persisted once and each poll applies
       // only its validity filter to the cached relation — the bench line
-      // measures diff cost, not two full 10-join evaluations.
-      val base = P.snapshotBase(P.loadTables(s, F.dir)).persist()
-      def poll(now: String, today: String): DataFrame =
-        P.dedup(P.parse(
-          P.applyValidity(base, P.FromNow, now, today, F.lookback), F.zone))
-      graft.operators.Dedup.batchDiffCounts(
-        poll(F.now, F.today), poll(now2, today2), "trip_id")
+      // measures diff cost, not two full 10-join evaluations. The diff is
+      // ONE row of counts, so it decouples as a local relation and the
+      // scoped guard releases the join-tree cache before returning
+      // (registry hygiene sweep: no query leaves persistent RDDs behind).
+      graft.operators.CacheHygiene.withRddCleanup(s) {
+        val base = P.snapshotBase(P.loadTables(s, F.dir)).persist()
+        def poll(now: String, today: String): DataFrame =
+          P.dedup(P.parse(
+            P.applyValidity(base, P.FromNow, now, today, F.lookback), F.zone))
+        graft.operators.CacheHygiene.materializeLocal(
+          graft.operators.Dedup.batchDiffCounts(
+            poll(F.now, F.today), poll(now2, today2), "trip_id"))
+      }
     }))
 
   val oracleSql: Map[String, String] = Map(

@@ -274,6 +274,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.distinct.mkString("; "))
   }
 
+  test("registry sweep: no query leaves new persistent RDDs behind") {
+    // Session cache hygiene, registry-wide: EXECUTE every registered query
+    // (write to scratch parquet — the same consumption Verify performs)
+    // and assert the persistent-RDD set is unchanged. A query may cache
+    // internally (q55's corpus persist, the BPE/CC loops) but must scope
+    // and release — or decouple its result — before returning; otherwise a
+    // long-lived session accumulates pinned blocks per call. The round-8
+    // DupClusters leak was caught two suites away by an unrelated Vocab
+    // assertion; this sweep names the offender at the offending query.
+    OmmFixtures.ensure(spark)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-hygiene-sweep-").toFile
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        fn(spark, sf).write.mode("overwrite")
+          .parquet(new java.io.File(scratch, name).getAbsolutePath)
+        val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+        if (leaked.nonEmpty) {
+          offenders += s"$name (${leaked.size} RDDs)"
+          // release so one offender can't cascade into later names
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (id, _) => leaked.contains(id) }
+            .values.foreach(_.unpersist(blocking = false))
+        }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(scratch)
+    }
+    assert(offenders.isEmpty,
+      s"queries left persistent RDDs behind: ${offenders.mkString("; ")}")
+  }
+
   test("q57 streaming ingest: equi-join index probe, broadcast candidate " +
       "restriction, no cartesian in any batch plan") {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
