@@ -181,9 +181,13 @@ object Bench {
       }
       val med = if (failed || times.size < reps) -1.0 else median(times)
       val mn = if (times.isEmpty) -1.0 else times.min
-      // contended = spread stayed past the limit even after extra reps: the
-      // median may still be contaminated; trust min and the steal evidence
-      val contended = !failed && !spreadOk(times)
+      // contended = the MEDIAN is still more than SpreadLimit above the
+      // contention-immune min after the extra reps — the same quantity the
+      // adaptive loop repairs (raw max/min spread can never clear once one
+      // rep spiked, so it would over-report; a transient first-rep spike
+      // that the extras outvoted is NOT contention)
+      val contended = !failed && times.size >= 2 &&
+        median(times) / times.min.max(1e-9) > SpreadLimit
       val load = loadavg()
       val stealD = { val s1 = stealJiffies(); if (s1 >= 0 && stealQ0 >= 0) s1 - stealQ0 else -1L }
       // one short evidence line per query, printed BEFORE the summary so a

@@ -44,6 +44,15 @@ object CacheHygiene {
     f.delete(); ()
   }
 
+  /** Register an externally-created temp dir for the JVM-exit sweep —
+    * for harness code whose returned plan reads files it created (e.g.
+    * the q91 streaming sim's state + sink), so repeated invocations in
+    * one process don't orphan directories past process exit. */
+  def registerForCleanup(dir: java.io.File): Unit = {
+    hookInstalled
+    spillDirs.synchronized { spillDirs += dir; () }
+  }
+
   /** Decouple a BOUNDED result from the caches it reads: collect and
     * rebuild as a driver-local relation. Only for outputs whose row count
     * is bounded by construction (a one-row diff, a k-row top-k) — never

@@ -82,7 +82,16 @@ object Mix {
     * sets (fixed-stride or shared-suffix ids) land in correlated buckets
     * and can skew realized proportions well past 1/scale. The two
     * bijective mix rounds scatter the fingerprint — the same reason the
-    * KMV sketch and `sampleToBudget` mix before bucketing. */
+    * KMV sketch and `sampleToBudget` mix before bucketing.
+    *
+    * MIGRATION (round 8): the hash changed from the raw polynomial fold
+    * to `mixedHash`, which reassigns EVERY membership relative to splits
+    * materialized under the old hash — held-out docs can migrate into
+    * train if old and new assignments are mixed. Consumers of splits
+    * materialized before the change must REBUILD them wholesale under
+    * the new hash (or keep scoring against their frozen materialized
+    * assignment); never join old and new split columns in one dataset.
+    * The determinism contract holds from this version forward. */
   def assignSplits(df: DataFrame, id: Column,
       fractions: Seq[(String, Double)], scale: Int = 10000): DataFrame = {
     require(fractions.nonEmpty, "need at least one split")

@@ -185,14 +185,19 @@ object Vocab {
     import spark.implicits._
     val merges = withRddCleanup(spark) {
       val seqs0 = wrappedSeqs(df, text).persist()
-      // one full pair count, capped at ceiling+1 rows: the limit makes the
-      // regime probe itself driver-safe (never collects an unbounded table)
-      val probe = pairCounts(seqs0)
+      // the full pair-count table persists BEFORE the regime probe, so the
+      // above-ceiling regime hands the already-computed table to the
+      // distributed trainer instead of re-paying the full explode+count;
+      // the probe reads through the same persist, capped at ceiling+1 rows
+      // so the collect itself stays driver-safe (never an unbounded table)
+      val counts0 = pairCounts(seqs0).persist()
+      val probe = counts0
         .limit(math.min(maxDriverPairs.toLong + 1, Int.MaxValue).toInt)
-        .collect() // materializes seqs0's persist
-      if (probe.length <= maxDriverPairs)
+        .collect() // materializes seqs0's persist (and counts0's, partially)
+      if (probe.length <= maxDriverPairs) {
+        counts0.unpersist() // driver regime owns its counts in-heap
         trainDriverDelta(seqs0, probe, rounds)
-      else trainDistributedDelta(seqs0, rounds)
+      } else trainDistributedDelta(seqs0, counts0, rounds)
     }
     merges.toDF("round", "l_tok", "r_tok", "n")
   }
@@ -267,16 +272,18 @@ object Vocab {
   }
 
   /** Distributed count table for the above-ceiling regime. Takes
-    * ownership of `seqs0`'s persist. One job per round (the top-1
+    * ownership of the `seqs0` AND `counts0` persists — `counts0` is the
+    * regime probe's already-persisted full pair count, so the full
+    * explode+count is paid exactly once. One job per round (the top-1
     * collect); counts_r materializes at round r's collect (reading
     * seqs_{r-1}'s cache through the delta), seqs_r at round r+1's (the
     * affected filter scans it), so the trailing TWO seqs and one counts
     * generations stay pinned and every materialization is a one-step
     * read from cache, never a replay to round 0. */
-  private def trainDistributedDelta(seqs0: DataFrame,
+  private def trainDistributedDelta(seqs0: DataFrame, counts0: DataFrame,
       rounds: Int): Seq[(Int, String, String, Long)] = {
     var seqs = seqs0
-    var counts = pairCounts(seqs).persist()
+    var counts = counts0
     var seqsOld1: DataFrame = null // seqs_{r-1}: may back seqs_r / counts_r
     var seqsOld2: DataFrame = null // seqs_{r-2}: droppable after the collect
     var countsPrev: DataFrame = null
@@ -421,23 +428,36 @@ object Vocab {
     * one cross-engine float risk; round(…, 4) absorbs it (same discipline
     * as BM25's idf).
     *
-    * Scale shape: the pair stream is exploded once per side; the count
-    * table gets its left marginal from a window PARTITIONED BY l_tok (no
-    * global window), and the score join is a single pair-keyed shuffle
-    * join of the stream against the (vocab²-bounded) count table, then a
-    * map-combinable per-doc aggregate. */
-  def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val pairs = pairRows(df, Some(id), text)
-    val counts = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("c_lr"))
-    val withMarginal = counts.withColumn("c_l",
-      sum(col("c_lr")).over(Window.partitionBy(col("l_tok"))))
-    pairs.join(withMarginal, Seq("l_tok", "r_tok"))
-      .select(col("id"),
-        log(col("c_lr").cast("double") / col("c_l").cast("double")).as("ll"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll"))
-  }
+    * Scale shape: the corpus pays ONE tokenize+explode — the pair stream
+    * is persisted for the call's scope and BOTH its consumers (the
+    * count-table build and the probe side of the score join) read the
+    * cache. Exchange reuse can't express this sharing (column pruning
+    * rewrites the two subtrees differently, so they never canonicalize
+    * equal), and a count-window over the stream would buffer a hot left
+    * token's whole partition in one task — a 100 TB straggler — so the
+    * cache IS the single-scan mechanism, with the join/window shapes
+    * unchanged: the left marginal is a window PARTITIONED BY l_tok over
+    * the vocab²-BOUNDED count table, the score join is pair-keyed, the
+    * per-doc aggregate map-combinable. The operator MATERIALIZES: the
+    * narrow per-doc result spills to a JVM-lifetime temp parquet and the
+    * scoped guard releases the stream cache before returning, so no cache
+    * outlives the call (registry hygiene sweep) and re-consumption reads
+    * files. */
+  def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame =
+    CacheHygiene.withRddCleanup(df.sparkSession) {
+      val pairs = pairRows(df, Some(id), text).persist()
+      val counts = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("c_lr"))
+      val withMarginal = counts.withColumn("c_l",
+        sum(col("c_lr")).over(Window.partitionBy(col("l_tok"))))
+      CacheHygiene.spillToTempParquet(
+        pairs.join(withMarginal, Seq("l_tok", "r_tok"))
+          .select(col("id"),
+            log(col("c_lr").cast("double") / col("c_l").cast("double")).as("ll"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll")),
+        "graft-nll-")
+    }
 
   /** Per-document add-k–smoothed trigram NLL — [[bigramNll]] with one more
     * token of context and Lidstone smoothing:
@@ -451,37 +471,46 @@ object Vocab {
     * with < 3 tokens have no trigrams and are excluded; round(…, 4)
     * absorbs the cross-engine ln/sum-order float risk (q72 discipline).
     *
-    * Scale shape: identical to [[bigramNll]] — the count table is
-    * trigram-TYPES-bounded, its context marginal is a window PARTITIONED
-    * BY (w1, w2), V is a one-row broadcast riding a crossJoin (the BM25
-    * corpus-stats shape), and the per-doc aggregate is map-combinable. */
+    * Scale shape: identical to [[bigramNll]] — the trigram stream is
+    * exploded ONCE and persisted for the call's scope, feeding both the
+    * TYPES-bounded count table (context marginal via a window PARTITIONED
+    * BY (w1, w2)) and the probe side of the score join from the cache
+    * instead of a second full tokenize/explode scan. V is a one-row
+    * broadcast riding a crossJoin (the BM25 corpus-stats shape), and the
+    * per-doc aggregate is map-combinable. MATERIALIZES like [[bigramNll]]:
+    * narrow per-doc spill out, scoped cache released on return. */
   def trigramNll(df: DataFrame, id: Column, text: Column,
                  addK: Double = 0.5): DataFrame = {
     require(addK > 0, s"add-k smoothing needs k > 0, got $addK")
-    val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
-    val ts = col("__ts")
-    val triples = base.select(col("id"), explode(
-        when(size(ts) >= 3,
-          transform(sequence(lit(1), size(ts) - 2), i =>
-            struct(element_at(ts, i).as("w1"),
-              element_at(ts, i + 1).as("w2"),
-              element_at(ts, i + 2).as("w3"))))
-          .otherwise(array().cast(
-            "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
-      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
-    val counts = triples.groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c3"))
-      .withColumn("c2",
-        sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
-    val vocab = base.select(explode(ts).as("t"))
-      .agg(count_distinct(col("t")).as("v"))
-    triples.join(counts, Seq("w1", "w2", "w3"))
-      .crossJoin(broadcast(vocab))
-      .select(col("id"),
-        log((col("c3") + addK) / (col("c2") + col("v") * addK)).as("ll"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_trigrams"),
-        round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll"))
+    CacheHygiene.withRddCleanup(df.sparkSession) {
+      val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
+      val ts = col("__ts")
+      val triples = base.select(col("id"), explode(
+          when(size(ts) >= 3,
+            transform(sequence(lit(1), size(ts) - 2), i =>
+              struct(element_at(ts, i).as("w1"),
+                element_at(ts, i + 1).as("w2"),
+                element_at(ts, i + 2).as("w3"))))
+            .otherwise(array().cast(
+              "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+        .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+          col("t.w3").as("w3"))
+        .persist()
+      val counts = triples.groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("c3"))
+        .withColumn("c2",
+          sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+      val vocab = base.select(explode(ts).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+      CacheHygiene.spillToTempParquet(
+        triples.join(counts, Seq("w1", "w2", "w3"))
+          .crossJoin(broadcast(vocab))
+          .select(col("id"),
+            log((col("c3") + addK) / (col("c2") + col("v") * addK)).as("ll"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_trigrams"),
+            round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll")),
+        "graft-nll-")
+    }
   }
 }

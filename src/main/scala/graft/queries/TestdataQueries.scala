@@ -1227,6 +1227,31 @@ object TestdataQueries {
   // cluster representatives come from — is what gets hash-checked.
   private val q55QualityFloor = 0.4
 
+  /** The curation pipeline PRE-spill — the plan PlanShapeSpec's broadcast/
+    * no-cartesian assertions inspect (the registered query's returned plan
+    * is the spill read-back scan, which would vacuously pass). Callers
+    * other than [[q55CorpusCuration]] must run it under their own
+    * [[graft.operators.CacheHygiene.withRddCleanup]] scope: the `exact`
+    * persist and the CC loop's checkpoint-pinned caches belong to the
+    * call, not the session. */
+  private[graft] def q55CurationInner(s: SparkSession, d: String): DataFrame = {
+    val flt = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("quality",
+        round(TextExprs.qualityScore(col("text")), 6))
+      .filter(col("quality") >= q55QualityFloor)
+    val exact = Dedup.exactDedup(flt, col("text"), col("doc_id")).persist()
+    val edges = NearDup.minhashLshPairs(exact, col("doc_id"), col("text"),
+        n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val reps = graft.operators.DupClusters.connectedComponents(
+        exact.select(col("doc_id").as("id")), edges)
+      .filter(col("id") === col("cluster_rep"))
+      .select(col("id").as("doc_id"))
+    exact.join(reps, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
   private def q55CorpusCuration(s: SparkSession, d: String): DataFrame =
     // Terminal materializing pipeline: curation's survivor listing is
     // written once by any real consumer, so the whole body runs under a
@@ -1238,23 +1263,8 @@ object TestdataQueries {
     // (registry hygiene sweep, PlanShapeSpec), and consuming the result
     // re-reads spill files instead of recomputing two corpus scans.
     graft.operators.CacheHygiene.withRddCleanup(s) {
-      val flt = Tables.documents(s, d)
-        .filter(length(trim(col("text"))) > 0)
-        .withColumn("quality",
-          round(TextExprs.qualityScore(col("text")), 6))
-        .filter(col("quality") >= q55QualityFloor)
-      val exact = Dedup.exactDedup(flt, col("text"), col("doc_id")).persist()
-      val edges = NearDup.minhashLshPairs(exact, col("doc_id"), col("text"),
-          n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val reps = graft.operators.DupClusters.connectedComponents(
-          exact.select(col("doc_id").as("id")), edges)
-        .filter(col("id") === col("cluster_rep"))
-        .select(col("id").as("doc_id"))
       graft.operators.CacheHygiene.spillToTempParquet(
-        exact.join(reps, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("lang"), col("quality")),
-        "graft-q55-")
+        q55CurationInner(s, d), "graft-q55-")
     }
 
   private val q55Sql =
@@ -2274,12 +2284,21 @@ FROM r$q82Rounds"""
   // through SegDedupStream must reproduce the batch operator exactly, so
   // the oracle IS q88's SQL (the q57/q19 equivalence pattern).
   private def q91StreamingSegDedup(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("segdedup_stream")
-      .toString
+    val dirFile = java.nio.file.Files.createTempDirectory("segdedup_stream")
+      .toFile
+    // the returned plan READS the sink files, so the dir can't be deleted
+    // here — register it for the JVM-exit sweep instead (Bench's 3+ reps
+    // would otherwise orphan one state+sink dir per rep past process exit)
+    graft.operators.CacheHygiene.registerForCleanup(dirFile)
+    val dir = dirFile.getAbsolutePath
     val docs = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("text"))
-    val n = docs.count()
-    val bounds = Seq(0L, n / 3, 2 * n / 3, Long.MaxValue)
+    // batch bounds from the ACTUAL id range (min may be negative or
+    // nonzero; assuming ids >= 0 would silently starve batch 1)
+    val mm = docs.agg(min(col("id")), max(col("id"))).collect()(0)
+    val lo = mm.getLong(0)
+    val span = mm.getLong(1) - lo + 1
+    val bounds = Seq(lo, lo + span / 3, lo + 2 * span / 3, Long.MaxValue)
     (0 until 3).foreach { b =>
       graft.streaming.SegDedupStream.ingestBatch(s,
         docs.filter(col("id") >= bounds(b) && col("id") < bounds(b + 1)),

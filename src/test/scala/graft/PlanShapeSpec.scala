@@ -194,9 +194,21 @@ class PlanShapeSpec extends SparkSpec {
       "no cartesian anywhere") {
     // the CC local-finish contract: the corpus-sized vertex relation is
     // labeled by ONE broadcast hash join against a driver-built local
-    // relation — never shuffled, never nested-loop-joined
-    Seq("q44_dup_clusters", "q55_corpus_curation").foreach { q =>
-      val p = plan(q)
+    // relation — never shuffled, never nested-loop-joined. q55's
+    // REGISTERED query spills and returns a read-back scan (cache
+    // hygiene), so its assertions run against the pre-spill pipeline
+    // (q55CurationInner) under the same scoped guard the query uses —
+    // explaining it executes the CC loop, whose caches must not outlive
+    // the test.
+    val plans = Seq(
+      "q44_dup_clusters" -> plan("q44_dup_clusters"),
+      "q55_corpus_curation" ->
+        graft.operators.CacheHygiene.withRddCleanup(spark) {
+          graft.queries.TestdataQueries.q55CurationInner(spark, sf)
+            .queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+        })
+    plans.foreach { case (q, p) =>
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q grew a nested-loop join")
@@ -225,13 +237,15 @@ class PlanShapeSpec extends SparkSpec {
     *     to reintroduce silently.
     */
   // EMPTY by design: every input-bounded global rank in the repo now
-  // carries a CONSTANT partition key (Window.partitionBy(lit(0)) — see
-  // Sketch.quantilesFromSample's scaladoc), which is physically identical
-  // for its ≤ k-row input but makes the partition spec explicit, so no
-  // registered query plans an empty-spec window at all. The whitelist
-  // mechanism stays: a future operator with a PROVEN input-bounded window
-  // that cannot take the constant-key form must be listed here with the
-  // proof, not silently exempted.
+  // carries a NON-FOLDABLE constant partition key —
+  // Window.partitionBy(pmod(<non-null col>, lit(1))), the form
+  // Sketch.quantilesFromSample uses — which is physically identical for
+  // its ≤ k-row input but makes the partition spec explicit. A foldable
+  // literal key (lit(0)) would NOT work: Catalyst's
+  // EliminateWindowPartitions strips foldable keys back to the empty spec
+  // this sweep bans. The whitelist mechanism stays: a future operator with
+  // a PROVEN input-bounded window that cannot take the constant-key form
+  // must be listed here with the proof, not silently exempted.
   private val boundedGlobalWindowOk: Map[String, String] = Map.empty
 
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
