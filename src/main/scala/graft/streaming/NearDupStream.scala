@@ -38,18 +38,20 @@ import graft.operators.{NearDup, SketchState}
   * grows with the corpus, the probe side stays batch-sized.
   *
   * COMPACTION: every ingest appends a batch-sized set of part files to
-  * each state dir, so after thousands of micro-batches the index probe
-  * would open thousands of tiny files — the classic streaming-state
-  * small-file wall (footer reads and task-scheduling overhead dwarf the
-  * data I/O). When a state dir's part-file count exceeds
-  * `compactAfterFiles`, the ingest rewrites it to
-  * ceil(bytes / spark.sql.files.maxPartitionBytes) files — the layout a
-  * fresh scan would want — via [[SketchState.swapReplace]]'s
-  * write-swap-delete-rename discipline, so a crash mid-compaction never
-  * loses state (a complete swap is adopted by the next read). Amortized
-  * cost is O(state / compactAfterFiles) rewritten bytes per batch;
-  * output pairs are unaffected (the spec pins identical pair output
-  * across compacted and uncompacted runs).
+  * each state dir AND the sink, so after thousands of micro-batches the
+  * index probe (and any sink reader) would open thousands of tiny files —
+  * the classic streaming-state small-file wall (footer reads and
+  * task-scheduling overhead dwarf the data I/O). When a dir's part-file
+  * count exceeds max(`compactAfterFiles`, 2 × ideal) — ideal =
+  * ceil(bytes / spark.sql.files.maxPartitionBytes), the layout a fresh
+  * scan would want; see `compactIfNeeded` for why the trigger must be
+  * excess-based — the ingest rewrites it to ideal files via
+  * [[SketchState.swapReplace]]'s write-swap-delete-rename discipline, so
+  * a crash mid-compaction never loses state (a complete swap is adopted
+  * by the next read; sinks get the same adoption via the entry probe).
+  * Rewrites space out geometrically as a dir grows; output pairs are
+  * unaffected (the spec pins identical pair output across compacted and
+  * uncompacted runs).
   */
 object NearDupStream {
 
@@ -64,9 +66,21 @@ object NearDupStream {
   private def exists(spark: SparkSession, path: String): Boolean =
     SketchState.exists(spark, path)
 
-  /** Rewrite `path` when its part-file count exceeds `maxFiles`: read,
-    * repartition to ceil(bytes / files.maxPartitionBytes), swap-replace.
-    * Returns true when a rewrite happened (the spec's witness). */
+  /** Rewrite `path` when its part-file count exceeds the EXCESS trigger
+    * max(`maxFiles`, 2 × ideal), where ideal =
+    * ceil(bytes / files.maxPartitionBytes) is the file count a fresh scan
+    * would want: read, repartition to ideal, swap-replace. Returns true
+    * when a rewrite happened (the spec's witness).
+    *
+    * The trigger must be excess-based, not the flat ceiling alone: a
+    * dataset whose ideal file count EXCEEDS `maxFiles` (any text-carrying
+    * store or sink past ~`maxFiles` × maxPartitionBytes) would otherwise
+    * re-trigger a full O(accumulated) rewrite on EVERY batch — compaction
+    * can never get the count under a ceiling smaller than ideal. With the
+    * excess form a freshly-compacted dataset sits at ideal files and must
+    * roughly DOUBLE its file count before the next rewrite, so rewrites
+    * space out geometrically as the dataset grows and total rewrite cost
+    * over a stream's life stays O(accumulated × log batches). */
   private[streaming] def compactIfNeeded(spark: SparkSession, path: String,
       maxFiles: Int): Boolean = {
     if (maxFiles <= 0 || !exists(spark, path)) return false
@@ -74,13 +88,14 @@ object NearDupStream {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    if (parts.length <= maxFiles) return false
     val totalBytes = parts.map(_.getLen).sum
     val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-      .min(parts.length.toLong).toInt
+    val ideal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    if (parts.length.toLong <= math.max(maxFiles.toLong, 2L * ideal))
+      return false
     SketchState.swapReplace(
-      spark.read.parquet(path).repartition(nFiles), path)
+      spark.read.parquet(path).repartition(
+        ideal.min(parts.length.toLong).toInt), path)
     true
   }
 
@@ -107,6 +122,10 @@ object NearDupStream {
                   compactAfterFiles: Int = 64): BatchResult = {
     val bandsPath = s"$stateDir/bands"
     val docsPath = s"$stateDir/docs"
+    // adopt a crash-interrupted SINK compaction swap BEFORE this batch's
+    // append can recreate the live dir and orphan it (state dirs get the
+    // same adoption via their own exists() probes below)
+    exists(spark, sinkDir)
     val nd = newDocs.select(col("id"), col("text")).persist()
     try {
       val nNew = nd.count() // materialize before the multi-reference fan-out
@@ -193,6 +212,10 @@ object NearDupStream {
           // leaves either the old files or an adoptable complete swap
           compactIfNeeded(spark, bandsPath, compactAfterFiles)
           compactIfNeeded(spark, docsPath, compactAfterFiles)
+          // the SINK accumulates one file-set per batch for the stream's
+          // life too — same excess-triggered rewrite (rows are unchanged;
+          // compaction is layout-only, the spec pins identical output)
+          compactIfNeeded(spark, sinkDir, compactAfterFiles)
           BatchResult(nNew, nPairs)
         } finally {
           verified.unpersist()

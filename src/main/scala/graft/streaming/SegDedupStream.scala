@@ -34,8 +34,11 @@ import graft.operators.{Dedup, SketchState}
   * only) against the hash-only index (16 B/row — no positions, no text:
   * membership is the only question the state ever answers); the rebuild
   * re-slices the batch's own token arrays. The index grows by DISTINCT
-  * new segments only, and the small-file wall is handled by the same
-  * size-triggered swap-replace compaction as [[NearDupStream]].
+  * new segments only, and the small-file wall — for the state index AND
+  * the append sink, each accumulating one file-set per batch — is handled
+  * by the same excess-triggered swap-replace compaction as
+  * [[NearDupStream]] (see `compactIfNeeded` for the trigger's
+  * amortization argument).
   */
 object SegDedupStream {
 
@@ -48,6 +51,9 @@ object SegDedupStream {
                   sinkDir: String, w: Int,
                   compactAfterFiles: Int = 64): BatchResult = {
     val segsPath = s"$stateDir/segs"
+    // adopt a crash-interrupted SINK compaction swap BEFORE this batch's
+    // append can recreate the live dir and orphan it
+    SketchState.exists(spark, sinkDir)
     val base = Dedup.segmentBase(newDocs, col("id"), col("text")).persist()
     try {
       val nNew = base.count()
@@ -72,6 +78,7 @@ object SegDedupStream {
         fresh.select(col("h1"), col("h2")).write.mode("append")
           .parquet(segsPath)
         NearDupStream.compactIfNeeded(spark, segsPath, compactAfterFiles)
+        NearDupStream.compactIfNeeded(spark, sinkDir, compactAfterFiles)
         BatchResult(nNew, nKept)
       } finally fresh.unpersist()
     } finally base.unpersist()

@@ -122,6 +122,32 @@ class NearDupStreamSpec extends SparkSpec {
       "post-compaction index lost earlier generations")
   }
 
+  test("sink compaction: every-batch pair emissions stay under the file " +
+      "ceiling with identical pair output") {
+    val (n, b, r, t) = params
+    // 8 identical one-doc batches: every batch after the first emits its
+    // pairs against ALL prior docs, so the sink gets >= 7 append
+    // file-sets without compaction; ceiling 2 must keep it bounded
+    val base = Files.createTempDirectory("ndsink").toString
+    (1L to 8L).foreach { id =>
+      NearDupStream.ingestBatch(spark,
+        Seq(id -> "the quick brown fox jumps over the lazy dog again")
+          .toDF("id", "text"),
+        s"$base/state", s"$base/sink", n, b, r, t, compactAfterFiles = 2)
+    }
+    val sinkFiles = new java.io.File(s"$base/sink").listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(sinkFiles <= 3,
+      s"sink compaction should bound part files, got $sinkFiles")
+    // compaction is layout-only: all C(8,2) identical-doc pairs, once each
+    val pairs = spark.read.parquet(s"$base/sink")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length === 28, "pair set changed under sink compaction")
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      (for (a <- 1L to 8L; bb <- (a + 1) to 8L) yield (a, bb)).toSet)
+    assert(pairs.forall(_._3 === 1.0))
+  }
+
   test("file-source streaming wrapper: dropped files become increments") {
     val (n, b, r, t) = params
     val base = Files.createTempDirectory("ndq").toString

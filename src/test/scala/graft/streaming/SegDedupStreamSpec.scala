@@ -93,6 +93,12 @@ class SegDedupStreamSpec extends SparkSpec {
     val segFiles = new java.io.File(s"$base/state/segs").listFiles()
       .count(f => f.isFile && f.getName.startsWith("part-"))
     assert(segFiles <= 3, s"compaction should bound part files, got $segFiles")
+    // the SINK accumulates one file-set per batch too (6 appends here) —
+    // the same excess-triggered rewrite must bound it
+    val sinkFiles = new java.io.File(s"$base/sink").listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(sinkFiles <= 3,
+      s"sink compaction should bound part files, got $sinkFiles")
     assert(sink(base).toSet === batchResult) // output unaffected
   }
 }
