@@ -428,24 +428,40 @@ object Vocab {
     * one cross-engine float risk; round(…, 4) absorbs it (same discipline
     * as BM25's idf).
     *
-    * Scale shape: the corpus pays ONE tokenize+explode — the pair stream
-    * is persisted for the call's scope and BOTH its consumers (the
-    * count-table build and the probe side of the score join) read the
-    * cache. Exchange reuse can't express this sharing (column pruning
-    * rewrites the two subtrees differently, so they never canonicalize
-    * equal), and a count-window over the stream would buffer a hot left
-    * token's whole partition in one task — a 100 TB straggler — so the
-    * cache IS the single-scan mechanism, with the join/window shapes
-    * unchanged: the left marginal is a window PARTITIONED BY l_tok over
-    * the vocab²-BOUNDED count table, the score join is pair-keyed, the
-    * per-doc aggregate map-combinable. The operator MATERIALIZES: the
+    * Scale shape: the corpus is TOKENIZED once — the (id, tokens) base
+    * persists for the call's scope at 1× corpus footprint, and both
+    * consumers of the pair stream (the count-table build and the probe
+    * side of the score join) re-derive it from the cache by a cheap array
+    * explode. Persisting the EXPLODED stream instead would hold ~2×
+    * corpus in cache for the same number of shuffles — the explode is
+    * array traversal over cached rows, the tokenizer kernel is the
+    * expensive pass. Exchange reuse can't express this sharing (column
+    * pruning rewrites the two subtrees differently, so they never
+    * canonicalize equal), and a count-window over the stream would buffer
+    * a hot left token's whole partition in one task — a 100 TB straggler
+    * — so the cache IS the single-scan mechanism, with the join/window
+    * shapes unchanged: the left marginal is a window PARTITIONED BY l_tok
+    * over the vocab²-BOUNDED count table, the score join is pair-keyed,
+    * the per-doc aggregate map-combinable. The operator MATERIALIZES: the
     * narrow per-doc result spills to a JVM-lifetime temp parquet and the
-    * scoped guard releases the stream cache before returning, so no cache
+    * scoped guard releases the base cache before returning, so no cache
     * outlives the call (registry hygiene sweep) and re-consumption reads
     * files. */
   def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame =
     CacheHygiene.withRddCleanup(df.sparkSession) {
-      val pairs = pairRows(df, Some(id), text).persist()
+      val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
+        .persist()
+      val ts = col("__ts")
+      // derived fresh per consumer: both plans read base's cache
+      def pairs = base.select(col("id"), explode(
+          when(size(ts) >= 2,
+            transform(sequence(lit(1), size(ts) - 1), i =>
+              struct(element_at(ts, i).as("l_tok"),
+                element_at(ts, i + 1).as("r_tok"))))
+            .otherwise(array().cast(
+              "array<struct<l_tok:string,r_tok:string>>"))).as("p"))
+        .select(col("id"), col("p.l_tok").as("l_tok"),
+          col("p.r_tok").as("r_tok"))
       val counts = pairs.groupBy("l_tok", "r_tok").agg(count(lit(1)).as("c_lr"))
       val withMarginal = counts.withColumn("c_l",
         sum(col("c_lr")).over(Window.partitionBy(col("l_tok"))))
@@ -471,11 +487,13 @@ object Vocab {
     * with < 3 tokens have no trigrams and are excluded; round(…, 4)
     * absorbs the cross-engine ln/sum-order float risk (q72 discipline).
     *
-    * Scale shape: identical to [[bigramNll]] — the trigram stream is
-    * exploded ONCE and persisted for the call's scope, feeding both the
-    * TYPES-bounded count table (context marginal via a window PARTITIONED
-    * BY (w1, w2)) and the probe side of the score join from the cache
-    * instead of a second full tokenize/explode scan. V is a one-row
+    * Scale shape: identical to [[bigramNll]] — ONE tokenize of the
+    * corpus: the (id, tokens) base persists at 1× corpus footprint and
+    * ALL THREE consumers re-derive from the cache by cheap array ops —
+    * the TYPES-bounded count table (context marginal via a window
+    * PARTITIONED BY (w1, w2)), the probe side of the score join, and the
+    * vocabulary-size scan V (which previously re-ran the tokenizer kernel
+    * over the whole corpus as a hidden second pass). V is a one-row
     * broadcast riding a crossJoin (the BM25 corpus-stats shape), and the
     * per-doc aggregate is map-combinable. MATERIALIZES like [[bigramNll]]:
     * narrow per-doc spill out, scoped cache released on return. */
@@ -484,8 +502,10 @@ object Vocab {
     require(addK > 0, s"add-k smoothing needs k > 0, got $addK")
     CacheHygiene.withRddCleanup(df.sparkSession) {
       val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
+        .persist()
       val ts = col("__ts")
-      val triples = base.select(col("id"), explode(
+      // derived fresh per consumer: all plans read base's cache
+      def triples = base.select(col("id"), explode(
           when(size(ts) >= 3,
             transform(sequence(lit(1), size(ts) - 2), i =>
               struct(element_at(ts, i).as("w1"),
@@ -495,7 +515,6 @@ object Vocab {
               "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
         .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
           col("t.w3").as("w3"))
-        .persist()
       val counts = triples.groupBy("w1", "w2", "w3")
         .agg(count(lit(1)).as("c3"))
         .withColumn("c2",

@@ -2308,6 +2308,31 @@ FROM r$q82Rounds"""
       .select(col("doc_id"), col("n_segments"), col("n_kept"), col("text"))
   }
 
+  // Streaming semantic dedup: the embeddings table in 3 arrival batches
+  // with non-decreasing vec_id ranges — the accumulated decision sink
+  // through SemDedupStream must reproduce the batch operator exactly, so
+  // the oracle IS q89's SQL (the q91/q57 equivalence pattern).
+  private def q92StreamingSemDedup(s: SparkSession, d: String): DataFrame = {
+    val dirFile = java.nio.file.Files.createTempDirectory("semdedup_stream")
+      .toFile
+    // the returned plan READS the sink files — JVM-exit cleanup, like q91
+    graft.operators.CacheHygiene.registerForCleanup(dirFile)
+    val dir = dirFile.getAbsolutePath
+    val embs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val mm = embs.agg(min(col("id")), max(col("id"))).collect()(0)
+    val lo = mm.getLong(0)
+    val span = mm.getLong(1) - lo + 1
+    val bounds = Seq(lo, lo + span / 3, lo + 2 * span / 3, Long.MaxValue)
+    (0 until 3).foreach { b =>
+      graft.streaming.SemDedupStream.ingestBatch(s,
+        embs.filter(col("id") >= bounds(b) && col("id") < bounds(b + 1)),
+        s"$dir/state", s"$dir/sink",
+        dim = 64, bits = 4, seed = 7L, threshold = 0.4)
+    }
+    s.read.parquet(s"$dir/sink").select(col("vec_id"), col("kept"))
+  }
+
   // ----------------------------- semantic dedup (§2.10 ext)
   // SemDeDup decision with LSH buckets as the clustering: drop a vector
   // when a smaller-id bucket-mate has cosine >= threshold. Same planes/
@@ -2443,6 +2468,7 @@ FROM r$q82Rounds"""
     "q87_split_assign" -> (q87Splits _),
     "q88_segment_dedup" -> (q88SegmentDedup _),
     "q91_streaming_segdedup" -> (q91StreamingSegDedup _),
+    "q92_streaming_semdedup" -> (q92StreamingSemDedup _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q90_trigram_nll" -> (q90TrigramNll _))
 
@@ -2531,6 +2557,7 @@ FROM r$q82Rounds"""
     "q87_split_assign" -> q87Sql,
     "q88_segment_dedup" -> q88Sql,
     "q91_streaming_segdedup" -> q88Sql,
+    "q92_streaming_semdedup" -> q89Sql,
     "q89_semantic_dedup" -> q89Sql,
     "q90_trigram_nll" -> q90Sql)
 }

@@ -445,6 +445,82 @@ object ScaleProbe {
     vecs.unpersist()
   }
 
+  /** Round-9 probes. (a) The streaming segment-dedup increment (q91's
+    * shape) at 100M tokens across 5 micro-batches: per-batch cost must
+    * track the BATCH (map-side segmenting + winner agg + hash-only
+    * anti-join against the accumulated index + rebuild from the batch's
+    * own arrays), not the accumulated corpus, and the post-compaction
+    * state/sink part-file counts must stay bounded. (b) The
+    * distributed-delta BPE regime at 100M tokens (forced via
+    * `maxDriverPairs = 0`), K∈{8,32} — the open-vocabulary regime
+    * SCALE.md's K-scaling table had no large-corpus figure for.
+    * (c) trigramNll at both vocabulary regimes after the single-scan fix
+    * (the corpus pays ONE tokenize+explode; ops8 measured the two-scan
+    * shape at 48.2 s / 22.7 s). Run:
+    * sbt "runMain graft.tools.ScaleProbe ops9". */
+  def ops9Probe(spark: SparkSession): Unit = {
+    import graft.operators.Vocab
+    import graft.streaming.SegDedupStream
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    def synth(vocab: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(
+          when(col("id") % 5 === 0, col("id") % 1000)
+            .otherwise(col("id")) * 53 + i), lit(vocab)))))
+        .as("text"))
+    def partFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && f.getName.startsWith("part-"))
+    }
+    // (a) 5 equal batches of 20M tokens each, 20% templated dup corpus
+    val docs = synth(5000)
+      .select(col("doc_id").as("id"), col("text")).cache()
+    docs.count()
+    val base = java.nio.file.Files.createTempDirectory("ops9seg").toString
+    val batchSz = nDocs / 5
+    (0 until 5).foreach { b =>
+      val lo = b * batchSz
+      val r = time(f"segdedup batch $b (${batchSz * tokPerDoc}%10d tokens)") {
+        SegDedupStream.ingestBatch(spark,
+          docs.filter(col("id") >= lo && col("id") < lo + batchSz),
+          s"$base/state", s"$base/sink", w = 16)
+      }
+      println(s"[probe]   kept=${r.keptSegments}" +
+        s" stateFiles=${partFiles(s"$base/state/segs")}" +
+        s" sinkFiles=${partFiles(s"$base/sink")}")
+    }
+    docs.unpersist()
+    // (c) trigram scoring, both regimes, single-scan shape
+    Seq(5000 -> "near-unique trigrams", 100 -> "types-bounded").foreach {
+      case (v, label) =>
+        val d = synth(v).cache()
+        val nTok = d.count() * tokPerDoc
+        time(f"trigramNll v$v%-4d ($nTok%11d tokens, $label)") {
+          Vocab.trigramNll(d, col("doc_id"), col("text"))
+            .agg(avg(col("avg_nll"))).collect()
+        }
+        d.unpersist()
+    }
+    // (b) dist-delta at the big-corpus volume (bpeProbe's closed 500-type
+    // vocabulary: ≤ 250k pair types, so the count table stays tiny and
+    // the regimes differ only in WHERE the table lives)
+    val big = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(500)))))
+        .as("text")).cache()
+    val nBig = big.count()
+    Seq(8, 32).foreach { k =>
+      time(f"bpe dist-delta   ($nBig%7d docs, K=$k%4d)") {
+        Vocab.bpeTrain(big, col("text"), k, maxDriverPairs = 0).count()
+      }
+    }
+    big.unpersist()
+  }
+
   /** Read-side proof of the z-order layout claim: write 20M (x, y) rows
     * once sorted by x and once z-ordered, then time a selective filter
     * on Y — the column the x-sort cannot prune. Parquet row-group
@@ -511,7 +587,8 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8")
+    val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
+      "ops9")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -549,6 +626,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops8")) {
       ops8Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops9")) {
+      ops9Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
