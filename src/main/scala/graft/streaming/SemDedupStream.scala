@@ -42,13 +42,23 @@ import graft.operators.{Similarity, SketchState}
   * roundoff of cos(v, v) — with a threshold near 1.0 the cosine path
   * alone could misclassify an exact copy.
   *
-  * Scale shape per batch: bucketing/hashing is map-side; the state probe
-  * joins the batch's DISTINCT vectors (content-hash collapsed) against
-  * the state on bucket, so probe traffic is batch-sized and per-pair work
-  * is one dot product on precomputed norms; decisions fan back to rows by
-  * content hash. State grows by distinct NEW vector values only
-  * (dim × 4 B + 24 B per row), and both state and sink ride the shared
-  * excess-triggered swap-replace compaction
+  * Scale shape per batch: bucketing/hashing is map-side, and the
+  * corpus-sized state is read in ONE streamed pass — the bucket join
+  * evaluates BOTH drop conditions (cosine ≥ t, exact content-hash match)
+  * in a single state × batch join, aggregated to batch-bounded
+  * per-value verdicts. At steady state (accumulated ≫ batch, the regime
+  * any long-lived stream converges to) the batch's distinct vectors
+  * BROADCAST, so state never shuffles or sorts — it streams from parquet
+  * through the join map-side; early in the stream's life (or for
+  * over-sized batches, `maxBroadcastVecs`) the join falls back to
+  * sort-merge, where shuffling state is proportionate because state is
+  * still batch-sized. The ratio switch mirrors
+  * [[NearDupStream]]'s measured `semiJoinCorpusRatio` pattern. The
+  * state-growth anti-join needs no second state scan: the exact-hit
+  * verdicts already say which batch values state has seen, so new-state
+  * selection is batch × batch. State grows by distinct NEW vector values
+  * only (dim × 4 B + 24 B per row), and both state and sink ride the
+  * shared excess-triggered swap-replace compaction
   * ([[NearDupStream.compactIfNeeded]]).
   */
 object SemDedupStream {
@@ -61,11 +71,18 @@ object SemDedupStream {
 
   /** One micro-batch increment. `newVecs` must carry (id, emb); ids must
     * be unique across the stream's life, and batch-monotone for exact
-    * batch equivalence (see class doc). */
+    * batch equivalence (see class doc).
+    *
+    * `broadcastStateRatio`: when accumulated-state rows / batch distinct
+    * vectors exceeds it (and the batch is under `maxBroadcastVecs`), the
+    * batch side broadcasts so state streams through the probe join
+    * without shuffling — the steady-state shape. Below it, sort-merge. */
   def ingestBatch(spark: SparkSession, newVecs: DataFrame, stateDir: String,
                   sinkDir: String, dim: Int, bits: Int, seed: Long,
                   threshold: Double,
-                  compactAfterFiles: Int = 64): BatchResult = {
+                  compactAfterFiles: Int = 64,
+                  broadcastStateRatio: Long = 16L,
+                  maxBroadcastVecs: Long = 250000L): BatchResult = {
     val vecsPath = s"$stateDir/vecs"
     // adopt a crash-interrupted SINK compaction swap BEFORE this batch's
     // append can recreate the live dir and orphan it
@@ -90,56 +107,71 @@ object SemDedupStream {
           VectorExprs.norm2(col("v")).as("n2"))
         .persist()
       try {
-        distinctVals.count()
-        // (state, batch) pairs: bucket-join probe + exact-hash path
-        val dropHashes = (if (SketchState.exists(spark, vecsPath)) {
-          val state = spark.read.parquet(vecsPath)
-          val cosDrop = distinctVals.join(
-              state.select(col("bucket"), col("v").as("sv"),
-                col("n2").as("sn2")),
-              Seq("bucket"))
-            .filter(VectorExprs.dot(col("v"), col("sv")) /
-              (sqrt(col("n2")) * sqrt(col("sn2"))) >= threshold)
-            .select(col("h1"), col("h2"))
-          val exactDrop = distinctVals
-            .join(state.select(col("h1"), col("h2")), Seq("h1", "h2"),
-              "left_semi")
-            .select(col("h1"), col("h2"))
-          cosDrop.union(exactDrop).distinct()
-        } else distinctVals.select(col("h1"), col("h2")).limit(0))
-        val crossDropIds = hashed
-          .join(dropHashes, Seq("h1", "h2"), "left_semi")
-          .select(col("id").as("vec_id"), lit(true).as("__xdrop"))
-        val decisions = local
-          .join(crossDropIds, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            (col("kept") && col("__xdrop").isNull).as("kept"))
+        val nDistinct = distinctVals.count()
+        // (state, batch) pairs: ONE streamed pass over state evaluating
+        // both drop conditions, aggregated to batch-bounded per-value
+        // verdicts — `cos_hit` (a bucket-mate clears the threshold) and
+        // `exact_hit` (state already holds this exact value; also the
+        // state-growth signal, so no second state scan is needed)
+        val verdicts = (if (SketchState.exists(spark, vecsPath)) {
+          // zero-column scan: footer row counts, not data I/O
+          val stateRows = spark.read.parquet(vecsPath).count()
+          val probe =
+            if (stateRows / nDistinct.max(1L) > broadcastStateRatio &&
+                nDistinct <= maxBroadcastVecs)
+              broadcast(distinctVals)
+            else distinctVals
+          spark.read.parquet(vecsPath)
+            .select(col("bucket"), col("h1").as("sh1"),
+              col("h2").as("sh2"), col("v").as("sv"), col("n2").as("sn2"))
+            .join(probe, Seq("bucket"))
+            .select(col("h1"), col("h2"),
+              (VectorExprs.dot(col("v"), col("sv")) /
+                (sqrt(col("n2")) * sqrt(col("sn2"))) >= threshold)
+                .as("cos_hit"),
+              (col("sh1") === col("h1") && col("sh2") === col("h2"))
+                .as("exact_hit"))
+            .groupBy(col("h1"), col("h2"))
+            .agg(max(col("cos_hit")).as("cos_hit"),
+              max(col("exact_hit")).as("exact_hit"))
+        } else distinctVals.select(col("h1"), col("h2"),
+          lit(false).as("cos_hit"), lit(false).as("exact_hit")).limit(0))
           .persist()
         try {
-          // sink first, then state (at-least-once on restart — the same
-          // ordering contract as the sibling streams)
-          decisions.write.mode("append").parquet(sinkDir)
-          val nKept = decisions.filter(col("kept")).count()
-          // state grows by distinct vector values NOT already present —
-          // kept or dropped, both justify future drops (class doc)
-          val newState = (
-            if (SketchState.exists(spark, vecsPath))
-              distinctVals.join(
-                spark.read.parquet(vecsPath).select(col("h1"), col("h2")),
-                Seq("h1", "h2"), "left_anti")
-            else distinctVals)
-            .select(col("h1"), col("h2"), col("bucket"), col("v"),
-              col("n2")).persist()
+          val dropHashes = verdicts
+            .filter(col("cos_hit") || col("exact_hit"))
+            .select(col("h1"), col("h2"))
+          val crossDropIds = hashed
+            .join(dropHashes, Seq("h1", "h2"), "left_semi")
+            .select(col("id").as("vec_id"), lit(true).as("__xdrop"))
+          val decisions = local
+            .join(crossDropIds, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              (col("kept") && col("__xdrop").isNull).as("kept"))
+            .persist()
           try {
-            // materialize BEFORE the append so the anti-join never scans
-            // the directory it is appending to
-            newState.count()
-            newState.write.mode("append").parquet(vecsPath)
-          } finally newState.unpersist()
-          NearDupStream.compactIfNeeded(spark, vecsPath, compactAfterFiles)
-          NearDupStream.compactIfNeeded(spark, sinkDir, compactAfterFiles)
-          BatchResult(nNew, nKept)
-        } finally decisions.unpersist()
+            // sink first, then state (at-least-once on restart — the same
+            // ordering contract as the sibling streams)
+            decisions.write.mode("append").parquet(sinkDir)
+            val nKept = decisions.filter(col("kept")).count()
+            // state grows by distinct vector values NOT already present —
+            // kept or dropped, both justify future drops (class doc);
+            // batch × batch anti-join on the exact-hit verdicts (the
+            // verdicts persist decouples this plan from the state scan,
+            // so the append below never writes into a directory a live
+            // plan is reading)
+            distinctVals.join(
+                verdicts.filter(col("exact_hit"))
+                  .select(col("h1"), col("h2")),
+                Seq("h1", "h2"), "left_anti")
+              .select(col("h1"), col("h2"), col("bucket"), col("v"),
+                col("n2"))
+              .write.mode("append").parquet(vecsPath)
+            NearDupStream.compactIfNeeded(spark, vecsPath, compactAfterFiles)
+            NearDupStream.compactIfNeeded(spark, sinkDir, compactAfterFiles)
+            BatchResult(nNew, nKept)
+          } finally decisions.unpersist()
+        } finally verdicts.unpersist()
       } finally distinctVals.unpersist()
     } finally nv.unpersist()
   }

@@ -519,6 +519,37 @@ object ScaleProbe {
       }
     }
     big.unpersist()
+    // (d) streaming semantic dedup (q92 shape): a 600k-vector seed batch
+    // then 4 × 100k increments — the steady-state regime (state ≫ batch)
+    // takes the broadcast probe path (ratio 4 here), so the accumulated
+    // state STREAMS through the verdict join without shuffling; the 20%
+    // exact-duplicate tail (ids ≥ 800k repeat the low range, ops8's
+    // vector synth) arrives in the last two increments and rides the
+    // exact-hash path. Per-batch cost should track batch + one streamed
+    // state pass, not state shuffles.
+    val nVec = 1000000L
+    val vecs = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => ((pmod(hash(pmod(col("id"), lit(800000L)) * 53 + i), lit(2001))
+          - 1000) / 1000.0).cast("float"))
+        .as("embedding")).cache()
+    vecs.count()
+    val semBase = java.nio.file.Files.createTempDirectory("ops9sem").toString
+    val semBounds = Seq(0L, 600000L, 700000L, 800000L, 900000L, 1000000L)
+    semBounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), b) =>
+      val r = time(f"semdedup batch $b (${hi - lo}%7d vecs)") {
+        graft.streaming.SemDedupStream.ingestBatch(spark,
+          vecs.select(col("vec_id").as("id"), col("embedding").as("emb"))
+            .filter(col("id") >= lo && col("id") < hi),
+          s"$semBase/state", s"$semBase/sink",
+          dim = 64, bits = 16, seed = 7L, threshold = 0.95,
+          broadcastStateRatio = 4L)
+      }
+      println(s"[probe]   kept=${r.kept} stateRows=" +
+        spark.read.parquet(s"$semBase/state/vecs").count())
+    }
+    vecs.unpersist()
   }
 
   /** Read-side proof of the z-order layout claim: write 20M (x, y) rows

@@ -98,6 +98,24 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(out.values.count(identity) === 1)
   }
 
+  test("both state-probe regimes (broadcast batch / sort-merge) make " +
+      "identical decisions") {
+    // ratio 0 forces the broadcast steady-state shape on every batch;
+    // MaxValue forces the sort-merge fallback — decisions must agree
+    val outs = Seq(0L, Long.MaxValue).map { ratio =>
+      val base = Files.createTempDirectory("semstream").toString
+      Seq((0L, 5L), (5L, 100L)).foreach { case (lo, hi) =>
+        SemDedupStream.ingestBatch(spark,
+          vecs.filter(col("id") >= lo && col("id") < hi),
+          s"$base/state", s"$base/sink", dim, bits, seed, threshold,
+          broadcastStateRatio = ratio)
+      }
+      sink(base).toSet
+    }
+    assert(outs(0) === outs(1))
+    assert(outs(0) === batchDecisions)
+  }
+
   test("empty batches are no-ops; state and sink files stay bounded " +
       "under compaction") {
     val base = Files.createTempDirectory("semstream").toString
