@@ -25,15 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read nanos as long (legacy conf) and convert
-    * to a micros timestamp — truncation toward zero matches how micro-native
-    * readers (e.g. DuckDB) downcast the same column. */
+  /** events.parquet's `ts` encoding has varied across driver-generated
+    * fixture generations: TIMESTAMP(NANOS) (which Spark's reader rejects
+    * unless read as long via the legacy conf), TIMESTAMP(MICROS) without
+    * isAdjustedToUTC (read as TIMESTAMP_NTZ), or a plain UTC timestamp.
+    * Normalize all three to session-local TimestampType so every downstream
+    * query sees one stable type. Under the project-wide
+    * `spark.sql.session.timeZone=UTC` the NTZ→TZ cast is wall-clock
+    * preserving, matching how DuckDB (the oracle) reads the same column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events").withColumn("ts",
-      timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos read as long; truncate toward zero like DuckDB
+        raw.withColumn("ts",
+          timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
