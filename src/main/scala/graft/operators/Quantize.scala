@@ -47,13 +47,16 @@ object Quantize {
   /** Encode: for each row, `m` code columns `c0..c{m-1}` plus the exact
     * reconstruction distortion (sum of per-subspace min distances).
     * `centroids` must be a small relation (code, cv) — it is collected to
-    * literals at plan time (codebooks are broadcast-scale by definition). */
+    * literals at plan time (codebooks are broadcast-scale by definition).
+    * `keep` columns (aliased) ride the same single projection — how IVF
+    * attaches `list_id` without a self-join (see [[ivfListCol]]). */
   def pqEncode(embs: DataFrame, id: Column, vec: Column,
                centroids: Seq[(Int, Seq[Double])], m: Int,
-               dim: Int): DataFrame = {
+               dim: Int, keep: Seq[Column] = Nil): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val staged = stageSubvectors(embs, Seq(id.as("id")), vec, m, sub)
+    val staged = stageSubvectors(embs, id.as("id") +: keep, vec, m, sub)
+    val carried = staged.columns.filterNot(_.startsWith("__s")).map(col).toSeq
     val perSubspace = (0 until m).map { j =>
       // (dist, code) structs; array_min picks min dist, ties → min code
       val cands = centroids.map { case (code, cv) =>
@@ -63,10 +66,10 @@ object Quantize {
       }
       array_min(array(cands: _*)).as(s"__m$j")
     }
-    val encoded = staged.select((col("id") +: perSubspace): _*)
+    val encoded = staged.select((carried ++ perSubspace): _*)
     val codeCols = (0 until m).map(j => col(s"__m$j.code").as(s"c$j"))
     val mse = (0 until m).map(j => col(s"__m$j.dist")).reduce(_ + _)
-    encoded.select((col("id") +: codeCols :+ round(mse, 6).as("distortion")): _*)
+    encoded.select((carried ++ codeCols :+ round(mse, 6).as("distortion")): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k: each query precomputes its exact
@@ -92,6 +95,91 @@ object Quantize {
       element_at(col(s"__t$j"), col(s"c$j") + 1)).reduce(_ + _)
     val scored = codes.withColumnRenamed("id", "neighbor_id")
       .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  /** Coarse-quantizer assignment for IVF: each row gets the id of its
+    * nearest full-dimension coarse centroid (L2, ties → min list id —
+    * the same lexicographic (dist, id) argmin as [[pqEncode]]). The
+    * centroid table is dim×nLists doubles riding the plan as literals, so
+    * assignment is a pure map-side projection; at cluster scale the
+    * returned `list_id` is the partitioning/bucketing key for the codes
+    * table, which is what makes query-time probing a partition-pruned
+    * read instead of a full scan. */
+  def ivfListCol(vec: Column, coarse: Seq[(Int, Seq[Double])]): Column = {
+    val v = vec.cast("array<double>")
+    val cands = coarse.map { case (listId, cv) =>
+      struct(VectorExprs.l2sq(v, array(cv.map(lit): _*)).as("dist"),
+        lit(listId).as("list"))
+    }
+    array_min(array(cands: _*)).getField("list")
+  }
+
+  def ivfAssign(embs: DataFrame, id: Column, vec: Column,
+                coarse: Seq[(Int, Seq[Double])]): DataFrame =
+    embs.select(id.as("id"), ivfListCol(vec, coarse).as("list_id"))
+
+  /** IVFADC (Jégou, Douze, Schmid 2011): inverted-file probe + asymmetric-
+    * distance PQ scan — the standard billion-vector serving layout. Corpus
+    * rows carry their PQ codes plus a coarse `list_id`; each query ranks
+    * the nLists coarse centroids (tiny, plan-literal), keeps its `nProbe`
+    * nearest lists, and ADC-scans ONLY rows assigned to those lists.
+    *
+    * Relative to [[pqAdcTopK]] (full ADC scan), the crossJoin becomes a
+    * broadcast EQUI-join on `list_id`: expected scan work drops to
+    * nProbe/nLists of the corpus, and with the codes table partitioned or
+    * bucketed by `list_id` (see [[ivfAssign]]) the untouched lists are
+    * never read at all — that pruning, not the local arithmetic, is the
+    * 100 TB win. Probe selection is map-side (array_sort over nLists
+    * plan-literal structs — no window, no shuffle on the query side);
+    * the only shuffle in the plan is the final per-query top-k window.
+    *
+    * This variant encodes RAW vectors (codes shared with [[pqEncode]]),
+    * not per-list residuals: residual encoding buys recall at the cost of
+    * a per-list codebook train/lookup and is a drop-in swap at the encode
+    * step — the probe/scan shape here is identical either way.
+    *
+    * `codes`: (`id`, `c0..c{m-1}`, `list_id`) as produced by
+    * [[pqEncode]] + [[ivfAssign]]. At nProbe = nLists the output is
+    * row-identical to [[pqAdcTopK]] (spec-pinned). */
+  def ivfPqTopK(codes: DataFrame, queries: DataFrame, id: String,
+                vec: String, coarse: Seq[(Int, Seq[Double])],
+                centroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
+                nProbe: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val qStaged = stageSubvectors(queries,
+      Seq(col(id).as("query_id"), col(vec).cast("array<double>").as("__qv")),
+      col(vec), m, sub)
+    val tables = (0 until m).map { j =>
+      array(centroids.sortBy(_._1).map { case (_, cv) =>
+        VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub))
+      }: _*).as(s"__t$j")
+    }
+    // nProbe nearest coarse lists, lexicographic (dist, list) tiebreak —
+    // array_sort over plan-literal structs, fully map-side
+    val coarseCands = coarse.map { case (listId, cv) =>
+      struct(VectorExprs.l2sq(col("__qv"), array(cv.map(lit): _*)).as("dist"),
+        lit(listId).as("list"))
+    }
+    val probed = transform(
+      slice(array_sort(array(coarseCands: _*)), 1, nProbe),
+      s => s.getField("list"))
+    val q = qStaged
+      .select((col("query_id") +: tables :+ probed.as("__probes")): _*)
+      .withColumn("list_id", explode(col("__probes")))
+      .drop("__probes")
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__t$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val scored = codes.withColumnRenamed("id", "neighbor_id")
+      .join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", adc)
     val w = org.apache.spark.sql.expressions.Window

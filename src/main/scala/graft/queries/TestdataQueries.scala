@@ -1170,6 +1170,95 @@ object TestdataQueries {
        |      FROM s) WHERE rank <= 3""".stripMargin
   }
 
+  // ----------------------- IVF-PQ / IVFADC top-k (§2.10 embeddings)
+  // The billion-vector serving layout (Jégou et al. 2011): a coarse
+  // quantizer (8 seed-row lists, ids 30..37) routes each corpus row to one
+  // inverted list; queries rank the coarse centroids, probe their nProbe=2
+  // nearest lists, and ADC-scan only the PQ codes in those lists — the
+  // q51 full scan cut to nProbe/nLists, and at scale a partition-pruned
+  // read when codes are laid out by list_id. Same codes as q50, same ADC
+  // arithmetic as q51, same (dist, id) lexicographic tiebreaks everywhere.
+  private val ivfCoarseIds: Seq[Long] = (30L to 37L)
+  private val ivfNProbe = 2
+
+  private def q93IvfPq(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val cb = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), pqSeedIds)
+    val coarse = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), ivfCoarseIds)
+    // codes + list_id in ONE map-side projection (keep= threads the
+    // coarse assignment through the encode staging — no self-join)
+    val codes = graft.operators.Quantize.pqEncode(embs, col("vec_id"),
+        col("embedding"), cb, pqM, pqDim,
+        keep = Seq(graft.operators.Quantize.ivfListCol(col("embedding"),
+          coarse).as("list_id")))
+      .drop("distortion")
+    graft.operators.Quantize.ivfPqTopK(codes,
+      embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+      coarse, cb, pqM, pqDim, ivfNProbe, k = 3)
+  }
+
+  private val q93Sql = {
+    val mins = (0 until pqM).map { j =>
+      "list_min([" + pqSeedIds.indices.map(c =>
+        s"[${pqDistSql(j, s"cb$c")}, $c.0]").mkString(", ") + s"]) AS m$j"
+    }.mkString(",\n    ")
+    val codeSel = (0 until pqM).map(j => s"CAST(m$j[2] AS INTEGER) AS c$j")
+      .mkString(", ")
+    def qDist(j: Int, alias: String): String = {
+      val lo = j * pqSub + 1
+      val hi = lo + pqSub
+      val diff = s"[q.qv[i] - $alias.cv[i] for i in range($lo, $hi)]"
+      s"list_inner_product($diff, $diff)"
+    }
+    val adc = (0 until pqM).map(j => qDist(j, s"b$j")).mkString(" + ")
+    val cbJoins = (0 until pqM).map(j => s"JOIN cb b$j ON b$j.code = k.c$j")
+      .mkString("\n  ")
+    val ccCtes = ivfCoarseIds.zipWithIndex.map { case (cid, l) =>
+      s"cc$l AS (SELECT v AS cv FROM e WHERE vec_id = $cid)"
+    }.mkString(",\n")
+    def fullDist(lhs: String, alias: String): String = {
+      val diff = s"[$lhs[i] - $alias.cv[i] for i in range(1, $pqDim + 1)]"
+      s"list_inner_product($diff, $diff)"
+    }
+    val assignMin = "list_min([" + ivfCoarseIds.indices.map(l =>
+      s"[${fullDist("e.v", s"cc$l")}, $l.0]").mkString(", ") + "])"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqCbCtes,
+       |$ccCtes,
+       |cb AS (${pqSeedIds.indices.map(c => s"SELECT $c AS code, cv FROM cb$c").mkString(" UNION ALL ")}),
+       |ccu AS (${ivfCoarseIds.indices.map(l => s"SELECT $l AS list, cv FROM cc$l").mkString(" UNION ALL ")}),
+       |p AS (
+       |  SELECT e.vec_id,
+       |    $mins
+       |  FROM e${pqSeedIds.indices.map(c => s" CROSS JOIN cb$c").mkString}),
+       |codes AS (SELECT vec_id AS id, $codeSel FROM p),
+       |assign AS (
+       |  SELECT e.vec_id, CAST($assignMin[2] AS INTEGER) AS list_id
+       |  FROM e${ivfCoarseIds.indices.map(l => s" CROSS JOIN cc$l").mkString}),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, list FROM (
+       |    SELECT q.query_id, c.list, row_number() OVER (
+       |      PARTITION BY q.query_id
+       |      ORDER BY ${fullDist("q.qv", "c")}, c.list) AS rn
+       |    FROM qs q CROSS JOIN ccu c)
+       |  WHERE rn <= $ivfNProbe),
+       |s AS (
+       |  SELECT q.query_id, k.id AS neighbor_id, $adc AS adc
+       |  FROM codes k
+       |  JOIN assign a ON a.vec_id = k.id
+       |  JOIN pr ON pr.list = a.list_id
+       |  JOIN qs q ON q.query_id = pr.query_id
+       |  $cbJoins
+       |  WHERE q.query_id <> k.id)
+       |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+       |      FROM s) WHERE rank <= 3""".stripMargin
+  }
+
   // -------------------------------- stratified sampling (§2.10 corpus ops)
   // Per-language sampling rates over the same deterministic content
   // fingerprint as q48: high-resource langs downsampled hard, low-resource
@@ -2470,7 +2559,8 @@ FROM r$q82Rounds"""
     "q91_streaming_segdedup" -> (q91StreamingSegDedup _),
     "q92_streaming_semdedup" -> (q92StreamingSemDedup _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
-    "q90_trigram_nll" -> (q90TrigramNll _))
+    "q90_trigram_nll" -> (q90TrigramNll _),
+    "q93_ivfpq_topk" -> (q93IvfPq _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2559,5 +2649,6 @@ FROM r$q82Rounds"""
     "q91_streaming_segdedup" -> q88Sql,
     "q92_streaming_semdedup" -> q89Sql,
     "q89_semantic_dedup" -> q89Sql,
-    "q90_trigram_nll" -> q90Sql)
+    "q90_trigram_nll" -> q90Sql,
+    "q93_ivfpq_topk" -> q93Sql)
 }

@@ -552,6 +552,67 @@ object ScaleProbe {
     vecs.unpersist()
   }
 
+  /** IVF-PQ vs full-ADC scan at 1M × 64-dim vectors: same codes, same
+    * queries — the probe isolates the scan-pruning win (encode cost is
+    * paid once, cached). Also reports recall@10 of the probed scan vs
+    * the full scan, the accuracy a user trades for the prune. */
+  def ops10Probe(spark: SparkSession): Unit = {
+    import graft.operators.Quantize
+    val n = 1000000L
+    val dim = 64; val m = 8; val nLists = 64
+    val vecs = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => ((pmod(hash(col("id") * 53 + i), lit(2001)) - 1000) / 1000.0))
+        .as("embedding")).cache()
+    vecs.count()
+    val pq = Quantize.seedCodebook(vecs, col("vec_id"), col("embedding"),
+      10L to 25L)
+    val coarse = Quantize.seedCodebook(vecs, col("vec_id"), col("embedding"),
+      100L until (100L + nLists))
+    val codes = Quantize.pqEncode(vecs, col("vec_id"), col("embedding"),
+        pq, m, dim,
+        keep = Seq(Quantize.ivfListCol(col("embedding"), coarse)
+          .as("list_id")))
+      .drop("distortion").cache()
+    time(f"pq encode + ivf assign   ($n%8d rows, $nLists lists)") {
+      codes.count()
+    }
+    val queries = vecs.filter(col("vec_id") < 8)
+    val full = Quantize.pqAdcTopK(codes.drop("list_id"), queries,
+      "vec_id", "embedding", pq, m, dim, 10)
+    time("full ADC scan            (8 queries x 1M codes)") { full.count() }
+    Seq(16, 4).foreach { nProbe =>
+      val ivf = Quantize.ivfPqTopK(codes, queries, "vec_id", "embedding",
+        coarse, pq, m, dim, nProbe, 10)
+      time(f"ivfPq scan nProbe=$nProbe%3d/$nLists") { ivf.count() }
+      val hits = ivf.select("query_id", "neighbor_id")
+        .intersect(full.select("query_id", "neighbor_id")).count()
+      println(f"[probe]   recall@10 vs full ADC: ${hits / 80.0}%.3f")
+    }
+    // The 100 TB shape: codes laid out partitionBy(list_id) — the coarse
+    // assignment IS the storage layout, and the broadcast probe join
+    // triggers dynamic partition pruning, so unprobed lists are never
+    // READ, not just filtered post-scan. (The cached runs above measure
+    // arithmetic pruning only; this measures I/O pruning.)
+    val dir = java.nio.file.Files.createTempDirectory("ops10ivf").toString
+    time("write codes partitioned by list_id") {
+      codes.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+    }
+    vecs.unpersist(); codes.unpersist()
+    val onDisk = spark.read.parquet(dir)
+    time("full ADC scan            (parquet, all 64 lists)") {
+      Quantize.pqAdcTopK(onDisk.drop("list_id"), queries,
+        "vec_id", "embedding", pq, m, dim, 10).count()
+    }
+    val ivfDisk = Quantize.ivfPqTopK(onDisk, queries, "vec_id", "embedding",
+      coarse, pq, m, dim, 4, 10)
+    val planHasDpp = ivfDisk.queryExecution.executedPlan.toString
+      .contains("dynamicpruning")
+    time("ivfPq scan nProbe=  4/64 (parquet, DPP-pruned)") { ivfDisk.count() }
+    println(s"[probe]   dynamic partition pruning in plan: $planHasDpp")
+  }
+
   /** Read-side proof of the z-order layout claim: write 20M (x, y) rows
     * once sorted by x and once z-ordered, then time a selective filter
     * on Y — the column the x-sort cannot prune. Parquet row-group
@@ -619,7 +680,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9")
+      "ops9", "ops10")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -660,6 +721,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops9")) {
       ops9Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops10")) {
+      ops10Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"

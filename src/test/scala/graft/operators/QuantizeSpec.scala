@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.sources.Tables
 
 /** Hand-computable PQ golden case: 4-dim vectors, 2 subspaces of 2 dims,
   * 2 seed centroids — codes and distortions verifiable on paper. */
@@ -58,5 +59,63 @@ class QuantizeSpec extends SparkSpec {
       Quantize.seedCodebook(vecs, col("vec_id"), col("embedding"),
         Seq(0L, 999L))
     }
+  }
+
+  // ------------------------------------------------- IVF-PQ (IVFADC)
+
+  private def codesWithList(
+      embs: org.apache.spark.sql.DataFrame,
+      pq: Seq[(Int, Seq[Double])], coarse: Seq[(Int, Seq[Double])],
+      m: Int, dim: Int): org.apache.spark.sql.DataFrame =
+    Quantize.pqEncode(embs, col("vec_id"), col("embedding"), pq, m, dim,
+        keep = Seq(Quantize.ivfListCol(col("embedding"), coarse)
+          .as("list_id")))
+      .drop("distortion")
+
+  test("ivfPqTopK golden: nProbe=1 scans only the query's nearest list") {
+    // coarse = rows 0/1 full-dim. Query row 2 → list 1 (dist 20 vs 164);
+    // corpus assignment: 0→l0, 1→l1, 2→l1, 3→tie(58,58)→l0. So the only
+    // candidate is row 1, at ADC 20 (verified in the pqAdcTopK test).
+    val out = Quantize.ivfPqTopK(codesWithList(vecs, cb, cb, 2, 4),
+        vecs.filter($"vec_id" === 2L), "vec_id", "embedding",
+        cb, cb, m = 2, dim = 4, nProbe = 1, k = 3)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out === Seq((2L, 1, 1L, 20.0)))
+  }
+
+  test("ivfPqTopK at nProbe = nLists is row-identical to the full ADC scan") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      10L to 25L)
+    val coarse = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      30L to 37L)
+    val queries = embs.filter($"vec_id" < 5)
+    val ivf = Quantize.ivfPqTopK(codesWithList(embs, pq, coarse, 8, 64),
+        queries, "vec_id", "embedding", coarse, pq, m = 8, dim = 64,
+        nProbe = coarse.size, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val full = Quantize.pqAdcTopK(
+        Quantize.pqEncode(embs, col("vec_id"), col("embedding"), pq, 8, 64)
+          .drop("distortion"),
+        queries, "vec_id", "embedding", pq, m = 8, dim = 64, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(ivf.nonEmpty && ivf === full)
+  }
+
+  test("ivfPqTopK plan: broadcast equi-join on list_id, no cartesian") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      10L to 25L)
+    val coarse = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      30L to 37L)
+    val plan = Quantize.ivfPqTopK(codesWithList(embs, pq, coarse, 8, 64),
+        embs.filter($"vec_id" < 5), "vec_id", "embedding",
+        coarse, pq, m = 8, dim = 64, nProbe = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF probe must be an equi-join, not a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("list_id"),
+      s"expected a broadcast hash join keyed on list_id:\n$plan")
   }
 }
