@@ -29,6 +29,17 @@ import graft.functions.VectorExprs
   */
 object Quantize {
 
+  /** Above this code count the plan-literal formulation is replaced by
+    * the [[graft.functions.PqKernels]] codegen'd kernels: the unrolled
+    * k×m distance expressions overflow janino's 64 KB method limit
+    * around 64 codes/subspace (measured, ScaleProbe `ops10`) and fall
+    * out of whole-stage codegen, while the kernels carry the codebook
+    * as a reference object and generate fixed-size code at any k (the
+    * production PQ regime is 256). Both paths compute bit-identical
+    * results (same fold order, same (dist, id) tiebreaks) — pinned by
+    * QuantizeSpec's literal≡kernel tests and the q95 oracle. */
+  private val maxLiteralCodes = 32
+
   /** The j-th subvector of a literal codebook vector, cut at plan time. */
   private def centroidSub(cv: Seq[Double], j: Int, sub: Int): Column =
     array(cv.slice(j * sub, (j + 1) * sub).map(lit): _*)
@@ -55,6 +66,18 @@ object Quantize {
                dim: Int, keep: Seq[Column] = Nil): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
+    if (centroids.size > maxLiteralCodes) {
+      // kernel path: one reference-object argmin call per row
+      val enc = embs.select(
+        (id.as("id") +: keep :+
+          graft.functions.PqKernels.encodeCol(vec, centroids, m, sub)
+            .as("__e")): _*)
+      val carried = enc.columns.filter(_ != "__e").map(col).toSeq
+      val codeCols = (0 until m).map(j =>
+        element_at(col("__e").getField("codes"), j + 1).as(s"c$j"))
+      return enc.select((carried ++ codeCols :+
+        round(col("__e").getField("distortion"), 6).as("distortion")): _*)
+    }
     val staged = stageSubvectors(embs, id.as("id") +: keep, vec, m, sub)
     val carried = staged.columns.filterNot(_.startsWith("__s")).map(col).toSeq
     val perSubspace = (0 until m).map { j =>
@@ -83,14 +106,25 @@ object Quantize {
     val sub = dim / m
     // per query: m arrays of per-code distances (the ADC lookup tables),
     // built over the staged query subvectors — m slices per query row
-    val qStaged = stageSubvectors(queries, Seq(col(id).as("query_id")),
-      col(vec), m, sub)
-    val tables = (0 until m).map { j =>
-      array(centroids.sortBy(_._1).map { case (_, cv) =>
-        VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub))
-      }: _*).as(s"__t$j")
-    }
-    val q = qStaged.select((col("query_id") +: tables): _*)
+    // (literal path) or one kernel call (large codebooks)
+    val q =
+      if (centroids.size > maxLiteralCodes)
+        queries.select(col(id).as("query_id"),
+            graft.functions.PqKernels.adcTablesCol(col(vec), centroids,
+              m, sub).as("__tt"))
+          .select((col("query_id") +:
+            (0 until m).map(j => element_at(col("__tt"), j + 1)
+              .as(s"__t$j"))): _*)
+      else {
+        val qStaged = stageSubvectors(queries, Seq(col(id).as("query_id")),
+          col(vec), m, sub)
+        val tables = (0 until m).map { j =>
+          array(centroids.sortBy(_._1).map { case (_, cv) =>
+            VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub))
+          }: _*).as(s"__t$j")
+        }
+        qStaged.select((col("query_id") +: tables): _*)
+      }
     val adc = (0 until m).map(j =>
       element_at(col(s"__t$j"), col(s"c$j") + 1)).reduce(_ + _)
     val scored = codes.withColumnRenamed("id", "neighbor_id")
@@ -115,6 +149,9 @@ object Quantize {
     * table, which is what makes query-time probing a partition-pruned
     * read instead of a full scan. */
   def ivfListCol(vec: Column, coarse: Seq[(Int, Seq[Double])]): Column = {
+    if (coarse.size > maxLiteralCodes)
+      return element_at(graft.functions.PqKernels.nearestListsCol(
+        vec, coarse, coarse.head._2.length, 1), 1)
     val v = vec.cast("array<double>")
     val cands = coarse.map { case (listId, cv) =>
       struct(VectorExprs.l2sq(v, array(cv.map(lit): _*)).as("dist"),
@@ -126,6 +163,132 @@ object Quantize {
   def ivfAssign(embs: DataFrame, id: Column, vec: Column,
                 coarse: Seq[(Int, Seq[Double])]): DataFrame =
     embs.select(id.as("id"), ivfListCol(vec, coarse).as("list_id"))
+
+  /** The coarse centroid table as one plan-literal 2-D array, indexed by
+    * list id (requires the ids to be 0..n-1, which [[seedCodebook]]
+    * mints). `element_at(matrix, list+1)` then selects a row's assigned
+    * centroid map-side — no join. */
+  private def coarseMatrix(coarse: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = coarse.sortBy(_._1)
+    require(sorted.map(_._1) == sorted.indices.toSeq,
+      s"coarse list ids must be contiguous 0..${coarse.size - 1}")
+    array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+  }
+
+  /** Residual of `vec` against its assigned coarse centroid — the vector
+    * the RESIDUAL PQ codebook quantizes in full IVFADC. Pure map-side
+    * (centroid matrix is a plan literal, selection via element_at; above
+    * [[maxLiteralCodes]] lists the kernel recomputes the argmin and
+    * subtracts in one pass — `listCol` must therefore BE the argmin
+    * list, which is the only thing callers ever pass here). */
+  def ivfResidualCol(vec: Column, coarse: Seq[(Int, Seq[Double])],
+                     listCol: Column): Column = {
+    if (coarse.size > maxLiteralCodes)
+      return graft.functions.PqKernels.residualCol(vec, coarse,
+        coarse.head._2.length)
+    zip_with(vec.cast("array<double>"),
+      element_at(coarseMatrix(coarse), listCol + 1),
+      (a, b) => a - b)
+  }
+
+  /** Seed-row codebook in RESIDUAL space: each designated row's residual
+    * against its own assigned coarse centroid (assignment replayed
+    * driver-side with the same lexicographic (dist, list) argmin). Seed
+    * rows are corpus rows, so their residuals sample exactly the
+    * distribution the residual quantizer must cover — the same reason
+    * raw seed rows work for [[pqEncode]]. */
+  def residualSeedCodebook(embs: DataFrame, id: Column, vec: Column,
+                           seedIds: Seq[Long],
+                           coarse: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val byList = coarse.toMap
+    seedCodebook(embs, id, vec, seedIds).map { case (code, v) =>
+      val assigned = coarse.map { case (l, cv) =>
+        (l, v.lazyZip(cv).map { (a, b) => val d = a - b; d * d }.sum)
+      }.minBy { case (l, d) => (d, l) }._1
+      code -> v.lazyZip(byList(assigned)).map(_ - _).toIndexedSeq
+    }
+  }
+
+  /** Full IVFADC (residual flavor): codes are PQ codes of each row's
+    * RESIDUAL against its coarse centroid, and each query builds its ADC
+    * tables PER PROBED LIST from its own residual against that list's
+    * centroid — the Jégou et al. 2011 formulation. Residual norms are a
+    * fraction of raw norms (the coarse quantizer absorbs the bulk of the
+    * vector), so quantization distortion and therefore ADC ranking error
+    * drop at the same m — the recall gap vs [[ivfPqTopK]] is measured in
+    * the ops10 probe. Scan shape is identical: map-side probe selection,
+    * broadcast equi-join on list_id (nProbe rows per query on the
+    * broadcast side), per-query top-k window as the only shuffle. */
+  def ivfPqResidualTopK(codes: DataFrame, queries: DataFrame, id: String,
+                        vec: String, coarse: Seq[(Int, Seq[Double])],
+                        resCentroids: Seq[(Int, Seq[Double])], m: Int,
+                        dim: Int, nProbe: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val q0 = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("__qv"))
+    val large = resCentroids.size > maxLiteralCodes ||
+      coarse.size > maxLiteralCodes
+    val q = if (large) {
+      // kernel probes; per-probed-list centroid arrives via a broadcast
+      // RELATION (nLists rows of data, not nLists×dim source literals),
+      // residual is one zip_with, tables one kernel call over it
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val centDf = broadcast(
+        coarse.sortBy(_._1).toDF("list_id", "__cc"))
+      q0.withColumn("__probes",
+          graft.functions.PqKernels.nearestListsCol(col("__qv"), coarse,
+            dim, nProbe))
+        .withColumn("list_id", explode(col("__probes")))
+        .join(centDf, Seq("list_id"))
+        .withColumn("__qr",
+          zip_with(col("__qv"), col("__cc"), (a, b) => a - b))
+        .withColumn("__tt",
+          graft.functions.PqKernels.adcTablesCol(col("__qr"), resCentroids,
+            m, sub))
+        .select((col("query_id") +: col("list_id") +:
+          (0 until m).map(j => element_at(col("__tt"), j + 1)
+            .as(s"__t$j"))): _*)
+    } else {
+      val coarseCands = coarse.map { case (listId, cv) =>
+        struct(VectorExprs.l2sq(col("__qv"), array(cv.map(lit): _*)).as("dist"),
+          lit(listId).as("list"))
+      }
+      val probed = transform(
+        slice(array_sort(array(coarseCands: _*)), 1, nProbe),
+        s => s.getField("list"))
+      // per (query, probed list): the query's residual vs THAT list's
+      // centroid, staged once, then the m ADC lookup tables over it
+      val q1 = q0.select(col("query_id"), col("__qv"), probed.as("__probes"))
+        .withColumn("list_id", explode(col("__probes")))
+        .withColumn("__qr",
+          ivfResidualCol(col("__qv"), coarse, col("list_id")))
+      val slices = (0 until m).map(j =>
+        slice(col("__qr"), j * sub + 1, sub).as(s"__s$j"))
+      val qStaged = q1.select(
+        (col("query_id") +: col("list_id") +: slices): _*)
+      val tables = (0 until m).map { j =>
+        array(resCentroids.sortBy(_._1).map { case (_, cv) =>
+          VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub))
+        }: _*).as(s"__t$j")
+      }
+      qStaged.select(
+        (col("query_id") +: col("list_id") +: tables): _*)
+    }
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__t$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val scored = codes.withColumnRenamed("id", "neighbor_id")
+      .join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
 
   /** IVFADC (Jégou, Douze, Schmid 2011): inverted-file probe + asymmetric-
     * distance PQ scan — the standard billion-vector serving layout. Corpus
@@ -155,27 +318,43 @@ object Quantize {
                 centroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
                 nProbe: Int, k: Int): DataFrame = {
     val sub = dim / m
-    val qStaged = stageSubvectors(queries,
-      Seq(col(id).as("query_id"), col(vec).cast("array<double>").as("__qv")),
-      col(vec), m, sub)
-    val tables = (0 until m).map { j =>
-      array(centroids.sortBy(_._1).map { case (_, cv) =>
-        VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub))
-      }: _*).as(s"__t$j")
+    val large = centroids.size > maxLiteralCodes ||
+      coarse.size > maxLiteralCodes
+    val q = if (large) {
+      // kernel path: probe ranking and ADC tables as reference-object
+      // kernel calls — generated code size independent of k and nLists
+      queries.select(col(id).as("query_id"),
+          graft.functions.PqKernels.adcTablesCol(col(vec), centroids,
+            m, sub).as("__tt"),
+          graft.functions.PqKernels.nearestListsCol(col(vec), coarse,
+            dim, nProbe).as("__probes"))
+        .withColumn("list_id", explode(col("__probes")))
+        .select((col("query_id") +: col("list_id") +:
+          (0 until m).map(j => element_at(col("__tt"), j + 1)
+            .as(s"__t$j"))): _*)
+    } else {
+      val qStaged = stageSubvectors(queries,
+        Seq(col(id).as("query_id"), col(vec).cast("array<double>").as("__qv")),
+        col(vec), m, sub)
+      val tables = (0 until m).map { j =>
+        array(centroids.sortBy(_._1).map { case (_, cv) =>
+          VectorExprs.l2sq(col(s"__s$j"), centroidSub(cv, j, sub))
+        }: _*).as(s"__t$j")
+      }
+      // nProbe nearest coarse lists, lexicographic (dist, list) tiebreak —
+      // array_sort over plan-literal structs, fully map-side
+      val coarseCands = coarse.map { case (listId, cv) =>
+        struct(VectorExprs.l2sq(col("__qv"), array(cv.map(lit): _*)).as("dist"),
+          lit(listId).as("list"))
+      }
+      val probed = transform(
+        slice(array_sort(array(coarseCands: _*)), 1, nProbe),
+        s => s.getField("list"))
+      qStaged
+        .select((col("query_id") +: tables :+ probed.as("__probes")): _*)
+        .withColumn("list_id", explode(col("__probes")))
+        .drop("__probes")
     }
-    // nProbe nearest coarse lists, lexicographic (dist, list) tiebreak —
-    // array_sort over plan-literal structs, fully map-side
-    val coarseCands = coarse.map { case (listId, cv) =>
-      struct(VectorExprs.l2sq(col("__qv"), array(cv.map(lit): _*)).as("dist"),
-        lit(listId).as("list"))
-    }
-    val probed = transform(
-      slice(array_sort(array(coarseCands: _*)), 1, nProbe),
-      s => s.getField("list"))
-    val q = qStaged
-      .select((col("query_id") +: tables :+ probed.as("__probes")): _*)
-      .withColumn("list_id", explode(col("__probes")))
-      .drop("__probes")
     val adc = (0 until m).map(j =>
       element_at(col(s"__t$j"), col(s"c$j") + 1)).reduce(_ + _)
     val scored = codes.withColumnRenamed("id", "neighbor_id")

@@ -1259,6 +1259,144 @@ object TestdataQueries {
        |      FROM s) WHERE rank <= 3""".stripMargin
   }
 
+  // ------------- IVF-PQ with residual encoding (§2.10 embeddings, q94)
+  // Full IVFADC: PQ codes quantize each row's RESIDUAL against its
+  // assigned coarse centroid, and the residual codebook is the seed
+  // rows' own residuals; queries rebuild their ADC tables per probed
+  // list from their residual vs that list's centroid. Same probe/scan
+  // shape as q93 — the residual flavor is what the published system
+  // runs, trading a per-list table rebuild (nProbe × m tiny tables,
+  // broadcast side) for materially lower quantization distortion.
+  private def q94IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val coarse = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), ivfCoarseIds)
+    val rb = graft.operators.Quantize.residualSeedCodebook(embs,
+      col("vec_id"), col("embedding"), pqSeedIds, coarse)
+    val listC = graft.operators.Quantize.ivfListCol(col("embedding"), coarse)
+    val codes = graft.operators.Quantize.pqEncode(embs, col("vec_id"),
+        graft.operators.Quantize.ivfResidualCol(col("embedding"), coarse,
+          listC),
+        rb, pqM, pqDim, keep = Seq(listC.as("list_id")))
+      .drop("distortion")
+    graft.operators.Quantize.ivfPqResidualTopK(codes,
+      embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+      coarse, rb, pqM, pqDim, ivfNProbe, k = 3)
+  }
+
+  /** Oracle SQL for the residual IVFADC shape, parameterized by coarse
+    * seed rows, PQ seed rows, and probe count — q94 (literal-path
+    * config) and q95 (kernel-path config: both codebooks above the
+    * plan-literal ceiling) replay the SAME semantics at different
+    * sizes, which is exactly the literal≡kernel claim the oracle
+    * certifies. */
+  private def mkIvfResidualSql(coarseIds: Seq[Long], seedIds: Seq[Long],
+                               nProbe: Int): String = {
+    // codebooks as RELATIONS (code = vec_id − first, ids are contiguous
+    // ranges), argmins via arg_min over a cross join — one CTE per
+    // codebook instead of one per CODE, so the oracle stays a bounded
+    // handful of parquet scans at any codebook size (the per-code-CTE
+    // form exhausted DuckDB's file handles at 64×64)
+    require(coarseIds == (coarseIds.head to coarseIds.last) &&
+      seedIds == (seedIds.head to seedIds.last),
+      "oracle codebook ids must be contiguous ranges")
+    def fullDist(lhs: String, alias: String): String = {
+      val diff = s"[$lhs[i] - $alias.cv[i] for i in range(1, $pqDim + 1)]"
+      s"list_inner_product($diff, $diff)"
+    }
+    // per-subspace distance of a residual column vs a residual centroid
+    def resDist(lhs: String, j: Int, alias: String): String = {
+      val lo = j * pqSub + 1
+      val hi = lo + pqSub
+      val diff = s"[$lhs[i] - $alias.cv[i] for i in range($lo, $hi)]"
+      s"list_inner_product($diff, $diff)"
+    }
+    val codeMins = (0 until pqM).map(j =>
+      s"CAST(list_min(list([${resDist("er.rv", j, "r")}, r.code * 1.0]))[2] " +
+        s"AS INTEGER) AS c$j").mkString(",\n    ")
+    val adc = (0 until pqM).map(j => resDist("qr.rv", j, s"b$j"))
+      .mkString(" + ")
+    val rbJoins = (0 until pqM).map(j => s"JOIN rbu b$j ON b$j.code = k.c$j")
+      .mkString("\n  ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cbu AS (SELECT vec_id - ${seedIds.head} AS code, v AS cv FROM e
+       |        WHERE vec_id BETWEEN ${seedIds.head} AND ${seedIds.last}),
+       |ccu AS (SELECT CAST(vec_id - ${coarseIds.head} AS INTEGER) AS list, v AS cv FROM e
+       |        WHERE vec_id BETWEEN ${coarseIds.head} AND ${coarseIds.last}),
+       |assign AS (
+       |  SELECT e.vec_id,
+       |    CAST(list_min(list([${fullDist("e.v", "c")}, c.list * 1.0]))[2]
+       |      AS INTEGER) AS list_id
+       |  FROM e CROSS JOIN ccu c GROUP BY e.vec_id),
+       |rbu AS (
+       |  SELECT b.code, [b.cv[i] - c.cv[i] for i in range(1, $pqDim + 1)] AS cv
+       |  FROM cbu b JOIN assign a ON a.vec_id = b.code + ${seedIds.head}
+       |  JOIN ccu c ON c.list = a.list_id),
+       |er AS (
+       |  SELECT e.vec_id, a.list_id,
+       |    [e.v[i] - c.cv[i] for i in range(1, $pqDim + 1)] AS rv
+       |  FROM e JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN ccu c ON c.list = a.list_id),
+       |codes AS (
+       |  SELECT er.vec_id AS id, er.list_id,
+       |    $codeMins
+       |  FROM er CROSS JOIN rbu r GROUP BY er.vec_id, er.list_id),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, list FROM (
+       |    SELECT q.query_id, c.list, row_number() OVER (
+       |      PARTITION BY q.query_id
+       |      ORDER BY ${fullDist("q.qv", "c")}, c.list) AS rn
+       |    FROM qs q CROSS JOIN ccu c)
+       |  WHERE rn <= $nProbe),
+       |qr AS (
+       |  SELECT pr.query_id, pr.list,
+       |    [q.qv[i] - c.cv[i] for i in range(1, $pqDim + 1)] AS rv
+       |  FROM pr JOIN qs q ON q.query_id = pr.query_id
+       |  JOIN ccu c ON c.list = pr.list),
+       |s AS (
+       |  SELECT qr.query_id, k.id AS neighbor_id, $adc AS adc
+       |  FROM codes k
+       |  JOIN qr ON qr.list = k.list_id
+       |  $rbJoins
+       |  WHERE qr.query_id <> k.id)
+       |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc_dist
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+       |      FROM s) WHERE rank <= 3""".stripMargin
+  }
+
+  private val q94Sql = mkIvfResidualSql(ivfCoarseIds, pqSeedIds, ivfNProbe)
+
+  // ---------- IVF-PQ above the plan-literal ceiling (§2.10, q95)
+  // 64 coarse lists × 64 residual codes: BOTH codebooks exceed
+  // maxLiteralCodes, so assignment, probe ranking, residuals, encode,
+  // and ADC tables all run through the PqKernels codegen'd expressions
+  // (reference-object codebooks, fixed-size generated code) — and the
+  // oracle replays the identical semantics relationally, certifying the
+  // kernel path end-to-end, not just against the literal path's spec.
+  private val q95CoarseIds: Seq[Long] = (100L to 163L)
+  private val q95SeedIds: Seq[Long] = (10L to 73L)
+
+  private def q95IvfPqKernel(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val coarse = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), q95CoarseIds)
+    val rb = graft.operators.Quantize.residualSeedCodebook(embs,
+      col("vec_id"), col("embedding"), q95SeedIds, coarse)
+    val listC = graft.operators.Quantize.ivfListCol(col("embedding"), coarse)
+    val codes = graft.operators.Quantize.pqEncode(embs, col("vec_id"),
+        graft.operators.Quantize.ivfResidualCol(col("embedding"), coarse,
+          listC),
+        rb, pqM, pqDim, keep = Seq(listC.as("list_id")))
+      .drop("distortion")
+    graft.operators.Quantize.ivfPqResidualTopK(codes,
+      embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+      coarse, rb, pqM, pqDim, nProbe = 4, k = 3)
+  }
+
+  private val q95Sql = mkIvfResidualSql(q95CoarseIds, q95SeedIds, 4)
+
   // -------------------------------- stratified sampling (§2.10 corpus ops)
   // Per-language sampling rates over the same deterministic content
   // fingerprint as q48: high-resource langs downsampled hard, low-resource
@@ -1598,6 +1736,21 @@ object TestdataQueries {
        |  count(b.s) * 2 >= count(*) AS contaminated
        |FROM corp LEFT JOIN bench b ON corp.s = b.s
        |GROUP BY doc_id""".stripMargin
+
+  // ---------- bloom-gated decontamination (§2.10 ext, q96)
+  // Same semantics as q62, different scale regime: the benchmark
+  // shingle set is represented as a Bloom filter (~10 bits/element,
+  // Spark's distributed sketch aggregate) and only bloom survivors
+  // enter the exact confirmation join — the shape for benchmark sets
+  // too large to broadcast as exact hashes. No false negatives + exact
+  // confirm ⇒ output identical to q62, so the q62 oracle certifies it.
+  private def q96BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Contamination.overlapVsBenchmarkBloom(
+      corpus = docs.filter(col("doc_id") % q62BenchMod =!= 0),
+      benchmark = docs.filter(col("doc_id") % q62BenchMod === 0),
+      id = col("doc_id"), text = col("text"), n = 3)
+  }
 
   // Dense global row ids without a single-task window: Shard.byBudget
   // with unit weights and budget 1 IS zipWithIndex under a total order —
@@ -2560,7 +2713,10 @@ FROM r$q82Rounds"""
     "q92_streaming_semdedup" -> (q92StreamingSemDedup _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q90_trigram_nll" -> (q90TrigramNll _),
-    "q93_ivfpq_topk" -> (q93IvfPq _))
+    "q93_ivfpq_topk" -> (q93IvfPq _),
+    "q94_ivfpq_residual" -> (q94IvfPqResidual _),
+    "q95_ivfpq_kernel" -> (q95IvfPqKernel _),
+    "q96_bloom_decontaminate" -> (q96BloomDecontaminate _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2650,5 +2806,8 @@ FROM r$q82Rounds"""
     "q92_streaming_semdedup" -> q89Sql,
     "q89_semantic_dedup" -> q89Sql,
     "q90_trigram_nll" -> q90Sql,
-    "q93_ivfpq_topk" -> q93Sql)
+    "q93_ivfpq_topk" -> q93Sql,
+    "q94_ivfpq_residual" -> q94Sql,
+    "q95_ivfpq_kernel" -> q95Sql,
+    "q96_bloom_decontaminate" -> q62Sql)
 }

@@ -560,10 +560,20 @@ object ScaleProbe {
     import graft.operators.Quantize
     val n = 1000000L
     val dim = 64; val m = 8; val nLists = 64
+    // CLUSTERED corpus — 64 centers + 5% noise. Uniform random vectors
+    // are the one regime quantization cannot serve (1M near-equidistant
+    // points; even a full ADC scan ranks noise), and no real embedding
+    // corpus looks like that. 64 modes with one coarse seed row landing
+    // in each (ids 100..163 ≡ distinct residues mod 64) reproduces what
+    // a TRAINED coarse quantizer (Similarity.fitQuantizer) converges to:
+    // lists ≈ data modes — the regime where residuals reduce to noise
+    // and the residual codebook resolves within-list ranking.
+    val cid = col("id") % 64
     val vecs = spark.range(n).select(
       col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => ((pmod(hash(col("id") * 53 + i), lit(2001)) - 1000) / 1000.0))
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(hash(cid * 53 + i), lit(2001)) - 1000) / 1000.0) +
+          ((pmod(hash(col("id") * 101 + i), lit(2001)) - 1000) / 20000.0))
         .as("embedding")).cache()
     vecs.count()
     val pq = Quantize.seedCodebook(vecs, col("vec_id"), col("embedding"),
@@ -579,17 +589,56 @@ object ScaleProbe {
       codes.count()
     }
     val queries = vecs.filter(col("vec_id") < 8)
+    // exact L2 top-10 = the ground truth every ADC variant approximates
+    val exact = {
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("neighbor_id").asc)
+      vecs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d", graft.functions.VectorExprs.l2sq(col("qv"), col("cv")))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .select("query_id", "neighbor_id").cache()
+    }
+    time("exact L2 top-10          (ground truth)") { exact.count() }
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "neighbor_id").intersect(exact).count() / 80.0
     val full = Quantize.pqAdcTopK(codes.drop("list_id"), queries,
       "vec_id", "embedding", pq, m, dim, 10)
     time("full ADC scan            (8 queries x 1M codes)") { full.count() }
+    println(f"[probe]   full-ADC recall@10 vs exact: ${recall(full)}%.3f")
     Seq(16, 4).foreach { nProbe =>
       val ivf = Quantize.ivfPqTopK(codes, queries, "vec_id", "embedding",
         coarse, pq, m, dim, nProbe, 10)
       time(f"ivfPq scan nProbe=$nProbe%3d/$nLists") { ivf.count() }
-      val hits = ivf.select("query_id", "neighbor_id")
-        .intersect(full.select("query_id", "neighbor_id")).count()
-      println(f"[probe]   recall@10 vs full ADC: ${hits / 80.0}%.3f")
+      println(f"[probe]   recall@10 vs exact: ${recall(ivf)}%.3f")
     }
+    // residual flavor (q94/q95): same scan shape, lower distortion — the
+    // recall delta vs the raw-PQ variant is the point of the residual.
+    // 64 codes/subspace exceeds maxLiteralCodes, so this exercises the
+    // PqKernels path (the literal form overflowed janino's 64 KB method
+    // limit here before the kernels existed — the probe that motivated
+    // them); 16-code literal runs measured recall 0.025 vs 0.038 at 64.
+    val rb = Quantize.residualSeedCodebook(vecs, col("vec_id"),
+      col("embedding"), 10L to 73L, coarse)
+    val listC = Quantize.ivfListCol(col("embedding"), coarse)
+    val resCodes = Quantize.pqEncode(vecs, col("vec_id"),
+        Quantize.ivfResidualCol(col("embedding"), coarse, listC),
+        rb, m, dim, keep = Seq(listC.as("list_id")))
+      .drop("distortion").cache()
+    time(f"residual encode + assign ($n%8d rows)") { resCodes.count() }
+    Seq(16, 4).foreach { nProbe =>
+      val ivf = Quantize.ivfPqResidualTopK(resCodes, queries, "vec_id",
+        "embedding", coarse, rb, m, dim, nProbe, 10)
+      time(f"ivfPq RESIDUAL nProbe=$nProbe%3d/$nLists") { ivf.count() }
+      println(f"[probe]   recall@10 vs exact: ${recall(ivf)}%.3f")
+    }
+    resCodes.unpersist()
+    exact.unpersist()
     // The 100 TB shape: codes laid out partitionBy(list_id) — the coarse
     // assignment IS the storage layout, and the broadcast probe join
     // triggers dynamic partition pruning, so unprobed lists are never

@@ -103,6 +103,145 @@ class QuantizeSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf === full)
   }
 
+  test("residual codebook: seed rows encode to their own code, distortion 0") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      30L to 37L)
+    val rb = Quantize.residualSeedCodebook(embs, col("vec_id"),
+      col("embedding"), 10L to 25L, coarse)
+    val listC = Quantize.ivfListCol(col("embedding"), coarse)
+    val out = Quantize.pqEncode(
+        embs.filter($"vec_id".between(10, 25)), col("vec_id"),
+        Quantize.ivfResidualCol(col("embedding"), coarse, listC),
+        rb, 8, 64)
+      .select($"id", $"c0", $"distortion")
+      .as[(Long, Int, Double)].collect()
+    assert(out.length === 16)
+    // seed row 10+c has residual == rb entry c → every subspace picks
+    // code c at distance 0 (any other entry at 0 would tie-break lower,
+    // so equality also proves the residuals are pairwise distinct)
+    out.foreach { case (id, c0, distortion) =>
+      assert(c0 === (id - 10).toInt, s"seed row $id code")
+      assert(distortion === 0.0, s"seed row $id distortion")
+    }
+  }
+
+  test("ivfPqResidualTopK ranks by exact residual-reconstruction ADC " +
+    "and scans only probed lists") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      30L to 37L)
+    val rb = Quantize.residualSeedCodebook(embs, col("vec_id"),
+      col("embedding"), 10L to 25L, coarse)
+    val listC = Quantize.ivfListCol(col("embedding"), coarse)
+    val codes = Quantize.pqEncode(embs, col("vec_id"),
+        Quantize.ivfResidualCol(col("embedding"), coarse, listC),
+        rb, 8, 64, keep = Seq(listC.as("list_id")))
+      .drop("distortion")
+    val out = Quantize.ivfPqResidualTopK(codes, embs.filter($"vec_id" < 5),
+      "vec_id", "embedding", coarse, rb, 8, 64, nProbe = 2, k = 3)
+    val rows = out.collect()
+    assert(rows.length === 15, "5 queries × k=3")
+    // every neighbor must come from one of its query's 2 probed lists
+    val assign = Quantize.ivfAssign(embs, col("vec_id"), col("embedding"),
+      coarse).as[(Long, Int)].collect().toMap
+    val qv = embs.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val byList = coarse.toMap
+    def probes(v: Seq[Double]): Set[Int] =
+      coarse.map { case (l, cv) =>
+        (l, v.lazyZip(cv).map { (a, b) => val d = a - b; d * d }.sum)
+      }.sortBy { case (l, d) => (d, l) }.take(2).map(_._1).toSet
+    rows.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(2)
+      assert(probes(qv(q)).contains(assign(n)),
+        s"neighbor $n of query $q is outside the probed lists")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      plan.contains("BroadcastHashJoin"), s"plan shape:\n$plan")
+  }
+
+  // ------------------------- literal ≡ kernel (PqKernels) equivalence
+  // The same codebook drives both formulations; results must be
+  // bit-identical (same fold order, same tiebreaks). q95's oracle
+  // certifies the composed kernel path; these pin each kernel alone.
+
+  test("kernel encode is bit-identical to the literal pqEncode") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      10L to 25L)
+    val lit16 = Quantize.pqEncode(embs, col("vec_id"), col("embedding"),
+        pq, 8, 64)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val kern = embs.select(col("vec_id").as("id"),
+        graft.functions.PqKernels.encodeCol(col("embedding"), pq, 8, 8)
+          .as("__e"))
+      .select((col("id") +:
+        (0 until 8).map(j => element_at(col("__e.codes"), j + 1)
+          .as(s"c$j")) :+
+        round(col("__e.distortion"), 6).as("distortion")): _*)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(kern.nonEmpty && kern === lit16)
+  }
+
+  test("kernel probe ranking and residual match the literal forms") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      30L to 37L)
+    // nearestLists(nProbe=8) == full literal (dist, list) sort order
+    val litOrder = {
+      val cands = coarse.map { case (l, cv) =>
+        struct(graft.functions.VectorExprs
+          .l2sq(col("embedding").cast("array<double>"),
+            array(cv.map(lit): _*)).as("dist"),
+          lit(l).as("list"))
+      }
+      embs.select(col("vec_id"),
+        transform(array_sort(array(cands: _*)), s => s.getField("list"))
+          .as("order"))
+    }.as[(Long, Seq[Int])].collect().toMap
+    val kernOrder = embs.select(col("vec_id"),
+        graft.functions.PqKernels.nearestListsCol(col("embedding"), coarse,
+          64, 8).as("order"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(kernOrder.nonEmpty && kernOrder === litOrder)
+    // kernel residual == literal matrix-lookup residual
+    val listC = Quantize.ivfListCol(col("embedding"), coarse)
+    val litRes = embs.select(col("vec_id"),
+        Quantize.ivfResidualCol(col("embedding"), coarse, listC).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val kernRes = embs.select(col("vec_id"),
+        graft.functions.PqKernels.residualCol(col("embedding"), coarse, 64)
+          .as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(kernRes.nonEmpty && kernRes === litRes)
+  }
+
+  test("kernel ADC tables reproduce the literal per-code distances") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      10L to 25L)
+    val sub = 8
+    val litTables = {
+      val v = col("embedding").cast("array<double>")
+      val ts = (0 until 8).map { j =>
+        array(pq.sortBy(_._1).map { case (_, cv) =>
+          graft.functions.VectorExprs.l2sq(
+            slice(v, j * sub + 1, sub),
+            array(cv.slice(j * sub, (j + 1) * sub).map(lit): _*))
+        }: _*)
+      }
+      embs.select(col("vec_id"), array(ts: _*).as("t"))
+    }.as[(Long, Seq[Seq[Double]])].collect().toMap
+    val kernTables = embs.select(col("vec_id"),
+        graft.functions.PqKernels.adcTablesCol(col("embedding"), pq, 8, sub)
+          .as("t"))
+      .as[(Long, Seq[Seq[Double]])].collect().toMap
+    assert(kernTables.nonEmpty && kernTables === litTables)
+  }
+
   test("ivfPqTopK plan: broadcast equi-join on list_id, no cartesian") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pq = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
