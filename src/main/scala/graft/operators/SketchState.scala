@@ -67,12 +67,25 @@ object SketchState {
     * repartitions by bytes). `df` may read from `statePath` itself: the
     * swap write materializes the full copy before the live dir is
     * touched. Same single-writer contract as [[write]]. */
-  def swapReplace(df: DataFrame, statePath: String): Unit = {
+  def swapReplace(df: DataFrame, statePath: String): Unit =
+    swapReplaceWrite(df, statePath, identity)
+
+  /** [[swapReplace]] for a hive-partitioned state layout (e.g. the
+    * streaming IVF-PQ codes index partitioned by list_id): same
+    * write-swap / delete / rename discipline, the swap just carries the
+    * partition directories. */
+  def swapReplacePartitioned(df: DataFrame, statePath: String,
+                             partitionCols: String*): Unit =
+    swapReplaceWrite(df, statePath, _.partitionBy(partitionCols: _*))
+
+  private def swapReplaceWrite(df: DataFrame, statePath: String,
+      shape: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
     val spark = df.sparkSession
     val live = new Path(statePath)
     val swap = swapPath(statePath)
     val fs = fsOf(spark, live)
-    df.write.mode("overwrite").parquet(swap.toString)
+    shape(df.write.mode("overwrite")).parquet(swap.toString)
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(swap, live))
       throw new java.io.IOException(

@@ -1397,6 +1397,41 @@ object TestdataQueries {
 
   private val q95Sql = mkIvfResidualSql(q95CoarseIds, q95SeedIds, 4)
 
+  // ---------- streaming IVF-PQ index (§2.10 embeddings, q97)
+  // The q95 corpus arriving in 3 micro-batches: each batch residual-
+  // encodes map-side against the FIXED codebooks and appends to a
+  // list_id-partitioned codes index (ingest layout == serving layout ==
+  // the DPP-pruned read). Encoding is a pure per-row function, so the
+  // accumulated index equals the batch operator's codes under ANY
+  // arrival split — topK over the index must therefore match q95's
+  // oracle verbatim.
+  private def q97StreamingIvfPq(s: SparkSession, d: String): DataFrame = {
+    val dirFile = java.nio.file.Files.createTempDirectory("ivfpq_stream")
+      .toFile
+    // the returned plan reads the index files — JVM-exit sweep, not an
+    // eager delete (Bench reps would orphan state dirs otherwise)
+    graft.operators.CacheHygiene.registerForCleanup(dirFile)
+    val dir = dirFile.getAbsolutePath
+    val embs = Tables.embeddings(s, d)
+    val coarse = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), q95CoarseIds)
+    val rb = graft.operators.Quantize.residualSeedCodebook(embs,
+      col("vec_id"), col("embedding"), q95SeedIds, coarse)
+    val mm = embs.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0)
+    val lo = mm.getLong(0)
+    val span = mm.getLong(1) - lo + 1
+    val bounds = Seq(lo, lo + span / 3, lo + 2 * span / 3, Long.MaxValue)
+    (0 until 3).foreach { b =>
+      graft.streaming.IvfPqStream.ingestBatch(s,
+        embs.filter(col("vec_id") >= bounds(b) &&
+          col("vec_id") < bounds(b + 1)),
+        dir, col("vec_id"), col("embedding"), coarse, rb, pqM, pqDim)
+    }
+    graft.streaming.IvfPqStream.topK(s, dir,
+      embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+      coarse, rb, pqM, pqDim, nProbe = 4, k = 3)
+  }
+
   // -------------------------------- stratified sampling (§2.10 corpus ops)
   // Per-language sampling rates over the same deterministic content
   // fingerprint as q48: high-resource langs downsampled hard, low-resource
@@ -2716,7 +2751,8 @@ FROM r$q82Rounds"""
     "q93_ivfpq_topk" -> (q93IvfPq _),
     "q94_ivfpq_residual" -> (q94IvfPqResidual _),
     "q95_ivfpq_kernel" -> (q95IvfPqKernel _),
-    "q96_bloom_decontaminate" -> (q96BloomDecontaminate _))
+    "q96_bloom_decontaminate" -> (q96BloomDecontaminate _),
+    "q97_streaming_ivfpq" -> (q97StreamingIvfPq _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2809,5 +2845,6 @@ FROM r$q82Rounds"""
     "q93_ivfpq_topk" -> q93Sql,
     "q94_ivfpq_residual" -> q94Sql,
     "q95_ivfpq_kernel" -> q95Sql,
-    "q96_bloom_decontaminate" -> q62Sql)
+    "q96_bloom_decontaminate" -> q62Sql,
+    "q97_streaming_ivfpq" -> q95Sql)
 }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantize, SketchState}
+
+/** Incremental IVF-PQ index maintenance over micro-batches — the
+  * streaming counterpart of [[graft.operators.Quantize.ivfPqResidualTopK]]
+  * in the same foreachBatch-plus-on-disk-state architecture as
+  * [[SegDedupStream]] / [[NearDupStream]].
+  *
+  * Each batch of new vectors is residual-PQ-encoded MAP-SIDE (codebooks
+  * are fixed at index-build time, the standard IVF contract — re-training
+  * is a rebuild, not an increment) and appended to a codes index laid out
+  * `partitionBy(list_id)`. That layout is the point: the index on disk IS
+  * the serving layout, so query-time probing partition-prunes to the
+  * probed lists (DPP, measured in ScaleProbe `ops10`) without any
+  * re-organization step between ingest and serve.
+  *
+  * BATCH EQUIVALENCE: encoding is a pure per-row function of the vector
+  * and the fixed codebooks, so for ANY split of a corpus into batches the
+  * accumulated index holds exactly the batch operator's codes, and
+  * [[topK]] returns exactly what `ivfPqResidualTopK` returns over the
+  * whole corpus (spec-pinned; q97's oracle is q95's SQL verbatim).
+  * No ordering requirement at all — unlike dedup streams, there is no
+  * cross-row decision to order.
+  *
+  * Scale shape per batch: encode is one map-side projection (no shuffle);
+  * the append writes only the batch's partitions. The small-file wall —
+  * one file per touched partition per batch — is bounded by the same
+  * excess-triggered swap-replace compaction as the other streams, here
+  * counting part-files RECURSIVELY across partition dirs and rewriting
+  * the whole index partitioned (a full-index pass, amortized by the
+  * excess trigger exactly as in NearDupStream.compactIfNeeded). */
+object IvfPqStream {
+
+  case class BatchResult(added: Long, stateFiles: Int)
+
+  private def codesPath(stateDir: String) = s"$stateDir/codes"
+
+  /** One micro-batch of new vectors. `newVecs` must carry the id and
+    * vector under the given columns; ids must be unique stream-wide
+    * (re-sent ids would index duplicate rows — dedup upstream). */
+  def ingestBatch(spark: SparkSession, newVecs: DataFrame, stateDir: String,
+                  id: Column, vec: Column,
+                  coarse: Seq[(Int, Seq[Double])],
+                  resCentroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
+                  compactAfterFiles: Int = 64): BatchResult = {
+    val path = codesPath(stateDir)
+    SketchState.exists(spark, path) // adopt an interrupted compaction swap
+    val listC = Quantize.ivfListCol(vec, coarse)
+    val codes = Quantize.pqEncode(newVecs, id,
+        Quantize.ivfResidualCol(vec, coarse, listC),
+        resCentroids, m, dim, keep = Seq(listC.as("list_id")))
+      .drop("distortion")
+    val added = codes.count()
+    if (added > 0)
+      codes.write.mode("append").partitionBy("list_id").parquet(path)
+    compactPartitionedIfNeeded(spark, path, compactAfterFiles)
+    BatchResult(added, partFiles(spark, path))
+  }
+
+  /** Serve top-k from the accumulated index — exactly the batch
+    * operator over the index's rows, probing nProbe lists with the
+    * partition layout doing the pruning. */
+  def topK(spark: SparkSession, stateDir: String, queries: DataFrame,
+           id: String, vec: String, coarse: Seq[(Int, Seq[Double])],
+           resCentroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
+           nProbe: Int, k: Int): DataFrame =
+    Quantize.ivfPqResidualTopK(spark.read.parquet(codesPath(stateDir)),
+      queries, id, vec, coarse, resCentroids, m, dim, nProbe, k)
+
+  private def partFiles(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("part-")) n += 1
+    }
+    n
+  }
+
+  /** NearDupStream.compactIfNeeded for a hive-partitioned index: count
+    * part-files recursively, rewrite partitioned when the count exceeds
+    * both the configured ceiling and 2× the byte-ideal file count. */
+  private[streaming] def compactPartitionedIfNeeded(spark: SparkSession,
+      path: String, maxFiles: Int): Boolean = {
+    if (maxFiles <= 0 || !SketchState.exists(spark, path)) return false
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var nParts = 0L
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.startsWith("part-")) {
+        nParts += 1; totalBytes += s.getLen
+      }
+    }
+    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val ideal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    if (nParts <= math.max(maxFiles.toLong, 2L * ideal)) return false
+    // hash-cluster by list before the partitioned write so each list's
+    // rows arrive at one task — the rewrite emits O(max(ideal, nLists))
+    // files, not tasks × lists
+    SketchState.swapReplacePartitioned(
+      spark.read.parquet(path)
+        .repartition(ideal.min(nParts).toInt, col("list_id")),
+      path, "list_id")
+    true
+  }
+}
