@@ -370,6 +370,111 @@ object Quantize {
         round(col("adc_dist"), 6).as("adc_dist"))
   }
 
+  /** Int8 scalar quantization (SQ8) — the OTHER standard serving layout
+    * next to PQ: keep every dimension but store it in one signed byte.
+    * Per row, `scale = max_i |v_i| / 127` (1.0 for the all-zero vector so
+    * the encode is total) and `code_i = round(v_i / scale)` ∈ [-127, 127];
+    * 4× smaller than float32 with no codebook to train, ship, or probe —
+    * the usual first rung of the memory/recall ladder before PQ.
+    *
+    * Everything is exactly replayable by a relational oracle: both engines
+    * round half-away-from-zero, and the per-row max/divide/round sequence
+    * is the same IEEE op order, so codes — and therefore scores — are
+    * bit-identical.
+    *
+    * Scale shape: pure map-side projection over the corpus (no shuffle,
+    * no broadcast — the "codebook" is the row's own scale column). `keep`
+    * columns (aliased) ride the same projection — how IVF attaches
+    * `list_id` without a self-join (the [[pqEncode]] contract). */
+  def sq8Encode(embs: DataFrame, id: Column, vec: Column,
+                keep: Seq[Column] = Nil): DataFrame = {
+    val staged = embs.select((id.as("id") +: keep :+
+        vec.cast("array<double>").as("__v")): _*)
+      .withColumn("__mx", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("__mx") === 0.0, lit(1.0)).otherwise(col("__mx") / 127.0))
+    val carried = staged.columns
+      .filterNot(c => c == "__v" || c == "__mx" || c == "scale")
+      .map(col).toSeq
+    staged.select((carried :+ col("scale") :+
+      transform(col("__v"), x =>
+        round(x / col("scale")).cast("int")).as("codes")): _*)
+  }
+
+  /** SQ8 approximate top-k: rank corpus rows per query by the
+    * reconstruction-free approximate dot product
+    * `scale · Σ_i code_i · q_i` — one multiply recovers the scale, the
+    * inner sum runs on the int codes widened to double (exact: every
+    * int8 is a representable double), so the score equals
+    * `dot(dequantized_row, query)` without materializing the
+    * dequantized vector.
+    *
+    * Scale shape: [[Similarity.bruteForceTopK]]'s — queries broadcast,
+    * scoring map-side on the codegen'd dot kernel over the 4×-smaller
+    * codes column, per-query rank prunes map-side (WindowGroupLimit).
+    * The same codes column drops into the IVF layout (list_id +
+    * partition pruning) when the corpus outgrows the full scan. */
+  def sq8TopK(embs: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int): DataFrame = {
+    val codes = sq8Encode(embs, col(id), col(vec))
+      .select(col("id").as("neighbor_id"), col("scale"),
+        col("codes").cast("array<double>").as("cd"))
+    val q = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("qv"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", col("scale") * VectorExprs.dot(col("cd"), col("qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** SQ8 × IVF: the [[sq8TopK]] scoring over the [[ivfPqTopK]] scan
+    * shape — each corpus row's int8 codes carry a coarse `list_id`
+    * (attached map-side in the encode projection, no self-join), queries
+    * rank the coarse centroids map-side (array_sort over nLists structs,
+    * no window) and score ONLY their `nProbe` nearest lists via a
+    * broadcast equi-join on `list_id`. The full scan cut to
+    * nProbe/nLists — and partition-prunable (DPP) when the codes are
+    * laid out `partitionBy(list_id)`, the same ingest-equals-serving
+    * layout as the PQ family. */
+  def sq8IvfTopK(embs: DataFrame, queries: DataFrame, id: String,
+                 vec: String, coarse: Seq[(Int, Seq[Double])],
+                 nProbe: Int, k: Int): DataFrame = {
+    val codes = sq8Encode(embs, col(id), col(vec),
+        keep = Seq(ivfListCol(col(vec), coarse).as("list_id")))
+      .select(col("id").as("neighbor_id"), col("list_id"), col("scale"),
+        col("codes").cast("array<double>").as("cd"))
+    // nProbe nearest coarse lists per query, lexicographic (dist, list)
+    // tiebreak — fully map-side (the q93 probe-selection shape)
+    val coarseCands = coarse.map { case (listId, cv) =>
+      struct(VectorExprs.l2sq(col("__qv"), array(cv.map(lit): _*)).as("dist"),
+        lit(listId).as("list"))
+    }
+    val probed = transform(
+      slice(array_sort(array(coarseCands: _*)), 1, nProbe),
+      s => s.getField("list"))
+    val q = queries
+      .select(col(id).as("query_id"),
+        col(vec).cast("array<double>").as("__qv"))
+      .select(col("query_id"), col("__qv").as("qv"), probed.as("__probes"))
+      .withColumn("list_id", explode(col("__probes")))
+      .select("query_id", "qv", "list_id")
+    val scored = codes.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", col("scale") * VectorExprs.dot(col("cd"), col("qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Seed-row codebook: subvectors of the designated corpus rows. */
   def seedCodebook(embs: DataFrame, id: Column, vec: Column,
                    centroidIds: Seq[Long]): Seq[(Int, Seq[Double])] = {

@@ -532,4 +532,105 @@ object Vocab {
         "graft-nll-")
     }
   }
+
+  /** Per-document Stupid Backoff trigram scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the n-gram scorer
+    * DESIGNED for the distributed count-table regime: no discounting, no
+    * normalization pass, just relative frequencies with a fixed backoff
+    * penalty, so every level is a plain count table and the whole model
+    * is "counts + one constant":
+    *
+    *   S(w3|w1,w2) = C(w1,w2,w3)/C(w1,w2,·)            if the trigram is seen
+    *               = α · C(w2,w3)/C(w2,·)              else if the bigram is
+    *               = α² · (C(w3)+1)/(N+V)              else (add-1 unigram
+    *                                                    floor — Brants assumes
+    *                                                    vocab coverage; the
+    *                                                    floor keeps the scorer
+    *                                                    total on OOV tokens)
+    *
+    * Backoff only fires on n-grams the count tables lack, so the corpus is
+    * split by `id % heldMod`: held-out docs (`≡ 0`, the scored set) are
+    * excluded from the tables, which is also the honest evaluation setup —
+    * scoring training text never exercises the backoff chain. Context
+    * marginals (`C(w1,w2,·)`, `C(w2,·)`) are sums over the observed
+    * continuations, the standard count-table formulation.
+    *
+    * Scale shape: ONE tokenize of the corpus — the (id, tokens) base
+    * persists once and both splits plus all three count tables re-derive
+    * from the cache by cheap array ops. The tables are TYPES-bounded
+    * (trigram/bigram/unigram types of the train split, NOT corpus size);
+    * marginals are windows PARTITIONED BY the context; (N, V) is a one-row
+    * broadcast riding a crossJoin (the BM25 corpus-stats shape). The held
+    * trigram stream takes three LEFT joins against the bounded tables —
+    * pair-keyed shuffles (broadcast when the tables fit, AQE's call), with
+    * the unigram join's stopword skew left to AQE skew handling. Per-doc
+    * aggregate is map-combinable; `round(…, 4)` absorbs cross-engine
+    * ln/sum-order float risk (q72 discipline). MATERIALIZES like
+    * [[bigramNll]]: narrow per-doc spill out, scoped cache released on
+    * return. */
+  def stupidBackoffNll(df: DataFrame, id: Column, text: Column,
+                       alpha: Double = 0.4, heldMod: Int = 5): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"backoff alpha in (0,1), got $alpha")
+    require(heldMod >= 2, s"heldMod >= 2 (else no train split), got $heldMod")
+    CacheHygiene.withRddCleanup(df.sparkSession) {
+      val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
+        .persist()
+      val ts = col("__ts")
+      def split(held: Boolean) =
+        base.filter(if (held) pmod(col("id"), lit(heldMod)) === 0
+                    else pmod(col("id"), lit(heldMod)) =!= 0)
+      def triplesOf(src: DataFrame) = src.select(col("id"), explode(
+          when(size(ts) >= 3,
+            transform(sequence(lit(1), size(ts) - 2), i =>
+              struct(element_at(ts, i).as("w1"),
+                element_at(ts, i + 1).as("w2"),
+                element_at(ts, i + 2).as("w3"))))
+            .otherwise(array().cast(
+              "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+        .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+          col("t.w3").as("w3"))
+      val train = split(held = false)
+      // trigram table with its context marginal (types-bounded + window)
+      val c3tab = triplesOf(train).groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("c3"))
+        .withColumn("c2",
+          sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+      // bigram table keyed directly as (w2, w3) — the backoff probe key
+      val bitab = train.select(explode(
+          when(size(ts) >= 2,
+            transform(sequence(lit(1), size(ts) - 1), i =>
+              struct(element_at(ts, i).as("w2"),
+                element_at(ts, i + 1).as("w3"))))
+            .otherwise(array().cast(
+              "array<struct<w2:string,w3:string>>"))).as("p"))
+        .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
+        .groupBy("w2", "w3").agg(count(lit(1)).as("c_br"))
+        .withColumn("c_bl",
+          sum(col("c_br")).over(Window.partitionBy(col("w2"))))
+      val unitab = train.select(explode(ts).as("w3"))
+        .groupBy("w3").agg(count(lit(1)).as("c1"))
+      val stats = unitab.agg(sum(col("c1")).as("n_tok"),
+        count(lit(1)).as("v"))
+      val a  = lit(alpha)
+      val a2 = lit(alpha * alpha)
+      CacheHygiene.spillToTempParquet(
+        triplesOf(split(held = true))
+          .join(c3tab, Seq("w1", "w2", "w3"), "left")
+          .join(bitab, Seq("w2", "w3"), "left")
+          .join(unitab, Seq("w3"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("id"), log(
+            when(col("c3").isNotNull,
+              col("c3").cast("double") / col("c2"))
+            .when(col("c_br").isNotNull,
+              a * col("c_br").cast("double") / col("c_bl"))
+            .otherwise(
+              a2 * (coalesce(col("c1"), lit(0L)) + 1).cast("double") /
+                (col("n_tok") + col("v")))).as("ll"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_trigrams"),
+            round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll")),
+        "graft-nll-")
+    }
+  }
 }

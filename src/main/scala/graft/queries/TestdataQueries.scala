@@ -2658,6 +2658,147 @@ FROM r$q82Rounds"""
        |  round(-sum(ll) / count(*), 4) AS avg_nll
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  // ----------------------------- stupid-backoff LM scoring (§2.10 ext)
+  // Brants et al. 2007: the distributed-count-table LM. Held-out docs
+  // (doc_id % 5 = 0) are scored against tables built from the REST of the
+  // corpus, so unseen n-grams occur and every backoff level fires. The
+  // oracle replays the exact three-level formula; fixture doc_ids are
+  // non-negative, so `%` and Spark's pmod agree on the split.
+  private def q98StupidBackoff(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.stupidBackoffNll(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      alpha = 0.4, heldMod = 5)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q98Sql = {
+    val a  = "0.4"
+    val a2 = (0.4 * 0.4).toString // the exact double Spark computes
+    s"""$q71TokensCte,
+       |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+       |held  AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+       |ttri AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+       |  FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM train)),
+       |c3t AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttri GROUP BY 1, 2, 3),
+       |c3c AS (SELECT w1, w2, w3, c3,
+       |          sum(c3) OVER (PARTITION BY w1, w2) AS c2 FROM c3t),
+       |tbi AS (
+       |  SELECT ts[i] AS w2, ts[i + 1] AS w3
+       |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM train)),
+       |bic AS (SELECT w2, w3, c_br, sum(c_br) OVER (PARTITION BY w2) AS c_bl
+       |        FROM (SELECT w2, w3, count(*) AS c_br FROM tbi GROUP BY 1, 2)),
+       |uni AS (SELECT t AS w3, count(*) AS c1
+       |        FROM (SELECT unnest(ts) AS t FROM train) GROUP BY 1),
+       |st AS (SELECT sum(c1) AS n_tok, count(*) AS v FROM uni),
+       |htri AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM held)),
+       |sc AS (SELECT h.doc_id, ln(CASE
+       |         WHEN c3 IS NOT NULL THEN CAST(c3 AS DOUBLE) / c2
+       |         WHEN c_br IS NOT NULL THEN $a * CAST(c_br AS DOUBLE) / c_bl
+       |         ELSE $a2 * CAST(COALESCE(c1, 0) + 1 AS DOUBLE) / (n_tok + v)
+       |       END) AS ll
+       |       FROM htri h
+       |       LEFT JOIN c3c USING (w1, w2, w3)
+       |       LEFT JOIN bic USING (w2, w3)
+       |       LEFT JOIN uni USING (w3)
+       |       CROSS JOIN st)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  round(-sum(ll) / count(*), 4) AS avg_nll
+       |FROM sc GROUP BY doc_id""".stripMargin
+  }
+
+  // ----------------------------- SQ8 scalar quantization (§2.10 embeddings)
+  // Int8 scalar quantization: per-row max-abs scale, one signed byte per
+  // dimension, reconstruction-free approximate dot product. Both engines
+  // round half-away-from-zero and run the same IEEE op sequence, so the
+  // codes and scores are bit-identical — the oracle replays the whole
+  // encode + rank, no recall proxy.
+  private def q99Sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    graft.operators.Quantize.sq8TopK(embs,
+      embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+  }
+
+  private val q99Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+       |      FROM e),
+       |c AS (SELECT vec_id, v,
+       |        CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s FROM m),
+       |codes AS (SELECT vec_id, s,
+       |        CAST(list_transform(v, x -> CAST(round(x / s) AS INTEGER))
+       |             AS DOUBLE[]) AS cd
+       |      FROM c),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |sc AS (SELECT q.query_id, k.vec_id AS neighbor_id,
+       |         k.s * list_inner_product(k.cd, q.qv) AS score
+       |       FROM codes k CROSS JOIN qs q WHERE q.query_id <> k.vec_id)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+       |      AS INTEGER) AS rank FROM sc) WHERE rank <= 3""".stripMargin
+
+  // ----------------------------- SQ8 × IVF (§2.10 embeddings)
+  // q99's int8 scoring over q93's scan shape: codes carry a coarse
+  // list_id, queries probe only their nProbe nearest lists. The oracle
+  // replays the coarse assignment, the probe ranking, and the int8
+  // scoring — all literal-plane, no recall proxy.
+  private def q100Sq8Ivf(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val coarse = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), ivfCoarseIds)
+    graft.operators.Quantize.sq8IvfTopK(embs,
+      embs.filter(col("vec_id") < 5), "vec_id", "embedding",
+      coarse, ivfNProbe, k = 3)
+  }
+
+  private val q100Sql = {
+    def fullDist(lhs: String, alias: String): String = {
+      val diff = s"[$lhs[i] - $alias.cv[i] for i in range(1, $pqDim + 1)]"
+      s"list_inner_product($diff, $diff)"
+    }
+    val ccCtes = ivfCoarseIds.zipWithIndex.map { case (cid, l) =>
+      s"cc$l AS (SELECT v AS cv FROM e WHERE vec_id = $cid)"
+    }.mkString(",\n")
+    val assignMin = "list_min([" + ivfCoarseIds.indices.map(l =>
+      s"[${fullDist("e.v", s"cc$l")}, $l.0]").mkString(", ") + "])"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ccCtes,
+       |ccu AS (${ivfCoarseIds.indices.map(l => s"SELECT $l AS list, cv FROM cc$l").mkString(" UNION ALL ")}),
+       |mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+       |       FROM e),
+       |sc8 AS (SELECT vec_id, v,
+       |         CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s FROM mm),
+       |codes AS (SELECT vec_id, s,
+       |        CAST(list_transform(v, x -> CAST(round(x / s) AS INTEGER))
+       |             AS DOUBLE[]) AS cd
+       |      FROM sc8),
+       |assign AS (
+       |  SELECT e.vec_id, CAST($assignMin[2] AS INTEGER) AS list_id
+       |  FROM e${ivfCoarseIds.indices.map(l => s" CROSS JOIN cc$l").mkString}),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, list FROM (
+       |    SELECT q.query_id, c.list, row_number() OVER (
+       |      PARTITION BY q.query_id
+       |      ORDER BY ${fullDist("q.qv", "c")}, c.list) AS rn
+       |    FROM qs q CROSS JOIN ccu c)
+       |  WHERE rn <= $ivfNProbe),
+       |sc AS (
+       |  SELECT q.query_id, k.vec_id AS neighbor_id,
+       |    k.s * list_inner_product(k.cd, q.qv) AS score
+       |  FROM codes k
+       |  JOIN assign a ON a.vec_id = k.vec_id
+       |  JOIN pr ON pr.list = a.list_id
+       |  JOIN qs q ON q.query_id = pr.query_id
+       |  WHERE q.query_id <> k.vec_id)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+       |      AS INTEGER) AS rank FROM sc) WHERE rank <= 3""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2752,7 +2893,10 @@ FROM r$q82Rounds"""
     "q94_ivfpq_residual" -> (q94IvfPqResidual _),
     "q95_ivfpq_kernel" -> (q95IvfPqKernel _),
     "q96_bloom_decontaminate" -> (q96BloomDecontaminate _),
-    "q97_streaming_ivfpq" -> (q97StreamingIvfPq _))
+    "q97_streaming_ivfpq" -> (q97StreamingIvfPq _),
+    "q98_stupid_backoff" -> (q98StupidBackoff _),
+    "q99_sq8_topk" -> (q99Sq8TopK _),
+    "q100_sq8_ivf" -> (q100Sq8Ivf _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2846,5 +2990,8 @@ FROM r$q82Rounds"""
     "q94_ivfpq_residual" -> q94Sql,
     "q95_ivfpq_kernel" -> q95Sql,
     "q96_bloom_decontaminate" -> q62Sql,
-    "q97_streaming_ivfpq" -> q95Sql)
+    "q97_streaming_ivfpq" -> q95Sql,
+    "q98_stupid_backoff" -> q98Sql,
+    "q99_sq8_topk" -> q99Sql,
+    "q100_sq8_ivf" -> q100Sql)
 }

@@ -727,9 +727,71 @@ object ScaleProbe {
     }
   }
 
+  /** Round-11 probes. (a) Stupid Backoff scoring at 100M tokens, both
+    * vocabulary regimes (the ops8/ops9 LM corpus shapes): the v100 run is
+    * the TYPES-bounded contract, v5000 the adversarial near-unique-trigram
+    * worst case — held-out docs are 1/5 of the corpus, so the probe pays
+    * the three LEFT joins of a 20M-token probe stream against the count
+    * tables. (b) SQ8 at 1M × 64-dim clustered vectors (the ops10 corpus):
+    * encode cost (map-side, no shuffle), top-k scan cost vs the float32
+    * brute-force scan, and recall@10 vs exact — the memory/recall trade
+    * the layout buys. Run: sbt "runMain graft.tools.ScaleProbe ops11". */
+  def ops11Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Quantize, Similarity, Vocab}
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    def synth(vocab: Int) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(
+          when(col("id") % 5 === 0, col("id") % 1000)
+            .otherwise(col("id")) * 53 + i), lit(vocab)))))
+        .as("text"))
+    Seq(100 -> "types-bounded", 5000 -> "near-unique trigrams")
+      .foreach { case (v, label) =>
+        val docs = synth(v).cache()
+        val nTok = docs.count() * tokPerDoc
+        time(f"stupidBackoff v$v%-4d ($nTok%11d tokens, $label)") {
+          Vocab.stupidBackoffNll(docs, col("doc_id"), col("text"))
+            .agg(avg(col("avg_nll"))).collect()
+        }
+        docs.unpersist()
+      }
+    // SQ8 over the ops10 clustered corpus: the regime a real embedding
+    // table lives in (modes + noise), where int8 resolution preserves
+    // neighbor order almost everywhere.
+    val n = 1000000L
+    val dim = 64
+    val cid = col("id") % 64
+    val vecs = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(hash(cid * 53 + i), lit(2001)) - 1000) / 1000.0) +
+          ((pmod(hash(col("id") * 101 + i), lit(2001)) - 1000) / 20000.0))
+        .as("embedding")).cache()
+    vecs.count()
+    val codes = Quantize.sq8Encode(vecs, col("vec_id"), col("embedding"))
+      .cache()
+    time(f"sq8 encode               ($n%8d rows, dim=$dim)") { codes.count() }
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 10).cache()
+    time("float32 cosine scan      (8 queries x 1M rows)") { exact.count() }
+    val sq8 = Quantize.sq8TopK(vecs, queries, "vec_id", "embedding", k = 10)
+      .cache()
+    time("sq8 dot-product scan     (8 queries x 1M codes)") { sq8.count() }
+    // recall@10 of the int8 DOT ranking vs exact COSINE ranking: on this
+    // corpus vector norms are near-uniform, so dot ≈ cosine ordering and
+    // the delta isolates the int8 resolution loss.
+    val hits = sq8.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+    println(f"[probe]   sq8 recall@10 vs exact cosine: ${hits / 80.0}%.3f")
+    sq8.unpersist(); exact.unpersist(); codes.unpersist(); vecs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9", "ops10")
+      "ops9", "ops10", "ops11")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -773,6 +835,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops10")) {
       ops10Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops11")) {
+      ops11Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"

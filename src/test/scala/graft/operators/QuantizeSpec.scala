@@ -257,4 +257,89 @@ class QuantizeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("list_id"),
       s"expected a broadcast hash join keyed on list_id:\n$plan")
   }
+
+  // ------------------------------------------------------- SQ8
+
+  test("sq8Encode: max-abs scale and half-away-from-zero codes") {
+    val rows = Quantize.sq8Encode(
+        Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+          .toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // s = 1/127; codes = round(x·127): -0.5·127 = -63.5 → -64 (away from
+    // zero), 0.25·127 = 31.75 → 32
+    assert(rows(1L)._1 === 1.0 / 127)
+    assert(rows(1L)._2 === Seq(127, -64, 32))
+    // all-zero vector: scale floors at 1.0, encode stays total
+    assert(rows(2L) === ((1.0, Seq(0, 0, 0))))
+  }
+
+  test("sq8 scale expression is staged once, not inlined per element") {
+    // a non-literal source: a local Seq constant-folds to a LocalRelation
+    // and the projection under test disappears from the optimized plan
+    val plan = Quantize.sq8Encode(
+        spark.range(2).select(col("id").as("vec_id"),
+          array(col("id").cast("float"), lit(2.0f)).as("embedding")),
+        col("vec_id"), col("embedding"))
+      .queryExecution.optimizedPlan.toString
+    // if CollapseProject inlined the scale into the codes lambda, the
+    // array_max would re-evaluate per element — O(dim²) per row
+    assert("array_max".r.findAllIn(plan).size === 1,
+      s"scale must be computed once per row:\n$plan")
+  }
+
+  test("sq8TopK ranks by the dequantized dot product, excluding self") {
+    // corpus values are exact multiples of their scale → quantization is
+    // lossless and the approximate score equals the true dot product
+    val embs = Seq(
+      (0L, Seq(127.0f, 0.0f)),   // query
+      (1L, Seq(127.0f, 127.0f)), // dot 16129
+      (2L, Seq(254.0f, 0.0f)),   // dot 32258
+      (3L, Seq(0.0f, 127.0f)),   // dot 0
+      (4L, Seq(-127.0f, 0.0f))   // dot -16129
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.sq8TopK(embs, embs.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1, 2L, 32258.0), (2, 1L, 16129.0),
+      (3, 3L, 0.0)))
+  }
+
+  test("sq8IvfTopK at nProbe = nLists is row-identical to the full scan") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      30L to 37L)
+    val full = Quantize.sq8TopK(embs, embs.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3).collect().toSet
+    val ivf = Quantize.sq8IvfTopK(embs, embs.filter($"vec_id" < 5),
+      "vec_id", "embedding", coarse, nProbe = coarse.size, k = 3)
+      .collect().toSet
+    assert(ivf === full) // probing every list loses nothing
+  }
+
+  test("sq8IvfTopK plans a broadcast equi-join on list_id, no cartesian") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
+      30L to 37L)
+    val plan = Quantize.sq8IvfTopK(embs, embs.filter($"vec_id" < 5),
+        "vec_id", "embedding", coarse, nProbe = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF probe must be an equi-join, not a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("list_id"),
+      s"expected a broadcast hash join keyed on list_id:\n$plan")
+  }
+
+  test("sq8TopK plans a broadcast probe with map-side rank pruning") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Quantize.sq8TopK(embs, embs.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank must prune map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"query probe must broadcast, not cartesian:\n$plan")
+  }
 }
