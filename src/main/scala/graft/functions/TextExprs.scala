@@ -129,6 +129,41 @@ object TextExprs {
     alphaRatio(text) * 0.4 + stopScore * 0.3 + lenScore * 0.3
   }
 
+  /** Gopher-style quality-rule flags (Rae et al. 2021, Appendix A,
+    * adapted to this engine's exact feature set): per-document boolean
+    * rules plus their conjunction, every threshold evaluated in INTEGER
+    * arithmetic (counts and cross-multiplication, no float division), so
+    * any engine replays the decisions bit-exactly. Rules:
+    *  - r_len:      minTokens ≤ n_tok ≤ maxTokens
+    *  - r_wordlen:  mean token length in [3, 10] chars (×100 integral)
+    *  - r_alpha:    ≥ 80% of tokens contain a letter (10·hits ≥ 8·n)
+    *  - r_stop:     ≥ 2 distinct default stopwords present
+    *  - r_distinct: ≥ 20% distinct tokens (5·distinct ≥ n — the cheap
+    *    repetition gate; `repetitionStats` has the full n-gram version)
+    *
+    * One `tokens` evaluation per row (let-bound), everything map-side. */
+  def gopherFlags(text: Column, minTokens: Int = 50,
+                  maxTokens: Int = 100000): Column =
+    bind(tokens(text)) { ts =>
+      val n = size(ts).cast("long")
+      val chars = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+      val meanX100 = call_function("div", chars * 100L,
+        greatest(n, lit(1L)))
+      val alphaTok = size(filter(ts, t => t.rlike("\\p{L}"))).cast("long")
+      val stopHits = size(array_intersect(
+        array_distinct(transform(ts, t => lower(t))),
+        array(defaultStopwords.map(lit): _*)))
+      val rLen = n >= minTokens && n <= maxTokens
+      val rWordLen = meanX100 >= 300L && meanX100 <= 1000L
+      val rAlpha = alphaTok * 10L >= n * 8L
+      val rStop = stopHits >= 2
+      val rDistinct = size(array_distinct(ts)).cast("long") * 5L >= n
+      struct(n.as("n_tok"), rLen.as("r_len"), rWordLen.as("r_wordlen"),
+        rAlpha.as("r_alpha"), rStop.as("r_stop"),
+        rDistinct.as("r_distinct"),
+        (rLen && rWordLen && rAlpha && rStop && rDistinct).as("keep"))
+    }
+
   /** Cheap n-gram-free language-ID heuristic: count stopword hits per
     * language and take the argmax. Returns the language code column. */
   def langIdGuess(text: Column): Column = {

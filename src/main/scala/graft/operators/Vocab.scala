@@ -570,67 +570,95 @@ object Vocab {
     * return. */
   def stupidBackoffNll(df: DataFrame, id: Column, text: Column,
                        alpha: Double = 0.4, heldMod: Int = 5): DataFrame = {
-    require(alpha > 0 && alpha < 1, s"backoff alpha in (0,1), got $alpha")
     require(heldMod >= 2, s"heldMod >= 2 (else no train split), got $heldMod")
     CacheHygiene.withRddCleanup(df.sparkSession) {
       val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
         .persist()
-      val ts = col("__ts")
       def split(held: Boolean) =
         base.filter(if (held) pmod(col("id"), lit(heldMod)) === 0
                     else pmod(col("id"), lit(heldMod)) =!= 0)
-      def triplesOf(src: DataFrame) = src.select(col("id"), explode(
-          when(size(ts) >= 3,
-            transform(sequence(lit(1), size(ts) - 2), i =>
-              struct(element_at(ts, i).as("w1"),
-                element_at(ts, i + 1).as("w2"),
-                element_at(ts, i + 2).as("w3"))))
-            .otherwise(array().cast(
-              "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
-        .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
-          col("t.w3").as("w3"))
       val train = split(held = false)
-      // trigram table with its context marginal (types-bounded + window)
-      val c3tab = triplesOf(train).groupBy("w1", "w2", "w3")
-        .agg(count(lit(1)).as("c3"))
-        .withColumn("c2",
-          sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
-      // bigram table keyed directly as (w2, w3) — the backoff probe key
-      val bitab = train.select(explode(
-          when(size(ts) >= 2,
-            transform(sequence(lit(1), size(ts) - 1), i =>
-              struct(element_at(ts, i).as("w2"),
-                element_at(ts, i + 1).as("w3"))))
-            .otherwise(array().cast(
-              "array<struct<w2:string,w3:string>>"))).as("p"))
-        .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
-        .groupBy("w2", "w3").agg(count(lit(1)).as("c_br"))
-        .withColumn("c_bl",
-          sum(col("c_br")).over(Window.partitionBy(col("w2"))))
-      val unitab = train.select(explode(ts).as("w3"))
-        .groupBy("w3").agg(count(lit(1)).as("c1"))
-      val stats = unitab.agg(sum(col("c1")).as("n_tok"),
-        count(lit(1)).as("v"))
-      val a  = lit(alpha)
-      val a2 = lit(alpha * alpha)
       CacheHygiene.spillToTempParquet(
-        triplesOf(split(held = true))
-          .join(c3tab, Seq("w1", "w2", "w3"), "left")
-          .join(bitab, Seq("w2", "w3"), "left")
-          .join(unitab, Seq("w3"), "left")
-          .crossJoin(broadcast(stats))
-          .select(col("id"), log(
-            when(col("c3").isNotNull,
-              col("c3").cast("double") / col("c2"))
-            .when(col("c_br").isNotNull,
-              a * col("c_br").cast("double") / col("c_bl"))
-            .otherwise(
-              a2 * (coalesce(col("c1"), lit(0L)) + 1).cast("double") /
-                (col("n_tok") + col("v")))).as("ll"))
-          .groupBy(col("id"))
-          .agg(count(lit(1)).as("n_trigrams"),
-            round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll")),
+        scoreBackoff(docTriples(split(held = true)), triTable(train),
+          biTable(train), uniTable(train), alpha),
         "graft-nll-")
     }
+  }
+
+  /** The per-position trigram stream of a tokenized `(id, __ts)` frame. */
+  private[graft] def docTriples(src: DataFrame): DataFrame = {
+    val ts = col("__ts")
+    src.select(col("id"), explode(
+        when(size(ts) >= 3,
+          transform(sequence(lit(1), size(ts) - 2), i =>
+            struct(element_at(ts, i).as("w1"),
+              element_at(ts, i + 1).as("w2"),
+              element_at(ts, i + 2).as("w3"))))
+          .otherwise(array().cast(
+            "array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+  }
+
+  /** RAW n-gram count tables from a tokenized `(id, __ts)` frame. Raw
+    * counts are ADDITIVE — associative and commutative under per-key sum —
+    * so tables built from any sharding of a corpus merge to the whole-
+    * corpus tables exactly (the property `streaming/NgramLmStream` builds
+    * on). Context marginals are NOT stored: they are derived at scoring
+    * time by [[scoreBackoff]]'s partitioned windows, because a marginal is
+    * not additive across shards but a sum of counts is. */
+  private[graft] def triTable(src: DataFrame): DataFrame =
+    docTriples(src).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+
+  private[graft] def biTable(src: DataFrame): DataFrame = {
+    val ts = col("__ts")
+    src.select(explode(
+        when(size(ts) >= 2,
+          transform(sequence(lit(1), size(ts) - 1), i =>
+            struct(element_at(ts, i).as("w2"),
+              element_at(ts, i + 1).as("w3"))))
+          .otherwise(array().cast(
+            "array<struct<w2:string,w3:string>>"))).as("p"))
+      .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .groupBy("w2", "w3").agg(count(lit(1)).as("c_br"))
+  }
+
+  private[graft] def uniTable(src: DataFrame): DataFrame =
+    src.select(explode(col("__ts")).as("w3"))
+      .groupBy("w3").agg(count(lit(1)).as("c1"))
+
+  /** The three-level Stupid Backoff scorer over RAW count tables
+    * (`triTable`/`biTable`/`uniTable` schemas): derives the context
+    * marginals with context-PARTITIONED windows, broadcasts the one-row
+    * (N, V) corpus stats, and takes the held trigram stream through three
+    * LEFT joins — the [[stupidBackoffNll]] score path, shared verbatim by
+    * the incremental-state scorer so batch and streaming regimes cannot
+    * drift. */
+  private[graft] def scoreBackoff(heldTriples: DataFrame, tri: DataFrame,
+      bi: DataFrame, uni: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"backoff alpha in (0,1), got $alpha")
+    val c3tab = tri.withColumn("c2",
+      sum(col("c3")).over(Window.partitionBy(col("w1"), col("w2"))))
+    val bitab = bi.withColumn("c_bl",
+      sum(col("c_br")).over(Window.partitionBy(col("w2"))))
+    val stats = uni.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
+    val a  = lit(alpha)
+    val a2 = lit(alpha * alpha)
+    heldTriples
+      .join(c3tab, Seq("w1", "w2", "w3"), "left")
+      .join(bitab, Seq("w2", "w3"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), log(
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2"))
+        .when(col("c_br").isNotNull,
+          a * col("c_br").cast("double") / col("c_bl"))
+        .otherwise(
+          a2 * (coalesce(col("c1"), lit(0L)) + 1).cast("double") /
+            (col("n_tok") + col("v")))).as("ll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll"))
   }
 }

@@ -2799,6 +2799,131 @@ FROM r$q82Rounds"""
        |      AS INTEGER) AS rank FROM sc) WHERE rank <= 3""".stripMargin
   }
 
+  // ----------------------------- Gopher quality rules (§2.10 text)
+  // Rae et al. 2021 Appendix A rule filter: per-rule boolean flags plus
+  // the keep conjunction, every threshold in integer arithmetic so the
+  // oracle replays the decisions bit-exactly. Map-side only.
+  private def q101GopherRules(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextExprs.gopherFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_tok").as("n_tok"),
+        col("g.r_len").as("r_len"), col("g.r_wordlen").as("r_wordlen"),
+        col("g.r_alpha").as("r_alpha"), col("g.r_stop").as("r_stop"),
+        col("g.r_distinct").as("r_distinct"), col("g.keep").as("keep"))
+
+  private val q101Sql = {
+    val stops = TextExprs.defaultStopwords.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""$q71TokensCte,
+       |f AS (
+       |  SELECT doc_id, len(ts) AS n,
+       |    COALESCE(list_sum(list_transform(ts, t -> length(t))), 0) * 100
+       |      // greatest(len(ts), 1) AS meanx100,
+       |    len(list_filter(ts, t -> regexp_matches(t, '\\p{L}'))) AS alpha_tok,
+       |    len(list_intersect(list_distinct(list_transform(ts, t -> lower(t))),
+       |        $stops)) AS stop_hits,
+       |    len(list_distinct(ts)) AS n_distinct
+       |  FROM toks)
+       |SELECT doc_id, n AS n_tok,
+       |  (n >= 50 AND n <= 100000) AS r_len,
+       |  (meanx100 >= 300 AND meanx100 <= 1000) AS r_wordlen,
+       |  (alpha_tok * 10 >= n * 8) AS r_alpha,
+       |  (stop_hits >= 2) AS r_stop,
+       |  (n_distinct * 5 >= n) AS r_distinct,
+       |  ((n >= 50 AND n <= 100000) AND (meanx100 >= 300 AND meanx100 <= 1000)
+       |   AND (alpha_tok * 10 >= n * 8) AND (stop_hits >= 2)
+       |   AND (n_distinct * 5 >= n)) AS keep
+       |FROM f""".stripMargin
+  }
+
+  // ----------------------------- CCNet perplexity buckets (§2.10 ext)
+  // Wenzek et al. 2020: score every doc with the corpus LM (q90's add-k
+  // trigram NLL), cut the corpus into head/middle/tail at the NLL
+  // terciles, assign map-side. The tercile boundaries come from the
+  // k-bounded quantile sketch (q67's portable-hash sample — NEVER a
+  // global sort/window over the corpus), broadcast as one row; the oracle
+  // replays LM, sample, rank-picks, and the bucket CASE end-to-end.
+  private def q102CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.operators.Vocab.trigramNll(
+        Tables.documents(s, d), col("doc_id"), col("text"), addK = 0.5)
+      .withColumnRenamed("id", "doc_id")
+    val qs = graft.operators.Sketch.quantileSketch(scored, col("avg_nll"),
+      col("doc_id"), q67K, Seq(1.0 / 3, 2.0 / 3))
+    // two rank-picks → one (t1 ≤ t2) boundary row riding the plan
+    val bounds = qs.agg(min(col("est_value")).as("t1"),
+      max(col("est_value")).as("t2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("t1"), "head")
+          .when(col("avg_nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private val q102Sql = {
+    val raw = "list_reduce(list_transform(string_split(" +
+      "CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val h = s"((($raw * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    val vals = Seq(1.0 / 3, 2.0 / 3)
+      .map(p => s"(CAST($p AS DOUBLE))").mkString(", ")
+    s"""$q71TokensCte,
+       |tri AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks)),
+       |cnt AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+       |cc AS (SELECT w1, w2, w3, c3,
+       |         sum(c3) OVER (PARTITION BY w1, w2) AS c2 FROM cnt),
+       |voc AS (SELECT count(DISTINCT t) AS v
+       |        FROM (SELECT unnest(ts) AS t FROM toks)),
+       |lsc AS (SELECT t.doc_id,
+       |         ln((c3 + 0.5) / (c2 + 0.5 * v)) AS ll
+       |       FROM tri t JOIN cc USING (w1, w2, w3) CROSS JOIN voc),
+       |nll AS (SELECT doc_id, round(-sum(ll) / count(*), 4) AS avg_nll
+       |        FROM lsc GROUP BY doc_id),
+       |hv AS (SELECT DISTINCT $h AS h, CAST(avg_nll AS DOUBLE) AS v FROM nll),
+       |sel AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn FROM hv
+       |        QUALIFY rn <= $q67K),
+       |s AS (SELECT v, row_number() OVER (ORDER BY v, h) AS qrn FROM sel),
+       |n AS (SELECT max(qrn) AS n_sample FROM s),
+       |picks AS (
+       |  SELECT s.v FROM (VALUES $vals) p(prob)
+       |  CROSS JOIN n
+       |  JOIN s ON s.qrn = CAST(ceil(p.prob * n.n_sample) AS INTEGER)),
+       |b AS (SELECT min(v) AS t1, max(v) AS t2 FROM picks)
+       |SELECT nll.doc_id, nll.avg_nll,
+       |  CASE WHEN avg_nll <= t1 THEN 'head'
+       |       WHEN avg_nll <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM nll CROSS JOIN b""".stripMargin
+  }
+
+  // ----------------------------- streaming LM counts (§2.10 streaming)
+  // q98's count tables accumulated across 3 micro-batches of the train
+  // split, then scored from state. Raw n-gram counts are additive, so the
+  // accumulated tables equal the batch tables EXACTLY for any split — the
+  // oracle is q98's SQL verbatim (the q96/q97 oracle-reuse precedent).
+  private def q103StreamingLmCounts(s: SparkSession, d: String): DataFrame = {
+    val dirFile = java.nio.file.Files.createTempDirectory("q103lm").toFile
+    graft.operators.CacheHygiene.registerForCleanup(dirFile)
+    val dir = dirFile.getAbsolutePath
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val mm = train.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val lo = mm.getLong(0)
+    val span = mm.getLong(1) - lo + 1
+    val bounds = Seq(lo, lo + span / 3, lo + 2 * span / 3, Long.MaxValue)
+    (0 until 3).foreach { b =>
+      graft.streaming.NgramLmStream.ingestBatch(s,
+        train.filter(col("doc_id") >= bounds(b) &&
+          col("doc_id") < bounds(b + 1)),
+        col("doc_id"), col("text"), s"$dir/state")
+    }
+    graft.streaming.NgramLmStream.scoreFromState(s, s"$dir/state",
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        col("doc_id"), col("text"), alpha = 0.4)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2896,7 +3021,10 @@ FROM r$q82Rounds"""
     "q97_streaming_ivfpq" -> (q97StreamingIvfPq _),
     "q98_stupid_backoff" -> (q98StupidBackoff _),
     "q99_sq8_topk" -> (q99Sq8TopK _),
-    "q100_sq8_ivf" -> (q100Sq8Ivf _))
+    "q100_sq8_ivf" -> (q100Sq8Ivf _),
+    "q101_gopher_rules" -> (q101GopherRules _),
+    "q102_ccnet_buckets" -> (q102CcnetBuckets _),
+    "q103_streaming_lm" -> (q103StreamingLmCounts _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -2993,5 +3121,8 @@ FROM r$q82Rounds"""
     "q97_streaming_ivfpq" -> q95Sql,
     "q98_stupid_backoff" -> q98Sql,
     "q99_sq8_topk" -> q99Sql,
-    "q100_sq8_ivf" -> q100Sql)
+    "q100_sq8_ivf" -> q100Sql,
+    "q101_gopher_rules" -> q101Sql,
+    "q102_ccnet_buckets" -> q102Sql,
+    "q103_streaming_lm" -> q98Sql)
 }

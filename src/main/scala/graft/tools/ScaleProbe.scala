@@ -774,24 +774,83 @@ object ScaleProbe {
       .cache()
     time(f"sq8 encode               ($n%8d rows, dim=$dim)") { codes.count() }
     val queries = vecs.filter(col("vec_id") < 8)
-    val exact = Similarity.bruteForceTopK(vecs, queries,
+    val cosine = Similarity.bruteForceTopK(vecs, queries,
       "vec_id", "embedding", k = 10).cache()
-    time("float32 cosine scan      (8 queries x 1M rows)") { exact.count() }
+    time("float32 cosine scan      (8 queries x 1M rows)") { cosine.count() }
+    cosine.unpersist()
+    // the recall baseline is the exact float64 DOT top-10 — the SAME
+    // scoring function unquantized, so the delta is ONLY int8 resolution.
+    // (Recall vs the cosine ranking is 0.000 here and means nothing: each
+    // cluster holds ~15k vectors within noise of each other, so dot-order
+    // vs cosine-order among near-ties picks disjoint top-10 sets.)
+    val exactDot = {
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("neighbor_id").asc)
+      vecs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("s", graft.functions.VectorExprs.dot(col("qv"), col("cv")))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .select("query_id", "neighbor_id").cache()
+    }
+    time("float64 dot scan         (ground truth)") { exactDot.count() }
     val sq8 = Quantize.sq8TopK(vecs, queries, "vec_id", "embedding", k = 10)
       .cache()
     time("sq8 dot-product scan     (8 queries x 1M codes)") { sq8.count() }
-    // recall@10 of the int8 DOT ranking vs exact COSINE ranking: on this
-    // corpus vector norms are near-uniform, so dot ≈ cosine ordering and
-    // the delta isolates the int8 resolution loss.
     val hits = sq8.select("query_id", "neighbor_id")
-      .intersect(exact.select("query_id", "neighbor_id")).count()
-    println(f"[probe]   sq8 recall@10 vs exact cosine: ${hits / 80.0}%.3f")
-    sq8.unpersist(); exact.unpersist(); codes.unpersist(); vecs.unpersist()
+      .intersect(exactDot).count()
+    println(f"[probe]   sq8 recall@10 vs exact dot: ${hits / 80.0}%.3f")
+    sq8.unpersist(); exactDot.unpersist(); codes.unpersist(); vecs.unpersist()
+  }
+
+  /** Streaming LM count-table ingest (q103's shape) at 100M tokens in 5
+    * micro-batches: per-batch cost must track (batch types + accumulated
+    * STATE types), never the accumulated token count — counts collapse to
+    * the type tables before any state is touched. Reported per batch so
+    * growth is visible; then one scoreFromState pass over a 1%-of-corpus
+    * probe set. Run: sbt "runMain graft.tools.ScaleProbe lmstream". */
+  def lmStreamProbe(spark: SparkSession): Unit = {
+    import graft.streaming.NgramLmStream
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    val vocab = 5000 // the adversarial near-unique-trigram regime
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(
+          when(col("id") % 5 === 0, col("id") % 1000)
+            .otherwise(col("id")) * 53 + i), lit(vocab)))))
+        .as("text")).cache()
+    val nTok = docs.count() * tokPerDoc
+    val dir = java.nio.file.Files.createTempDirectory("lmstream").toString
+    val batch = nDocs / 5
+    (0 until 5).foreach { b =>
+      time(f"lm ingest batch $b (${batch * tokPerDoc}%10d tokens)") {
+        NgramLmStream.ingestBatch(spark,
+          docs.filter(col("doc_id") >= b * batch &&
+            col("doc_id") < (b + 1) * batch &&
+            pmod(col("doc_id"), lit(100)) =!= 0),
+          col("doc_id"), col("text"), s"$dir/state")
+      }
+    }
+    val triTypes = spark.read.parquet(s"$dir/state/tri").count()
+    println(s"[probe]   accumulated trigram types: $triTypes")
+    time(f"scoreFromState   (${nTok / 100}%10d probe tokens)") {
+      NgramLmStream.scoreFromState(spark, s"$dir/state",
+          docs.filter(pmod(col("doc_id"), lit(100)) === 0),
+          col("doc_id"), col("text"))
+        .agg(avg(col("avg_nll"))).collect()
+    }
+    docs.unpersist()
   }
 
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9", "ops10", "ops11")
+      "ops9", "ops10", "ops11", "lmstream")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -838,6 +897,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops11")) {
       ops11Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("lmstream")) {
+      lmStreamProbe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"

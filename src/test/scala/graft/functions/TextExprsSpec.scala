@@ -53,4 +53,33 @@ class TextExprsSpec extends SparkSpec {
     assert(eval[String](TextExprs.langIdGuess(
       lit("der hund und die katze ist ein tier"))) === "de")
   }
+
+  test("gopherFlags: each rule fires on its own violation") {
+    def flags(text: String, minTokens: Int = 2) =
+      eval[org.apache.spark.sql.Row](
+        TextExprs.gopherFlags(lit(text), minTokens = minTokens))
+    // fluent prose passes every rule (minTokens lowered for the fixture;
+    // mean token length 39·100/12 = 325 ∈ [300, 1000])
+    val ok = flags("the black cat sat on the warm mat and it was there")
+    assert(ok.getAs[Boolean]("keep"),
+      s"expected all rules to pass: $ok")
+    // r_len: one token < minTokens
+    assert(!flags("hello").getAs[Boolean]("r_len"))
+    // r_wordlen: mean token length 15 chars > 10 (×100 = 1500)
+    val long = flags("antidisestablis antidisestablis")
+    assert(!long.getAs[Boolean]("r_wordlen"))
+    assert(long.getAs[Long]("n_tok") === 2L)
+    // r_alpha: >20% numeric tokens
+    assert(!flags("1 2 3 4 5 6 7 8 9 0 the a of and")
+      .getAs[Boolean]("r_alpha"))
+    // r_stop: no stopwords at all
+    assert(!flags("lorem ipsum dolor sit amet").getAs[Boolean]("r_stop"))
+    // r_distinct: one token repeated (distinct ratio 1/12 < 20%)
+    assert(!flags("spam spam spam spam spam spam spam spam spam spam " +
+      "spam spam").getAs[Boolean]("r_distinct"))
+    // empty text: no rule NULLs out, keep is a definite false
+    val empty = flags("   ")
+    assert(empty.getAs[Long]("n_tok") === 0L)
+    assert(!empty.getAs[Boolean]("keep"))
+  }
 }
