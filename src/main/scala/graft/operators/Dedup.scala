@@ -133,6 +133,40 @@ object Dedup {
     rebuildFromKept(base, winners, w)
   }
 
+  /** Frequency-threshold segment drop — RefinedWeb's line-dedup rule
+    * (Penedo et al. 2023 §3.3: lines occurring in many documents are
+    * boilerplate — navigation chrome, cookie banners, license footers —
+    * and are removed from EVERY document, including the first), at token
+    * granularity like [[dedupSegments]]: a disjoint `w`-token segment is
+    * dropped from all docs when it occurs in ≥ `minDf` DISTINCT
+    * documents. Complements first-occurrence dedup (which keeps one
+    * copy): boilerplate is noise everywhere, so no copy survives.
+    * Returns `(doc_id, n_segments, n_kept, text)` per input doc.
+    *
+    * Scale shape — [[dedupSegments]]'s contract plus one refinement:
+    *  - the document-frequency aggregate is over `(skey, doc_id)` pairs
+    *    already deduplicated map-side (`distinct` before the count is a
+    *    partial-agg, so a boilerplate segment repeated within one huge
+    *    doc contributes one posting, not thousands);
+    *  - the drop set (segments with df ≥ minDf) is the HOT-key set — by
+    *    construction small (≤ corpus_segments / minDf), so the anti-join
+    *    broadcasts at any corpus size when minDf scales with the corpus;
+    *  - decision traffic is ids+hash128 only; text crosses exactly one
+    *    exchange (the rebuild join), same as the whole segment family. */
+  def dropFrequentSegments(docs: DataFrame, id: Column, text: Column,
+                           w: Int, minDf: Int): DataFrame = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = segmentBase(docs, id, text)
+    val segs = segmentRows(base, w)
+    val frequent = segs.select(col("skey"), col("doc_id")).distinct()
+      .groupBy(col("skey")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("skey"))
+    val kept = segs.join(frequent, Seq("skey"), "left_anti")
+    rebuildFromKept(base, kept, w)
+  }
+
   /** `(doc_id, ts, n)` token base shared by the segment-dedup family. */
   private[graft] def segmentBase(docs: DataFrame, id: Column,
                                  text: Column): DataFrame = {
@@ -174,21 +208,30 @@ object Dedup {
           .as("text"))
   }
 
-  def dupNgramSpans(docs: DataFrame, id: Column, text: Column,
-                    k: Int): DataFrame = {
-    require(k >= 2, s"span grams need k >= 2, got $k")
+  /** `(doc_id, n_tokens, ts)` gram base + `(doc_id, pos, gkey)` k-gram
+    * start rows + the ≥ `minOcc`-occurrence gram-key set — shared by the
+    * span-stat and span-removal operators. */
+  private def gramBase(docs: DataFrame, id: Column, text: Column): DataFrame = {
     import graft.functions.TextExprs
-    val base = docs.select(id.as("doc_id"), TextExprs.tokens(text).as("ts"))
+    docs.select(id.as("doc_id"), TextExprs.tokens(text).as("ts"))
       .select(col("doc_id"), size(col("ts")).as("n_tokens"), col("ts"))
-    // (doc_id, pos, gram-hash128) for every k-gram start position
-    val grams = base
-      .filter(col("n_tokens") >= k)
+  }
+
+  /** (doc_id, pos, gram-hash128) for every k-gram start position. */
+  private def gramRows(base: DataFrame, k: Int): DataFrame =
+    base.filter(col("n_tokens") >= k)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), col("n_tokens") - k), i => {
           val gram = array_join(slice(col("ts"), i + 1, lit(k)), " ")
           struct(xxhash64(gram).as("h1"), xxhash64(gram, lit(1)).as("h2"))
         })))
       .select(col("doc_id"), col("pos"), col("col").as("gkey"))
+
+  def dupNgramSpans(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"span grams need k >= 2, got $k")
+    val base = gramBase(docs, id, text)
+    val grams = gramRows(base, k)
     val dupKeys = grams.groupBy(col("gkey"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
@@ -207,5 +250,61 @@ object Dedup {
         greatest(col("n_tokens") - (k - 1), lit(0)).cast("long").as("n_grams"))
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dup_grams", "n_dup_tokens"))
+  }
+
+  /** Duplicated-span REMOVAL — the cleanup stage of Lee et al. 2021's
+    * ExactSubstr dedup ([[dupNgramSpans]] is its measurement stage):
+    * every corpus-wide duplicated k-gram keeps exactly ONE occurrence
+    * (the smallest `(doc_id, pos)` — same deterministic first-occurrence
+    * order as [[dedupSegments]]), and token positions covered by the
+    * NON-first occurrences are cut from their documents. Positions under
+    * a first occurrence (or under no duplicated gram) survive, so one
+    * copy of every repeated passage remains in the corpus. Returns
+    * `(doc_id, n_tokens, n_removed, text)` with `text` rebuilt from the
+    * surviving positions in order.
+    *
+    * Scale shape:
+    *  - gram decision traffic is ids + 128-bit hashes (the
+    *    [[dupNgramSpans]] contract); the first-occurrence pick is a
+    *    map-combinable `min(struct)` per gram key, no posting lists;
+    *  - the removal set flows back per doc as an int position array;
+    *    coverage union and the rebuild are per-doc higher-order
+    *    expressions over the doc's own token array — document text
+    *    crosses exactly ONE exchange (the rebuild join);
+    *  - overlap in coverage is resolved per position (a position under
+    *    both a first and a non-first occurrence is removed — the
+    *    non-first gram IS a duplicate even where it overlaps a kept
+    *    one), which keeps the operator one aggregate + one join. */
+  def removeDupSpans(docs: DataFrame, id: Column, text: Column,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"span grams need k >= 2, got $k")
+    val base = gramBase(docs, id, text)
+    val grams = gramRows(base, k)
+    val firsts = grams.groupBy(col("gkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gkey"), col("f"))
+    val nonFirst = grams.join(firsts, Seq("gkey"))
+      .filter(!(col("doc_id") === col("f.doc_id") &&
+        col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos"))
+    val removed = nonFirst.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("doc_id"), array_distinct(flatten(
+        transform(col("__ps"), p => sequence(p, p + (k - 1))))).as("__cov"))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("__all",
+        when(col("n_tokens") > 0, sequence(lit(0), col("n_tokens") - 1))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__keep", when(col("__cov").isNull, col("__all"))
+        .otherwise(filter(col("__all"),
+          p => !array_contains(col("__cov"), p))))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - size(col("__keep"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__keep"), p => element_at(col("ts"), p + 1)))
+          .as("text"))
   }
 }

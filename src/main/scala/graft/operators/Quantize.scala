@@ -475,6 +475,89 @@ object Quantize {
         round(col("score"), 4).as("score"))
   }
 
+  /** Sign-bit binary quantization: `dim` floats → `ceil(dim/32)` packed
+    * 32-bit words (bit i of word w set iff `v[32w+i] > 0`) — a 32×
+    * storage cut and the coarsest point on the PQ→SQ8→BQ compression
+    * ladder (1 bit/dim; Faiss's binary index family, RaBitQ's sign
+    * stage). Words are built by a high-to-low `acc*2 + bit` fold, so the
+    * accumulator never exceeds 2^32 — safe under ANSI arithmetic (no
+    * 64-bit shift/overflow anywhere).
+    *
+    * Scale shape: pure map-side projection (no shuffle, no codebook —
+    * the "quantizer" is the sign function). */
+  def bqEncode(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"bqEncode needs dim >= 1, got $dim")
+    val v = vec.cast("array<double>")
+    val nWords = (dim + 31) / 32
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, i) => {
+        val idx = w * 32 + i + 1 // element_at is 1-based
+        acc * 2 + when(idx <= dim && element_at(v, idx) > 0.0, 1L)
+          .otherwise(0L)
+      }))
+  }
+
+  /** Hamming distance between two [[bqEncode]] signatures: popcount of
+    * the per-word XOR, summed — integer ops only, the whole point of the
+    * binary regime (no float math touches the full corpus). */
+  def bqHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, c) => acc + c)
+
+  /** Binary-quantized top-k with exact rerank: pass 1 ranks the corpus
+    * per query by Hamming distance over the packed sign bits and keeps
+    * the `rerank` closest candidates; pass 2 re-scores ONLY those
+    * candidates with the exact float cosine and emits the top `k`
+    * (`query_id, rank, neighbor_id, hamming, cos`).
+    *
+    * Scale shape — the two-pass contract is the scale story:
+    *  - pass 1 touches every corpus row but ships NOTHING wide: queries'
+    *    signatures broadcast, the Hamming scan is map-side integer
+    *    popcount over 1-bit/dim codes (32× less I/O than the floats),
+    *    and the per-query candidate rank prunes map-side
+    *    (WindowGroupLimit) carrying only `(ids, hamming)`;
+    *  - pass 2 is a broadcast semi-filter of the corpus by the
+    *    queries×rerank candidate set (metadata-sized), so full float
+    *    vectors are read only for candidates — at 10⁹ vectors the float
+    *    column is never scanned in full.
+    * Both passes are exactly replayable: sign tests and popcounts are
+    * integer-exact, the rerank is [[Similarity.bruteForceTopK]]'s IEEE
+    * op sequence — the oracle checks real semantics, not a recall proxy. */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             dim: Int, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must be >= k = $k")
+    val c = corpus.select(col(id).as("neighbor_id"),
+      bqEncode(col(vec), dim).as("csig"))
+    val q = queries.select(col(id).as("query_id"),
+      bqEncode(col(vec), dim).as("qsig"))
+    val ham = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", bqHamming(col("csig"), col("qsig")))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = ham.withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val qv = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("qv"),
+      VectorExprs.norm2(col(vec).cast("array<double>")).as("qn2"))
+    val candQ = cand.join(qv, Seq("query_id"))
+    val cv = corpus.select(col(id).as("neighbor_id"),
+      col(vec).cast("array<double>").as("cv"),
+      VectorExprs.norm2(col(vec).cast("array<double>")).as("cn2"))
+    val den = sqrt(col("qn2")) * sqrt(col("cn2"))
+    val scored = cv.join(broadcast(candQ), Seq("neighbor_id"))
+      .withColumn("cos", when(den === 0.0, lit(null).cast("double"))
+        .otherwise(VectorExprs.dot(col("qv"), col("cv")) / den))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Seed-row codebook: subvectors of the designated corpus rows. */
   def seedCodebook(embs: DataFrame, id: Column, vec: Column,
                    centroidIds: Seq[Long]): Seq[(Int, Seq[Double])] = {

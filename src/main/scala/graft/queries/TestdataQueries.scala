@@ -2924,6 +2924,245 @@ FROM r$q82Rounds"""
       .withColumnRenamed("id", "doc_id")
   }
 
+  // ----------------------------- binary quantization ANN (§2.10 embeddings)
+  // 1-bit/dim sign quantization — the coarsest point of the PQ→SQ8→BQ
+  // ladder: Hamming scan over packed sign words picks `rerank` candidates
+  // per query, exact float cosine re-scores only those. Sign tests and
+  // popcounts are integer-exact and the rerank is q21's IEEE sequence, so
+  // the oracle replays the REAL two-pass semantics (the candidate cut
+  // included), not a recall proxy; the oracle computes Hamming as the
+  // count of sign-disagreeing dimensions — mathematically identical to
+  // the packed-word popcount without bit arithmetic.
+  private val q104Rerank = 10
+
+  private def q104BqTopK(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    graft.operators.Quantize.bqTopK(embs, embs.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dim = pqDim, k = 3, rerank = q104Rerank)
+  }
+
+  private val q104Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |ham AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv, q.qv,
+       |    len(list_filter(range(1, ${pqDim + 1}),
+       |        i -> (c.v[i] > 0) <> (q.qv[i] > 0))) AS hamming
+       |  FROM e c CROSS JOIN qs q WHERE c.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrank
+       |    FROM ham) WHERE hrank <= $q104Rerank),
+       |sc AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    list_inner_product(qv, cv) /
+       |      (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS c
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+       |  round(c, 4) AS cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+       |      FROM sc) WHERE rank <= 3""".stripMargin
+
+  // ----------------------------- boilerplate segment drop (§2.10 ext)
+  // RefinedWeb's line-dedup rule at q88's token-segment granularity: a
+  // segment occurring in ≥ 2 DISTINCT documents is boilerplate and is
+  // dropped from EVERY doc (no survivor — the opposite keep rule to
+  // q88's first-occurrence). The oracle groups by segment text itself,
+  // so a 128-bit hash collision on the Spark side would surface.
+  private def q105BoilerplateSegments(s: SparkSession, d: String): DataFrame =
+    Dedup.dropFrequentSegments(Tables.documents(s, d), col("doc_id"),
+      col("text"), w = q88W, minDf = 2)
+
+  private val q105Sql = {
+    val w = q88W
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    array_to_string(ts[i * $w + 1 : i * $w + $w], ' ') AS seg
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(range(0, (len(ts) + ${w - 1}) // $w)) AS i FROM toks)),
+       |freq AS (
+       |  SELECT seg FROM (
+       |    SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+       |  WHERE df >= 2),
+       |kept AS (SELECT doc_id, pos, seg FROM segs ANTI JOIN freq USING (seg)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(seg, ' ' ORDER BY pos) AS txt
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST((len(t.ts) + ${w - 1}) // $w AS BIGINT) AS n_segments,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(a.txt, '') AS text
+       |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  // ----------------------------- duplicated-span removal (§2.10 ext)
+  // q66's measurement turned into Lee et al.'s cleanup: every duplicated
+  // k-gram keeps its corpus-first occurrence, positions under non-first
+  // occurrences are cut, docs rebuilt from the survivors. The oracle
+  // replays first-pick (row_number over gram text), coverage union, and
+  // rebuild end-to-end.
+  private def q106DupSpanRemoval(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDupSpans(Tables.documents(s, d), col("doc_id"), col("text"),
+      k = q66K)
+
+  private val q106Sql = {
+    val k = q66K
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |b AS (SELECT doc_id, len(ts) AS n_tokens, ts FROM toks),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+${k - 1}], ' ') AS gram
+       |  FROM b, UNNEST(range(1, n_tokens - ${k - 2})) AS u(i)
+       |  WHERE n_tokens >= $k),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY gram) AS n_occ,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |nf AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn > 1),
+       |cov AS (
+       |  SELECT doc_id, list_distinct(flatten(
+       |    list(range(pos, pos + $k) ORDER BY pos))) AS cv
+       |  FROM nf GROUP BY doc_id),
+       |keep AS (
+       |  SELECT b.doc_id, b.n_tokens, b.ts,
+       |    list_filter(range(0, b.n_tokens),
+       |      i -> NOT list_contains(coalesce(c.cv, []), i)) AS kp
+       |  FROM b LEFT JOIN cov c USING (doc_id))
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens - len(kp) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(list_transform(kp, i -> ts[i + 1]), ' '),
+       |           '') AS text
+       |FROM keep""".stripMargin
+  }
+
+  // ----------------------------- random-projection ANN (§2.10 embeddings)
+  // Johnson–Lindenstrauss dimensionality reduction as the candidate
+  // stage of a two-pass top-k: approximate cosine in the 16-dim
+  // projected space picks `rerank` candidates, exact 64-dim cosine
+  // re-scores only those. The matrix is a driver-side literal (q22's
+  // plane discipline), so the oracle replays projection, candidate cut,
+  // and rerank end-to-end.
+  private val q107DimOut = 16
+  private lazy val q107Matrix =
+    Similarity.rpMatrix(pqDim, q107DimOut, seed = 107L)
+
+  private def q107RpTopK(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    Similarity.rpTopK(embs, embs.filter(col("vec_id") < 5),
+      "vec_id", "embedding", q107Matrix, k = 3, rerank = q104Rerank)
+  }
+
+  private val q107Sql = {
+    val proj = q107Matrix.map(row =>
+      "list_inner_product(v, [" + row.map(_.toString).mkString(", ") + "])")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT vec_id, v, $proj AS pv FROM e),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, pv AS pq FROM p WHERE vec_id < 5),
+       |ap AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv, q.qv,
+       |    list_inner_product(q.pq, c.pv) /
+       |      (sqrt(list_inner_product(q.pq, q.pq)) * sqrt(list_inner_product(c.pv, c.pv))) AS ac
+       |  FROM p c CROSS JOIN qs q WHERE c.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS arank
+       |    FROM ap) WHERE arank <= $q104Rerank),
+       |sc AS (
+       |  SELECT query_id, neighbor_id, ac,
+       |    list_inner_product(qv, cv) /
+       |      (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS c
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id, round(ac, 4) AS approx_cos,
+       |  round(c, 4) AS cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+       |      FROM sc) WHERE rank <= 3""".stripMargin
+  }
+
+  // ----------------------------- fuzzy decontamination (§2.10 ext)
+  // Document-level near-dup matching vs the benchmark split (doc_id % 7
+  // = 0): MinHash-LSH band collisions generate corpus×benchmark
+  // candidates, exact cross-set shingle Jaccard ≥ 0.8 confirms. At 16×2
+  // bands recall on ≥0.8 pairs is ≈ 1 (q19's argument), so the output
+  // EQUALS the exact cross-set computation — which is the oracle.
+  private val q108BenchMod = 7L
+
+  private def q108FuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Contamination.fuzzyVsBenchmark(
+      corpus = docs.filter(col("doc_id") % q108BenchMod =!= 0),
+      benchmark = docs.filter(col("doc_id") % q108BenchMod === 0),
+      col("doc_id"), col("text"),
+      n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+  }
+
+  private val q108Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS shingle FROM toks WHERE len(ts) > 0),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS cid, b.doc_id AS bid, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id % $q108BenchMod <> 0 AND b.doc_id % $q108BenchMod = 0
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT cid, bid,
+       |    CAST(n_inter AS DOUBLE) /
+       |      CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS j
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = cid
+       |  JOIN sizes sb ON sb.doc_id = bid)
+       |SELECT cid AS doc_id, count(*) AS n_bench_hits,
+       |  round(max(j), 6) AS max_jaccard
+       |FROM jp WHERE j >= 0.8 GROUP BY cid""".stripMargin
+
+  // ----------------------------- n-gram diversity metrics (§2.10 ext)
+  // Corpus-datasheet repetitiveness signal: per source and per n ∈
+  // {1,2,3}, total n-gram occurrences, distinct n-grams, and their
+  // ratio (type-token ratio at n=1). The Spark side shuffles only
+  // (group, hash128) — the oracle groups by the gram string itself.
+  private def q109NgramDiversity(s: SparkSession, d: String): DataFrame =
+    graft.operators.Diversity.ngramDiversity(Tables.documents(s, d),
+      col("text"), col("source"), Seq(1, 2, 3))
+
+  private val q109Sql = {
+    def level(n: Int) =
+      s"""SELECT grp, $n AS n, count(*) AS n_grams,
+         |  count(DISTINCT g) AS n_distinct,
+         |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS diversity
+         |FROM (
+         |  SELECT source AS grp,
+         |    unnest([array_to_string(ts[i:i+${n - 1}], ' ')
+         |            for i in range(1, len(ts) - ${n - 2})]) AS g
+         |  FROM toks WHERE len(ts) >= $n)
+         |GROUP BY grp""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT source, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents)
+       |${Seq(1, 2, 3).map(level).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3024,7 +3263,13 @@ FROM r$q82Rounds"""
     "q100_sq8_ivf" -> (q100Sq8Ivf _),
     "q101_gopher_rules" -> (q101GopherRules _),
     "q102_ccnet_buckets" -> (q102CcnetBuckets _),
-    "q103_streaming_lm" -> (q103StreamingLmCounts _))
+    "q103_streaming_lm" -> (q103StreamingLmCounts _),
+    "q104_bq_hamming" -> (q104BqTopK _),
+    "q105_boilerplate_segments" -> (q105BoilerplateSegments _),
+    "q106_dup_span_removal" -> (q106DupSpanRemoval _),
+    "q107_rp_topk" -> (q107RpTopK _),
+    "q108_fuzzy_decontaminate" -> (q108FuzzyDecontaminate _),
+    "q109_ngram_diversity" -> (q109NgramDiversity _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3124,5 +3369,11 @@ FROM r$q82Rounds"""
     "q100_sq8_ivf" -> q100Sql,
     "q101_gopher_rules" -> q101Sql,
     "q102_ccnet_buckets" -> q102Sql,
-    "q103_streaming_lm" -> q98Sql)
+    "q103_streaming_lm" -> q98Sql,
+    "q104_bq_hamming" -> q104Sql,
+    "q105_boilerplate_segments" -> q105Sql,
+    "q106_dup_span_removal" -> q106Sql,
+    "q107_rp_topk" -> q107Sql,
+    "q108_fuzzy_decontaminate" -> q108Sql,
+    "q109_ngram_diversity" -> q109Sql)
 }

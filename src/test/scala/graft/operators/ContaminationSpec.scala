@@ -43,4 +43,59 @@ class ContaminationSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"),
       s"bloom gate missing from plan:\n$plan")
   }
+
+  // --------------------------------------- fuzzy (near-dup) decontamination
+
+  import spark.implicits._
+
+  test("fuzzyVsBenchmark flags near- and exact copies, spares low overlap") {
+    val corpus = Seq(
+      // exact copy of bench doc 70 → jaccard 1.0
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      // last token differs: 10 tokens → 8 shingles each, 1 window (start
+      // 7) touches zz → 7 shared / 9 union = 0.778 < τ → spared
+      (2L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 zz"),
+      // shares only a 3-token prefix → far below 0.8
+      (3L, "t0 t1 t2 u3 u4 u5 u6 u7 u8 u9"),
+      (4L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (70L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (71L, "other benchmark material again")).toDF("doc_id", "text")
+    val out = Contamination.fuzzyVsBenchmark(corpus, bench,
+        col("doc_id"), col("text"), n = 3, bands = 16, rowsPerBand = 2,
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L) === ((1L, 1.0)))
+    assert(!out.contains(2L) && !out.contains(3L) && !out.contains(4L))
+  }
+
+  test("fuzzy jaccard equals the exact shingle-set computation") {
+    // 20 tokens → 18 distinct 3-shingles; the copy changes the last
+    // token, touching only window 17 → 17 shared / 19 union ≈ 0.8947
+    val t = (0 until 20).map(i => s"w$i").mkString(" ")
+    val t2 = (0 until 19).map(i => s"w$i").mkString(" ") + " zz"
+    val corpus = Seq((1L, t2)).toDF("doc_id", "text")
+    val bench = Seq((7L, t)).toDF("doc_id", "text")
+    val out = Contamination.fuzzyVsBenchmark(corpus, bench,
+        col("doc_id"), col("text"), n = 3, bands = 16, rowsPerBand = 2,
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 1L,
+      BigDecimal(17.0 / 19.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("fuzzyVsBenchmark plan: benchmark bands and candidates broadcast, " +
+    "corpus never cartesian-joined") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val bench = Seq((7L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Contamination.fuzzyVsBenchmark(corpus, bench,
+        col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -64,4 +64,45 @@ class DupSpansSpec extends SparkSpec {
     assert(m(2L) === ((0L, 0L, 0L, 0L)))
     assert(m(3L) === ((5L, 2L, 0L, 0L)))
   }
+
+  // ----------------------------------------- span REMOVAL (removeDupSpans)
+
+  private def runRemove(k: Int) =
+    Dedup.removeDupSpans(docs, col("id"), col("text"), k)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("one copy of every duplicated passage survives — the corpus-first") {
+    val m = runRemove(4)
+    // doc 1 is the first occurrence of every shared gram: untouched
+    assert(m(1L) === ((10L, 0L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    // doc 2 duplicates doc 1 entirely: every position cut
+    assert(m(2L) === ((10L, 10L, "")))
+    // doc 3 shares only its first 4-gram → positions 0..3 cut
+    assert(m(3L) === ((10L, 4L, "x4 x5 x6 x7 x8 x9")))
+    // unique and shorter-than-k docs pass through (whitespace-normalized)
+    assert(m(4L) === ((10L, 0L, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    assert(m(5L) === ((3L, 0L, "v0 v1 v2")))
+    // within-doc repeat: the second [a0 a1 a2 a3] (pos 6..9) is cut
+    assert(m(6L) === ((10L, 4L, "a0 a1 a2 a3 z0 z1")))
+  }
+
+  test("removal composes with the stats: removed == covered minus " +
+    "first-occurrence coverage") {
+    // doc 2's n_dup_tokens (coverage incl. first copies) is 10, but the
+    // REMOVED count only counts non-first coverage — doc 1 keeps its 10
+    val stats = run(4)
+    val rem = runRemove(4)
+    assert(stats(1L)._4 === 10L && rem(1L)._2 === 0L)
+    assert(stats(2L)._4 === 10L && rem(2L)._2 === 10L)
+  }
+
+  test("empty docs keep a row with empty text") {
+    val d3 = Seq((1L, ""), (2L, "w0 w1 w2 w3")).toDF("id", "text")
+    val m = Dedup.removeDupSpans(d3, col("id"), col("text"), 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(1L) === ((0L, 0L, "")))
+    assert(m(2L) === ((4L, 0L, "w0 w1 w2 w3")))
+  }
 }

@@ -342,4 +342,58 @@ class QuantizeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"query probe must broadcast, not cartesian:\n$plan")
   }
+
+  // ------------------------------------------------- binary quantization
+
+  test("bqEncode packs sign bits low-to-high, 32 per word, zeros excluded") {
+    // dim 34 → 2 words; positives at dims 1, 3 (word 0, bits 0 and 2)
+    // and dim 33 (word 1, bit 0); zero and negatives contribute nothing
+    val v = Seq.tabulate(34) {
+      case 0 => 1.0; case 2 => 0.5; case 32 => 2.0
+      case 1 => 0.0; case i => -1.0 * i
+    }
+    val out = Seq(Tuple1(v)).toDF("v")
+      .select(Quantize.bqEncode(col("v"), 34).as("sig"))
+      .as[Seq[Long]].head()
+    assert(out === Seq(5L, 1L)) // bits {0,2} = 5, bit {0} = 1
+  }
+
+  test("bqHamming equals the count of sign-disagreeing dimensions") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = embs.select($"vec_id".as("a"), $"v".as("va"))
+      .crossJoin(embs.select($"vec_id".as("b"), $"v".as("vb")))
+      .withColumn("h", Quantize.bqHamming(
+        Quantize.bqEncode($"va", 64), Quantize.bqEncode($"vb", 64)))
+      .select($"a", $"b", $"h", $"va", $"vb")
+      .as[(Long, Long, Long, Seq[Double], Seq[Double])].collect()
+    pairs.foreach { case (a, b, h, va, vb) =>
+      val naive = va.zip(vb).count { case (x, y) => (x > 0) != (y > 0) }
+      assert(h === naive, s"pair ($a,$b)")
+    }
+  }
+
+  test("bqTopK with a full-corpus rerank window equals exact brute force") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = embs.count().toInt
+    val exact = Similarity.bruteForceTopK(embs,
+        embs.filter($"vec_id" < 5), "vec_id", "embedding", k = 3)
+      .collect().toSet
+    val bq = Quantize.bqTopK(embs, embs.filter($"vec_id" < 5),
+        "vec_id", "embedding", dim = 64, k = 3, rerank = n)
+      .drop("hamming").collect().toSet
+    assert(bq === exact) // a rerank window covering everything loses nothing
+  }
+
+  test("bqTopK plan: both passes broadcast, rank prunes map-side, " +
+    "no cartesian") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Quantize.bqTopK(embs, embs.filter($"vec_id" < 5),
+        "vec_id", "embedding", dim = 64, k = 3, rerank = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"both corpus passes must broadcast the small side:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"hamming candidate rank must prune map-side:\n$plan")
+  }
 }

@@ -58,4 +58,42 @@ class SegmentDedupSpec extends SparkSpec {
     assert(run(Seq(1L -> "  a   b\tc d  "), 2) ===
       Seq((1L, 2L, 2L, "a b c d")))
   }
+
+  // ------------------------------------ frequency-threshold segment drop
+
+  private def runDf(docs: Seq[(Long, String)], w: Int, minDf: Int) =
+    Dedup.dropFrequentSegments(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), w, minDf)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("a segment in >= minDf docs is dropped from EVERY doc, " +
+    "including the first") {
+    // [a b] occurs in docs 1 and 2 → boilerplate, no survivor anywhere
+    assert(runDf(Seq(1L -> "a b c d", 2L -> "a b x y"), 2, 2) === Seq(
+      (1L, 2L, 1L, "c d"), (2L, 2L, 1L, "x y")))
+  }
+
+  test("document frequency is DISTINCT docs — within-doc repeats " +
+    "do not reach the threshold") {
+    // [a b] twice in doc 1 only: df = 1 < 2, both copies survive
+    assert(runDf(Seq(1L -> "a b a b", 2L -> "x y"), 2, 2) === Seq(
+      (1L, 2L, 2L, "a b a b"), (2L, 1L, 1L, "x y")))
+  }
+
+  test("minDf = 3 spares a two-doc segment") {
+    assert(runDf(Seq(1L -> "a b", 2L -> "a b", 3L -> "a b"), 2, 3) === Seq(
+      (1L, 1L, 0L, ""), (2L, 1L, 0L, ""), (3L, 1L, 0L, "")))
+    assert(runDf(Seq(1L -> "a b", 2L -> "a b", 3L -> "x y"), 2, 3) === Seq(
+      (1L, 1L, 1L, "a b"), (2L, 1L, 1L, "a b"), (3L, 1L, 1L, "x y")))
+  }
+
+  test("empty docs keep their row; thresholds below 2 are rejected") {
+    assert(runDf(Seq(1L -> "", 2L -> "a b"), 2, 2) === Seq(
+      (1L, 0L, 0L, ""), (2L, 1L, 1L, "a b")))
+    intercept[IllegalArgumentException] {
+      Dedup.dropFrequentSegments(Seq(1L -> "a").toDF("doc_id", "text"),
+        col("doc_id"), col("text"), w = 2, minDf = 1)
+    }
+  }
 }

@@ -139,4 +139,47 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(p.contains("vec_dot"), "scoring must use the native kernel")
     assert(!p.contains("CartesianProduct"), "no cartesian allowed")
   }
+
+  // --------------------------------------------- random projection (JL)
+
+  test("rpMatrix is deterministic per seed, shaped dimOut x dimIn") {
+    val a = Similarity.rpMatrix(64, 16, seed = 9L)
+    val b = Similarity.rpMatrix(64, 16, seed = 9L)
+    assert(a === b)
+    assert(a.size === 16 && a.forall(_.size === 64))
+    assert(a !== Similarity.rpMatrix(64, 16, seed = 10L))
+  }
+
+  test("rpTopK with a full-corpus rerank window equals exact brute force") {
+    val n = embs.count().toInt
+    val m = Similarity.rpMatrix(64, 16, seed = 9L)
+    val rp = Similarity.rpTopK(embs, queries, "vec_id", "embedding",
+        m, k, rerank = n)
+      .drop("approx_cos")
+    assert(rp.collect().toSet ===
+      Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k)
+        .collect().toSet)
+  }
+
+  test("projected candidates recall vs exact: measured floor at 2x " +
+      "reduction, rerank=10k") {
+    // this corpus's cosine neighborhoods are TIGHT (clustered fixture),
+    // so JL distortion costs real recall: measured 16d/rerank15 → 0.20,
+    // 32d/rerank50 → 0.59 — comparable to multi-probe LSH's 0.52 above.
+    // The floor pins the 32d/rerank50 operating point against regressions.
+    val m = Similarity.rpMatrix(64, 32, seed = 9L)
+    val rp = pairs(Similarity.rpTopK(embs, queries, "vec_id", "embedding",
+      m, k, rerank = 10 * k))
+    val recall = (rp intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below the measured floor")
+  }
+
+  test("rpTopK plan: broadcast passes, map-side rank pruning, no cartesian") {
+    val m = Similarity.rpMatrix(64, 16, seed = 9L)
+    val p = Similarity.rpTopK(embs, queries, "vec_id", "embedding",
+        m, k, rerank = 3 * k)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), "rank must prune map-side")
+    assert(!p.contains("CartesianProduct"), "no cartesian allowed")
+  }
 }
