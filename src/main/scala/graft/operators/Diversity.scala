@@ -31,7 +31,7 @@ object Diversity {
   /** Every n-gram occurrence of the token array (NOT deduplicated —
     * unlike `TextExprs.wordShingles`, which is a distinct SET for
     * similarity). Empty when the doc has fewer than n tokens. */
-  private def slideGrams(ts: Column, n: Int): Column =
+  private[operators] def slideGrams(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(ts) - n),
         i => array_join(slice(ts, i + 1, lit(n)), " ")))

@@ -499,10 +499,24 @@ object Quantize {
 
   /** Hamming distance between two [[bqEncode]] signatures: popcount of
     * the per-word XOR, summed — integer ops only, the whole point of the
-    * binary regime (no float math touches the full corpus). */
+    * binary regime (no float math touches the full corpus). General
+    * (width-agnostic) HOF form; the hot scan path uses the unrolled
+    * variant below. */
   def bqHamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, c) => acc + c)
+
+  /** [[bqHamming]] unrolled at plan time for a KNOWN word count: a flat
+    * `Σ_w popcount(a[w] ^ b[w])` with no lambda frames or per-row array
+    * allocation — the HOF form measurably dominates the 1M-row scan
+    * (ScaleProbe `ops12`: the zip_with/aggregate scan cost as much as
+    * the full float32 dot scan; unrolled, the signature scan is the
+    * cheap pass it exists to be). */
+  private def bqHammingUnrolled(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map { w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+        .cast("long")
+    }.reduce(_ + _)
 
   /** Binary-quantized top-k with exact rerank: pass 1 ranks the corpus
     * per query by Hamming distance over the packed sign bits and keeps
@@ -524,14 +538,29 @@ object Quantize {
     * integer-exact, the rerank is [[Similarity.bruteForceTopK]]'s IEEE
     * op sequence — the oracle checks real semantics, not a recall proxy. */
   def bqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-             dim: Int, k: Int, rerank: Int): DataFrame = {
+             dim: Int, k: Int, rerank: Int): DataFrame =
+    bqTopKFromSigs(
+      corpus.select(col(id).as("id"), bqEncode(col(vec), dim).as("sig")),
+      corpus, queries, id, vec, dim, k, rerank)
+
+  /** [[bqTopK]] over a PRE-ENCODED signature table `(id, sig)` — the
+    * serving layout: at query time pass 1 scans ONLY the 1-bit/dim
+    * signature table (16 B/row at 512 dims vs 2 KB of floats; the
+    * [[pqAdcTopK]]-from-codes contract), so the float column is touched
+    * exclusively by the candidate rerank. `bqEncode` being a pure
+    * per-row function, the signature table is maintainable by any
+    * append/ingest path with no ordering caveat. */
+  def bqTopKFromSigs(sigs: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     id: String, vec: String, dim: Int, k: Int,
+                     rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must be >= k = $k")
-    val c = corpus.select(col(id).as("neighbor_id"),
-      bqEncode(col(vec), dim).as("csig"))
+    val nWords = (dim + 31) / 32
+    val c = sigs.select(col("id").as("neighbor_id"), col("sig").as("csig"))
     val q = queries.select(col(id).as("query_id"),
       bqEncode(col(vec), dim).as("qsig"))
     val ham = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("hamming", bqHamming(col("csig"), col("qsig")))
+      .withColumn("hamming",
+        bqHammingUnrolled(col("csig"), col("qsig"), nWords))
     val wH = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("neighbor_id").asc)

@@ -3163,6 +3163,56 @@ FROM r$q82Rounds"""
        |${Seq(1, 2, 3).map(level).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // ----------------------------- DSIR importance weights (§2.10 ext)
+  // Data Selection via Importance Resampling (Xie et al. 2023): raw-pool
+  // docs scored by hashed-n-gram likelihood ratio vs the target domain
+  // (source = 'src0'), unigram+bigram features into 1024 buckets, add-1
+  // smoothing. Bucket hash = the oracle-portable poly fold (q87's replay
+  // discipline); ln-sum rounding(4) follows the LM-oracle precedent.
+  private val q110Buckets = 1024
+
+  private def q110DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dsir.importanceWeights(
+      raw = docs.filter(col("source") =!= "src0"),
+      target = docs.filter(col("source") === "src0"),
+      col("doc_id"), col("text"), buckets = q110Buckets)
+  }
+
+  private val q110Sql = {
+    val b = q110Buckets
+    val poly = "list_reduce(list_transform(string_split(g, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, unnest(list_concat(ts,
+       |    [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))])) AS g
+       |  FROM toks),
+       |gb AS (SELECT doc_id, source, $poly % $b AS bk FROM grams),
+       |tb AS (SELECT bk, count(*) AS ct FROM gb WHERE source = 'src0' GROUP BY bk),
+       |rb AS (SELECT bk, count(*) AS cr FROM gb WHERE source <> 'src0' GROUP BY bk),
+       |tot AS (SELECT (SELECT sum(ct) FROM tb) AS nt,
+       |               (SELECT sum(cr) FROM rb) AS nr),
+       |lr AS (
+       |  SELECT coalesce(tb.bk, rb.bk) AS bk,
+       |    ln(((coalesce(ct, 0) + 1.0) / (nt + $b)) /
+       |       ((coalesce(cr, 0) + 1.0) / (nr + $b))) AS lr
+       |  FROM tb FULL JOIN rb ON tb.bk = rb.bk CROSS JOIN tot),
+       |doc AS (
+       |  SELECT doc_id, count(*) AS n_grams, round(sum(lr), 4) AS logw
+       |  FROM gb JOIN lr ON gb.bk = lr.bk WHERE source <> 'src0'
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(d.n_grams, 0) AS n_grams,
+       |  coalesce(d.logw, 0.0) AS logw,
+       |  coalesce(d.logw, 0.0) > 0.0 AS selected
+       |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') t
+       |LEFT JOIN doc d ON t.doc_id = d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3269,7 +3319,8 @@ FROM r$q82Rounds"""
     "q106_dup_span_removal" -> (q106DupSpanRemoval _),
     "q107_rp_topk" -> (q107RpTopK _),
     "q108_fuzzy_decontaminate" -> (q108FuzzyDecontaminate _),
-    "q109_ngram_diversity" -> (q109NgramDiversity _))
+    "q109_ngram_diversity" -> (q109NgramDiversity _),
+    "q110_dsir_weights" -> (q110DsirWeights _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3375,5 +3426,6 @@ FROM r$q82Rounds"""
     "q106_dup_span_removal" -> q106Sql,
     "q107_rp_topk" -> q107Sql,
     "q108_fuzzy_decontaminate" -> q108Sql,
-    "q109_ngram_diversity" -> q109Sql)
+    "q109_ngram_diversity" -> q109Sql,
+    "q110_dsir_weights" -> q110Sql)
 }

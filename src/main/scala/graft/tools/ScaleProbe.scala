@@ -727,11 +727,115 @@ object ScaleProbe {
     }
   }
 
-  /** Round-11 probes. (a) Stupid Backoff scoring at 100M tokens, both
-    * vocabulary regimes (the ops8/ops9 LM corpus shapes): the v100 run is
-    * the TYPES-bounded contract, v5000 the adversarial near-unique-trigram
-    * worst case — held-out docs are 1/5 of the corpus, so the probe pays
-    * the three LEFT joins of a 20M-token probe stream against the count
+  /** Round-11 operators at scale. (a) Binary quantization and random
+    * projection at 1M × 64-dim clustered vectors: encode/scan cost vs
+    * the float32 brute-force baseline and recall@10 at a bounded rerank
+    * window — the candidate-stage trades each layout buys. (b) The
+    * segment/span dedup family and n-gram diversity at 100M tokens
+    * (2M docs × 50), with 20% boilerplate docs so the drop sets are
+    * non-trivial. (c) Fuzzy decontamination of the 2M-doc corpus against
+    * a 1k-doc benchmark. (d) DSIR importance weights over the same
+    * corpus with a 1%-of-docs target. Run:
+    * sbt "runMain graft.tools.ScaleProbe ops12". */
+  /** The vector third of [[ops12Probe]], runnable alone ("ops12v"):
+    * BQ and RP candidate-stage costs vs the float32 scan at 1M × 64-dim
+    * clustered vectors. Recall@10 here is the NEAR-TIE artifact the
+    * ops11 SQ8 probe documents (each cluster holds ~15k vectors within
+    * noise, so any sketch's candidate order among near-ties diverges
+    * from exact-cosine order) — the meaningful recall figures are the
+    * fixture-corpus floors pinned in SimilarityRecallSpec (RP 0.59) and
+    * QuantizeSpec's full-window exactness; what this probe certifies is
+    * COST: the signature scan must undercut the float scan. */
+  def ops12VecProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Quantize, Similarity}
+    val n = 1000000L
+    val dim = 64
+    val cid = col("id") % 64
+    val vecs = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(hash(cid * 53 + i), lit(2001)) - 1000) / 1000.0) +
+          ((pmod(hash(col("id") * 101 + i), lit(2001)) - 1000) / 20000.0))
+        .as("embedding")).cache()
+    vecs.count()
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").cache()
+    time("float32 cosine scan       (8 queries x 1M rows)") { exact.count() }
+    val sigs = vecs.select(col("vec_id").as("id"),
+      Quantize.bqEncode(col("embedding"), dim).as("sig")).cache()
+    time(f"bq encode                 ($n%8d rows -> 2 words)") { sigs.count() }
+    val bq = Quantize.bqTopKFromSigs(sigs, vecs, queries, "vec_id",
+      "embedding", dim, k = 10, rerank = 100).cache()
+    time("bq sig scan + rerank100   (8 queries x 1M sigs)") { bq.count() }
+    val bqHits = bq.select("query_id", "neighbor_id").intersect(exact).count()
+    println(f"[probe]   bq recall@10 vs exact cosine: ${bqHits / 80.0}%.3f" +
+      " (near-tie artifact; see scaladoc)")
+    bq.unpersist(); sigs.unpersist()
+    val rpM = Similarity.rpMatrix(dim, 16, seed = 12L)
+    val rp = Similarity.rpTopK(vecs, queries, "vec_id", "embedding",
+      rpM, k = 10, rerank = 100).cache()
+    time("rp 64->16 + rerank100     (8 queries x 1M rows)") { rp.count() }
+    val rpHits = rp.select("query_id", "neighbor_id").intersect(exact).count()
+    println(f"[probe]   rp recall@10 vs exact cosine: ${rpHits / 80.0}%.3f" +
+      " (near-tie artifact; see scaladoc)")
+    rp.unpersist(); exact.unpersist(); vecs.unpersist()
+  }
+
+  def ops12Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Contamination, Dedup, Diversity, Dsir}
+    ops12VecProbe(spark)
+    // ---- (b) segment/span dedup + diversity at 100M tokens ----
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    // 20% of docs (id % 5 == 0) share one of 1000 boilerplate bodies;
+    // the rest are near-unique — mirrors a web crawl's chrome/dup mix
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(
+          when(col("id") % 5 === 0, col("id") % 1000)
+            .otherwise(col("id")) * 53 + i), lit(5000)))))
+        .as("text")).cache()
+    val nTok = docs.count() * tokPerDoc
+    time(f"dropFrequentSegments w=8  ($nTok%11d tokens)") {
+      Dedup.dropFrequentSegments(docs, col("doc_id"), col("text"),
+        w = 8, minDf = 2).agg(sum(col("n_kept"))).collect()
+    }
+    time(f"removeDupSpans k=8        ($nTok%11d tokens)") {
+      Dedup.removeDupSpans(docs, col("doc_id"), col("text"), k = 8)
+        .agg(sum(col("n_removed"))).collect()
+    }
+    time(f"ngramDiversity n=1,2      ($nTok%11d tokens)") {
+      Diversity.ngramDiversity(docs, col("text"),
+        pmod(col("doc_id"), lit(20)), Seq(1, 2)).collect()
+    }
+    // ---- (c) fuzzy decontamination vs a 1k-doc benchmark ----
+    val bench = spark.range(1000).select(
+      (col("id") * 5).as("doc_id"),   // every bench doc HAS corpus dups
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(5000)))))
+        .as("text"))
+    time(f"fuzzyVsBenchmark          (${nDocs}%8d docs x 1k bench)") {
+      Contamination.fuzzyVsBenchmark(docs, bench, col("doc_id"),
+        col("text"), n = 3, bands = 16, rowsPerBand = 2,
+        threshold = 0.8).count()
+    }
+    // ---- (d) DSIR with a 1%-of-docs target ----
+    time(f"dsir importance weights   ($nTok%11d tokens, 1%% target)") {
+      Dsir.importanceWeights(
+        raw = docs.filter(col("doc_id") % 100 =!= 0),
+        target = docs.filter(col("doc_id") % 100 === 0),
+        col("doc_id"), col("text"), buckets = 8192)
+        .agg(sum(when(col("selected"), 1).otherwise(0))).collect()
+    }
+    docs.unpersist()
+  }
+
+  /** Round-10 operators at scale, part 2. (a) Stupid Backoff LM at 100M
+    * tokens in the TYPES-bounded and near-unique-trigram vocab regimes —
+    * count-table cost tracks types, not tokens, in both count-table
     * tables. (b) SQ8 at 1M × 64-dim clustered vectors (the ops10 corpus):
     * encode cost (map-side, no shuffle), top-k scan cost vs the float32
     * brute-force scan, and recall@10 vs exact — the memory/recall trade
@@ -850,7 +954,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9", "ops10", "ops11", "lmstream")
+      "ops9", "ops10", "ops11", "ops12", "ops12v", "lmstream")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -897,6 +1001,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops11")) {
       ops11Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops12")) {
+      ops12Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops12v")) {
+      ops12VecProbe(spark); spark.stop(); return
     }
     if (args.headOption.contains("lmstream")) {
       lmStreamProbe(spark); spark.stop(); return
