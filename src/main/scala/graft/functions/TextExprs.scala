@@ -87,6 +87,32 @@ object TextExprs {
     call_function("div", chars * 100L, greatest(size(ts).cast("long"), lit(1L)))
   }
 
+  /** Shannon entropy (nats) of the document's CHARACTER distribution —
+    * the classic gibberish/low-information gate: keyboard mash, base64
+    * blobs and repeated-char padding sit far from prose entropy (~2.9–3.3
+    * nats for English), so a band filter on this catches junk that
+    * token-level ratios miss. Computed map-side per row with no shuffle:
+    * one HOF fold over the SORTED distinct-character array (sorted so the
+    * float summation order is engine-replayable), each term counting its
+    * character's occurrences with a `filter` scan. Cost is O(distinct ×
+    * len) per doc — distinct chars are alphabet-bounded (≲ 100 for text),
+    * so this is ~100× a plain scan in the worst case and far less in
+    * practice; the relational alternative (explode chars → two-level agg)
+    * trades that constant for a corpus-cardinality shuffle, the wrong side
+    * of the trade at 100 TB. Empty docs → 0.0. `round(…, 4)` absorbs the
+    * residual cross-engine float-order risk (q72 discipline). */
+  def charEntropy(text: Column): Column =
+    bind(split(text, "")) { cs =>
+      bind(array_sort(array_distinct(cs))) { ds =>
+        val n = size(cs).cast("double")
+        val ent = aggregate(ds, lit(0.0), (acc, c) =>
+          acc - bind(size(filter(cs, x => x === c)).cast("double") / n) {
+            p => p * log(p)
+          })
+        when(length(text) === 0, lit(0.0)).otherwise(round(ent, 4))
+      }
+    }
+
   /** Deterministic 64-bit document fingerprint: polynomial rolling hash over
     * the characters (h ← (h·31 + code) mod 1e9+7). Same recurrence is
     * expressible in ANSI SQL (list_reduce), giving an oracle-checkable

@@ -57,4 +57,29 @@ object Diversity {
             col("n_grams").cast("double"), 6).as("diversity"))
     }.reduce(_ unionByName _)
   }
+
+  /** Per-group token-length histogram in power-of-two buckets — the
+    * length-distribution panel of a corpus datasheet (and the input to
+    * curriculum/packing decisions: how much of a source is sub-context-
+    * length shorts vs truncation-risk longs). Bucket is `⌊log2 n⌋ + 1`
+    * computed as the LENGTH OF THE BINARY STRING of the token count
+    * (`bin(n)`) — pure integer/string arithmetic, no float log2 whose
+    * boundary values (`log2(2^k)`) would be at the mercy of libm; bucket
+    * 0 holds empty docs. All outputs are exact integers → hash-exact
+    * across engines.
+    *
+    * Scale shape: token counts are map-side (one let-bound tokenize),
+    * the aggregate is a two-level map-combined groupBy over (group,
+    * bucket) — output cardinality groups × ~40 buckets, metadata-sized;
+    * the corpus shuffles only its pre-aggregated partials. */
+  def lengthHistogram(docs: DataFrame, text: Column,
+                      group: Column): DataFrame = {
+    val nTok = TextExprs.tokenCount(text).cast("long")
+    val bucket = when(nTok === 0, lit(0))
+      .otherwise(length(bin(nTok)).cast("int"))
+    docs.select(group.as("grp"), nTok.as("n_tok"), bucket.as("bucket"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+  }
 }

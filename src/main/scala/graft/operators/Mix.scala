@@ -66,6 +66,34 @@ object Mix {
       .select(col("id"), col("grp"), col("w"), col("rate_bp"))
   }
 
+  /** Per-group document cap, best-first (the RefinedWeb/C4 per-domain cap:
+    * no single domain may contribute more than `n` documents, and when a
+    * domain is over the cap its BEST-scoring docs survive — a diversity
+    * guard against template farms and SEO mills flooding a mixture with
+    * near-identical boilerplate). Rank within `group` by `quality`
+    * descending, `id` ascending (total order — float ties cannot make the
+    * cut nondeterministic), keep `rank <= n`.
+    *
+    * Scale shape: ONE shuffle on the group key; `row_number <= n` is
+    * recognized by WindowGroupLimit, so each map task pre-prunes to its
+    * local top-n per group before the exchange — a hot domain ships
+    * O(tasks·n) rows, not its full posting. The quality expression rides
+    * the scan (evaluated once, map-side); no join. Skew note: a
+    * pathological single-domain corpus concentrates one partition, but
+    * the group-limit pre-prune bounds what reaches it. */
+  def capPerGroup(df: DataFrame, id: Column, group: Column,
+      quality: Column, n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    val rows = df.select(id.as("id"), group.as("grp"), quality.as("q"))
+      .filter(col("id").isNotNull && col("grp").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("q").desc, col("id").asc)
+    rows.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("grp"), col("rank"), col("id"),
+        round(col("q"), 4).as("quality"))
+  }
+
   /** Deterministic train/val/test (or any n-way) split assignment: each
     * row's portable id-hash lands in one of `fractions`' cumulative
     * buckets over [0, scale). Appends a `split` column; the assignment is

@@ -74,6 +74,54 @@ object NearDup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directed shingle-containment pairs: `C(A→B) = |A∩B| / |A|` ≥
+    * `threshold` with A ≠ B — the ASYMMETRIC near-dup relation Jaccard
+    * misses. A short document quoted whole inside a long one has high
+    * containment but low Jaccard (the union is dominated by the long
+    * side), which is exactly the quote/excerpt/version-supersede case a
+    * curation pipeline wants: drop the contained side, keep the superset.
+    * Broder (1997) defines both resemblances; dedup practice mostly ships
+    * the symmetric one, so this is the complementary operator.
+    *
+    * Plan shape is [[shingleJaccardPairs]] verbatim up to the pair
+    * aggregate — ONE posting shuffle keyed by the 128-bit shingle hash,
+    * df-cut cap, nested explode of per-shingle posting lists — the only
+    * differences are that pairs are emitted in BOTH directions (the
+    * relation is directed; `a < b` dedup would silently pick one) and the
+    * denominator is the SUBSET side's shingle count. Cost is identical:
+    * Σ|posting|² per shingle, never n². Singleton-shingle docs still
+    * count toward denominators via the same sizes re-derivation. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       n: Int, threshold: Double,
+                       maxPostings: Int = 1000): DataFrame = {
+    val sh = shingles(docs, id, text, n)
+    val posting = sh.groupBy(
+        struct(xxhash64(col("shingle")),
+          xxhash64(col("shingle"), lit(1))).as("shingle_key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxPostings)
+    val sizes = posting.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // both directions: (sub, sup) and (sup, sub) score independently
+    val inter = posting
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_sub"), col("ids"))
+      .select(col("id_sub"), explode(col("ids")).as("id_sup"))
+      .filter(col("id_sub") =!= col("id_sup"))
+      .groupBy(col("id_sub"), col("id_sup"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_sub")
+        .withColumnRenamed("n_sh", "n_sub"), Seq("id_sub"))
+      .join(sizes.withColumnRenamed("id", "id_sup")
+        .withColumnRenamed("n_sh", "n_sup"), Seq("id_sup"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_sub").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_sub"), col("id_sup"), col("n_inter"), col("n_sub"),
+        col("n_sup"), round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash signature: for each of `numPerms` hash functions take the min of
     * `xxhash64(shingle, seed_i)` over the doc's shingle set. Pure map-side
     * (aggregate over the shingle array) — no shuffle to build signatures. */

@@ -95,6 +95,43 @@ object Similarity {
       .select(col("query_id"), col("lab").as("pred_label"), col("votes"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * retrieval recipe): for each query embedding, the `k` most-similar
+    * corpus embeddings with a DIFFERENT label — maximally confusable
+    * non-matches, the negatives that actually move a contrastive loss.
+    * `maxCos` is the standard false-negative guard: a different-label row
+    * whose cosine exceeds it is almost certainly a mislabeled duplicate of
+    * the query (denoised hard-negative mining), so it is excluded BEFORE
+    * ranking rather than served as a "negative".
+    *
+    * Scale shape: [[knnClassify]] verbatim — queries (with their labels)
+    * broadcast, scoring map-side on the codegen'd dot kernel, per-query
+    * rank pruned map-side by WindowGroupLimit; the label inequality and
+    * maxCos guard are scan-side filters, so non-candidates never reach the
+    * window. No extra join: the corpus label rides the scan. */
+  def hardNegatives(labeled: DataFrame, queries: DataFrame, id: String,
+      vec: String, label: String, k: Int,
+      maxCos: Double = 0.995): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      col(label).as("query_label"), col(vec).as("qv"),
+      VectorExprs.norm2(col(vec)).as("qn2"))
+    val c = labeled.select(col(id).as("neighbor_id"),
+      col(label).as("neighbor_label"), col(vec).as("cv"),
+      VectorExprs.norm2(col(vec)).as("cn2"))
+    val scored = c.join(broadcast(q),
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos",
+        pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
+      .filter(col("cos") <= maxCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF with a LEARNED coarse quantizer (k-means, MLlib) and multi-probe:
     * corpus rows are assigned to their nearest centroid once; each query
     * probes its `nProbe` nearest centroids, so recall degrades gracefully
@@ -252,6 +289,37 @@ object Similarity {
   def rpMatrix(dimIn: Int, dimOut: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(dimOut)(Seq.fill(dimIn)(rng.nextGaussian() / math.sqrt(dimOut)))
+  }
+
+  /** Deterministic random ORTHOGONAL `dim`×`dim` matrix: modified
+    * Gram–Schmidt over seeded Gaussian rows (Haar-ish rotation — exact
+    * uniformity would need the QR sign fix, irrelevant for balancing).
+    * Driver-side pure arithmetic; the result rides query plans as
+    * literals like [[rpMatrix]]. Rotating vectors by an orthogonal
+    * matrix preserves all pairwise distances EXACTLY in real arithmetic,
+    * which is what makes it the OPQ-lite pre-step for product
+    * quantization: PQ's per-subspace distortion depends on how variance
+    * spreads across the fixed coordinate cuts, and a random rotation
+    * decorrelates/balances the subspaces (Jégou et al.'s random-rotation
+    * baseline; OPQ learns the rotation, this ships the training-free
+    * rung) without changing which neighbors are near. */
+  def orthogonalMatrix(dim: Int, seed: Long): Seq[Seq[Double]] = {
+    require(dim >= 1, s"orthogonalMatrix needs dim >= 1, got $dim")
+    val rng = new scala.util.Random(seed)
+    val rows = Array.fill(dim, dim)(rng.nextGaussian())
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(k => rows(i)(k) * rows(j)(k)).sum
+        for (k <- 0 until dim) rows(i)(k) -= d * rows(j)(k)
+      }
+      val n = math.sqrt((0 until dim).map(k => rows(i)(k) * rows(i)(k)).sum)
+      // dim iid Gaussian rows are almost surely independent; a degenerate
+      // draw means the seed is pathological — fail loudly, don't emit a
+      // non-orthogonal "rotation"
+      require(n > 1e-9, s"degenerate Gram-Schmidt row $i (seed $seed)")
+      for (k <- 0 until dim) rows(i)(k) /= n
+    }
+    rows.map(_.toIndexedSeq).toIndexedSeq
   }
 
   /** Project `v` through a literal matrix: `out[j] = dot(v, row_j)` —

@@ -585,6 +585,78 @@ object Vocab {
     }
   }
 
+  /** Per-document interpolated Kneser–Ney bigram NLL (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) — the standard-smoothing
+    * rung above [[stupidBackoffNll]]'s score-only shortcut:
+    *
+    *   P(r|l) = max(C(l,r) − D, 0)/C(l,·)
+    *          + D·N1+(l,·)/C(l,·) · N1+(·,r)/N1+(·,·)
+    *
+    * with ONE absolute discount `D ∈ (0,1)` and the continuation
+    * distribution `N1+(·,r)/N1+(·,·)` — "how many distinct contexts does r
+    * follow" — instead of raw unigram frequency (the "San Francisco"
+    * correction: a word frequent only inside one collocation gets a SMALL
+    * continuation weight). The discounted mass D·N1+(l,·)/C(l,·) is
+    * exactly what the max(·−D,0) term gives up, so P sums to 1 over the
+    * vocabulary per context. Scored over the corpus itself every scored
+    * bigram is seen (first term > 0); the interpolation still shifts mass,
+    * so the oracle replays the exact formula. Docs with < 2 tokens have no
+    * bigrams and are excluded; `round(…, 4)` absorbs cross-engine
+    * ln/sum-order float risk (q72 discipline).
+    *
+    * Scale shape: ONE tokenize (persisted (id, tokens) base, q72's
+    * single-scan discipline); everything KN adds over [[bigramNll]] is
+    * derived from the TYPES-bounded bigram count table, never the corpus
+    * stream — C(l,·) and N1+(l,·) from one window PARTITIONED BY l_tok,
+    * N1+(·,r) from one PARTITIONED BY r_tok (two exchanges of a bounded
+    * table), N1+(·,·) a one-row count riding a broadcast crossJoin. The
+    * probe join is pair-keyed; the per-doc aggregate map-combinable.
+    * MATERIALIZES like [[bigramNll]]: narrow per-doc spill out, scoped
+    * cache released on return. */
+  def kneserNeyNll(df: DataFrame, id: Column, text: Column,
+                   discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"KN absolute discount in (0,1), got $discount")
+    CacheHygiene.withRddCleanup(df.sparkSession) {
+      val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
+        .persist()
+      val ts = col("__ts")
+      def pairs = base.select(col("id"), explode(
+          when(size(ts) >= 2,
+            transform(sequence(lit(1), size(ts) - 1), i =>
+              struct(element_at(ts, i).as("l_tok"),
+                element_at(ts, i + 1).as("r_tok"))))
+            .otherwise(array().cast(
+              "array<struct<l_tok:string,r_tok:string>>"))).as("p"))
+        .select(col("id"), col("p.l_tok").as("l_tok"),
+          col("p.r_tok").as("r_tok"))
+      val counts = pairs.groupBy("l_tok", "r_tok")
+        .agg(count(lit(1)).as("c_lr"))
+      // every row of the bounded table is a distinct (l,r) type, so
+      // count(*) over a context partition IS that context's N1+
+      val tab = counts
+        .withColumn("c_l",
+          sum(col("c_lr")).over(Window.partitionBy(col("l_tok"))))
+        .withColumn("n1p_l",
+          count(lit(1)).over(Window.partitionBy(col("l_tok"))))
+        .withColumn("n1p_r",
+          count(lit(1)).over(Window.partitionBy(col("r_tok"))))
+      val types = counts.agg(count(lit(1)).as("n1p_all"))
+      val d = lit(discount)
+      CacheHygiene.spillToTempParquet(
+        pairs.join(tab, Seq("l_tok", "r_tok"))
+          .crossJoin(broadcast(types))
+          .select(col("id"), log(
+            greatest(col("c_lr").cast("double") - d, lit(0.0)) / col("c_l") +
+              d * col("n1p_l") / col("c_l") *
+                (col("n1p_r").cast("double") / col("n1p_all"))).as("ll"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-sum(col("ll")) / count(lit(1)), 4).as("avg_nll")),
+        "graft-nll-")
+    }
+  }
+
   /** The per-position trigram stream of a tokenized `(id, __ts)` frame. */
   private[graft] def docTriples(src: DataFrame): DataFrame = {
     val ts = col("__ts")

@@ -3213,6 +3213,251 @@ FROM r$q82Rounds"""
        |LEFT JOIN doc d ON t.doc_id = d.doc_id""".stripMargin
   }
 
+  // ----------------------------- Kneser–Ney bigram LM (§2.10 ext)
+  // Interpolated KN with one absolute discount D=0.75: the
+  // standard-smoothing rung above stupid backoff — continuation counts
+  // (distinct contexts) instead of raw frequency in the backoff term.
+  private def q111KnNll(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.kneserNeyNll(
+      Tables.documents(s, d), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val q111Sql =
+    s"""$q71PairsCte,
+       |cnt AS (SELECT l_tok, r_tok, count(*) AS c_lr FROM pairs GROUP BY 1, 2),
+       |tab AS (SELECT l_tok, r_tok, c_lr,
+       |    sum(c_lr) OVER (PARTITION BY l_tok) AS c_l,
+       |    count(*) OVER (PARTITION BY l_tok) AS n1p_l,
+       |    count(*) OVER (PARTITION BY r_tok) AS n1p_r
+       |  FROM cnt),
+       |tot AS (SELECT count(*) AS n1p_all FROM cnt),
+       |sc AS (SELECT p.doc_id, ln(
+       |    greatest(CAST(c_lr AS DOUBLE) - 0.75, 0.0) / c_l +
+       |    0.75 * n1p_l / c_l * (CAST(n1p_r AS DOUBLE) / n1p_all)) AS ll
+       |  FROM pairs p JOIN tab USING (l_tok, r_tok) CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(-sum(ll) / count(*), 4) AS avg_nll
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  // ----------------------------- shingle containment (§2.10 ext)
+  // Directed |A∩B|/|A| — the asymmetric quote/excerpt relation Jaccard
+  // misses; same posting-list plan as q18, both directions emitted.
+  private val q112Threshold = 0.5
+
+  private def q112Containment(s: SparkSession, d: String): DataFrame =
+    graft.operators.NearDup.containmentPairs(Tables.documents(s, d),
+      col("doc_id"), col("text"), n = 3, threshold = q112Threshold)
+
+  private val q112Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS shingle FROM toks WHERE len(ts) > 0),
+       |sh AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM sh0) WHERE df <= 1000),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_sub, b.doc_id AS id_sup, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_sub, id_sup, n_inter, sa.n_sh AS n_sub, sb.n_sh AS n_sup,
+       |  round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6)
+       |    AS containment
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_sub
+       |JOIN sizes sb ON sb.doc_id = id_sup
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)
+       |  >= $q112Threshold""".stripMargin
+
+  // ----------------------------- character entropy (§2.10 ext)
+  // Shannon entropy of the per-doc character distribution — the
+  // gibberish/base64/padding gate. Spark computes it map-side (sorted
+  // distinct-char fold); the oracle replays it relationally. round(4)
+  // absorbs the sum-order float delta; `0 -` keeps +0.0 (not -0.0) on
+  // single-distinct-char docs so the normalized hash agrees.
+  private def q113CharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextExprs.charEntropy(col("text")).as("char_entropy"))
+
+  private val q113Sql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c
+      |  FROM documents WHERE length(text) > 0),
+      |hist AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(n) AS t FROM hist GROUP BY 1),
+      |ent AS (
+      |  SELECT h.doc_id, round(0 - sum(
+      |      (CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)), 4)
+      |    AS char_entropy
+      |  FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id)
+      |SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
+      |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin
+
+  // ----------------------------- hard-negative mining (§2.10 ext)
+  // Contrastive-training negatives: per query, top-k most-similar
+  // DIFFERENT-label embeddings under the false-negative cosine guard.
+  private val q114MaxCos = 0.995
+
+  private def q114HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    graft.operators.Similarity.hardNegatives(embs,
+      embs.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+      k = 5, maxCos = q114MaxCos)
+  }
+
+  private val q114Sql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+       |      FROM e WHERE vec_id < 8),
+       |s AS (
+       |  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+       |    e.label AS neighbor_label,
+       |    list_inner_product(q.qv, e.v) /
+       |      (sqrt(list_inner_product(q.qv, q.qv)) *
+       |       sqrt(list_inner_product(e.v, e.v))) AS c
+       |  FROM e CROSS JOIN q WHERE q.query_label <> e.label)
+       |SELECT query_id, query_label, rank, neighbor_id, neighbor_label,
+       |  round(c, 4) AS cos
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+       |      AS INTEGER) AS rank
+       |      FROM s WHERE c <= $q114MaxCos) WHERE rank <= 5""".stripMargin
+
+  // ----------------------------- per-source document cap (§2.10 ext)
+  // RefinedWeb-style per-domain cap: best-quality `n` docs survive per
+  // source. Empty docs excluded on both sides (q30 parity).
+  private val q115Cap = 10
+
+  private def q115SourceCap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+    graft.operators.Mix.capPerGroup(docs, col("doc_id"), col("source"),
+      graft.functions.TextExprs.qualityScore(col("text")), n = q115Cap)
+  }
+
+  private val q115Sql =
+    s"""WITH sc AS (
+       |  SELECT source AS grp, doc_id AS id,
+       |    $qualitySqlBody AS q
+       |  FROM documents WHERE length(trim(text)) > 0)
+       |SELECT grp, rank, id, round(q, 4) AS quality
+       |FROM (SELECT grp, id, q, CAST(row_number() OVER (
+       |        PARTITION BY grp ORDER BY q DESC, id) AS INTEGER) AS rank
+       |      FROM sc) WHERE rank <= $q115Cap""".stripMargin
+
+  // ----------------------------- length histogram datasheet (§2.10 ext)
+  // Power-of-two token-count buckets per source; bucket = len(bin(n)) —
+  // integer/string arithmetic, no float log2. All-integer outputs.
+  private def q116LengthHistogram(s: SparkSession, d: String): DataFrame =
+    graft.operators.Diversity.lengthHistogram(Tables.documents(s, d),
+      col("text"), col("source"))
+
+  private val q116Sql =
+    """WITH toks AS (
+      |  SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      |  FROM documents)
+      |SELECT source AS grp,
+      |  CAST(CASE WHEN n_tok = 0 THEN 0 ELSE length(bin(n_tok)) END
+      |    AS INTEGER) AS bucket,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+      |FROM toks GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------- random-rotation PQ (§2.10 ext)
+  // OPQ-lite: rotate by a deterministic orthogonal matrix (plan
+  // literals), then q50's seed-row PQ in the ROTATED space. Rotation
+  // preserves distances, so this is the training-free subspace-balancing
+  // rung below learned OPQ; the oracle rebuilds the rotated table from
+  // the same literal matrix and replays the q50 assignment.
+  private lazy val q117Rotation =
+    Similarity.orthogonalMatrix(pqDim, seed = 117L)
+
+  private def q117RotationPq(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val rot = embs.select(col("vec_id"),
+      Similarity.rpProject(col("embedding").cast("array<double>"),
+        q117Rotation).as("rvec"))
+    val cb = graft.operators.Quantize.seedCodebook(rot, col("vec_id"),
+      col("rvec"), pqSeedIds)
+    graft.operators.Quantize.pqEncode(rot, col("vec_id"), col("rvec"),
+        cb, pqM, pqDim)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private val q117Sql = {
+    val proj = q117Rotation.map(row =>
+      "list_inner_product(v0, [" + row.map(_.toString).mkString(", ") + "])")
+      .mkString("[", ",\n      ", "]")
+    val mins = (0 until pqM).map { j =>
+      "list_min([" + pqSeedIds.indices.map(c =>
+        s"[${pqDistSql(j, s"cb$c")}, $c.0]").mkString(", ") + s"]) AS m$j"
+    }.mkString(",\n    ")
+    val codes = (0 until pqM).map(j => s"CAST(m$j[2] AS INTEGER) AS c$j")
+      .mkString(", ")
+    val mse = (0 until pqM).map(j => s"m$j[1]").mkString(" + ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, $proj AS v FROM e0),
+       |$pqCbCtes,
+       |p AS (
+       |  SELECT e.vec_id,
+       |    $mins
+       |  FROM e${pqSeedIds.indices.map(c => s" CROSS JOIN cb$c").mkString})
+       |SELECT vec_id, $codes, round($mse, 6) AS distortion FROM p""".stripMargin
+  }
+
+  // ----------------------------- tokenizer fertility datasheet (§2.10 ext)
+  // Chars-per-pretoken and pretokens-per-word per source: how a BPE-ish
+  // vocabulary segments each slice (high fertility = the tokenizer
+  // fragments that source; the datasheet panel behind per-language token
+  // budgeting). Integer sums + two rounded ratios.
+  private def q118Fertility(s: SparkSession, d: String): DataFrame = {
+    val t = graft.functions.TextExprs
+    Tables.documents(s, d)
+      .select(col("source").as("grp"), length(col("text")).cast("long").as("n_chars"),
+        t.bpeishTokenCount(col("text")).cast("long").as("n_bpe"),
+        t.tokenCount(col("text")).cast("long").as("n_ws"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe"), sum(col("n_ws")).as("n_ws"))
+      .select(col("grp"), col("n_docs"), col("n_chars"), col("n_bpe"),
+        col("n_ws"),
+        round(col("n_chars").cast("double") /
+          greatest(col("n_bpe"), lit(1L)).cast("double"), 4)
+          .as("chars_per_bpe"),
+        round(col("n_bpe").cast("double") /
+          greatest(col("n_ws"), lit(1L)).cast("double"), 4)
+          .as("bpe_per_word"))
+  }
+
+  private val q118Sql = {
+    val pat = TextExprs.bpePattern.replace("'", "''")
+    s"""WITH d AS (
+       |  SELECT source AS grp, length(text) AS n_chars,
+       |    len(regexp_extract_all(text, '$pat')) AS n_bpe,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws
+       |  FROM documents)
+       |SELECT grp, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+       |  CAST(sum(n_ws) AS BIGINT) AS n_ws,
+       |  round(CAST(sum(n_chars) AS DOUBLE) /
+       |        CAST(greatest(sum(n_bpe), 1) AS DOUBLE), 4) AS chars_per_bpe,
+       |  round(CAST(sum(n_bpe) AS DOUBLE) /
+       |        CAST(greatest(sum(n_ws), 1) AS DOUBLE), 4) AS bpe_per_word
+       |FROM d GROUP BY grp""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3320,7 +3565,15 @@ FROM r$q82Rounds"""
     "q107_rp_topk" -> (q107RpTopK _),
     "q108_fuzzy_decontaminate" -> (q108FuzzyDecontaminate _),
     "q109_ngram_diversity" -> (q109NgramDiversity _),
-    "q110_dsir_weights" -> (q110DsirWeights _))
+    "q110_dsir_weights" -> (q110DsirWeights _),
+    "q111_kn_nll" -> (q111KnNll _),
+    "q112_containment" -> (q112Containment _),
+    "q113_char_entropy" -> (q113CharEntropy _),
+    "q114_hard_negatives" -> (q114HardNegatives _),
+    "q115_source_cap" -> (q115SourceCap _),
+    "q116_length_histogram" -> (q116LengthHistogram _),
+    "q117_rotation_pq" -> (q117RotationPq _),
+    "q118_fertility" -> (q118Fertility _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3427,5 +3680,13 @@ FROM r$q82Rounds"""
     "q107_rp_topk" -> q107Sql,
     "q108_fuzzy_decontaminate" -> q108Sql,
     "q109_ngram_diversity" -> q109Sql,
-    "q110_dsir_weights" -> q110Sql)
+    "q110_dsir_weights" -> q110Sql,
+    "q111_kn_nll" -> q111Sql,
+    "q112_containment" -> q112Sql,
+    "q113_char_entropy" -> q113Sql,
+    "q114_hard_negatives" -> q114Sql,
+    "q115_source_cap" -> q115Sql,
+    "q116_length_histogram" -> q116Sql,
+    "q117_rotation_pq" -> q117Sql,
+    "q118_fertility" -> q118Sql)
 }

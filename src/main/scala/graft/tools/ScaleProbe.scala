@@ -952,9 +952,99 @@ object ScaleProbe {
     docs.unpersist()
   }
 
+  /** The round-11 extension operators (q111–q118 shapes) at probe scale:
+    * Kneser–Ney scoring over 100M tokens at both vocabulary regimes
+    * (TYPES-bounded vs near-unique bigrams, the q90/q98 discipline),
+    * char-entropy + length-histogram + fertility over the same 100M
+    * tokens (all map-side), the per-source cap over 2M docs, directed
+    * containment over a 200k-doc corpus with a 5% templated tail, and
+    * hard-negative mining + rotation-PQ over 1M vectors. Run:
+    * sbt "runMain graft.tools.ScaleProbe ops13". */
+  def ops13Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Diversity, Mix, NearDup, Quantize, Similarity, Vocab}
+    import graft.functions.TextExprs
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    def synth(n: Long, vocab: Int) = spark.range(n).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(20)).cast("string").as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(vocab)))))
+        .as("text"))
+    Seq(100 -> "types-bounded", 5000 -> "near-unique bigrams")
+      .foreach { case (v, label) =>
+        val docs = synth(nDocs, v).cache()
+        val nTok = docs.count() * tokPerDoc
+        time(f"kneserNey v$v%-4d   ($nTok%11d tokens, $label)") {
+          Vocab.kneserNeyNll(docs, col("doc_id"), col("text"))
+            .agg(avg(col("avg_nll"))).collect()
+        }
+        docs.unpersist()
+      }
+    val docs = synth(nDocs, 5000).cache()
+    val nTok = docs.count() * tokPerDoc
+    time(f"charEntropy        ($nTok%11d tokens)") {
+      docs.select(avg(TextExprs.charEntropy(col("text")))).collect()
+    }
+    time(f"lengthHistogram    ($nTok%11d tokens)") {
+      Diversity.lengthHistogram(docs, col("text"), col("source"))
+        .agg(sum(col("n_tokens"))).collect()
+    }
+    time(f"fertility agg      ($nTok%11d tokens)") {
+      docs.select(col("source"),
+          TextExprs.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
+        .groupBy("source").agg(sum(col("n_bpe"))).collect()
+    }
+    time(f"capPerGroup        ($nDocs%11d docs, 20 sources, n=1000)") {
+      Mix.capPerGroup(docs, col("doc_id"), col("source"),
+        TextExprs.qualityScore(col("text")), n = 1000).count()
+    }
+    docs.unpersist()
+    // containment: 5% of 200k docs drawn from a 500-template pool (~20
+    // copies each) — the honest Σ|posting|² cost of exact directed
+    // containment on a dup-bearing corpus
+    val nSmall = 200000L
+    val cdocs = spark.range(nSmall).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(
+          when(col("id") % 20 === 0, col("id") % 500)
+            .otherwise(col("id")) * 53 + i), lit(5000)))))
+        .as("text")).cache()
+    cdocs.count()
+    time(f"containmentPairs   ($nSmall%11d docs, 5%% templated)") {
+      NearDup.containmentPairs(cdocs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5).count()
+    }
+    cdocs.unpersist()
+    val nVec = 1000000L
+    val vecs = spark.range(nVec).select(
+      col("id").as("vec_id"), pmod(col("id"), lit(10)).cast("int").as("label"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 37 + i * 11).cast("float")).as("embedding"))
+      .cache()
+    vecs.count()
+    time(f"hardNegatives      ($nVec%11d vecs, 8 queries)") {
+      Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 10).count()
+    }
+    val rot = Similarity.orthogonalMatrix(64, seed = 117L)
+    val seedIds = (10L to 25L)
+    time(f"rotationPq encode  ($nVec%11d vecs, 64x64 rotation + 16-code PQ)") {
+      val rotated = vecs.select(col("vec_id"),
+        Similarity.rpProject(col("embedding").cast("array<double>"), rot)
+          .as("rvec"))
+      val cb = Quantize.seedCodebook(rotated, col("vec_id"), col("rvec"),
+        seedIds)
+      Quantize.pqEncode(rotated, col("vec_id"), col("rvec"), cb, 8, 64)
+        .agg(avg(col("distortion"))).collect()
+    }
+    vecs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9", "ops10", "ops11", "ops12", "ops12v", "lmstream")
+      "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "lmstream")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1007,6 +1097,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops12v")) {
       ops12VecProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops13")) {
+      ops13Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("lmstream")) {
       lmStreamProbe(spark); spark.stop(); return

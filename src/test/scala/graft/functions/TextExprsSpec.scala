@@ -82,4 +82,21 @@ class TextExprsSpec extends SparkSpec {
     assert(empty.getAs[Long]("n_tok") === 0L)
     assert(!empty.getAs[Boolean]("keep"))
   }
+
+  test("charEntropy: uniform, constant, and empty cases") {
+    // empty -> 0; single repeated char -> 0 (and +0.0, not -0.0)
+    assert(eval[Double](TextExprs.charEntropy(lit(""))) === 0.0)
+    val zero = eval[Double](TextExprs.charEntropy(lit("aaaa")))
+    assert(zero === 0.0 &&
+      java.lang.Double.doubleToRawLongBits(zero) == 0L)
+    // two chars 50/50 -> ln 2; four chars uniform -> ln 4
+    assert(math.abs(eval[Double](TextExprs.charEntropy(lit("abab"))) -
+      math.log(2)) < 1e-4)
+    assert(math.abs(eval[Double](TextExprs.charEntropy(lit("abcd"))) -
+      math.log(4)) < 1e-4)
+    // skewed 3:1 -> -(3/4 ln 3/4 + 1/4 ln 1/4)
+    val expect = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(eval[Double](TextExprs.charEntropy(lit("aaab"))) -
+      expect) < 1e-4)
+  }
 }

@@ -53,4 +53,23 @@ class DiversitySpec extends SparkSpec {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("lengthHistogram: power-of-two buckets, integer outputs") {
+    val d2 = Seq(
+      ("A", ""),              // 0 tokens -> bucket 0
+      ("A", "t1"),            // 1 token  -> bucket 1
+      ("A", "t1 t2 t3"),      // 3 tokens -> bucket 2
+      ("A", "t1 t2 t3 t4"),   // 4 tokens -> bucket 3
+      ("B", "a b c d e f g h") // 8 tokens -> bucket 4
+    ).toDF("src", "text")
+    val got = Diversity.lengthHistogram(d2, col("text"), col("src"))
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("A", 0)) === ((1L, 0L, 0L, 0L)))
+    assert(got(("A", 1)) === ((1L, 1L, 1L, 1L)))
+    assert(got(("A", 2)) === ((1L, 3L, 3L, 3L)))
+    assert(got(("A", 3)) === ((1L, 4L, 4L, 4L)))
+    assert(got(("B", 4)) === ((1L, 8L, 8L, 8L)))
+    assert(got.size === 5)
+  }
 }

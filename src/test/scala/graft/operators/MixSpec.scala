@@ -108,4 +108,28 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mix.assignSplits(docs, col("id"), Seq.empty))
   }
+
+  test("capPerGroup keeps the best n per group, rank is dense best-first") {
+    val docs = Seq(
+      ("s1", 1L, 0.9), ("s1", 2L, 0.5), ("s1", 3L, 0.7), ("s1", 4L, 0.7),
+      ("s2", 5L, 0.1)
+    ).toDF("src", "id", "q")
+    val kept = Mix.capPerGroup(docs, col("id"), col("src"), col("q"), n = 2)
+      .as[(String, Int, Long, Double)].collect().sorted.toSeq
+    // s1: 0.9 (id 1) then the 0.7 tie broken toward id 3; s2 under cap
+    assert(kept === Seq(("s1", 1, 1L, 0.9), ("s1", 2, 3L, 0.7),
+      ("s2", 1, 5L, 0.1)))
+  }
+
+  test("capPerGroup pre-prunes map-side via WindowGroupLimit") {
+    val docs = spark.range(1000).select(col("id"),
+      (col("id") % 3).cast("string").as("src"),
+      (col("id") % 17).cast("double").as("q"))
+    val plan = Mix.capPerGroup(docs, col("id"), col("src"), col("q"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=n must plan a group-limit pre-prune, got:\n$plan")
+    intercept[IllegalArgumentException](
+      Mix.capPerGroup(docs, col("id"), col("src"), col("q"), 0))
+  }
 }

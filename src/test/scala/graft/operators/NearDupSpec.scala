@@ -48,4 +48,27 @@ class NearDupSpec extends SparkSpec {
     // 1 vs 2: 7 shingles each, 6 shared → 6/8 = 0.75
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 0.75 })
   }
+
+  test("containmentPairs: subset docs score 1.0 toward their superset, directed") {
+    // doc 11 is a verbatim excerpt of doc 10; doc 12 unrelated
+    val cd = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "one two three four five six seven")
+    ).toDF("id", "text")
+    val got = NearDup.containmentPairs(cd, col("id"), col("text"),
+        n = 3, threshold = 0.9)
+      .select("id_sub", "id_sup", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // every 3-shingle of 11 appears in 10 -> containment(11 in 10) = 1.0;
+    // the reverse direction is 3/6 = 0.5 and is below threshold
+    assert(got === Set((11L, 10L, 1.0)))
+    val both = NearDup.containmentPairs(cd, col("id"), col("text"),
+        n = 3, threshold = 0.4)
+      .select("id_sub", "id_sup", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(both.contains((11L, 10L, 1.0)))
+    assert(both.contains((10L, 11L, 0.5)))
+    assert(!both.exists(p => p._1 == 12L || p._2 == 12L))
+  }
 }
