@@ -52,6 +52,52 @@ object Contamination {
       fpp: Double = 0.01): DataFrame =
     overlapImpl(corpus, benchmark, id, text, n, bloomFpp = Some(fpp))
 
+  /** Cross-source n-gram overlap matrix — the inter-source contamination
+    * panel of a corpus datasheet: for every pair of sources, how many
+    * distinct word n-grams they share, with the overlap COEFFICIENT
+    * `shared / min(|A|, |B|)` (not Jaccard: a small source wholly
+    * contained in a big one should read as 1.0, the leakage signal).
+    * High off-diagonal entries mean two "different" sources are the same
+    * crawl twice — double-counted mixture weight and train/val leakage
+    * when splits are drawn per source.
+    *
+    * Scale shape: ONE shuffle of distinct (source, gram-hash128) pairs
+    * keyed by the gram hash (gram TEXT never shuffles — the q9/q109
+    * 128-bit trade); the per-gram posting list is bounded by the SOURCE
+    * COUNT (≤ groups, not corpus), so the pair explode is ≤ groups² per
+    * gram and the result matrix is groups²-sized metadata. Per-source
+    * distinct totals re-derive from the same deduplicated pair stream.
+    * Sources must be low-cardinality (the mixing use case, same contract
+    * as `Mix.sampleToBudget`). */
+  def sourceOverlapMatrix(docs: DataFrame, source: Column, text: Column,
+      n: Int = 3): DataFrame = {
+    val sg = docs
+      .select(source.as("src"), explode(TextExprs.wordShingles(text, n)).as("g"))
+      .select(col("src"), xxhash64(col("g")).as("h1"),
+        xxhash64(col("g"), lit(1)).as("h2"))
+      .distinct()
+    val posting = sg.groupBy(col("h1"), col("h2"))
+      .agg(collect_list(col("src")).as("srcs"))
+    val sizes = posting.select(explode(col("srcs")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val pairs = posting
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("src", "src_a")
+        .withColumnRenamed("n_grams", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.withColumnRenamed("src", "src_b")
+        .withColumnRenamed("n_grams", "n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap"))
+  }
+
   private def overlapImpl(corpus: DataFrame, benchmark: DataFrame,
       id: Column, text: Column, n: Int, bloomFpp: Option[Double]): DataFrame = {
     val benchSet = benchmark

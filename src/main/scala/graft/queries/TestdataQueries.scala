@@ -3458,6 +3458,69 @@ FROM r$q82Rounds"""
        |FROM d GROUP BY grp""".stripMargin
   }
 
+  // ----------------------------- phrase blocklist (§2.10 ext)
+  // Whole-word-sequence phrase matching (C4 bad-words shape): broadcast
+  // phrase table, one tokenize per doc, only matched grams shuffle.
+  private val q119Phrases =
+    Seq("slow query", "big table", "merge batch", "vector", "the group line")
+
+  private def q119Blocklist(s: SparkSession, d: String): DataFrame =
+    graft.operators.Blocklist.phraseHits(Tables.documents(s, d),
+      col("doc_id"), col("text"), q119Phrases)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q119Sql = {
+    val lens = q119Phrases.map(_.split(" ").length).distinct.sorted
+    val branches = lens.map { n =>
+      s"""SELECT doc_id, unnest(
+         |    [array_to_string(ts[i:i+${n - 1}], ' ')
+         |     for i in range(1, len(ts) - ${n - 2})]) AS g
+         |  FROM toks WHERE len(ts) >= $n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val vals = q119Phrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ts
+       |  FROM documents),
+       |g AS (
+       |$branches),
+       |p(phrase) AS (VALUES $vals),
+       |h AS (SELECT doc_id, g FROM g JOIN p ON g.g = p.phrase)
+       |SELECT doc_id, count(*) AS n_hits,
+       |  count(DISTINCT g) AS n_phrases
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  // ----------------------------- cross-source overlap matrix (§2.10 ext)
+  // Inter-source contamination panel: distinct 3-gram overlap
+  // coefficient (shared / min) per source pair.
+  private def q120SourceOverlap(s: SparkSession, d: String): DataFrame =
+    graft.operators.Contamination.sourceOverlapMatrix(
+      Tables.documents(s, d), col("source"), col("text"), n = 3)
+
+  private val q120Sql =
+    """WITH toks AS (
+      |  SELECT source, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |sg AS (
+      |  SELECT DISTINCT source AS src, g FROM (
+      |    SELECT source, unnest(list_distinct(
+      |      [array_to_string(ts[i:i+2], ' ')
+      |       for i in range(1, greatest(len(ts)-3, 0) + 2)])) AS g
+      |    FROM toks WHERE len(ts) > 0)),
+      |sizes AS (SELECT src, count(*) AS n_grams FROM sg GROUP BY src),
+      |pairs AS (
+      |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+      |  FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared, sa.n_grams AS n_a, sb.n_grams AS n_b,
+      |  round(CAST(n_shared AS DOUBLE) /
+      |        CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 6) AS overlap
+      |FROM pairs
+      |JOIN sizes sa ON sa.src = src_a
+      |JOIN sizes sb ON sb.src = src_b""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3573,7 +3636,9 @@ FROM r$q82Rounds"""
     "q115_source_cap" -> (q115SourceCap _),
     "q116_length_histogram" -> (q116LengthHistogram _),
     "q117_rotation_pq" -> (q117RotationPq _),
-    "q118_fertility" -> (q118Fertility _))
+    "q118_fertility" -> (q118Fertility _),
+    "q119_blocklist" -> (q119Blocklist _),
+    "q120_source_overlap" -> (q120SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3688,5 +3753,7 @@ FROM r$q82Rounds"""
     "q115_source_cap" -> q115Sql,
     "q116_length_histogram" -> q116Sql,
     "q117_rotation_pq" -> q117Sql,
-    "q118_fertility" -> q118Sql)
+    "q118_fertility" -> q118Sql,
+    "q119_blocklist" -> q119Sql,
+    "q120_source_overlap" -> q120Sql)
 }

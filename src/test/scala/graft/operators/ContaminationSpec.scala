@@ -98,4 +98,28 @@ class ContaminationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("sourceOverlapMatrix: containment-style coefficient per source pair") {
+    // srcA: two docs; srcB repeats one of A's docs verbatim (full overlap
+    // of B's grams); srcC disjoint
+    val docs = Seq(
+      ("A", "a b c d e"), ("A", "p q r s t"),
+      ("B", "a b c d e"),
+      ("C", "x y z w v")
+    ).toDF("src", "text")
+    val got = Contamination.sourceOverlapMatrix(docs, col("src"),
+        col("text"), n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // A has 6 distinct 3-grams (3 per doc), B has 3, all shared -> 1.0
+    assert(got === Map(("A", "B") -> ((3L, 6L, 3L, 1.0))))
+  }
+
+  test("sourceOverlapMatrix: short docs fall back to the whole-doc shingle") {
+    val docs = Seq(("A", "a b"), ("B", "a b"), ("C", "a")).toDF("src", "text")
+    val got = Contamination.sourceOverlapMatrix(docs, col("src"),
+        col("text"), n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", "B", 1L, 1L, 1L, 1.0)))
+  }
 }
