@@ -122,6 +122,78 @@ object NearDup {
         col("n_sup"), round(col("containment"), 6).as("containment"))
   }
 
+  /** A `let` for Column expressions (the `TextExprs.bind` discipline):
+    * binds `v` once as a lambda variable so HOF bodies don't re-evaluate
+    * an expensive sub-expression per element. */
+  private def let(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every word-`k`-gram at its POSITION (slide
+    * semantics, not the distinct set), then per window of `w` consecutive
+    * gram hashes keep the minimum; the distinct kept hashes are the doc's
+    * fingerprints. The guarantee MinHash cannot give: any shared token
+    * run of ≥ `w + k − 1` tokens between two documents forces at least
+    * one SHARED fingerprint (both docs see the same w-window of gram
+    * hashes and pick the same minimum) — detection of long verbatim
+    * overlap is deterministic, while storage/shuffle drops to ~2/(w+1)
+    * of the full posting file. Density is the standard winnowing bound;
+    * selection is by hash VALUE (robust winnowing's position tie-break
+    * is for position-tracking, which this set-level operator doesn't
+    * need). Gram hash = the oracle-portable poly fold, so an oracle
+    * replays fingerprints exactly. Docs with < k tokens → empty set.
+    * Entirely map-side: one tokenize, two let-bound array passes. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1, got k=$k w=$w")
+    let(Diversity.slideGrams(TextExprs.tokens(text), k)) { grams =>
+      let(transform(grams, g =>
+        graft.functions.HashKernels.polyHash(g, 31L, 1000000007L))) { gh =>
+        when(size(gh) === 0, array().cast("array<bigint>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), greatest(size(gh) - (w - 1), lit(1))),
+            j => array_min(slice(gh, j, lit(w))))))
+      }
+    }
+  }
+
+  /** Cross-document matching over winnowing fingerprints: pairs sharing
+    * ≥ `minShared` fingerprints, scored `n_shared / min(n_a, n_b)` (the
+    * overlap coefficient — an excerpt wholly inside a longer doc scores
+    * 1.0). [[shingleJaccardPairs]]'s single-posting-shuffle plan with the
+    * posting file pre-thinned ~w/2× by winnowing AND the key already a
+    * compact 8-byte hash — the shuffle-volume rung between exact
+    * shingle postings and MinHash bands, with the long-match guarantee
+    * neither exact-Jaccard-threshold nor LSH gives. */
+  def winnowingPairs(docs: DataFrame, id: Column, text: Column,
+                     k: Int, w: Int, minShared: Int,
+                     maxPostings: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared >= 1, got $minShared")
+    val fp = docs.select(id.as("id"),
+      explode(winnowFingerprints(text, k, w)).as("fp"))
+    val posting = fp.groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxPostings)
+    val sizes = posting.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val inter = posting
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_fp", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_fp", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("sim"))
+  }
+
   /** MinHash signature: for each of `numPerms` hash functions take the min of
     * `xxhash64(shingle, seed_i)` over the doc's shingle set. Pure map-side
     * (aggregate over the shingle array) — no shuffle to build signatures. */

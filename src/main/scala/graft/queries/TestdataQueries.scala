@@ -3521,6 +3521,52 @@ FROM r$q82Rounds"""
       |JOIN sizes sa ON sa.src = src_a
       |JOIN sizes sb ON sb.src = src_b""".stripMargin
 
+  // ----------------------------- winnowing fingerprints (§2.10 ext)
+  // MOSS winnowing (k=3 grams, window w=4): deterministic detection of
+  // shared runs >= w+k-1 tokens at ~2/(w+1) of the exact posting volume.
+  private val (q121K, q121W) = (3, 4)
+
+  private def q121Winnowing(s: SparkSession, d: String): DataFrame =
+    graft.operators.NearDup.winnowingPairs(Tables.documents(s, d),
+      col("doc_id"), col("text"), k = q121K, w = q121W, minShared = 1)
+
+  private val q121Sql = {
+    val (k, w) = (q121K, q121W)
+    val poly = "list_reduce(list_transform(string_split(g, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |gh AS (
+       |  SELECT doc_id,
+       |    [$poly for g in
+       |      [array_to_string(ts[i:i+${k - 1}], ' ')
+       |       for i in range(1, len(ts) - ${k - 2})]] AS gh
+       |  FROM toks WHERE len(ts) >= $k),
+       |fp0 AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [list_min(gh[j:j+${w - 1}])
+       |     for j in range(1, greatest(len(gh) - ${w - 1}, 1) + 1)])) AS fp
+       |  FROM gh),
+       |fp AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+       |    FROM fp0) WHERE df <= 1000),
+       |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       |  round(CAST(n_shared AS DOUBLE) /
+       |        CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS sim
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3638,7 +3684,8 @@ FROM r$q82Rounds"""
     "q117_rotation_pq" -> (q117RotationPq _),
     "q118_fertility" -> (q118Fertility _),
     "q119_blocklist" -> (q119Blocklist _),
-    "q120_source_overlap" -> (q120SourceOverlap _))
+    "q120_source_overlap" -> (q120SourceOverlap _),
+    "q121_winnowing" -> (q121Winnowing _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3755,5 +3802,6 @@ FROM r$q82Rounds"""
     "q117_rotation_pq" -> q117Sql,
     "q118_fertility" -> q118Sql,
     "q119_blocklist" -> q119Sql,
-    "q120_source_overlap" -> q120Sql)
+    "q120_source_overlap" -> q120Sql,
+    "q121_winnowing" -> q121Sql)
 }

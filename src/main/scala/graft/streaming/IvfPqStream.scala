@@ -54,11 +54,23 @@ object IvfPqStream {
         Quantize.ivfResidualCol(vec, coarse, listC),
         resCentroids, m, dim, keep = Seq(listC.as("list_id")))
       .drop("distortion")
-    val added = codes.count()
-    if (added > 0)
-      codes.write.mode("append").partitionBy("list_id").parquet(path)
-    compactPartitionedIfNeeded(spark, path, compactAfterFiles)
-    BatchResult(added, partFiles(spark, path))
+      // scoped persist: count + write otherwise each run the full
+      // residual-ADC encode — a 2× on the batch's dominant map pass.
+      // Batch-bounded footprint (a micro-batch, not the corpus).
+      .persist()
+    try {
+      val added = codes.count()
+      // one shuffle of the batch-bounded code rows so each touched list
+      // writes exactly ONE file per batch — without it every scan task
+      // writes a sliver into every list it sees (tasks × lists files per
+      // batch), quadrupling small-file pressure and compaction frequency.
+      // A hot list's batch rows land on one task, bounded by batch size.
+      if (added > 0)
+        codes.repartition(col("list_id")).write.mode("append")
+          .partitionBy("list_id").parquet(path)
+      compactPartitionedIfNeeded(spark, path, compactAfterFiles)
+      BatchResult(added, partFiles(spark, path))
+    } finally { codes.unpersist(blocking = false); () }
   }
 
   /** Serve top-k from the accumulated index — exactly the batch

@@ -71,4 +71,45 @@ class NearDupSpec extends SparkSpec {
     assert(both.contains((10L, 11L, 0.5)))
     assert(!both.exists(p => p._1 == 12L || p._2 == 12L))
   }
+
+  test("winnowing: a shared run of >= w+k-1 tokens forces a shared fingerprint") {
+    // k=3, w=4: guarantee threshold is 6 tokens. The two docs share the
+    // 6-token run "one two three four five six" inside different contexts.
+    val wd = Seq(
+      (1L, "aa bb one two three four five six cc dd"),
+      (2L, "xx one two three four five six yy zz qq"),
+      (3L, "totally unrelated words here with nothing common at all")
+    ).toDF("id", "text")
+    val pairs = NearDup.winnowingPairs(wd, col("id"), col("text"),
+        k = 3, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed match missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: fingerprint density subsamples the gram stream") {
+    val text = (1 to 200).map(i => s"t${i % 97}").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val Seq(nFp) = df.select(size(NearDup.winnowFingerprints(col("text"),
+        k = 3, w = 4)).as("n")).as[Int].collect().toSeq
+    val nGrams = 200 - 3 + 1
+    assert(nFp > 0 && nFp < nGrams / 2,
+      s"expected ~2/(w+1) density, got $nFp of $nGrams grams")
+    // short doc: fewer than k tokens -> no fingerprints
+    val Seq(none) = Seq((2L, "a b")).toDF("id", "text")
+      .select(size(NearDup.winnowFingerprints(col("text"), 3, 4)).as("n"))
+      .as[Int].collect().toSeq
+    assert(none === 0)
+  }
+
+  test("winnowing: identical docs share every fingerprint (sim 1.0)") {
+    val wd = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("id", "text")
+    val got = NearDup.winnowingPairs(wd, col("id"), col("text"),
+        k = 3, w = 4, minShared = 1)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0)))
+  }
 }
