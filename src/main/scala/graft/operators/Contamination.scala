@@ -98,6 +98,61 @@ object Contamination {
           least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap"))
   }
 
+  /** [[sourceOverlapMatrix]] at SKETCH cost — the scale path when the
+    * distinct (source, gram) universe is too big to shuffle: per source,
+    * a k-bounded KMV sketch of its distinct gram hashes
+    * ([[Sketch.kmvSketchByGroup]] — per-task memory O(sources × k), only
+    * partitions × sources × k hashes exchanged); per source PAIR, the
+    * Beyer et al. 2007 set-operation estimate over the merged bottom-k:
+    *
+    *   K = bottom-k of K(A) ∪ K(B);  J ≈ |K ∩ K(A) ∩ K(B)| / |K|
+    *   |A∩B| ≈ J · est(A∪B);  overlap ≈ |A∩B| / min(est A, est B)
+    *
+    * When a pair's merged universe has < k distinct hashes the sketches
+    * hold the FULL hash sets and every figure is exact (small-cardinality
+    * fallback, spec-pinned against the exact matrix). The pair stage is
+    * fully relational — sketch rows fan out to their ≤ sources² pairs via
+    * a broadcast pair table (sources² × k rows, metadata-sized), the
+    * per-pair bottom-k rank prunes map-side (WindowGroupLimit), and the
+    * corpus itself is touched exactly once by the sketch pass. */
+  def sourceOverlapMatrixSketch(docs: DataFrame, source: Column,
+      text: Column, n: Int = 3, k: Int = 256): DataFrame = {
+    val sh = docs.select(source.as("src"),
+      explode(TextExprs.wordShingles(text, n)).as("g"))
+    val sk = Sketch.kmvSketchByGroup(sh, col("src"), col("g"), k)
+    val per = sk.groupBy(col("g").as("src"))
+      .agg(count(lit(1)).as("n_x"), max(col("h")).as("kth"))
+    val p = lit(1000000007.0)
+    def est(nc: Column, kth: Column): Column =
+      when(nc < k, nc.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * p / kth.cast("double"))
+    val ests = per.select(col("src"), est(col("n_x"), col("kth")).as("est"))
+    val pairs = ests.select(col("src").as("src_a"), col("est").as("est_a"))
+      .crossJoin(ests.select(col("src").as("src_b"), col("est").as("est_b")))
+      .filter(col("src_a") < col("src_b"))
+    val union = sk.join(broadcast(pairs),
+        col("g") === col("src_a") || col("g") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("g") === col("src_a")).as("in_a"),
+        max(col("g") === col("src_b")).as("in_b"),
+        first(col("est_a")).as("est_a"), first(col("est_b")).as("est_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_a"), col("src_b")).orderBy(col("h").asc)
+    val agg = union.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_union"), max(col("h")).as("kth_u"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .as("n_common"),
+        first(col("est_a")).as("est_a"), first(col("est_b")).as("est_b"))
+    agg.select(col("src_a"), col("src_b"), col("n_common"), col("n_union"),
+      round(col("n_common").cast("double") / col("n_union"), 6).as("j_est"),
+      round(col("est_a"), 4).as("est_a"), round(col("est_b"), 4).as("est_b"),
+      round(col("n_common").cast("double") / col("n_union") *
+        est(col("n_union"), col("kth_u")) /
+        least(col("est_a"), col("est_b")), 6).as("overlap_est"))
+  }
+
   private def overlapImpl(corpus: DataFrame, benchmark: DataFrame,
       id: Column, text: Column, n: Int, bloomFpp: Option[Double]): DataFrame = {
     val benchSet = benchmark

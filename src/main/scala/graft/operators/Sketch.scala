@@ -82,6 +82,27 @@ object Sketch {
     * (default ~2²⁴/k — a few hundred MB resident) fails fast with a
     * redirect to the exact formulation instead of OOMing the executor. */
   def kmvDistinctByGroup(df: DataFrame, group: Column, key: Column,
+      k: Int, maxGroupsPerTask: Int = -1): DataFrame =
+    kmvSketchByGroup(df, group, key, k, maxGroupsPerTask)
+      .groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
+      .select(col("grp"), lit(k).as("k"), col("n_in_sketch"), col("kth_min"),
+        round(
+          when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble) * lit(P.toDouble) /
+                col("kth_min").cast("double")), 4).as("est_distinct"))
+
+  /** The raw per-group KMV sketch rows `(g, h)`: the k smallest DISTINCT
+    * mixed hashes of `key` per `group` — the reusable sketch beneath
+    * [[kmvDistinctByGroup]] and the set-operation estimators
+    * (intersection/overlap: two KMV sketches support a Jaccard estimate
+    * over their merged bottom-k, the Beyer et al. 2007 construction used
+    * by [[Contamination.sourceOverlapMatrixSketch]]). Per-task memory is
+    * O(groups × k) under the enforced group ceiling; only partitions ×
+    * groups × k hashes reach the exchange, and the final rank prunes
+    * map-side (WindowGroupLimit). */
+  def kmvSketchByGroup(df: DataFrame, group: Column, key: Column,
       k: Int, maxGroupsPerTask: Int = -1): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val ceiling = groupCeiling(k, maxGroupsPerTask)
@@ -97,7 +118,7 @@ object Sketch {
       it.foreach { case (g, h) =>
         var set = sets.get(g)
         if (set == null) {
-          checkGroupCeiling(sets.size(), ceiling, "kmvDistinctByGroup")
+          checkGroupCeiling(sets.size(), ceiling, "kmvSketchByGroup")
           set = new java.util.TreeSet[java.lang.Long](); sets.put(g, set)
         }
         set.add(h)
@@ -111,18 +132,10 @@ object Sketch {
     // prunes the rank map-side)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("h").asc)
-    val ranked = partial.toDF("g", "h").distinct()
+    partial.toDF("g", "h").distinct()
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
-    ranked
-      .groupBy(col("g").as("grp"))
-      .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("kth_min"))
-      .select(col("grp"), lit(k).as("k"), col("n_in_sketch"), col("kth_min"),
-        round(
-          when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
-            .otherwise(
-              lit((k - 1).toDouble) * lit(P.toDouble) /
-                col("kth_min").cast("double")), 4).as("est_distinct"))
+      .select(col("g"), col("h"))
   }
 
   /** One-row distinct-count estimate for `key`:

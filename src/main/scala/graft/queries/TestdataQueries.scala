@@ -3567,6 +3567,66 @@ FROM r$q82Rounds"""
        |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin
   }
 
+  // ----------------------------- sketch overlap matrix (§2.10 ext)
+  // q120's matrix at KMV-sketch cost: per-pair Jaccard/overlap estimates
+  // from merged bottom-k sketches (Beyer et al. 2007); exact when a
+  // pair's universe fits in k.
+  private val q122K = 256
+
+  private def q122OverlapSketch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Contamination.sourceOverlapMatrixSketch(
+      Tables.documents(s, d), col("source"), col("text"), n = 3, k = q122K)
+
+  private val q122Sql = {
+    val k = q122K
+    val poly = "list_reduce(list_transform(string_split(g, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val h = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    val estU = s"CASE WHEN n_union < $k THEN CAST(n_union AS DOUBLE) " +
+      s"ELSE ${k - 1}.0 * 1000000007.0 / CAST(kth_u AS DOUBLE) END"
+    s"""WITH toks AS (
+       |  SELECT source, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source AS src, g FROM (
+       |    SELECT source, unnest(list_distinct(
+       |      [array_to_string(ts[i:i+2], ' ')
+       |       for i in range(1, greatest(len(ts)-3, 0) + 2)])) AS g
+       |    FROM toks WHERE len(ts) > 0)),
+       |hs AS (SELECT DISTINCT src, $h AS h FROM sh),
+       |sk AS (SELECT src, h FROM (
+       |    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS r
+       |    FROM hs) WHERE r <= $k),
+       |per AS (SELECT src, count(*) AS n_x, max(h) AS kth FROM sk GROUP BY src),
+       |ests AS (SELECT src, CASE WHEN n_x < $k THEN CAST(n_x AS DOUBLE)
+       |    ELSE ${k - 1}.0 * 1000000007.0 / CAST(kth AS DOUBLE) END AS est
+       |  FROM per),
+       |prs AS (SELECT a.src AS src_a, a.est AS est_a,
+       |               b.src AS src_b, b.est AS est_b
+       |        FROM ests a JOIN ests b ON a.src < b.src),
+       |u0 AS (
+       |  SELECT p.src_a, p.src_b, s.h,
+       |    bool_or(s.src = p.src_a) AS in_a, bool_or(s.src = p.src_b) AS in_b
+       |  FROM prs p JOIN sk s ON s.src = p.src_a OR s.src = p.src_b
+       |  GROUP BY 1, 2, 3),
+       |u AS (SELECT * FROM (
+       |    SELECT src_a, src_b, h, in_a, in_b,
+       |      row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+       |    FROM u0) WHERE r <= $k),
+       |agg AS (
+       |  SELECT src_a, src_b, count(*) AS n_union, max(h) AS kth_u,
+       |    sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_common
+       |  FROM u GROUP BY 1, 2)
+       |SELECT a.src_a, a.src_b, CAST(n_common AS BIGINT) AS n_common,
+       |  n_union,
+       |  round(CAST(n_common AS DOUBLE) / n_union, 6) AS j_est,
+       |  round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+       |  round(CAST(n_common AS DOUBLE) / n_union * ($estU) /
+       |        least(est_a, est_b), 6) AS overlap_est
+       |FROM agg a JOIN prs p ON a.src_a = p.src_a AND a.src_b = p.src_b""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3685,7 +3745,8 @@ FROM r$q82Rounds"""
     "q118_fertility" -> (q118Fertility _),
     "q119_blocklist" -> (q119Blocklist _),
     "q120_source_overlap" -> (q120SourceOverlap _),
-    "q121_winnowing" -> (q121Winnowing _))
+    "q121_winnowing" -> (q121Winnowing _),
+    "q122_overlap_sketch" -> (q122OverlapSketch _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3803,5 +3864,6 @@ FROM r$q82Rounds"""
     "q118_fertility" -> q118Sql,
     "q119_blocklist" -> q119Sql,
     "q120_source_overlap" -> q120Sql,
-    "q121_winnowing" -> q121Sql)
+    "q121_winnowing" -> q121Sql,
+    "q122_overlap_sketch" -> q122Sql)
 }

@@ -122,4 +122,43 @@ class ContaminationSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long, Double)].collect().toSeq
     assert(got === Seq(("A", "B", 1L, 1L, 1L, 1.0)))
   }
+
+  test("sourceOverlapMatrixSketch: exact when the pair universe fits in k") {
+    val docs = Seq(
+      ("A", "a b c d e"), ("A", "p q r s t"),
+      ("B", "a b c d e"),
+      ("C", "x y z w v")
+    ).toDF("src", "text")
+    // k=64 >> any source's distinct 3-gram count: the sketches ARE the
+    // hash sets, so j_est and overlap_est are exact
+    val got = Contamination.sourceOverlapMatrixSketch(docs, col("src"),
+        col("text"), n = 3, k = 64)
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // A: 6 distinct grams, B: 3 (all shared), C: 3 (disjoint)
+    val ab = got(("A", "B"))
+    assert(ab._3 === 3L && ab._4 === 6L)          // common=3, union=6
+    assert(ab._5 === 0.5 && ab._8 === 1.0)        // J=3/6, overlap=3/min(6,3)
+    assert(ab._6 === 6.0 && ab._7 === 3.0)        // exact cardinalities
+    val ac = got(("A", "C"))
+    assert(ac._3 === 0L && ac._5 === 0.0 && ac._8 === 0.0)
+  }
+
+  test("sourceOverlapMatrixSketch estimates track the exact matrix at small k") {
+    // two sources with heavy but partial overlap, enough grams to engage
+    // the estimator (universe >> k)
+    val mk = (tag: String, off: Int) => (0 until 40).map { i =>
+      (tag, (0 until 12).map(j => s"w${(i * 7 + j + off) % 150}").mkString(" "))
+    }
+    val docs = (mk("A", 0) ++ mk("B", 0) ++ mk("B", 97)).toDF("src", "text")
+    val exact = Contamination.sourceOverlapMatrix(docs, col("src"),
+        col("text"), n = 3)
+      .select("src_a", "src_b", "overlap").as[(String, String, Double)]
+      .collect().head._3
+    val est = Contamination.sourceOverlapMatrixSketch(docs, col("src"),
+        col("text"), n = 3, k = 128)
+      .select("overlap_est").as[Double].collect().head
+    assert(math.abs(est - exact) < 0.25,
+      s"sketch overlap $est vs exact $exact")
+  }
 }
