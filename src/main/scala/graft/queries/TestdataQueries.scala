@@ -3627,6 +3627,64 @@ FROM r$q82Rounds"""
        |FROM agg a JOIN prs p ON a.src_a = p.src_a AND a.src_b = p.src_b""".stripMargin
   }
 
+  // ----------------------------- per-source quality buckets (§2.10 ext)
+  // The q102 (CCNet buckets) composition PER SOURCE: within-source
+  // quality terciles from the k-bounded group quantile sketch — no
+  // per-source sort of the corpus, boundaries broadcast back. Quality is
+  // rounded(6) BEFORE sketching so boundary comparisons are
+  // engine-identical.
+  private def q123SourceQualityBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        round(graft.functions.TextExprs.qualityScore(col("text")), 6)
+          .as("quality"))
+    val qs = graft.operators.Sketch.quantileSketchByGroup(scored,
+      col("source"), col("quality"), col("doc_id"), q67K,
+      Seq(1.0 / 3, 2.0 / 3))
+    val bounds = qs.groupBy(col("grp"))
+      .agg(min(col("est_value")).as("t1"), max(col("est_value")).as("t2"))
+    scored.join(broadcast(bounds), col("source") === col("grp"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        when(col("quality") <= col("t1"), "head")
+          .when(col("quality") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private val q123Sql = {
+    val raw = "list_reduce(list_transform(string_split(" +
+      "CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val h = s"((($raw * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    val (p1, p2) = (1.0 / 3, 2.0 / 3)
+    s"""WITH sc AS (
+       |  SELECT doc_id, source, round(
+       |    $qualitySqlBody,
+       |    6) AS q
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |hv AS (SELECT DISTINCT source, $h AS h, CAST(q AS DOUBLE) AS v
+       |       FROM sc),
+       |sel AS (SELECT source, h, v, row_number() OVER (
+       |          PARTITION BY source ORDER BY h, v) AS rn FROM hv
+       |        QUALIFY rn <= $q67K),
+       |srt AS (SELECT source, v, row_number() OVER (
+       |          PARTITION BY source ORDER BY v, h) AS qrn FROM sel),
+       |n AS (SELECT source, max(qrn) AS n_sample FROM srt GROUP BY source),
+       |b AS (
+       |  SELECT srt.source,
+       |    max(CASE WHEN qrn = r1 THEN v END) AS t1,
+       |    max(CASE WHEN qrn = r2 THEN v END) AS t2
+       |  FROM srt JOIN (
+       |    SELECT source, CAST(ceil($p1 * n_sample) AS INT) AS r1,
+       |           CAST(ceil($p2 * n_sample) AS INT) AS r2 FROM n) rr
+       |    USING (source)
+       |  GROUP BY srt.source)
+       |SELECT sc.doc_id, sc.source, sc.q AS quality,
+       |  CASE WHEN sc.q <= t1 THEN 'head'
+       |       WHEN sc.q <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM sc JOIN b ON sc.source = b.source""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3746,7 +3804,8 @@ FROM r$q82Rounds"""
     "q119_blocklist" -> (q119Blocklist _),
     "q120_source_overlap" -> (q120SourceOverlap _),
     "q121_winnowing" -> (q121Winnowing _),
-    "q122_overlap_sketch" -> (q122OverlapSketch _))
+    "q122_overlap_sketch" -> (q122OverlapSketch _),
+    "q123_source_quality_buckets" -> (q123SourceQualityBuckets _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3865,5 +3924,6 @@ FROM r$q82Rounds"""
     "q119_blocklist" -> q119Sql,
     "q120_source_overlap" -> q120Sql,
     "q121_winnowing" -> q121Sql,
-    "q122_overlap_sketch" -> q122Sql)
+    "q122_overlap_sketch" -> q122Sql,
+    "q123_source_quality_buckets" -> q123Sql)
 }
