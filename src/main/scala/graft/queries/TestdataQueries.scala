@@ -1937,25 +1937,28 @@ object TestdataQueries {
     graft.operators.Bm25.topK(Tables.documents(s, d), col("doc_id"),
       col("text"), q68Queries, q68K1, q68B, q68TopK)
 
-  private val q68Sql = {
-    val terms = q68Queries.flatMap(_._2).distinct
+  // Full BM25 top-k SQL, parameterized so q124's hybrid-fusion oracle can
+  // reuse the identical scoring plan at a different depth.
+  private def bm25SqlFor(queries: Seq[(String, Seq[String])],
+      k1: Double, b: Double, topK: Int): String = {
+    val terms = queries.flatMap(_._2).distinct
     val dfIdx = terms.zipWithIndex.toMap
     val dfAggs = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS df_$i"
     }.mkString(",\n      ")
-    val k1p1 = (q68K1 + 1.0).toString
-    val oneMinusB = (1.0 - q68B).toString
+    val k1p1 = (k1 + 1.0).toString
+    val oneMinusB = (1.0 - b).toString
     def contrib(t: String): String = {
       val df = s"CAST(df_${dfIdx(t)} AS DOUBLE)"
       val tf = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
       s"ln(((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) + 1.0) * " +
-        s"(($tf * $k1p1) / ($tf + $q68K1 * ($oneMinusB + $q68B * " +
+        s"(($tf * $k1p1) / ($tf + $k1 * ($oneMinusB + $b * " +
         s"(CAST(len(ts) AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
     }
-    val scoreCols = q68Queries.zipWithIndex.map { case ((_, ts), i) =>
+    val scoreCols = queries.zipWithIndex.map { case ((_, ts), i) =>
       ts.map(contrib).mkString(" + ") + s" AS s$i"
     }.mkString(",\n      ")
-    val union = q68Queries.zipWithIndex.map { case ((qid, _), i) =>
+    val union = queries.zipWithIndex.map { case ((qid, _), i) =>
       s"SELECT '$qid' AS query_id, doc_id, round(s$i, 4) AS score FROM sc"
     }.mkString(" UNION ALL ")
     s"""WITH toks AS (
@@ -1974,8 +1977,10 @@ object TestdataQueries {
        |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
        |      FROM u)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
-       |FROM r WHERE rank <= $q68TopK""".stripMargin
+       |FROM r WHERE rank <= $topK""".stripMargin
   }
+
+  private val q68Sql = bm25SqlFor(q68Queries, q68K1, q68B, q68TopK)
 
   // ----------------------------- PII redaction (§2.10 ext)
   // Ordered-class scrubbing (email → ip → phone → number) with per-class
@@ -3685,6 +3690,69 @@ FROM r$q82Rounds"""
        |FROM sc JOIN b ON sc.source = b.source""".stripMargin
   }
 
+  // ----------------------------- hybrid retrieval, RRF fusion (§2.10 ext)
+  // Lexical (BM25 over documents.text) and semantic (cosine over the
+  // doc's embedding row — vec_id ≡ doc_id for embedded docs) arms at
+  // depth 20, fused per query by reciprocal-rank fusion in exact 1e12
+  // fixed-point (`Retrieval.rrfFuse`). The three text queries pair with
+  // query vectors 0/1/2; docs present in only one arm contribute that
+  // arm's term alone — the standard RRF treatment of unranked docs.
+  private val q124Arms = Seq(("narrow", 0L), ("mixed", 1L), ("stop", 2L))
+  private val q124Depth = 20
+  private val q124C = 60
+  private val q124TopK = 10
+
+  private def q124HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val bm = graft.operators.Bm25.topK(Tables.documents(s, d),
+      col("doc_id"), col("text"), q68Queries, q68K1, q68B, q124Depth)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val embs = Tables.embeddings(s, d)
+    val qvecs = embs.filter(col("vec_id").isin(q124Arms.map(_._2): _*))
+    val nameOf = q124Arms.tail.foldLeft(
+      when(col("query_id") === lit(q124Arms.head._2), lit(q124Arms.head._1))) {
+      case (acc, (name, vid)) => acc.when(col("query_id") === lit(vid), lit(name))
+    }
+    val co = graft.operators.Similarity
+      .bruteForceTopK(embs, qvecs, "vec_id", "embedding", q124Depth)
+      .select(nameOf.as("query_id"), col("rank"),
+        col("neighbor_id").as("doc_id"))
+    graft.operators.Retrieval.rrfFuse(Seq(bm, co), q124C, q124TopK)
+  }
+
+  private val q124Sql = {
+    val vecIds = q124Arms.map(_._2).mkString(", ")
+    val caseArm = q124Arms.map { case (n, v) =>
+      s"WHEN $v THEN '$n'" }.mkString(" ")
+    s"""WITH bm AS (
+       |  SELECT query_id, rank, doc_id
+       |  FROM (${bm25SqlFor(q68Queries, q68K1, q68B, q124Depth)})),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ($vecIds)),
+       |cs AS (
+       |  SELECT qv.qid, e.vec_id AS doc_id,
+       |    list_inner_product(qv.qv, e.v) /
+       |      (sqrt(list_inner_product(qv.qv, qv.qv)) *
+       |       sqrt(list_inner_product(e.v, e.v))) AS c
+       |  FROM e CROSS JOIN qv WHERE qv.qid <> e.vec_id),
+       |co AS (
+       |  SELECT CASE qid $caseArm END AS query_id, rank, doc_id
+       |  FROM (SELECT qid, doc_id, row_number() OVER (
+       |          PARTITION BY qid ORDER BY c DESC, doc_id) AS rank FROM cs)
+       |  WHERE rank <= $q124Depth),
+       |u AS (
+       |  SELECT query_id, doc_id, 1000000000000 // ($q124C + rank) AS contrib
+       |  FROM bm
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1000000000000 // ($q124C + rank) FROM co),
+       |f AS (SELECT query_id, doc_id, sum(contrib) AS rrf FROM u GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, rrf, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |      FROM f)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       |  CAST(rrf AS BIGINT) AS rrf_e12
+       |FROM r WHERE rank <= $q124TopK""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3805,7 +3873,8 @@ FROM r$q82Rounds"""
     "q120_source_overlap" -> (q120SourceOverlap _),
     "q121_winnowing" -> (q121Winnowing _),
     "q122_overlap_sketch" -> (q122OverlapSketch _),
-    "q123_source_quality_buckets" -> (q123SourceQualityBuckets _))
+    "q123_source_quality_buckets" -> (q123SourceQualityBuckets _),
+    "q124_hybrid_rrf" -> (q124HybridRrf _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3925,5 +3994,6 @@ FROM r$q82Rounds"""
     "q120_source_overlap" -> q120Sql,
     "q121_winnowing" -> q121Sql,
     "q122_overlap_sketch" -> q122Sql,
-    "q123_source_quality_buckets" -> q123Sql)
+    "q123_source_quality_buckets" -> q123Sql,
+    "q124_hybrid_rrf" -> q124Sql)
 }
