@@ -49,4 +49,85 @@ object Classify {
           exp(-(lit(bias) + (col("zsum").cast("double") /
             col("n_toks").cast("double"))))), 4).as("score"))
   }
+
+  /** Full-batch gradient-descent TRAINING of the hashed logistic
+    * classifier [[hashedLinearScore]] serves — the learn step of a
+    * CCNet/fastText-style quality or language filter, run where the
+    * labels are: on the cluster, against the full corpus.
+    *
+    * Determinism across engines and partitionings, the part a naive
+    * float implementation gets wrong:
+    *  - per-doc features are bucket counts `c_j` (exact integers,
+    *    map-side HOFs over the token array — no shuffle, no explode);
+    *  - the per-doc logit numerator `Σ_j w_j·c_j` is a FIXED-ORDER
+    *    left-associated double sum over the structural bucket index —
+    *    order is part of the operator, not of the data layout;
+    *  - each doc's gradient contribution is snapped to 1e-8 fixed-point
+    *    (`round(x·1e8)` → BIGINT), so the cross-doc gradient sum is an
+    *    exact integer aggregate — associative, partition-order-free,
+    *    and replayable bit-for-bit by any engine;
+    *  - the weight update `w_j − lr·((g_j/1e8)/N)` is then a fixed
+    *    sequence of IEEE double ops on engine-identical inputs.
+    *
+    * Scale shape: one map-side featurize + ONE metadata-sized global
+    * aggregate (dim+2 longs, partial-agg combined) per iteration — the
+    * corpus never shuffles; the model lives in the plan as literals
+    * (same regime as [[Vocab]]'s driver-delta BPE trainer). Docs with
+    * no tokens carry no features and are excluded. `dim` is bounded by
+    * literal-array limits (a few hundred thousand).
+    */
+  def trainLogReg(df: DataFrame, id: Column, text: Column, label: Column,
+      dim: Int, lr: Double, iters: Int): DataFrame = {
+    require(dim >= 1 && dim <= (1 << 20), s"dim out of range: $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    val (w, b) = trainLogRegModel(df, id, text, label, dim, lr, iters)
+    import spark.implicits._
+    (Seq((-1, b)) ++ w.indices.map(j => (j, w(j))))
+      .toDF("idx", "weight")
+      .select(col("idx"), round(col("weight"), 9).as("weight"))
+  }
+
+  /** [[trainLogReg]]'s driver loop, returning the raw (weights, bias)
+    * doubles for composition and specs. */
+  def trainLogRegModel(df: DataFrame, id: Column, text: Column,
+      label: Column, dim: Int, lr: Double, iters: Int)
+      : (IndexedSeq[Double], Double) = {
+    val feat = {
+      val cols = col("id") +: col("y") +:
+        size(col("ts")).cast("long").as("n") +:
+        (0 until dim).map { j =>
+          size(filter(col("ts"), t =>
+            pmod(HashKernels.polyHash(t, 31L, P), lit(dim.toLong)) ===
+              lit(j.toLong))).cast("long").as(s"c_$j")
+        }
+      df.select(id.as("id"), TextExprs.tokens(text).as("ts"),
+          label.cast("int").as("y"))
+        .filter(size(col("ts")) > 0)
+        .select(cols: _*)
+    }
+    var w = IndexedSeq.fill(dim)(0.0)
+    var b = 0.0
+    var nDocs = -1L
+    (0 until iters).foreach { _ =>
+      val znum = (0 until dim).map(j => lit(w(j)) * col(s"c_$j").cast("double"))
+        .reduceLeft(_ + _)
+      val p = lit(1.0) / (lit(1.0) +
+        exp(-(lit(b) + (znum / col("n").cast("double")))))
+      val diff = p - col("y").cast("double")
+      def snap(x: Column): Column = round(x * lit(1.0e8)).cast("long")
+      val gradAggs = sum(snap(diff)).as("g_b") +:
+        (0 until dim).map(j => sum(snap(
+          (diff * col(s"c_$j").cast("double")) / col("n").cast("double")))
+          .as(s"g_$j"))
+      val row = feat.agg(count(lit(1)).as("n_docs"), gradAggs: _*).head()
+      nDocs = row.getAs[Long]("n_docs")
+      require(nDocs > 0, "trainLogReg: no docs with tokens")
+      val n = nDocs.toDouble
+      b = b - lr * ((row.getAs[Long]("g_b") / 1.0e8) / n)
+      w = (0 until dim).map(j =>
+        w(j) - lr * ((row.getAs[Long](s"g_$j") / 1.0e8) / n))
+    }
+    (w, b)
+  }
 }

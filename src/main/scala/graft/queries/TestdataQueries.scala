@@ -3753,6 +3753,87 @@ FROM r$q82Rounds"""
        |FROM r WHERE rank <= $q124TopK""".stripMargin
   }
 
+  // ----------------------- logistic-regression training (§2.10 ext)
+  // The TRAIN step of the hashed linear filter q77 serves: full-batch
+  // gradient descent on hashed token-count features, label = "is the
+  // doc English" — a language/quality-filter trained on-cluster. Every
+  // gradient is snapped to 1e-8 fixed-point before the cross-doc sum
+  // (exact BIGINT aggregate), so the oracle replays all `q125Iters`
+  // iterations bit-for-bit as unrolled CTEs: per-iteration weights are
+  // SQL expressions over the previous iteration's, not copied literals.
+  private val q125D = 16
+  private val q125Lr = 0.5
+  private val q125Iters = 3
+
+  private def q125LogregTrain(s: SparkSession, d: String): DataFrame =
+    graft.operators.Classify.trainLogReg(Tables.documents(s, d),
+      col("doc_id"), col("text"), (col("lang") === "en").cast("int"),
+      q125D, q125Lr, q125Iters)
+
+  private val q125Sql = {
+    val poly = "list_reduce(list_transform(string_split(tok, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val cAggs = (0 until q125D).map(j =>
+      s"sum(CASE WHEN bucket = $j THEN 1 ELSE 0 END) AS c_$j")
+      .mkString(",\n      ")
+    def wRow(i: Int): String =
+      if (i == 0)
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, " +
+          (0 until q125D).map(j => s"CAST(0.0 AS DOUBLE) AS w_$j")
+            .mkString(", ") + ")"
+      else {
+        val g = s"g${i - 1}"
+        val upd = (0 until q125D).map(j =>
+          s"w.w_$j - $q125Lr * ((CAST($g.g_$j AS DOUBLE) / 100000000.0) / " +
+            s"CAST(nd.n_docs AS DOUBLE)) AS w_$j").mkString(",\n        ")
+        s"""w$i AS (SELECT
+           |        w.b - $q125Lr * ((CAST($g.g_b AS DOUBLE) / 100000000.0) /
+           |          CAST(nd.n_docs AS DOUBLE)) AS b,
+           |        $upd
+           |      FROM w${i - 1} w CROSS JOIN $g CROSS JOIN nd)""".stripMargin
+      }
+    def gRow(i: Int): String = {
+      val znum = (0 until q125D).map(j =>
+        s"w.w_$j * CAST(c_$j AS DOUBLE)").mkString(" + ")
+      val gAggs = (0 until q125D).map(j =>
+        s"sum(CAST(round((((p - y) * CAST(c_$j AS DOUBLE)) / " +
+          s"CAST(n AS DOUBLE)) * 100000000.0) AS BIGINT)) AS g_$j")
+        .mkString(",\n        ")
+      s"""p$i AS (SELECT ft.*,
+         |        1.0 / (1.0 + exp(-(w.b + (($znum) / CAST(n AS DOUBLE))))) AS p
+         |      FROM ft CROSS JOIN w$i w),
+         |g$i AS (SELECT
+         |        sum(CAST(round((p - y) * 100000000.0) AS BIGINT)) AS g_b,
+         |        $gAggs
+         |      FROM p$i)""".stripMargin
+    }
+    val iterCtes = (0 until q125Iters)
+      .map(i => s"${wRow(i)},\n${gRow(i)}").mkString(",\n")
+    val finalW = wRow(q125Iters).stripPrefix(s"w$q125Iters AS (")
+      .stripSuffix(")")
+    val out = (s"SELECT -1 AS idx, round(b, 9) AS weight FROM wf" +:
+      (0 until q125D).map(j =>
+        s"SELECT $j AS idx, round(w_$j, 9) AS weight FROM wf"))
+      .mkString("\n UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yl
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tk AS (SELECT doc_id, yl, len(ts) AS nn, unnest(ts) AS tok
+       |       FROM toks WHERE len(ts) > 0),
+       |bk AS (SELECT doc_id, yl, nn, $poly % $q125D AS bucket FROM tk),
+       |ft AS (SELECT doc_id, CAST(min(yl) AS DOUBLE) AS y,
+       |      min(nn) AS n,
+       |      $cAggs
+       |    FROM bk GROUP BY doc_id),
+       |nd AS (SELECT count(*) AS n_docs FROM ft),
+       |$iterCtes,
+       |wf AS ($finalW)
+       |SELECT CAST(idx AS INTEGER) AS idx, weight FROM ($out)""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3874,7 +3955,8 @@ FROM r$q82Rounds"""
     "q121_winnowing" -> (q121Winnowing _),
     "q122_overlap_sketch" -> (q122OverlapSketch _),
     "q123_source_quality_buckets" -> (q123SourceQualityBuckets _),
-    "q124_hybrid_rrf" -> (q124HybridRrf _))
+    "q124_hybrid_rrf" -> (q124HybridRrf _),
+    "q125_logreg_train" -> (q125LogregTrain _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -3995,5 +4077,6 @@ FROM r$q82Rounds"""
     "q121_winnowing" -> q121Sql,
     "q122_overlap_sketch" -> q122Sql,
     "q123_source_quality_buckets" -> q123Sql,
-    "q124_hybrid_rrf" -> q124Sql)
+    "q124_hybrid_rrf" -> q124Sql,
+    "q125_logreg_train" -> q125Sql)
 }
