@@ -66,6 +66,62 @@ object Mix {
       .select(col("id"), col("grp"), col("w"), col("rate_bp"))
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual/multi-source
+    * `p_g ∝ T_g^α` rebalancing of mBERT/XLM-R/Gopher-style mixture
+    * design, α < 1 up-weighting small sources): keep rates follow target
+    * shares `T_g^α / Σ_u T_u^α` of a global `budget`, instead of
+    * [[sampleToBudget]]'s hard per-group ceiling.
+    *
+    * Keep rate per group: `rate_bp = min(scale, floor(round(
+    * budget·scale·T_g^(α−1) / Σ_u T_u^α, 6)))` with `x^α` written
+    * `exp(α·ln x)` in BOTH engines and each group's `T^α` term snapped
+    * to 6 decimals BEFORE the cross-group decimal sum — so the one
+    * genuinely transcendental step is per-group local and the sum is
+    * exact and order-free (last-ulp exp/ln skew would need to cross a
+    * 1e-6 rounding boundary to flip a rate). The keep decision is the
+    * same portable `mixedHash(id) mod scale < rate_bp` as
+    * [[sampleToBudget]] — no RNG, every row oracle-replayable.
+    *
+    * Scale shape: identical to [[sampleToBudget]] — one tiny per-group
+    * aggregate (plus a groups-sized decimal sum) broadcast back; the
+    * corpus never shuffles. Rates can exceed a group's fair share only
+    * down to `scale` granularity; α = 1 degrades to proportional
+    * sampling, α = 0 to equal shares. */
+  def temperatureSample(df: DataFrame, id: Column, group: Column,
+      weight: Column, alpha: Double, budget: Long, scale: Int = 10000)
+      : DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(scale >= 2, s"scale must be >= 2, got $scale")
+    require(budget <= Long.MaxValue / scale,
+      s"budget * scale overflows Long: budget=$budget scale=$scale")
+    val rows = df.select(id.as("id"), group.as("grp"),
+      weight.cast("long").as("w"))
+      .filter(col("id").isNotNull && col("grp").isNotNull)
+    val totals = rows.groupBy(col("grp"))
+      .agg(sum(col("w")).as("t_total"), min(col("w")).as("w_min"))
+      .select(col("grp"),
+        when(col("w_min") < 0, raise_error(concat(
+            lit("Mix.temperatureSample: negative weight in group "),
+            col("grp").cast("string"))).cast("long"))
+          .otherwise(col("t_total")).as("t_total"))
+      .filter(col("t_total").isNotNull && col("t_total") > 0)
+    // per-group T^α, snapped to 6 decimals → exact decimal denominator
+    val talpha = round(exp(lit(alpha) * log(col("t_total").cast("double"))), 6)
+      .cast("decimal(38,6)")
+    val denom = totals.agg(sum(talpha).as("denom_a"))
+    val rates = totals.crossJoin(broadcast(denom))
+      .select(col("grp"),
+        least(lit(scale.toLong), floor(round(
+          (lit((budget * scale).toDouble) *
+            exp(lit(alpha - 1.0) * log(col("t_total").cast("double")))) /
+            col("denom_a").cast("double"), 6)).cast("long")).as("rate_bp"))
+    rows.join(broadcast(rates), Seq("grp"))
+      .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
+        lit(scale.toLong)) < col("rate_bp"))
+      .select(col("id"), col("grp"), col("w"), col("rate_bp"))
+  }
+
   /** Per-group document cap, best-first (the RefinedWeb/C4 per-domain cap:
     * no single domain may contribute more than `n` documents, and when a
     * domain is over the cap its BEST-scoring docs survive — a diversity

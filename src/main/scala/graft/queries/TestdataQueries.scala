@@ -3834,6 +3834,55 @@ FROM r$q82Rounds"""
        |SELECT CAST(idx AS INTEGER) AS idx, weight FROM ($out)""".stripMargin
   }
 
+  // ------------------- temperature-scaled mixture sampling (§2.10 ext)
+  // q73's budget mixing with `p_g ∝ T_g^α` target shares (α = 0.7 — the
+  // mBERT/XLM-R small-source up-weighting). The only transcendental step
+  // (exp/ln pow) is per-group local with its output snapped to 6
+  // decimals before the cross-group decimal sum, so every rate — and
+  // therefore every row's keep decision — replays exactly.
+  private val q126Alpha = 0.7
+  private val q126Budget = 8000L
+  private val q126Scale = 10000
+
+  private def q126TemperatureMix(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.temperatureSample(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextExprs.tokenCount(col("text")).as("n_toks")),
+      col("doc_id"), col("source"), col("n_toks"),
+      q126Alpha, q126Budget, q126Scale)
+      .select(col("id").as("doc_id"), col("grp").as("source"),
+        col("w").as("n_toks"), col("rate_bp"))
+
+  private val q126Sql = {
+    val poly = "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    val aS = q126Alpha.toString
+    val am1S = (q126Alpha - 1.0).toString
+    val bsS = (q126Budget * q126Scale).toDouble.toString
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |tot AS (SELECT source, sum(n_toks) AS t FROM rows_
+       |        GROUP BY source HAVING sum(n_toks) > 0),
+       |ta AS (SELECT source, t,
+       |      CAST(round(exp($aS * ln(CAST(t AS DOUBLE))), 6)
+       |        AS DECIMAL(38,6)) AS ea FROM tot),
+       |dn AS (SELECT sum(ea) AS s FROM ta),
+       |rates AS (
+       |  SELECT source, least($q126Scale, CAST(floor(round(
+       |      ($bsS * exp($am1S * ln(CAST(t AS DOUBLE)))) /
+       |        CAST(s AS DOUBLE), 6)) AS BIGINT)) AS rate_bp
+       |  FROM ta CROSS JOIN dn),
+       |h AS (SELECT doc_id, source, n_toks, $mh AS mh FROM rows_)
+       |SELECT h.doc_id, h.source, h.n_toks, r.rate_bp
+       |FROM h JOIN rates r USING (source)
+       |WHERE mh % $q126Scale < rate_bp""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3956,7 +4005,8 @@ FROM r$q82Rounds"""
     "q122_overlap_sketch" -> (q122OverlapSketch _),
     "q123_source_quality_buckets" -> (q123SourceQualityBuckets _),
     "q124_hybrid_rrf" -> (q124HybridRrf _),
-    "q125_logreg_train" -> (q125LogregTrain _))
+    "q125_logreg_train" -> (q125LogregTrain _),
+    "q126_temperature_mix" -> (q126TemperatureMix _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4078,5 +4128,6 @@ FROM r$q82Rounds"""
     "q122_overlap_sketch" -> q122Sql,
     "q123_source_quality_buckets" -> q123Sql,
     "q124_hybrid_rrf" -> q124Sql,
-    "q125_logreg_train" -> q125Sql)
+    "q125_logreg_train" -> q125Sql,
+    "q126_temperature_mix" -> q126Sql)
 }
