@@ -57,24 +57,24 @@ object Classify {
     *
     * Determinism across engines and partitionings, the part a naive
     * float implementation gets wrong:
-    *  - per-doc features are bucket counts `c_j` (exact integers,
-    *    map-side HOFs over the token array — no shuffle, no explode);
-    *  - the per-doc logit numerator `Σ_j w_j·c_j` is a FIXED-ORDER
-    *    left-associated double sum over the structural bucket index —
-    *    order is part of the operator, not of the data layout;
-    *  - each doc's gradient contribution is snapped to 1e-8 fixed-point
-    *    (`round(x·1e8)` → BIGINT), so the cross-doc gradient sum is an
-    *    exact integer aggregate — associative, partition-order-free,
-    *    and replayable bit-for-bit by any engine;
+    *  - the per-doc logit is ONE O(len) left fold over the token array
+    *    (weight-literal lookup per token) — the fold order is the
+    *    array's content order, a property of the data, not of the
+    *    partitioning;
+    *  - every gradient addend (per token: `(p−y)/n`; per doc: `p−y`)
+    *    is snapped to 1e-8 fixed-point (`round(x·1e8)` → BIGINT), so
+    *    the bucket-grouped gradient sums are exact integer aggregates —
+    *    associative, partition-order-free, engine-replayable;
     *  - the weight update `w_j − lr·((g_j/1e8)/N)` is then a fixed
     *    sequence of IEEE double ops on engine-identical inputs.
     *
-    * Scale shape: one map-side featurize + ONE metadata-sized global
-    * aggregate (dim+2 longs, partial-agg combined) per iteration — the
-    * corpus never shuffles; the model lives in the plan as literals
-    * (same regime as [[Vocab]]'s driver-delta BPE trainer). Docs with
-    * no tokens carry no features and are excluded. `dim` is bounded by
-    * literal-array limits (a few hundred thousand).
+    * Scale shape: per iteration, one corpus scan — tokenize, fold,
+    * sigmoid, and the per-token gradient entries all map-side — into a
+    * `groupBy(bucket)` with dim+1 groups: partial aggregation collapses
+    * every partition to ≤ dim+1 rows before the only exchange, so what
+    * crosses the wire is model-sized, not corpus-sized. The model rides
+    * the plan as literals (same regime as [[Vocab]]'s driver-delta BPE
+    * trainer). Docs with no tokens carry no features and are excluded.
     */
   def trainLogReg(df: DataFrame, id: Column, text: Column, label: Column,
       dim: Int, lr: Double, iters: Int): DataFrame = {
@@ -89,44 +89,58 @@ object Classify {
   }
 
   /** [[trainLogReg]]'s driver loop, returning the raw (weights, bias)
-    * doubles for composition and specs. */
+    * doubles for composition and specs.
+    *
+    * Per-iteration plan (all map-side until the final tiny aggregate):
+    * tokenize → per-doc logit via ONE O(len) left fold over the token
+    * array (`aggregate` HOF, weight literals indexed by the codegen'd
+    * portable hash) → per-doc `(p−y)` → one exploded entry per token
+    * (bucket, snap8((p−y)/n)) plus a bucket −1 sentinel per doc
+    * carrying snap8(p−y) → `groupBy(bucket)` — dim+1 groups, partial
+    * aggregation reduces each partition to ≤ dim+1 rows before the only
+    * exchange. The corpus is never shuffled; the gradient that crosses
+    * the wire is metadata-sized. The logit fold is in token-array order
+    * (a property of the DATA, not of partitioning), so z is
+    * deterministic; gradient addends are 1e-8 fixed-point longs, so the
+    * cross-doc sums are exact. At dim beyond ~10⁵ the literal weight
+    * array should become a broadcast lookup table — literals keep the
+    * model inside whole-stage codegen, which is the right trade at
+    * filter-sized dims. */
   def trainLogRegModel(df: DataFrame, id: Column, text: Column,
       label: Column, dim: Int, lr: Double, iters: Int)
       : (IndexedSeq[Double], Double) = {
-    val feat = {
-      val cols = col("id") +: col("y") +:
-        size(col("ts")).cast("long").as("n") +:
-        (0 until dim).map { j =>
-          size(filter(col("ts"), t =>
-            pmod(HashKernels.polyHash(t, 31L, P), lit(dim.toLong)) ===
-              lit(j.toLong))).cast("long").as(s"c_$j")
-        }
-      df.select(id.as("id"), TextExprs.tokens(text).as("ts"),
-          label.cast("int").as("y"))
-        .filter(size(col("ts")) > 0)
-        .select(cols: _*)
-    }
+    val base = df.select(TextExprs.tokens(text).as("ts"),
+        label.cast("int").as("y"))
+      .filter(size(col("ts")) > 0)
+      .select(col("ts"), col("y"), size(col("ts")).cast("long").as("n"))
+    def bucket(t: Column): Column =
+      pmod(HashKernels.polyHash(t, 31L, P), lit(dim.toLong)).cast("int")
     var w = IndexedSeq.fill(dim)(0.0)
     var b = 0.0
-    var nDocs = -1L
     (0 until iters).foreach { _ =>
-      val znum = (0 until dim).map(j => lit(w(j)) * col(s"c_$j").cast("double"))
-        .reduceLeft(_ + _)
+      val wArr = array(w.map(lit): _*)
+      val zsum = aggregate(col("ts"), lit(0.0),
+        (acc, t) => acc + element_at(wArr, bucket(t) + 1))
       val p = lit(1.0) / (lit(1.0) +
-        exp(-(lit(b) + (znum / col("n").cast("double")))))
+        exp(-(lit(b) + (zsum / col("n").cast("double")))))
       val diff = p - col("y").cast("double")
       def snap(x: Column): Column = round(x * lit(1.0e8)).cast("long")
-      val gradAggs = sum(snap(diff)).as("g_b") +:
-        (0 until dim).map(j => sum(snap(
-          (diff * col(s"c_$j").cast("double")) / col("n").cast("double")))
-          .as(s"g_$j"))
-      val row = feat.agg(count(lit(1)).as("n_docs"), gradAggs: _*).head()
-      nDocs = row.getAs[Long]("n_docs")
+      val entries = concat(
+        array(struct(lit(-1).as("bucket"), snap(diff).as("g"))),
+        transform(col("ts"), t => struct(bucket(t).as("bucket"),
+          snap(diff / col("n").cast("double")).as("g"))))
+      val grads = base
+        .select(col("y"), col("n"), explode(entries).as("e"))
+        .groupBy(col("e.bucket").as("bucket"))
+        .agg(sum(col("e.g")).as("g"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val nDocs = grads.get(-1).map(_._2).getOrElse(0L)
       require(nDocs > 0, "trainLogReg: no docs with tokens")
       val n = nDocs.toDouble
-      b = b - lr * ((row.getAs[Long]("g_b") / 1.0e8) / n)
+      b = b - lr * ((grads(-1)._1 / 1.0e8) / n)
       w = (0 until dim).map(j =>
-        w(j) - lr * ((row.getAs[Long](s"g_$j") / 1.0e8) / n))
+        w(j) - lr * ((grads.get(j).map(_._1).getOrElse(0L) / 1.0e8) / n))
     }
     (w, b)
   }

@@ -3771,11 +3771,12 @@ FROM r$q82Rounds"""
       q125D, q125Lr, q125Iters)
 
   private val q125Sql = {
-    val poly = "list_reduce(list_transform(string_split(tok, ''), " +
-      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
-    val cAggs = (0 until q125D).map(j =>
-      s"sum(CASE WHEN bucket = $j THEN 1 ELSE 0 END) AS c_$j")
-      .mkString(",\n      ")
+    def poly(v: String) = "list_reduce(list_transform(string_split(" + v +
+      ", ''), c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    def wCase(alias: String) =
+      s"CASE (${poly("t")}) % $q125D " +
+        (0 until q125D).map(j => s"WHEN $j THEN $alias.w_$j").mkString(" ") +
+        " END"
     def wRow(i: Int): String =
       if (i == 0)
         "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, " +
@@ -3793,19 +3794,22 @@ FROM r$q82Rounds"""
            |      FROM w${i - 1} w CROSS JOIN $g CROSS JOIN nd)""".stripMargin
       }
     def gRow(i: Int): String = {
-      val znum = (0 until q125D).map(j =>
-        s"w.w_$j * CAST(c_$j AS DOUBLE)").mkString(" + ")
       val gAggs = (0 until q125D).map(j =>
-        s"sum(CAST(round((((p - y) * CAST(c_$j AS DOUBLE)) / " +
-          s"CAST(n AS DOUBLE)) * 100000000.0) AS BIGINT)) AS g_$j")
+        s"sum(CASE WHEN bucket = $j THEN g ELSE 0 END) AS g_$j")
         .mkString(",\n        ")
-      s"""p$i AS (SELECT ft.*,
-         |        1.0 / (1.0 + exp(-(w.b + (($znum) / CAST(n AS DOUBLE))))) AS p
+      s"""p$i AS (SELECT ts, y, n,
+         |        1.0 / (1.0 + exp(-(w.b + (list_reduce(list_transform(ts,
+         |          t -> ${wCase("w")}), (za, zb) -> za + zb) /
+         |          CAST(n AS DOUBLE))))) AS p
          |      FROM ft CROSS JOIN w$i w),
          |g$i AS (SELECT
-         |        sum(CAST(round((p - y) * 100000000.0) AS BIGINT)) AS g_b,
+         |        (SELECT sum(CAST(round((p - y) * 100000000.0) AS BIGINT))
+         |         FROM p$i) AS g_b,
          |        $gAggs
-         |      FROM p$i)""".stripMargin
+         |      FROM (SELECT (${poly("tok")}) % $q125D AS bucket,
+         |              CAST(round(((p - y) / CAST(n AS DOUBLE)) *
+         |                100000000.0) AS BIGINT) AS g
+         |            FROM (SELECT p, y, n, unnest(ts) AS tok FROM p$i)))""".stripMargin
     }
     val iterCtes = (0 until q125Iters)
       .map(i => s"${wRow(i)},\n${gRow(i)}").mkString(",\n")
@@ -3821,18 +3825,14 @@ FROM r$q82Rounds"""
        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yl
        |  FROM documents WHERE length(trim(text)) > 0),
-       |tk AS (SELECT doc_id, yl, len(ts) AS nn, unnest(ts) AS tok
+       |ft AS (SELECT ts, CAST(yl AS DOUBLE) AS y, len(ts) AS n
        |       FROM toks WHERE len(ts) > 0),
-       |bk AS (SELECT doc_id, yl, nn, $poly % $q125D AS bucket FROM tk),
-       |ft AS (SELECT doc_id, CAST(min(yl) AS DOUBLE) AS y,
-       |      min(nn) AS n,
-       |      $cAggs
-       |    FROM bk GROUP BY doc_id),
        |nd AS (SELECT count(*) AS n_docs FROM ft),
        |$iterCtes,
        |wf AS ($finalW)
        |SELECT CAST(idx AS INTEGER) AS idx, weight FROM ($out)""".stripMargin
   }
+
 
   // ------------------- temperature-scaled mixture sampling (§2.10 ext)
   // q73's budget mixing with `p_g ∝ T_g^α` target shares (α = 0.7 — the
