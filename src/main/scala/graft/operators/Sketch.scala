@@ -519,4 +519,84 @@ object Sketch {
     countMinEstimatesFrom(
       SketchState.read(corpus.sparkSession, statePath),
       corpus, key, depth, width, probes)
+
+  /** Per-group HyperLogLog distinct estimates (Flajolet et al. 2007) —
+    * the register-based sibling of [[kmvDistinctByGroup]]: fixed
+    * `m = 2^p` registers per group regardless of cardinality, registers
+    * merge by MAX (union of sketches = elementwise max — the mergeable
+    * summary property that lets shards/days/sources combine without
+    * rescanning), and the whole computation is RELATIONAL: one
+    * `groupBy(group, register)` max (partial-aggregated map-side to
+    * ≤ groups×m rows per task before the only exchange) and one
+    * groups-sized estimate aggregate. No per-task sketch state, no
+    * group ceiling — the exchange itself is the bound.
+    *
+    * Engine-exactness (the oracle replays the ESTIMATE, not a proxy):
+    * the register index and rank come from integer ops on the portable
+    * `mixedHash` — `reg = h mod m`, `rho = (w+1) − msb(h div m)` with
+    * msb read off the binary string (`bin`, identical in Spark and
+    * DuckDB) — and the harmonic denominator `Σ 2^−rho + (m − hit)` is
+    * a sum of dyadic rationals whose exponent spread stays under 53
+    * bits, so every addition is EXACT and order-free. The one
+    * transcendental (small-range `m·ln(m/V)` correction) is absorbed
+    * by `round(est, 4)`.
+    *
+    * Output: `(grp, regs_hit, est_distinct)`; accuracy ≈ 1.04/√m.
+    * Null group/key rows are dropped. */
+  def hllDistinctByGroup(df: DataFrame, group: Column, key: Column,
+      p: Int = 8): DataFrame =
+    hllEstimateFromRegisters(hllRegistersByGroup(df, group, key, p), p)
+
+  /** The register table behind [[hllDistinctByGroup]]: `(grp, reg,
+    * mrho)`, ≤ 2^p rows per group. Register tables from disjoint shards
+    * / days / sources merge by `groupBy(grp, reg).agg(max(mrho))` —
+    * exactly this aggregate — and [[hllEstimateFromRegisters]] turns any
+    * such merge back into estimates without rescanning the inputs. */
+  def hllRegistersByGroup(df: DataFrame, group: Column, key: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4,14], got $p")
+    val m = 1 << p
+    // bit width of (P-1) div m: the rank field the register rank reads
+    val wBits = 64 - java.lang.Long.numberOfLeadingZeros((P - 1) / m)
+    val rows = df.select(group.as("grp"), mixedHash(key.cast("string"))
+        .as("mh"))
+      .filter(col("grp").isNotNull && col("mh").isNotNull)
+      .select(col("grp"), pmod(col("mh"), lit(m.toLong)).as("reg"),
+        call_function("div", col("mh"), lit(m.toLong)).as("q"))
+    rows.groupBy(col("grp"), col("reg"))
+      .agg(max(when(col("q") === 0, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("q"))))).as("mrho"))
+  }
+
+  /** Estimates from a register table (see [[hllRegistersByGroup]]). */
+  def hllEstimateFromRegisters(regs: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4,14], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val est = regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("regs_hit"),
+        sum(pow(lit(2.0), -col("mrho").cast("double"))).as("hsum"))
+      .select(col("grp"), col("regs_hit"),
+        ((lit(m.toDouble) - col("regs_hit").cast("double")) + col("hsum"))
+          .as("den"),
+        (lit(m.toLong) - col("regs_hit")).as("v"))
+      .select(col("grp"), col("regs_hit"),
+        (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("den"))
+          .as("raw"), col("v"))
+    est.select(col("grp"), col("regs_hit"),
+      round(when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+        .otherwise(col("raw")), 4).as("est_distinct"))
+  }
+
+  /** Whole-input HLL distinct estimate: [[hllDistinctByGroup]] with a
+    * constant group — `(regs_hit, est_distinct)`, one row. */
+  def hllDistinct(df: DataFrame, key: Column, p: Int = 8): DataFrame =
+    hllDistinctByGroup(df, org.apache.spark.sql.functions.lit(0), key, p)
+      .drop("grp")
 }

@@ -3883,6 +3883,51 @@ FROM r$q82Rounds"""
        |WHERE mh % $q126Scale < rate_bp""".stripMargin
   }
 
+  // ----------------------------- HyperLogLog distinct (§2.10 ext)
+  // Register-based distinct sibling of the KMV family (q56/q64): fixed
+  // 2^p registers, max-mergeable, fully relational. The oracle replays
+  // the ESTIMATE — register index/rank are integer+bin() ops on the
+  // portable hash, and the harmonic denominator is an exact dyadic sum.
+  private val q127P = 8
+
+  private def q127HllDistinct(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketch.hllDistinctByGroup(
+      Tables.documents(s, d).select(col("source"),
+        explode(TextExprs.tokens(col("text"))).as("tok")),
+      col("source"), col("tok"), q127P)
+      .select(col("grp").as("source"), col("regs_hit"), col("est_distinct"))
+
+  private val q127Sql = {
+    val m = 1 << q127P
+    val wBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      (1000000007L - 1L) / m)
+    val w1 = wBits + 1
+    val alpha = s"CAST(${0.7213 / (1.0 + 1.079 / m)} AS DOUBLE)"
+    val mD = s"CAST($m.0 AS DOUBLE)"
+    val thr = s"CAST(${2.5 * m} AS DOUBLE)"
+    val poly = "list_reduce(list_transform(string_split(tok, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    s"""WITH tk AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |h AS (SELECT source, $mh AS mh FROM tk),
+       |r AS (SELECT source, mh % $m AS reg, mh // $m AS q FROM h),
+       |rg AS (SELECT source, reg,
+       |      max(CASE WHEN q = 0 THEN $w1 ELSE $w1 - len(bin(q)) END) AS mrho
+       |    FROM r GROUP BY source, reg),
+       |e AS (SELECT source, count(*) AS regs_hit,
+       |      (($mD - CAST(count(*) AS DOUBLE)) +
+       |        sum(pow(2.0, -CAST(mrho AS DOUBLE)))) AS den,
+       |      $m - count(*) AS v
+       |    FROM rg GROUP BY source)
+       |SELECT source, regs_hit,
+       |  round(CASE WHEN (($alpha * $mD) * $mD) / den <= $thr AND v > 0
+       |        THEN $mD * ln($mD / CAST(v AS DOUBLE))
+       |        ELSE (($alpha * $mD) * $mD) / den END, 4) AS est_distinct
+       |FROM e""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4006,7 +4051,8 @@ FROM r$q82Rounds"""
     "q123_source_quality_buckets" -> (q123SourceQualityBuckets _),
     "q124_hybrid_rrf" -> (q124HybridRrf _),
     "q125_logreg_train" -> (q125LogregTrain _),
-    "q126_temperature_mix" -> (q126TemperatureMix _))
+    "q126_temperature_mix" -> (q126TemperatureMix _),
+    "q127_hll_distinct" -> (q127HllDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4129,5 +4175,6 @@ FROM r$q82Rounds"""
     "q123_source_quality_buckets" -> q123Sql,
     "q124_hybrid_rrf" -> q124Sql,
     "q125_logreg_train" -> q125Sql,
-    "q126_temperature_mix" -> q126Sql)
+    "q126_temperature_mix" -> q126Sql,
+    "q127_hll_distinct" -> q127Sql)
 }

@@ -1042,9 +1042,63 @@ object ScaleProbe {
     vecs.unpersist()
   }
 
+  /** Round-11 additions, part 3 (q123–q126): (a) trainLogReg per-
+    * iteration cost at 100M tokens — the scan-plus-model-sized-exchange
+    * claim, dim 1k and 16k; (b) temperatureSample at 100M tokens / 20
+    * sources — should track scan speed (map-side decision); (c) rrfFuse
+    * over two million-row rankings — fusion is rank-table-sized, not
+    * corpus-sized; (d) the q123 per-source tercile composition at 2M
+    * docs. Run: sbt "runMain graft.tools.ScaleProbe ops14". */
+  def ops14Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Classify, Mix, Retrieval, Sketch}
+    import graft.functions.TextExprs
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(20)).cast("string").as("source"),
+      (pmod(col("id"), lit(5)) < 2).cast("int").as("y"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(5000)))))
+        .as("text")).cache()
+    val nTok = docs.count() * tokPerDoc
+    Seq(1024, 16384).foreach { dim =>
+      time(f"trainLogReg dim=$dim%-5d ($nTok%11d tokens, 2 iters)") {
+        Classify.trainLogRegModel(docs, col("doc_id"), col("text"),
+          col("y"), dim = dim, lr = 0.5, iters = 2)
+      }
+    }
+    time(f"temperatureSample  ($nTok%11d tokens, 20 sources)") {
+      Mix.temperatureSample(
+        docs.select(col("doc_id"), col("source"),
+          TextExprs.tokenCount(col("text")).as("n_toks")),
+        col("doc_id"), col("source"), col("n_toks"),
+        alpha = 0.7, budget = nTok / 10).count()
+    }
+    time(f"sourceQualityTerciles ($nDocs%10d docs, 20 sources, k=4096)") {
+      val scored = docs.select(col("doc_id"), col("source"),
+        round(TextExprs.qualityScore(col("text")), 6).as("quality"))
+      val qs = Sketch.quantileSketchByGroup(scored, col("source"),
+        col("quality"), col("doc_id"), 4096, Seq(1.0 / 3, 2.0 / 3))
+      val bounds = qs.groupBy(col("grp"))
+        .agg(min(col("est_value")).as("t1"), max(col("est_value")).as("t2"))
+      scored.join(broadcast(bounds), col("source") === col("grp")).count()
+    }
+    docs.unpersist()
+    // fusion cost is a function of the RANK TABLES (queries × depth),
+    // not the corpus: two synthetic million-row arms, 10k queries × 100
+    val arm = (salt: Int) => spark.range(1000000L).select(
+      concat(lit("q"), pmod(col("id"), lit(10000))).as("query_id"),
+      (pmod(col("id") * salt, lit(100)) + 1).cast("int").as("rank"),
+      pmod(col("id") * 31 + salt, lit(500000)).as("doc_id"))
+    time(f"rrfFuse            (    2x1M rank rows, 10k queries)") {
+      Retrieval.rrfFuse(Seq(arm(7), arm(13)), k = 10).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "lmstream")
+      "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "lmstream")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1097,6 +1151,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops12v")) {
       ops12VecProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops14")) {
+      ops14Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ops13")) {
       ops13Probe(spark); spark.stop(); return
