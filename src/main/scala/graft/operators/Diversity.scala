@@ -82,4 +82,86 @@ object Diversity {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    * over an embedding corpus: per query, greedily pick `k` items
+    * maximizing `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` — the
+    * diversity-aware re-rank used when a retrieval pool is fed to a
+    * context window or a demonstration set and near-duplicate hits
+    * waste the slots.
+    *
+    * Distribution of labor: the CORPUS work is [[Similarity
+    * .bruteForceTopK]] (broadcast queries, map-side scoring,
+    * WindowGroupLimit top-poolN) plus one pool-sized self-join for the
+    * candidate–candidate cosines — everything past that operates on
+    * queries × poolN rows, which is METADATA, and runs as a driver-side
+    * greedy loop (the one regime where a driver loop is the right
+    * plan: k·poolN² comparisons over ≤ thousands of rows, vs k more
+    * distributed jobs). Determinism: both cosine tables are snapped to
+    * 4 decimals (the q21-established cross-engine parity point); all
+    * downstream arithmetic is fixed-sequence IEEE ops on identical
+    * doubles, ties break on ascending doc id — the oracle replays the
+    * greedy selection exactly, iteration by iteration.
+    *
+    * Output: `(query_id, sel_rank, doc_id, mmr)` — `sel_rank` the
+    * greedy pick order (1-based), `mmr` the score at selection time. */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, poolN: Int, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && poolN >= k, s"need poolN >= k >= 1: poolN=$poolN k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    val pool = Similarity.bruteForceTopK(corpus, queries, id, vec, poolN)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cos").as("rel"))
+    val vecs = corpus.select(col(id).as("doc_id"), col(vec).as("v"),
+      graft.functions.VectorExprs.norm2(col(vec)).as("n2"))
+    val pv = pool.join(vecs, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("v"), col("n2"))
+    val x = pv.select(col("query_id"), col("doc_id").as("a"),
+      col("v").as("av"), col("n2").as("an2"))
+    val y = pv.select(col("query_id").as("qb"), col("doc_id").as("b"),
+      col("v").as("bv"), col("n2").as("bn2"))
+    val pc = x.join(y, col("query_id") === col("qb") && col("a") < col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(Similarity.pairCosine(col("av"), col("bv"),
+          col("an2"), col("bn2")), 4).as("sim"))
+    // ---- driver-side greedy over the metadata-sized pool
+    val relRows = pool.collect()
+      .map(r => (r.get(0), r.getLong(1), r.getDouble(2)))
+    val simMap = pc.collect()
+      .map(r => ((r.get(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    val oneMinus = 1.0 - lambda
+    val out = relRows.groupBy(_._1).toSeq
+      .flatMap { case (qid, rows) =>
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        def sim(a: Long, bb: Long): Double =
+          simMap((qid, math.min(a, bb), math.max(a, bb)))
+        val selected = collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        (1 to k).foreach { _ =>
+          val done = selected.map(_._1).toSet
+          val best = rel.keysIterator.filterNot(done)
+            .map { d =>
+              val pen = if (selected.isEmpty) 0.0
+                        else selected.iterator.map(s => sim(d, s._1)).max
+              (d, lambda * rel(d) - oneMinus * pen)
+            }
+            .minBy { case (d, s) => (-s, d) }
+          selected += best
+        }
+        selected.zipWithIndex.map { case ((d, s), i) =>
+          org.apache.spark.sql.Row(qid, i + 1, d, s) }
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          pool.schema("query_id").dataType),
+        org.apache.spark.sql.types.StructField("sel_rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mmr",
+          org.apache.spark.sql.types.DoubleType))))
+  }
 }

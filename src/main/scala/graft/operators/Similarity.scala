@@ -24,7 +24,8 @@ object Similarity {
     * pass does one dot product per pair instead of three. `sqrt(n2a) *
     * sqrt(n2b)` (not `sqrt(n2a*n2b)`) keeps the exact IEEE op sequence of
     * the naive formula, so results are bit-identical with the oracle. */
-  private def pairCosine(qv: Column, cv: Column, qn2: Column, cn2: Column): Column = {
+  private[operators] def pairCosine(qv: Column, cv: Column, qn2: Column,
+      cn2: Column): Column = {
     val den = sqrt(qn2) * sqrt(cn2)
     when(den === 0.0, lit(null).cast("double"))
       .otherwise(VectorExprs.dot(qv, cv) / den)

@@ -3928,6 +3928,82 @@ FROM r$q82Rounds"""
        |FROM e""".stripMargin
   }
 
+  // ----------------------------- MMR diverse selection (§2.10 ext)
+  // Diversity-aware re-rank of a retrieval pool (Carbonell & Goldstein
+  // 1998): greedy λ·rel − (1−λ)·max-sim-to-selected over the top-20
+  // cosine pool, k=5 per query. Both cosine tables snap to 4 decimals
+  // (the q21 parity point); the oracle replays the greedy loop as one
+  // CTE pair (candidates + argmax) per selection step.
+  private val q128PoolN = 20
+  private val q128K = 5
+  private val q128Lambda = 0.7
+
+  private def q128MmrSelect(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    graft.operators.Diversity.mmrSelect(embs,
+      embs.filter(col("vec_id") < 3), "vec_id", "embedding",
+      q128PoolN, q128K, q128Lambda)
+  }
+
+  private val q128Sql = {
+    val l = q128Lambda.toString
+    val om = (1.0 - q128Lambda).toString
+    val mmrExpr = s"CAST($l AS DOUBLE) * rel - CAST($om AS DOUBLE) * coalesce(pen, 0.0)"
+    def step(i: Int): String = {
+      val prev = s"u${i - 1}"
+      val cand =
+        if (i == 1)
+          s"""c1 AS (SELECT query_id, doc_id, rel, CAST(NULL AS DOUBLE) AS pen
+             |       FROM pool)""".stripMargin
+        else
+          s"""c$i AS (
+             |  SELECT p.query_id, p.doc_id, p.rel,
+             |    (SELECT max(pc.sim) FROM pc JOIN $prev u
+             |       ON u.query_id = p.query_id AND pc.query_id = p.query_id
+             |      AND ((pc.a = p.doc_id AND pc.b = u.doc_id) OR
+             |           (pc.a = u.doc_id AND pc.b = p.doc_id))) AS pen
+             |  FROM pool p
+             |  WHERE NOT EXISTS (SELECT 1 FROM $prev u2
+             |    WHERE u2.query_id = p.query_id AND u2.doc_id = p.doc_id))""".stripMargin
+      val sel =
+        s"""s$i AS (SELECT query_id, doc_id, mmr FROM (
+           |    SELECT query_id, doc_id, $mmrExpr AS mmr, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY $mmrExpr DESC, doc_id) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      val uni =
+        if (i == 1) s"u1 AS (SELECT query_id, doc_id, 1 AS sel_rank, mmr FROM s1)"
+        else s"u$i AS (SELECT * FROM u${i - 1} UNION ALL " +
+          s"SELECT query_id, doc_id, $i AS sel_rank, mmr FROM s$i)"
+      s"$cand,\n$sel,\n$uni"
+    }
+    val steps = (1 to q128K).map(step).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+       |cs AS (
+       |  SELECT qv.query_id, e.vec_id AS doc_id,
+       |    list_inner_product(qv.qv, e.v) /
+       |      (sqrt(list_inner_product(qv.qv, qv.qv)) *
+       |       sqrt(list_inner_product(e.v, e.v))) AS c
+       |  FROM e CROSS JOIN qv WHERE qv.query_id <> e.vec_id),
+       |pool AS (
+       |  SELECT query_id, doc_id, round(c, 4) AS rel
+       |  FROM (SELECT query_id, doc_id, c, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY c DESC, doc_id) AS rank FROM cs)
+       |  WHERE rank <= $q128PoolN),
+       |pv AS (SELECT p.query_id, p.doc_id, e.v FROM pool p
+       |       JOIN e ON e.vec_id = p.doc_id),
+       |pc AS (
+       |  SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+       |    round(list_inner_product(x.v, y.v) /
+       |      (sqrt(list_inner_product(x.v, x.v)) *
+       |       sqrt(list_inner_product(y.v, y.v))), 4) AS sim
+       |  FROM pv x JOIN pv y
+       |    ON x.query_id = y.query_id AND x.doc_id < y.doc_id),
+       |$steps
+       |SELECT query_id, CAST(sel_rank AS INTEGER) AS sel_rank, doc_id, mmr
+       |FROM u$q128K""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4052,7 +4128,8 @@ FROM r$q82Rounds"""
     "q124_hybrid_rrf" -> (q124HybridRrf _),
     "q125_logreg_train" -> (q125LogregTrain _),
     "q126_temperature_mix" -> (q126TemperatureMix _),
-    "q127_hll_distinct" -> (q127HllDistinct _))
+    "q127_hll_distinct" -> (q127HllDistinct _),
+    "q128_mmr_select" -> (q128MmrSelect _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4176,5 +4253,6 @@ FROM r$q82Rounds"""
     "q124_hybrid_rrf" -> q124Sql,
     "q125_logreg_train" -> q125Sql,
     "q126_temperature_mix" -> q126Sql,
-    "q127_hll_distinct" -> q127Sql)
+    "q127_hll_distinct" -> q127Sql,
+    "q128_mmr_select" -> q128Sql)
 }
