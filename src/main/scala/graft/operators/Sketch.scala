@@ -599,4 +599,41 @@ object Sketch {
   def hllDistinct(df: DataFrame, key: Column, p: Int = 8): DataFrame =
     hllDistinctByGroup(df, org.apache.spark.sql.functions.lit(0), key, p)
       .drop("grp")
+
+  /** Incremental per-group HLL over micro-batches (fifth streaming-sketch
+    * variant, with KMV, Misra–Gries, quantiles, and count-min): register
+    * max-merge is exact, commutative, and idempotent, so the accumulated
+    * state is BIT-IDENTICAL to the batch register table for ANY arrival
+    * split — re-delivered rows are absorbed for free (max with itself),
+    * which also makes the ingest at-least-once safe. State is ≤ groups ×
+    * 2^p `(grp, reg, mrho)` parquet rows; each batch collapses to that
+    * size via [[hllRegistersByGroup]]'s map-side combine before the
+    * metadata-sized driver merge. */
+  def hllIngestBatch(batch: DataFrame, group: Column, key: Column,
+      p: Int, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // state rides parquet with a STRING group column; cast here so the
+    // driver-side merge key is uniform for any group type
+    val batchMap = hllRegistersByGroup(batch, group.cast("string"), key, p)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    val prior: Map[(String, Long), Int] =
+      if (SketchState.exists(spark, statePath))
+        SketchState.read(spark, statePath).collect()
+          .map(r => ((r.getString(0), r.getLong(1)), r.getInt(2))).toMap
+      else Map.empty
+    val merged = (prior.keySet ++ batchMap.keySet).toSeq.map { k =>
+      (k._1, k._2,
+        math.max(prior.getOrElse(k, 0), batchMap.getOrElse(k, 0)))
+    }
+    SketchState.write(merged.toDF("grp", "reg", "mrho"), statePath)
+  }
+
+  /** Estimates from a state directory maintained by [[hllIngestBatch]] —
+    * by exact max-merge, identical to [[hllDistinctByGroup]] over the
+    * accumulated input. */
+  def hllEstimatesFromState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, p: Int): DataFrame =
+    hllEstimateFromRegisters(SketchState.read(spark, statePath), p)
 }

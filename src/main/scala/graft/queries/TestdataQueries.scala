@@ -4004,6 +4004,26 @@ FROM r$q82Rounds"""
        |FROM u$q128K""".stripMargin
   }
 
+  // ------------------- streaming HyperLogLog (§2.10 ext)
+  // Register max-merge is exact/commutative/idempotent, so the
+  // accumulated micro-batch state is bit-identical to the batch register
+  // table for any arrival split — q129 shares q127's oracle, extending
+  // the streaming-sketch family (q65 KMV, q75 MG, q76 quantiles, q78
+  // count-min) with its fifth member.
+  private def q129StreamingHll(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("hll_stream")
+      .toString + "/state"
+    (0 until 3).foreach { b =>
+      graft.operators.Sketch.hllIngestBatch(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === b)
+          .select(col("source"),
+            explode(TextExprs.tokens(col("text"))).as("tok")),
+        col("source"), col("tok"), q127P, state)
+    }
+    graft.operators.Sketch.hllEstimatesFromState(s, state, q127P)
+      .select(col("grp").as("source"), col("regs_hit"), col("est_distinct"))
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4129,7 +4149,8 @@ FROM r$q82Rounds"""
     "q125_logreg_train" -> (q125LogregTrain _),
     "q126_temperature_mix" -> (q126TemperatureMix _),
     "q127_hll_distinct" -> (q127HllDistinct _),
-    "q128_mmr_select" -> (q128MmrSelect _))
+    "q128_mmr_select" -> (q128MmrSelect _),
+    "q129_streaming_hll" -> (q129StreamingHll _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4254,5 +4275,6 @@ FROM r$q82Rounds"""
     "q125_logreg_train" -> q125Sql,
     "q126_temperature_mix" -> q126Sql,
     "q127_hll_distinct" -> q127Sql,
-    "q128_mmr_select" -> q128Sql)
+    "q128_mmr_select" -> q128Sql,
+    "q129_streaming_hll" -> q127Sql)
 }

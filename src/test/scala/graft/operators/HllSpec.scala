@@ -53,6 +53,26 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est - 20.0) < 2.0, s"est $est")
   }
 
+  test("streamed ingest equals batch for any split; re-delivery absorbed") {
+    val two = spark.range(9000).select(
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("grp"),
+      (col("id") % 4000).cast("string").as("k"))
+    val state = java.nio.file.Files.createTempDirectory("hllspec")
+      .toString + "/s"
+    Seq(0, 1, 2).foreach { b =>
+      Sketch.hllIngestBatch(two.filter(col("id") % 3 === b), col("grp"),
+        col("k"), 8, state)
+    }
+    // re-deliver batch 1 wholesale: max-merge must absorb it
+    Sketch.hllIngestBatch(two.filter(col("id") % 3 === 1), col("grp"),
+      col("k"), 8, state)
+    val streamed = Sketch.hllEstimatesFromState(spark, state, 8)
+      .collect().map(_.toSeq).toSet
+    val batch = Sketch.hllDistinctByGroup(two, col("grp"), col("k"), 8)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("deterministic under repartitioning, groups independent") {
     val two = spark.range(30000).select(
       when(col("id") % 2 === 0, "even").otherwise("odd").as("grp"),
