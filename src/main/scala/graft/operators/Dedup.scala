@@ -61,6 +61,30 @@ object Dedup {
     df.groupBy(keyHash128(key).as("dup_key"))
       .agg(min(id).as("representative_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus snapshot diff — the reference's batch-over-batch diff (A2,
+    * OmmCancellationHandler's new-vs-repeated split) generalized to
+    * dataset versioning: classify every id across two corpus snapshots
+    * as `added` / `removed` / `changed` / `unchanged`, with change
+    * detection on CONTENT, not timestamps (re-crawled bytes that didn't
+    * change shouldn't invalidate downstream shards).
+    *
+    * Scale shape: each side is reduced map-side to `(id, hash128)` —
+    * content never crosses the exchange — and the diff is one full-outer
+    * hash join on the id. The 128-bit content hash makes a false
+    * `unchanged` a ~2⁻¹²⁸ event (the q9/q88 trade; the oracle compares
+    * the content itself, so a collision would surface as a mismatch). */
+  def corpusDiff(current: DataFrame, previous: DataFrame, id: Column,
+      content: Column): DataFrame = {
+    val cur = current.select(id.as("id"), keyHash128(content).as("ch"))
+    val prev = previous.select(id.as("id"), keyHash128(content).as("ph"))
+    cur.join(prev, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("ph").isNull, "added")
+          .when(col("ch").isNull, "removed")
+          .when(col("ch") === col("ph"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Keep one representative row per exact key (smallest `id` wins). */
   def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame = {
     val w = Window.partitionBy(keyHash128(key)).orderBy(id.asc)

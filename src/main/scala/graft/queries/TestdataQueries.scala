@@ -4024,6 +4024,37 @@ FROM r$q82Rounds"""
       .select(col("grp").as("source"), col("regs_hit"), col("est_distinct"))
   }
 
+  // ------------------- corpus snapshot diff (§2.10 ext)
+  // A2's batch-over-batch diff generalized to dataset versioning:
+  // added/removed/changed/unchanged per doc id across two snapshots,
+  // change detection on content (hash128 in the engine, literal text
+  // compare in the oracle — a collision would surface as a mismatch).
+  // Snapshots are carved deterministically from `documents`.
+  private def q130CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val current = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val previous = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.Dedup.corpusDiff(current, previous,
+      col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("status"))
+  }
+
+  private val q130Sql =
+    """WITH cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |prev AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+      |  CASE WHEN p.doc_id IS NULL THEN 'added'
+      |       WHEN c.doc_id IS NULL THEN 'removed'
+      |       WHEN c.text = p.text THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4150,7 +4181,8 @@ FROM r$q82Rounds"""
     "q126_temperature_mix" -> (q126TemperatureMix _),
     "q127_hll_distinct" -> (q127HllDistinct _),
     "q128_mmr_select" -> (q128MmrSelect _),
-    "q129_streaming_hll" -> (q129StreamingHll _))
+    "q129_streaming_hll" -> (q129StreamingHll _),
+    "q130_corpus_diff" -> (q130CorpusDiff _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4276,5 +4308,6 @@ FROM r$q82Rounds"""
     "q126_temperature_mix" -> q126Sql,
     "q127_hll_distinct" -> q127Sql,
     "q128_mmr_select" -> q128Sql,
-    "q129_streaming_hll" -> q127Sql)
+    "q129_streaming_hll" -> q127Sql,
+    "q130_corpus_diff" -> q130Sql)
 }
