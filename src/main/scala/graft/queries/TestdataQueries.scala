@@ -4055,6 +4055,65 @@ FROM r$q82Rounds"""
       |       ELSE 'changed' END AS status
       |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id""".stripMargin
 
+  // ------------------- unigram-LM Viterbi scoring (§2.10 ext)
+  // SentencePiece-style inference: best additive-piece segmentation per
+  // word, integer 1e-6 fixed-point DP — exact in both engines, so the
+  // oracle's list_reduce fold and the engine's aggregate HOF replay the
+  // identical scores despite different expression shapes. DP runs on
+  // the distinct-token TYPE table; the corpus pays a token hash join.
+  private val q131Vocab: Seq[(String, Long)] = Seq(
+    "the" -> -2500000L, "ing" -> -2800000L, "and" -> -2900000L,
+    "ion" -> -3000000L, "ent" -> -3200000L, "for" -> -3400000L,
+    "th" -> -3000000L, "he" -> -3200000L, "in" -> -3100000L,
+    "er" -> -3200000L, "an" -> -3300000L, "re" -> -3400000L,
+    "on" -> -3400000L, "at" -> -3500000L, "en" -> -3500000L,
+    "nd" -> -3600000L, "es" -> -3600000L, "or" -> -3700000L,
+    "e" -> -3900000L, "t" -> -4000000L, "a" -> -4000000L)
+  private val q131CharScore = -4200000L
+  private val q131MaxPiece = 3
+
+  private def q131UnigramNll(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.unigramNll(Tables.documents(s, d),
+      col("doc_id"), col("text"), q131Vocab, q131CharScore, q131MaxPiece)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("nll_e6"))
+
+  private val q131Sql = {
+    val sentinel = (Long.MinValue / 4).toString
+    def caseScore(j: Int, pos: String): String = {
+      val entries = q131Vocab.filter(_._1.length == j)
+      if (entries.isEmpty) "CAST(NULL AS BIGINT)"
+      else s"CASE substr(tok, CAST($pos AS INT), $j) " +
+        entries.map { case (piece, sc) =>
+          s"WHEN '$piece' THEN CAST($sc AS BIGINT)" }.mkString(" ") + " END"
+    }
+    val cands = (1 to q131MaxPiece).map { j =>
+      val pos = s"x[1]-${j - 1}"
+      val sc =
+        if (j == 1)
+          s"coalesce(${caseScore(1, pos)}, CAST($q131CharScore AS BIGINT))"
+        else caseScore(j, pos)
+      if (j == 1) s"acc[CAST($pos AS INT)] + ($sc)"
+      else
+        s"CASE WHEN x[1] >= $j AND ($sc) IS NOT NULL " +
+          s"THEN acc[CAST($pos AS INT)] + ($sc) " +
+          s"ELSE CAST($sentinel AS BIGINT) END"
+    }
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |dt AS (SELECT DISTINCT tok FROM tk),
+       |dp AS (SELECT tok,
+       |    list_reduce(
+       |      list_concat([[CAST(0 AS BIGINT)]],
+       |        list_transform(range(1, len(tok) + 1), i -> [i])),
+       |      (acc, x) -> list_append(acc,
+       |        greatest(${cands.mkString(",\n          ")}))) AS bs
+       |  FROM dt),
+       |sc AS (SELECT tok, bs[len(tok) + 1] AS s FROM dp)
+       |SELECT tk.doc_id, count(*) AS n_tokens, CAST(sum(-s) AS BIGINT) AS nll_e6
+       |FROM tk JOIN sc USING (tok) GROUP BY tk.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4182,7 +4241,8 @@ FROM r$q82Rounds"""
     "q127_hll_distinct" -> (q127HllDistinct _),
     "q128_mmr_select" -> (q128MmrSelect _),
     "q129_streaming_hll" -> (q129StreamingHll _),
-    "q130_corpus_diff" -> (q130CorpusDiff _))
+    "q130_corpus_diff" -> (q130CorpusDiff _),
+    "q131_unigram_nll" -> (q131UnigramNll _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4309,5 +4369,6 @@ FROM r$q82Rounds"""
     "q127_hll_distinct" -> q127Sql,
     "q128_mmr_select" -> q128Sql,
     "q129_streaming_hll" -> q127Sql,
-    "q130_corpus_diff" -> q130Sql)
+    "q130_corpus_diff" -> q130Sql,
+    "q131_unigram_nll" -> q131Sql)
 }

@@ -35,6 +35,13 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures, checked, rows_only = 0, 0, 0
+    # an oracle entry whose query never wrote output is a FAILURE, not a
+    # skip — a query that throws in Verify must not look green here
+    dumped = {os.path.basename(q.rstrip("/"))
+              for q in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracles) - dumped):
+        print(f"[FAIL] {name}: registered oracle but no dumped output")
+        failures += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         spark_files = glob.glob(f"{qdir}/*.parquet")
