@@ -4114,6 +4114,38 @@ FROM r$q82Rounds"""
        |FROM tk JOIN sc USING (tok) GROUP BY tk.doc_id""".stripMargin
   }
 
+  // ------------------- span-corruption masking (§2.10 ext)
+  // T5-style denoising example generation as a reproducible pipeline
+  // stage: block-aligned mask spans decided by the portable hash of
+  // (doc_id, block) — no RNG; the oracle replays the full masked text.
+  private val q132Block = 4
+  private val q132Denom = 5
+
+  private def q132SpanCorrupt(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mask.spanCorrupt(Tables.documents(s, d),
+      col("doc_id"), col("text"), q132Block, q132Denom)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+        col("masked_text"))
+
+  private val q132Sql = {
+    val key = s"CAST(doc_id AS VARCHAR) || '|' || " +
+      s"CAST((i - 1) // $q132Block AS VARCHAR)"
+    val poly = s"list_reduce(list_transform(string_split($key, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val cond = s"((($poly * 1103515245 + 12345) % 1000000007) * " +
+      s"2654435761) % 1000000007 % $q132Denom = 0"
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(ts, (t, i) -> $cond)) AS BIGINT) AS n_masked,
+       |  array_to_string(list_transform(ts, (t, i) ->
+       |    CASE WHEN $cond THEN '<mask>' ELSE t END), ' ') AS masked_text
+       |FROM tk""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4242,7 +4274,8 @@ FROM r$q82Rounds"""
     "q128_mmr_select" -> (q128MmrSelect _),
     "q129_streaming_hll" -> (q129StreamingHll _),
     "q130_corpus_diff" -> (q130CorpusDiff _),
-    "q131_unigram_nll" -> (q131UnigramNll _))
+    "q131_unigram_nll" -> (q131UnigramNll _),
+    "q132_span_corrupt" -> (q132SpanCorrupt _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4370,5 +4403,6 @@ FROM r$q82Rounds"""
     "q128_mmr_select" -> q128Sql,
     "q129_streaming_hll" -> q127Sql,
     "q130_corpus_diff" -> q130Sql,
-    "q131_unigram_nll" -> q131Sql)
+    "q131_unigram_nll" -> q131Sql,
+    "q132_span_corrupt" -> q132Sql)
 }
