@@ -122,6 +122,40 @@ object Mix {
       .select(col("id"), col("grp"), col("w"), col("rate_bp"))
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group (Efraimidis &
+    * Spirakis 2006 A-ES): rank rows by `ln(u)/w` with `u` a hash-derived
+    * uniform in (0,1] and keep each group's top k — inclusion
+    * probability tracks the weight (quality-weighted subset selection,
+    * eval-set carving, per-source spotlight samples) with NO RNG: `u =
+    * (mixedHash(id)+1)/(P+1)` makes the sample a pure function of the
+    * data, stable across runs, engines, and partitionings.
+    *
+    * The one transcendental (`ln`) is per-row local; the ranking key is
+    * snapped to 9 decimals before the rank (id tie-break), so a last-ulp
+    * libm skew would need to cross a 1e-9 boundary AND land exactly at
+    * rank k to change the sample — the oracle replays key, rank, and
+    * membership.
+    *
+    * Scale shape: ONE shuffle on the group key; `row_number <= k` is
+    * WindowGroupLimit-pruned map-side (each task pre-prunes to its local
+    * top-k per group), so a billion-row group ships O(tasks·k) rows. */
+  def prioritySampleByGroup(df: DataFrame, id: Column, group: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df.select(id.as("id"), group.as("grp"),
+      weight.cast("double").as("w"))
+      .filter(col("id").isNotNull && col("grp").isNotNull && col("w") > 0)
+    val u = (Sketch.mixedHash(col("id").cast("string")) + 1).cast("double") /
+      lit(1000000008.0) // P + 1: u in (0, 1], ln(u) in (-inf, 0]
+    val key = round(log(u) / col("w"), 9)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("key").desc, col("id").asc)
+    rows.withColumn("key", key)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("id"), col("key"))
+  }
+
   /** Per-group document cap, best-first (the RefinedWeb/C4 per-domain cap:
     * no single domain may contribute more than `n` documents, and when a
     * domain is over the cap its BEST-scoring docs survive — a diversity

@@ -4146,6 +4146,41 @@ FROM r$q82Rounds"""
        |FROM tk""".stripMargin
   }
 
+  // ------------------- weighted priority sampling (§2.10 ext)
+  // A-ES weighted sampling without replacement, k per source, weight =
+  // token count: rank on round(ln(u)/w, 9) with u hash-derived — no
+  // RNG; the oracle replays key, rank, and membership.
+  private val q133K = 5
+
+  private def q133PrioritySample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.prioritySampleByGroup(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextExprs.tokenCount(col("text")).as("n_toks")),
+      col("doc_id"), col("source"), col("n_toks"), q133K)
+      .select(col("grp").as("source"), col("rank"),
+        col("id").as("doc_id"), col("key"))
+
+  private val q133Sql = {
+    val poly = "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS DOUBLE) AS w
+       |  FROM documents),
+       |ky AS (
+       |  SELECT doc_id, source,
+       |    round(ln(CAST($mh + 1 AS DOUBLE) / 1000000008.0) / w, 9) AS key
+       |  FROM rows_ WHERE w > 0),
+       |r AS (SELECT source, doc_id, key, row_number() OVER (
+       |        PARTITION BY source ORDER BY key DESC, doc_id) AS rank
+       |      FROM ky)
+       |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, key
+       |FROM r WHERE rank <= $q133K""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4275,7 +4310,8 @@ FROM r$q82Rounds"""
     "q129_streaming_hll" -> (q129StreamingHll _),
     "q130_corpus_diff" -> (q130CorpusDiff _),
     "q131_unigram_nll" -> (q131UnigramNll _),
-    "q132_span_corrupt" -> (q132SpanCorrupt _))
+    "q132_span_corrupt" -> (q132SpanCorrupt _),
+    "q133_priority_sample" -> (q133PrioritySample _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4404,5 +4440,6 @@ FROM r$q82Rounds"""
     "q129_streaming_hll" -> q127Sql,
     "q130_corpus_diff" -> q130Sql,
     "q131_unigram_nll" -> q131Sql,
-    "q132_span_corrupt" -> q132Sql)
+    "q132_span_corrupt" -> q132Sql,
+    "q133_priority_sample" -> q133Sql)
 }
