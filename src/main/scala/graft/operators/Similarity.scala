@@ -385,4 +385,51 @@ object Similarity {
         round(col("approx_cos"), 4).as("approx_cos"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** Margin-based alignment of two embedding sets (Artetxe & Schwenk
+    * 2019's ratio margin — the bitext-mining criterion that made
+    * CCMatrix/WikiMatrix-scale parallel-corpus curation work): for each
+    * `a`-side vector, its nearest `b`-side neighbor scored by
+    * `margin = cos(x,y) / ((avgK_fwd(x) + avgK_bwd(y)) / 2)` — raw
+    * cosine divided by the average similarity of each endpoint's own
+    * k-neighborhood, which cancels hubness (dense regions where
+    * everything is cosine-close score margins ≈ 1 and are rejected).
+    * `mutual` flags pairs that are nearest neighbors of each other —
+    * the strict intersection criterion of the paper.
+    *
+    * Determinism: both directions' cosines snap to 4 decimals
+    * ([[bruteForceTopK]]'s contract); neighborhood averages sum those
+    * exact 4-decimal values in DECIMAL (order-free) before one double
+    * division, and the margin is one further fixed-sequence double op,
+    * snapped to 6 — the oracle replays every pair, margin, and flag.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (the queries side
+    * broadcasts — shard the query set and loop at mining scale) plus
+    * joins over queries × k METADATA rows only. */
+  def marginAlign(a: DataFrame, b: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = bruteForceTopK(b, a, id, vec, k)
+    val bwd = bruteForceTopK(a, b, id, vec, k)
+    def avgK(r: DataFrame): DataFrame = r.groupBy(col("query_id"))
+      .agg((sum(col("cos").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_cos"))
+    val aF = avgK(fwd).select(col("query_id").as("src_id"),
+      col("avg_cos").as("avg_fwd"))
+    val aB = avgK(bwd).select(col("query_id").as("tgt_id"),
+      col("avg_cos").as("avg_bwd"))
+    val nn1 = fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cos"))
+    val back1 = bwd.filter(col("rank") === 1)
+      .select(col("query_id").as("tgt_id"),
+        col("neighbor_id").as("back_src"))
+    nn1.join(aF, Seq("src_id")).join(aB, Seq("tgt_id"))
+      .join(back1, Seq("tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        round(col("cos") /
+          ((col("avg_fwd") + col("avg_bwd")) / lit(2.0)), 6).as("margin"),
+        coalesce(col("back_src") === col("src_id"), lit(false))
+          .as("mutual"))
+  }
 }

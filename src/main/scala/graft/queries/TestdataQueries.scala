@@ -4181,6 +4181,49 @@ FROM r$q82Rounds"""
        |FROM r WHERE rank <= $q133K""".stripMargin
   }
 
+  // ------------------- margin-based alignment (§2.10 ext)
+  // Artetxe–Schwenk ratio-margin mining between the label<5 and label>=5
+  // halves of the embedding table: NN1 pairs scored by cos over the mean
+  // of both endpoints' k-neighborhood cosines (hubness cancellation),
+  // with the mutual-NN flag. Cosines snap to 4, neighborhood sums are
+  // decimal-exact, margin snaps to 6 — every pair oracle-replayed.
+  private val q134K = 4
+
+  private def q134MarginAlign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.operators.Similarity.marginAlign(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5),
+      "vec_id", "embedding", q134K)
+  }
+
+  private val q134Sql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |cf AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS tgt,
+       |    list_inner_product(a.v, b.v) /
+       |      (sqrt(list_inner_product(a.v, a.v)) *
+       |       sqrt(list_inner_product(b.v, b.v))) AS c
+       |  FROM e a CROSS JOIN e b
+       |  WHERE a.label < 5 AND b.label >= 5 AND a.vec_id <> b.vec_id),
+       |rf AS (SELECT src, tgt, round(c, 4) AS cos, row_number() OVER (
+       |        PARTITION BY src ORDER BY c DESC, tgt) AS rank FROM cf),
+       |rb AS (SELECT src, tgt, round(c, 4) AS cos, row_number() OVER (
+       |        PARTITION BY tgt ORDER BY c DESC, src) AS rank FROM cf),
+       |af AS (SELECT src, CAST(sum(CAST(cos AS DECIMAL(18,4))) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE) AS avg_fwd
+       |      FROM rf WHERE rank <= $q134K GROUP BY src),
+       |ab AS (SELECT tgt, CAST(sum(CAST(cos AS DECIMAL(18,4))) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE) AS avg_bwd
+       |      FROM rb WHERE rank <= $q134K GROUP BY tgt),
+       |n1 AS (SELECT src, tgt, cos FROM rf WHERE rank = 1),
+       |b1 AS (SELECT tgt, src AS back_src FROM rb WHERE rank = 1)
+       |SELECT n1.src AS src_id, n1.tgt AS tgt_id, n1.cos,
+       |  round(n1.cos / ((avg_fwd + avg_bwd) / 2.0), 6) AS margin,
+       |  coalesce(b1.back_src = n1.src, false) AS mutual
+       |FROM n1 JOIN af ON af.src = n1.src JOIN ab ON ab.tgt = n1.tgt
+       |LEFT JOIN b1 ON b1.tgt = n1.tgt""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4311,7 +4354,8 @@ FROM r$q82Rounds"""
     "q130_corpus_diff" -> (q130CorpusDiff _),
     "q131_unigram_nll" -> (q131UnigramNll _),
     "q132_span_corrupt" -> (q132SpanCorrupt _),
-    "q133_priority_sample" -> (q133PrioritySample _))
+    "q133_priority_sample" -> (q133PrioritySample _),
+    "q134_margin_align" -> (q134MarginAlign _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4441,5 +4485,6 @@ FROM r$q82Rounds"""
     "q130_corpus_diff" -> q130Sql,
     "q131_unigram_nll" -> q131Sql,
     "q132_span_corrupt" -> q132Sql,
-    "q133_priority_sample" -> q133Sql)
+    "q133_priority_sample" -> q133Sql,
+    "q134_margin_align" -> q134Sql)
 }
