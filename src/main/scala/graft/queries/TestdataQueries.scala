@@ -4224,6 +4224,43 @@ FROM r$q82Rounds"""
        |FROM n1 JOIN af ON af.src = n1.src JOIN ab ON ab.tgt = n1.tgt
        |LEFT JOIN b1 ON b1.tgt = n1.tgt""".stripMargin
 
+  // ------------------- per-source dataset card (§2.10 ext)
+  // The "datasheets for datasets" panel, one query: volume, dup load,
+  // mean quality, HLL distinct tokens per source — each column its
+  // existing operator's shape, fused by sources-sized joins. The HLL
+  // column reuses q127's full oracle as a subquery.
+  private def q135DatasheetCard(s: SparkSession, d: String): DataFrame =
+    graft.operators.Datasheet.perSourceCard(Tables.documents(s, d),
+      col("doc_id"), col("text"), col("source"), q127P)
+      .select(col("src").as("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"), col("mean_quality"),
+        col("est_distinct_tokens"))
+
+  private val q135Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |vol AS (SELECT source, count(*) AS n_docs,
+       |      CAST(sum(len(ts)) AS BIGINT) AS n_tokens
+       |    FROM base GROUP BY source),
+       |qual AS (SELECT source, round(
+       |      CAST(sum(CAST(round($qualitySqlBody, 6) AS DECIMAL(18,6)))
+       |        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+       |    FROM documents WHERE length(trim(text)) > 0 GROUP BY source),
+       |dup AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_dup_docs
+       |    FROM (SELECT source, text, count(*) AS c
+       |          FROM base GROUP BY source, text)
+       |    WHERE c >= 2 GROUP BY source),
+       |hll AS (SELECT source, est_distinct AS est_distinct_tokens
+       |        FROM ($q127Sql))
+       |SELECT vol.source, n_docs, n_tokens,
+       |  coalesce(n_dup_docs, 0) AS n_dup_docs, mean_quality,
+       |  est_distinct_tokens
+       |FROM vol LEFT JOIN qual USING (source)
+       |  LEFT JOIN dup USING (source) LEFT JOIN hll USING (source)""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4355,7 +4392,8 @@ FROM r$q82Rounds"""
     "q131_unigram_nll" -> (q131UnigramNll _),
     "q132_span_corrupt" -> (q132SpanCorrupt _),
     "q133_priority_sample" -> (q133PrioritySample _),
-    "q134_margin_align" -> (q134MarginAlign _))
+    "q134_margin_align" -> (q134MarginAlign _),
+    "q135_datasheet" -> (q135DatasheetCard _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4486,5 +4524,6 @@ FROM r$q82Rounds"""
     "q131_unigram_nll" -> q131Sql,
     "q132_span_corrupt" -> q132Sql,
     "q133_priority_sample" -> q133Sql,
-    "q134_margin_align" -> q134Sql)
+    "q134_margin_align" -> q134Sql,
+    "q135_datasheet" -> q135Sql)
 }
