@@ -50,6 +50,50 @@ object Classify {
             col("n_toks").cast("double"))))), 4).as("score"))
   }
 
+  /** Threshold-sweep evaluation of a binary filter (the
+    * precision/recall panel that decides where to CUT a quality/language
+    * classifier before it gates a mixture): for each threshold,
+    * confusion counts plus precision/recall/F1 over the scored corpus.
+    *
+    * One corpus scan, zero shuffles: every threshold's four counts are
+    * conditional sums in a single global aggregate (map-side partial
+    * combine → one metadata-sized row), exploded back to one row per
+    * threshold. Counts are exact longs; the three ratios are single
+    * double divisions on them, snapped to 6 — fully oracle-replayable.
+    * Degenerate denominators (no predicted/actual positives) yield null
+    * rather than a fake 0/0. */
+  def evalBinary(scored: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val base = scored.select(score.as("s"), label.cast("int").as("y"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("s") >= t && col("y") === 1, 1L).otherwise(0L))
+          .as(s"tp_$i"),
+        sum(when(col("s") >= t && col("y") === 0, 1L).otherwise(0L))
+          .as(s"fp_$i"),
+        sum(when(col("s") < t && col("y") === 1, 1L).otherwise(0L))
+          .as(s"fn_$i"),
+        sum(when(col("s") < t && col("y") === 0, 1L).otherwise(0L))
+          .as(s"tn_$i"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val entries = thresholds.zipWithIndex.map { case (t, i) =>
+      val (tp, fp, fn, tn) = (col(s"tp_$i").cast("double"),
+        col(s"fp_$i").cast("double"), col(s"fn_$i").cast("double"),
+        col(s"tn_$i").cast("double"))
+      val prec = when(tp + fp > 0, round(tp / (tp + fp), 6))
+      val rec = when(tp + fn > 0, round(tp / (tp + fn), 6))
+      val f1 = when(tp + tp + fp + fn > 0,
+        round((tp + tp) / (tp + tp + fp + fn), 6))
+      struct(lit(t).as("threshold"), col(s"tp_$i").as("tp"),
+        col(s"fp_$i").as("fp"), col(s"fn_$i").as("fn"),
+        col(s"tn_$i").as("tn"), prec.as("precision"), rec.as("recall"),
+        f1.as("f1"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
   /** Full-batch gradient-descent TRAINING of the hashed logistic
     * classifier [[hashedLinearScore]] serves — the learn step of a
     * CCNet/fastText-style quality or language filter, run where the

@@ -4261,6 +4261,53 @@ FROM r$q82Rounds"""
        |FROM vol LEFT JOIN qual USING (source)
        |  LEFT JOIN dup USING (source) LEFT JOIN hll USING (source)""".stripMargin
 
+  // ------------------- binary-filter evaluation (§2.10 ext)
+  // The threshold-sweep precision/recall panel over q77's scores with
+  // label = "is English" — where to cut the classifier before it gates
+  // a mixture. One scan, one metadata row, exact counts, snap-6 ratios.
+  private val q136Thresholds = Seq(0.3, 0.5, 0.7)
+
+  private def q136FilterEval(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+    val labeled = scores.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("id"))
+    graft.operators.Classify.evalBinary(labeled, col("score"), col("y"),
+      q136Thresholds)
+  }
+
+  private val q136Sql = {
+    val aggs = q136Thresholds.zipWithIndex.map { case (t, i) =>
+      s"""sum(CASE WHEN score >= CAST($t AS DOUBLE) AND y = 1 THEN 1 ELSE 0 END) AS tp_$i,
+         |  sum(CASE WHEN score >= CAST($t AS DOUBLE) AND y = 0 THEN 1 ELSE 0 END) AS fp_$i,
+         |  sum(CASE WHEN score < CAST($t AS DOUBLE) AND y = 1 THEN 1 ELSE 0 END) AS fn_$i,
+         |  sum(CASE WHEN score < CAST($t AS DOUBLE) AND y = 0 THEN 1 ELSE 0 END) AS tn_$i""".stripMargin
+    }.mkString(",\n  ")
+    val rows = q136Thresholds.zipWithIndex.map { case (t, i) =>
+      val (tp, fp, fn, tn) = (s"CAST(tp_$i AS DOUBLE)",
+        s"CAST(fp_$i AS DOUBLE)", s"CAST(fn_$i AS DOUBLE)",
+        s"CAST(tn_$i AS DOUBLE)")
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  CAST(tp_$i AS BIGINT) AS tp, CAST(fp_$i AS BIGINT) AS fp,
+         |  CAST(fn_$i AS BIGINT) AS fn, CAST(tn_$i AS BIGINT) AS tn,
+         |  CASE WHEN $tp + $fp > 0 THEN round($tp / ($tp + $fp), 6) END AS precision,
+         |  CASE WHEN $tp + $fn > 0 THEN round($tp / ($tp + $fn), 6) END AS recall,
+         |  CASE WHEN $tp + $tp + $fp + $fn > 0
+         |       THEN round(($tp + $tp) / ($tp + $tp + $fp + $fn), 6) END AS f1
+         |FROM c""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q77Sql)),
+       |lb AS (SELECT sc.score,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |c AS (SELECT
+       |  $aggs
+       |FROM lb)
+       |$rows""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4393,7 +4440,8 @@ FROM r$q82Rounds"""
     "q132_span_corrupt" -> (q132SpanCorrupt _),
     "q133_priority_sample" -> (q133PrioritySample _),
     "q134_margin_align" -> (q134MarginAlign _),
-    "q135_datasheet" -> (q135DatasheetCard _))
+    "q135_datasheet" -> (q135DatasheetCard _),
+    "q136_filter_eval" -> (q136FilterEval _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4525,5 +4573,6 @@ FROM r$q82Rounds"""
     "q132_span_corrupt" -> q132Sql,
     "q133_priority_sample" -> q133Sql,
     "q134_margin_align" -> q134Sql,
-    "q135_datasheet" -> q135Sql)
+    "q135_datasheet" -> q135Sql,
+    "q136_filter_eval" -> q136Sql)
 }

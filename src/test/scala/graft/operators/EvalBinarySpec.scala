@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Filter evaluation: hand-checked confusion counts and ratios. */
+class EvalBinarySpec extends SparkSpec {
+  import spark.implicits._
+
+  // scores: y=1 at .9/.6/.2 ; y=0 at .8/.4/.1
+  private def scored = Seq(
+    (0.9, 1), (0.6, 1), (0.2, 1), (0.8, 0), (0.4, 0), (0.1, 0)
+  ).toDF("score", "y")
+
+  test("confusion counts and ratios at a mid threshold") {
+    val r = Classify.evalBinary(scored, col("score"), col("y"), Seq(0.5))
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(5) === 0.666667) // precision 2/3
+    assert(r.getDouble(6) === 0.666667) // recall 2/3
+    assert(r.getDouble(7) === 0.666667) // f1
+  }
+
+  test("one row per threshold; extreme thresholds degenerate correctly") {
+    val out = Classify.evalBinary(scored, col("score"), col("y"),
+      Seq(0.0, 0.95)).collect().sortBy(_.getDouble(0))
+    assert(out.length === 2)
+    // t=0: everything predicted positive → recall 1, tn=0
+    assert(out(0).getDouble(6) === 1.0)
+    assert(out(0).getLong(4) === 0L)
+    // t=0.95: nothing predicted positive → precision null, recall 0
+    assert(out(1).isNullAt(5))
+    assert(out(1).getDouble(6) === 0.0)
+  }
+
+  test("deterministic under repartitioning") {
+    val a = Classify.evalBinary(scored, col("score"), col("y"),
+      Seq(0.3, 0.7)).collect().map(_.toSeq).toSet
+    val b = Classify.evalBinary(scored.repartition(5), col("score"),
+      col("y"), Seq(0.3, 0.7)).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
