@@ -4308,6 +4308,43 @@ FROM r$q82Rounds"""
        |$rows""".stripMargin
   }
 
+  // ------------------- exact ROC-AUC (§2.10 ext)
+  // Threshold-free filter quality over q77's scores: Mann–Whitney pair
+  // statistic via the distinct-score count table (score grain bounds
+  // it), integer 2×-scaled numerator, one snap-6 division.
+  private def q137Auc(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+    val labeled = scores.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("id"))
+    graft.operators.Classify.aucRoc(labeled, col("score"), col("y"))
+  }
+
+  private val q137Sql =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q77Sql)),
+       |lb AS (SELECT sc.score AS s,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |g AS (SELECT s,
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+       |  FROM lb GROUP BY s),
+       |c AS (SELECT s, np, nn,
+       |    sum(nn) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS cum_nn
+       |  FROM g),
+       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(nn) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS num2 FROM c)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN round(CAST(num2 AS DOUBLE) /
+       |      (CAST(2.0 AS DOUBLE) * CAST(n_pos * n_neg AS DOUBLE)), 6)
+       |  END AS auc
+       |FROM a""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4441,7 +4478,8 @@ FROM r$q82Rounds"""
     "q133_priority_sample" -> (q133PrioritySample _),
     "q134_margin_align" -> (q134MarginAlign _),
     "q135_datasheet" -> (q135DatasheetCard _),
-    "q136_filter_eval" -> (q136FilterEval _))
+    "q136_filter_eval" -> (q136FilterEval _),
+    "q137_auc" -> (q137Auc _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4574,5 +4612,6 @@ FROM r$q82Rounds"""
     "q133_priority_sample" -> q133Sql,
     "q134_margin_align" -> q134Sql,
     "q135_datasheet" -> q135Sql,
-    "q136_filter_eval" -> q136Sql)
+    "q136_filter_eval" -> q136Sql,
+    "q137_auc" -> q137Sql)
 }

@@ -35,6 +35,22 @@ class EvalBinarySpec extends SparkSpec {
     assert(out(1).getDouble(6) === 0.0)
   }
 
+  test("aucRoc matches the hand-computed pair statistic, ties at 0.5") {
+    // pairs: pos {.9,.6,.2} x neg {.8,.4,.1}: wins = (9>8,9>4,9>1,
+    // 6>4,6>1, 2>1) = 6 of 9 → AUC = 6/9
+    val r = Classify.aucRoc(scored, col("score"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert(r.getDouble(2) === 0.666667)
+    // all-tied scores → AUC exactly 0.5
+    val tied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))
+      .toDF("score", "y")
+    assert(Classify.aucRoc(tied, col("score"), col("y"))
+      .head().getDouble(2) === 0.5)
+    // single class → null
+    val one = Seq((0.9, 1), (0.1, 1)).toDF("score", "y")
+    assert(Classify.aucRoc(one, col("score"), col("y")).head().isNullAt(2))
+  }
+
   test("deterministic under repartitioning") {
     val a = Classify.evalBinary(scored, col("score"), col("y"),
       Seq(0.3, 0.7)).collect().map(_.toSeq).toSet
