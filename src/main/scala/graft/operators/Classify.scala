@@ -94,6 +94,34 @@ object Classify {
     row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
+  /** Reliability-diagram bins (calibration of a probabilistic filter:
+    * does score 0.8 mean 80% positive?): fixed `bins` equal-width score
+    * buckets over [0,1], each with volume, exact positive count, the
+    * decimal-exact mean score, and the positive fraction. Miscalibrated
+    * buckets (|mean_score − frac_pos| large) say the filter's scores
+    * can't be read as probabilities when setting mixture cuts.
+    *
+    * One scan into a bins-bounded aggregate (map-side combine); mean
+    * score sums the snap-4 scores in DECIMAL (order-free, exact) before
+    * one double division; bucket assignment `min(floor(s·bins), bins−1)`
+    * is the same IEEE op sequence in both engines. */
+  def calibrationBins(scored: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val base = scored.select(score.as("s"), label.cast("int").as("y"))
+    base.select(least(floor(col("s") * lit(bins.toDouble)).cast("int"),
+        lit(bins - 1)).as("bin"), col("s"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("n_pos"),
+        (sum(col("s").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)).cast("double")).as("ms"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("ms"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"))
+  }
+
   /** Exact ROC-AUC (the threshold-free companion of [[evalBinary]]):
     * the Mann–Whitney pair statistic `(#[s_pos > s_neg] +
     * 0.5·#ties) / (P·N)`, computed WITHOUT enumerating pairs — group by

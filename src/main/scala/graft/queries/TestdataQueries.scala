@@ -4345,6 +4345,37 @@ FROM r$q82Rounds"""
        |  END AS auc
        |FROM a""".stripMargin
 
+  // ------------------- calibration bins (§2.10 ext)
+  // Reliability diagram over q77's scores vs the English label —
+  // completes the filter-eval family (q136 sweep, q137 AUC).
+  private val q138Bins = 10
+
+  private def q138Calibration(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+    val labeled = scores.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("id"))
+    graft.operators.Classify.calibrationBins(labeled, col("score"),
+      col("y"), q138Bins)
+  }
+
+  private val q138Sql =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q77Sql)),
+       |lb AS (SELECT sc.score AS s,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |b AS (SELECT least(CAST(floor(s * CAST($q138Bins.0 AS DOUBLE))
+       |        AS INT), ${q138Bins - 1}) AS bin, s, y FROM lb)
+       |SELECT bin, count(*) AS n,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(CAST(s AS DECIMAL(18,4))) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS mean_score,
+       |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS frac_pos
+       |FROM b GROUP BY bin""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4479,7 +4510,8 @@ FROM r$q82Rounds"""
     "q134_margin_align" -> (q134MarginAlign _),
     "q135_datasheet" -> (q135DatasheetCard _),
     "q136_filter_eval" -> (q136FilterEval _),
-    "q137_auc" -> (q137Auc _))
+    "q137_auc" -> (q137Auc _),
+    "q138_calibration" -> (q138Calibration _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4613,5 +4645,6 @@ FROM r$q82Rounds"""
     "q134_margin_align" -> q134Sql,
     "q135_datasheet" -> q135Sql,
     "q136_filter_eval" -> q136Sql,
-    "q137_auc" -> q137Sql)
+    "q137_auc" -> q137Sql,
+    "q138_calibration" -> q138Sql)
 }

@@ -51,6 +51,18 @@ class EvalBinarySpec extends SparkSpec {
     assert(Classify.aucRoc(one, col("score"), col("y")).head().isNullAt(2))
   }
 
+  test("calibrationBins: assignment, edge score 1.0 stays in last bin") {
+    val rows = Seq((0.05, 0), (0.05, 1), (0.55, 1), (1.0, 1))
+      .toDF("score", "y")
+    val out = Classify.calibrationBins(rows, col("score"), col("y"), 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(0, 5, 9))
+    assert(out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(4) === 0.5)
+    assert(out(0).getDouble(3) === 0.05)
+    assert(out(9).getLong(1) === 1L, "score 1.0 clamps into bin 9")
+  }
+
   test("deterministic under repartitioning") {
     val a = Classify.evalBinary(scored, col("score"), col("y"),
       Seq(0.3, 0.7)).collect().map(_.toSeq).toSet
