@@ -403,9 +403,12 @@ object Similarity {
     * division, and the margin is one further fixed-sequence double op,
     * snapped to 6 — the oracle replays every pair, margin, and flag.
     *
-    * Scale shape: two [[bruteForceTopK]] passes (the queries side
-    * broadcasts — shard the query set and loop at mining scale) plus
-    * joins over queries × k METADATA rows only. */
+    * Scale shape: two [[bruteForceTopK]] passes plus joins over
+    * queries × k METADATA rows only. NOTE each pass broadcasts its
+    * query side, and the two passes swap roles — so BOTH sets must be
+    * bounded per call; at mining scale, shard both axes, loop over
+    * shard pairs, and merge each vector's per-shard top-k lists
+    * (k-bounded and associative) before computing margins. */
   def marginAlign(a: DataFrame, b: DataFrame, id: String, vec: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

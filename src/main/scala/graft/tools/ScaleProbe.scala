@@ -1096,9 +1096,71 @@ object ScaleProbe {
     }
   }
 
+  /** Round-11 additions, part 4 (q130–q138): corpus diff, unigram
+    * Viterbi (type-table DP), span corruption, dataset card, ROC-AUC,
+    * and margin alignment (bounded query shard × 1M corpus — the
+    * documented mining shape). Run: sbt "runMain graft.tools.ScaleProbe
+    * ops15". */
+  def ops15Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Classify, Datasheet, Dedup, Mask, Similarity, Vocab}
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(20)).cast("string").as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(5000)))))
+        .as("text")).cache()
+    val nTok = docs.count() * tokPerDoc
+    val vocab = Seq("w1" -> -2500000L, "w12" -> -2800000L,
+      "w123" -> -3000000L, "w2" -> -3100000L, "w23" -> -3200000L)
+    time(f"unigramNll         ($nTok%11d tokens, 5k-token type table)") {
+      Vocab.unigramNll(docs, col("doc_id"), col("text"), vocab,
+        -4200000L).agg(sum(col("nll_e6"))).collect()
+    }
+    time(f"spanCorrupt        ($nTok%11d tokens)") {
+      Mask.spanCorrupt(docs, col("doc_id"), col("text"), 4, 5)
+        .agg(sum(col("n_masked"))).collect()
+    }
+    time(f"corpusDiff         ($nDocs%11d docs x 2 snapshots)") {
+      Dedup.corpusDiff(docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"))
+        .groupBy(col("status")).count().collect()
+    }
+    time(f"datasheet card     ($nDocs%11d docs, 20 sources)") {
+      Datasheet.perSourceCard(docs, col("doc_id"), col("text"),
+        col("source")).collect()
+    }
+    time(f"aucRoc + sweep     ($nDocs%11d scored docs)") {
+      val scored = docs.select(
+        round(pmod(hash(col("doc_id")), lit(10000)).cast("double") /
+          10000.0, 4).as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      Classify.aucRoc(scored, col("score"), col("y")).collect()
+      Classify.evalBinary(scored, col("score"), col("y"),
+        Seq(0.3, 0.5, 0.7)).collect()
+    }
+    docs.unpersist()
+    val nVec = 1000000L
+    val vecs = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 37 + i * 11).cast("float")).as("embedding"))
+      .cache()
+    vecs.count()
+    // BOTH sets are broadcast as queries in one of the two directions,
+    // so both shards must be bounded — the mining loop shards both axes
+    time(f"marginAlign        (1k x 50k shard pair)") {
+      Similarity.marginAlign(vecs.filter(col("vec_id") < 1000),
+        vecs.filter(col("vec_id") >= 1000 && col("vec_id") < 51000),
+        "vec_id", "embedding", 4).count()
+    }
+    vecs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "lmstream")
+      "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15", "lmstream")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1151,6 +1213,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops12v")) {
       ops12VecProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops15")) {
+      ops15Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ops14")) {
       ops14Probe(spark); spark.stop(); return
