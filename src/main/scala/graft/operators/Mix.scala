@@ -105,17 +105,73 @@ object Mix {
             lit("Mix.temperatureSample: negative weight in group "),
             col("grp").cast("string"))).cast("long"))
           .otherwise(col("t_total")).as("t_total"))
-      .filter(col("t_total").isNotNull && col("t_total") > 0)
-    // per-group T^α, snapped to 6 decimals → exact decimal denominator
+    val rates = temperatureRates(totals, alpha, budget, scale)
+    rows.join(broadcast(rates), Seq("grp"))
+      .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
+        lit(scale.toLong)) < col("rate_bp"))
+      .select(col("id"), col("grp"), col("w"), col("rate_bp"))
+  }
+
+  /** [[temperatureSample]]'s rate table from a `(grp, t_total)` totals
+    * relation — shared by the batch and streaming ([[
+    * temperatureSampleIngestBatch]]) regimes so both replay the exact
+    * same per-group arithmetic: per-group `T^α` as `exp(α·ln T)`
+    * snapped to 6 decimals, exact decimal denominator sum, snap-6
+    * rate division, floor, scale cap. */
+  private def temperatureRates(totals: DataFrame, alpha: Double,
+      budget: Long, scale: Int): DataFrame = {
+    val live = totals.filter(col("t_total").isNotNull && col("t_total") > 0)
     val talpha = round(exp(lit(alpha) * log(col("t_total").cast("double"))), 6)
       .cast("decimal(38,6)")
-    val denom = totals.agg(sum(talpha).as("denom_a"))
-    val rates = totals.crossJoin(broadcast(denom))
+    val denom = live.agg(sum(talpha).as("denom_a"))
+    live.crossJoin(broadcast(denom))
       .select(col("grp"),
         least(lit(scale.toLong), floor(round(
           (lit((budget * scale).toDouble) *
             exp(lit(alpha - 1.0) * log(col("t_total").cast("double")))) /
             col("denom_a").cast("double"), 6)).cast("long")).as("rate_bp"))
+  }
+
+  /** Streaming (online) temperature mixing: totals accumulate in a
+    * crash-safe [[SketchState]] directory (exact additive merge — the
+    * count-min discipline), and each batch's keep decisions use the
+    * rates implied by EVERYTHING SEEN SO FAR including the batch
+    * itself. Early batches see thinner totals and keep more; as the
+    * stream fills in, rates anneal toward the batch regime's — the
+    * documented online behavior (re-running the batch operator over the
+    * accumulated corpus is the reconciliation path when drift matters).
+    * Returns the kept rows OF THIS BATCH as `(id, grp, w, rate_bp)`;
+    * rate arithmetic is [[temperatureRates]] verbatim, so every batch's
+    * decisions stay oracle-replayable. */
+  def temperatureSampleIngestBatch(batch: DataFrame, id: Column,
+      group: Column, weight: Column, alpha: Double, budget: Long,
+      scale: Int, statePath: String): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    require(budget > 0 && scale >= 2 && budget <= Long.MaxValue / scale,
+      s"bad budget/scale: $budget/$scale")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val rows = batch.select(id.as("id"), group.cast("string").as("grp"),
+        weight.cast("long").as("w"))
+      .filter(col("id").isNotNull && col("grp").isNotNull)
+    val batchTotals = rows.groupBy(col("grp"))
+      .agg(sum(col("w")).as("t"), min(col("w")).as("w_min"))
+      .collect().map { r =>
+        require(r.getLong(2) >= 0,
+          s"temperatureSampleIngestBatch: negative weight in ${r.getString(0)}")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    val prior: Map[String, Long] =
+      if (SketchState.exists(spark, statePath))
+        SketchState.read(spark, statePath).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val merged = (prior.keySet ++ batchTotals.keySet).toSeq.map { g =>
+      g -> (prior.getOrElse(g, 0L) + batchTotals.getOrElse(g, 0L))
+    }
+    SketchState.write(merged.toDF("grp", "t_total"), statePath)
+    val rates = temperatureRates(merged.toDF("grp", "t_total"),
+      alpha, budget, scale)
     rows.join(broadcast(rates), Seq("grp"))
       .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
         lit(scale.toLong)) < col("rate_bp"))

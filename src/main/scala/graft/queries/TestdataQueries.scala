@@ -4376,6 +4376,60 @@ FROM r$q82Rounds"""
        |    AS frac_pos
        |FROM b GROUP BY bin""".stripMargin
 
+  // ------------------- streaming temperature mixing (§2.10 ext)
+  // Online q126: totals accumulate in crash-safe state; each batch's
+  // keep decisions use rates from everything seen so far (including the
+  // batch). The oracle unrolls the three batches with cumulative-total
+  // rate CTEs — every batch's drifting rates replay exactly.
+  private def q139StreamingTempMix(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("tmix_stream")
+      .toString + "/state"
+    val batches = (0 until 3).map { b =>
+      graft.operators.Mix.temperatureSampleIngestBatch(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === b)
+          .select(col("doc_id"), col("source"),
+            TextExprs.tokenCount(col("text")).as("n_toks")),
+        col("doc_id"), col("source"), col("n_toks"),
+        q126Alpha, q126Budget, q126Scale, state)
+    }
+    batches.reduce(_.unionAll(_))
+      .select(col("id").as("doc_id"), col("grp").as("source"),
+        col("w").as("n_toks"), col("rate_bp"))
+  }
+
+  private val q139Sql = {
+    val poly = "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
+    val aS = q126Alpha.toString
+    val am1S = (q126Alpha - 1.0).toString
+    val bsS = (q126Budget * q126Scale).toDouble.toString
+    def batchCtes(b: Int): String =
+      s"""t$b AS (SELECT source, sum(n_toks) AS t FROM rows_
+         |       WHERE batch <= $b GROUP BY source HAVING sum(n_toks) > 0),
+         |ta$b AS (SELECT source, t,
+         |      CAST(round(exp($aS * ln(CAST(t AS DOUBLE))), 6)
+         |        AS DECIMAL(38,6)) AS ea FROM t$b),
+         |dn$b AS (SELECT sum(ea) AS s FROM ta$b),
+         |r$b AS (
+         |  SELECT source, least($q126Scale, CAST(floor(round(
+         |      ($bsS * exp($am1S * ln(CAST(t AS DOUBLE)))) /
+         |        CAST(s AS DOUBLE), 6)) AS BIGINT)) AS rate_bp
+         |  FROM ta$b CROSS JOIN dn$b),
+         |k$b AS (
+         |  SELECT h.doc_id, h.source, h.n_toks, r.rate_bp
+         |  FROM h JOIN r$b r USING (source)
+         |  WHERE h.batch = $b AND mh % $q126Scale < rate_bp)""".stripMargin
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, source, doc_id % 3 AS batch,
+       |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, source, batch, n_toks, $mh AS mh FROM rows_),
+       |${(0 until 3).map(batchCtes).mkString(",\n")}
+       |SELECT * FROM k0 UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4511,7 +4565,8 @@ FROM r$q82Rounds"""
     "q135_datasheet" -> (q135DatasheetCard _),
     "q136_filter_eval" -> (q136FilterEval _),
     "q137_auc" -> (q137Auc _),
-    "q138_calibration" -> (q138Calibration _))
+    "q138_calibration" -> (q138Calibration _),
+    "q139_streaming_tempmix" -> (q139StreamingTempMix _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4646,5 +4701,6 @@ FROM r$q82Rounds"""
     "q135_datasheet" -> q135Sql,
     "q136_filter_eval" -> q136Sql,
     "q137_auc" -> q137Sql,
-    "q138_calibration" -> q138Sql)
+    "q138_calibration" -> q138Sql,
+    "q139_streaming_tempmix" -> q139Sql)
 }

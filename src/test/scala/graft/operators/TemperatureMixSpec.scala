@@ -52,6 +52,29 @@ class TemperatureMixSpec extends SparkSpec {
     assert(all.values.forall(_ === 10000L), "huge budget → keep-all cap")
   }
 
+  test("streaming ingest anneals: early batches keep more, totals exact") {
+    val state = java.nio.file.Files.createTempDirectory("tmixspec")
+      .toString + "/s"
+    val perBatch = (0 until 3).map { b =>
+      Mix.temperatureSampleIngestBatch(
+        corpus.filter(col("id") % 3 === b), col("id"), col("src"),
+        col("w"), 0.7, 200L, 10000, state)
+        .select("grp", "rate_bp").distinct()
+        .as[(String, Long)].collect().toMap
+    }
+    // totals grow monotonically → rates never increase batch-over-batch
+    Seq("big", "small").foreach { g =>
+      assert(perBatch(0)(g) >= perBatch(1)(g))
+      assert(perBatch(1)(g) >= perBatch(2)(g))
+    }
+    // the final batch's rates equal the batch operator's over the full
+    // corpus (state totals are exact)
+    val batchRates = Mix.temperatureSample(corpus, col("id"), col("src"),
+      col("w"), 0.7, 200L).select("grp", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(perBatch(2) === batchRates)
+  }
+
   test("zero-weight groups are excluded (zero share), negatives fail") {
     val withZero = corpus.unionAll(
       Seq((5000L, "empty", 0L)).toDF("id", "src", "w"))
