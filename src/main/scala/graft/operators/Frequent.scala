@@ -194,6 +194,47 @@ object Frequent {
     * minShare > 1/(counters+1) no within-window heavy hitter is lost,
     * and the exact recount makes the output identical to the plain
     * per-window GROUP BY/HAVING. */
+  /** Per-group top-k n-grams by occurrence count — boilerplate-candidate
+    * mining (the template phrases a domain stamps on every page surface
+    * here before they flood a mixture; feed the survivors to the q119
+    * blocklist or the q105/q106 span dedup).
+    *
+    * Scale shape, two phases so gram TEXT never rides the big shuffle:
+    * (1) grams reduce map-side to `(grp, hash128)` counts (partial agg),
+    * one exchange of count rows, WindowGroupLimit top-k per group;
+    * (2) ONE more scan recovers the winning grams' text via a broadcast
+    * semi-join on the hash + distinct. The 128-bit key is the q9/q88
+    * trade — the oracle groups by the gram string itself, so a
+    * collision would surface as a count mismatch.
+    *
+    * Membership is top-k WITH TIES (every gram whose count reaches the
+    * group's k-th highest count): a count threshold is the only
+    * boundary any engine can replay — an arbitrary tie-break inside a
+    * count plateau would be hash-order-dependent. Output may therefore
+    * exceed k rows per group on plateaus. */
+  def topNgramsPerGroup(docs: DataFrame, text: Column, group: Column,
+      n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"bad n=$n k=$k")
+    val grams = docs.select(group.as("grp"),
+        explode(Diversity.slideGrams(graft.functions.TextExprs.tokens(text), n)).as("gram"))
+      .select(col("grp"), col("gram"),
+        struct(xxhash64(col("gram")), xxhash64(col("gram"), lit(1)))
+          .as("h"))
+    val counts = grams.groupBy(col("grp"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("cnt").desc, col("h").asc)
+    val thresh = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("grp")).agg(min(col("cnt")).as("min_cnt"))
+    val winners = counts.join(broadcast(thresh), Seq("grp"))
+      .filter(col("cnt") >= col("min_cnt"))
+    val texts = grams.select(col("h"), col("gram")).distinct()
+      .join(broadcast(winners.select(col("h")).distinct()), Seq("h"))
+    winners.join(texts, Seq("h"))
+      .select(col("grp"), col("gram"), col("cnt"))
+  }
+
   def heavyHittersByWindow(df: DataFrame, ts: Column, key: Column,
       windowSeconds: Long, minShare: Double,
       counters: Int = 256, maxWindowsPerTask: Int = -1): DataFrame = {

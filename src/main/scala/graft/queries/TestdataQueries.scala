@@ -4430,6 +4430,38 @@ FROM r$q82Rounds"""
        |SELECT * FROM k0 UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2""".stripMargin
   }
 
+  // ------------------- boilerplate n-gram mining (§2.10 ext)
+  // Per-source top-k 3-grams by count (top-k WITH TIES at the k-th
+  // count — the only engine-replayable boundary): the template-phrase
+  // miner whose survivors feed the q119 blocklist / q105 span dedup.
+  private val q140N = 3
+  private val q140K = 5
+
+  private def q140BoilerplateNgrams(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frequent.topNgramsPerGroup(Tables.documents(s, d),
+      col("text"), col("source"), q140N, q140K)
+      .select(col("grp").as("source"), col("gram"), col("cnt"))
+
+  private val q140Sql =
+    s"""WITH tk AS (
+       |  SELECT source,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, unnest(list_transform(
+       |      range(1, len(ts) - ${q140N - 1} + 1),
+       |      i -> array_to_string(ts[i:i+${q140N - 1}], ' '))) AS gram
+       |  FROM tk WHERE len(ts) >= $q140N),
+       |c AS (SELECT source, gram, count(*) AS cnt FROM g
+       |      GROUP BY source, gram),
+       |t AS (SELECT source, min(cnt) AS min_cnt FROM (
+       |        SELECT source, cnt, row_number() OVER (
+       |          PARTITION BY source ORDER BY cnt DESC, gram) AS rank
+       |        FROM c) WHERE rank <= $q140K GROUP BY source)
+       |SELECT c.source, c.gram, c.cnt
+       |FROM c JOIN t ON c.source = t.source AND c.cnt >= t.min_cnt""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4566,7 +4598,8 @@ FROM r$q82Rounds"""
     "q136_filter_eval" -> (q136FilterEval _),
     "q137_auc" -> (q137Auc _),
     "q138_calibration" -> (q138Calibration _),
-    "q139_streaming_tempmix" -> (q139StreamingTempMix _))
+    "q139_streaming_tempmix" -> (q139StreamingTempMix _),
+    "q140_boilerplate_ngrams" -> (q140BoilerplateNgrams _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4702,5 +4735,6 @@ FROM r$q82Rounds"""
     "q136_filter_eval" -> q136Sql,
     "q137_auc" -> q137Sql,
     "q138_calibration" -> q138Sql,
-    "q139_streaming_tempmix" -> q139Sql)
+    "q139_streaming_tempmix" -> q139Sql,
+    "q140_boilerplate_ngrams" -> q140Sql)
 }

@@ -185,4 +185,33 @@ class FrequentSpec extends SparkSpec {
     assert(e.toString.contains("sketch-by-key") ||
       String.valueOf(e.getCause).contains("sketch-by-key"), s"got $e")
   }
+
+  test("topNgramsPerGroup: counts exact, membership is count-thresholded") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z x y z x y q"),   // "x y z" x2, "y z x" x2 ...
+      ("a", "x y z"),
+      ("b", "p q r")
+    ).toDF("src", "text")
+    val out = Frequent.topNgramsPerGroup(docs, col("text"), col("src"),
+      n = 3, k = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val aTop = out.filter(_._1 == "a")
+    assert(aTop.contains(("a", "x y z", 3L)), s"got ${aTop.toSeq}")
+    // k=1 with ties: every gram at the top count survives
+    assert(aTop.forall(_._3 == 3L))
+    val bTop = out.filter(_._1 == "b")
+    assert(bTop.length == 1 && bTop.head._3 == 1L)
+  }
+
+  test("topNgramsPerGroup deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (s"s${i % 2}", s"w${i % 7} w${i % 5} w${i % 3} end"))
+      .toDF("src", "text")
+    val a = Frequent.topNgramsPerGroup(docs, col("text"), col("src"), 2, 3)
+      .collect().map(_.toSeq).toSet
+    val b = Frequent.topNgramsPerGroup(docs.repartition(9), col("text"),
+      col("src"), 2, 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
