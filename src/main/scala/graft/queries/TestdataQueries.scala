@@ -4462,6 +4462,36 @@ FROM r$q82Rounds"""
        |SELECT c.source, c.gram, c.cnt
        |FROM c JOIN t ON c.source = t.source AND c.cnt >= t.min_cnt""".stripMargin
 
+  // ------------------- ANN recall monitoring (§2.10 ext)
+  // recall@k of the multi-probe LSH IVF (q22) against the exact top-k
+  // (q21), per query — index quality as a first-class, oracle-checked
+  // pipeline diagnostic rather than a test-only figure. Both arms are
+  // the registered queries' own plans; the oracle composes both
+  // registered oracles verbatim.
+  private def q141AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = q21CosineTopK(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = q22CosineIvf(s, d)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+  }
+
+  private val q141Sql =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($q21Sql)),
+       |ap AS (SELECT query_id AS aq, neighbor_id AS an FROM ($q22Sql))
+       |SELECT query_id, CAST(count(an) AS BIGINT) AS n_hit,
+       |  round(CAST(count(an) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS recall
+       |FROM ex LEFT JOIN ap ON query_id = aq AND neighbor_id = an
+       |GROUP BY query_id""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4599,7 +4629,8 @@ FROM r$q82Rounds"""
     "q137_auc" -> (q137Auc _),
     "q138_calibration" -> (q138Calibration _),
     "q139_streaming_tempmix" -> (q139StreamingTempMix _),
-    "q140_boilerplate_ngrams" -> (q140BoilerplateNgrams _))
+    "q140_boilerplate_ngrams" -> (q140BoilerplateNgrams _),
+    "q141_ann_recall" -> (q141AnnRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4736,5 +4767,6 @@ FROM r$q82Rounds"""
     "q137_auc" -> q137Sql,
     "q138_calibration" -> q138Sql,
     "q139_streaming_tempmix" -> q139Sql,
-    "q140_boilerplate_ngrams" -> q140Sql)
+    "q140_boilerplate_ngrams" -> q140Sql,
+    "q141_ann_recall" -> q141Sql)
 }
