@@ -229,8 +229,11 @@ object Frequent {
       .groupBy(col("grp")).agg(min(col("cnt")).as("min_cnt"))
     val winners = counts.join(broadcast(thresh), Seq("grp"))
       .filter(col("cnt") >= col("min_cnt"))
-    val texts = grams.select(col("h"), col("gram")).distinct()
+    // broadcast-filter FIRST, distinct after: the distinct then runs
+    // over winner grams only — all other gram text dies map-side
+    val texts = grams.select(col("h"), col("gram"))
       .join(broadcast(winners.select(col("h")).distinct()), Seq("h"))
+      .distinct()
     winners.join(texts, Seq("h"))
       .select(col("grp"), col("gram"), col("cnt"))
   }
