@@ -156,6 +156,37 @@ object Classify {
           .as("auc"))
   }
 
+  /** [[aucRoc]] per group (per-source / per-language filter bias: a
+    * classifier that ranks well globally can still be near-random on
+    * one source — the slice metric that catches it before that source's
+    * cut is set from the global curve). Same plan, group-keyed: the
+    * distinct-score table is `(grp, s)`-grained, the cumulative window
+    * is PROPERLY partitioned by group, and each group's exact
+    * Mann–Whitney numerator divides independently. Single-class groups
+    * yield null AUC. */
+  def aucRocByGroup(scored: DataFrame, score: Column, label: Column,
+      group: Column): DataFrame = {
+    val base = scored.select(group.as("grp"), score.as("s"),
+      label.cast("int").as("y"))
+      .filter(col("grp").isNotNull)
+    val g = base.groupBy(col("grp"), col("s")).agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = g.withColumn("cum_nn", sum(col("nn")).over(w) - col("nn"))
+    cum.groupBy(col("grp"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("num2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num2").cast("double") /
+            (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 6))
+          .as("auc"))
+  }
+
   /** Full-batch gradient-descent TRAINING of the hashed logistic
     * classifier [[hashedLinearScore]] serves — the learn step of a
     * CCNet/fastText-style quality or language filter, run where the

@@ -4492,6 +4492,46 @@ FROM r$q82Rounds"""
        |FROM ex LEFT JOIN ap ON query_id = aq AND neighbor_id = an
        |GROUP BY query_id""".stripMargin
 
+  // ------------------- per-source AUC (§2.10 ext)
+  // q137 sliced by source — the filter-bias diagnostic: a classifier
+  // ranking well globally can be near-random on one source.
+  private def q142AucBySource(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+    val labeled = scores.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"), col("source"),
+        (col("lang") === "en").cast("int").as("y")), Seq("id"))
+    graft.operators.Classify.aucRocByGroup(labeled, col("score"),
+      col("y"), col("source"))
+      .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
+        col("auc"))
+  }
+
+  private val q142Sql =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q77Sql)),
+       |lb AS (SELECT d.source, sc.score AS s,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |g AS (SELECT source, s,
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+       |  FROM lb GROUP BY source, s),
+       |c AS (SELECT source, s, np, nn,
+       |    sum(nn) OVER (PARTITION BY source ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS cum_nn
+       |  FROM g),
+       |a AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(nn) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS num2
+       |  FROM c GROUP BY source)
+       |SELECT source, n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN round(CAST(num2 AS DOUBLE) /
+       |      (CAST(2.0 AS DOUBLE) * CAST(n_pos * n_neg AS DOUBLE)), 6)
+       |  END AS auc
+       |FROM a""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4630,7 +4670,8 @@ FROM r$q82Rounds"""
     "q138_calibration" -> (q138Calibration _),
     "q139_streaming_tempmix" -> (q139StreamingTempMix _),
     "q140_boilerplate_ngrams" -> (q140BoilerplateNgrams _),
-    "q141_ann_recall" -> (q141AnnRecall _))
+    "q141_ann_recall" -> (q141AnnRecall _),
+    "q142_auc_by_source" -> (q142AucBySource _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4768,5 +4809,6 @@ FROM r$q82Rounds"""
     "q138_calibration" -> q138Sql,
     "q139_streaming_tempmix" -> q139Sql,
     "q140_boilerplate_ngrams" -> q140Sql,
-    "q141_ann_recall" -> q141Sql)
+    "q141_ann_recall" -> q141Sql,
+    "q142_auc_by_source" -> q142Sql)
 }

@@ -51,6 +51,23 @@ class EvalBinarySpec extends SparkSpec {
     assert(Classify.aucRoc(one, col("score"), col("y")).head().isNullAt(2))
   }
 
+  test("aucRocByGroup: groups score independently, slices match global") {
+    val byG = scored.withColumn("g", lit("only"))
+    val g = Classify.aucRocByGroup(byG, col("score"), col("y"), col("g"))
+      .head()
+    assert((g.getLong(1), g.getLong(2), g.getDouble(3)) ===
+      ((3L, 3L, 0.666667)))
+    // a perfectly-ranked group beside a random one
+    val two = Seq(
+      ("good", 0.9, 1), ("good", 0.8, 1), ("good", 0.2, 0),
+      ("bad", 0.5, 1), ("bad", 0.5, 0)
+    ).toDF("g", "score", "y")
+    val out = Classify.aucRocByGroup(two, col("score"), col("y"),
+      col("g")).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("good") === 1.0)
+    assert(out("bad") === 0.5)
+  }
+
   test("calibrationBins: assignment, edge score 1.0 stays in last bin") {
     val rows = Seq((0.05, 0), (0.05, 1), (0.55, 1), (1.0, 1))
       .toDF("score", "y")
