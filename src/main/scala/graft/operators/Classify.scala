@@ -187,6 +187,35 @@ object Classify {
           .as("auc"))
   }
 
+  /** Chance-corrected agreement between two boolean filters (Cohen's
+    * kappa): "do my learned gate and my rule gate agree beyond what
+    * their keep rates force?" — raw overlap reads high whenever both
+    * filters keep most rows; kappa is the number that actually says
+    * whether one gate is redundant. One scan, one conditional-sum
+    * aggregate to a single metadata row; exact contingency counts,
+    * fixed-sequence double ops snapped to 6; degenerate marginals
+    * (pe = 1) yield null. */
+  def agreementKappa(df: DataFrame, predA: Column, predB: Column)
+      : DataFrame = {
+    val base = df.select(predA.cast("boolean").as("pa"),
+      predB.cast("boolean").as("pb"))
+      .filter(col("pa").isNotNull && col("pb").isNotNull)
+    val agg = base.agg(
+      sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("n_only_b"),
+      sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("n_neither"))
+    val nD = (col("n_both") + col("n_only_a") + col("n_only_b") + col("n_neither"))
+      .cast("double")
+    val po = (col("n_both") + col("n_neither")).cast("double") / nD
+    val pe = ((col("n_both") + col("n_only_a")) * (col("n_both") + col("n_only_b")) +
+      (col("n_only_b") + col("n_neither")) * (col("n_only_a") + col("n_neither")))
+      .cast("double") / (nD * nD)
+    agg.select(col("n_both"), col("n_only_a"), col("n_only_b"), col("n_neither"),
+      round(po, 6).as("po"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** Full-batch gradient-descent TRAINING of the hashed logistic
     * classifier [[hashedLinearScore]] serves — the learn step of a
     * CCNet/fastText-style quality or language filter, run where the

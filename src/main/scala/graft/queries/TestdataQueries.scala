@@ -4532,6 +4532,54 @@ FROM r$q82Rounds"""
        |  END AS auc
        |FROM a""".stripMargin
 
+  // ------------------- filter agreement, Cohen's kappa (§2.10 ext)
+  // Does the learned gate (q77 score >= 0.5) agree with the rule gate
+  // (q101 Gopher keep) beyond what their keep rates force? The
+  // redundancy diagnostic for stacked quality filters.
+  private def q143FilterKappa(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+      .select(col("id").as("doc_id"),
+        (col("score") >= 0.5).as("pa"))
+    val gopher = q101GopherRules(s, d)
+      .select(col("doc_id"), col("keep").as("pb"))
+    graft.operators.Classify.agreementKappa(
+      scores.join(gopher, Seq("doc_id")), col("pa"), col("pb"))
+  }
+
+  private val q143Sql =
+    s"""WITH sc AS (SELECT doc_id, score >= CAST(0.5 AS DOUBLE) AS pa
+       |           FROM ($q77Sql)),
+       |gp AS (SELECT doc_id, keep AS pb FROM ($q101Sql)),
+       |j AS (SELECT pa, pb FROM sc JOIN gp USING (doc_id)),
+       |c AS (SELECT
+       |    sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS n_both,
+       |    sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS n_only_a,
+       |    sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END) AS n_only_b,
+       |    sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END) AS n_neither
+       |  FROM j)
+       |SELECT CAST(n_both AS BIGINT) AS n_both, CAST(n_only_a AS BIGINT) AS n_only_a,
+       |  CAST(n_only_b AS BIGINT) AS n_only_b, CAST(n_neither AS BIGINT) AS n_neither,
+       |  round(CAST(n_both + n_neither AS DOUBLE) /
+       |    CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE), 6) AS po,
+       |  CASE WHEN CAST((n_both + n_only_a) * (n_both + n_only_b) +
+       |        (n_only_b + n_neither) * (n_only_a + n_neither) AS DOUBLE) /
+       |      (CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE) *
+       |       CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE)) < 1.0
+       |    THEN round((CAST(n_both + n_neither AS DOUBLE) /
+       |        CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE) -
+       |      CAST((n_both + n_only_a) * (n_both + n_only_b) +
+       |        (n_only_b + n_neither) * (n_only_a + n_neither) AS DOUBLE) /
+       |      (CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE) *
+       |       CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE))) /
+       |      (1.0 - CAST((n_both + n_only_a) * (n_both + n_only_b) +
+       |        (n_only_b + n_neither) * (n_only_a + n_neither) AS DOUBLE) /
+       |      (CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE) *
+       |       CAST(n_both + n_only_a + n_only_b + n_neither AS DOUBLE))), 6)
+       |  END AS kappa
+       |FROM c""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4671,7 +4719,8 @@ FROM r$q82Rounds"""
     "q139_streaming_tempmix" -> (q139StreamingTempMix _),
     "q140_boilerplate_ngrams" -> (q140BoilerplateNgrams _),
     "q141_ann_recall" -> (q141AnnRecall _),
-    "q142_auc_by_source" -> (q142AucBySource _))
+    "q142_auc_by_source" -> (q142AucBySource _),
+    "q143_filter_kappa" -> (q143FilterKappa _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4810,5 +4859,6 @@ FROM r$q82Rounds"""
     "q139_streaming_tempmix" -> q139Sql,
     "q140_boilerplate_ngrams" -> q140Sql,
     "q141_ann_recall" -> q141Sql,
-    "q142_auc_by_source" -> q142Sql)
+    "q142_auc_by_source" -> q142Sql,
+    "q143_filter_kappa" -> q143Sql)
 }

@@ -68,6 +68,27 @@ class EvalBinarySpec extends SparkSpec {
     assert(out("bad") === 0.5)
   }
 
+  test("agreementKappa: hand-checked kappa, chance-only agreement is 0") {
+    // 10 rows: a=4 both-keep, b=1, c=1, d=4 → po=0.8, pe=0.5, kappa=0.6
+    val rows = (Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("pa", "pb")
+    val r = Classify.agreementKappa(rows, col("pa"), col("pb")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 1L, 1L, 4L)))
+    assert(r.getDouble(4) === 0.8)
+    assert(r.getDouble(5) === 0.6)
+    // independent filters at 50% each: agreement exactly at chance
+    val chance = Seq((true, true), (true, false), (false, true),
+      (false, false)).toDF("pa", "pb")
+    assert(Classify.agreementKappa(chance, col("pa"), col("pb"))
+      .head().getDouble(5) === 0.0)
+    // degenerate: both always keep → pe = 1 → null kappa
+    val degen = Seq((true, true), (true, true)).toDF("pa", "pb")
+    assert(Classify.agreementKappa(degen, col("pa"), col("pb"))
+      .head().isNullAt(5))
+  }
+
   test("calibrationBins: assignment, edge score 1.0 stays in last bin") {
     val rows = Seq((0.05, 0), (0.05, 1), (0.55, 1), (1.0, 1))
       .toDF("score", "y")
