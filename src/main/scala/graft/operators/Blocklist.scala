@@ -34,7 +34,11 @@ object Blocklist {
     * entries are dropped. */
   def phraseHits(docs: DataFrame, id: Column, text: Column,
       phrases: Seq[String]): DataFrame = {
-    val plist = phrases.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+    // Locale.ROOT, matching Spark's locale-independent lower(): JVM
+    // default-locale toLowerCase silently breaks matches under e.g. the
+    // Turkish dotted/dotless I.
+    val plist = phrases
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " "))
       .filter(_.nonEmpty).distinct
     require(plist.nonEmpty, "blocklist must contain at least one phrase")
     val lens = plist.map(_.split(" ").length).distinct.sorted

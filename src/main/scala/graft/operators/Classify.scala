@@ -135,7 +135,12 @@ object Classify {
     * is provably input-bounded and carries the repo's sanctioned
     * non-foldable always-zero partition key (see Sketch's
     * quantilesFromSample note). Degenerate inputs (single-class) yield
-    * a null AUC rather than 0/0. */
+    * a null AUC rather than 0/0. The pair numerator and the P·N
+    * denominator are accumulated in DECIMAL(38,0), not BIGINT: at the
+    * billions-of-labels regime this operator targets, `np·cum_nn` and
+    * `n_pos·n_neg` pass 2⁶³ long before the count table itself is
+    * large, and a silent Long wrap would produce a plausible-looking
+    * wrong AUC (DuckDB's BIGINT would at least error). */
   def aucRoc(scored: DataFrame, score: Column, label: Column): DataFrame = {
     val base = scored.select(score.as("s"), label.cast("int").as("y"))
     val g = base.groupBy(col("s")).agg(
@@ -147,12 +152,16 @@ object Classify {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = g.withColumn("cum_nn", sum(col("nn")).over(w) - col("nn"))
+    val dec = "decimal(38,0)"
     cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("num2"))
+        sum(col("np").cast(dec) *
+          (lit(2L).cast(dec) * col("cum_nn").cast(dec) + col("nn").cast(dec)))
+          .as("num2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("num2").cast("double") /
-            (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 6))
+            (lit(2.0) *
+              (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double")), 6))
           .as("auc"))
   }
 
@@ -177,13 +186,17 @@ object Classify {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = g.withColumn("cum_nn", sum(col("nn")).over(w) - col("nn"))
+    val dec = "decimal(38,0)"
     cum.groupBy(col("grp"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("num2"))
+        sum(col("np").cast(dec) *
+          (lit(2L).cast(dec) * col("cum_nn").cast(dec) + col("nn").cast(dec)))
+          .as("num2"))
       .select(col("grp"), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("num2").cast("double") /
-            (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 6))
+            (lit(2.0) *
+              (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double")), 6))
           .as("auc"))
   }
 
@@ -205,11 +218,17 @@ object Classify {
       sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("n_only_a"),
       sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("n_only_b"),
       sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("n_neither"))
+    // Marginal products in DECIMAL(38,0): four counts near 2³¹ already
+    // wrap a Long product silently; decimal keeps pe exact-then-one-
+    // double-division at any corpus size.
+    val dec = "decimal(38,0)"
     val nD = (col("n_both") + col("n_only_a") + col("n_only_b") + col("n_neither"))
       .cast("double")
     val po = (col("n_both") + col("n_neither")).cast("double") / nD
-    val pe = ((col("n_both") + col("n_only_a")) * (col("n_both") + col("n_only_b")) +
-      (col("n_only_b") + col("n_neither")) * (col("n_only_a") + col("n_neither")))
+    val pe = ((col("n_both") + col("n_only_a")).cast(dec) *
+        (col("n_both") + col("n_only_b")).cast(dec) +
+      (col("n_only_b") + col("n_neither")).cast(dec) *
+        (col("n_only_a") + col("n_neither")).cast(dec))
       .cast("double") / (nD * nD)
     agg.select(col("n_both"), col("n_only_a"), col("n_only_b"), col("n_neither"),
       round(po, 6).as("po"),

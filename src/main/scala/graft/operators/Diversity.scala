@@ -138,16 +138,22 @@ object Diversity {
         def sim(a: Long, bb: Long): Double =
           simMap((qid, math.min(a, bb), math.max(a, bb)))
         val selected = collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        // Pool can run dry before k picks (corpus smaller than poolN,
+        // zero-norm vectors dropped): emit fewer rows, like the oracle,
+        // instead of minBy-on-empty throwing.
+        var exhausted = false
         (1 to k).foreach { _ =>
-          val done = selected.map(_._1).toSet
-          val best = rel.keysIterator.filterNot(done)
-            .map { d =>
-              val pen = if (selected.isEmpty) 0.0
-                        else selected.iterator.map(s => sim(d, s._1)).max
-              (d, lambda * rel(d) - oneMinus * pen)
-            }
-            .minBy { case (d, s) => (-s, d) }
-          selected += best
+          if (!exhausted) {
+            val done = selected.map(_._1).toSet
+            val cands = rel.keysIterator.filterNot(done)
+              .map { d =>
+                val pen = if (selected.isEmpty) 0.0
+                          else selected.iterator.map(s => sim(d, s._1)).max
+                (d, lambda * rel(d) - oneMinus * pen)
+              }.toSeq
+            if (cands.isEmpty) exhausted = true
+            else selected += cands.minBy { case (d, s) => (-s, d) }
+          }
         }
         selected.zipWithIndex.map { case ((d, s), i) =>
           org.apache.spark.sql.Row(qid, i + 1, d, s) }

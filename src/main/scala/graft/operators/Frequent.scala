@@ -211,10 +211,19 @@ object Frequent {
     * group's k-th highest count): a count threshold is the only
     * boundary any engine can replay — an arbitrary tie-break inside a
     * count plateau would be hash-order-dependent. Output may therefore
-    * exceed k rows per group on plateaus. */
+    * exceed k rows per group on plateaus — and a DEGENERATE plateau
+    * (min_cnt lands on 1 in a small or highly diverse source) would
+    * make "winners" essentially every distinct gram, turning the
+    * hash-set broadcast corpus-sized. `maxWinnersPerGroup` fail-fasts
+    * that regime inside the plan (raise_error at execution, same
+    * discipline as Sketch's group ceiling) instead of OOMing the
+    * driver; callers hitting it should raise n, lower k, or pre-filter
+    * the source. */
   def topNgramsPerGroup(docs: DataFrame, text: Column, group: Column,
-      n: Int, k: Int): DataFrame = {
+      n: Int, k: Int, maxWinnersPerGroup: Int = 1 << 20): DataFrame = {
     require(n >= 1 && k >= 1, s"bad n=$n k=$k")
+    require(maxWinnersPerGroup >= k,
+      s"maxWinnersPerGroup=$maxWinnersPerGroup must be >= k=$k")
     val grams = docs.select(group.as("grp"),
         explode(Diversity.slideGrams(graft.functions.TextExprs.tokens(text), n)).as("gram"))
       .select(col("grp"), col("gram"),
@@ -224,9 +233,26 @@ object Frequent {
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("cnt").desc, col("h").asc)
-    val thresh = counts.withColumn("rank", row_number().over(w))
+    val minTab = counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .groupBy(col("grp")).agg(min(col("cnt")).as("min_cnt"))
+    // Plateau guard: count the ties-inclusive winners per group over
+    // the hash-count table (no text) and raise_error in-plan before
+    // the broadcast if any group exceeds the ceiling.
+    val nWin = counts.join(broadcast(minTab), Seq("grp"))
+      .filter(col("cnt") >= col("min_cnt"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n_win"))
+    val thresh = minTab.join(nWin, Seq("grp"))
+      .select(col("grp"),
+        when(col("n_win") <= lit(maxWinnersPerGroup.toLong), col("min_cnt"))
+          .otherwise(raise_error(concat(
+            lit("topNgramsPerGroup: group "), col("grp").cast("string"),
+            lit(s" has "), col("n_win").cast("string"),
+            lit(s" ties-inclusive winners > maxWinnersPerGroup=" +
+              s"$maxWinnersPerGroup (count plateau at min_cnt="),
+            col("min_cnt").cast("string"),
+            lit("); raise n, lower k, or pre-filter the source")))
+            .cast("long")).as("min_cnt"))
     val winners = counts.join(broadcast(thresh), Seq("grp"))
       .filter(col("cnt") >= col("min_cnt"))
     // broadcast-filter FIRST, distinct after: the distinct then runs

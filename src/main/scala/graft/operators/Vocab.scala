@@ -738,10 +738,11 @@ object Vocab {
     * the best segmentation into vocabulary pieces under an additive
     * piece score — `best(i) = max_j best(i−j) + score(word[i−j..i])` —
     * with single characters as the guaranteed fallback piece. Returns
-    * per doc `(id, n_tokens, n_long, nll_e6)`: `nll_e6` the summed
-    * negated best scores in 1e-6 fixed point, `n_long` the tokens
-    * longer than `maxLen` (excluded from the sum — the documented
-    * degenerate, they'd need a chunked DP).
+    * per doc `(id, n_tokens, nll_e6)`: `n_tokens` the word count and
+    * `nll_e6` the summed negated best scores in 1e-6 fixed point.
+    * `maxPiece` bounds the DP lookback — the longest vocabulary piece
+    * the segmenter will consider; every token scores (the 1-char
+    * fallback guarantees a path), so nothing is excluded.
     *
     * This is the INFERENCE half of a unigram tokenizer (the EM vocab
     * fit is a driver-regime loop like [[bpeTrainIncremental]]); as a

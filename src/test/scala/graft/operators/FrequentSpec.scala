@@ -204,6 +204,24 @@ class FrequentSpec extends SparkSpec {
     assert(bTop.length == 1 && bTop.head._3 == 1L)
   }
 
+  test("topNgramsPerGroup fail-fasts a degenerate count plateau") {
+    import spark.implicits._
+    // every bigram in group "d" is distinct → min_cnt = 1 and the
+    // ties-inclusive winner set is ALL grams; with a tiny ceiling the
+    // in-plan guard must raise instead of broadcasting the corpus
+    val docs = (1 to 50).map(i => ("d", s"u$i v$i w$i")).toDF("src", "text")
+    val e = intercept[Exception] {
+      Frequent.topNgramsPerGroup(docs, col("text"), col("src"),
+        n = 2, k = 1, maxWinnersPerGroup = 8).collect()
+    }
+    assert((e.toString + String.valueOf(e.getCause))
+      .contains("maxWinnersPerGroup"), s"got $e")
+    // same data passes with an adequate ceiling (100 distinct bigrams)
+    val ok = Frequent.topNgramsPerGroup(docs, col("text"), col("src"),
+      n = 2, k = 1, maxWinnersPerGroup = 200).collect()
+    assert(ok.length === 100)
+  }
+
   test("topNgramsPerGroup deterministic under repartitioning") {
     import spark.implicits._
     val docs = (1 to 100).map(i => (s"s${i % 2}", s"w${i % 7} w${i % 5} w${i % 3} end"))

@@ -48,6 +48,22 @@ class MmrSpec extends SparkSpec {
     assert(out.forall(!_.isNullAt(3)))
   }
 
+  test("pool smaller than k emits fewer rows instead of throwing") {
+    // 3-doc corpus, self excluded → the query's pool has exactly 2
+    // candidates; asking for k=10 must emit 2 rows, not throw minBy
+    // on an empty iterator
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Diversity.mmrSelect(tiny, tiny.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", poolN = 10, k = 10, lambda = 0.7).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getInt(1)).sorted.toSeq === Seq(1, 2))
+    assert(out.map(_.getLong(2)).toSet === Set(1L, 2L))
+  }
+
   test("deterministic under repartitioning") {
     val a = Diversity.mmrSelect(vecs, vecs.filter(col("vec_id") < 2),
       "vec_id", "embedding", 3, 2, 0.5).collect().map(_.toSeq).toSet
