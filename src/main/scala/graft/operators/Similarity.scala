@@ -386,6 +386,67 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact cosine top-k with NEITHER side broadcast — the block-
+    * nested-loop shard plan for the regime where both the query set
+    * and the corpus are too large to fit an executor (bitext mining:
+    * both "sides" are corpora). Semantically identical to
+    * [[bruteForceTopK]] (self-pairs excluded, ties on raw cosine break
+    * ascending neighbor id, output cosine snapped to 4) — sharding is
+    * an execution choice, not a semantics choice, so the two are
+    * interchangeable under any oracle.
+    *
+    * Plan: queries hash into `queryShards` groups and replicate to
+    * every corpus shard; corpus rows hash into `corpusShards` groups
+    * and replicate to every query shard; ONE equi-join on the
+    * `(qs, cs)` shard-pair key streams each block's cross product —
+    * every (query, corpus) pair meets exactly once, at the key
+    * `(hash(q) mod Qs, hash(c) mod Cs)`. Per-(query, corpus-shard)
+    * top-k prunes map-side (WindowGroupLimit), so only
+    * `|Q| · corpusShards · k` candidate rows reach the merge window;
+    * the per-shard k-lists merge associatively (the global top-k of a
+    * union is the top-k of the per-part top-k's — the tie total-order
+    * makes the merge exact, not just size-correct).
+    *
+    * Cost model (the BNL trade): each query row is copied
+    * `corpusShards` times and each corpus row `queryShards` times —
+    * replication buys executor-bounded blocks of
+    * `|Q|/Qs × |C|/Cs` pairs that stream through codegen without any
+    * O(|side|) driver or executor residency. Size shards so a block's
+    * smaller side fits task memory; pair count is invariant in the
+    * shard counts. */
+  def shardedTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, queryShards: Int, corpusShards: Int)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queryShards >= 1 && corpusShards >= 1,
+      s"shard counts must be >= 1, got $queryShards x $corpusShards")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+        VectorExprs.norm2(col(vec)).as("qn2"),
+        pmod(xxhash64(col(id)), lit(queryShards.toLong)).cast("int")
+          .as("qs"))
+      .withColumn("cs", explode(sequence(lit(0), lit(corpusShards - 1))))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+        VectorExprs.norm2(col(vec)).as("cn2"),
+        pmod(xxhash64(col(id)), lit(corpusShards.toLong)).cast("int")
+          .as("cs"))
+      .withColumn("qs", explode(sequence(lit(0), lit(queryShards - 1))))
+    val scored = q.join(c, Seq("qs", "cs"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
+    val w1 = Window.partitionBy(col("query_id"), col("cs"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Margin-based alignment of two embedding sets (Artetxe & Schwenk
     * 2019's ratio margin — the bitext-mining criterion that made
     * CCMatrix/WikiMatrix-scale parallel-corpus curation work): for each
@@ -403,17 +464,27 @@ object Similarity {
     * division, and the margin is one further fixed-sequence double op,
     * snapped to 6 — the oracle replays every pair, margin, and flag.
     *
-    * Scale shape: two [[bruteForceTopK]] passes plus joins over
-    * queries × k METADATA rows only. NOTE each pass broadcasts its
-    * query side, and the two passes swap roles — so BOTH sets must be
-    * bounded per call; at mining scale, shard both axes, loop over
-    * shard pairs, and merge each vector's per-shard top-k lists
-    * (k-bounded and associative) before computing margins. */
+    * Scale shape: two exact top-k passes plus joins over queries × k
+    * METADATA rows only. `shards` picks the top-k execution:
+    *  - `shards = 1` (fixture/bounded regime): [[bruteForceTopK]] —
+    *    each pass broadcasts its query side, and since the passes swap
+    *    roles BOTH sets must fit a broadcast;
+    *  - `shards > 1` (mining regime — the operator's own stated use
+    *    case, where both sides are corpora): [[shardedTopK]] with
+    *    `shards × shards` blocks — NO broadcast of either set, blocks
+    *    stream through one shard-pair equi-join, per-shard k-lists
+    *    merge associatively. Identical output by construction (total
+    *    tie order), so the two regimes share one oracle. */
   def marginAlign(a: DataFrame, b: DataFrame, id: String, vec: String,
-      k: Int): DataFrame = {
+      k: Int, shards: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val fwd = bruteForceTopK(b, a, id, vec, k)
-    val bwd = bruteForceTopK(a, b, id, vec, k)
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val fwd =
+      if (shards <= 1) bruteForceTopK(b, a, id, vec, k)
+      else shardedTopK(b, a, id, vec, k, shards, shards)
+    val bwd =
+      if (shards <= 1) bruteForceTopK(a, b, id, vec, k)
+      else shardedTopK(a, b, id, vec, k, shards, shards)
     def avgK(r: DataFrame): DataFrame = r.groupBy(col("query_id"))
       .agg((sum(col("cos").cast("decimal(18,4)")).cast("double") /
         count(lit(1)).cast("double")).as("avg_cos"))

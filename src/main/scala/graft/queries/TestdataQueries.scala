@@ -4189,11 +4189,15 @@ FROM r$q82Rounds"""
   // decimal-exact, margin snaps to 6 — every pair oracle-replayed.
   private val q134K = 4
 
+  // shards = 4 routes BOTH top-k passes through the no-broadcast
+  // block-nested-loop plan (Similarity.shardedTopK) — the regime the
+  // operator actually mines in; output is identical to the broadcast
+  // path by construction (total tie order), so the oracle is shared.
   private def q134MarginAlign(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     graft.operators.Similarity.marginAlign(
       e.filter(col("label") < 5), e.filter(col("label") >= 5),
-      "vec_id", "embedding", q134K)
+      "vec_id", "embedding", q134K, shards = 4)
   }
 
   private val q134Sql =

@@ -1148,12 +1148,26 @@ object ScaleProbe {
         i => sin(col("id") * 37 + i * 11).cast("float")).as("embedding"))
       .cache()
     vecs.count()
-    // BOTH sets are broadcast as queries in one of the two directions,
-    // so both shards must be bounded — the mining loop shards both axes
-    time(f"marginAlign        (1k x 50k shard pair)") {
+    // broadcast path: BOTH sets are broadcast as queries in one of the
+    // two directions, so both must be bounded — the fixture regime
+    time(f"marginAlign        (1k x 50k, broadcast path)") {
       Similarity.marginAlign(vecs.filter(col("vec_id") < 1000),
         vecs.filter(col("vec_id") >= 1000 && col("vec_id") < 51000),
         "vec_id", "embedding", 4).count()
+    }
+    // sharded path at the SAME configuration — no broadcast of either
+    // side, blocks stream through the shard-pair join; then a 4x-pair
+    // configuration (2k x 100k) that the broadcast path's backward
+    // pass could not survive at mining scale
+    time(f"marginAlign        (1k x 50k, sharded, shards=4)") {
+      Similarity.marginAlign(vecs.filter(col("vec_id") < 1000),
+        vecs.filter(col("vec_id") >= 1000 && col("vec_id") < 51000),
+        "vec_id", "embedding", 4, shards = 4).count()
+    }
+    time(f"marginAlign        (2k x 100k, sharded, shards=8)") {
+      Similarity.marginAlign(vecs.filter(col("vec_id") < 2000),
+        vecs.filter(col("vec_id") >= 2000 && col("vec_id") < 102000),
+        "vec_id", "embedding", 4, shards = 8).count()
     }
     vecs.unpersist()
   }
