@@ -201,6 +201,12 @@ object Bench {
     // contention-immune companion total: a co-tenant can only inflate reps,
     // never deflate them, so sum-of-mins is the floor no busy box can move
     val totalMin = results.collect { case r if r.min >= 0 => r.min }.sum
+    // flagship (the reference's own envelope pipeline) surfaced as a
+    // headline field so the 4 s slow-poll-budget check is machine-readable
+    // per round without digging into the per-query map
+    val flagship = results.find(_.name == "omm_envelope")
+    val flagshipSec = r3(flagship.map(_.median).getOrElse(-1.0))
+    val flagshipMin = r3(flagship.map(_.min).getOrElse(-1.0))
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
 
     // full artifact on disk: every query's median/min, raw reps, loadavg,
@@ -210,7 +216,7 @@ object Bench {
       s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"contended":${r.contended}}"""
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$detailEntries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"uptime_sec":${uptimeSec()}}"""
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","queries":$detailEntries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"uptime_sec":${uptimeSec()}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
@@ -229,7 +235,7 @@ object Bench {
     spark.stop()
     // print the summary AFTER spark.stop() so no late executor/log line can
     // land between it and the end of the capture window
-    rawOut.println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"contended":$contendedNames,"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
+    rawOut.println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"contended":$contendedNames,"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

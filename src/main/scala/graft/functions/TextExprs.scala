@@ -73,10 +73,14 @@ object TextExprs {
     length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / total
   }
 
-  /** Ratio of alphabetic chars to total chars. */
+  /** Ratio of alphabetic chars to total chars. The letter count is the
+    * codegen'd one-pass [[TextKernels.letterUnits]] kernel — value-
+    * identical to `length(regexp_replace(text, "[^\\p{L}]", ""))`
+    * (pinned by TextKernelsSpec) without the regex scan + letters-only
+    * string allocation that made this the quality panel's constant. */
   def alphaRatio(text: Column): Column = {
     val total = greatest(length(text), lit(1)).cast("double")
-    length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / total
+    TextKernels.letterUnits(text).cast("double") / total
   }
 
   /** Mean token length ×100, kept integral for oracle-exact comparison:
@@ -148,10 +152,31 @@ object TextExprs {
 
   /** Composite document quality score in [0,1]: letters dominate, some
     * stopword mass (fluent prose), enough length. Fixed op order so the
-    * same arithmetic is expressible in an oracle. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text, defaultStopwords) * 5.0, lit(1.0))
+    * same arithmetic is expressible in an oracle.
+    *
+    * TOKENIZE ONCE: the length and stopword features both derive from
+    * one let-bound lowered token array (lowercasing never creates or
+    * removes whitespace, so the token COUNT of `lower(text)` equals
+    * that of `text` — value-identical to the spelled-out formula the
+    * oracle replays, at one regex split instead of two), and the
+    * letter feature is the one-pass [[TextKernels.letterUnits]] kernel
+    * instead of a regex replace. Same numbers, ~one scan. */
+  def qualityScore(text: Column): Column =
+    bind(tokens(lower(text))) { ts => qualityScoreFromLowerTokens(text, ts) }
+
+  /** [[qualityScore]] for callers that ALREADY hold the document's
+    * token array (the datasheet panel tokenizes once for volume +
+    * distinct counts — re-splitting inside the quality feature would
+    * triple the split work). `lowerTs` must be the whitespace tokens of
+    * `lower(text)` — equivalently `transform(tokens(text), lower)`. */
+  def qualityScoreFromLowerTokens(text: Column, lowerTs: Column): Column = {
+    val n = size(lowerTs)
+    val lenScore = least(n.cast("double") / 100.0, lit(1.0))
+    val hits = size(array_intersect(lowerTs,
+      array(defaultStopwords.map(lit): _*)))
+    val stopScore = least(
+      hits.cast("double") / greatest(n, lit(1)).cast("double") * 5.0,
+      lit(1.0))
     alphaRatio(text) * 0.4 + stopScore * 0.3 + lenScore * 0.3
   }
 

@@ -144,4 +144,65 @@ object TextKernels {
   /** Column API: Unicode NFC canonical composition. */
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** Number of letter CODE POINTS in the string — the exact value of
+    * `length(regexp_replace(text, "[^\\p{L}]", ""))` computed in ONE
+    * allocation-free pass instead of a regex scan that materializes a
+    * letters-only copy just to take its length (the alphaRatio hot
+    * path — every quality scan pays it per row). Parity notes, pinned
+    * by TextKernelsSpec: Java's `\p{L}` is the general categories
+    * Lu|Ll|Lt|Lm|Lo — exactly `Character.isLetter` over code points —
+    * and Spark's `length()` counts code points (UTF8String.numChars),
+    * so an astral letter (surrogate pair) contributes 1, same as it
+    * does through the regex replace (and same as DuckDB's code-point
+    * `length`); a lone surrogate is not a letter either way.
+    * Full-ASCII strings (the common case) are screened on the
+    * UTF8String bytes — no `toString` copy at all. */
+  def letterUnits(s: UTF8String): Int = {
+    if (s.isFullAscii) {
+      var i = 0
+      var n = 0
+      val len = s.numBytes
+      while (i < len) {
+        val b = s.getByte(i)
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) n += 1
+        i += 1
+      }
+      n
+    } else {
+      val str = s.toString
+      var i = 0
+      var n = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        if (Character.isLetter(cp)) n += 1
+        i += Character.charCount(cp)
+      }
+      n
+    }
+  }
+
+  case class LetterUnits(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"letter_units expects a string input, got $other")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "letter_units"
+
+    override protected def nullSafeEval(input: Any): Any =
+      letterUnits(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.letterUnits($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: letter-code-unit count (see [[letterUnits]]). */
+  def letterUnits(text: Column): Column =
+    ColumnBridge.column(LetterUnits(ColumnBridge.expression(text)))
 }

@@ -140,7 +140,13 @@ object Classify {
     * billions-of-labels regime this operator targets, `np·cum_nn` and
     * `n_pos·n_neg` pass 2⁶³ long before the count table itself is
     * large, and a silent Long wrap would produce a plausible-looking
-    * wrong AUC (DuckDB's BIGINT would at least error). */
+    * wrong AUC (DuckDB's BIGINT would at least error). DECIMAL has its
+    * own silent mode under non-ANSI Spark — a per-term DECIMAL(38,0)
+    * overflow yields NULL, which `sum()` silently skips, still a
+    * plausible-looking wrong AUC — so the plan counts overflowed terms
+    * (inputs are never null, so a null product IS an overflow) and
+    * `raise_error`s at execution rather than answer wrong. Reachable
+    * only near ~7·10¹⁸ labels, but the failure mode would be silent. */
   def aucRoc(scored: DataFrame, score: Column, label: Column): DataFrame = {
     val base = scored.select(score.as("s"), label.cast("int").as("y"))
     val g = base.groupBy(col("s")).agg(
@@ -153,15 +159,19 @@ object Classify {
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = g.withColumn("cum_nn", sum(col("nn")).over(w) - col("nn"))
     val dec = "decimal(38,0)"
+    val term = col("np").cast(dec) *
+      (lit(2L).cast(dec) * col("cum_nn").cast(dec) + col("nn").cast(dec))
     cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("np").cast(dec) *
-          (lit(2L).cast(dec) * col("cum_nn").cast(dec) + col("nn").cast(dec)))
-          .as("num2"))
+        sum(term).as("num2"),
+        sum(when(term.isNull, 1L).otherwise(0L)).as("n_overflow"))
       .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("num2").cast("double") /
-            (lit(2.0) *
-              (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double")), 6))
+        when(col("n_overflow") > 0, raise_error(lit(
+          "aucRoc: pair-numerator term overflowed DECIMAL(38,0) — " +
+            "sum() would silently skip it and answer wrong")).cast("double"))
+          .when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("num2").cast("double") /
+              (lit(2.0) *
+                (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double")), 6))
           .as("auc"))
   }
 
@@ -187,16 +197,20 @@ object Classify {
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = g.withColumn("cum_nn", sum(col("nn")).over(w) - col("nn"))
     val dec = "decimal(38,0)"
+    val term = col("np").cast(dec) *
+      (lit(2L).cast(dec) * col("cum_nn").cast(dec) + col("nn").cast(dec))
     cum.groupBy(col("grp"))
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("np").cast(dec) *
-          (lit(2L).cast(dec) * col("cum_nn").cast(dec) + col("nn").cast(dec)))
-          .as("num2"))
+        sum(term).as("num2"),
+        sum(when(term.isNull, 1L).otherwise(0L)).as("n_overflow"))
       .select(col("grp"), col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("num2").cast("double") /
-            (lit(2.0) *
-              (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double")), 6))
+        when(col("n_overflow") > 0, raise_error(lit(
+          "aucRocByGroup: pair-numerator term overflowed DECIMAL(38,0) — " +
+            "sum() would silently skip it and answer wrong")).cast("double"))
+          .when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("num2").cast("double") /
+              (lit(2.0) *
+                (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double")), 6))
           .as("auc"))
   }
 
@@ -230,9 +244,14 @@ object Classify {
       (col("n_only_b") + col("n_neither")).cast(dec) *
         (col("n_only_a") + col("n_neither")).cast(dec))
       .cast("double") / (nD * nD)
+    // counts are never null, so a null pe IS a decimal overflow — fail
+    // loudly rather than emit a silently-null kappa
     agg.select(col("n_both"), col("n_only_a"), col("n_only_b"), col("n_neither"),
       round(po, 6).as("po"),
-      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+      when(pe.isNull, raise_error(lit(
+        "agreementKappa: marginal product overflowed DECIMAL(38,0)"))
+        .cast("double"))
+        .when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** Full-batch gradient-descent TRAINING of the hashed logistic

@@ -28,9 +28,13 @@ object Datasheet {
     val vol = base.groupBy(col("src"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("ts")).cast("long")).as("n_tokens"))
+    // quality reuses base's token array (lowered per token — identical
+    // to re-splitting lower(text), see qualityScoreFromLowerTokens)
+    // instead of paying two more regex splits per row
     val qual = base.filter(size(col("ts")) > 0)
       .select(col("src"),
-        round(TextExprs.qualityScore(col("text")), 6).as("q"))
+        round(TextExprs.qualityScoreFromLowerTokens(col("text"),
+          transform(col("ts"), t => lower(t))), 6).as("q"))
       .groupBy(col("src"))
       .agg((sum(col("q").cast("decimal(18,6)")).cast("double") /
         count(lit(1)).cast("double")).as("mq"))

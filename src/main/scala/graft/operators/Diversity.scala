@@ -110,7 +110,12 @@ object Diversity {
     require(k >= 1 && poolN >= k, s"need poolN >= k >= 1: poolN=$poolN k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     val spark = corpus.sparkSession
+    // Null-cosine rows (zero-norm query or doc — cosine undefined) are
+    // dropped HERE, before the pool is collected: a zero-norm doc can
+    // never be a meaningful MMR pick, a zero-norm query loses its whole
+    // pool, and keeping them would NPE the driver-side getDouble below.
     val pool = Similarity.bruteForceTopK(corpus, queries, id, vec, poolN)
+      .filter(col("cos").isNotNull)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("cos").as("rel"))
     val vecs = corpus.select(col(id).as("doc_id"), col(vec).as("v"),
@@ -139,8 +144,8 @@ object Diversity {
           simMap((qid, math.min(a, bb), math.max(a, bb)))
         val selected = collection.mutable.ArrayBuffer.empty[(Long, Double)]
         // Pool can run dry before k picks (corpus smaller than poolN,
-        // zero-norm vectors dropped): emit fewer rows, like the oracle,
-        // instead of minBy-on-empty throwing.
+        // null-cosine zero-norm rows filtered above): emit fewer rows,
+        // like the oracle, instead of minBy-on-empty throwing.
         var exhausted = false
         (1 to k).foreach { _ =>
           if (!exhausted) {

@@ -233,18 +233,25 @@ object Frequent {
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("cnt").desc, col("h").asc)
-    val minTab = counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .groupBy(col("grp")).agg(min(col("cnt")).as("min_cnt"))
-    // Plateau guard: count the ties-inclusive winners per group over
-    // the hash-count table (no text) and raise_error in-plan before
-    // the broadcast if any group exceeds the ceiling.
-    val nWin = counts.join(broadcast(minTab), Seq("grp"))
-      .filter(col("cnt") >= col("min_cnt"))
-      .groupBy(col("grp")).agg(count(lit(1)).as("n_win"))
-    val thresh = minTab.join(nWin, Seq("grp"))
-      .select(col("grp"),
-        when(col("n_win") <= lit(maxWinnersPerGroup.toLong), col("min_cnt"))
+    // Plateau guard IN THE SAME SHUFFLE as the rank: min_cnt (the k-th
+    // highest count) and n_win (ties-inclusive winner count) are two
+    // further window passes over the grp-partitioned count table —
+    // same partition key, so Catalyst plans them behind the rank's one
+    // exchange with NO extra aggregation pass and NO side-table
+    // broadcasts. An offending group raise_errors on its FIRST
+    // materialized winner row, before its plateau can reach the text
+    // broadcast.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val stats = counts.withColumn("rank", row_number().over(w))
+      .withColumn("min_cnt",
+        min(when(col("rank") <= k, col("cnt"))).over(wAll))
+      .withColumn("n_win",
+        sum(when(col("cnt") >= col("min_cnt"), 1L).otherwise(0L))
+          .over(wAll))
+    val winners = stats.filter(col("cnt") >= col("min_cnt"))
+      .select(col("grp"), col("h"),
+        when(col("n_win") <= lit(maxWinnersPerGroup.toLong), col("cnt"))
           .otherwise(raise_error(concat(
             lit("topNgramsPerGroup: group "), col("grp").cast("string"),
             lit(s" has "), col("n_win").cast("string"),
@@ -252,9 +259,7 @@ object Frequent {
               s"$maxWinnersPerGroup (count plateau at min_cnt="),
             col("min_cnt").cast("string"),
             lit("); raise n, lower k, or pre-filter the source")))
-            .cast("long")).as("min_cnt"))
-    val winners = counts.join(broadcast(thresh), Seq("grp"))
-      .filter(col("cnt") >= col("min_cnt"))
+            .cast("long")).as("cnt"))
     // broadcast-filter FIRST, distinct after: the distinct then runs
     // over winner grams only — all other gram text dies map-side
     val texts = grams.select(col("h"), col("gram"))

@@ -413,7 +413,24 @@ object Similarity {
     * `|Q|/Qs × |C|/Cs` pairs that stream through codegen without any
     * O(|side|) driver or executor residency. Size shards so a block's
     * smaller side fits task memory; pair count is invariant in the
-    * shard counts. */
+    * shard counts.
+    *
+    * PARALLELISM BOUND: the shard-pair equi-join has exactly
+    * `Qs × Cs` distinct keys, so the whole pair scan runs in at most
+    * `Qs × Cs` tasks no matter what `spark.sql.shuffle.partitions`
+    * says. Replication cost is LINEAR in the shard counts
+    * (`Cs` copies of Q, `Qs` copies of C) while parallelism is their
+    * PRODUCT, so sizing for a cluster is cheap: `Qs = Cs = 32` already
+    * yields 1024-way parallelism at 32× replication of each side. Do
+    * NOT size shards for memory alone on a big cluster — pick
+    * `max(shards-for-memory, shards-for-cores)` per side, or use
+    * [[shardedTopKAuto]] which derives both from row counts. The
+    * shard-pair join is PINNED to sort-merge (spill-safe block
+    * buffering): without the hint, Catalyst — or AQE at runtime —
+    * happily broadcasts a "small" replicated embedding side at test
+    * scale, which is exactly the plan shape this operator exists to
+    * avoid and would mask the regression until the 100 TB run
+    * (asserted by PlanShapeSpec's q134 final-plan sweep). */
   def shardedTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int, queryShards: Int, corpusShards: Int)
       : DataFrame = {
@@ -430,7 +447,7 @@ object Similarity {
         pmod(xxhash64(col(id)), lit(corpusShards.toLong)).cast("int")
           .as("cs"))
       .withColumn("qs", explode(sequence(lit(0), lit(queryShards - 1))))
-    val scored = q.join(c, Seq("qs", "cs"))
+    val scored = q.join(c.hint("merge"), Seq("qs", "cs"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         pairCosine(col("qv"), col("cv"), col("qn2"), col("cn2")))
@@ -445,6 +462,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
+  }
+
+  /** [[shardedTopK]] with shard counts DERIVED from the data instead of
+    * guessed by the caller — the two failure modes of hand-picked
+    * shards are (a) a block too big for task memory and (b) a task
+    * count far below the cluster's cores (the Qs×Cs parallelism
+    * bound). This derives both:
+    *
+    *  - memory: each side gets `ceil(|side| / targetBlockRows)` shards,
+    *    so no block holds more than `targetBlockRows` rows of that side
+    *    (at 64 float dims ≈ 260 B/row, the 500k default is a ~130 MB
+    *    block — comfortable beside a few-GB task heap);
+    *  - cores: shards then grow until `Qs × Cs >= minTasks` (default:
+    *    the session's `defaultParallelism`), always bumping the side
+    *    whose replication is cheaper to raise — incrementing Qs copies
+    *    the corpus once more (|C| extra rows), incrementing Cs copies
+    *    the queries (|Q| extra rows) — so the added shuffle bytes are
+    *    minimal for the parallelism bought.
+    *
+    * Costs two column-pruned `count()` jobs up front — O(rows) scans of
+    * the id column only, noise next to the pair scan they size. */
+  def shardedTopKAuto(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, targetBlockRows: Long = 500000L,
+      minTasksOpt: Option[Int] = None): DataFrame = {
+    require(targetBlockRows >= 1L,
+      s"targetBlockRows must be >= 1, got $targetBlockRows")
+    val nQ = queries.select(col(id)).count()
+    val nC = corpus.select(col(id)).count()
+    val minTasks = minTasksOpt.getOrElse(
+      corpus.sparkSession.sparkContext.defaultParallelism)
+    def forMemory(n: Long): Int =
+      math.min(Int.MaxValue.toLong,
+        math.max(1L, (n + targetBlockRows - 1L) / targetBlockRows)).toInt
+    var qs = forMemory(nQ)
+    var cs = forMemory(nC)
+    while (qs.toLong * cs < minTasks && (nQ > qs || nC > cs)) {
+      // bump the side that adds the fewer replicated rows — raising qs
+      // copies the corpus once more (|C| rows), raising cs copies the
+      // queries (|Q| rows) — but never past one row per shard (more
+      // shards than rows buys nothing)
+      val canQs = nQ > qs
+      val canCs = nC > cs
+      if (canQs && (!canCs || nC <= nQ)) qs += 1
+      else cs += 1
+    }
+    shardedTopK(corpus, queries, id, vec, k, qs, cs)
   }
 
   /** Margin-based alignment of two embedding sets (Artetxe & Schwenk

@@ -367,4 +367,43 @@ class PlanShapeSpec extends SparkSpec {
         "candidate restriction must be a broadcast semi-join")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("q134 margin align (sharded): NEITHER embedding side is broadcast " +
+      "— not even by AQE at runtime") {
+    // The sharded block-nested-loop plan exists precisely because at
+    // mining scale neither embedding set fits a broadcast. The static
+    // plan avoids broadcast by construction, but AQE re-plans shuffled
+    // joins at runtime and would happily broadcast a "small" replicated
+    // embedding side at fixture scale — masking a regression the 100 TB
+    // run would hit. So: EXECUTE the query, then sweep the FINAL
+    // adaptive plan (materialized query stages included) for any
+    // broadcast whose output carries a vector column.
+    OmmFixtures.ensure(spark)
+    val df = SparkEntry.queries("q134_margin_align")(spark, sf)
+    df.collect() // settle AQE to its final physical plan
+    def finalNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          finalNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          finalNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          finalNodes(r.child)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          finalNodes(im.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      (p +: inner) ++ p.children.flatMap(finalNodes) ++
+        p.subqueries.flatMap(finalNodes)
+    }
+    val offenders = finalNodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.output.exists(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+        s"BroadcastExchange of [${b.output.map(_.name).mkString(",")}]"
+    }
+    assert(offenders.isEmpty,
+      s"an embedding side was broadcast: ${offenders.distinct.mkString("; ")}")
+  }
 }

@@ -113,4 +113,35 @@ class BoundedLevenshteinExprSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("*(") && l.contains("nfc_normalize")), s"plan:\n$plan")
   }
+
+  test("letterUnits == length(regexp_replace(text, '[^\\p{L}]', '')) — " +
+      "ascii, accents, CJK, astral letters, lone surrogate, empty") {
+    val cases = Seq(
+      "plain ascii words", "MiXeD 123 case!", "", "   ", "1234 5678",
+      "café résumé",       // precomposed accents (Ll)
+      "café",                        // combining mark is NOT a letter
+      "你好 world",               // CJK (Lo)
+      "𝒜 math",                // U+1D49C script capital A: astral letter = 1 code point
+      "\ud800 lone surrogate",            // unpaired surrogate: not a letter
+      "ʰmodifier",                    // U+02B0 (Lm) counts as letter
+      "tab\tand\nnewline")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        TextKernels.letterUnits(col("t")).as("kernel"),
+        length(regexp_replace(col("t"), "[^\\p{L}]", "")).as("regex"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"mismatch on case ${r.getLong(0)}: '${cases(r.getLong(0).toInt)}'")
+    }
+  }
+
+  test("letterUnits participates in whole-stage codegen") {
+    val df = spark.range(5).select(concat(lit("v"), col("id")).as("t"))
+    val plan = df.select(TextKernels.letterUnits(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("letter_units")), s"plan:\n$plan")
+  }
 }
