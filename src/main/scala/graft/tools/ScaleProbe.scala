@@ -1172,9 +1172,62 @@ object ScaleProbe {
     vecs.unpersist()
   }
 
+  /** Isolated quality-scan probe (round-13): the shared qualityScore
+    * constant on the q30/q115/q123/q135 paths — ops13/ops15 measured
+    * the regex-cascade form at ~45–50 s per scan at this size. Times
+    * the raw score scan, the datasheet card (one scan + panel aggs),
+    * and the capPerGroup ops13 stage, so a before/after of the
+    * tokenize-once + letter_units rewrite is one 2-minute run.
+    * Run: sbt "runMain graft.tools.ScaleProbe qs". */
+  def qualityProbe(spark: SparkSession): Unit = {
+    import graft.functions.TextExprs
+    import graft.operators.{Datasheet, Mix}
+    val nDocs = 2000000L
+    val tokPerDoc = 50L
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(20)).cast("string").as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(tokPerDoc - 1)),
+        i => concat(lit("w"), pmod(hash(col("id") * 53 + i), lit(5000)))))
+        .as("text")).cache()
+    val nTok = docs.count() * tokPerDoc
+    // the pre-round-13 formula, spelled out (it's also the oracle SQL's
+    // shape): regexp_replace letter strip + TWO regex splits per row —
+    // kept as a permanent same-run baseline for the rewrite below
+    val stops = array(TextExprs.defaultStopwords.map(lit): _*)
+    def oldQuality(text: org.apache.spark.sql.Column) = {
+      val ts = split(trim(text), "\\s+")
+      val tsL = split(trim(lower(text)), "\\s+")
+      val lenScore = least(size(ts).cast("double") / 100.0, lit(1.0))
+      val stopScore = least(size(array_intersect(tsL, stops)).cast("double") /
+        greatest(size(tsL), lit(1)).cast("double") * 5.0, lit(1.0))
+      val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+      alpha * 0.4 + stopScore * 0.3 + lenScore * 0.3
+    }
+    time(f"qualityScore scan, regex-cascade form ($nTok%11d tokens)") {
+      docs.select(sum(round(oldQuality(col("text")), 6))).collect()
+    }
+    time(f"qualityScore scan  ($nTok%11d tokens)") {
+      docs.select(sum(round(TextExprs.qualityScore(col("text")), 6)))
+        .collect()
+    }
+    time(f"datasheet card     ($nDocs%11d docs, 20 sources)") {
+      Datasheet.perSourceCard(docs, col("doc_id"), col("text"),
+        col("source")).collect()
+    }
+    time(f"capPerGroup        ($nDocs%11d docs, 20 sources, n=1000)") {
+      Mix.capPerGroup(docs, col("doc_id"), col("source"),
+        TextExprs.qualityScore(col("text")), n = 1000).count()
+    }
+    docs.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
-      "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15", "lmstream")
+      "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
+      "lmstream", "qs")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1239,6 +1292,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("lmstream")) {
       lmStreamProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("qs")) {
+      qualityProbe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
