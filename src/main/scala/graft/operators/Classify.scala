@@ -175,6 +175,53 @@ object Classify {
           .as("auc"))
   }
 
+  /** Exact average precision — the area under the precision–recall
+    * curve by the threshold-step sum `AP = Σ_k (R_k − R_{k−1}) · P_k`
+    * over DISTINCT score thresholds descending (the formulation
+    * scikit-learn's `average_precision_score` computes). This is the
+    * eval metric that behaves under the class imbalance every quality
+    * filter has: with 1000:1 negatives, ROC-AUC barely moves when the
+    * top of the ranking fills with false positives (it averages over
+    * pair comparisons the negatives dominate), while AP — precision
+    * averaged where the positives actually sit — collapses toward the
+    * prevalence. Threshold-level is also the only tie-robust
+    * definition: a per-row ranking AP is undefined under score ties.
+    *
+    * Determinism: per threshold, `P_k = cum_tp/cum_n` is one IEEE
+    * division of exact ints (engine-identical), each term
+    * `np_k · P_k` snaps to 9 decimals and accumulates in
+    * DECIMAL(38,9) (order-free), then ONE division by n_pos snapped
+    * to 6 — the oracle replays every step.
+    *
+    * Scale shape: identical to [[aucRoc]] — the corpus collapses
+    * map-side into the distinct-score count table (score grain bounds
+    * it: round-4 scores in [0,1] → ≤ 10 001 rows at any corpus size),
+    * the cumulative window runs over that bounded table under the
+    * sanctioned non-foldable constant partition key, and one metadata
+    * row comes out. No positives → null AP. */
+  def averagePrecision(scored: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val base = scored.select(score.as("s"), label.cast("int").as("y"))
+    val g = base.groupBy(col("s")).agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("np") + col("nn"), lit(1L)))
+      .orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = g.withColumn("cum_tp", sum(col("np")).over(w))
+      .withColumn("cum_n", sum(col("np") + col("nn")).over(w))
+    val term = col("np").cast("double") *
+      (col("cum_tp").cast("double") / col("cum_n").cast("double"))
+    cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(round(term, 9).cast("decimal(38,9)")).as("num"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          round(col("num").cast("double") / col("n_pos").cast("double"), 6))
+          .as("ap"))
+  }
+
   /** [[aucRoc]] per group (per-source / per-language filter bias: a
     * classifier that ranks well globally can still be near-random on
     * one source — the slice metric that catches it before that source's

@@ -4584,6 +4584,48 @@ FROM r$q82Rounds"""
        |  END AS kappa
        |FROM c""".stripMargin
 
+  // ------------------- average precision / PR-AUC (§2.10 ext)
+  // The class-imbalance companion of q137: precision–recall area by the
+  // threshold-step sum over q77's scores vs the English label. Same
+  // distinct-score count-table shape as q137; per-threshold precision
+  // is one IEEE division, terms snap to 9 and sum in DECIMAL, one
+  // snap-6 division by n_pos.
+  private def q144AvgPrecision(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+    val labeled = scores.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("id"))
+    graft.operators.Classify.averagePrecision(labeled, col("score"), col("y"))
+  }
+
+  private val q144Sql =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q77Sql)),
+       |lb AS (SELECT sc.score AS s,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |g AS (SELECT s,
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+       |  FROM lb GROUP BY s),
+       |c AS (SELECT s, np, nn,
+       |    sum(np) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+       |    sum(np + nn) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+       |  FROM g),
+       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(nn) AS BIGINT) AS n_neg,
+       |    sum(CAST(round(CAST(np AS DOUBLE) *
+       |      (CAST(cum_tp AS DOUBLE) / CAST(cum_n AS DOUBLE)), 9)
+       |      AS DECIMAL(38,9))) AS num FROM c)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos > 0
+       |    THEN round(CAST(num AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+       |  END AS ap
+       |FROM a""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4724,7 +4766,8 @@ FROM r$q82Rounds"""
     "q140_boilerplate_ngrams" -> (q140BoilerplateNgrams _),
     "q141_ann_recall" -> (q141AnnRecall _),
     "q142_auc_by_source" -> (q142AucBySource _),
-    "q143_filter_kappa" -> (q143FilterKappa _))
+    "q143_filter_kappa" -> (q143FilterKappa _),
+    "q144_avg_precision" -> (q144AvgPrecision _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4864,5 +4907,6 @@ FROM r$q82Rounds"""
     "q140_boilerplate_ngrams" -> q140Sql,
     "q141_ann_recall" -> q141Sql,
     "q142_auc_by_source" -> q142Sql,
-    "q143_filter_kappa" -> q143Sql)
+    "q143_filter_kappa" -> q143Sql,
+    "q144_avg_precision" -> q144Sql)
 }

@@ -108,4 +108,35 @@ class EvalBinarySpec extends SparkSpec {
       col("y"), Seq(0.3, 0.7)).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("averagePrecision matches the threshold-step hand computation, " +
+      "ties grouped at their threshold") {
+    // thresholds desc: 0.9 (1 pos) -> P=1/1, term 1
+    //                  0.8 (1 pos, 1 neg tied) -> P=2/3, term 2/3
+    //                  0.7 (neg only) -> term 0
+    //                  0.5 (1 pos) -> P=3/5, term 3/5
+    // AP = (1 + 2/3 + 3/5) / 3 = 0.755556 at snap-6
+    val rows = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0), (0.5, 1))
+      .toDF("score", "y")
+    val r = Classify.averagePrecision(rows, col("score"), col("y")).head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.755556)
+  }
+
+  test("averagePrecision: perfect ranking is 1.0; no positives is null; " +
+      "deterministic under repartitioning") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+      .toDF("score", "y")
+    assert(Classify.averagePrecision(perfect, col("score"), col("y"))
+      .head().getDouble(2) === 1.0)
+    val allNeg = Seq((0.9, 0), (0.1, 0)).toDF("score", "y")
+    assert(Classify.averagePrecision(allNeg, col("score"), col("y"))
+      .head().isNullAt(2))
+    val a = Classify.averagePrecision(scored, col("score"), col("y"))
+      .collect().map(_.toSeq).toSet
+    val b = Classify.averagePrecision(scored.repartition(7), col("score"),
+      col("y")).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
