@@ -587,6 +587,65 @@ object Quantize {
         col("hamming"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact L2 re-rank of an ANN candidate shortlist — the second half
+    * of the standard two-stage serving recipe (ADC shortlist R ≫ k,
+    * exact distances on the R survivors only): quantization error then
+    * costs recall only when a true neighbor misses the SHORTLIST, not
+    * whenever ADC misorders two nearby candidates. `cands` carries
+    * (`query_id`, `neighbor_id`) from any ANN arm ([[ivfPqTopK]],
+    * [[ivfPqResidualTopK]], [[sq8IvfTopK]], …).
+    *
+    * Scale shape: the shortlist is queries × R METADATA rows —
+    * broadcast into the corpus scan (equi-join on id, map-side, no
+    * corpus shuffle) to fetch the true vectors; queries broadcast for
+    * the distance; the only shuffle is the final per-query top-k
+    * window over queries × R rows. Ties and snapping follow
+    * [[Similarity.bruteForceTopKL2]]'s contract. */
+  def rerankL2(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+               id: String, vec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"),
+      col(vec).cast("array<double>").as("cv"))
+      .join(broadcast(cands.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+    val q = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), Seq("query_id"))
+      .withColumn("dist", VectorExprs.l2sq(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+
+  /** LEARNED coarse centroid table for the IVF family: sampled k-means
+    * (MLlib, via [[Similarity.fitQuantizer]]'s bounded-train discipline)
+    * over the corpus vectors, returned in the same `(list_id, centroid)`
+    * literal form [[seedCodebook]] produces — a drop-in swap at every
+    * `coarse` parameter ([[ivfAssign]], [[ivfPqTopK]],
+    * [[ivfPqResidualTopK]], [[sq8IvfTopK]]). Seed-row coarse centroids
+    * cost nothing to train but inherit the data's skew: a dense region's
+    * seed grabs most of the corpus, so one list holds far more than
+    * |C|/nLists rows and the probe-pruning claim (expected scan =
+    * nProbe/nLists of the corpus) silently degrades. k-means centroids
+    * equalize list populations — that claim is what they buy. List ids
+    * are the cluster indices, stable under the fixed seed; not
+    * SQL-replayable (MLlib internals), so queries built on this use the
+    * q31 recall-floor oracle pattern rather than exact pins. */
+  def learnedCoarse(embs: DataFrame, vec: Column, nLists: Int, seed: Long,
+                    maxTrainRows: Long = 100000L): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val fv = embs.select(
+      array_to_vector(vec.cast("array<double>")).as("features"))
+    val (model, _) =
+      Similarity.fitQuantizer(fv, nLists, seed, maxTrainRows)
+    model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toIndexedSeq)
+    }
+  }
+
   /** Seed-row codebook: subvectors of the designated corpus rows. */
   def seedCodebook(embs: DataFrame, id: Column, vec: Column,
                    centroidIds: Seq[Long]): Seq[(Int, Seq[Double])] = {

@@ -50,6 +50,50 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact EUCLIDEAN top-k — the gold-standard baseline for the PQ/ADC
+    * family, which ranks by (approximate) L2 distance, not cosine:
+    * recall of an ADC arm against a cosine baseline would conflate
+    * quantization error with metric mismatch. Same shape and contracts
+    * as [[bruteForceTopK]]: queries broadcast, scoring map-side,
+    * WindowGroupLimit prunes, ties on raw distance break ascending
+    * neighbor id, output distance snapped to 6. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame,
+                       id: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"),
+      col(vec).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", VectorExprs.l2sq(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+
+  /** Exact DOT-PRODUCT top-k — the gold-standard baseline for the SQ8
+    * family, which ranks by the approximate inner product
+    * `scale · Σ code_i · q_i` (maximum-inner-product search, not
+    * cosine: no normalization). Same shape and contracts as
+    * [[bruteForceTopK]]; output score snapped to 4 (the q99/q21 grain). */
+  def bruteForceTopKDot(corpus: DataFrame, queries: DataFrame,
+                        id: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"),
+      col(vec).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorExprs.dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** k-NN majority-vote classification over a LABELED embedding corpus —
     * the semantic-filtering primitive of corpus curation (label a small
     * seed set "keep/drop" or by topic, classify the rest by embedding

@@ -78,6 +78,61 @@ object SketchState {
                              partitionCols: String*): Unit =
     swapReplaceWrite(df, statePath, _.partitionBy(partitionCols: _*))
 
+  /** Excess-triggered compaction of an append-accumulated state or sink
+    * directory — THE one implementation every streaming store uses
+    * (near-dup band index/doc store, segment store, semantic-dedup
+    * vectors, sinks, and the hive-partitioned IVF-PQ codes index via
+    * `partitionCols`). Rewrites `path` when its part-file count exceeds
+    * the EXCESS trigger max(`maxFiles`, 2 × ideal), where ideal =
+    * ceil(bytes / files.maxPartitionBytes) is the file count a fresh
+    * scan would want: read, repartition to ideal, [[swapReplace]] (so a
+    * crash mid-compaction never loses state — a complete swap is adopted
+    * by [[exists]]). Returns true when a rewrite happened (the specs'
+    * witness).
+    *
+    * The trigger must be excess-based, not the flat ceiling alone: a
+    * dataset whose ideal file count EXCEEDS `maxFiles` (any text-carrying
+    * store or sink past ~`maxFiles` × maxPartitionBytes) would otherwise
+    * re-trigger a full O(accumulated) rewrite on EVERY batch — compaction
+    * can never get the count under a ceiling smaller than ideal. With the
+    * excess form a freshly-compacted dataset sits at ideal files and must
+    * roughly DOUBLE its file count before the next rewrite, so rewrites
+    * space out geometrically as the dataset grows and total rewrite cost
+    * over a stream's life stays O(accumulated × log batches).
+    *
+    * With `partitionCols` the rewrite hash-clusters on those columns
+    * before the partitioned write so each partition's rows arrive at one
+    * task — the rewrite emits O(max(ideal, partitions)) files, not
+    * tasks × partitions — and file counting recurses into the partition
+    * directories. */
+  def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int,
+                      partitionCols: Seq[String] = Nil): Boolean = {
+    if (maxFiles <= 0 || !exists(spark, path)) return false
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val it = fs.listFiles(p, true) // recursive: flat dirs and hive layouts
+    var nParts = 0L
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.startsWith("part-")) {
+        nParts += 1; totalBytes += s.getLen
+      }
+    }
+    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val ideal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    if (nParts <= math.max(maxFiles.toLong, 2L * ideal)) return false
+    val n = ideal.min(nParts).toInt
+    if (partitionCols.isEmpty)
+      swapReplace(spark.read.parquet(path).repartition(n), path)
+    else
+      swapReplacePartitioned(
+        spark.read.parquet(path).repartition(n,
+          partitionCols.map(org.apache.spark.sql.functions.col): _*),
+        path, partitionCols: _*)
+    true
+  }
+
   private def swapReplaceWrite(df: DataFrame, statePath: String,
       shape: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
         org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {

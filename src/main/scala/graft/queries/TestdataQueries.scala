@@ -4626,6 +4626,199 @@ FROM r$q82Rounds"""
        |  END AS ap
        |FROM a""".stripMargin
 
+  // ------------------- ANN recall ladder (§2.10 embeddings)
+  // q141 covered the hash-bucket IVF arm; these close the quantization
+  // family: every approximate serving layout gets a REGISTERED recall
+  // query against its own metric's exact baseline (ADC ranks by L2 →
+  // exact L2; SQ8 ranks by inner product → exact dot; BQ reranks by
+  // cosine → exact cosine). q146/q147's arms are fully deterministic, so
+  // their recall tables are EXACT oracle compositions (q141 pattern);
+  // q145/q148 use MLlib k-means coarse centroids — not SQL-replayable —
+  // so they assert the q31 recall-floor pattern instead, with measured
+  // values documented in SCALE.md.
+
+  /** Per-query hit counts of an approximate arm against its exact
+    * baseline — the raw recall table the floors below assert over (and
+    * what Smoke prints when re-measuring the documented figures). */
+  private def recallHits(qset: DataFrame, ann: DataFrame,
+                         exact: DataFrame): DataFrame = {
+    val hitCounts = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    qset.select(col("vec_id").as("query_id"))
+      .join(hitCounts, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** q31's floor tail: `recall_ok` = per-query floor AND total floor
+    * (the bounded-window form of the repo-wide rule). */
+  private def recallFloor(hits: DataFrame, perQueryFloor: Long,
+                          totalFloor: Long): DataFrame =
+    hits.select(col("query_id"),
+      (col("hits") >= perQueryFloor &&
+        sum(col("hits")).over(Window.partitionBy(pmod(col("hits"), lit(1L))))
+          >= totalFloor).as("recall_ok"))
+
+  // Learned-coarse IVF-PQ: the k-means coarse quantizer (Quantize
+  // .learnedCoarse — equalized list populations, the property the
+  // nProbe/nLists pruning claim assumes) + seed-row PQ codebook +
+  // two-stage serving (ADC shortlist R=200, exact L2 re-rank).
+  // Floors follow q31's discipline: each of the 10 queries must land
+  // >= 1 of its 5 true L2 neighbors AND the total must reach 20/50
+  // (recall >= 0.4 with margin). Measured hits@5 (seed 42, local[32]):
+  //   q145  sf0.001: Σ45 (.90)   sf0.01: Σ40 (.80)   sf0.1: Σ28 (.56)
+  //   q148  sf0.001: Σ45 (.90)   sf0.01: Σ40 (.80)   sf0.1: Σ34 (.68)
+  // (re-measure with `runMain graft.tools.RecallMeasure`).
+  private val q145NProbe = 4 // half the lists: the recall queries' probe budget
+  private val q145Shortlist = 200 // ADC shortlist R >> k, exact-reranked
+  private val q145PerQueryFloor = 1L
+  private val q145TotalFloor = 20L
+
+  private[graft] def q145HitsTable(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val cb = graft.operators.Quantize.seedCodebook(embs, col("vec_id"),
+      col("embedding"), pqSeedIds)
+    val coarse = graft.operators.Quantize.learnedCoarse(embs,
+      col("embedding"), nLists = 8, seed = 42L)
+    val codes = graft.operators.Quantize.pqEncode(embs, col("vec_id"),
+        col("embedding"), cb, pqM, pqDim,
+        keep = Seq(graft.operators.Quantize.ivfListCol(col("embedding"),
+          coarse).as("list_id")))
+      .drop("distortion")
+    val qset = embs.filter(col("vec_id") < 10)
+    // two-stage serving: ADC shortlist (R = 50 per query) → exact L2
+    // re-rank of the survivors — quantization error costs recall only
+    // via shortlist misses, the standard IVFADC deployment shape
+    val shortlist = graft.operators.Quantize.ivfPqTopK(codes, qset,
+      "vec_id", "embedding", coarse, cb, pqM, pqDim, q145NProbe, k = q145Shortlist)
+    val ann = graft.operators.Quantize.rerankL2(shortlist, embs, qset,
+      "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopKL2(embs, qset,
+      "vec_id", "embedding", k = 5)
+    recallHits(qset, ann, exact)
+  }
+
+  private def q145IvfPqLearnedRecall(s: SparkSession, d: String): DataFrame =
+    recallFloor(q145HitsTable(s, d), q145PerQueryFloor, q145TotalFloor)
+
+  private val q145Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
+  // SQ8 recall vs exact maximum-inner-product top-k: both arms are
+  // deterministic, so the recall table is an exact oracle composition.
+  private def q146Sq8Recall(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val qset = embs.filter(col("vec_id") < 5)
+    val ann = graft.operators.Quantize.sq8TopK(embs, qset,
+      "vec_id", "embedding", k = 3)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val exact = Similarity.bruteForceTopKDot(embs, qset,
+      "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+  }
+
+  private val q146Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_inner_product(q.qv, c.v) AS score
+       |       FROM e c CROSS JOIN qs q WHERE q.query_id <> c.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (
+       |     PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r
+       |   FROM sc) WHERE r <= 3),
+       |ap AS (SELECT query_id AS aq, neighbor_id AS an FROM ($q99Sql))
+       |SELECT query_id, CAST(count(an) AS BIGINT) AS n_hit,
+       |  round(CAST(count(an) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS recall
+       |FROM ex LEFT JOIN ap ON query_id = aq AND neighbor_id = an
+       |GROUP BY query_id""".stripMargin
+
+  // BQ recall vs exact cosine top-k: the Hamming candidate cut is the
+  // only recall loss (the rerank is exact cosine), so this measures
+  // exactly what the 1-bit signature costs. Fully composed oracle.
+  private def q147BqRecall(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val qset = embs.filter(col("vec_id") < 5)
+    val ann = q104BqTopK(s, d)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val exact = Similarity.bruteForceTopK(embs, qset,
+      "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+  }
+
+  private val q147Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_inner_product(q.qv, c.v) /
+       |           (sqrt(list_inner_product(q.qv, q.qv)) *
+       |            sqrt(list_inner_product(c.v, c.v))) AS cs
+       |       FROM e c CROSS JOIN qs q WHERE q.query_id <> c.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM
+       |  (SELECT *, row_number() OVER (
+       |     PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS r
+       |   FROM sc) WHERE r <= 3),
+       |ap AS (SELECT query_id AS aq, neighbor_id AS an FROM ($q104Sql))
+       |SELECT query_id, CAST(count(an) AS BIGINT) AS n_hit,
+       |  round(CAST(count(an) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS recall
+       |FROM ex LEFT JOIN ap ON query_id = aq AND neighbor_id = an
+       |GROUP BY query_id""".stripMargin
+
+  // Learned-coarse residual IVFADC (the full Jégou formulation under a
+  // k-means coarse quantizer): residual PQ codebook re-derived against
+  // the learned centroids; same floors discipline as q145.
+  private val q148PerQueryFloor = 1L
+  private val q148TotalFloor = 20L
+
+  private[graft] def q148HitsTable(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val coarse = graft.operators.Quantize.learnedCoarse(embs,
+      col("embedding"), nLists = 8, seed = 42L)
+    val rb = graft.operators.Quantize.residualSeedCodebook(embs,
+      col("vec_id"), col("embedding"), pqSeedIds, coarse)
+    val listC = graft.operators.Quantize.ivfListCol(col("embedding"), coarse)
+    val codes = graft.operators.Quantize.pqEncode(embs, col("vec_id"),
+        graft.operators.Quantize.ivfResidualCol(col("embedding"), coarse,
+          listC),
+        rb, pqM, pqDim, keep = Seq(listC.as("list_id")))
+      .drop("distortion")
+    val qset = embs.filter(col("vec_id") < 10)
+    val shortlist = graft.operators.Quantize.ivfPqResidualTopK(codes, qset,
+      "vec_id", "embedding", coarse, rb, pqM, pqDim, q145NProbe, k = q145Shortlist)
+    val ann = graft.operators.Quantize.rerankL2(shortlist, embs, qset,
+      "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopKL2(embs, qset,
+      "vec_id", "embedding", k = 5)
+    recallHits(qset, ann, exact)
+  }
+
+  private def q148IvfadcLearnedRecall(s: SparkSession, d: String): DataFrame =
+    recallFloor(q148HitsTable(s, d), q148PerQueryFloor, q148TotalFloor)
+
+  private val q148Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4767,7 +4960,11 @@ FROM r$q82Rounds"""
     "q141_ann_recall" -> (q141AnnRecall _),
     "q142_auc_by_source" -> (q142AucBySource _),
     "q143_filter_kappa" -> (q143FilterKappa _),
-    "q144_avg_precision" -> (q144AvgPrecision _))
+    "q144_avg_precision" -> (q144AvgPrecision _),
+    "q145_ivfpq_learned_recall" -> (q145IvfPqLearnedRecall _),
+    "q146_sq8_recall" -> (q146Sq8Recall _),
+    "q147_bq_recall" -> (q147BqRecall _),
+    "q148_ivfadc_learned_recall" -> (q148IvfadcLearnedRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -4908,5 +5105,9 @@ FROM r$q82Rounds"""
     "q141_ann_recall" -> q141Sql,
     "q142_auc_by_source" -> q142Sql,
     "q143_filter_kappa" -> q143Sql,
-    "q144_avg_precision" -> q144Sql)
+    "q144_avg_precision" -> q144Sql,
+    "q145_ivfpq_learned_recall" -> q145Sql,
+    "q146_sq8_recall" -> q146Sql,
+    "q147_bq_recall" -> q147Sql,
+    "q148_ivfadc_learned_recall" -> q148Sql)
 }

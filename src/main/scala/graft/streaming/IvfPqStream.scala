@@ -95,33 +95,11 @@ object IvfPqStream {
     n
   }
 
-  /** NearDupStream.compactIfNeeded for a hive-partitioned index: count
-    * part-files recursively, rewrite partitioned when the count exceeds
-    * both the configured ceiling and 2× the byte-ideal file count. */
+  /** The shared excess-triggered compaction in its hive-partitioned
+    * form ([[SketchState.compactIfNeeded]] with `partitionCols` —
+    * list-clustered rewrite, recursive file count; ONE implementation
+    * for every streaming store). */
   private[streaming] def compactPartitionedIfNeeded(spark: SparkSession,
-      path: String, maxFiles: Int): Boolean = {
-    if (maxFiles <= 0 || !SketchState.exists(spark, path)) return false
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    var nParts = 0L
-    var totalBytes = 0L
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.getPath.getName.startsWith("part-")) {
-        nParts += 1; totalBytes += s.getLen
-      }
-    }
-    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val ideal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-    if (nParts <= math.max(maxFiles.toLong, 2L * ideal)) return false
-    // hash-cluster by list before the partitioned write so each list's
-    // rows arrive at one task — the rewrite emits O(max(ideal, nLists))
-    // files, not tasks × lists
-    SketchState.swapReplacePartitioned(
-      spark.read.parquet(path)
-        .repartition(ideal.min(nParts).toInt, col("list_id")),
-      path, "list_id")
-    true
-  }
+      path: String, maxFiles: Int): Boolean =
+    SketchState.compactIfNeeded(spark, path, maxFiles, Seq("list_id"))
 }

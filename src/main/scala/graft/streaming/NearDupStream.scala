@@ -66,38 +66,13 @@ object NearDupStream {
   private def exists(spark: SparkSession, path: String): Boolean =
     SketchState.exists(spark, path)
 
-  /** Rewrite `path` when its part-file count exceeds the EXCESS trigger
-    * max(`maxFiles`, 2 × ideal), where ideal =
-    * ceil(bytes / files.maxPartitionBytes) is the file count a fresh scan
-    * would want: read, repartition to ideal, swap-replace. Returns true
-    * when a rewrite happened (the spec's witness).
-    *
-    * The trigger must be excess-based, not the flat ceiling alone: a
-    * dataset whose ideal file count EXCEEDS `maxFiles` (any text-carrying
-    * store or sink past ~`maxFiles` × maxPartitionBytes) would otherwise
-    * re-trigger a full O(accumulated) rewrite on EVERY batch — compaction
-    * can never get the count under a ceiling smaller than ideal. With the
-    * excess form a freshly-compacted dataset sits at ideal files and must
-    * roughly DOUBLE its file count before the next rewrite, so rewrites
-    * space out geometrically as the dataset grows and total rewrite cost
-    * over a stream's life stays O(accumulated × log batches). */
+  /** The shared excess-triggered compaction ([[SketchState
+    * .compactIfNeeded]] — ONE implementation for every streaming store;
+    * the trigger rationale lives on that scaladoc). Kept as the
+    * package-local seam the specs and sibling streams call. */
   private[streaming] def compactIfNeeded(spark: SparkSession, path: String,
-      maxFiles: Int): Boolean = {
-    if (maxFiles <= 0 || !exists(spark, path)) return false
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    val totalBytes = parts.map(_.getLen).sum
-    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val ideal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-    if (parts.length.toLong <= math.max(maxFiles.toLong, 2L * ideal))
-      return false
-    SketchState.swapReplace(
-      spark.read.parquet(path).repartition(
-        ideal.min(parts.length.toLong).toInt), path)
-    true
-  }
+      maxFiles: Int): Boolean =
+    SketchState.compactIfNeeded(spark, path, maxFiles)
 
   /** One micro-batch increment: band the new docs, probe the accumulated
     * index, verify, append sink + state. `newDocs` must carry columns

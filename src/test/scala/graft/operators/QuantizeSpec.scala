@@ -396,4 +396,52 @@ class QuantizeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"hamming candidate rank must prune map-side:\n$plan")
   }
+
+  test("rerankL2 over an everything-shortlist equals bruteForceTopKL2") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qset = embs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopKL2(embs, qset,
+      "vec_id", "embedding", k = 3)
+    // shortlist = ALL (query, candidate) pairs → the rerank IS the
+    // exact scan; any divergence is a rerank bug, not shortlist loss
+    val all = embs.select($"vec_id".as("neighbor_id"))
+      .crossJoin(qset.select($"vec_id".as("query_id")))
+      .filter($"query_id" =!= $"neighbor_id")
+    val rer = Quantize.rerankL2(all, embs, qset, "vec_id", "embedding", k = 3)
+    assert(rer.collect().toSet === exact.collect().toSet)
+  }
+
+  test("rerankL2 plan: shortlist and queries broadcast into the corpus " +
+      "scan — no corpus shuffle, no cartesian") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qset = embs.filter($"vec_id" < 5)
+    val shortlist = Quantize.sq8TopK(embs, qset, "vec_id", "embedding", k = 10)
+    val plan = Quantize.rerankL2(shortlist, embs, qset,
+        "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate fetch must broadcast the metadata side:\n$plan")
+  }
+
+  test("learnedCoarse: nLists centroids in seedCodebook's literal form, " +
+      "drop-in at every coarse parameter") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Quantize.learnedCoarse(embs, col("embedding"),
+      nLists = 4, seed = 7L)
+    assert(coarse.map(_._1) === (0 until 4))
+    assert(coarse.forall(_._2.size === 64), "centroid dim must match data")
+    // drop-in: assignment covers the corpus, every list id in range, and
+    // k-means list populations avoid total collapse (no empty corpus side)
+    val assigned = Quantize.ivfAssign(embs, col("vec_id"),
+      col("embedding"), coarse)
+    val byList = assigned.groupBy("list_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byList.keySet.subsetOf((0 until 4).toSet))
+    assert(byList.values.sum === embs.count())
+    // determinism: the fixed seed pins the centroids
+    val again = Quantize.learnedCoarse(embs, col("embedding"),
+      nLists = 4, seed = 7L)
+    assert(again === coarse)
+  }
 }
