@@ -222,6 +222,41 @@ object Classify {
           .as("ap"))
   }
 
+  /** [[averagePrecision]] per group — the slice metric beside
+    * [[aucRocByGroup]]: under per-source prevalence differences the
+    * global AP is dominated by the majority source, and a source whose
+    * positives rank poorly hides exactly the way q142's scaladoc
+    * describes for AUC — worse, because AP is prevalence-sensitive BY
+    * DESIGN, comparing a source's AP against ITS OWN prevalence (the
+    * random-ranking baseline) is the only fair read, and that needs the
+    * per-group table. Same plan group-keyed: (grp, s)-grained count
+    * table, windows properly partitioned by group, independent snap-9
+    * decimal numerators. Groups with no positives yield null. */
+  def averagePrecisionByGroup(scored: DataFrame, score: Column,
+      label: Column, group: Column): DataFrame = {
+    val base = scored.select(group.as("grp"), score.as("s"),
+      label.cast("int").as("y"))
+      .filter(col("grp").isNotNull)
+    val g = base.groupBy(col("grp"), col("s")).agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = g.withColumn("cum_tp", sum(col("np")).over(w))
+      .withColumn("cum_n", sum(col("np") + col("nn")).over(w))
+    val term = col("np").cast("double") *
+      (col("cum_tp").cast("double") / col("cum_n").cast("double"))
+    cum.groupBy(col("grp"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(round(term, 9).cast("decimal(38,9)")).as("num"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          round(col("num").cast("double") / col("n_pos").cast("double"), 6))
+          .as("ap"))
+  }
+
   /** [[aucRoc]] per group (per-source / per-language filter bias: a
     * classifier that ranks well globally can still be near-random on
     * one source — the slice metric that catches it before that source's

@@ -4819,6 +4819,112 @@ FROM r$q82Rounds"""
     s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
        |FROM range(10)""".stripMargin
 
+  // ------------------- per-source average precision (§2.10 ext)
+  // q144 sliced by source — AP is prevalence-sensitive by design, so the
+  // only fair read of a source's ranking quality compares its AP to its
+  // OWN prevalence; that needs the per-group table.
+  private def q149ApBySource(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+    val labeled = scores.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"), col("source"),
+        (col("lang") === "en").cast("int").as("y")), Seq("id"))
+    graft.operators.Classify.averagePrecisionByGroup(labeled, col("score"),
+      col("y"), col("source"))
+      .select(col("grp").as("source"), col("n_pos"), col("n_neg"), col("ap"))
+  }
+
+  private val q149Sql =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q77Sql)),
+       |lb AS (SELECT d.source, sc.score AS s,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |g AS (SELECT source, s,
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+       |  FROM lb GROUP BY source, s),
+       |c AS (SELECT source, s, np, nn,
+       |    sum(np) OVER (PARTITION BY source ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+       |    sum(np + nn) OVER (PARTITION BY source ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+       |  FROM g),
+       |a AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(nn) AS BIGINT) AS n_neg,
+       |    sum(CAST(round(CAST(np AS DOUBLE) *
+       |      (CAST(cum_tp AS DOUBLE) / CAST(cum_n AS DOUBLE)), 9)
+       |      AS DECIMAL(38,9))) AS num FROM c GROUP BY source)
+       |SELECT source, n_pos, n_neg,
+       |  CASE WHEN n_pos > 0
+       |    THEN round(CAST(num AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+       |  END AS ap
+       |FROM a""".stripMargin
+
+  // ------------------- retrieval eval: nDCG@k and RR@k (§2.10 ext)
+  // The retrieval-side companion of the classifier eval family: the
+  // multi-probe LSH IVF arm (q22) evaluated against GRADED relevance
+  // derived from the exact cosine top-5 (q21: rel = 6 − exact rank).
+  // Both arms are the registered queries' own plans, so the oracles are
+  // exact compositions (q141 pattern); the transcendental DCG terms
+  // snap to 1e-9 fixed-point per position before any sum.
+  private def q150Ranked(s: SparkSession, d: String): DataFrame =
+    q22CosineIvf(s, d).select(col("query_id"), col("rank"),
+      col("neighbor_id").as("doc_id"))
+
+  private def q150Qrels(s: SparkSession, d: String): DataFrame =
+    q21CosineTopK(s, d).select(col("query_id"),
+      col("neighbor_id").as("doc_id"), (lit(6) - col("rank")).as("rel"))
+
+  private def q150NdcgIvf(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retrieval.ndcgAtK(q150Ranked(s, d), q150Qrels(s, d),
+      k = 5)
+
+  private val q150Sql =
+    s"""WITH rk AS (SELECT query_id, rank, neighbor_id AS doc_id FROM ($q22Sql)),
+       |qr AS (SELECT query_id, neighbor_id AS doc_id, 6 - rank AS rel
+       |       FROM ($q21Sql)),
+       |j AS (SELECT r.query_id, r.rank, COALESCE(q.rel, 0) AS rel
+       |      FROM rk r LEFT JOIN qr q
+       |        ON r.query_id = q.query_id AND r.doc_id = q.doc_id),
+       |dcg AS (SELECT query_id,
+       |    CAST(sum(CAST(round((pow(2.0, rel) - 1) / log2(rank + 1.0) * 1e9)
+       |      AS BIGINT)) AS BIGINT) AS dcg_e9
+       |  FROM j GROUP BY query_id),
+       |ir AS (SELECT query_id, rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, doc_id) AS irank
+       |  FROM qr WHERE rel > 0),
+       |idcg AS (SELECT query_id,
+       |    CAST(sum(CAST(round((pow(2.0, rel) - 1) / log2(irank + 1.0) * 1e9)
+       |      AS BIGINT)) AS BIGINT) AS idcg_e9
+       |  FROM ir WHERE irank <= 5 GROUP BY query_id),
+       |qq AS (SELECT DISTINCT query_id FROM rk)
+       |SELECT q.query_id, COALESCE(dcg_e9, 0) AS dcg_e9,
+       |  COALESCE(idcg_e9, 0) AS idcg_e9,
+       |  CASE WHEN COALESCE(idcg_e9, 0) > 0
+       |    THEN round(CAST(COALESCE(dcg_e9, 0) AS DOUBLE) /
+       |      CAST(idcg_e9 AS DOUBLE), 6)
+       |  END AS ndcg
+       |FROM qq q LEFT JOIN dcg USING (query_id)
+       |LEFT JOIN idcg USING (query_id)""".stripMargin
+
+  private def q151RrIvf(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retrieval.reciprocalRankAtK(q150Ranked(s, d),
+      q150Qrels(s, d), k = 5)
+
+  private val q151Sql =
+    s"""WITH rk AS (SELECT query_id, rank, neighbor_id AS doc_id FROM ($q22Sql)),
+       |qr AS (SELECT query_id, neighbor_id AS doc_id, 6 - rank AS rel
+       |       FROM ($q21Sql)),
+       |hit AS (SELECT query_id, min(rank) AS first_rel_rank
+       |  FROM rk JOIN qr USING (query_id, doc_id)
+       |  WHERE rel > 0 GROUP BY query_id),
+       |qq AS (SELECT DISTINCT query_id FROM rk)
+       |SELECT q.query_id, first_rel_rank,
+       |  COALESCE(round(1.0 / first_rel_rank, 6), 0.0) AS rr
+       |FROM qq q LEFT JOIN hit USING (query_id)""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4964,7 +5070,10 @@ FROM r$q82Rounds"""
     "q145_ivfpq_learned_recall" -> (q145IvfPqLearnedRecall _),
     "q146_sq8_recall" -> (q146Sq8Recall _),
     "q147_bq_recall" -> (q147BqRecall _),
-    "q148_ivfadc_learned_recall" -> (q148IvfadcLearnedRecall _))
+    "q148_ivfadc_learned_recall" -> (q148IvfadcLearnedRecall _),
+    "q149_ap_by_source" -> (q149ApBySource _),
+    "q150_ndcg_ivf" -> (q150NdcgIvf _),
+    "q151_rr_ivf" -> (q151RrIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5109,5 +5218,8 @@ FROM r$q82Rounds"""
     "q145_ivfpq_learned_recall" -> q145Sql,
     "q146_sq8_recall" -> q146Sql,
     "q147_bq_recall" -> q147Sql,
-    "q148_ivfadc_learned_recall" -> q148Sql)
+    "q148_ivfadc_learned_recall" -> q148Sql,
+    "q149_ap_by_source" -> q149Sql,
+    "q150_ndcg_ivf" -> q150Sql,
+    "q151_rr_ivf" -> q151Sql)
 }

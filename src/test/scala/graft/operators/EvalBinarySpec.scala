@@ -68,6 +68,27 @@ class EvalBinarySpec extends SparkSpec {
     assert(out("bad") === 0.5)
   }
 
+  test("averagePrecisionByGroup: a single group equals the global AP, " +
+      "slices score independently") {
+    val rows = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0), (0.5, 1))
+      .toDF("score", "y")
+    val global = Classify.averagePrecision(rows, col("score"), col("y"))
+      .head().getDouble(2)
+    val one = Classify.averagePrecisionByGroup(
+      rows.withColumn("g", lit("only")), col("score"), col("y"), col("g"))
+      .head()
+    assert(one.getDouble(3) === global)
+    val two = Seq(
+      ("good", 0.9, 1), ("good", 0.8, 1), ("good", 0.2, 0),
+      ("bad", 0.9, 0), ("bad", 0.8, 0), ("bad", 0.2, 1)
+    ).toDF("g", "score", "y")
+    val out = Classify.averagePrecisionByGroup(two, col("score"),
+      col("y"), col("g")).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("good") === 1.0)
+    assert(out("bad") === 0.333333) // single positive at rank 3: AP = 1/3
+  }
+
   test("agreementKappa: hand-checked kappa, chance-only agreement is 0") {
     // 10 rows: a=4 both-keep, b=1, c=1, d=4 → po=0.8, pe=0.5, kappa=0.6
     val rows = (Seq.fill(4)((true, true)) ++ Seq((true, false)) ++

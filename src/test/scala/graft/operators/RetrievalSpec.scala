@@ -51,4 +51,57 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(one === two)
   }
+
+  // independent reference for the snap-9 DCG term (plain scala doubles,
+  // same fixed op order the operator and the oracle use)
+  private def termE9(rel: Int, pos: Int): Long =
+    math.rint((math.pow(2.0, rel) - 1.0) /
+      (math.log(pos + 1.0) / math.log(2.0)) * 1e9).toLong
+
+  test("ndcgAtK matches the hand-built reference: graded gains, unjudged " +
+      "rank-0, unranked judged docs only in the ideal") {
+    val ranked = Seq(("q", 1, 1L), ("q", 2, 2L), ("q", 3, 3L))
+      .toDF("query_id", "rank", "doc_id")
+    // d1 unjudged (rel 0); d9 judged rel 2 but NOT retrieved — it lowers
+    // ndcg only through the ideal
+    val qrels = Seq(("q", 2L, 3), ("q", 3L, 1), ("q", 9L, 2))
+      .toDF("query_id", "doc_id", "rel")
+    val r = Retrieval.ndcgAtK(ranked, qrels, k = 3).head()
+    val dcg = termE9(3, 2) + termE9(1, 3)
+    val idcg = termE9(3, 1) + termE9(2, 2) + termE9(1, 3)
+    assert(r.getLong(1) === dcg)
+    assert(r.getLong(2) === idcg)
+    assert(r.getDouble(3) ===
+      math.rint(dcg.toDouble / idcg.toDouble * 1e6) / 1e6)
+  }
+
+  test("ndcgAtK: perfect ranking scores 1.0; no positive judgments -> " +
+      "null; ideal truncates at k") {
+    val perfect = Seq(("q", 1, 5L), ("q", 2, 6L))
+      .toDF("query_id", "rank", "doc_id")
+    val qr = Seq(("q", 5L, 2), ("q", 6L, 1)).toDF("query_id", "doc_id", "rel")
+    assert(Retrieval.ndcgAtK(perfect, qr, k = 2).head().getDouble(3) === 1.0)
+    val noRel = Seq(("q", 0L, 0)).toDF("query_id", "doc_id", "rel")
+    assert(Retrieval.ndcgAtK(perfect, noRel, k = 2).head().isNullAt(3))
+    // 3 judged docs, k=2: the ideal must NOT count the third
+    val qr3 = Seq(("q", 5L, 2), ("q", 6L, 1), ("q", 7L, 3))
+      .toDF("query_id", "doc_id", "rel")
+    val r = Retrieval.ndcgAtK(perfect, qr3, k = 2).head()
+    assert(r.getLong(2) === termE9(3, 1) + termE9(2, 2))
+  }
+
+  test("reciprocalRankAtK: first relevant position, zero when none " +
+      "in the top k") {
+    val ranked = Seq(("a", 1, 1L), ("a", 2, 2L), ("a", 3, 3L),
+      ("b", 1, 4L), ("b", 2, 5L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 9L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Retrieval.reciprocalRankAtK(ranked, qrels, k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getInt(1) === 2)
+    assert(out("a").getDouble(2) === 0.5)
+    assert(out("b").isNullAt(1))
+    assert(out("b").getDouble(2) === 0.0)
+  }
 }
