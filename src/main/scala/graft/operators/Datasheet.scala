@@ -57,4 +57,62 @@ object Datasheet {
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
         col("mean_quality"), col("est_distinct_tokens"))
   }
+
+  /** Mix drift between two corpus snapshots — the monitoring panel a
+    * recurring ingest needs: when a crawler config change or an
+    * upstream source outage shifts the SOURCE MIX, every downstream
+    * mixture weight (temperature sampling, per-source caps, DSIR) is
+    * silently re-based. Per source: document/token volumes of both
+    * snapshots, token-share of each (the quantity mixing actually
+    * consumes), the share delta, and the source's Jensen–Shannon
+    * divergence contribution `0.5·p·ln(p/m) + 0.5·q·ln(q/m)` with
+    * `m = (p+q)/2` — summing `js_e9` over sources gives total JS
+    * (nats, ≤ ln 2); a one-sided source contributes its finite
+    * `0.5·share·ln 2` term (JS needs no smoothing, the reason it
+    * beats KL for this job).
+    *
+    * Determinism: shares are exact int ratios (identical doubles on
+    * both engines); the JS term is transcendental (ln) so it snaps to
+    * 1e-9 fixed-point BIGINT PER SOURCE — sums downstream are exact
+    * integer aggregates (the q72 discipline).
+    *
+    * Scale shape: one tokenize scan per snapshot collapsing map-side
+    * to sources-bounded volume tables, a full-outer join of those, and
+    * one broadcast of the two 1-row totals. The corpora never shuffle. */
+  def mixDrift(oldDocs: DataFrame, newDocs: DataFrame, text: Column,
+               source: Column): DataFrame = {
+    def vol(d: DataFrame, pre: String): DataFrame =
+      d.select(source.as("src"), TextExprs.tokenCount(text).as("nt"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as(s"${pre}_docs"),
+          sum(col("nt").cast("long")).as(s"${pre}_tokens"))
+    val o = vol(oldDocs, "old")
+    val n = vol(newDocs, "new")
+    val joined = o.join(n, Seq("src"), "full_outer")
+      .select(col("src"),
+        coalesce(col("old_docs"), lit(0L)).as("old_docs"),
+        coalesce(col("new_docs"), lit(0L)).as("new_docs"),
+        coalesce(col("old_tokens"), lit(0L)).as("old_tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+    val totals = joined.agg(sum(col("old_tokens")).as("ot"),
+      sum(col("new_tokens")).as("nt2"))
+    val p = col("old_tokens").cast("double") /
+      greatest(col("ot"), lit(1L)).cast("double")
+    val q = col("new_tokens").cast("double") /
+      greatest(col("nt2"), lit(1L)).cast("double")
+    val m = (p + q) / 2.0
+    val jsTerm =
+      when(col("old_tokens") === 0 && col("new_tokens") === 0, lit(0.0))
+        .otherwise(
+          when(col("old_tokens") > 0, lit(0.5) * p * log(p / m))
+            .otherwise(lit(0.0)) +
+          when(col("new_tokens") > 0, lit(0.5) * q * log(q / m))
+            .otherwise(lit(0.0)))
+    joined.crossJoin(broadcast(totals))
+      .select(col("src"), col("old_docs"), col("new_docs"),
+        col("old_tokens"), col("new_tokens"),
+        round(p, 6).as("old_share"), round(q, 6).as("new_share"),
+        round(q - p, 6).as("delta_share"),
+        round(jsTerm * 1e9).cast("long").as("js_e9"))
+  }
 }

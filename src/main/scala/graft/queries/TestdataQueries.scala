@@ -4925,6 +4925,56 @@ FROM r$q82Rounds"""
        |  COALESCE(round(1.0 / first_rel_rank, 6), 0.0) AS rr
        |FROM qq q LEFT JOIN hit USING (query_id)""".stripMargin
 
+  // ------------------- corpus mix drift (§2.10 ext)
+  // The monitoring panel between two ingest snapshots: simulate an
+  // upstream outage (src3 vanishes) plus a partial shift (half of src7)
+  // and report per-source token-share deltas + the snap-9 JS-divergence
+  // contributions. Shares are exact int ratios; the ln terms snap to
+  // 1e-9 fixed-point per source (q72 discipline) so the oracle replays
+  // every row.
+  private def q152MixDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val newer = docs.filter(col("source") =!= "src3" &&
+      !(col("source") === "src7" && col("doc_id") % 2 === 0))
+    graft.operators.Datasheet.mixDrift(docs, newer,
+      col("text"), col("source"))
+  }
+
+  private val q152Sql =
+    s"""WITH tok AS (SELECT source, doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+       |  FROM documents),
+       |o AS (SELECT source AS src, count(*) AS old_docs,
+       |    CAST(sum(nt) AS BIGINT) AS old_tokens FROM tok GROUP BY 1),
+       |n AS (SELECT source AS src, count(*) AS new_docs,
+       |    CAST(sum(nt) AS BIGINT) AS new_tokens FROM tok
+       |  WHERE source <> 'src3' AND NOT (source = 'src7' AND doc_id % 2 = 0)
+       |  GROUP BY 1),
+       |j AS (SELECT COALESCE(o.src, n.src) AS src,
+       |    COALESCE(old_docs, 0) AS old_docs,
+       |    COALESCE(new_docs, 0) AS new_docs,
+       |    COALESCE(old_tokens, 0) AS old_tokens,
+       |    COALESCE(new_tokens, 0) AS new_tokens
+       |  FROM o FULL OUTER JOIN n ON o.src = n.src),
+       |t AS (SELECT CAST(sum(old_tokens) AS BIGINT) AS ot,
+       |    CAST(sum(new_tokens) AS BIGINT) AS nt2 FROM j),
+       |x AS (SELECT j.*,
+       |    CAST(old_tokens AS DOUBLE) / CAST(greatest(ot, 1) AS DOUBLE) AS p,
+       |    CAST(new_tokens AS DOUBLE) / CAST(greatest(nt2, 1) AS DOUBLE) AS q
+       |  FROM j CROSS JOIN t)
+       |SELECT src, CAST(old_docs AS BIGINT) AS old_docs,
+       |  CAST(new_docs AS BIGINT) AS new_docs, old_tokens, new_tokens,
+       |  round(p, 6) AS old_share, round(q, 6) AS new_share,
+       |  round(q - p, 6) AS delta_share,
+       |  CAST(round((CASE WHEN old_tokens = 0 AND new_tokens = 0 THEN 0.0
+       |    ELSE (CASE WHEN old_tokens > 0
+       |            THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) +
+       |         (CASE WHEN new_tokens > 0
+       |            THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+       |    END) * 1e9) AS BIGINT) AS js_e9
+       |FROM x""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5073,7 +5123,8 @@ FROM r$q82Rounds"""
     "q148_ivfadc_learned_recall" -> (q148IvfadcLearnedRecall _),
     "q149_ap_by_source" -> (q149ApBySource _),
     "q150_ndcg_ivf" -> (q150NdcgIvf _),
-    "q151_rr_ivf" -> (q151RrIvf _))
+    "q151_rr_ivf" -> (q151RrIvf _),
+    "q152_mix_drift" -> (q152MixDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5221,5 +5272,6 @@ FROM r$q82Rounds"""
     "q148_ivfadc_learned_recall" -> q148Sql,
     "q149_ap_by_source" -> q149Sql,
     "q150_ndcg_ivf" -> q150Sql,
-    "q151_rr_ivf" -> q151Sql)
+    "q151_rr_ivf" -> q151Sql,
+    "q152_mix_drift" -> q152Sql)
 }

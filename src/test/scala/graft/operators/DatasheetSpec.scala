@@ -37,4 +37,37 @@ class DatasheetSpec extends SparkSpec {
       col("text"), col("src")).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("mixDrift: identical snapshots drift zero; a vanished source " +
+      "contributes its one-sided JS term; shares track tokens") {
+    val docs = Seq(
+      ("a", "one two three four"), // 4 tokens
+      ("b", "five six"),           // 2
+      ("b", "seven eight")         // 2
+    ).toDF("src", "text")
+    val same = Datasheet.mixDrift(docs, docs, col("text"), col("src"))
+      .collect()
+    assert(same.forall(r => r.getDouble(7) === 0.0 && r.getLong(8) === 0L),
+      "no drift between identical snapshots")
+    // new snapshot loses source a entirely: old shares a=0.5 b=0.5,
+    // new shares a=0 b=1
+    val newer = docs.filter(col("src") =!= "a")
+    val out = Datasheet.mixDrift(docs, newer, col("text"), col("src"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(4) === 0L) // new_tokens
+    assert(out("a").getDouble(5) === 0.5)
+    assert(out("a").getDouble(6) === 0.0)
+    assert(out("a").getDouble(7) === -0.5)
+    // one-sided term: 0.5 * p * ln(p / (p/2)) = 0.5 * 0.5 * ln 2
+    assert(out("a").getLong(8) ===
+      math.rint(0.5 * 0.5 * math.log(2.0) * 1e9).toLong)
+    // b: p=0.5, q=1 -> 0.5*0.5*ln(0.5/0.75) + 0.5*1*ln(1/0.75)
+    val bExp = 0.5 * 0.5 * math.log(0.5 / 0.75) +
+      0.5 * 1.0 * math.log(1.0 / 0.75)
+    assert(out("b").getLong(8) === math.rint(bExp * 1e9).toLong)
+    // total JS of disjoint-support would be ln 2; this partial shift
+    // stays strictly inside (0, ln 2)
+    val totalJs = out.values.map(_.getLong(8)).sum
+    assert(totalJs > 0L && totalJs < math.rint(math.log(2.0) * 1e9).toLong)
+  }
 }
