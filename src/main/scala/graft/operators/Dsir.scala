@@ -64,13 +64,16 @@ object Dsir {
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val rb = gramBuckets(raw, id, text, buckets, ns)
       .groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    // one-row totals ride the (≤ buckets)-row table as literal-like cols
+    // one-row totals ride the (≤ buckets)-row table as literal-like
+    // cols; both cross joins carry the broadcast hint — the explicit
+    // statement (enforced by graft.plans.ScaleGuard) that the joined
+    // side is 1-row-bounded, not a size-estimate accident
     val totals = tb.agg(sum(col("ct")).as("nt"))
-      .crossJoin(rb.agg(sum(col("cr")).as("nr")))
+      .crossJoin(broadcast(rb.agg(sum(col("cr")).as("nr"))))
     // add-1 smoothing over the bucket space; the exact IEEE sequence
     // (two divisions, one division, one ln) is mirrored in the oracle
     val lr = tb.join(rb, Seq("b"), "full_outer")
-      .crossJoin(totals)
+      .crossJoin(broadcast(totals))
       .select(col("b"),
         log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + buckets)) /
           ((coalesce(col("cr"), lit(0L)) + 1.0) / (col("nr") + buckets)))
