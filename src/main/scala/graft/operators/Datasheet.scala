@@ -80,14 +80,31 @@ object Datasheet {
     * to sources-bounded volume tables, a full-outer join of those, and
     * one broadcast of the two 1-row totals. The corpora never shuffle. */
   def mixDrift(oldDocs: DataFrame, newDocs: DataFrame, text: Column,
-               source: Column): DataFrame = {
-    def vol(d: DataFrame, pre: String): DataFrame =
-      d.select(source.as("src"), TextExprs.tokenCount(text).as("nt"))
-        .groupBy(col("src"))
-        .agg(count(lit(1)).as(s"${pre}_docs"),
-          sum(col("nt").cast("long")).as(s"${pre}_tokens"))
-    val o = vol(oldDocs, "old")
-    val n = vol(newDocs, "new")
+               source: Column): DataFrame =
+    mixDriftFromVolumes(
+      sourceVolumes(oldDocs, text, source),
+      sourceVolumes(newDocs, text, source))
+
+  /** Per-source `(src, n_docs, n_tokens)` volume table — [[mixDrift]]'s
+    * input grain, exposed so a STREAM can maintain it incrementally
+    * (counts are additive, so per-batch volume tables merge exactly:
+    * `streaming/MixDriftStream`). One tokenize scan collapsing
+    * map-side; sources-bounded output. */
+  def sourceVolumes(docs: DataFrame, text: Column, source: Column)
+      : DataFrame =
+    docs.select(source.as("src"), TextExprs.tokenCount(text).as("nt"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt").cast("long"))
+        .as("n_tokens"))
+
+  /** [[mixDrift]] over pre-aggregated volume tables (the streaming
+    * state's grain). Inputs carry `(src, n_docs, n_tokens)`. */
+  def mixDriftFromVolumes(oldVol: DataFrame, newVol: DataFrame)
+      : DataFrame = {
+    val o = oldVol.select(col("src"), col("n_docs").as("old_docs"),
+      col("n_tokens").as("old_tokens"))
+    val n = newVol.select(col("src"), col("n_docs").as("new_docs"),
+      col("n_tokens").as("new_tokens"))
     val joined = o.join(n, Seq("src"), "full_outer")
       .select(col("src"),
         coalesce(col("old_docs"), lit(0L)).as("old_docs"),

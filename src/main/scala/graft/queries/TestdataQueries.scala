@@ -4975,6 +4975,29 @@ FROM r$q82Rounds"""
        |    END) * 1e9) AS BIGINT) AS js_e9
        |FROM x""".stripMargin
 
+  // ------------------- streaming mix drift (§2.10 ext)
+  // q152's monitoring panel in its real regime: the "new" snapshot
+  // arrives in three arbitrary micro-batches folded into the per-source
+  // volume state (counts are additive, so the accumulated state equals
+  // the one-shot volumes EXACTLY — no ordering caveat), then one drift
+  // read against the reference volumes. Identical output to q152 by
+  // construction, so the oracle is q152's SQL verbatim.
+  private def q153StreamingMixDrift(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("mixdrift_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    val newer = docs.filter(col("source") =!= "src3" &&
+      !(col("source") === "src7" && col("doc_id") % 2 === 0))
+    (0 until 3).foreach { b =>
+      graft.streaming.MixDriftStream.ingestBatch(s,
+        newer.filter(col("doc_id") % 3 === b),
+        col("text"), col("source"), state)
+    }
+    graft.streaming.MixDriftStream.driftVsReference(s, state,
+      graft.operators.Datasheet.sourceVolumes(docs,
+        col("text"), col("source")))
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5124,7 +5147,8 @@ FROM r$q82Rounds"""
     "q149_ap_by_source" -> (q149ApBySource _),
     "q150_ndcg_ivf" -> (q150NdcgIvf _),
     "q151_rr_ivf" -> (q151RrIvf _),
-    "q152_mix_drift" -> (q152MixDrift _))
+    "q152_mix_drift" -> (q152MixDrift _),
+    "q153_streaming_mixdrift" -> (q153StreamingMixDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5273,5 +5297,6 @@ FROM r$q82Rounds"""
     "q149_ap_by_source" -> q149Sql,
     "q150_ndcg_ivf" -> q150Sql,
     "q151_rr_ivf" -> q151Sql,
-    "q152_mix_drift" -> q152Sql)
+    "q152_mix_drift" -> q152Sql,
+    "q153_streaming_mixdrift" -> q152Sql)
 }
