@@ -122,6 +122,29 @@ object Classify {
           .as("frac_pos"))
   }
 
+  /** Expected calibration error — the SCALAR that [[calibrationBins]]'
+    * reliability diagram reads off: `ECE = Σ_b (n_b/N)·|frac_pos_b −
+    * mean_score_b|` (Naeini et al. 2015's equal-width-bin form). The
+    * single number that says whether a filter's scores may be read as
+    * probabilities when setting mixture cuts, where the diagram needs a
+    * human. Computed FROM the bins operator's exact per-bin values
+    * (same snap-6 grain, so the two views can never disagree); each
+    * bin's weighted gap snaps to 1e-9 fixed-point before the ≤ bins-row
+    * sum (order-free), one final snap-6. Scale shape: inherits
+    * [[calibrationBins]]' one-scan bins-bounded aggregate; this adds a
+    * bins-row reduction. */
+  def calibrationError(scored: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    val b = calibrationBins(scored, score, label, bins)
+    val gapE9 = round(col("n").cast("double") *
+      abs(col("frac_pos") - col("mean_score")) * 1e9).cast("long")
+    b.agg(sum(col("n")).as("n"),
+        sum(gapE9).as("num_e9"))
+      .select(col("n"),
+        round(col("num_e9").cast("double") / 1e9 /
+          col("n").cast("double"), 6).as("ece"))
+  }
+
   /** Exact ROC-AUC (the threshold-free companion of [[evalBinary]]):
     * the Mann–Whitney pair statistic `(#[s_pos > s_neg] +
     * 0.5·#ties) / (P·N)`, computed WITHOUT enumerating pairs — group by

@@ -4998,6 +4998,29 @@ FROM r$q82Rounds"""
         col("text"), col("source")))
   }
 
+  // ------------------- expected calibration error (§2.10 ext)
+  // q138's reliability diagram reduced to the standard scalar:
+  // ECE = Σ_b (n_b/N)·|frac_pos − mean_score| over the same exact bins
+  // (snap-6 per-bin values, snap-9 weighted gaps, one snap-6 division).
+  private def q154Ece(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+    val labeled = scores.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        (col("lang") === "en").cast("int").as("y")), Seq("id"))
+    graft.operators.Classify.calibrationError(labeled, col("score"),
+      col("y"), q138Bins)
+  }
+
+  private val q154Sql =
+    s"""WITH bins AS ($q138Sql)
+       |SELECT CAST(sum(n) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(round(CAST(n AS DOUBLE) *
+       |      abs(frac_pos - mean_score) * 1e9) AS BIGINT)) AS DOUBLE)
+       |    / 1e9 / CAST(sum(n) AS DOUBLE), 6) AS ece
+       |FROM bins""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5148,7 +5171,8 @@ FROM r$q82Rounds"""
     "q150_ndcg_ivf" -> (q150NdcgIvf _),
     "q151_rr_ivf" -> (q151RrIvf _),
     "q152_mix_drift" -> (q152MixDrift _),
-    "q153_streaming_mixdrift" -> (q153StreamingMixDrift _))
+    "q153_streaming_mixdrift" -> (q153StreamingMixDrift _),
+    "q154_calibration_error" -> (q154Ece _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5298,5 +5322,6 @@ FROM r$q82Rounds"""
     "q150_ndcg_ivf" -> q150Sql,
     "q151_rr_ivf" -> q151Sql,
     "q152_mix_drift" -> q152Sql,
-    "q153_streaming_mixdrift" -> q152Sql)
+    "q153_streaming_mixdrift" -> q152Sql,
+    "q154_calibration_error" -> q154Sql)
 }

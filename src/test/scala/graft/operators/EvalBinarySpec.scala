@@ -89,6 +89,20 @@ class EvalBinarySpec extends SparkSpec {
     assert(out("bad") === 0.333333) // single positive at rank 3: AP = 1/3
   }
 
+  test("calibrationError: hand-checked ECE over the exact bins; " +
+      "a perfectly calibrated bin contributes zero") {
+    // bin 0: scores 0.05/0.05, 1 of 2 positive -> frac .5, mean .05,
+    //        gap .45, weight 2/4
+    // bin 5: score 0.5, 1 of 1 positive   -> gap .5, weight 1/4
+    // bin 9: score 1.0, 1 of 1 positive   -> gap 0 (perfectly calibrated)
+    val rows = Seq((0.05, 0), (0.05, 1), (0.5, 1), (1.0, 1))
+      .toDF("score", "y")
+    val r = Classify.calibrationError(rows, col("score"), col("y"), 10)
+      .head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.35) // (2*.45 + 1*.5 + 1*0) / 4
+  }
+
   test("agreementKappa: hand-checked kappa, chance-only agreement is 0") {
     // 10 rows: a=4 both-keep, b=1, c=1, d=4 → po=0.8, pe=0.5, kappa=0.6
     val rows = (Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
