@@ -441,4 +441,86 @@ object NearDup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .distinct()
   }
+
+  // -------------------------------------------------- portable MinHash + QA
+
+  /** Prime modulus shared by the portable permutation family (also the
+    * modulus of [[TextExprs.polyFingerprint]], so one hash feeds both). */
+  val PortablePrime: Long = 1000000007L
+
+  /** MinHash band rows from a CROSS-ENGINE-REPLAYABLE permutation family:
+    * shingle hash `ph = polyFingerprint(shingle)` and permutation `i`'s
+    * value `((2i+3)·ph + (101i+7)) mod 1000000007` — plain 64-bit modular
+    * arithmetic any SQL engine reproduces bit-for-bit (the production
+    * dedup path, [[minhashBands]], uses xxhash64 signatures and hashed
+    * buckets instead; this family exists so an independent engine can
+    * replay the candidate set, which is what makes LSH *recall* an
+    * oracle-checkable quantity rather than a trusted one).
+    *
+    * Output: (id, band, bucket) with `bucket` the comma-joined row mins —
+    * ≤ ~10 chars per min, so a band key is a short string; the band join
+    * still ships ids + band keys only, never text. Docs with no shingles
+    * produce no rows (empty docs are not near-dup candidates).
+    *
+    * Plan shape: one shingle explode → codegen'd poly hash → ONE hash
+    * aggregate computing all `bands×rowsPerBand` mins map-side partially →
+    * band explode. Same shuffle count as [[minhashBands]]. */
+  def portableMinhashBands(docs: DataFrame, id: Column, text: Column,
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val ph = shingles(docs, id, text, n)
+      .select(col("id"), TextExprs.polyFingerprint(col("shingle")).as("ph"))
+    val aggs = (0 until numPerms).map { i =>
+      min((col("ph") * lit(2L * i + 3) + lit(101L * i + 7)) %
+        lit(PortablePrime)).as(s"__m$i")
+    }
+    val sig = ph.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => col(s"__m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", slice: _*).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Distinct UNVERIFIED candidate pairs (id_a < id_b) of the portable
+    * LSH — deliberately no exact-Jaccard verify: this is the raw
+    * candidate set whose recall [[lshRecallByBucket]] measures. */
+  def portableLshCandidates(docs: DataFrame, id: Column, text: Column,
+                            n: Int, bands: Int,
+                            rowsPerBand: Int): DataFrame = {
+    val banded = portableMinhashBands(docs, id, text, n, bands, rowsPerBand)
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** LSH candidate recall against an exact ground-truth pair set, bucketed
+    * by similarity: for each Jaccard tenth-bucket of `exactPairs`
+    * (columns id_a, id_b, jaccard), the fraction of pairs the candidate
+    * set caught. THE dedup-quality monitoring curve: the S-curve
+    * `1-(1-j^r)^b` predicts it analytically; a measured bucket falling
+    * below the prediction means the hash family or banding broke, and
+    * this query makes that drop visible per corpus snapshot (q141's
+    * recall-monitoring pattern, applied to the dedup family).
+    *
+    * Scale: metadata-sized — |exactPairs| rows join |candidates| rows on
+    * id pairs, both id-only relations; the output is ≤ 10 rows. */
+  def lshRecallByBucket(exactPairs: DataFrame,
+                        candidates: DataFrame): DataFrame = {
+    val cand = candidates
+      .select(col("id_a").as("ca"), col("id_b").as("cb"))
+    exactPairs.join(cand,
+        col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
+      .groupBy(round(floor(col("jaccard") * 10) / 10, 1).as("j_bucket"))
+      .agg(count(lit(1)).as("n_exact"), count(col("ca")).as("n_caught"))
+      .select(col("j_bucket"), col("n_exact"), col("n_caught"),
+        round(col("n_caught").cast("double") /
+          col("n_exact").cast("double"), 6).as("recall"))
+  }
 }

@@ -5021,6 +5021,63 @@ FROM r$q82Rounds"""
        |    / 1e9 / CAST(sum(n) AS DOUBLE), 6) AS ece
        |FROM bins""".stripMargin
 
+  // ------------------- LSH candidate recall curve (§2.10 ext)
+  // q141's recall-monitoring pattern applied to the DEDUP family: the
+  // portable-permutation MinHash (4 bands × 4 rows — deliberately lossy,
+  // S-curve 1-(1-j⁴)⁴ ≈ 0.88 at j=0.8) is scored against the exact
+  // shingle-Jaccard ground truth (q18's own plan), per Jaccard tenth-
+  // bucket. Both arms are deterministic modular arithmetic, so the oracle
+  // replays the ENTIRE thing — exact pairs, minhash permutations, band
+  // join — in SQL; a red row means the LSH family itself broke, not just
+  // a fixture drift.
+  private val q155Bands = 4
+  private val q155Rows = 4
+
+  private def q155LshRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = q18ShingleJaccard(s, d)
+    val cand = NearDup.portableLshCandidates(docs, col("doc_id"),
+      col("text"), n = 3, q155Bands, q155Rows)
+    NearDup.lshRecallByBucket(exact, cand)
+  }
+
+  private val q155Sql =
+    s"""WITH ex AS (SELECT id_a, id_b, jaccard FROM ($q18Sql)),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS shingle FROM toks WHERE len(ts) > 0),
+       |ph AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |    (a, c) -> (a * 31 + c) % 1000000007) AS ph
+       |  FROM sh),
+       |hs AS (
+       |  SELECT doc_id, i,
+       |    min(((2 * i + 3) * ph + (101 * i + 7)) % 1000000007) AS mh
+       |  FROM ph CROSS JOIN range(${q155Bands * q155Rows}) r(i)
+       |  GROUP BY doc_id, i),
+       |bk AS (
+       |  SELECT doc_id, i // $q155Rows AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+       |  FROM hs GROUP BY doc_id, i // $q155Rows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT round(floor(jaccard * 10) / 10, 1) AS j_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(ca) AS BIGINT) AS n_caught,
+       |  round(CAST(count(ca) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS recall
+       |FROM ex LEFT JOIN cand ON id_a = ca AND id_b = cb
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5172,7 +5229,8 @@ FROM r$q82Rounds"""
     "q151_rr_ivf" -> (q151RrIvf _),
     "q152_mix_drift" -> (q152MixDrift _),
     "q153_streaming_mixdrift" -> (q153StreamingMixDrift _),
-    "q154_calibration_error" -> (q154Ece _))
+    "q154_calibration_error" -> (q154Ece _),
+    "q155_lsh_recall" -> (q155LshRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5323,5 +5381,6 @@ FROM r$q82Rounds"""
     "q151_rr_ivf" -> q151Sql,
     "q152_mix_drift" -> q152Sql,
     "q153_streaming_mixdrift" -> q152Sql,
-    "q154_calibration_error" -> q154Sql)
+    "q154_calibration_error" -> q154Sql,
+    "q155_lsh_recall" -> q155Sql)
 }
