@@ -5021,6 +5021,31 @@ FROM r$q82Rounds"""
        |    / 1e9 / CAST(sum(n) AS DOUBLE), 6) AS ece
        |FROM bins""".stripMargin
 
+  // ------------------- streaming decontamination (§2.10 ext)
+  // q62's regime made honest: corpus documents AND benchmark suites both
+  // arrive incrementally (three batches, split by id % 3 — most
+  // doc/benchmark gram encounters cross batch boundaries in BOTH
+  // directions: doc-before-gram and gram-before-doc). Each hit is
+  // counted when its later side arrives, so the accumulated read equals
+  // the one-shot batch operator for any arrival split and q62's oracle
+  // certifies this query verbatim.
+  private def q156StreamingContam(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("contam_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+    (0 until 3).foreach { b =>
+      val arrivals = docs.filter(col("id") % 3 === b)
+      graft.streaming.ContamStream.ingestBatch(s,
+        newDocs = arrivals.filter(col("id") % q62BenchMod =!= 0),
+        newBench = arrivals.filter(col("id") % q62BenchMod === 0),
+        stateDir = state, n = 3)
+    }
+    graft.streaming.ContamStream.contamination(s, state)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("contaminated"))
+  }
+
   // ------------------- LSH candidate recall curve (§2.10 ext)
   // q141's recall-monitoring pattern applied to the DEDUP family: the
   // portable-permutation MinHash (4 bands × 4 rows — deliberately lossy,
@@ -5230,7 +5255,8 @@ FROM r$q82Rounds"""
     "q152_mix_drift" -> (q152MixDrift _),
     "q153_streaming_mixdrift" -> (q153StreamingMixDrift _),
     "q154_calibration_error" -> (q154Ece _),
-    "q155_lsh_recall" -> (q155LshRecall _))
+    "q155_lsh_recall" -> (q155LshRecall _),
+    "q156_streaming_contam" -> (q156StreamingContam _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5382,5 +5408,6 @@ FROM r$q82Rounds"""
     "q152_mix_drift" -> q152Sql,
     "q153_streaming_mixdrift" -> q152Sql,
     "q154_calibration_error" -> q154Sql,
-    "q155_lsh_recall" -> q155Sql)
+    "q155_lsh_recall" -> q155Sql,
+    "q156_streaming_contam" -> q62Sql)
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Contamination
+
+/** Incremental decontamination: batch equivalence for any arrival split
+  * of EITHER side (docs and benchmark grams each count a hit exactly
+  * once, when the later side arrives), idempotent benchmark
+  * re-registration, and crash-safe state accumulation. */
+class ContamStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus docs: one fully contaminated (copy of bench 100), one half
+  // (shares a 4-token run with bench 101), two clean, one empty
+  private lazy val corpus = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta",
+    2L -> "alpha beta gamma delta completely different tail here now",
+    3L -> "nothing in common with any benchmark document at all",
+    4L -> "spark physical plans and adaptive query execution notes",
+    5L -> ""
+  ).toDF("id", "text")
+
+  private lazy val bench = Seq(
+    100L -> "alpha beta gamma delta epsilon zeta eta theta",
+    101L -> "unrelated benchmark prose that matches nothing in corpus"
+  ).toDF("id", "text")
+
+  private def oneShot = Contamination.overlapVsBenchmark(
+      corpus, bench, col("id"), col("text"), n = 3)
+    .as[(Long, Long, Long, Boolean)].collect().toSet
+
+  test("any arrival split of docs AND benchmark equals the batch operator") {
+    for (nSplits <- Seq(1, 2, 3)) {
+      val state = Files.createTempDirectory("contamstream").toString
+      (0 until nSplits).foreach { b =>
+        ContamStream.ingestBatch(spark,
+          newDocs = corpus.filter(col("id") % nSplits === b),
+          newBench = bench.filter(col("id") % nSplits === b),
+          stateDir = state, n = 3)
+      }
+      val got = ContamStream.contamination(spark, state)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(got === oneShot, s"$nSplits-way split diverged from batch")
+    }
+  }
+
+  test("benchmark-after-docs: hits land when the gram side arrives late") {
+    val state = Files.createTempDirectory("contamstream").toString
+    // all docs first, benchmark only in the second batch
+    ContamStream.ingestBatch(spark, corpus, bench.limit(0), state, n = 3)
+    val preBench = ContamStream.contamination(spark, state)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(preBench.forall(_._3 === 0L), "overlap before any benchmark")
+    ContamStream.ingestBatch(spark, corpus.limit(0), bench, state, n = 3)
+    val got = ContamStream.contamination(spark, state)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === oneShot)
+  }
+
+  test("re-registering the same benchmark suite changes nothing") {
+    val state = Files.createTempDirectory("contamstream").toString
+    ContamStream.ingestBatch(spark, corpus, bench, state, n = 3)
+    val r = ContamStream.ingestBatch(spark, corpus.limit(0), bench, state,
+      n = 3)
+    assert(r.newBenchGrams === 0L && r.newHits === 0L,
+      "duplicate benchmark registration must be a no-op")
+    val got = ContamStream.contamination(spark, state)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === oneShot)
+  }
+
+  test("empty-doc rows produce no stats row (the batch operator's grain)") {
+    val state = Files.createTempDirectory("contamstream").toString
+    ContamStream.ingestBatch(spark, corpus, bench, state, n = 3)
+    val ids = ContamStream.contamination(spark, state)
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 3L, 4L)) // doc 5 is empty: no shingles
+  }
+
+  test("compaction keeps results identical") {
+    val state = Files.createTempDirectory("contamstream").toString
+    (0 until 3).foreach { b =>
+      ContamStream.ingestBatch(spark,
+        newDocs = corpus.filter(col("id") % 3 === b),
+        newBench = bench.filter(col("id") % 3 === b),
+        stateDir = state, n = 3, compactAfterFiles = 1)
+    }
+    val got = ContamStream.contamination(spark, state)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === oneShot)
+  }
+}
