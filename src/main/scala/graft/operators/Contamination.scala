@@ -236,4 +236,31 @@ object Contamination {
       .agg(count(lit(1)).as("n_bench_hits"),
         round(max(col("jaccard")), 6).as("max_jaccard"))
   }
+
+  /** Per-source contamination rollup — the datasheet panel that decides
+    * WHICH feed is leaking eval data (a 0.1% global rate hiding a 40%
+    * rate in one source is the case that matters). `contam` is any
+    * per-doc overlap table shaped like [[overlapVsBenchmark]]'s output
+    * (id, n_shingles, n_overlap, contaminated); `sources` maps id →
+    * source. Per source: doc counts, contaminated-doc rate, and the
+    * micro-averaged gram overlap share Σoverlap/Σshingles — exact long
+    * sums with ONE division each at the end (no per-doc float fractions
+    * to sum, so the result is order-free and cross-engine exact).
+    *
+    * Scale: the contamination table is id-keyed metadata (no text); one
+    * id join against the (id, source) projection, then a sources-bounded
+    * aggregate. */
+  def rateBySource(contam: DataFrame, sources: DataFrame): DataFrame =
+    contam.join(sources, Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"),
+        sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_overlap")).as("n_overlap"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") /
+          col("n_docs").cast("double"), 6).as("contam_rate"),
+        col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") /
+          col("n_shingles").cast("double"), 6).as("overlap_share"))
 }

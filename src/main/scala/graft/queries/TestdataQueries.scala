@@ -5046,6 +5046,32 @@ FROM r$q82Rounds"""
         col("contaminated"))
   }
 
+  // ------------------- per-source contamination rate (§2.10 ext)
+  // q62's datasheet rollup: which FEED is leaking eval data. Contaminated-
+  // doc rate and micro-averaged gram overlap share per source — exact
+  // long sums, one division each at the end (order-free, cross-engine
+  // exact).
+  private def q157ContamBySource(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Contamination.rateBySource(
+      q62Decontaminate(s, d).withColumnRenamed("doc_id", "id"),
+      docs.select(col("doc_id").as("id"), col("source")))
+  }
+
+  private val q157Sql =
+    s"""WITH c AS ($q62Sql)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  round(CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS contam_rate,
+       |  CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+       |  CAST(sum(n_overlap) AS BIGINT) AS n_overlap,
+       |  round(CAST(sum(n_overlap) AS DOUBLE)
+       |    / CAST(sum(n_shingles) AS DOUBLE), 6) AS overlap_share
+       |FROM c JOIN documents d ON c.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   // ------------------- LSH candidate recall curve (§2.10 ext)
   // q141's recall-monitoring pattern applied to the DEDUP family: the
   // portable-permutation MinHash (4 bands × 4 rows — deliberately lossy,
@@ -5256,7 +5282,8 @@ FROM r$q82Rounds"""
     "q153_streaming_mixdrift" -> (q153StreamingMixDrift _),
     "q154_calibration_error" -> (q154Ece _),
     "q155_lsh_recall" -> (q155LshRecall _),
-    "q156_streaming_contam" -> (q156StreamingContam _))
+    "q156_streaming_contam" -> (q156StreamingContam _),
+    "q157_contam_by_source" -> (q157ContamBySource _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5409,5 +5436,6 @@ FROM r$q82Rounds"""
     "q153_streaming_mixdrift" -> q152Sql,
     "q154_calibration_error" -> q154Sql,
     "q155_lsh_recall" -> q155Sql,
-    "q156_streaming_contam" -> q62Sql)
+    "q156_streaming_contam" -> q62Sql,
+    "q157_contam_by_source" -> q157Sql)
 }

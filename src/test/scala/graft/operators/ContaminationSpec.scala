@@ -161,4 +161,17 @@ class ContaminationSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.25,
       s"sketch overlap $est vs exact $exact")
   }
+
+  test("rateBySource: exact rollup arithmetic on a hand-built table") {
+    val contam = Seq(
+      (1L, 10L, 8L, true), (2L, 10L, 2L, false), // src A: 1/2 docs, 10/20
+      (3L, 5L, 0L, false)) // src B: 0/1 docs, 0/5 grams
+      .toDF("id", "n_shingles", "n_overlap", "contaminated")
+    val sources = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "source")
+    val got = Contamination.rateBySource(contam, sources)
+      .as[(String, Long, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") === ("A", 2L, 1L, 0.5, 20L, 10L, 0.5))
+    assert(got("B") === ("B", 1L, 0L, 0.0, 5L, 0L, 0.0))
+  }
 }
