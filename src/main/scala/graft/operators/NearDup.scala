@@ -389,22 +389,37 @@ object NearDup {
     * the result coincides with true edit-distance pairs while staying
     * linear-ish in corpus size. Docs with an empty prefix are excluded
     * (every empty doc is trivially distance-0 from every other). */
-  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
-                        prefixLen: Int, q: Int, maxDist: Int,
-                        maxPostings: Int = 1000): DataFrame = {
-    val pref = docs
-      .select(id.as("id"), substring(text, 1, prefixLen).as("prefix"))
+  /** Non-empty (id, prefix) table the edit-distance family works over. */
+  private def edPrefixes(docs: DataFrame, id: Column, text: Column,
+                         prefixLen: Int): DataFrame =
+    docs.select(id.as("id"), substring(text, 1, prefixLen).as("prefix"))
       .filter(length(trim(col("prefix"))) > 0)
+
+  /** The char-q-gram blocker's UNVERIFIED candidate pairs (id_a < id_b)
+    * — the stage [[blockerQa]] audits; [[editDistancePairs]] is this
+    * plus the exact bounded-Levenshtein verify. */
+  def editDistanceCandidates(docs: DataFrame, id: Column, text: Column,
+                             prefixLen: Int, q: Int,
+                             maxPostings: Int = 1000): DataFrame = {
+    val pref = edPrefixes(docs, id, text, prefixLen)
     val grams = pref.select(col("id"),
       explode(TextExprs.charShingles(col("prefix"), q)).as("gram"))
     val posting = grams.groupBy(col("gram"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxPostings))
-    val cand = posting
+    posting
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+  }
+
+  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
+                        prefixLen: Int, q: Int, maxDist: Int,
+                        maxPostings: Int = 1000): DataFrame = {
+    val pref = edPrefixes(docs, id, text, prefixLen)
+    val cand = editDistanceCandidates(docs, id, text, prefixLen, q,
+      maxPostings)
     // verify with the banded kernel: exact distance when ≤ maxDist, -1
     // otherwise — rejection (the common case for blocker candidates) costs
     // O(k·min_len) with early exit instead of the full |a|·|b| DP, and the
@@ -498,6 +513,64 @@ object NearDup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Blocking-quality audit of the char-q-gram blocker on a DETERMINISTIC
+    * SAMPLE — the record-linkage literature's two numbers for any blocker:
+    * pairs completeness (what fraction of TRUE ≤-maxDist pairs the
+    * candidate stage keeps — the blocker is declared semantics, so this
+    * is the measured price of the pigeonhole argument on real data) and
+    * reduction ratio (what fraction of the all-pairs quadratic the
+    * blocker avoided). Ground truth needs all-pairs distances, which
+    * exist nowhere at corpus scale — so it is computed WITHIN the sample
+    * `id % sampleMod == 0` only: the caller bounds the sample, the
+    * all-pairs stage is an explicit `crossJoin(broadcast(sample))` (the
+    * sanctioned boundedness statement — O((n/sampleMod)²) bounded
+    * comparisons with the early-exit banded kernel), and the audited
+    * CANDIDATE set is the production blocker's own, restricted to
+    * sample pairs — df-cut postings computed on the FULL corpus, exactly
+    * what production runs.
+    *
+    * Output (one row): n_sample, n_true_pairs, n_cand_pairs, n_caught,
+    * pairs_completeness (null when the sample has no true pairs),
+    * reduction_ratio = 1 − n_cand/C(n_sample,2) (null when < 2 docs). */
+  def blockerQa(docs: DataFrame, id: Column, text: Column, prefixLen: Int,
+                q: Int, maxDist: Int, maxPostings: Int,
+                sampleMod: Long): DataFrame = {
+    val samp = edPrefixes(docs, id, text, prefixLen)
+      .filter(col("id") % sampleMod === 0)
+    val truth = samp.select(col("id").as("id_a"), col("prefix").as("pa"))
+      .crossJoin(broadcast(
+        samp.select(col("id").as("id_b"), col("prefix").as("pb"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", graft.functions.TextKernels
+        .boundedLevenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"))
+    val cand = editDistanceCandidates(docs, id, text, prefixLen, q,
+        maxPostings)
+      .filter(col("id_a") % sampleMod === 0 &&
+        col("id_b") % sampleMod === 0)
+    val caught = truth.join(
+      cand.select(col("id_a").as("ca"), col("id_b").as("cb")),
+      col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
+    // three 1-row aggregates combined with broadcast NL joins (metadata)
+    val tAgg = caught.agg(count(lit(1)).as("n_true_pairs"),
+      count(col("ca")).as("n_caught"))
+    val cAgg = cand.agg(count(lit(1)).as("n_cand_pairs"))
+    val sAgg = samp.agg(count(lit(1)).as("n_sample"))
+    sAgg.crossJoin(broadcast(tAgg)).crossJoin(broadcast(cAgg))
+      .select(col("n_sample"), col("n_true_pairs"), col("n_cand_pairs"),
+        col("n_caught"),
+        when(col("n_true_pairs") > 0,
+          round(col("n_caught").cast("double") /
+            col("n_true_pairs").cast("double"), 6))
+          .as("pairs_completeness"),
+        when(col("n_sample") >= 2,
+          round(lit(1.0) - col("n_cand_pairs").cast("double") /
+            (col("n_sample").cast("double") *
+              (col("n_sample") - 1).cast("double") / 2.0), 6))
+          .as("reduction_ratio"))
   }
 
   /** LSH candidate recall against an exact ground-truth pair set, bucketed

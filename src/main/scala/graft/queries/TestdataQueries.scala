@@ -5072,6 +5072,68 @@ FROM r$q82Rounds"""
        |FROM c JOIN documents d ON c.doc_id = d.doc_id
        |GROUP BY d.source""".stripMargin
 
+  // ------------------- blocker QA on a deterministic sample (§2.10 ext)
+  // q41's blocker audited: pairs completeness + reduction ratio of the
+  // char-8-gram candidate stage, with ground truth = bounded all-pairs
+  // Levenshtein WITHIN the id % 7 sample (the only place all-pairs can
+  // exist) and candidates = the production blocker's own df-cut postings
+  // over the FULL corpus, restricted to sample pairs. Same parameters as
+  // the registered q41. sampleMod is the boundedness knob: the all-pairs
+  // ground truth is O((n/sampleMod)²) — the fixture uses mod 2 so the
+  // handful of true ≤12-distance pairs actually lands in-sample (dup ids
+  // are delta-correlated; mod 7 catches zero of the 25), a 100 TB
+  // deployment sizes it so the sample stays ~10⁴–10⁵ docs.
+  private val q158SampleMod = 2L
+
+  private def q158BlockerQa(s: SparkSession, d: String): DataFrame =
+    NearDup.blockerQa(Tables.documents(s, d), col("doc_id"), col("text"),
+      prefixLen = 40, q = 8, maxDist = 12, maxPostings = 200,
+      sampleMod = q158SampleMod)
+
+  private val q158Sql =
+    s"""WITH p AS (
+       |  SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents
+       |  WHERE length(trim(substring(text, 1, 40))) > 0),
+       |s AS (SELECT * FROM p WHERE doc_id % $q158SampleMod = 0),
+       |truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a JOIN s b
+       |  ON a.doc_id < b.doc_id
+       |  WHERE levenshtein(a.prefix, b.prefix) <= 12),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [substring(np, i, 8) for i in range(1, greatest(len(np) - 7, 1) + 1)]
+       |  )) AS gram
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(trim(prefix), '\\s+', ' ', 'g') AS np FROM p)),
+       |g AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+       |    FROM g0) WHERE df <= 200),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |cs AS (SELECT * FROM cand
+       |  WHERE id_a % $q158SampleMod = 0 AND id_b % $q158SampleMod = 0),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM s) AS n_sample,
+       |  (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM cs) AS n_cand,
+       |  (SELECT count(*) FROM truth t JOIN cs c
+       |     ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught)
+       |SELECT CAST(n_sample AS BIGINT) AS n_sample,
+       |  CAST(n_true AS BIGINT) AS n_true_pairs,
+       |  CAST(n_cand AS BIGINT) AS n_cand_pairs,
+       |  CAST(n_caught AS BIGINT) AS n_caught,
+       |  CASE WHEN n_true > 0 THEN
+       |    round(CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+       |  END AS pairs_completeness,
+       |  CASE WHEN n_sample >= 2 THEN
+       |    round(CAST(1 AS DOUBLE) - CAST(n_cand AS DOUBLE) /
+       |      (CAST(n_sample AS DOUBLE) * CAST(n_sample - 1 AS DOUBLE)
+       |        / CAST(2 AS DOUBLE)), 6)
+       |  END AS reduction_ratio
+       |FROM m""".stripMargin
+
   // ------------------- LSH candidate recall curve (§2.10 ext)
   // q141's recall-monitoring pattern applied to the DEDUP family: the
   // portable-permutation MinHash (4 bands × 4 rows — deliberately lossy,
@@ -5283,7 +5345,8 @@ FROM r$q82Rounds"""
     "q154_calibration_error" -> (q154Ece _),
     "q155_lsh_recall" -> (q155LshRecall _),
     "q156_streaming_contam" -> (q156StreamingContam _),
-    "q157_contam_by_source" -> (q157ContamBySource _))
+    "q157_contam_by_source" -> (q157ContamBySource _),
+    "q158_blocker_qa" -> (q158BlockerQa _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5437,5 +5500,6 @@ FROM r$q82Rounds"""
     "q154_calibration_error" -> q154Sql,
     "q155_lsh_recall" -> q155Sql,
     "q156_streaming_contam" -> q62Sql,
-    "q157_contam_by_source" -> q157Sql)
+    "q157_contam_by_source" -> q157Sql,
+    "q158_blocker_qa" -> q158Sql)
 }

@@ -98,4 +98,25 @@ class PortableLshSpec extends SparkSpec {
     val low = rec.filterNot(_._1 == 1.0).values
     assert(low.nonEmpty && low.forall(_._4 < 0.5))
   }
+
+  test("blockerQa: a q-gram-invisible true pair shows up as lost " +
+    "completeness, and the ratios are exact") {
+    // pair (1,2): distance 1, shares plenty of 8-grams — blocker catches.
+    // pair (3,4): distance 4, but a substitution every 7th char caps
+    // common runs at 6 chars — NO shared 8-gram, the blocker's pigeonhole
+    // precondition (len > q·(maxDist+1)) deliberately violated.
+    val docs = Seq(
+      (1L, "prefix shared abcdefgh tail one x"),
+      (2L, "prefix shared abcdefgh tail one y"),
+      (3L, "qqqqqqAwwwwwwBeeeeeeCrrrrrrD"),
+      (4L, "qqqqqq1wwwwww2eeeeee3rrrrrr4"))
+      .toDF("id", "text")
+    val got = NearDup.blockerQa(docs, col("id"), col("text"),
+        prefixLen = 40, q = 8, maxDist = 12, maxPostings = 200,
+        sampleMod = 1L)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    // n_sample=4, truth={(1,2),(3,4)}, cand={(1,2)} → completeness 1/2,
+    // reduction 1 - 1/6
+    assert(got === Seq((4L, 2L, 1L, 1L, 0.5, 0.833333)))
+  }
 }
