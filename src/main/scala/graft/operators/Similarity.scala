@@ -279,6 +279,52 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** The nprobe OPERATING CURVE of [[ivfTopK]]: recall@k against an exact
+    * top-k ground truth AND candidate volume, one row per probe radius —
+    * the two axes a serving deployment trades between (radius up: recall
+    * up, scanned candidates up; the curve picks the operating point, and
+    * re-measuring it per corpus snapshot catches recall rot when the
+    * embedding distribution drifts — q141's single-point check widened to
+    * the whole dial).
+    *
+    * `exact` is [[bruteForceTopK]]'s output for the same (corpus,
+    * queries, k). Recall is micro-averaged — integer hit counts over
+    * integer totals, ONE division per row (order-free, cross-engine
+    * exact). Scale: each arm is the registered IVF plan (corpus bucketed
+    * once per arm, queries broadcast); the recall join and count
+    * aggregates are queries×k metadata; output is |radii| rows. */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, k: Int, dim: Int, bits: Int, seed: Long,
+                    radii: Seq[Int], exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val arms = radii.map { r =>
+      val approx = ivfTopK(corpus, queries, id, vec, k, dim, bits, seed, r)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      val hits = ex.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("an")).as("n_hit"))
+      // candidate volume: the scored-join cardinality BEFORE top-k — the
+      // per-poll cost the radius buys
+      val bucket = (v: Column) => VectorExprs.lshBucket(v, dim, bits, seed)
+      val c = corpus.select(col(id).as("neighbor_id"),
+        bucket(col(vec)).as("bucket"))
+      val q = queries.select(col(id).as("query_id"),
+          bucket(col(vec)).as("qbucket"))
+        .withColumn("bucket",
+          explode(VectorExprs.probeBuckets(col("qbucket"), bits, r)))
+      val cand = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      hits.crossJoin(broadcast(cand))
+        .select(lit(r).as("probe_hamming"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_exact").cast("double"), 6).as("recall"),
+          col("n_cand"))
+    }
+    arms.reduce(_ unionByName _)
+  }
+
   /** Embedding-level semantic dedup — the SemDeDup decision (Abbas et al.
     * 2023: cluster, then drop near-identical embeddings within a cluster),
     * with random-hyperplane LSH buckets as the clustering (deterministic,

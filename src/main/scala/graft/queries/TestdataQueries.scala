@@ -5072,6 +5072,59 @@ FROM r$q82Rounds"""
        |FROM c JOIN documents d ON c.doc_id = d.doc_id
        |GROUP BY d.source""".stripMargin
 
+  // ------------------- IVF nprobe operating curve (§2.10 ext)
+  // q141's single-point recall check widened to the whole dial: recall@5
+  // AND candidate volume per probe radius 0..3 for the q22 LSH IVF — the
+  // curve that picks a serving operating point and catches recall rot
+  // when the embedding distribution drifts. Micro-averaged integer
+  // counts, one division per row; the oracle replays every arm.
+  private val q159Radii = Seq(0, 1, 2, 3)
+
+  private def q159ProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    Similarity.ivfProbeSweep(embs, embs.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64, bits = q22Bits, seed = 42L,
+      radii = q159Radii, exact = q21CosineTopK(s, d))
+  }
+
+  private val q159Sql = {
+    val bucket = sqlBucket("v", VectorExprs.lshPlanes(64, q22Bits, 42L))
+    val armCtes = q159Radii.map { r =>
+      s"""cand$r AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_inner_product(q.qv, c.v) / (sqrt(q.qn2) * sqrt(c.n2)) AS c2
+         |  FROM b c JOIN q
+         |    ON bit_count(xor(CAST(c.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= $r
+         |  WHERE q.query_id <> c.vec_id),
+         |ap$r AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY c2 DESC, neighbor_id) AS rk
+         |    FROM cand$r) WHERE rk <= 5),
+         |m$r AS (SELECT
+         |  (SELECT count(*) FROM ex) AS n_exact,
+         |  (SELECT count(*) FROM ex t JOIN ap$r a
+         |     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+         |    AS n_hit,
+         |  (SELECT count(*) FROM cand$r) AS n_cand)""".stripMargin
+    }.mkString(",\n")
+    val armSelects = q159Radii.map { r =>
+      s"""SELECT $r AS probe_hamming, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+         |    AS recall,
+         |  CAST(n_cand AS BIGINT) AS n_cand FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket,
+       |             list_inner_product(v, v) AS n2 FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb, n2 AS qn2
+       |      FROM b WHERE vec_id < 10),
+       |ex AS (SELECT query_id, neighbor_id FROM ($q21Sql)),
+       |$armCtes
+       |$armSelects""".stripMargin
+  }
+
   // ------------------- blocker QA on a deterministic sample (§2.10 ext)
   // q41's blocker audited: pairs completeness + reduction ratio of the
   // char-8-gram candidate stage, with ground truth = bounded all-pairs
@@ -5346,7 +5399,8 @@ FROM r$q82Rounds"""
     "q155_lsh_recall" -> (q155LshRecall _),
     "q156_streaming_contam" -> (q156StreamingContam _),
     "q157_contam_by_source" -> (q157ContamBySource _),
-    "q158_blocker_qa" -> (q158BlockerQa _))
+    "q158_blocker_qa" -> (q158BlockerQa _),
+    "q159_probe_sweep" -> (q159ProbeSweep _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5501,5 +5555,6 @@ FROM r$q82Rounds"""
     "q155_lsh_recall" -> q155Sql,
     "q156_streaming_contam" -> q62Sql,
     "q157_contam_by_source" -> q157Sql,
-    "q158_blocker_qa" -> q158Sql)
+    "q158_blocker_qa" -> q158Sql,
+    "q159_probe_sweep" -> q159Sql)
 }

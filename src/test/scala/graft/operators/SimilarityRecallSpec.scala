@@ -174,6 +174,26 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall below the measured floor")
   }
 
+  test("ivfProbeSweep: recall and candidate volume are monotone in the " +
+    "radius, and the full probe ring recovers brute force exactly") {
+    val bits = 4
+    val ex = Similarity.bruteForceTopK(embs, queries, "vec_id",
+      "embedding", k)
+    val sweep = Similarity.ivfProbeSweep(embs, queries, "vec_id",
+        "embedding", k, dim = 64, bits = bits, seed = 42L,
+        radii = Seq(0, 2, bits), exact = ex)
+      .orderBy("probe_hamming")
+      .as[(Int, Long, Long, Double, Long)].collect()
+    assert(sweep.map(_._1) === Seq(0, 2, bits))
+    assert(sweep.map(_._4).sliding(2).forall(w => w(0) <= w(1)),
+      "recall must be monotone in the probe radius")
+    assert(sweep.map(_._5).sliding(2).forall(w => w(0) <= w(1)),
+      "candidate volume must be monotone in the probe radius")
+    // radius = bits probes every bucket: the arm IS brute force
+    val full = sweep.last
+    assert(full._4 === 1.0 && full._2 === full._3)
+  }
+
   test("rpTopK plan: broadcast passes, map-side rank pruning, no cartesian") {
     val m = Similarity.rpMatrix(64, 16, seed = 9L)
     val p = Similarity.rpTopK(embs, queries, "vec_id", "embedding",
