@@ -458,4 +458,53 @@ object Classify {
     }
     (w, b)
   }
+
+  /** Score-DISTRIBUTION drift between two scored snapshots — the standard
+    * production monitor for a deployed quality/language filter (PSI's
+    * job, computed as per-bin Jensen–Shannon contributions like
+    * `Datasheet.mixDrift`: JS needs no epsilon hack when a bin empties,
+    * which real score histograms do). The classifier is FROZEN between
+    * snapshots, so a moved histogram means the DATA changed — upstream
+    * crawl shift, encoding rot, a new spam wave — and every mixture cut
+    * tuned on the old distribution is silently re-based; this panel is
+    * the alarm. Bins are [[calibrationBins]]' equal-width grid, so the
+    * drift view and the calibration view share a grain.
+    *
+    * Output per bin: counts, exact int-ratio shares (snap-6), share
+    * delta, and the JS contribution as 1e-9 fixed-point (`js_e9`,
+    * q152's discipline — order-free, cross-engine exact; Σ js_e9 / 1e9
+    * is the scalar drift). Scale: one scan per snapshot collapsing
+    * map-side to ≤ bins rows; the join and totals are bins-sized
+    * metadata. */
+  def scoreDrift(refScored: DataFrame, curScored: DataFrame, score: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    def binned(df: DataFrame, nCol: String): DataFrame =
+      df.select(least(floor(score * lit(bins.toDouble)).cast("int"),
+          lit(bins - 1)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
+    val joined = binned(refScored, "ref_n")
+      .join(binned(curScored, "cur_n"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(sum(col("ref_n")).as("rt"),
+      sum(col("cur_n")).as("ct"))
+    val p = col("ref_n").cast("double") /
+      greatest(col("rt"), lit(1L)).cast("double")
+    val q = col("cur_n").cast("double") /
+      greatest(col("ct"), lit(1L)).cast("double")
+    val m = (p + q) / 2.0
+    val jsTerm =
+      when(col("ref_n") === 0 && col("cur_n") === 0, lit(0.0))
+        .otherwise(
+          when(col("ref_n") > 0, lit(0.5) * p * log(p / m))
+            .otherwise(lit(0.0)) +
+          when(col("cur_n") > 0, lit(0.5) * q * log(q / m))
+            .otherwise(lit(0.0)))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(p, 6).as("ref_share"), round(q, 6).as("cur_share"),
+        round(q - p, 6).as("delta_share"),
+        round(jsTerm * 1e9).cast("long").as("js_e9"))
+  }
 }

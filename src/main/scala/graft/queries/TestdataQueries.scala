@@ -5072,6 +5072,55 @@ FROM r$q82Rounds"""
        |FROM c JOIN documents d ON c.doc_id = d.doc_id
        |GROUP BY d.source""".stripMargin
 
+  // ------------------- score-distribution drift (§2.10 ext)
+  // The deployed-filter monitor: the q77 classifier is FROZEN, so a
+  // moved score histogram between the reference corpus and the q152
+  // "newer" snapshot means the DATA changed and every mixture cut tuned
+  // on the old distribution is re-based. Per-bin JS contributions on the
+  // calibration-bin grid (PSI's job without PSI's empty-bin epsilon
+  // hack), q152's 1e-9 fixed-point discipline.
+  private def q160ScoreDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def scored(df: DataFrame) = graft.operators.Classify.hashedLinearScore(
+      df, col("doc_id"), col("text"), q77Weights, q77Bias)
+    val newer = docs.filter(col("source") =!= "src3" &&
+      !(col("source") === "src7" && col("doc_id") % 2 === 0))
+    graft.operators.Classify.scoreDrift(scored(docs), scored(newer),
+      col("score"), q138Bins)
+  }
+
+  private val q160Sql =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q77Sql)),
+       |bb AS (SELECT doc_id,
+       |    least(CAST(floor(score * CAST($q138Bins.0 AS DOUBLE)) AS INTEGER),
+       |      ${q138Bins - 1}) AS bin FROM sc),
+       |rb AS (SELECT bin, count(*) AS ref_n FROM bb GROUP BY bin),
+       |cb AS (SELECT bin, count(*) AS cur_n FROM bb
+       |  JOIN documents d USING (doc_id)
+       |  WHERE d.source <> 'src3'
+       |    AND NOT (d.source = 'src7' AND d.doc_id % 2 = 0)
+       |  GROUP BY bin),
+       |j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+       |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+       |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+       |t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+       |    CAST(sum(cur_n) AS BIGINT) AS ct FROM j),
+       |x AS (SELECT j.*,
+       |    CAST(ref_n AS DOUBLE) / CAST(greatest(rt, 1) AS DOUBLE) AS p,
+       |    CAST(cur_n AS DOUBLE) / CAST(greatest(ct, 1) AS DOUBLE) AS q
+       |  FROM j CROSS JOIN t)
+       |SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
+       |  CAST(cur_n AS BIGINT) AS cur_n,
+       |  round(p, 6) AS ref_share, round(q, 6) AS cur_share,
+       |  round(q - p, 6) AS delta_share,
+       |  CAST(round((CASE WHEN ref_n = 0 AND cur_n = 0 THEN 0.0
+       |    ELSE (CASE WHEN ref_n > 0
+       |            THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) +
+       |         (CASE WHEN cur_n > 0
+       |            THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+       |    END) * 1e9) AS BIGINT) AS js_e9
+       |FROM x""".stripMargin
+
   // ------------------- IVF nprobe operating curve (§2.10 ext)
   // q141's single-point recall check widened to the whole dial: recall@5
   // AND candidate volume per probe radius 0..3 for the q22 LSH IVF — the
@@ -5400,7 +5449,8 @@ FROM r$q82Rounds"""
     "q156_streaming_contam" -> (q156StreamingContam _),
     "q157_contam_by_source" -> (q157ContamBySource _),
     "q158_blocker_qa" -> (q158BlockerQa _),
-    "q159_probe_sweep" -> (q159ProbeSweep _))
+    "q159_probe_sweep" -> (q159ProbeSweep _),
+    "q160_score_drift" -> (q160ScoreDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5556,5 +5606,6 @@ FROM r$q82Rounds"""
     "q156_streaming_contam" -> q62Sql,
     "q157_contam_by_source" -> q157Sql,
     "q158_blocker_qa" -> q158Sql,
-    "q159_probe_sweep" -> q159Sql)
+    "q159_probe_sweep" -> q159Sql,
+    "q160_score_drift" -> q160Sql)
 }

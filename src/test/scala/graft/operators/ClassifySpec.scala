@@ -47,4 +47,28 @@ class ClassifySpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(a === b)
   }
+
+  test("scoreDrift: exact bin shares and JS terms, one-sided bins " +
+    "without any epsilon hack") {
+    // ref bins {0: 2, 5: 2}; cur bins {0: 1, 9: 3} — bin 5 empties in
+    // cur, bin 9 is new in cur; identical-histogram drift must be 0.
+    val ref = Seq(0.05, 0.06, 0.55, 0.56).toDF("score")
+    val cur = Seq(0.05, 0.95, 0.96, 0.99).toDF("score")
+    val got = Classify.scoreDrift(ref, cur, col("score"))
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double, Double, Long)].collect()
+    def js(p: Double, q: Double): Long = {
+      val m = (p + q) / 2.0
+      val t = (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+        (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+      math.rint(t * 1e9).toLong
+    }
+    assert(got === Seq(
+      (0, 2L, 1L, 0.5, 0.25, -0.25, js(0.5, 0.25)),
+      (5, 2L, 0L, 0.5, 0.0, -0.5, js(0.5, 0.0)),
+      (9, 0L, 3L, 0.0, 0.75, 0.75, js(0.0, 0.75))))
+    val same = Classify.scoreDrift(ref, ref, col("score"))
+      .select("js_e9").as[Long].collect()
+    assert(same.forall(_ === 0L))
+  }
 }
