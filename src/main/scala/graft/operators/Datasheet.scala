@@ -132,4 +132,37 @@ object Datasheet {
         round(q - p, 6).as("delta_share"),
         round(jsTerm * 1e9).cast("long").as("js_e9"))
   }
+
+  /** Embedding-table health panel per group — the datasheet entry that
+    * catches a broken embedder BEFORE the ANN/dedup family consumes its
+    * output: ragged dimensions (dim_min ≠ dim_max means a schema bug
+    * downstream operators would hit as silent wrong dots), zero-norm
+    * rows (cosine-undefined; every similarity operator here documents
+    * them as a caller hazard), and a collapsed or exploded norm
+    * distribution (mean/min/max of ‖v‖² — an encoder emitting constant
+    * vectors shows up as min ≈ max).
+    *
+    * Numeric discipline: per-row ‖v‖² is the sequential IEEE dot product
+    * (the q21 contract both engines share); the MEAN snaps each row to
+    * 1e-9 fixed point and sums in DECIMAL(38,0) — order-free and
+    * overflow-safe at any corpus size — with one snap-6 division at the
+    * end; min/max are order-free by nature. Scale: one map-side scan,
+    * groups-bounded aggregate, no shuffle of vectors. */
+  def embeddingHealth(embs: DataFrame, vec: Column, group: Column)
+      : DataFrame = {
+    val n2 = graft.functions.VectorExprs.norm2(vec)
+    embs.select(group.as("grp"), size(vec).as("dims"), n2.as("n2"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("dim_min"), max(col("dims")).as("dim_max"),
+        sum((col("n2") === 0.0).cast("long")).as("n_zero"),
+        sum(round(col("n2") * 1e9).cast("decimal(38,0)")).as("s9"),
+        min(col("n2")).as("mn"), max(col("n2")).as("mx"))
+      .select(col("grp"), col("n_vecs"), col("dim_min"), col("dim_max"),
+        col("n_zero"),
+        round(col("s9").cast("double") / 1e9 /
+          col("n_vecs").cast("double"), 6).as("mean_norm2"),
+        round(col("mn"), 6).as("min_norm2"),
+        round(col("mx"), 6).as("max_norm2"))
+  }
 }

@@ -5121,6 +5121,30 @@ FROM r$q82Rounds"""
        |    END) * 1e9) AS BIGINT) AS js_e9
        |FROM x""".stripMargin
 
+  // ------------------- embedding health panel (§2.10 ext)
+  // The datasheet entry that catches a broken embedder before the
+  // ANN/dedup family consumes it: ragged dims, zero-norm rows, collapsed
+  // norm distribution. Per-row ‖v‖² is the shared sequential-IEEE dot;
+  // the mean snaps rows to 1e-9 fixed point and sums in DECIMAL(38,0).
+  private def q161EmbedHealth(s: SparkSession, d: String): DataFrame =
+    graft.operators.Datasheet.embeddingHealth(Tables.embeddings(s, d),
+      col("embedding"), col("label"))
+
+  private val q161Sql =
+    """WITH e AS (SELECT label,
+      |    CAST(len(embedding) AS INTEGER) AS dims,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[])) AS n2
+      |  FROM embeddings)
+      |SELECT label AS grp, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  min(dims) AS dim_min, max(dims) AS dim_max,
+      |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  round(CAST(sum(CAST(round(n2 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+      |    / CAST(count(*) AS DOUBLE), 6) AS mean_norm2,
+      |  round(min(n2), 6) AS min_norm2,
+      |  round(max(n2), 6) AS max_norm2
+      |FROM e GROUP BY label""".stripMargin
+
   // ------------------- IVF nprobe operating curve (§2.10 ext)
   // q141's single-point recall check widened to the whole dial: recall@5
   // AND candidate volume per probe radius 0..3 for the q22 LSH IVF — the
@@ -5450,7 +5474,8 @@ FROM r$q82Rounds"""
     "q157_contam_by_source" -> (q157ContamBySource _),
     "q158_blocker_qa" -> (q158BlockerQa _),
     "q159_probe_sweep" -> (q159ProbeSweep _),
-    "q160_score_drift" -> (q160ScoreDrift _))
+    "q160_score_drift" -> (q160ScoreDrift _),
+    "q161_embed_health" -> (q161EmbedHealth _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5607,5 +5632,6 @@ FROM r$q82Rounds"""
     "q157_contam_by_source" -> q157Sql,
     "q158_blocker_qa" -> q158Sql,
     "q159_probe_sweep" -> q159Sql,
-    "q160_score_drift" -> q160Sql)
+    "q160_score_drift" -> q160Sql,
+    "q161_embed_health" -> q161Sql)
 }

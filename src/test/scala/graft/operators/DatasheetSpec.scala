@@ -70,4 +70,19 @@ class DatasheetSpec extends SparkSpec {
     val totalJs = out.values.map(_.getLong(8)).sum
     assert(totalJs > 0L && totalJs < math.rint(math.log(2.0) * 1e9).toLong)
   }
+
+  test("embeddingHealth: ragged dims, zero-norm rows, and exact norm " +
+    "stats per group") {
+    val embs = Seq(
+      ("A", Array(3.0f, 4.0f)),  // ‖v‖² = 25
+      ("A", Array(0.0f, 0.0f)),  // zero-norm
+      ("B", Array(1.0f)),        // ragged: 1 dim
+      ("B", Array(1.0f, 1.0f, 1.0f))) // 3 dims, ‖v‖² = 3
+      .toDF("grp", "embedding")
+    val got = Datasheet.embeddingHealth(embs, col("embedding"), col("grp"))
+      .as[(String, Long, Int, Int, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") === ("A", 2L, 2, 2, 1L, 12.5, 0.0, 25.0))
+    assert(got("B") === ("B", 2L, 1, 3, 0L, 2.0, 1.0, 3.0))
+  }
 }
