@@ -459,6 +459,34 @@ object Classify {
     (w, b)
   }
 
+  /** Prediction churn between two FILTER VERSIONS on the same corpus —
+    * the deployment question a kappa can't answer: not "do they agree"
+    * but "what exactly does v2 change, and where". Per group (source):
+    * directional flip counts — `n_enter` rows v2 keeps that v1 dropped
+    * (new data entering the mixture), `n_exit` rows v2 drops that v1
+    * kept (data leaving it) — plus both keep counts and the churn rate
+    * (n_enter + n_exit) / n. A version bump with near-zero global churn
+    * can still swing one source hard; the per-group table is the review
+    * artifact before a filter rollout.
+    *
+    * `joined` carries one row per doc with both decisions; exact long
+    * counts, one snap-6 division per group. Scale: one map-side scan,
+    * groups-bounded aggregate. */
+  def predictionChurn(joined: DataFrame, keepA: Column, keepB: Column,
+      group: Column): DataFrame =
+    joined.select(group.as("grp"), keepA.cast("boolean").as("a"),
+        keepB.cast("boolean").as("b"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a").cast("long")).as("n_keep_a"),
+        sum(col("b").cast("long")).as("n_keep_b"),
+        sum((!col("a") && col("b")).cast("long")).as("n_enter"),
+        sum((col("a") && !col("b")).cast("long")).as("n_exit"))
+      .select(col("grp"), col("n"), col("n_keep_a"), col("n_keep_b"),
+        col("n_enter"), col("n_exit"),
+        round((col("n_enter") + col("n_exit")).cast("double") /
+          col("n").cast("double"), 6).as("churn_rate"))
+
   /** Score-DISTRIBUTION drift between two scored snapshots — the standard
     * production monitor for a deployed quality/language filter (PSI's
     * job, computed as per-bin Jensen–Shannon contributions like
@@ -479,12 +507,26 @@ object Classify {
   def scoreDrift(refScored: DataFrame, curScored: DataFrame, score: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    def binned(df: DataFrame, nCol: String): DataFrame =
-      df.select(least(floor(score * lit(bins.toDouble)).cast("int"),
-          lit(bins - 1)).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(nCol))
-    val joined = binned(refScored, "ref_n")
-      .join(binned(curScored, "cur_n"), Seq("bin"), "full_outer")
+    scoreDriftFromCounts(binCounts(refScored, score, bins),
+      binCounts(curScored, score, bins))
+  }
+
+  /** The `(bin, n)` histogram [[scoreDrift]] works over — exposed so a
+    * STREAM can maintain it incrementally (counts are additive, the
+    * `MixDriftStream` argument: per-batch histograms merge exactly). */
+  def binCounts(scored: DataFrame, score: Column, bins: Int = 10)
+      : DataFrame =
+    scored.select(least(floor(score * lit(bins.toDouble)).cast("int"),
+        lit(bins - 1)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  /** [[scoreDrift]] over pre-aggregated `(bin, n)` histograms (the
+    * streaming state's grain). */
+  def scoreDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame)
+      : DataFrame = {
+    val joined = refCounts.select(col("bin"), col("n").as("ref_n"))
+      .join(curCounts.select(col("bin"), col("n").as("cur_n")),
+        Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     val totals = joined.agg(sum(col("ref_n")).as("rt"),

@@ -2232,25 +2232,30 @@ object TestdataQueries {
       q77Weights, q77Bias)
       .withColumnRenamed("id", "doc_id")
 
-  private val q77Sql = {
+  /** q77's oracle parametrized by model literals — shared by every query
+    * that rescores the corpus under a (possibly different) frozen model
+    * (q77 and the q162 churn pair). */
+  private def linearScoreSql(weights: Seq[Double], bias: Double): String = {
     val poly = "list_reduce(list_transform(string_split(tok, ''), " +
       "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
-    val values = q77Weights.zipWithIndex.map { case (w, i) =>
+    val values = weights.zipWithIndex.map { case (w, i) =>
       s"($i, CAST($w AS DECIMAL(28,12)))"
     }.mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |  FROM documents WHERE length(trim(text)) > 0),
        |w(bucket, wv) AS (VALUES $values),
-       |b AS (SELECT doc_id, $poly % $q77D AS bucket FROM toks),
+       |b AS (SELECT doc_id, $poly % ${weights.length} AS bucket FROM toks),
        |sc AS (SELECT doc_id, count(*) AS n_toks,
        |      CAST(sum(wv) AS DOUBLE) AS z
        |    FROM b JOIN w USING (bucket) GROUP BY doc_id)
        |SELECT doc_id, n_toks,
-       |  round(1.0 / (1.0 + exp(-($q77Bias + z / CAST(n_toks AS DOUBLE)))), 4)
+       |  round(1.0 / (1.0 + exp(-($bias + z / CAST(n_toks AS DOUBLE)))), 4)
        |    AS score
        |FROM sc""".stripMargin
   }
+
+  private val q77Sql = linearScoreSql(q77Weights, q77Bias)
 
   // ------------------- streaming count-min sketch (§2.10 ext)
   // Counter addition is exact, so the merged micro-batch state is
@@ -5121,6 +5126,78 @@ FROM r$q82Rounds"""
        |    END) * 1e9) AS BIGINT) AS js_e9
        |FROM x""".stripMargin
 
+  // ------------------- prediction churn between filter versions (§2.10 ext)
+  // The pre-rollout review artifact for a filter version bump: not "do
+  // v1 and v2 agree" (q143's kappa) but WHAT v2 changes and WHERE —
+  // directional flip counts per source at the production threshold. The
+  // v2 model is a deterministic perturbation of q77's literals (a
+  // zero-mean alternating ±0.6 weight nudge, 6-decimal snapped — exactly
+  // representable, rendered into both plans), non-monotone vs v1 so both
+  // flip directions occur (sf0.01: 31 enters / 5 exits — a bias-only or
+  // scale-only "v2" is monotone in z and can never produce exits).
+  private val q162WeightsB: Seq[Double] = q77Weights.zipWithIndex.map {
+    case (w, i) =>
+      math.rint((w + (if (i % 2 == 0) 0.6 else -0.6)) * 1e6) / 1e6
+  }
+  private val q162BiasB = q77Bias
+
+  private def q162PredictionChurn(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = graft.operators.Classify.hashedLinearScore(docs, col("doc_id"),
+      col("text"), q77Weights, q77Bias)
+      .select(col("id"), (col("score") >= 0.5).as("ka"))
+    val b = graft.operators.Classify.hashedLinearScore(docs, col("doc_id"),
+      col("text"), q162WeightsB, q162BiasB)
+      .select(col("id"), (col("score") >= 0.5).as("kb"))
+    val joined = a.join(b, Seq("id"))
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+    graft.operators.Classify.predictionChurn(joined, col("ka"), col("kb"),
+        col("source"))
+      .withColumnRenamed("grp", "source")
+  }
+
+  private val q162Sql =
+    s"""WITH sa AS (SELECT doc_id, score FROM (${linearScoreSql(q77Weights, q77Bias)})),
+       |sb AS (SELECT doc_id, score FROM (${linearScoreSql(q162WeightsB, q162BiasB)})),
+       |j AS (SELECT d.source, sa.score >= 0.5 AS a, sb.score >= 0.5 AS b
+       |  FROM sa JOIN sb USING (doc_id) JOIN documents d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_a,
+       |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_b,
+       |  CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_enter,
+       |  CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exit,
+       |  round(CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+       |FROM j GROUP BY source""".stripMargin
+
+  // ------------------- streaming score drift (§2.10 ext)
+  // q160's monitor in its real regime: the "current" snapshot arrives in
+  // three micro-batches, each scored by the frozen filter and folded
+  // into the (bin, n) histogram state — counts are additive, so the
+  // accumulated histogram equals the one-shot binning EXACTLY and the
+  // drift read against the reference histogram reproduces q160 verbatim
+  // (its oracle certifies this query).
+  private def q163StreamingScoreDrift(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("scoredrift_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    def scored(df: DataFrame) = graft.operators.Classify.hashedLinearScore(
+      df, col("doc_id"), col("text"), q77Weights, q77Bias)
+    val newer = docs.filter(col("source") =!= "src3" &&
+      !(col("source") === "src7" && col("doc_id") % 2 === 0))
+    (0 until 3).foreach { b =>
+      graft.streaming.ScoreDriftStream.ingestBatch(s,
+        scored(newer.filter(col("doc_id") % 3 === b)),
+        col("score"), state, q138Bins)
+    }
+    graft.streaming.ScoreDriftStream.driftVsReference(s, state,
+      graft.operators.Classify.binCounts(scored(docs), col("score"),
+        q138Bins))
+  }
+
   // ------------------- embedding health panel (§2.10 ext)
   // The datasheet entry that catches a broken embedder before the
   // ANN/dedup family consumes it: ragged dims, zero-norm rows, collapsed
@@ -5475,7 +5552,9 @@ FROM r$q82Rounds"""
     "q158_blocker_qa" -> (q158BlockerQa _),
     "q159_probe_sweep" -> (q159ProbeSweep _),
     "q160_score_drift" -> (q160ScoreDrift _),
-    "q161_embed_health" -> (q161EmbedHealth _))
+    "q161_embed_health" -> (q161EmbedHealth _),
+    "q162_prediction_churn" -> (q162PredictionChurn _),
+    "q163_streaming_scoredrift" -> (q163StreamingScoreDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5633,5 +5712,7 @@ FROM r$q82Rounds"""
     "q158_blocker_qa" -> q158Sql,
     "q159_probe_sweep" -> q159Sql,
     "q160_score_drift" -> q160Sql,
-    "q161_embed_health" -> q161Sql)
+    "q161_embed_health" -> q161Sql,
+    "q162_prediction_churn" -> q162Sql,
+    "q163_streaming_scoredrift" -> q160Sql)
 }

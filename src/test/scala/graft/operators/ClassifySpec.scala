@@ -71,4 +71,18 @@ class ClassifySpec extends SparkSpec {
       .select("js_e9").as[Long].collect()
     assert(same.forall(_ === 0L))
   }
+
+  test("predictionChurn: directional flip counts and rate, per group") {
+    val joined = Seq(
+      ("A", true, true), ("A", true, false), ("A", false, true),
+      ("A", false, false),                       // A: 1 exit, 1 enter of 4
+      ("B", true, true), ("B", true, true)) // B: no churn
+      .toDF("grp", "ka", "kb")
+    val got = Classify.predictionChurn(joined, col("ka"), col("kb"),
+        col("grp"))
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") === ("A", 4L, 2L, 2L, 1L, 1L, 0.5))
+    assert(got("B") === ("B", 2L, 2L, 2L, 0L, 0L, 0.0))
+  }
 }
