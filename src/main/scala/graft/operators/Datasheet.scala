@@ -133,6 +133,108 @@ object Datasheet {
         round(jsTerm * 1e9).cast("long").as("js_e9"))
   }
 
+  /** Cross-source NEAR-DUP pair matrix — [[Contamination
+    * .sourceOverlapMatrix]]'s question asked at the document level: for
+    * every source pair, how many verified near-duplicate PAIRS straddle
+    * it. Gram overlap says two feeds share phrasing; this says they
+    * share whole documents — the direct double-counted-mixture-weight /
+    * split-leakage signal, and the diagonal is each source's internal
+    * dup load. `pairs` is any verified pair table (id_a, id_b) — e.g.
+    * the registered MinHash-LSH output; `sources` maps id → source; the
+    * pair's source key is order-normalized so the matrix is
+    * upper-triangular. Scale: pairs are id-only metadata, two id-keyed
+    * joins, groups²-bounded output. */
+  def nearDupSourceMatrix(pairs: DataFrame, sources: DataFrame)
+      : DataFrame = {
+    val sa = sources.select(col("id").as("id_a"), col("source").as("sa"))
+    val sb = sources.select(col("id").as("id_b"), col("source").as("sb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov drift between two snapshots of
+    * an integer-valued per-document statistic (token count, length,
+    * segment count): the max CDF gap, plus WHERE it occurs. The
+    * histogram monitors ([[mixDrift]]-style) see only their bin grid; KS
+    * is bin-free and catches a shift the grid straddles. Exactness
+    * discipline: both CDFs live on the value-keyed COUNT TABLE (bounded
+    * by distinct values, the q137 score-grain argument), the gap
+    * numerator is the integer cross-product |cumR·nC − cumC·nR| in
+    * DECIMAL(38,0) (overflow-safe at any corpus size), max is
+    * order-free, ties on the argmax resolve to the smallest value, and
+    * the single division snaps to 6. Output one row: (n_ref, n_cur, ks,
+    * ks_at); ks is null when either side is empty. Scale: one map-side
+    * count collapse per snapshot, a values-bounded join, ONE
+    * values-bounded cumulative window with the sanctioned non-foldable
+    * zero partition key. */
+  def ksDrift(refVals: DataFrame, curVals: DataFrame, value: Column)
+      : DataFrame = {
+    val r = refVals.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("rn"))
+    val c = curVals.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cn"))
+    val j = r.join(c, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("rn") + col("cn"), lit(1L)))
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = j.select(col("v"), sum(col("rn")).over(w).as("cr"),
+      sum(col("cn")).over(w).as("cc"))
+    val tot = j.agg(sum(col("rn")).as("nr"), sum(col("cn")).as("nc"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("nr"), col("nc"),
+        abs(col("cr").cast("decimal(38,0)") * col("nc").cast("decimal(38,0)")
+          - col("cc").cast("decimal(38,0)") * col("nr").cast("decimal(38,0)"))
+          .as("gap"))
+    val mx = gaps.agg(max(col("gap")).as("g"))
+    gaps.crossJoin(broadcast(mx)).filter(col("gap") === col("g"))
+      .groupBy(col("nr"), col("nc"), col("g"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("nr").as("n_ref"), col("nc").as("n_cur"),
+        when(col("nr") > 0 && col("nc") > 0,
+          round(col("g").cast("double") /
+            (col("nr").cast("double") * col("nc").cast("double")), 6))
+          .as("ks"),
+        col("ks_at"))
+  }
+
+  /** Per-source NOVEL-GRAM rate of a new snapshot against a reference
+    * snapshot — which feed is bringing new content vs re-crawling what
+    * the corpus already has. A gram counts as novel for source s when s
+    * contains it and the reference snapshot does not (grams shared by
+    * several new sources count for each — the question is per-feed).
+    * Scale shape: ONE shuffle of distinct (src, gram-hash128) pairs and
+    * one distinct reference gram-hash set (gram TEXT never shuffles, the
+    * q9/q109 128-bit trade), one hash-keyed join, sources-bounded
+    * output. */
+  def novelGramsBySource(refDocs: DataFrame, newDocs: DataFrame,
+      text: Column, source: Column, n: Int = 3): DataFrame = {
+    def h(g: Column): Seq[Column] =
+      Seq(xxhash64(g).as("h1"), xxhash64(g, lit(1)).as("h2"))
+    val old = refDocs
+      .select(explode(TextExprs.wordShingles(text, n)).as("g"))
+      .select(h(col("g")): _*).distinct()
+      .withColumn("seen", lit(1))
+    val nw = newDocs
+      .select(source.as("src"),
+        explode(TextExprs.wordShingles(text, n)).as("g"))
+      .select(col("src") +: h(col("g")): _*).distinct()
+    nw.join(old, Seq("h1", "h2"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("src"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty_rate"))
+  }
+
   /** Embedding-table health panel per group — the datasheet entry that
     * catches a broken embedder BEFORE the ANN/dedup family consumes its
     * output: ragged dimensions (dim_min ≠ dim_max means a schema bug

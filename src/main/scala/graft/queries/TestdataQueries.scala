@@ -5126,6 +5126,107 @@ FROM r$q82Rounds"""
        |    END) * 1e9) AS BIGINT) AS js_e9
        |FROM x""".stripMargin
 
+  // ------------------- cross-source near-dup matrix (§2.10 ext)
+  // q121's gram-overlap matrix asked at the DOCUMENT level: verified
+  // near-dup pairs (q19's own plan) bucketed by order-normalized source
+  // pair — which feeds duplicate each other (off-diagonal) and each
+  // feed's internal dup load (diagonal).
+  private def q164NearDupMatrix(s: SparkSession, d: String): DataFrame =
+    graft.operators.Datasheet.nearDupSourceMatrix(
+      q19MinhashLsh(s, d).select(col("id_a"), col("id_b")),
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("source")))
+
+  private val q164Sql =
+    s"""WITH pr AS (SELECT id_a, id_b FROM ($q19Sql)),
+       |j AS (SELECT least(da.source, db.source) AS src_a,
+       |    greatest(da.source, db.source) AS src_b
+       |  FROM pr JOIN documents da ON da.doc_id = pr.id_a
+       |          JOIN documents db ON db.doc_id = pr.id_b)
+       |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM j GROUP BY src_a, src_b""".stripMargin
+
+  // ------------------- exact KS drift on token counts (§2.10 ext)
+  // Bin-free distribution drift beside the histogram monitors: exact
+  // two-sample Kolmogorov–Smirnov on the per-doc token count between
+  // the corpus and the q152 "newer" snapshot — max CDF gap and where it
+  // occurs, integer cross-product numerators in DECIMAL(38,0).
+  private def q165KsDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val newer = docs.filter(col("source") =!= "src3" &&
+      !(col("source") === "src7" && col("doc_id") % 2 === 0))
+    graft.operators.Datasheet.ksDrift(docs, newer,
+      TextExprs.tokenCount(col("text")))
+  }
+
+  private val q165Sql =
+    """WITH tok AS (SELECT source, doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+      |  FROM documents),
+      |r AS (SELECT v, count(*) AS rn FROM tok GROUP BY v),
+      |c AS (SELECT v, count(*) AS cn FROM tok
+      |  WHERE source <> 'src3' AND NOT (source = 'src7' AND doc_id % 2 = 0)
+      |  GROUP BY v),
+      |j AS (SELECT coalesce(r.v, c.v) AS v, coalesce(rn, 0) AS rn,
+      |    coalesce(cn, 0) AS cn
+      |  FROM r FULL OUTER JOIN c ON r.v = c.v),
+      |t AS (SELECT CAST(sum(rn) AS BIGINT) AS nr,
+      |    CAST(sum(cn) AS BIGINT) AS nc FROM j),
+      |cum AS (SELECT v,
+      |    sum(rn) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+      |    sum(cn) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |  FROM j),
+      |g AS (SELECT v, nr, nc,
+      |    abs(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr) AS gap
+      |  FROM cum CROSS JOIN t),
+      |m AS (SELECT max(gap) AS mg FROM g)
+      |SELECT nr AS n_ref, nc AS n_cur,
+      |  CASE WHEN nr > 0 AND nc > 0 THEN
+      |    round(CAST(mg AS DOUBLE) /
+      |      (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+      |  END AS ks,
+      |  CAST(min(v) AS BIGINT) AS ks_at
+      |FROM g CROSS JOIN m WHERE gap = mg
+      |GROUP BY nr, nc, mg""".stripMargin
+
+  // ------------------- per-source novel-gram rate (§2.10 ext)
+  // Which feed brings NEW content vs re-crawls what the corpus already
+  // has: distinct grams per source of the full (new) snapshot, counted
+  // novel when absent from the q152 "newer" reference snapshot — so the
+  // novelty here is exactly the dropped src3 + half-src7 content
+  // resurfacing.
+  private def q166NovelGrams(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("source") =!= "src3" &&
+      !(col("source") === "src7" && col("doc_id") % 2 === 0))
+    graft.operators.Datasheet.novelGramsBySource(ref, docs,
+      col("text"), col("source"))
+  }
+
+  private val q166Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+      |  )) AS g FROM toks WHERE len(ts) > 0),
+      |old AS (SELECT DISTINCT g FROM sh
+      |  WHERE source <> 'src3' AND NOT (source = 'src7' AND doc_id % 2 = 0)),
+      |nw AS (SELECT DISTINCT source AS src, g FROM sh)
+      |SELECT src, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  round(CAST(sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+      |FROM nw LEFT JOIN old o USING (g)
+      |GROUP BY src""".stripMargin
+
   // ------------------- prediction churn between filter versions (§2.10 ext)
   // The pre-rollout review artifact for a filter version bump: not "do
   // v1 and v2 agree" (q143's kappa) but WHAT v2 changes and WHERE —
@@ -5554,7 +5655,10 @@ FROM r$q82Rounds"""
     "q160_score_drift" -> (q160ScoreDrift _),
     "q161_embed_health" -> (q161EmbedHealth _),
     "q162_prediction_churn" -> (q162PredictionChurn _),
-    "q163_streaming_scoredrift" -> (q163StreamingScoreDrift _))
+    "q163_streaming_scoredrift" -> (q163StreamingScoreDrift _),
+    "q164_neardup_matrix" -> (q164NearDupMatrix _),
+    "q165_ks_drift" -> (q165KsDrift _),
+    "q166_novel_grams" -> (q166NovelGrams _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5714,5 +5818,8 @@ FROM r$q82Rounds"""
     "q160_score_drift" -> q160Sql,
     "q161_embed_health" -> q161Sql,
     "q162_prediction_churn" -> q162Sql,
-    "q163_streaming_scoredrift" -> q160Sql)
+    "q163_streaming_scoredrift" -> q160Sql,
+    "q164_neardup_matrix" -> q164Sql,
+    "q165_ks_drift" -> q165Sql,
+    "q166_novel_grams" -> q166Sql)
 }

@@ -71,6 +71,50 @@ class DatasheetSpec extends SparkSpec {
     assert(totalJs > 0L && totalJs < math.rint(math.log(2.0) * 1e9).toLong)
   }
 
+  test("nearDupSourceMatrix: order-normalized source pairs, diagonal = " +
+    "internal dup load") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val sources = Seq(1L -> "B", 2L -> "A", 3L -> "A", 4L -> "B",
+      5L -> "A", 6L -> "A", 7L -> "C", 8L -> "B").toDF("id", "source")
+    val got = Datasheet.nearDupSourceMatrix(pairs, sources)
+      .as[(String, String, Long)].collect().toSet
+    // (B,A) and (A,B) both normalize to (A,B); (A,A) is the diagonal
+    assert(got === Set(("A", "B", 2L), ("A", "A", 1L), ("B", "C", 1L)))
+  }
+
+  test("ksDrift: exact max CDF gap with argmax ties to the smallest " +
+    "value; empty side yields null ks") {
+    val ref = Seq(1, 1, 2, 3).toDF("v")
+    val cur = Seq(2, 3, 3, 4).toDF("v")
+    val got = Datasheet.ksDrift(ref, cur, col("v")).collect().head
+    // CDF gaps ×16: v1 |8-0|=8, v2 |12-4|=8, v3 |16-12|=4, v4 0 →
+    // ks = 8/16 = 0.5, tie between v=1 and v=2 resolves to 1
+    assert(got.getLong(0) === 4L && got.getLong(1) === 4L)
+    assert(got.getDouble(2) === 0.5 && got.getLong(3) === 1L)
+    val empty = Datasheet.ksDrift(ref, cur.limit(0), col("v"))
+      .collect().head
+    assert(empty.isNullAt(2))
+    val same = Datasheet.ksDrift(ref, ref, col("v")).collect().head
+    assert(same.getDouble(2) === 0.0)
+  }
+
+  test("novelGramsBySource: per-source novelty against a reference " +
+    "snapshot; shared novel grams count for each source") {
+    val ref = Seq((1L, "a b c d")).toDF("id", "text")
+    val nw = Seq(
+      ("X", "a b c d"),    // both grams known → 0 novel
+      ("Y", "x y z w"),    // both grams novel
+      ("Z", "x y z q"))    // "x y z" novel (shared with Y), "y z q" novel
+      .toDF("source", "text")
+    val got = Datasheet.novelGramsBySource(ref, nw, col("text"),
+        col("source"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("X") === ("X", 2L, 0L, 0.0))
+    assert(got("Y") === ("Y", 2L, 2L, 1.0))
+    assert(got("Z") === ("Z", 2L, 2L, 1.0))
+  }
+
   test("embeddingHealth: ragged dims, zero-norm rows, and exact norm " +
     "stats per group") {
     val embs = Seq(
