@@ -235,6 +235,29 @@ object Datasheet {
           col("n_grams").cast("double"), 6).as("novelty_rate"))
   }
 
+  /** Dedup-EFFECTIVE dataset size — the scalar a dedup run is for: how
+    * many documents and tokens remain when each near-dup cluster keeps
+    * its representative. `clusters` is a (doc_id, cluster_rep) table
+    * (singletons map to themselves — connected components' contract);
+    * `tokens` maps doc_id → token count. One corpus-bounded aggregate
+    * over two id-keyed metadata tables; the rep-token sum counts a
+    * cluster's tokens at its representative only, so `token_keep_rate`
+    * is what a downstream token budget actually sees. */
+  def dedupEffectiveSize(clusters: DataFrame, tokens: DataFrame)
+      : DataFrame =
+    clusters.join(tokens, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_rep")).as("n_clusters"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("doc_id") === col("cluster_rep"), col("nt"))
+          .otherwise(0L)).as("rep_tokens"))
+      .select(col("n_docs"), col("n_clusters"),
+        round(col("n_clusters").cast("double") /
+          col("n_docs").cast("double"), 6).as("doc_keep_rate"),
+        col("n_tokens"), col("rep_tokens"),
+        round(col("rep_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("token_keep_rate"))
+
   /** Embedding-table health panel per group — the datasheet entry that
     * catches a broken embedder BEFORE the ANN/dedup family consumes its
     * output: ragged dimensions (dim_min ≠ dim_max means a schema bug

@@ -5227,6 +5227,59 @@ FROM r$q82Rounds"""
       |FROM nw LEFT JOIN old o USING (g)
       |GROUP BY src""".stripMargin
 
+  // ------------------- split-leakage report (§2.10 ext)
+  // THE check before trusting a val/test number: near-dup pairs that
+  // straddle split boundaries (q19's verified pairs × q87's hash split
+  // assignment). An off-diagonal (train,val)/(train,test) row means the
+  // eval set contains near-copies of training docs and its loss is
+  // fiction. Same operator as q164 — the split IS a source-like
+  // partition of the corpus.
+  private def q167SplitLeakage(s: SparkSession, d: String): DataFrame =
+    graft.operators.Datasheet.nearDupSourceMatrix(
+      q19MinhashLsh(s, d).select(col("id_a"), col("id_b")),
+      q87Splits(s, d).select(col("doc_id").as("id"),
+        col("split").as("source")))
+      .withColumnRenamed("src_a", "split_a")
+      .withColumnRenamed("src_b", "split_b")
+
+  private val q167Sql =
+    s"""WITH pr AS (SELECT id_a, id_b FROM ($q19Sql)),
+       |sp AS (SELECT doc_id, split FROM ($q87Sql)),
+       |j AS (SELECT least(sa.split, sb.split) AS split_a,
+       |    greatest(sa.split, sb.split) AS split_b
+       |  FROM pr JOIN sp sa ON sa.doc_id = pr.id_a
+       |          JOIN sp sb ON sb.doc_id = pr.id_b)
+       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM j GROUP BY split_a, split_b""".stripMargin
+
+  // ------------------- dedup-effective dataset size (§2.10 ext)
+  // The datasheet scalar a dedup run is FOR: how many docs/tokens
+  // actually remain when each near-dup cluster (q44's connected
+  // components) keeps its representative. Doc and token keep rates in
+  // one corpus-bounded aggregate over the id-keyed cluster table.
+  private def q168EffectiveSize(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      TextExprs.tokenCount(col("text")).cast("long").as("nt"))
+    graft.operators.Datasheet.dedupEffectiveSize(q44DupClusters(s, d), tok)
+  }
+
+  private val q168Sql =
+    s"""WITH cl AS (SELECT doc_id, cluster_rep FROM ($q44Sql)),
+       |tok AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+       |  FROM documents)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+       |  round(CAST(count(DISTINCT cluster_rep) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS doc_keep_rate,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN doc_id = cluster_rep THEN nt ELSE 0 END)
+       |    AS BIGINT) AS rep_tokens,
+       |  round(CAST(sum(CASE WHEN doc_id = cluster_rep THEN nt ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6) AS token_keep_rate
+       |FROM cl JOIN tok USING (doc_id)""".stripMargin
+
   // ------------------- prediction churn between filter versions (§2.10 ext)
   // The pre-rollout review artifact for a filter version bump: not "do
   // v1 and v2 agree" (q143's kappa) but WHAT v2 changes and WHERE —
@@ -5658,7 +5711,9 @@ FROM r$q82Rounds"""
     "q163_streaming_scoredrift" -> (q163StreamingScoreDrift _),
     "q164_neardup_matrix" -> (q164NearDupMatrix _),
     "q165_ks_drift" -> (q165KsDrift _),
-    "q166_novel_grams" -> (q166NovelGrams _))
+    "q166_novel_grams" -> (q166NovelGrams _),
+    "q167_split_leakage" -> (q167SplitLeakage _),
+    "q168_effective_size" -> (q168EffectiveSize _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5821,5 +5876,7 @@ FROM r$q82Rounds"""
     "q163_streaming_scoredrift" -> q160Sql,
     "q164_neardup_matrix" -> q164Sql,
     "q165_ks_drift" -> q165Sql,
-    "q166_novel_grams" -> q166Sql)
+    "q166_novel_grams" -> q166Sql,
+    "q167_split_leakage" -> q167Sql,
+    "q168_effective_size" -> q168Sql)
 }

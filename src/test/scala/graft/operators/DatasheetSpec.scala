@@ -115,6 +115,17 @@ class DatasheetSpec extends SparkSpec {
     assert(got("Z") === ("Z", 2L, 2L, 1.0))
   }
 
+  test("dedupEffectiveSize: keep rates count cluster tokens at the rep") {
+    // cluster {1,2,3} rep 1; singletons 4, 5
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "cluster_rep")
+    val tokens = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 5L), (5L, 35L))
+      .toDF("doc_id", "nt")
+    val got = Datasheet.dedupEffectiveSize(clusters, tokens)
+      .as[(Long, Long, Double, Long, Long, Double)].collect().head
+    assert(got === ((5L, 3L, 0.6, 100L, 50L, 0.5)))
+  }
+
   test("embeddingHealth: ragged dims, zero-norm rows, and exact norm " +
     "stats per group") {
     val embs = Seq(
