@@ -5280,6 +5280,42 @@ FROM r$q82Rounds"""
        |      AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6) AS token_keep_rate
        |FROM cl JOIN tok USING (doc_id)""".stripMargin
 
+  // ------------------- streaming novelty series (§2.10 ext)
+  // q166's question per ingest batch: how much of each arriving batch is
+  // content the accumulated corpus has never seen (novelty → 0 means the
+  // feed is re-crawling itself). A gram is novel exactly once — in the
+  // batch where it FIRST appears — so the oracle is a first-batch
+  // attribution over the same deterministic id % 3 split.
+  private def q169NoveltySeries(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("novel_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.NovelGramStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b), col("text"), b.toLong, state)
+    }
+    graft.streaming.NovelGramStream.noveltySeries(s, state)
+  }
+
+  private val q169Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+      |  )) AS g FROM toks WHERE len(ts) > 0),
+      |bg AS (SELECT DISTINCT doc_id % 3 AS b, g FROM sh),
+      |first AS (SELECT g, min(b) AS fb FROM bg GROUP BY g)
+      |SELECT b AS batch_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN fb = b THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN fb = b THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+      |FROM bg JOIN first USING (g)
+      |GROUP BY b""".stripMargin
+
   // ------------------- prediction churn between filter versions (§2.10 ext)
   // The pre-rollout review artifact for a filter version bump: not "do
   // v1 and v2 agree" (q143's kappa) but WHAT v2 changes and WHERE —
@@ -5713,7 +5749,8 @@ FROM r$q82Rounds"""
     "q165_ks_drift" -> (q165KsDrift _),
     "q166_novel_grams" -> (q166NovelGrams _),
     "q167_split_leakage" -> (q167SplitLeakage _),
-    "q168_effective_size" -> (q168EffectiveSize _))
+    "q168_effective_size" -> (q168EffectiveSize _),
+    "q169_novelty_series" -> (q169NoveltySeries _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5878,5 +5915,6 @@ FROM r$q82Rounds"""
     "q165_ks_drift" -> q165Sql,
     "q166_novel_grams" -> q166Sql,
     "q167_split_leakage" -> q167Sql,
-    "q168_effective_size" -> q168Sql)
+    "q168_effective_size" -> q168Sql,
+    "q169_novelty_series" -> q169Sql)
 }
