@@ -121,6 +121,56 @@ object ScaleProbe {
     r
   }
 
+  /** ContamStream's scale claim, measured: per-poll cost tracks the
+    * DELTAS, not the accumulated corpus. Three accumulated corpus sizes
+    * (16×-spread); at each, ONE document poll (5k new docs, no benchmark
+    * change — expected ~flat: new grams probe only the bounded benchmark
+    * set) and ONE benchmark poll (200 new suites, no new docs — expected
+    * linear map-side in the gram index: the broadcast-increment join
+    * scans the index once, no index shuffle). Results in SCALE.md. */
+  def contamStreamProbe(spark: SparkSession): Unit = {
+    import graft.streaming.ContamStream
+    def text(idc: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(0), lit(149)),
+        i => concat(lit("w"), pmod(hash(idc * 31 + i), lit(100000)))))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val docBatch = spark.range(5000)
+      .select((col("id") + 900000000L).as("id"),
+        text(col("id") + 700000000L).as("text")).cache()
+    docBatch.count()
+    val benchInc = spark.range(200)
+      .select((col("id") + 800000000L).as("id"),
+        text(col("id") + 600000000L).as("text")).cache()
+    benchInc.count()
+    val empty = docBatch.limit(0)
+    // JIT/codegen warmup outside every timed window
+    val warm = "/tmp/ct_probe_warm"
+    fs.delete(new org.apache.hadoop.fs.Path(warm), true)
+    ContamStream.ingestBatch(spark,
+      spark.range(2000).select(col("id"), text(col("id")).as("text")),
+      benchInc, warm)
+    ContamStream.ingestBatch(spark, docBatch, empty, warm)
+    Seq(25000L, 100000L, 400000L).foreach { nCorpus =>
+      val base = s"/tmp/ct_probe_$nCorpus"
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val corpus = spark.range(nCorpus)
+        .select(col("id"), text(col("id")).as("text"))
+      val bench0 = spark.range(2000)
+        .select((col("id") + 850000000L).as("id"),
+          text(col("id") + 500000000L).as("text"))
+      time(f"ct seed       corpus=$nCorpus%7d") {
+        ContamStream.ingestBatch(spark, corpus, bench0, base)
+      }
+      time(f"ct doc-poll   corpus=$nCorpus%7d (5k docs)") {
+        ContamStream.ingestBatch(spark, docBatch, empty, base)
+      }
+      time(f"ct bench-poll corpus=$nCorpus%7d (200 suites)") {
+        ContamStream.ingestBatch(spark, empty, benchInc, base)
+      }
+    }
+  }
+
   /** Crossover measurement for NearDupStream's verify-side corpus access
     * (full-scan shingle vs candidate-id broadcast semi-join) at growing
     * corpus/batch ratios. State is seeded directly with what ingestBatch
@@ -1308,7 +1358,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
-      "lmstream", "qs", "ops16")
+      "lmstream", "qs", "ops16", "ct")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1337,6 +1387,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("nd")) {
       nearDupStreamProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ct")) {
+      contamStreamProbe(spark); spark.stop(); return
     }
     if (args.headOption.contains("bpe")) {
       bpeProbe(spark); spark.stop(); return
