@@ -205,6 +205,47 @@ object Datasheet {
         col("ks_at"))
   }
 
+  /** [[ksDrift]] group-keyed — the slice view: a length/token-count
+    * distribution can hold globally while one source's collapses (a feed
+    * that started truncating documents moves only its own CDF). Same
+    * exactness discipline per group; the cumulative window is PROPERLY
+    * partitioned by group, totals/max/argmax are per-group aggregates;
+    * groups with an empty side yield null ks (e.g. a source absent from
+    * the current snapshot). */
+  def ksDriftByGroup(refVals: DataFrame, curVals: DataFrame, value: Column,
+      group: Column): DataFrame = {
+    val r = refVals.select(group.as("grp"), value.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("rn"))
+    val c = curVals.select(group.as("grp"), value.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cn"))
+    val j = r.join(c, Seq("grp", "v"), "full_outer")
+      .select(col("grp"), col("v"), coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = j.select(col("grp"), col("v"), sum(col("rn")).over(w).as("cr"),
+      sum(col("cn")).over(w).as("cc"))
+    val tot = j.groupBy(col("grp"))
+      .agg(sum(col("rn")).as("nr"), sum(col("cn")).as("nc"))
+    val gaps = cum.join(tot, Seq("grp"))
+      .select(col("grp"), col("v"), col("nr"), col("nc"),
+        abs(col("cr").cast("decimal(38,0)") * col("nc").cast("decimal(38,0)")
+          - col("cc").cast("decimal(38,0)") * col("nr").cast("decimal(38,0)"))
+          .as("gap"))
+    val mx = gaps.groupBy(col("grp")).agg(max(col("gap")).as("g"))
+    gaps.join(mx, Seq("grp")).filter(col("gap") === col("g"))
+      .groupBy(col("grp"), col("nr"), col("nc"), col("g"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("grp"), col("nr").as("n_ref"), col("nc").as("n_cur"),
+        when(col("nr") > 0 && col("nc") > 0,
+          round(col("g").cast("double") /
+            (col("nr").cast("double") * col("nc").cast("double")), 6))
+          .as("ks"),
+        col("ks_at"))
+  }
+
   /** Per-source NOVEL-GRAM rate of a new snapshot against a reference
     * snapshot — which feed is bringing new content vs re-crawling what
     * the corpus already has. A gram counts as novel for source s when s

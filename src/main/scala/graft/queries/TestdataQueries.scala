@@ -5192,6 +5192,53 @@ FROM r$q82Rounds"""
       |FROM g CROSS JOIN m WHERE gap = mg
       |GROUP BY nr, nc, mg""".stripMargin
 
+  // ------------------- per-source KS drift (§2.10 ext)
+  // q165 sliced: a token-count distribution can hold globally while one
+  // feed's collapses (truncation bug, format change). Window PROPERLY
+  // partitioned by source; src3 (absent from the newer snapshot) yields
+  // null ks by contract.
+  private def q171KsBySource(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val newer = docs.filter(col("source") =!= "src3" &&
+      !(col("source") === "src7" && col("doc_id") % 2 === 0))
+    graft.operators.Datasheet.ksDriftByGroup(docs, newer,
+        TextExprs.tokenCount(col("text")), col("source"))
+      .withColumnRenamed("grp", "source")
+  }
+
+  private val q171Sql =
+    """WITH tok AS (SELECT source, doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+      |  FROM documents),
+      |r AS (SELECT source AS grp, v, count(*) AS rn FROM tok GROUP BY 1, 2),
+      |c AS (SELECT source AS grp, v, count(*) AS cn FROM tok
+      |  WHERE source <> 'src3' AND NOT (source = 'src7' AND doc_id % 2 = 0)
+      |  GROUP BY 1, 2),
+      |j AS (SELECT coalesce(r.grp, c.grp) AS grp, coalesce(r.v, c.v) AS v,
+      |    coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+      |  FROM r FULL OUTER JOIN c ON r.grp = c.grp AND r.v = c.v),
+      |t AS (SELECT grp, CAST(sum(rn) AS BIGINT) AS nr,
+      |    CAST(sum(cn) AS BIGINT) AS nc FROM j GROUP BY grp),
+      |cum AS (SELECT grp, v,
+      |    sum(rn) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+      |    sum(cn) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |  FROM j),
+      |g AS (SELECT cum.grp, v, nr, nc,
+      |    abs(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr) AS gap
+      |  FROM cum JOIN t ON cum.grp = t.grp),
+      |m AS (SELECT grp, max(gap) AS mg FROM g GROUP BY grp)
+      |SELECT g.grp AS source, nr AS n_ref, nc AS n_cur,
+      |  CASE WHEN nr > 0 AND nc > 0 THEN
+      |    round(CAST(mg AS DOUBLE) /
+      |      (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+      |  END AS ks,
+      |  CAST(min(v) AS BIGINT) AS ks_at
+      |FROM g JOIN m ON g.grp = m.grp AND g.gap = m.mg
+      |GROUP BY g.grp, nr, nc, mg""".stripMargin
+
   // ------------------- per-source novel-gram rate (§2.10 ext)
   // Which feed brings NEW content vs re-crawls what the corpus already
   // has: distinct grams per source of the full (new) snapshot, counted
@@ -5315,6 +5362,35 @@ FROM r$q82Rounds"""
       |    / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
       |FROM bg JOIN first USING (g)
       |GROUP BY b""".stripMargin
+
+  // ------------------- streaming dup clusters (§2.10 ext)
+  // Duplicate clusters maintained ONLINE: the incremental band-index
+  // stream (q57's operator) discovers each near-dup pair exactly once,
+  // when its later endpoint arrives, so after any arrival split the
+  // accumulated pair sink EQUALS the batch pair set and the cluster
+  // read — connected components over ids + sink — equals q44 exactly
+  // (its oracle certifies this query). Per-poll cost tracks the BATCH
+  // (band probe + verify); the cluster read costs O(accumulated pairs),
+  // which is id-only METADATA, never corpus text — recomputing CC from
+  // the pair sink is the honest scale shape until cluster counts make
+  // an alias-log union-find state worth its compaction machinery.
+  private def q170StreamingClusters(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("cluster_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+    (0 until 3).foreach { b =>
+      graft.streaming.NearDupStream.ingestBatch(s,
+        docs.filter(col("id") % 3 === b),
+        s"$base/state", s"$base/sink",
+        n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+    }
+    val edges = s.read.parquet(s"$base/sink")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.operators.DupClusters.connectedComponents(
+        docs.select(col("id")), edges)
+      .select(col("id").as("doc_id"), col("cluster_rep"))
+  }
 
   // ------------------- prediction churn between filter versions (§2.10 ext)
   // The pre-rollout review artifact for a filter version bump: not "do
@@ -5750,7 +5826,9 @@ FROM r$q82Rounds"""
     "q166_novel_grams" -> (q166NovelGrams _),
     "q167_split_leakage" -> (q167SplitLeakage _),
     "q168_effective_size" -> (q168EffectiveSize _),
-    "q169_novelty_series" -> (q169NoveltySeries _))
+    "q169_novelty_series" -> (q169NoveltySeries _),
+    "q170_streaming_clusters" -> (q170StreamingClusters _),
+    "q171_ks_by_source" -> (q171KsBySource _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5916,5 +5994,7 @@ FROM r$q82Rounds"""
     "q166_novel_grams" -> q166Sql,
     "q167_split_leakage" -> q167Sql,
     "q168_effective_size" -> q168Sql,
-    "q169_novelty_series" -> q169Sql)
+    "q169_novelty_series" -> q169Sql,
+    "q170_streaming_clusters" -> q44Sql,
+    "q171_ks_by_source" -> q171Sql)
 }

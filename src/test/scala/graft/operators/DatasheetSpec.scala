@@ -99,6 +99,22 @@ class DatasheetSpec extends SparkSpec {
     assert(same.getDouble(2) === 0.0)
   }
 
+  test("ksDriftByGroup: per-group gaps are independent; empty-side " +
+    "groups yield null") {
+    val ref = Seq(("A", 1), ("A", 1), ("A", 2), ("A", 3),
+      ("B", 5), ("B", 6), ("C", 9)).toDF("g", "v")
+    val cur = Seq(("A", 2), ("A", 3), ("A", 3), ("A", 4),
+      ("B", 5), ("B", 6)).toDF("g", "v")
+    val got = Datasheet.ksDriftByGroup(ref, cur, col("v"), col("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // A mirrors the global ksDrift fixture: ks = 0.5 at v = 1
+    assert(got("A").getDouble(3) === 0.5 && got("A").getLong(4) === 1L)
+    // B identical distributions → ks 0 (argmax tie → smallest v = 5)
+    assert(got("B").getDouble(3) === 0.0 && got("B").getLong(4) === 5L)
+    // C absent from cur → null ks
+    assert(got("C").isNullAt(3))
+  }
+
   test("novelGramsBySource: per-source novelty against a reference " +
     "snapshot; shared novel grams count for each source") {
     val ref = Seq((1L, "a b c d")).toDF("id", "text")
