@@ -315,6 +315,14 @@ object Datasheet {
     * end; min/max are order-free by nature. Scale: one map-side scan,
     * groups-bounded aggregate, no shuffle of vectors. */
   def embeddingHealth(embs: DataFrame, vec: Column, group: Column)
+      : DataFrame =
+    embeddingHealthFinish(embeddingHealthRaw(embs, vec, group))
+
+  /** The MERGEABLE aggregate state behind [[embeddingHealth]] — every
+    * column is associative (sums, min/max, the decimal fixed-point norm
+    * sum), so per-batch raw tables merge exactly for any arrival split:
+    * the grain a STREAM maintains (`streaming/EmbedHealthStream`). */
+  def embeddingHealthRaw(embs: DataFrame, vec: Column, group: Column)
       : DataFrame = {
     val n2 = graft.functions.VectorExprs.norm2(vec)
     embs.select(group.as("grp"), size(vec).as("dims"), n2.as("n2"))
@@ -324,11 +332,23 @@ object Datasheet {
         sum((col("n2") === 0.0).cast("long")).as("n_zero"),
         sum(round(col("n2") * 1e9).cast("decimal(38,0)")).as("s9"),
         min(col("n2")).as("mn"), max(col("n2")).as("mx"))
-      .select(col("grp"), col("n_vecs"), col("dim_min"), col("dim_max"),
-        col("n_zero"),
-        round(col("s9").cast("double") / 1e9 /
-          col("n_vecs").cast("double"), 6).as("mean_norm2"),
-        round(col("mn"), 6).as("min_norm2"),
-        round(col("mx"), 6).as("max_norm2"))
   }
+
+  /** Merge two raw health tables (the stream's per-batch fold). */
+  def embeddingHealthMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("grp"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        min(col("dim_min")).as("dim_min"), max(col("dim_max")).as("dim_max"),
+        sum(col("n_zero")).as("n_zero"), sum(col("s9")).as("s9"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Finish a raw health table into the reported panel. */
+  def embeddingHealthFinish(raw: DataFrame): DataFrame =
+    raw.select(col("grp"), col("n_vecs"), col("dim_min"), col("dim_max"),
+      col("n_zero"),
+      round(col("s9").cast("double") / 1e9 /
+        col("n_vecs").cast("double"), 6).as("mean_norm2"),
+      round(col("mn"), 6).as("min_norm2"),
+      round(col("mx"), 6).as("max_norm2"))
 }

@@ -5488,6 +5488,25 @@ FROM r$q82Rounds"""
       |  round(max(n2), 6) AS max_norm2
       |FROM e GROUP BY label""".stripMargin
 
+  // ------------------- streaming embedding health (§2.10 ext)
+  // q161's panel in its real regime: encoder output arrives in batches,
+  // folded into the raw mergeable aggregate (counts, min/max, decimal
+  // fixed-point norm sum — all associative, so the accumulated state
+  // equals the one-shot panel EXACTLY for any arrival split). q161's
+  // oracle certifies this query verbatim.
+  private def q172StreamingEmbedHealth(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("embhealth_stream")
+      .toString
+    val embs = Tables.embeddings(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.EmbedHealthStream.ingestBatch(s,
+        embs.filter(col("vec_id") % 3 === b),
+        col("embedding"), col("label"), state)
+    }
+    graft.streaming.EmbedHealthStream.health(s, state)
+  }
+
   // ------------------- IVF nprobe operating curve (§2.10 ext)
   // q141's single-point recall check widened to the whole dial: recall@5
   // AND candidate volume per probe radius 0..3 for the q22 LSH IVF — the
@@ -5828,7 +5847,8 @@ FROM r$q82Rounds"""
     "q168_effective_size" -> (q168EffectiveSize _),
     "q169_novelty_series" -> (q169NoveltySeries _),
     "q170_streaming_clusters" -> (q170StreamingClusters _),
-    "q171_ks_by_source" -> (q171KsBySource _))
+    "q171_ks_by_source" -> (q171KsBySource _),
+    "q172_streaming_embedhealth" -> (q172StreamingEmbedHealth _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -5996,5 +6016,6 @@ FROM r$q82Rounds"""
     "q168_effective_size" -> q168Sql,
     "q169_novelty_series" -> q169Sql,
     "q170_streaming_clusters" -> q44Sql,
-    "q171_ks_by_source" -> q171Sql)
+    "q171_ks_by_source" -> q171Sql,
+    "q172_streaming_embedhealth" -> q161Sql)
 }
