@@ -5327,6 +5327,108 @@ FROM r$q82Rounds"""
        |      AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6) AS token_keep_rate
        |FROM cl JOIN tok USING (doc_id)""".stripMargin
 
+  // ------------------- OPQ-rotation ADC recall (§2.10 ext)
+  // The recall arm for the LAST quantization family member without one:
+  // q117's rotated-space PQ in the standard two-stage serving shape (ADC
+  // shortlist → exact L2 re-rank, the q145 deployment pattern —
+  // quantization costs recall only via shortlist misses), scored against
+  // the exact L2 top-k in the ORIGINAL space (rotation preserves L2, so
+  // the original-space ground truth is the right yardstick — a broken
+  // rotation shows up as recall loss, not as a silently rotated
+  // "truth"). Both arms are deterministic literals, so the oracle
+  // replays rotation, codebook, codes, ADC shortlist, re-rank, and both
+  // top-k's.
+  private val q173Shortlist = 100
+
+  private def q173OpqRecall(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val rot = embs.select(col("vec_id"),
+      Similarity.rpProject(col("embedding").cast("array<double>"),
+        q117Rotation).as("rvec"))
+    val cb = graft.operators.Quantize.seedCodebook(rot, col("vec_id"),
+      col("rvec"), pqSeedIds)
+    val codes = graft.operators.Quantize.pqEncode(rot, col("vec_id"),
+        col("rvec"), cb, pqM, pqDim)
+      .drop("distortion")
+    val qset = rot.filter(col("vec_id") < 5)
+    val shortlist = graft.operators.Quantize.pqAdcTopK(codes, qset,
+      "vec_id", "rvec", cb, pqM, pqDim, k = q173Shortlist)
+    val ann = graft.operators.Quantize.rerankL2(shortlist, embs,
+        embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val exact = Similarity.bruteForceTopKL2(embs,
+        embs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("an")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6)
+          .as("recall"))
+  }
+
+  private val q173Sql = {
+    val proj = q117Rotation.map(row =>
+      "list_inner_product(v0, [" + row.map(_.toString).mkString(", ") + "])")
+      .mkString("[", ",\n      ", "]")
+    val mins = (0 until pqM).map { j =>
+      "list_min([" + pqSeedIds.indices.map(c =>
+        s"[${pqDistSql(j, s"cb$c")}, $c.0]").mkString(", ") + s"]) AS m$j"
+    }.mkString(",\n    ")
+    val codes = (0 until pqM).map(j => s"CAST(m$j[2] AS INTEGER) AS c$j")
+      .mkString(", ")
+    def qDist(j: Int, c: Int): String = {
+      val lo = j * pqSub + 1
+      val hi = lo + pqSub
+      val diff = s"[q.qv[i] - cb$c.cv[i] for i in range($lo, $hi)]"
+      s"list_inner_product($diff, $diff)"
+    }
+    val adc = (0 until pqM).map { j =>
+      "(CASE " + pqSeedIds.indices.map(c =>
+        s"WHEN p.c$j = $c THEN ${qDist(j, c)}").mkString(" ") + " END)"
+    }.mkString(" + ")
+    val cbJoins = pqSeedIds.indices.map(c => s" CROSS JOIN cb$c").mkString
+    val d64 = "[qe.v0[i] - c.v0[i] for i in range(1, 65)]"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, $proj AS v FROM e0),
+       |$pqCbCtes,
+       |p0 AS (
+       |  SELECT e.vec_id,
+       |    $mins
+       |  FROM e$cbJoins),
+       |p AS (SELECT vec_id, $codes FROM p0),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |sc AS (SELECT q.query_id, p.vec_id AS neighbor_id, $adc AS adc
+       |  FROM p CROSS JOIN q$cbJoins WHERE q.query_id <> p.vec_id),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS r FROM sc)
+       |  WHERE r <= $q173Shortlist),
+       |exd AS (SELECT qe.query_id, c.vec_id AS neighbor_id,
+       |    list_inner_product($d64, $d64) AS d
+       |  FROM e0 c CROSS JOIN
+       |    (SELECT vec_id AS query_id, v0 FROM e0 WHERE vec_id < 5) qe
+       |  WHERE qe.query_id <> c.vec_id),
+       |ap AS (SELECT query_id AS aq, neighbor_id AS an FROM (
+       |  SELECT exd.*, row_number() OVER (
+       |    PARTITION BY exd.query_id ORDER BY d, exd.neighbor_id) AS r
+       |  FROM exd JOIN sl ON exd.query_id = sl.query_id
+       |    AND exd.neighbor_id = sl.neighbor_id)
+       |  WHERE r <= 3),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY d, neighbor_id) AS r FROM exd)
+       |  WHERE r <= 3)
+       |SELECT query_id, CAST(count(an) AS BIGINT) AS n_hit,
+       |  round(CAST(count(an) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS recall
+       |FROM ex LEFT JOIN ap ON query_id = aq AND neighbor_id = an
+       |GROUP BY query_id""".stripMargin
+  }
+
   // ------------------- streaming novelty series (§2.10 ext)
   // q166's question per ingest batch: how much of each arriving batch is
   // content the accumulated corpus has never seen (novelty → 0 means the
@@ -5848,7 +5950,8 @@ FROM r$q82Rounds"""
     "q169_novelty_series" -> (q169NoveltySeries _),
     "q170_streaming_clusters" -> (q170StreamingClusters _),
     "q171_ks_by_source" -> (q171KsBySource _),
-    "q172_streaming_embedhealth" -> (q172StreamingEmbedHealth _))
+    "q172_streaming_embedhealth" -> (q172StreamingEmbedHealth _),
+    "q173_opq_recall" -> (q173OpqRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6017,5 +6120,6 @@ FROM r$q82Rounds"""
     "q169_novelty_series" -> q169Sql,
     "q170_streaming_clusters" -> q44Sql,
     "q171_ks_by_source" -> q171Sql,
-    "q172_streaming_embedhealth" -> q161Sql)
+    "q172_streaming_embedhealth" -> q161Sql,
+    "q173_opq_recall" -> q173Sql)
 }
