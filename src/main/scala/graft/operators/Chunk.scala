@@ -48,4 +48,71 @@ object Chunk {
         org.apache.spark.sql.functions.size(col("__w")).as("n_tokens"),
         concat_ws(" ", col("__w")).as("chunk_text"))
   }
+
+  /** Content-defined chunking — the dedup-friendly alternative to
+    * [[tokenChunks]]: a chunk boundary falls AFTER every token whose
+    * portable hash ≡ `remainder` (mod `divisor`), so boundaries are a
+    * function of the CONTENT, not of token offsets. Insert a paragraph
+    * at the head of a document and fixed windows all shift (every chunk
+    * hash changes); content-defined chunks realign at the first
+    * boundary after the edit, so all downstream chunks keep their
+    * hashes — the Rabin-fingerprint chunking invariant (LBFS,
+    * Muthitacharoen et al. 2001) that makes chunk-hash dedup robust to
+    * shifted content. Expected chunk length is `divisor` tokens (no
+    * min/max clamp: the clamps of storage-CDC exist to bound the block
+    * index, which a relational engine doesn't carry — the raw geometric
+    * length law is documented instead of hidden).
+    *
+    * Pure map-side like [[tokenChunks]]: cut positions come from a
+    * `filter` over the index range of the ONCE-materialized token
+    * array, chunk spans from zipping `[0, cuts+1]` with `[cuts, n-1]`,
+    * and the explode emits `slice` windows — no shuffle, no window
+    * function, the corpus streams through one projection. The hash is
+    * the oracle-portable polynomial fold ([[graft.functions
+    * .HashKernels.polyHash]]), so every boundary decision AND every
+    * chunk hash replays relationally (the oracle formulates the same
+    * chunking as an exclusive prefix sum over cut flags — provably the
+    * same partition of each doc).
+    *
+    * Output: `(id, chunk_idx, n_tokens, chunk_text, chunk_hash)`; docs
+    * with zero tokens yield nothing; a doc whose LAST token is a cut
+    * yields no empty trailing chunk. */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+      divisor: Int, remainder: Int): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    require(remainder >= 0 && remainder < divisor,
+      s"remainder must be in [0, divisor), got $remainder")
+    import graft.functions.HashKernels
+    val mult = 31L
+    val mod = 1000000007L
+    val ts = col("__ts")
+    val n = org.apache.spark.sql.functions.size(ts)
+    val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
+      .filter(n > 0)
+      .withColumn("__cuts",
+        filter(sequence(lit(0), n - 1), i =>
+          pmod(HashKernels.polyHash(element_at(ts, i + 1), mult, mod),
+            lit(divisor.toLong)) === remainder))
+    val starts = concat(array(lit(0)),
+      transform(col("__cuts"), c => c + 1))
+    val ends = concat(col("__cuts"), array(n - 1))
+    val st = col("__starts")
+    val en = col("__ends")
+    base.select(col("id"), ts, starts.as("__starts"), ends.as("__ends"))
+      .select(col("id"), ts, st, en,
+        explode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(st) - 1)).as("chunk_idx"))
+      // only the trailing span can be empty (last token was a cut)
+      .filter(element_at(st, col("chunk_idx") + 1) <=
+        element_at(en, col("chunk_idx") + 1))
+      .select(col("id"), col("chunk_idx"),
+        slice(ts, element_at(st, col("chunk_idx") + 1) + 1,
+          element_at(en, col("chunk_idx") + 1) -
+            element_at(st, col("chunk_idx") + 1) + 1).as("__w"))
+      .select(col("id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__w")).as("n_tokens"),
+        concat_ws(" ", col("__w")).as("chunk_text"))
+      .withColumn("chunk_hash",
+        HashKernels.polyHash(col("chunk_text"), mult, mod))
+  }
 }

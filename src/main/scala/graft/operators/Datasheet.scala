@@ -351,4 +351,55 @@ object Datasheet {
         col("n_vecs").cast("double"), 6).as("mean_norm2"),
       round(col("mn"), 6).as("min_norm2"),
       round(col("mx"), 6).as("max_norm2"))
+
+  /** Robust per-source outlier panel — median/MAD instead of mean/σ, so
+    * the detector itself isn't dragged by the outliers it hunts (one
+    * 10 MB document moves a mean wildly; it moves a median by half a
+    * rank). A row is an outlier when `|v − median| > z · MAD` (the
+    * Hampel filter, Iglewicz & Hoaglin's modified-z family with the
+    * 1.4826 consistency constant folded into the caller's `z`);
+    * `MAD = 0` degrades to an epsilon band so constant-valued sources
+    * flag genuine deviants instead of everything-or-nothing. The
+    * standard length/score sanity screen before a source enters a
+    * training mixture.
+    *
+    * Determinism: medians are EXACT rank-interpolated percentiles; for
+    * integer-valued inputs every interpolation, deviation, and
+    * threshold product below ~2^52 is exact IEEE in any engine, so the
+    * flag decisions are replayable bit-for-bit (non-integer inputs
+    * would be snap-rounded first — same discipline as every score
+    * column in this file).
+    *
+    * Scale: two grouped exact percentiles (state is a value→count map,
+    * bounded by the DISTINCT-value count of `value` per group — fine
+    * for lengths/counts/snapped scores; unbounded-cardinality values
+    * belong on [[Sketch.quantilesByGroup]]'s mergeable-sketch path),
+    * two broadcasts of the groups×1 tables, one final aggregate. The
+    * corpus is scanned twice (value pass + deviation pass), shuffled
+    * never. Output: `(src, n_docs, median_v, mad_v, n_outliers,
+    * outlier_share)`. */
+  def robustOutliers(docs: DataFrame, value: Column, group: Column,
+                     z: Double): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val vals = docs.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("src"), value.cast("double").as("v"))
+    val meds = vals.groupBy(col("src"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val devs = vals.join(broadcast(meds), Seq("src"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mads = devs.groupBy(col("src"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    val flagged = devs.join(broadcast(mads), Seq("src"))
+      .withColumn("is_out",
+        when(col("dev") > lit(z) * greatest(col("mad"), lit(1e-9)), 1L)
+          .otherwise(0L))
+    flagged.groupBy(col("src"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_out")).as("n_outliers"))
+      .select(col("src"), col("n_docs"),
+        round(col("med"), 6).as("median_v"),
+        round(col("mad"), 6).as("mad_v"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n_docs").cast("double"), 6).as("outlier_share"))
+  }
 }

@@ -287,4 +287,87 @@ object Mix {
       .getOrElse(lit(fractions.last._1))
     df.withColumn("split", split)
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+    * reduced to its one-step relational core: re-weight each source by
+    * an exponentiated-gradient step on its EXCESS LOSS — how much worse
+    * a global (corpus-wide) unigram LM models the source than the
+    * source's own in-domain unigram LM:
+    *
+    *   excess_s = max(0, (1/N_s) Σ_t c_st · ln(p_s(t) / p_glob(t)))
+    *   w_s ∝ share_s · exp(η · excess_s),   then mix with uniform:
+    *   weight_s = (1−c) · w_s / Σ w  +  c / K
+    *
+    * (both distributions add-1 smoothed over the shared vocabulary, so
+    * the log-ratio is total; the clamp mirrors DoReMi's nonnegative
+    * excess). Sources whose vocabulary diverges from the corpus (the
+    * global model "misses" them) gain weight; sources the corpus
+    * already models well shrink toward their token share — the paper's
+    * dynamics with the proxy-model loss replaced by the unigram NLL the
+    * engine can compute exactly (the natural first rung; a learned
+    * proxy would swap into the same excess column).
+    *
+    * Float discipline (cross-engine): the per-token-type log-ratio is
+    * the ONLY transcendental before a cross-row sum, so it is snapped
+    * to a 1e-9 fixed-point BIGINT per row; the per-source numerator
+    * accumulates `c_st · t_e9` in DECIMAL(38,0) (counts up to 1e12 ×
+    * 3e10 overflow Long at 100 TB); `exp` outputs snap to 1e-12 before
+    * the K-row normalization sum. Every emitted float is a rounded
+    * function of exactly-summed integers.
+    *
+    * Scale shape: text explodes ONCE; the per-(source, token) count
+    * table is the only corpus-sized shuffle; the global table derives
+    * from it by a second vocab-sized aggregate; totals (1 row) and
+    * per-source totals (K rows) broadcast. Output is K rows:
+    * `(src, n_tokens, excess, base_share, eg_share, weight)`. */
+  def doremiReweight(docs: DataFrame, text: Column, source: Column,
+                     eta: Double, smoothing: Double): DataFrame = {
+    require(eta >= 0, s"eta must be >= 0, got $eta")
+    require(smoothing >= 0 && smoothing <= 1,
+      s"smoothing must be in [0, 1], got $smoothing")
+    import graft.functions.TextExprs
+    val toks = docs.filter(source.isNotNull)
+      .select(source.as("src"), explode(TextExprs.tokens(text)).as("t"))
+    val srcCnt = toks.groupBy(col("src"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val globCnt = srcCnt.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val srcTot = srcCnt.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
+    // 1 row: corpus token count, vocabulary size, source count
+    val totals = globCnt.agg(sum(col("c_t")).as("n_corpus"),
+        count(lit(1)).as("v"))
+      .crossJoin(broadcast(srcTot.agg(count(lit(1)).as("k_src"))))
+    val pSrc = (col("c_st") + 1).cast("double") /
+      (col("n_s") + col("v")).cast("double")
+    val pGlob = (col("c_t") + 1).cast("double") /
+      (col("n_corpus") + col("v")).cast("double")
+    // snap the per-row transcendental BEFORE the cross-row sum
+    val termE9 = (col("c_st").cast("decimal(38,0)") *
+      round(log(pSrc / pGlob) * 1e9).cast("long").cast("decimal(38,0)"))
+    val exSum = srcCnt.join(globCnt, Seq("t"))
+      .join(broadcast(srcTot), Seq("src"))
+      .crossJoin(broadcast(totals))
+      .select(col("src"), col("n_s"), col("n_corpus"), col("k_src"),
+        termE9.as("term_e9"))
+      .groupBy(col("src"), col("n_s"), col("n_corpus"), col("k_src"))
+      .agg(sum(col("term_e9")).as("ex_e9"))
+    val excess = greatest(col("ex_e9").cast("double") /
+      (col("n_s").cast("double") * 1e9), lit(0.0))
+    val baseShare = col("n_s").cast("double") / col("n_corpus").cast("double")
+    val scored = exSum.select(col("src"), col("n_s"), col("k_src"),
+      excess.as("excess"), baseShare.as("base_share"),
+      // snap the exp output before the normalization sum
+      round(baseShare * exp(lit(eta) * excess) * 1e12).cast("long")
+        .as("raw_e12"))
+    val denom = scored.agg(sum(col("raw_e12")).as("denom_e12"))
+    scored.crossJoin(broadcast(denom))
+      .select(col("src"), col("n_s").as("n_tokens"),
+        round(col("excess"), 6).as("excess"),
+        round(col("base_share"), 6).as("base_share"),
+        round(col("raw_e12").cast("double") /
+          col("denom_e12").cast("double"), 6).as("eg_share"),
+        round((col("raw_e12").cast("double") /
+            col("denom_e12").cast("double")) * (1.0 - smoothing) +
+          lit(smoothing) / col("k_src").cast("double"), 6).as("weight"))
+  }
 }

@@ -72,6 +72,65 @@ object Vocab {
       .select(col("rank"), col("l_tok"), col("r_tok"), col("n"))
   }
 
+  /** Top-`k` collocations by pointwise mutual information — the
+    * vocabulary-building companion to [[topPairs]]: raw pair counts
+    * surface "of the", PMI surfaces the pairs that co-occur far above
+    * chance ("San Francisco"), the classical collocation-mining score
+    * (Church & Hanks 1990). With unigram marginals and the pair total,
+    *
+    *   pmi(x,y) = ln( c_xy · Nu² / (Np · c_x · c_y) )
+    *
+    * add-nothing (raw MLE) estimates; `minCount` suppresses the
+    * low-count PMI explosion (a hapax pair of two hapax tokens scores
+    * arbitrarily high — every PMI treatment cuts low counts first).
+    *
+    * Determinism across engines: candidates are ORDERED by the ratio
+    * inside the ln — a quotient of exact integer-valued doubles with a
+    * fixed operation sequence, identical IEEE in any engine — never by
+    * the transcendental itself, so a last-ulp `ln` disagreement cannot
+    * reorder ties; `pmi` is emitted rounded(4) for display. Ties break
+    * pair-lexicographically.
+    *
+    * Scale shape: one explode feeds BOTH count tables (pairs as
+    * `(l,r)`, unigrams from the same materialized array); `minCount`
+    * prunes the pair table BEFORE its two vocab-sized marginal joins;
+    * the 1-row totals broadcast; the final top-k is
+    * TakeOrderedAndProject (per-partition heaps), rank minted over k
+    * rows under the sanctioned pmod window. Output:
+    * `(rank, l_tok, r_tok, n_pair, pmi)`. */
+  def pmiCollocations(df: DataFrame, text: Column, k: Int,
+                      minCount: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val pairCnt = pairRows(df, None, text)
+      .groupBy(col("l_tok"), col("r_tok")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uniCnt = df.select(explode(TextExprs.tokens(text)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val totals = uniCnt.agg(sum(col("c_t")).as("n_uni"))
+      .crossJoin(broadcast(pairRows(df, None, text)
+        .agg(count(lit(1)).as("n_pairs"))))
+    val scored = pairCnt
+      .join(uniCnt.select(col("t").as("l_tok"), col("c_t").as("c_l")),
+        Seq("l_tok"))
+      .join(uniCnt.select(col("t").as("r_tok"), col("c_t").as("c_r")),
+        Seq("r_tok"))
+      .crossJoin(broadcast(totals))
+      // exact-integer doubles through a FIXED op sequence: the sort key
+      .withColumn("ratio",
+        col("n_pair").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double") / col("n_pairs").cast("double") /
+          col("c_l").cast("double") / col("c_r").cast("double"))
+    val top = scored
+      .orderBy(col("ratio").desc, col("l_tok").asc, col("r_tok").asc)
+      .limit(k)
+    val w = Window.partitionBy(pmod(col("n_pair"), lit(1L)))
+      .orderBy(col("ratio").desc, col("l_tok").asc, col("r_tok").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("l_tok"), col("r_tok"), col("n_pair"),
+        round(log(col("ratio")), 4).as("pmi"))
+  }
+
   // wrapped-string corpus form for multi-round BPE: every token sits in
   // \u0001...\u0002 brackets, so one string `replace` of
   // "<1>l<2><1>r<2>" -> "<1>lr<2>" IS the greedy

@@ -5429,6 +5429,164 @@ FROM r$q82Rounds"""
        |GROUP BY query_id""".stripMargin
   }
 
+  // ------------------- robust outlier panel (§2.10 ext)
+  // Hampel filter per source on document token counts: median/MAD, not
+  // mean/sigma, so the screen isn't dragged by what it hunts. Integer
+  // token counts make every interpolated median, deviation, and
+  // threshold product exact IEEE — the oracle's percentile_cont replays
+  // Spark's exact percentile bit-for-bit.
+  private val q177Z = 3.0
+
+  private def q177RobustOutliers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Datasheet.robustOutliers(docs,
+      graft.functions.TextExprs.tokenCount(col("text")), col("source"),
+      z = q177Z)
+  }
+
+  private val q177Sql =
+    s"""WITH tok AS (SELECT source AS src, CAST(
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |    AS DOUBLE) AS v
+       |  FROM documents WHERE source IS NOT NULL),
+       |md AS (SELECT src, percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
+       |    AS med FROM tok GROUP BY 1),
+       |dv AS (SELECT tok.src, v, med, abs(v - med) AS dev
+       |  FROM tok JOIN md USING (src)),
+       |md2 AS (SELECT src, percentile_cont(0.5) WITHIN GROUP (ORDER BY dev)
+       |    AS mad FROM dv GROUP BY 1)
+       |SELECT dv.src, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(dv.med, 6) AS median_v, round(md2.mad, 6) AS mad_v,
+       |  CAST(sum(CASE WHEN dev > $q177Z * greatest(md2.mad, 1e-9)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  round(CAST(sum(CASE WHEN dev > $q177Z * greatest(md2.mad, 1e-9)
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS outlier_share
+       |FROM dv JOIN md2 USING (src)
+       |GROUP BY dv.src, dv.med, md2.mad""".stripMargin
+
+  // ------------------- content-defined chunking (§2.10 ext)
+  // Rabin-style hash-cut chunking: boundaries follow content, so chunk
+  // hashes survive shifted edits (the dedup-robust chunk grain). The
+  // Spark side derives spans map-side from cut positions; the oracle
+  // formulates the SAME partition as an exclusive prefix sum over cut
+  // flags and re-derives every chunk hash from the chunk text itself —
+  // a boundary or hash disagreement anywhere fails the row hash.
+  private val q176Divisor = 16
+  private val q176Remainder = 3
+
+  private def q176CdcChunks(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunk.cdcChunks(Tables.documents(s, d),
+        col("doc_id"), col("text"), q176Divisor, q176Remainder)
+      .withColumnRenamed("id", "doc_id")
+
+  private val q176Sql = {
+    val poly = (e: String) =>
+      s"list_reduce(list_transform(string_split($e, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    s"""$q71TokensCte,
+       |tk AS (SELECT doc_id, i, ts[i + 1] AS t
+       |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks)),
+       |ck AS (SELECT doc_id, i, t,
+       |    CASE WHEN (${poly("t")}) % $q176Divisor = $q176Remainder
+       |      THEN 1 ELSE 0 END AS cut FROM tk),
+       |cid AS (SELECT doc_id, i, t, CAST(coalesce(sum(cut) OVER (
+       |      PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS INTEGER) AS chunk_idx
+       |  FROM ck),
+       |ch AS (SELECT doc_id, chunk_idx, CAST(count(*) AS INTEGER) AS n_tokens,
+       |    string_agg(t, ' ' ORDER BY i) AS chunk_text
+       |  FROM cid GROUP BY 1, 2)
+       |SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+       |  ${poly("chunk_text")} AS chunk_hash
+       |FROM ch""".stripMargin
+  }
+
+  // ------------------- PMI collocations (§2.10 ext)
+  // Church-&-Hanks collocation mining: top pairs by how far above chance
+  // they co-occur. The CANDIDATE ORDER is a pure integer-double ratio
+  // (no transcendental in the sort key — a last-ulp ln() disagreement
+  // between engines can't reorder ties); ln is applied only to the
+  // rounded display column.
+  private val q175K = 30
+  private val q175MinCount = 5
+
+  private def q175PmiCollocations(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.pmiCollocations(Tables.documents(s, d),
+      col("text"), k = q175K, minCount = q175MinCount)
+
+  private val q175Sql =
+    s"""$q71PairsCte,
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t
+       |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+       |pc AS (SELECT l_tok, r_tok, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= $q175MinCount),
+       |tot AS (SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM uni) AS n_uni,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs),
+       |sc AS (SELECT pc.l_tok, pc.r_tok, pc.n_pair,
+       |    CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_uni AS DOUBLE) *
+       |      CAST(tot.n_uni AS DOUBLE) / CAST(tot.n_pairs AS DOUBLE) /
+       |      CAST(ul.c_t AS DOUBLE) / CAST(ur.c_t AS DOUBLE) AS ratio
+       |  FROM pc JOIN uni ul ON pc.l_tok = ul.t
+       |    JOIN uni ur ON pc.r_tok = ur.t CROSS JOIN tot),
+       |r AS (SELECT *, row_number() OVER (
+       |    ORDER BY ratio DESC, l_tok, r_tok) AS rank FROM sc)
+       |SELECT CAST(rank AS INTEGER) AS rank, l_tok, r_tok, n_pair,
+       |  round(ln(ratio), 4) AS pmi
+       |FROM r WHERE rank <= $q175K""".stripMargin
+
+  // ------------------- DoReMi-lite domain reweighting (§2.10 ext)
+  // One exponentiated-gradient step on per-source excess unigram loss:
+  // sources the corpus-wide LM models badly (vocabulary far from the
+  // mixture) gain weight over their raw token share. The oracle replays
+  // the whole chain — smoothed distributions, the 1e-9-snapped log-ratio
+  // terms, HUGEINT/decimal numerators, the 1e-12-snapped exp outputs —
+  // so the hash match certifies the fixed-point discipline end to end.
+  private def q174DoremiWeights(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.doremiReweight(Tables.documents(s, d),
+      col("text"), col("source"), eta = 1.0, smoothing = 0.2)
+
+  private val q174Sql =
+    s"""WITH tok AS (SELECT source AS src,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0 AND source IS NOT NULL),
+       |sc AS (SELECT src, t, count(*) AS c_st FROM tok GROUP BY 1, 2),
+       |gc AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM sc GROUP BY 1),
+       |st AS (SELECT src, CAST(sum(c_st) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_corpus,
+       |    CAST(count(*) AS BIGINT) AS v FROM gc),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k_src FROM st),
+       |terms AS (SELECT sc.src, st.n_s, tot.n_corpus, kk.k_src,
+       |    CAST(sc.c_st AS HUGEINT) * CAST(round(ln(
+       |      (CAST(sc.c_st + 1 AS DOUBLE) / CAST(st.n_s + tot.v AS DOUBLE)) /
+       |      (CAST(gc.c_t + 1 AS DOUBLE) /
+       |       CAST(tot.n_corpus + tot.v AS DOUBLE))) * 1e9) AS BIGINT)
+       |      AS term_e9
+       |  FROM sc JOIN gc USING (t) JOIN st USING (src)
+       |    CROSS JOIN tot CROSS JOIN kk),
+       |ex AS (SELECT src, n_s, n_corpus, k_src, sum(term_e9) AS ex_e9
+       |  FROM terms GROUP BY 1, 2, 3, 4),
+       |sc2 AS (SELECT src, n_s, k_src,
+       |    greatest(CAST(ex_e9 AS DOUBLE) / (CAST(n_s AS DOUBLE) * 1e9),
+       |      0.0) AS excess,
+       |    CAST(n_s AS DOUBLE) / CAST(n_corpus AS DOUBLE) AS base_share,
+       |    CAST(round(CAST(n_s AS DOUBLE) / CAST(n_corpus AS DOUBLE) *
+       |      exp(1.0 * greatest(
+       |        CAST(ex_e9 AS DOUBLE) / (CAST(n_s AS DOUBLE) * 1e9), 0.0)) *
+       |      1e12) AS BIGINT) AS raw_e12
+       |  FROM ex),
+       |dn AS (SELECT CAST(sum(raw_e12) AS BIGINT) AS denom_e12 FROM sc2)
+       |SELECT src, n_s AS n_tokens, round(excess, 6) AS excess,
+       |  round(base_share, 6) AS base_share,
+       |  round(CAST(raw_e12 AS DOUBLE) / CAST(denom_e12 AS DOUBLE), 6)
+       |    AS eg_share,
+       |  round(CAST(raw_e12 AS DOUBLE) / CAST(denom_e12 AS DOUBLE) * 0.8 +
+       |    0.2 / CAST(k_src AS DOUBLE), 6) AS weight
+       |FROM sc2 CROSS JOIN dn""".stripMargin
+
   // ------------------- streaming novelty series (§2.10 ext)
   // q166's question per ingest batch: how much of each arriving batch is
   // content the accumulated corpus has never seen (novelty → 0 means the
@@ -5951,7 +6109,11 @@ FROM r$q82Rounds"""
     "q170_streaming_clusters" -> (q170StreamingClusters _),
     "q171_ks_by_source" -> (q171KsBySource _),
     "q172_streaming_embedhealth" -> (q172StreamingEmbedHealth _),
-    "q173_opq_recall" -> (q173OpqRecall _))
+    "q173_opq_recall" -> (q173OpqRecall _),
+    "q174_doremi_weights" -> (q174DoremiWeights _),
+    "q175_pmi_collocations" -> (q175PmiCollocations _),
+    "q176_cdc_chunks" -> (q176CdcChunks _),
+    "q177_robust_outliers" -> (q177RobustOutliers _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6121,5 +6283,9 @@ FROM r$q82Rounds"""
     "q170_streaming_clusters" -> q44Sql,
     "q171_ks_by_source" -> q171Sql,
     "q172_streaming_embedhealth" -> q161Sql,
-    "q173_opq_recall" -> q173Sql)
+    "q173_opq_recall" -> q173Sql,
+    "q174_doremi_weights" -> q174Sql,
+    "q175_pmi_collocations" -> q175Sql,
+    "q176_cdc_chunks" -> q176Sql,
+    "q177_robust_outliers" -> q177Sql)
 }

@@ -156,4 +156,21 @@ class DatasheetSpec extends SparkSpec {
     assert(got("A") === ("A", 2L, 2, 2, 1L, 12.5, 0.0, 25.0))
     assert(got("B") === ("B", 2L, 1, 3, 0L, 2.0, 1.0, 3.0))
   }
+
+  test("robustOutliers: median/MAD ignore the outlier they flag") {
+    // srcA values 1..9 plus 100: med 5.5, MAD 2.5, threshold 7.5 → only
+    // the 100 flags (a mean/sigma screen would have its threshold
+    // dragged to ~34 by the same point). srcB is constant except one
+    // deviant: MAD 0 degrades to the epsilon band → exactly one flag.
+    val rows = ((1 to 9).map(i => ("A", i)) :+ ("A", 100)) ++
+      (Seq.fill(4)(("B", 7)) :+ ("B", 8))
+    val df = rows.toDF("src", "v")
+    val got = Datasheet.robustOutliers(df, col("v"), col("src"), z = 3.0)
+      .as[(String, Long, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") === ("A", 10L, 5.5, 2.5, 1L, 0.1))
+    assert(got("B") === ("B", 5L, 7.0, 0.0, 1L, 0.2))
+    intercept[IllegalArgumentException](
+      Datasheet.robustOutliers(df, col("v"), col("src"), z = 0.0))
+  }
 }

@@ -132,4 +132,53 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mix.capPerGroup(docs, col("id"), col("src"), col("q"), 0))
   }
+
+  // ------------------------- DoReMi-lite reweighting
+
+  // "common" speaks the corpus majority language; "weird" a disjoint
+  // vocabulary the corpus-wide unigram LM models badly
+  private def doremiDocs = Seq(
+    ("common", "a b c a b c a b"),
+    ("common", "a b c a b a b c"),
+    ("common", "b c a a b c b a"),
+    ("weird", "xq yq zq xq yq zq xq yq")
+  ).toDF("source", "text")
+
+  test("doremi: the badly-modeled source gains over its token share") {
+    val out = Mix.doremiReweight(doremiDocs, col("text"), col("source"),
+        eta = 1.0, smoothing = 0.2)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val w = out("weird"); val c = out("common")
+    val gainW = w.getAs[Double]("eg_share") / w.getAs[Double]("base_share")
+    val gainC = c.getAs[Double]("eg_share") / c.getAs[Double]("base_share")
+    assert(w.getAs[Double]("excess") > c.getAs[Double]("excess"),
+      "disjoint vocabulary must have the larger excess loss")
+    assert(gainW > 1.0 && gainW > gainC,
+      s"weird must gain weight: gainW=$gainW gainC=$gainC")
+    // both weight columns are distributions (rounded to 6)
+    val sumW = out.values.map(_.getAs[Double]("weight")).sum
+    val sumE = out.values.map(_.getAs[Double]("eg_share")).sum
+    assert(math.abs(sumW - 1.0) < 1e-4, s"weights sum to $sumW")
+    assert(math.abs(sumE - 1.0) < 1e-4, s"eg shares sum to $sumE")
+  }
+
+  test("doremi: eta=0 degrades to token shares; smoothing=1 to uniform") {
+    val flat = Mix.doremiReweight(doremiDocs, col("text"), col("source"),
+      eta = 0.0, smoothing = 0.0).collect()
+    flat.foreach { r =>
+      assert(math.abs(r.getAs[Double]("eg_share") -
+        r.getAs[Double]("base_share")) < 1e-5,
+        s"eta=0 must keep base shares: $r")
+      assert(math.abs(r.getAs[Double]("weight") -
+        r.getAs[Double]("base_share")) < 1e-5)
+    }
+    val uni = Mix.doremiReweight(doremiDocs, col("text"), col("source"),
+      eta = 1.0, smoothing = 1.0).collect()
+    uni.foreach(r => assert(r.getAs[Double]("weight") === 0.5,
+      s"smoothing=1 must be uniform over 2 sources: $r"))
+    intercept[IllegalArgumentException](Mix.doremiReweight(
+      doremiDocs, col("text"), col("source"), eta = -1, smoothing = 0))
+    intercept[IllegalArgumentException](Mix.doremiReweight(
+      doremiDocs, col("text"), col("source"), eta = 1, smoothing = 2))
+  }
 }

@@ -153,4 +153,34 @@ class VocabSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(enc === Seq((1L, 3L, 3L, 1.0)))
   }
+
+  test("pmiCollocations ranks above-chance pairs over raw-frequency pairs") {
+    // (san, francisco) and (of, the) are equally frequent (6 each), but
+    // 'of'/'the' are 9-count tokens while 'san'/'francisco' occur ONLY
+    // together — PMI must rank the true collocation first. Hand values:
+    // Nu=36 tokens, Np=18 pairs; pmi(san,francisco)=ln 12, the
+    // lower-count (of,cat)/(the,dog) = ln 8 outrank the frequent
+    // (of,the) = ln 16/3.
+    val docs = (Seq.fill(6)("san francisco") ++ Seq.fill(6)("of the") ++
+      Seq.fill(3)("of cat") ++ Seq.fill(3)("the dog")).toDF("text")
+    val rows = Vocab.pmiCollocations(docs, col("text"), k = 10,
+        minCount = 3)
+      .as[(Int, String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (1, "san", "francisco", 6L, 2.4849),
+      (2, "of", "cat", 3L, 2.0794),
+      (3, "the", "dog", 3L, 2.0794),
+      (4, "of", "the", 6L, 1.674)))
+  }
+
+  test("pmiCollocations minCount suppresses the hapax-pair PMI explosion") {
+    val docs = (Seq.fill(5)("a b") :+ "rare gem").toDF("text")
+    val rows = Vocab.pmiCollocations(docs, col("text"), k = 10,
+        minCount = 2)
+      .as[(Int, String, String, Long, Double)].collect().toSeq
+    assert(rows.map(_._2).toSet === Set("a"),
+      s"hapax pair must be cut, got $rows")
+    intercept[IllegalArgumentException](
+      Vocab.pmiCollocations(docs, col("text"), k = 0, minCount = 1))
+  }
 }
