@@ -178,6 +178,51 @@ object MultimodalOps {
     })
   }
 
+  /** Deterministic GRADIENT image parameters for a synthetic media id:
+    * `(w, h, base, slopeX, slopeY)`. The id hashes (Knuth
+    * multiplicative, mod-4096 pre-reduced so the product never overflows
+    * at any id) into a class that fixes dimensions and both gradient
+    * slopes; a 2·(id mod 3) brightness jitter rides on top, so ids in
+    * the same class are VISUALLY near-identical (dHash Hamming ≈ 0–4)
+    * without being byte-identical — the structure a perceptual-dedup
+    * arm exists to find. Dimensions stay ≥ the 9×8 sample grid and
+    * slopes are STEEP (the mod-256 gray ramp wraps several times per
+    * frame), so the wrap pattern — what dHash fingerprints — varies in
+    * both axes and distinct classes land on well-separated signatures.
+    * All arithmetic is oracle-replayable. */
+  def gradientParams(id: Long): (Int, Int, Int, Int, Int) = {
+    val k = ((id % 4096 + 4096) % 4096) * 2654435761L % 4096
+    ((k % 23 + 9).toInt, (k % 10 + 8).toInt,
+      ((k / 155 % 8) * 32 + (id % 3) * 2).toInt,
+      ((k / 31 % 5) * 32 + 16).toInt, ((k / 11 % 4) * 64 + 32).toInt)
+  }
+
+  /** A gradient-image media table over an id column — one REAL decodable
+    * PNG per id, generated executor-side (payloads never shuffle). */
+  def gradientImages(ids: DataFrame): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.as[Long].mapPartitions(_.map { id =>
+      val (w, h, base, slopeX, slopeY) = gradientParams(id)
+      MediaRow(id, "image", Png.encodeGradient(w, h, base, slopeX, slopeY))
+    })
+  }
+
+  case class MediaSig(id: Long, sig: Long)
+
+  /** Perceptual fingerprints: dHash over the DECODED pixels of every
+    * image row, batch-per-partition like [[decodeMeta]] — the binary
+    * column never shuffles; only `(id, 64-bit sig)` leaves the scan.
+    * Output feeds [[graft.operators.NearDup.hammingBandPairs]] — the
+    * image-dedup chain (decode → perceptual hash → banded Hamming join)
+    * with the same banding trade as the simhash family. */
+  def dHashes(media: Dataset[MediaRow]): Dataset[MediaSig] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions(_.map(m => MediaSig(m.media_id,
+        Png.dHashSampled(m.content))))
+  }
+
   /** Feature extraction to a dense vector column — composable with the
     * Similarity operators (brute-force / IVF top-k). Features are
     * classical descriptors of the DECODED content ([[ContentFeatures]]):

@@ -90,6 +90,79 @@ object Png {
     out.toByteArray
   }
 
+  /** A 2-D-gradient w×h truecolor PNG: pixel `(x, y)` carries the gray
+    * value `(base + slopeX·x + slopeY·y) mod 256` in all three channels
+    * — steep slopes wrap several times across the frame, so the wrap
+    * PATTERN (what a difference hash fingerprints) varies in both axes
+    * and all 64 dHash bits are informative. Same hand-written
+    * STORED-deflate container as [[encodeSolid]], so the payload is
+    * spec-valid, `ImageIO`-decodable, and every decoded sample is an
+    * exact arithmetic function of `(base, slopeX, slopeY, x, y)` a
+    * relational oracle can re-derive. */
+  def encodeGradient(w: Int, h: Int, base: Int, slopeX: Int, slopeY: Int)
+      : Array[Byte] = {
+    require(w > 0 && h > 0, s"invalid dimensions ${w}x$h")
+    val raw = new Array[Byte](h * (3 * w + 1))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      raw(i) = 0 // filter: None
+      i += 1
+      var x = 0
+      while (x < w) {
+        val v = Math.floorMod(base + slopeX * x + slopeY * y, 256).toByte
+        raw(i) = v; raw(i + 1) = v; raw(i + 2) = v
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(raw.length + 80)
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    writeInt(ihdr, 0, w); writeInt(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zlibStored(raw))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Difference hash (dHash) over the DECODED pixels: sample a 9×8 luma
+    * grid by nearest pixel — `s(r, c)` = band-sum at
+    * `(⌊c·w/9⌋, ⌊r·h/8⌋)` — and set bit `r·8+c` when
+    * `s(r, c) > s(r, c+1)`. The perceptual-dedup fingerprint for
+    * images: gradient STRUCTURE survives re-encodes and brightness
+    * shifts that change every content byte, so Hamming-close dHashes
+    * mean visually-near-duplicate images (Krawetz's dHash, the
+    * standard cheap perceptual hash). Total for any image ≥ 1×1
+    * (nearest-sample never reads out of bounds); every sample is a real
+    * `ImageIO` raster read. */
+  def dHashSampled(content: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(content))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val w = img.getWidth; val h = img.getHeight
+    def s(xc: Int, yr: Int): Long = {
+      var c = 0; var sum = 0L
+      while (c < bands) { sum += raster.getSample(xc, yr, c); c += 1 }
+      sum
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      val yr = r * h / 8
+      var c = 0
+      while (c < 8) {
+        if (s(c * w / 9, yr) > s((c + 1) * w / 9, yr))
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   /** Expected `encodeSolid` output size — the oracle-side length formula. */
   def encodedLength(w: Int, h: Int): Int = {
     val raw = h * (3 * w + 1)

@@ -311,11 +311,17 @@ object NearDup {
     counted.select(col("id"), sig.as("sig"))
   }
 
-  /** Banded pair generation shared by the simhash variants: 4×16-bit bands
-    * over a (id, sig) relation; by pigeonhole, any pair with Hamming
-    * distance ≤ 3 shares at least one exact band, so the band join finds
-    * ALL such pairs (recall exactly 1.0) with an O(n·4) shuffle. */
-  private def simhashBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  /** Banded Hamming pair generation over ANY 64-bit signature relation
+    * `(id, sig)` — shared by the simhash variants and the multimodal
+    * perceptual-hash arm: 4×16-bit bands; by pigeonhole, any pair with
+    * Hamming distance ≤ 3 shares at least one exact band, so the band
+    * join finds ALL such pairs (recall exactly 1.0) with an O(n·4)
+    * shuffle of id+band metadata. `maxHamming` > 3 keeps precision (the
+    * xor verify is exact) but trades recall — candidates must still
+    * collide on one band; callers wanting guaranteed recall at radius r
+    * use ⌈64/(r+1)⌉-bit bands instead (documented trade, same as every
+    * LSH family here). */
+  def hammingBandPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         call_function("shiftrightunsigned", col("sig"), lit(16 * b))
@@ -339,7 +345,7 @@ object NearDup {
 
   def simhashNearDupPairs(docs: DataFrame, id: Column, text: Column,
                           maxHamming: Int = 3): DataFrame =
-    simhashBandPairs(simhashSignatures(docs, id, text), maxHamming)
+    hammingBandPairs(simhashSignatures(docs, id, text), maxHamming)
 
   /** 62-bit ORACLE-PORTABLE token hash: two independent polynomial rolling
     * hashes over the token's code points, each mod a prime < 2^31, packed
@@ -373,7 +379,7 @@ object NearDup {
 
   def simhashPolyNearDupPairs(docs: DataFrame, id: Column, text: Column,
                               maxHamming: Int = 3): DataFrame =
-    simhashBandPairs(simhashPolySignatures(docs, id, text), maxHamming)
+    hammingBandPairs(simhashPolySignatures(docs, id, text), maxHamming)
 
   /** Edit-distance near-duplicate pairs (the 5th dedup family) at FULL
     * corpus cardinality: a char-q-gram blocker — candidates must share at

@@ -5429,6 +5429,67 @@ FROM r$q82Rounds"""
        |GROUP BY query_id""".stripMargin
   }
 
+  // ------------------- perceptual image dedup (§2.10 ext)
+  // The multimodal dedup arm: REAL PNGs (gradient fixtures, generated
+  // executor-side) → real ImageIO decode → dHash perceptual fingerprint
+  // → the same banded-Hamming pair machinery as the simhash family. The
+  // oracle re-derives every decoded sample arithmetically (the encoder
+  // is lossless and the gradient is an exact function of the id), packs
+  // the same 64-bit signature (HUGEINT with an explicit two's-complement
+  // wrap — bit 63 is live), replays the 4×16 banding, and verifies the
+  // exact xor bit count — candidate cut included, no recall proxy.
+  private val q178MaxHamming = 6
+
+  private def q178ImageDhash(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val media = graft.multimodal.MultimodalOps.gradientImages(ids)
+    val sigs = graft.multimodal.MultimodalOps.dHashes(media).toDF()
+    graft.operators.NearDup.hammingBandPairs(sigs,
+        maxHamming = q178MaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  private val q178Sql =
+    s"""WITH pp AS (SELECT id, k % 23 + 9 AS w, k % 10 + 8 AS h,
+       |    (k // 155 % 8) * 32 + (id % 3) * 2 AS base,
+       |    (k // 31 % 5) * 32 + 16 AS sx, (k // 11 % 4) * 64 + 32 AS sy
+       |  FROM (SELECT vec_id AS id,
+       |      ((vec_id % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
+       |grid AS (SELECT id, r, c,
+       |    3 * ((base + sx * ((c * w) // 9) + sy * ((r * h) // 8)) % 256)
+       |      AS s
+       |  FROM pp CROSS JOIN (SELECT unnest(range(0, 8)) AS r)
+       |    CROSS JOIN (SELECT unnest(range(0, 9)) AS c)),
+       |-- bit 63 is live: build the unsigned signature in two 32-bit
+       |-- halves, then wrap to the signed 64-bit Spark emits
+       |bits AS (SELECT g1.id,
+       |    CAST(sum(CASE WHEN g1.r * 8 + g1.c < 32 AND g1.s > g2.s
+       |      THEN CAST(1 AS BIGINT) << (g1.r * 8 + g1.c) ELSE 0 END)
+       |      AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN g1.r * 8 + g1.c >= 32 AND g1.s > g2.s
+       |      THEN CAST(1 AS BIGINT) << (g1.r * 8 + g1.c - 32) ELSE 0 END)
+       |      AS BIGINT) AS hi
+       |  FROM grid g1 JOIN grid g2 ON g1.id = g2.id AND g1.r = g2.r
+       |    AND g2.c = g1.c + 1
+       |  GROUP BY g1.id),
+       |sg AS (SELECT id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u
+       |  FROM bits),
+       |sig AS (SELECT id, u, CAST(CASE
+       |    WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+       |    THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
+       |    AS BIGINT) AS sig FROM sg),
+       |banded AS (SELECT id, sig,
+       |    b, CAST((u // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 65536
+       |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
+       |      % 65536 AS BIGINT) AS v
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       |    l.sig AS sa, r.sig AS sb
+       |  FROM banded l JOIN banded r
+       |    ON l.b = r.b AND l.v = r.v AND l.id < r.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $q178MaxHamming""".stripMargin
+
   // ------------------- robust outlier panel (§2.10 ext)
   // Hampel filter per source on document token counts: median/MAD, not
   // mean/sigma, so the screen isn't dragged by what it hunts. Integer
@@ -6113,7 +6174,8 @@ FROM r$q82Rounds"""
     "q174_doremi_weights" -> (q174DoremiWeights _),
     "q175_pmi_collocations" -> (q175PmiCollocations _),
     "q176_cdc_chunks" -> (q176CdcChunks _),
-    "q177_robust_outliers" -> (q177RobustOutliers _))
+    "q177_robust_outliers" -> (q177RobustOutliers _),
+    "q178_image_dhash" -> (q178ImageDhash _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6287,5 +6349,6 @@ FROM r$q82Rounds"""
     "q174_doremi_weights" -> q174Sql,
     "q175_pmi_collocations" -> q175Sql,
     "q176_cdc_chunks" -> q176Sql,
-    "q177_robust_outliers" -> q177Sql)
+    "q177_robust_outliers" -> q177Sql,
+    "q178_image_dhash" -> q178Sql)
 }

@@ -159,4 +159,45 @@ class MultimodalOpsSpec extends SparkSpec {
     val again = featurize(media((3L, "video", avi)), dim = 16).collect().head
     assert(vid.feature.toSeq === again.feature.toSeq)
   }
+
+  test("dHash: decoded-pixel fingerprint matches the arithmetic law") {
+    // hand image: 9x8 gradient — sampled luma at (c*w/9, r*h/8) is an
+    // exact function of the params, so the expected bits are computable
+    val (w, h, base, sx, sy) = (18, 8, 10, 48, 96)
+    val png = Png.encodeGradient(w, h, base, sx, sy)
+    val got = Png.dHashSampled(png)
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      def lum(cc: Int) =
+        3 * Math.floorMod(base + sx * (cc * w / 9) + sy * (r * h / 8), 256)
+      if (lum(c) > lum(c + 1)) want |= 1L << (r * 8 + c)
+    }
+    assert(got === want)
+    // a +2 brightness jitter moves the wrap pattern only slightly
+    val near = Png.dHashSampled(Png.encodeGradient(w, h, base + 2, sx, sy))
+    assert(java.lang.Long.bitCount(got ^ near) <= 6,
+      s"jitter moved ${java.lang.Long.bitCount(got ^ near)} bits")
+    // a different gradient is far away
+    val far = Png.dHashSampled(Png.encodeGradient(w, h, base, 112, 160))
+    assert(java.lang.Long.bitCount(got ^ far) > 6)
+  }
+
+  test("dHash pair chain: banded Hamming join finds the planted near-dups") {
+    // Δ = 3·4096 preserves the gradient class AND the id%3 jitter →
+    // ids 7 and 12295 are pixel-identical (hamming 0); Δ = 4096 keeps
+    // the class but shifts the jitter → near-dup bytes that differ
+    val ids = Seq(7L, 7L + 12288L, 7L + 4096L, 100L, 200L, 300L)
+      .toDF("vec_id")
+    val sigs = dHashes(gradientImages(ids)).toDF()
+    assert(sigs.count() === 6)
+    val pairs = graft.operators.NearDup.hammingBandPairs(sigs,
+        maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((7L, 7L + 12288L, 0)),
+      s"identical-class pair missing from ${pairs.toSeq}")
+    // the jittered class member is a REAL near-dup: different bytes
+    val m = gradientImages(Seq(7L, 7L + 4096L).toDF("vec_id"))
+      .collect().map(r => r.media_id -> r.content).toMap
+    assert(!java.util.Arrays.equals(m(7L), m(7L + 4096L)))
+  }
 }
