@@ -169,4 +169,25 @@ object Avi {
       "missing avih/strf headers")
     p
   }
+
+  /** Brightness-curve difference hash over the REAL parsed frames — the
+    * video analog of [[Png.dHashSampled]]: the per-frame mean-pixel
+    * curve ([[frameMeans]]) is resampled to 65 points by nearest frame
+    * (`f(j) = means[⌊j·nF/65⌋]`), bit `j` set when point `j` is
+    * brighter than point `j+1`. Re-encodes and level shifts change
+    * every frame byte but keep the brightness SHAPE, so Hamming-close
+    * hashes mean perceptually-near-duplicate clips. Total for any clip
+    * with ≥ 1 frame. */
+  def curveHash(content: Array[Byte]): Long = {
+    val fm = frameMeans(content)
+    require(fm.nonEmpty, "clip has no frames")
+    def p(j: Int): Long = fm((j * fm.length / 65).toInt)
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      if (p(j) > p(j + 1)) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
 }

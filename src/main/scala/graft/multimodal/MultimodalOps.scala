@@ -210,6 +210,76 @@ object MultimodalOps {
 
   case class MediaSig(id: Long, sig: Long)
 
+  /** Deterministic sawtooth-TONE parameters for a synthetic audio id:
+    * `(nSamples, step, base)` — same class-hash + jitter scheme as
+    * [[gradientParams]]: the mod-4096 class fixes length and sweep
+    * step; a ± (id mod 3) amplitude offset rides on top, so same-class
+    * ids are envelope-near without being byte-identical. `nSamples ≥
+    * 130` keeps every one of the 65 envelope windows non-empty. */
+  def toneParams(id: Long): (Int, Int, Int) = {
+    val k = ((id % 4096 + 4096) % 4096) * 2654435761L % 4096
+    ((k % 200 + 130).toInt, (k / 7 % 97 + 11).toInt,
+      ((k / 11 % 50) * 40 + id % 3).toInt)
+  }
+
+  /** A sawtooth-tone audio table over an id column — one REAL decodable
+    * 16-bit PCM WAV per id, sample `i` = `(base + i·step) mod 2001 −
+    * 1000`, generated executor-side. */
+  def toneAudio(ids: DataFrame): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.as[Long].mapPartitions(_.map { id =>
+      val (n, step, base) = toneParams(id)
+      val samples =
+        Array.tabulate(n)(i => ((base + i * step) % 2001 - 1000).toShort)
+      MediaRow(id, "audio", Wav.encodePcm16Mono(audioSampleRate, samples))
+    })
+  }
+
+  /** Deterministic brightness-RAMP parameters for a synthetic video id:
+    * `(w, h, nFrames, step, base)` — class fixes dims, length, and the
+    * per-frame fill ramp; a ± (id mod 3) level jitter rides on top. */
+  def clipParams(id: Long): (Int, Int, Int, Int, Int) = {
+    val k = ((id % 4096 + 4096) % 4096) * 2654435761L % 4096
+    // steep steps: the mod-256 ramp wraps ~10-50 times per clip, so the
+    // wrap pattern (what the curve hash fingerprints) is bit-rich and
+    // distinct classes land on well-separated signatures
+    (((k % 8) + 1).toInt * 2, (k % 9 + 2).toInt, (k % 30 + 35).toInt,
+      ((k / 13 % 31) * 8 + 9).toInt, ((k / 11 % 8) * 32 + id % 3).toInt)
+  }
+
+  /** A brightness-ramp video table over an id column — one REAL
+    * parseable RIFF/AVI per id, frame `f` solid-filled with
+    * `(base + f·step) mod 256`, generated executor-side. */
+  def clipVideo(ids: DataFrame): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.as[Long].mapPartitions(_.map { id =>
+      val (w, h, nF, step, base) = clipParams(id)
+      MediaRow(id, "video", Avi.encodeSolid(w, h,
+        Array.tabulate(nF)(f => Math.floorMod(base + f * step, 256))))
+    })
+  }
+
+  /** Envelope fingerprints of every audio row (REAL PCM decode,
+    * map-side; only `(id, sig)` leaves the scan) — feeds
+    * [[graft.operators.NearDup.hammingBandPairs]] like [[dHashes]]. */
+  def envelopeHashes(media: Dataset[MediaRow]): Dataset[MediaSig] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .mapPartitions(_.map(m => MediaSig(m.media_id,
+        Wav.envelopeHash(m.content))))
+  }
+
+  /** Brightness-curve fingerprints of every video row (REAL container
+    * parse, map-side) — feeds the same banded-Hamming chain. */
+  def curveHashes(media: Dataset[MediaRow]): Dataset[MediaSig] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .mapPartitions(_.map(m => MediaSig(m.media_id,
+        Avi.curveHash(m.content))))
+  }
+
   /** Perceptual fingerprints: dHash over the DECODED pixels of every
     * image row, batch-per-partition like [[decodeMeta]] — the binary
     * column never shuffles; only `(id, 64-bit sig)` leaves the scan.

@@ -93,4 +93,23 @@ object Wav {
       }
     } finally in.close()
   }
+
+  /** Envelope difference hash over the REAL decoded PCM stream — the
+    * audio analog of [[Png.dHashSampled]]: 65 floor-mean |amplitude|
+    * windows ([[windowMeanAbs]]), bit `j` set when window `j` is louder
+    * than window `j+1`. Loudness/offset shifts move every sample byte
+    * but barely move the envelope SHAPE, so Hamming-close hashes mean
+    * perceptually-near-duplicate clips (the chromaprint idea at its
+    * cheapest rung — a learned audio embedding would replace the
+    * descriptor behind the same 64-bit signature contract). */
+  def envelopeHash(content: Array[Byte]): Long = {
+    val wm = windowMeanAbs(content, 65)
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      if (wm(j) > wm(j + 1)) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
 }

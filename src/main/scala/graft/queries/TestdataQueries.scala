@@ -5440,6 +5440,31 @@ FROM r$q82Rounds"""
   // exact xor bit count — candidate cut included, no recall proxy.
   private val q178MaxHamming = 6
 
+  /** Shared oracle tail for every perceptual-hash arm: a `bits(id, lo,
+    * hi)` CTE (two 32-bit signature halves — bit 63 is live, so the
+    * unsigned value is assembled in HUGEINT and wrapped to the signed
+    * 64-bit Spark emits) → 4×16 banding → distinct band-collision
+    * candidates → exact xor bit-count verify. Replays `NearDup
+    * .hammingBandPairs` semantics verbatim, candidate cut included. */
+  private def hammingTailSql(maxHamming: Int): String =
+    s"""sg AS (SELECT id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u
+       |  FROM bits),
+       |sig AS (SELECT id, u, CAST(CASE
+       |    WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+       |    THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
+       |    AS BIGINT) AS sig FROM sg),
+       |banded AS (SELECT id, sig,
+       |    b, CAST((u // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 65536
+       |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
+       |      % 65536 AS BIGINT) AS v
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       |    l.sig AS sa, r.sig AS sb
+       |  FROM banded l JOIN banded r
+       |    ON l.b = r.b AND l.v = r.v AND l.id < r.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming""".stripMargin
+
   private def q178ImageDhash(s: SparkSession, d: String): DataFrame = {
     val ids = Tables.embeddings(s, d).select(col("vec_id"))
     val media = graft.multimodal.MultimodalOps.gradientImages(ids)
@@ -5472,23 +5497,79 @@ FROM r$q82Rounds"""
        |  FROM grid g1 JOIN grid g2 ON g1.id = g2.id AND g1.r = g2.r
        |    AND g2.c = g1.c + 1
        |  GROUP BY g1.id),
-       |sg AS (SELECT id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u
-       |  FROM bits),
-       |sig AS (SELECT id, u, CAST(CASE
-       |    WHEN u >= CAST(9223372036854775808 AS HUGEINT)
-       |    THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
-       |    AS BIGINT) AS sig FROM sg),
-       |banded AS (SELECT id, sig,
-       |    b, CAST((u // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 65536
-       |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
-       |      % 65536 AS BIGINT) AS v
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-       |    l.sig AS sa, r.sig AS sb
-       |  FROM banded l JOIN banded r
-       |    ON l.b = r.b AND l.v = r.v AND l.id < r.id)
-       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= $q178MaxHamming""".stripMargin
+       |${hammingTailSql(q178MaxHamming)}""".stripMargin
+
+  // ------------------- perceptual audio dedup (§2.10 ext)
+  // The audio arm of the perceptual-dedup triple: REAL 16-bit PCM WAVs
+  // → real javax.sound decode → 65-window envelope difference hash →
+  // the shared banded-Hamming chain. The oracle re-derives every
+  // decoded sample arithmetically (PCM is lossless), folds the SAME
+  // floor-mean windows, and replays the q178 tail verbatim.
+  private val q179MaxHamming = 6
+
+  private def q179AudioEnvelope(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val media = graft.multimodal.MultimodalOps.toneAudio(ids)
+    val sigs = graft.multimodal.MultimodalOps.envelopeHashes(media).toDF()
+    graft.operators.NearDup.hammingBandPairs(sigs,
+        maxHamming = q179MaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  private val q179Sql =
+    s"""WITH pp AS (SELECT id, k % 200 + 130 AS n, k // 7 % 97 + 11 AS step,
+       |    (k // 11 % 50) * 40 + id % 3 AS base
+       |  FROM (SELECT vec_id AS id,
+       |      ((vec_id % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
+       |wm AS (SELECT id, j,
+       |    list_sum(list_transform(range(j * n // 65, (j + 1) * n // 65),
+       |      i -> abs((base + i * step) % 2001 - 1000)))
+       |      // ((j + 1) * n // 65 - j * n // 65) AS w
+       |  FROM pp CROSS JOIN (SELECT unnest(range(0, 65)) AS j)),
+       |bits AS (SELECT w1.id,
+       |    CAST(sum(CASE WHEN w1.j < 32 AND w1.w > w2.w
+       |      THEN CAST(1 AS BIGINT) << w1.j ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN w1.j >= 32 AND w1.w > w2.w
+       |      THEN CAST(1 AS BIGINT) << (w1.j - 32) ELSE 0 END)
+       |      AS BIGINT) AS hi
+       |  FROM wm w1 JOIN wm w2 ON w1.id = w2.id AND w2.j = w1.j + 1
+       |  GROUP BY w1.id),
+       |${hammingTailSql(q179MaxHamming)}""".stripMargin
+
+  // ------------------- perceptual video dedup (§2.10 ext)
+  // The video arm: REAL RIFF/AVI clips → real container parse → the
+  // per-frame brightness curve resampled to 65 points → difference
+  // hash → the shared chain. Solid frames make the parsed per-frame
+  // mean EXACTLY the fill byte, so the oracle replays the whole curve.
+  private val q180MaxHamming = 6
+
+  private def q180VideoCurve(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val media = graft.multimodal.MultimodalOps.clipVideo(ids)
+    val sigs = graft.multimodal.MultimodalOps.curveHashes(media).toDF()
+    graft.operators.NearDup.hammingBandPairs(sigs,
+        maxHamming = q180MaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  private val q180Sql =
+    s"""WITH pp AS (SELECT id, k % 30 + 35 AS nf,
+       |    (k // 13 % 31) * 8 + 9 AS step,
+       |    (k // 11 % 8) * 32 + id % 3 AS base
+       |  FROM (SELECT vec_id AS id,
+       |      ((vec_id % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
+       |pt AS (SELECT id, j,
+       |    (base + ((j * nf) // 65) * step) % 256 AS p
+       |  FROM pp CROSS JOIN (SELECT unnest(range(0, 65)) AS j)),
+       |bits AS (SELECT p1.id,
+       |    CAST(sum(CASE WHEN p1.j < 32 AND p1.p > p2.p
+       |      THEN CAST(1 AS BIGINT) << p1.j ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN p1.j >= 32 AND p1.p > p2.p
+       |      THEN CAST(1 AS BIGINT) << (p1.j - 32) ELSE 0 END)
+       |      AS BIGINT) AS hi
+       |  FROM pt p1 JOIN pt p2 ON p1.id = p2.id AND p2.j = p1.j + 1
+       |  GROUP BY p1.id),
+       |${hammingTailSql(q180MaxHamming)}""".stripMargin
 
   // ------------------- robust outlier panel (§2.10 ext)
   // Hampel filter per source on document token counts: median/MAD, not
@@ -6175,7 +6256,9 @@ FROM r$q82Rounds"""
     "q175_pmi_collocations" -> (q175PmiCollocations _),
     "q176_cdc_chunks" -> (q176CdcChunks _),
     "q177_robust_outliers" -> (q177RobustOutliers _),
-    "q178_image_dhash" -> (q178ImageDhash _))
+    "q178_image_dhash" -> (q178ImageDhash _),
+    "q179_audio_envelope" -> (q179AudioEnvelope _),
+    "q180_video_curve" -> (q180VideoCurve _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6350,5 +6433,7 @@ FROM r$q82Rounds"""
     "q175_pmi_collocations" -> q175Sql,
     "q176_cdc_chunks" -> q176Sql,
     "q177_robust_outliers" -> q177Sql,
-    "q178_image_dhash" -> q178Sql)
+    "q178_image_dhash" -> q178Sql,
+    "q179_audio_envelope" -> q179Sql,
+    "q180_video_curve" -> q180Sql)
 }

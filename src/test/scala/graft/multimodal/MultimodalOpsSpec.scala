@@ -200,4 +200,42 @@ class MultimodalOpsSpec extends SparkSpec {
       .collect().map(r => r.media_id -> r.content).toMap
     assert(!java.util.Arrays.equals(m(7L), m(7L + 4096L)))
   }
+
+  test("envelopeHash: decoded-PCM fingerprint matches the window law") {
+    val (n, step, base) = (200, 37, 120)
+    val samples =
+      Array.tabulate(n)(i => ((base + i * step) % 2001 - 1000).toShort)
+    val wav = Wav.encodePcm16Mono(8000, samples)
+    val got = Wav.envelopeHash(wav)
+    def wm(j: Int): Long = {
+      val lo = j * n / 65; val hi = (j + 1) * n / 65
+      (lo until hi).map(i => math.abs(samples(i).toLong)).sum / (hi - lo)
+    }
+    var want = 0L
+    for (j <- 0 until 64) if (wm(j) > wm(j + 1)) want |= 1L << j
+    assert(got === want)
+    // amplitude-offset jitter barely moves the envelope shape
+    val near = Wav.envelopeHash(Wav.encodePcm16Mono(8000,
+      Array.tabulate(n)(i => ((base + 2 + i * step) % 2001 - 1000).toShort)))
+    assert(java.lang.Long.bitCount(got ^ near) <= 6)
+  }
+
+  test("curveHash: parsed frame-brightness fingerprint matches the law") {
+    val (w, h, nF, step, base) = (4, 3, 40, 57, 30)
+    val avi = Avi.encodeSolid(w, h,
+      Array.tabulate(nF)(f => (base + f * step) % 256))
+    val got = Avi.curveHash(avi)
+    def p(j: Int): Long = (base + (j * nF / 65) * step) % 256
+    var want = 0L
+    for (j <- 0 until 64) if (p(j) > p(j + 1)) want |= 1L << j
+    assert(got === want)
+    // the planted pair: Δ = 3·4096 preserves class AND jitter for the
+    // tone/clip laws too
+    val aSigs = envelopeHashes(toneAudio(Seq(11L, 11L + 12288L, 500L)
+      .toDF("vec_id"))).collect().map(s => s.id -> s.sig).toMap
+    assert(aSigs(11L) === aSigs(11L + 12288L))
+    val vSigs = curveHashes(clipVideo(Seq(11L, 11L + 12288L, 500L)
+      .toDF("vec_id"))).collect().map(s => s.id -> s.sig).toMap
+    assert(vSigs(11L) === vSigs(11L + 12288L))
+  }
 }
