@@ -322,15 +322,31 @@ object Mix {
     * per-source totals (K rows) broadcast. Output is K rows:
     * `(src, n_tokens, excess, base_share, eg_share, weight)`. */
   def doremiReweight(docs: DataFrame, text: Column, source: Column,
-                     eta: Double, smoothing: Double): DataFrame = {
+                     eta: Double, smoothing: Double): DataFrame =
+    doremiReweightFromCounts(doremiCounts(docs, text, source),
+      eta, smoothing)
+
+  /** The sufficient statistic of [[doremiReweight]]: the per-(source,
+    * token) count table `(src, t, c_st)`. COUNTS, hence additive —
+    * batches fold into an accumulated table in any arrival order and
+    * the result equals the one-shot table exactly (the streaming arm's
+    * batch-equivalence argument). */
+  def doremiCounts(docs: DataFrame, text: Column, source: Column)
+      : DataFrame = {
+    import graft.functions.TextExprs
+    docs.filter(source.isNotNull)
+      .select(source.as("src"), explode(TextExprs.tokens(text)).as("t"))
+      .groupBy(col("src"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+  }
+
+  /** [[doremiReweight]] over a pre-aggregated `(src, t, c_st)` count
+    * table (the streaming state's grain). */
+  def doremiReweightFromCounts(srcCnt: DataFrame, eta: Double,
+                               smoothing: Double): DataFrame = {
     require(eta >= 0, s"eta must be >= 0, got $eta")
     require(smoothing >= 0 && smoothing <= 1,
       s"smoothing must be in [0, 1], got $smoothing")
-    import graft.functions.TextExprs
-    val toks = docs.filter(source.isNotNull)
-      .select(source.as("src"), explode(TextExprs.tokens(text)).as("t"))
-    val srcCnt = toks.groupBy(col("src"), col("t"))
-      .agg(count(lit(1)).as("c_st"))
     val globCnt = srcCnt.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
     val srcTot = srcCnt.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
     // 1 row: corpus token count, vocabulary size, source count

@@ -5499,6 +5499,24 @@ FROM r$q82Rounds"""
        |  GROUP BY g1.id),
        |${hammingTailSql(q178MaxHamming)}""".stripMargin
 
+  // ------------------- streaming DoReMi reweighting (§2.10 ext)
+  // q174's weights re-derived after every ingest batch from additive
+  // (src, token) count state — the accumulated table equals the
+  // one-shot table EXACTLY under any arrival split, so the streaming
+  // read shares q174's oracle verbatim.
+  private def q181StreamingDoremi(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("doremi_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.DoremiStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b),
+        col("text"), col("source"), state)
+    }
+    graft.streaming.DoremiStream.readWeights(s, state,
+      eta = 1.0, smoothing = 0.2)
+  }
+
   // ------------------- perceptual audio dedup (§2.10 ext)
   // The audio arm of the perceptual-dedup triple: REAL 16-bit PCM WAVs
   // → real javax.sound decode → 65-window envelope difference hash →
@@ -6258,7 +6276,8 @@ FROM r$q82Rounds"""
     "q177_robust_outliers" -> (q177RobustOutliers _),
     "q178_image_dhash" -> (q178ImageDhash _),
     "q179_audio_envelope" -> (q179AudioEnvelope _),
-    "q180_video_curve" -> (q180VideoCurve _))
+    "q180_video_curve" -> (q180VideoCurve _),
+    "q181_streaming_doremi" -> (q181StreamingDoremi _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6435,5 +6454,8 @@ FROM r$q82Rounds"""
     "q177_robust_outliers" -> q177Sql,
     "q178_image_dhash" -> q178Sql,
     "q179_audio_envelope" -> q179Sql,
-    "q180_video_curve" -> q180Sql)
+    "q180_video_curve" -> q180Sql,
+    // the streaming read equals the one-shot q174 exactly (additive
+    // count state) — same oracle by construction
+    "q181_streaming_doremi" -> q174Sql)
 }
