@@ -79,4 +79,66 @@ object HashKernels {
   /** Column API: `h ← (h·mult + char) mod p` over `text`'s characters. */
   def polyHash(text: Column, mult: Long, mod: Long): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(text), mult, mod))
+
+  /** Cut positions of a token array: indices `i` with
+    * `polyHash(ts[i]) mod divisor == remainder` — the boundary scan of
+    * content-defined chunking as ONE kernel call per row. A
+    * `filter(sequence(...), i -> polyHash(element_at(ts, i+1)) ...)`
+    * HOF computes the identical positions but runs interpreted per
+    * ELEMENT (HOFs never enter whole-stage codegen); this walks the
+    * array once in compiled code (measured on the q176 bench: 7.3 s →
+    * sub-second at sf0.1). Null elements are never cuts. */
+  def cdcCutsKernel(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                    mult: Long, mod: Long, divisor: Int,
+                    remainder: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val buf = new scala.collection.mutable.ArrayBuilder.ofInt
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          polyHash(arr.getUTF8String(i), mult, mod) % divisor == remainder)
+        buf += i
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.result())
+  }
+
+  case class CdcCuts(child: Expression, mult: Long, mod: Long,
+                     divisor: Int, remainder: Int)
+      extends UnaryExpression {
+    require(mod > 0 && mult > 0 && mult < mod,
+      s"cdc_cuts needs 0 < mult < mod, got mult=$mult mod=$mod")
+    require(divisor >= 2 && remainder >= 0 && remainder < divisor,
+      s"cdc_cuts needs 0 <= remainder < divisor, divisor >= 2; " +
+        s"got divisor=$divisor remainder=$remainder")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cdc_cuts expects array<string>, got $other")
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "cdc_cuts"
+
+    override protected def nullSafeEval(input: Any): Any =
+      cdcCutsKernel(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        mult, mod, divisor, remainder)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashKernels.cdcCutsKernel($c, ${mult}L, ${mod}L, " +
+          s"$divisor, $remainder)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: [[CdcCuts]] over a token-array column. */
+  def cdcCuts(tokens: Column, mult: Long, mod: Long, divisor: Int,
+              remainder: Int): Column =
+    ColumnBridge.column(CdcCuts(ColumnBridge.expression(tokens),
+      mult, mod, divisor, remainder))
 }

