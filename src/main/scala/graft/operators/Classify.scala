@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashKernels, TextExprs}
@@ -548,5 +549,44 @@ object Classify {
         round(p, 6).as("ref_share"), round(q, 6).as("cur_share"),
         round(q - p, 6).as("delta_share"),
         round(jsTerm * 1e9).cast("long").as("js_e9"))
+  }
+
+  /** Per-group rank (quantile) normalization of a score column — the
+    * cross-domain calibration step a per-source threshold needs: raw
+    * quality scores are not comparable across sources (each classifier
+    * sees different base rates), but the WITHIN-source percentile is,
+    * so `pr ≥ 0.8` keeps each source's top 20% regardless of score
+    * scale (the quantile-normalization standard). Emits
+    * `(id, grp, score, pr)` with `pr` = SQL `percent_rank()` —
+    * `(#strictly-smaller) / (n − 1)`, ties share a rank, single-row
+    * groups read 0.
+    *
+    * Scale shape — NOT the textbook window: `percent_rank()` over a
+    * source-partitioned window sorts each source's entire corpus slice
+    * in one task (the classic low-cardinality-partition skew). Instead
+    * the CDF lives on the (grp, score) COUNT TABLE — distinct-value-
+    * bounded, the q137 grain, since scores arrive snapped — where one
+    * bounded cumulative window mints `#strictly-smaller`, and the
+    * corpus gets its `pr` by a (grp, score)-keyed join: rows never
+    * sort, never one-task. The oracle runs the textbook window — the
+    * hash match is the proof the decomposition equals it. */
+  def rankNormalize(df: DataFrame, id: Column, score: Column,
+                    group: Column): DataFrame = {
+    val rows = df.filter(group.isNotNull && score.isNotNull)
+      .select(id.as("id"), group.as("grp"), score.as("score"))
+    val cnt = rows.groupBy(col("grp"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val wBelow = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("grp"))
+    val tab = cnt
+      .withColumn("below", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+      .withColumn("n_grp", sum(col("c")).over(wAll))
+      .select(col("grp"), col("score"),
+        when(col("n_grp") > 1, round(col("below").cast("double") /
+            (col("n_grp") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)).as("pr"))
+    rows.join(tab, Seq("grp", "score"))
+      .select(col("id"), col("grp"), col("score"), col("pr"))
   }
 }

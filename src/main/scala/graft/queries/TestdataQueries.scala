@@ -5499,6 +5499,35 @@ FROM r$q82Rounds"""
        |  GROUP BY g1.id),
        |${hammingTailSql(q178MaxHamming)}""".stripMargin
 
+  // ------------------- per-source rank normalization (§2.10 ext)
+  // Quantile normalization of quality scores: within-source percentile
+  // makes thresholds comparable across sources with different score
+  // scales. The Spark side builds the CDF on the distinct-(src, score)
+  // count table (no per-source corpus sort — the low-cardinality window
+  // skew trap); the oracle runs the textbook percent_rank() window, so
+  // the hash match proves the decomposition.
+  private def q182RankNormalize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+    graft.operators.Classify.rankNormalize(docs, col("doc_id"),
+        round(graft.functions.TextExprs.qualityScore(col("text")), 6),
+        col("source"))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("grp", "src")
+      .withColumnRenamed("score", "quality")
+  }
+
+  private val q182Sql =
+    s"""WITH q AS (SELECT doc_id, source AS src, round(
+       |    $qualitySqlBody,
+       |    6) AS quality
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0 AND source IS NOT NULL)
+       |SELECT doc_id, src, quality,
+       |  round(CAST(percent_rank() OVER (
+       |    PARTITION BY src ORDER BY quality) AS DOUBLE), 6) AS pr
+       |FROM q""".stripMargin
+
   // ------------------- streaming DoReMi reweighting (§2.10 ext)
   // q174's weights re-derived after every ingest batch from additive
   // (src, token) count state — the accumulated table equals the
@@ -6277,7 +6306,8 @@ FROM r$q82Rounds"""
     "q178_image_dhash" -> (q178ImageDhash _),
     "q179_audio_envelope" -> (q179AudioEnvelope _),
     "q180_video_curve" -> (q180VideoCurve _),
-    "q181_streaming_doremi" -> (q181StreamingDoremi _))
+    "q181_streaming_doremi" -> (q181StreamingDoremi _),
+    "q182_rank_normalize" -> (q182RankNormalize _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6457,5 +6487,6 @@ FROM r$q82Rounds"""
     "q180_video_curve" -> q180Sql,
     // the streaming read equals the one-shot q174 exactly (additive
     // count state) — same oracle by construction
-    "q181_streaming_doremi" -> q174Sql)
+    "q181_streaming_doremi" -> q174Sql,
+    "q182_rank_normalize" -> q182Sql)
 }

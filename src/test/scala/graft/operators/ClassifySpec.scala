@@ -85,4 +85,27 @@ class ClassifySpec extends SparkSpec {
     assert(got("A") === ("A", 4L, 2L, 2L, 1L, 1L, 0.5))
     assert(got("B") === ("B", 2L, 2L, 2L, 0L, 0L, 0.0))
   }
+
+  test("rankNormalize equals percent_rank(): ties share, singletons read 0") {
+    // A: scores 1,2,2,5 → pr 0, 1/3, 1/3, 1; B: one row → 0
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 2.0),
+      (4L, "A", 5.0), (5L, "B", 9.0)).toDF("id", "grp", "s")
+    val got = Classify.rankNormalize(df, col("id"), col("s"), col("grp"))
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "A", 1.0, 0.0), (2L, "A", 2.0, 0.333333),
+      (3L, "A", 2.0, 0.333333), (4L, "A", 5.0, 1.0), (5L, "B", 9.0, 0.0)))
+    // the count-table CDF equals Spark's own window on a bigger frame
+    val big = spark.range(500).select(col("id"),
+      concat(lit("g"), pmod(col("id"), lit(7))).as("grp"),
+      round(pmod(col("id") * 37, lit(23)).cast("double") / 7.0, 6).as("s"))
+    val viaOp = Classify.rankNormalize(big, col("id"), col("s"), col("grp"))
+      .select(col("id"), col("pr"))
+      .as[(Long, Double)].collect().toMap
+    val viaWin = big.select(col("id"),
+        round(org.apache.spark.sql.functions.percent_rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+            .orderBy(col("s"))), 6).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaOp === viaWin)
+  }
 }
