@@ -3859,18 +3859,20 @@ FROM r$q82Rounds"""
       .select(col("id").as("doc_id"), col("grp").as("source"),
         col("w").as("n_toks"), col("rate_bp"))
 
-  private val q126Sql = {
+  /** q126's oracle as a CTE list (no leading WITH) over any document
+    * relation — shared with q183's dedup-aware composition. */
+  private def temperatureMixCtes(docsRel: String): String = {
     val poly = "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
       "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
     val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * 2654435761) % 1000000007"
     val aS = q126Alpha.toString
     val am1S = (q126Alpha - 1.0).toString
     val bsS = (q126Budget * q126Scale).toDouble.toString
-    s"""WITH rows_ AS (
+    s"""rows_ AS (
        |  SELECT doc_id, source,
        |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS n_toks
-       |  FROM documents),
+       |  FROM $docsRel),
        |tot AS (SELECT source, sum(n_toks) AS t FROM rows_
        |        GROUP BY source HAVING sum(n_toks) > 0),
        |ta AS (SELECT source, t,
@@ -3887,6 +3889,8 @@ FROM r$q82Rounds"""
        |FROM h JOIN rates r USING (source)
        |WHERE mh % $q126Scale < rate_bp""".stripMargin
   }
+
+  private val q126Sql = "WITH " + temperatureMixCtes("documents")
 
   // ----------------------------- HyperLogLog distinct (§2.10 ext)
   // Register-based distinct sibling of the KMV family (q56/q64): fixed
@@ -5499,6 +5503,34 @@ FROM r$q82Rounds"""
        |  GROUP BY g1.id),
        |${hammingTailSql(q178MaxHamming)}""".stripMargin
 
+  // ------------------- dedup-aware temperature mix (§2.10 ext)
+  // The mixing mistake q168 exists to expose, fixed in-plan: a
+  // dup-heavy source inflates its RAW token share, so temperature
+  // rates computed pre-dedup over-sample it. Composition: q44's
+  // cluster representatives first, THEN q126's temperature sampling —
+  // rates now derive from effective (post-dedup) totals. Both stages
+  // are the registered operators; the oracle composes both oracles.
+  private def q183DedupAwareMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val reps = q44DupClusters(s, d)
+      .filter(col("doc_id") === col("cluster_rep")).select("doc_id")
+    graft.operators.Mix.temperatureSample(
+      docs.join(reps, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextExprs.tokenCount(col("text")).as("n_toks")),
+      col("doc_id"), col("source"), col("n_toks"),
+      q126Alpha, q126Budget, q126Scale)
+      .select(col("id").as("doc_id"), col("grp").as("source"),
+        col("w").as("n_toks"), col("rate_bp"))
+  }
+
+  private val q183Sql =
+    s"""WITH cl AS (SELECT doc_id, cluster_rep FROM ($q44Sql)),
+       |dedup AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN cl ON d.doc_id = cl.doc_id
+       |  WHERE cl.doc_id = cl.cluster_rep),
+       |${temperatureMixCtes("dedup")}""".stripMargin
+
   // ------------------- per-source rank normalization (§2.10 ext)
   // Quantile normalization of quality scores: within-source percentile
   // makes thresholds comparable across sources with different score
@@ -6307,7 +6339,8 @@ FROM r$q82Rounds"""
     "q179_audio_envelope" -> (q179AudioEnvelope _),
     "q180_video_curve" -> (q180VideoCurve _),
     "q181_streaming_doremi" -> (q181StreamingDoremi _),
-    "q182_rank_normalize" -> (q182RankNormalize _))
+    "q182_rank_normalize" -> (q182RankNormalize _),
+    "q183_dedup_aware_mix" -> (q183DedupAwareMix _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6488,5 +6521,6 @@ FROM r$q82Rounds"""
     // the streaming read equals the one-shot q174 exactly (additive
     // count state) — same oracle by construction
     "q181_streaming_doremi" -> q174Sql,
-    "q182_rank_normalize" -> q182Sql)
+    "q182_rank_normalize" -> q182Sql,
+    "q183_dedup_aware_mix" -> q183Sql)
 }
