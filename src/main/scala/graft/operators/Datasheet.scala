@@ -379,22 +379,42 @@ object Datasheet {
     * never. Output: `(src, n_docs, median_v, mad_v, n_outliers,
     * outlier_share)`. */
   def robustOutliers(docs: DataFrame, value: Column, group: Column,
-                     z: Double): DataFrame = {
-    require(z > 0, s"z must be positive, got $z")
-    val vals = docs.filter(group.isNotNull && value.isNotNull)
+                     z: Double): DataFrame =
+    robustOutliersFromCounts(valueCounts(docs, value, group), z)
+
+  /** The sufficient statistic of [[robustOutliers]]: the per-(group,
+    * value) count table `(src, v, c)`. COUNTS, hence additive — the
+    * streaming arm's state grain ([[graft.streaming.OutlierStream]]),
+    * and the distinct-value-bounded table every percentile below reads
+    * instead of corpus rows. */
+  def valueCounts(docs: DataFrame, value: Column, group: Column)
+      : DataFrame =
+    docs.filter(group.isNotNull && value.isNotNull)
       .select(group.as("src"), value.cast("double").as("v"))
-    val meds = vals.groupBy(col("src"))
-      .agg(percentile(col("v"), lit(0.5)).as("med"))
-    val devs = vals.join(broadcast(meds), Seq("src"))
+      .groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
+
+  /** [[robustOutliers]] over the pre-aggregated count table: medians
+    * are frequency-weighted exact percentiles (`percentile(v, 0.5, c)`
+    * — identical interpolation to the row form, so the two entry
+    * points and the streaming read produce the same panel bit for
+    * bit), the deviation pass re-keys the COUNT TABLE (not rows) by
+    * `|v − median|`, and outlier counts are conditional sums of `c`.
+    * Nothing in the chain touches corpus rows after the first
+    * aggregate. */
+  def robustOutliersFromCounts(cnts: DataFrame, z: Double): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val meds = cnts.groupBy(col("src"))
+      .agg(percentile(col("v"), lit(0.5), col("c")).as("med"))
+    val devs = cnts.join(broadcast(meds), Seq("src"))
       .withColumn("dev", abs(col("v") - col("med")))
     val mads = devs.groupBy(col("src"))
-      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      .agg(percentile(col("dev"), lit(0.5), col("c")).as("mad"))
     val flagged = devs.join(broadcast(mads), Seq("src"))
-      .withColumn("is_out",
-        when(col("dev") > lit(z) * greatest(col("mad"), lit(1e-9)), 1L)
-          .otherwise(0L))
+      .withColumn("out_c",
+        when(col("dev") > lit(z) * greatest(col("mad"), lit(1e-9)),
+          col("c")).otherwise(lit(0L)))
     flagged.groupBy(col("src"), col("med"), col("mad"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("is_out")).as("n_outliers"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("out_c")).as("n_outliers"))
       .select(col("src"), col("n_docs"),
         round(col("med"), 6).as("median_v"),
         round(col("mad"), 6).as("mad_v"),

@@ -5687,6 +5687,25 @@ FROM r$q82Rounds"""
        |FROM dv JOIN md2 USING (src)
        |GROUP BY dv.src, dv.med, md2.mad""".stripMargin
 
+  // ------------------- streaming robust outliers (§2.10 ext)
+  // q177's median/MAD panel after every ingest batch from additive
+  // (src, value) count state — median/MAD has no constant-size
+  // sufficient statistic, so the value-count table IS the minimal
+  // exact state; the read equals the one-shot panel bit for bit and
+  // shares q177's oracle verbatim.
+  private def q184StreamingOutliers(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("outlier_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.OutlierStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b),
+        graft.functions.TextExprs.tokenCount(col("text")), col("source"),
+        state)
+    }
+    graft.streaming.OutlierStream.readPanel(s, state, z = q177Z)
+  }
+
   // ------------------- content-defined chunking (§2.10 ext)
   // Rabin-style hash-cut chunking: boundaries follow content, so chunk
   // hashes survive shifted edits (the dedup-robust chunk grain). The
@@ -6340,7 +6359,8 @@ FROM r$q82Rounds"""
     "q180_video_curve" -> (q180VideoCurve _),
     "q181_streaming_doremi" -> (q181StreamingDoremi _),
     "q182_rank_normalize" -> (q182RankNormalize _),
-    "q183_dedup_aware_mix" -> (q183DedupAwareMix _))
+    "q183_dedup_aware_mix" -> (q183DedupAwareMix _),
+    "q184_streaming_outliers" -> (q184StreamingOutliers _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6522,5 +6542,8 @@ FROM r$q82Rounds"""
     // count state) — same oracle by construction
     "q181_streaming_doremi" -> q174Sql,
     "q182_rank_normalize" -> q182Sql,
-    "q183_dedup_aware_mix" -> q183Sql)
+    "q183_dedup_aware_mix" -> q183Sql,
+    // the streaming read equals the one-shot q177 exactly (additive
+    // value-count state) — same oracle by construction
+    "q184_streaming_outliers" -> q177Sql)
 }
