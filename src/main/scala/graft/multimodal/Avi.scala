@@ -181,7 +181,9 @@ object Avi {
   def curveHash(content: Array[Byte]): Long = {
     val fm = frameMeans(content)
     require(fm.nonEmpty, "clip has no frames")
-    def p(j: Int): Long = fm((j * fm.length / 65).toInt)
+    // long multiply: 34M+ tiny frames overflow Int at j*nF (the same
+    // guard Wav.windowMeanAbs carries on its window arithmetic)
+    def p(j: Int): Long = fm((j.toLong * fm.length / 65).toInt)
     var bits = 0L
     var j = 0
     while (j < 64) {

@@ -63,16 +63,18 @@ object Chunk {
     * index, which a relational engine doesn't carry — the raw geometric
     * length law is documented instead of hidden).
     *
-    * Pure map-side like [[tokenChunks]]: cut positions come from a
-    * `filter` over the index range of the ONCE-materialized token
-    * array, chunk spans from zipping `[0, cuts+1]` with `[cuts, n-1]`,
-    * and the explode emits `slice` windows — no shuffle, no window
-    * function, the corpus streams through one projection. The hash is
-    * the oracle-portable polynomial fold ([[graft.functions
-    * .HashKernels.polyHash]]), so every boundary decision AND every
-    * chunk hash replays relationally (the oracle formulates the same
-    * chunking as an exclusive prefix sum over cut flags — provably the
-    * same partition of each doc).
+    * Pure map-side like [[tokenChunks]]: cut positions come from ONE
+    * codegen'd kernel call per row ([[graft.functions.HashKernels
+    * .CdcCuts]] — NOT a filter/transform HOF, which evaluates
+    * interpreted per element and benched 34× slower at sf0.1), chunk
+    * spans from zipping `[0, cuts+1]` with `[cuts, n-1]`, and the
+    * explode emits `slice` windows — no shuffle, no window function,
+    * the corpus streams through one projection. The hash is the
+    * oracle-portable polynomial fold ([[graft.functions.HashKernels
+    * .polyHash]] — CdcCuts evaluates exactly it per token), so every
+    * boundary decision AND every chunk hash replays relationally (the
+    * oracle formulates the same chunking as an exclusive prefix sum
+    * over cut flags — provably the same partition of each doc).
     *
     * Output: `(id, chunk_idx, n_tokens, chunk_text, chunk_hash)`; docs
     * with zero tokens yield nothing; a doc whose LAST token is a cut

@@ -370,11 +370,21 @@ object Mix {
     val excess = greatest(col("ex_e9").cast("double") /
       (col("n_s").cast("double") * 1e9), lit(0.0))
     val baseShare = col("n_s").cast("double") / col("n_corpus").cast("double")
+    // Overflow fail-fast: for eta > 1 under heavy skew raw·1e12 can
+    // exceed Long (raw ≈ (n_corpus/n_s)^(eta−1) · 1e12), where a
+    // non-ANSI cast would silently saturate and corrupt every weight
+    // via the shared denominator — raise instead (the
+    // temperatureSample negative-weight discipline).
+    val rawD = round(baseShare * exp(lit(eta) * excess) * 1e12)
+    val rawE12 = when(rawD > lit(9.2e18), raise_error(concat(
+        lit("Mix.doremiReweight: eta*excess overflows the 1e-12 " +
+          "fixed-point Long for source "), col("src").cast("string"),
+        lit("; lower eta"))).cast("long"))
+      .otherwise(rawD.cast("long"))
     val scored = exSum.select(col("src"), col("n_s"), col("k_src"),
       excess.as("excess"), baseShare.as("base_share"),
       // snap the exp output before the normalization sum
-      round(baseShare * exp(lit(eta) * excess) * 1e12).cast("long")
-        .as("raw_e12"))
+      rawE12.as("raw_e12"))
     val denom = scored.agg(sum(col("raw_e12")).as("denom_e12"))
     scored.crossJoin(broadcast(denom))
       .select(col("src"), col("n_s").as("n_tokens"),

@@ -91,25 +91,25 @@ object Vocab {
     * reorder ties; `pmi` is emitted rounded(4) for display. Ties break
     * pair-lexicographically.
     *
-    * Scale shape: one explode feeds BOTH count tables (pairs as
-    * `(l,r)`, unigrams from the same materialized array); `minCount`
-    * prunes the pair table BEFORE its two vocab-sized marginal joins;
-    * the 1-row totals broadcast; the final top-k is
-    * TakeOrderedAndProject (per-partition heaps), rank minted over k
-    * rows under the sanctioned pmod window. Output:
+    * Scale shape: the corpus tokenizes twice (the pair explode and the
+    * unigram explode); the PAIR TOTAL is derived from the pair count
+    * table itself — summed before the `minCount` filter, never a third
+    * scan — and `minCount` prunes the pair table BEFORE its two
+    * vocab-sized marginal joins; the 1-row totals broadcast; the final
+    * top-k is TakeOrderedAndProject (per-partition heaps), rank minted
+    * over k rows under the sanctioned pmod window. Output:
     * `(rank, l_tok, r_tok, n_pair, pmi)`. */
   def pmiCollocations(df: DataFrame, text: Column, k: Int,
                       minCount: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
-    val pairCnt = pairRows(df, None, text)
+    val pairCntAll = pairRows(df, None, text)
       .groupBy(col("l_tok"), col("r_tok")).agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
+    val pairCnt = pairCntAll.filter(col("n_pair") >= minCount)
     val uniCnt = df.select(explode(TextExprs.tokens(text)).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
     val totals = uniCnt.agg(sum(col("c_t")).as("n_uni"))
-      .crossJoin(broadcast(pairRows(df, None, text)
-        .agg(count(lit(1)).as("n_pairs"))))
+      .crossJoin(broadcast(pairCntAll.agg(sum(col("n_pair")).as("n_pairs"))))
     val scored = pairCnt
       .join(uniCnt.select(col("t").as("l_tok"), col("c_t").as("c_l")),
         Seq("l_tok"))

@@ -5483,7 +5483,7 @@ FROM r$q82Rounds"""
        |    (k // 155 % 8) * 32 + (id % 3) * 2 AS base,
        |    (k // 31 % 5) * 32 + 16 AS sx, (k // 11 % 4) * 64 + 32 AS sy
        |  FROM (SELECT vec_id AS id,
-       |      ((vec_id % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
+       |      ((((vec_id % 4096) + 4096) % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
        |grid AS (SELECT id, r, c,
        |    3 * ((base + sx * ((c * w) // 9) + sy * ((r * h) // 8)) % 256)
        |      AS s
@@ -5599,7 +5599,7 @@ FROM r$q82Rounds"""
     s"""WITH pp AS (SELECT id, k % 200 + 130 AS n, k // 7 % 97 + 11 AS step,
        |    (k // 11 % 50) * 40 + id % 3 AS base
        |  FROM (SELECT vec_id AS id,
-       |      ((vec_id % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
+       |      ((((vec_id % 4096) + 4096) % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
        |wm AS (SELECT id, j,
        |    list_sum(list_transform(range(j * n // 65, (j + 1) * n // 65),
        |      i -> abs((base + i * step) % 2001 - 1000)))
@@ -5636,7 +5636,7 @@ FROM r$q82Rounds"""
        |    (k // 13 % 31) * 8 + 9 AS step,
        |    (k // 11 % 8) * 32 + id % 3 AS base
        |  FROM (SELECT vec_id AS id,
-       |      ((vec_id % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
+       |      ((((vec_id % 4096) + 4096) % 4096) * 2654435761) % 4096 AS k FROM embeddings)),
        |pt AS (SELECT id, j,
        |    (base + ((j * nf) // 65) * step) % 256 AS p
        |  FROM pp CROSS JOIN (SELECT unnest(range(0, 65)) AS j)),
