@@ -347,6 +347,44 @@ object NearDup {
                           maxHamming: Int = 3): DataFrame =
     hammingBandPairs(simhashSignatures(docs, id, text), maxHamming)
 
+  /** Recall QA for [[hammingBandPairs]] — the q158 sampled-audit shape
+    * for the banded-Hamming family: above radius 3 the 4×16 pigeonhole
+    * guarantee lapses (a pair can spread its differing bits across all
+    * four bands and never collide), so a caller running `maxHamming >
+    * 3` should MEASURE what the band cut costs on their data rather
+    * than assume. Ground truth is the exact all-pairs Hamming scan
+    * over a deterministic 1-in-`sampleMod` id sample (bounded
+    * quadratic: (n/sampleMod)² signature pairs of id+long metadata,
+    * broadcast-NL, no corpus payloads); candidates are the REGISTERED
+    * banded plan restricted to the same sample. One row:
+    * `(n_sample, n_true_pairs, n_caught, recall)`; recall null when
+    * the sample holds no true pairs. */
+  def hammingBandQa(sigs: DataFrame, maxHamming: Int,
+                    sampleMod: Long): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val samp = sigs.filter(col("id") % sampleMod === 0)
+    val truth = samp.select(col("id").as("ta"), col("sig").as("sa"))
+      .crossJoin(broadcast(
+        samp.select(col("id").as("tb"), col("sig").as("sb"))))
+      .filter(col("ta") < col("tb") &&
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
+      .select(col("ta"), col("tb"))
+    val cand = hammingBandPairs(sigs, maxHamming)
+      .filter(col("id_a") % sampleMod === 0 &&
+        col("id_b") % sampleMod === 0)
+    val caught = truth.join(
+      cand.select(col("id_a").as("ca"), col("id_b").as("cb")),
+      col("ta") === col("ca") && col("tb") === col("cb"), "left")
+    val tAgg = caught.agg(count(lit(1)).as("n_true_pairs"),
+      count(col("ca")).as("n_caught"))
+    samp.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(broadcast(tAgg))
+      .select(col("n_sample"), col("n_true_pairs"), col("n_caught"),
+        when(col("n_true_pairs") > 0,
+          round(col("n_caught").cast("double") /
+            col("n_true_pairs").cast("double"), 6)).as("recall"))
+  }
+
   /** 62-bit ORACLE-PORTABLE token hash: two independent polynomial rolling
     * hashes over the token's code points, each mod a prime < 2^31, packed
     * as `h1·2^31 + h2`. Unlike xxhash64 (engine-specific), the recurrence

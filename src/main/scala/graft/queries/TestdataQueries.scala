@@ -5450,7 +5450,7 @@ FROM r$q82Rounds"""
     * 64-bit Spark emits) → 4×16 banding → distinct band-collision
     * candidates → exact xor bit-count verify. Replays `NearDup
     * .hammingBandPairs` semantics verbatim, candidate cut included. */
-  private def hammingTailSql(maxHamming: Int): String =
+  private val hammingSigCtes =
     s"""sg AS (SELECT id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u
        |  FROM bits),
        |sig AS (SELECT id, u, CAST(CASE
@@ -5461,7 +5461,10 @@ FROM r$q82Rounds"""
        |    b, CAST((u // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 65536
        |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
        |      % 65536 AS BIGINT) AS v
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b))""".stripMargin
+
+  private def hammingTailSql(maxHamming: Int): String =
+    s"""$hammingSigCtes,
        |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
        |    l.sig AS sa, r.sig AS sb
        |  FROM banded l JOIN banded r
@@ -5478,8 +5481,8 @@ FROM r$q82Rounds"""
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  private val q178Sql =
-    s"""WITH pp AS (SELECT id, k % 23 + 9 AS w, k % 10 + 8 AS h,
+  private val q178BitsCtes =
+    s"""pp AS (SELECT id, k % 23 + 9 AS w, k % 10 + 8 AS h,
        |    (k // 155 % 8) * 32 + (id % 3) * 2 AS base,
        |    (k // 31 % 5) * 32 + 16 AS sx, (k // 11 % 4) * 64 + 32 AS sy
        |  FROM (SELECT vec_id AS id,
@@ -5500,8 +5503,50 @@ FROM r$q82Rounds"""
        |      AS BIGINT) AS hi
        |  FROM grid g1 JOIN grid g2 ON g1.id = g2.id AND g1.r = g2.r
        |    AND g2.c = g1.c + 1
-       |  GROUP BY g1.id),
+       |  GROUP BY g1.id)""".stripMargin
+
+  private val q178Sql =
+    s"""WITH $q178BitsCtes,
        |${hammingTailSql(q178MaxHamming)}""".stripMargin
+
+  // ------------------- banded-Hamming recall QA (§2.10 ext)
+  // q158's sampled-audit question for the perceptual family: above
+  // radius 3 the 4x16 pigeonhole guarantee lapses, so the band cut's
+  // recall at maxHamming=6 is MEASURED against an exact all-pairs
+  // Hamming scan over a 1-in-5 id sample — the registered banded plan
+  // restricted to the same sample is the candidate side.
+  private val q185SampleMod = 5L
+
+  private def q185DhashRecall(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val sigs = graft.multimodal.MultimodalOps.dHashes(
+      graft.multimodal.MultimodalOps.gradientImages(ids)).toDF()
+    graft.operators.NearDup.hammingBandQa(sigs,
+      maxHamming = q178MaxHamming, sampleMod = q185SampleMod)
+  }
+
+  private val q185Sql =
+    s"""WITH $q178BitsCtes,
+       |$hammingSigCtes,
+       |samp AS (SELECT id, sig FROM sig WHERE id % $q185SampleMod = 0),
+       |truth AS (SELECT a.id AS ta, b.id AS tb FROM samp a JOIN samp b
+       |  ON a.id < b.id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $q178MaxHamming),
+       |cand AS (SELECT DISTINCT l.id AS ca, r.id AS cb,
+       |    l.sig AS sa, r.sig AS sb
+       |  FROM banded l JOIN banded r
+       |    ON l.b = r.b AND l.v = r.v AND l.id < r.id),
+       |ver AS (SELECT ca, cb FROM cand
+       |  WHERE bit_count(xor(sa, sb)) <= $q178MaxHamming
+       |    AND ca % $q185SampleMod = 0 AND cb % $q185SampleMod = 0),
+       |tj AS (SELECT t.ta, v.ca FROM truth t LEFT JOIN ver v
+       |  ON t.ta = v.ca AND t.tb = v.cb)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
+       |  CAST(count(*) AS BIGINT) AS n_true_pairs,
+       |  CAST(count(ca) AS BIGINT) AS n_caught,
+       |  CASE WHEN count(*) > 0 THEN round(CAST(count(ca) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) END AS recall
+       |FROM tj""".stripMargin
 
   // ------------------- dedup-aware temperature mix (§2.10 ext)
   // The mixing mistake q168 exists to expose, fixed in-plan: a
@@ -6360,7 +6405,8 @@ FROM r$q82Rounds"""
     "q181_streaming_doremi" -> (q181StreamingDoremi _),
     "q182_rank_normalize" -> (q182RankNormalize _),
     "q183_dedup_aware_mix" -> (q183DedupAwareMix _),
-    "q184_streaming_outliers" -> (q184StreamingOutliers _))
+    "q184_streaming_outliers" -> (q184StreamingOutliers _),
+    "q185_dhash_recall" -> (q185DhashRecall _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6545,5 +6591,6 @@ FROM r$q82Rounds"""
     "q183_dedup_aware_mix" -> q183Sql,
     // the streaming read equals the one-shot q177 exactly (additive
     // value-count state) — same oracle by construction
-    "q184_streaming_outliers" -> q177Sql)
+    "q184_streaming_outliers" -> q177Sql,
+    "q185_dhash_recall" -> q185Sql)
 }

@@ -15,6 +15,28 @@ class NearDupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
     (5L, "")).toDF("id", "text")
 
+  test("hammingBandQa measures the band cut: spread pairs missed, recall honest") {
+    import spark.implicits._
+    // pair (0, 5): 4 differing bits, one in EACH 16-bit band → no band
+    // collision, missed by the banded plan though hamming 4 <= 6.
+    // pair (10, 15): 4 differing bits all in band 0 → caught via bands
+    // 1-3. Ids all % 5 == 0 so the sample sees every pair.
+    val spread = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val packed = 15L // bits 0-3
+    val sigs = Seq((0L, 0L), (5L, spread), (10L, 1L << 60),
+      (15L, (1L << 60) | packed)).toDF("id", "sig")
+    val qa = NearDup.hammingBandQa(sigs, maxHamming = 6, sampleMod = 5)
+      .as[(Long, Long, Long, Double)].collect().head
+    // truth (h ≤ 6): (0,5) h=4, (0,10) h=1, (0,15) h=5, (5,10) h=5,
+    // (10,15) h=4 — 5 pairs; (5,15) h=7 is out. The spread signature
+    // never shares a band with anything (its bands are 1,1,1,1), so
+    // BOTH its true pairs are missed; the others collide on zero bands
+    assert(qa._1 === 4L)
+    assert(qa._2 === 5L)
+    assert(qa._3 === 3L)
+    assert(qa._4 === 0.6)
+  }
+
   test("simhashSignatures equals the scalar simhash expression") {
     val scalar = docs.filter(length(trim(col("text"))) > 0)
       .select(col("id"), NearDup.simhash(col("text")).as("sig"))
