@@ -1409,10 +1409,58 @@ object ScaleProbe {
     ()
   }
 
+  /** The q182–q185 operators at 100× fixtures: rank normalization (the
+    * count-table CDF vs the corpus-sort it avoids), the dedup-aware
+    * mix composition, three streaming-outlier polls plus the panel
+    * read, and the banded-Hamming recall audit at 100k signatures. */
+  def ops18Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Classify, Datasheet, NearDup}
+    import graft.multimodal.MultimodalOps
+    val docs = genDocs(spark, 100).select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+        col("text"))
+      .cache()
+    val nDocs = docs.count()
+    println(s"[probe] corpus: $nDocs docs, 20 sources")
+    val score = round(graft.functions.TextExprs
+      .qualityScore(col("text")), 6)
+    time(f"rankNormalize      ($nDocs%8d docs, CDF on count table)") {
+      Classify.rankNormalize(docs, col("doc_id"), score, col("source"))
+        .count()
+    }
+    val state = java.nio.file.Files
+      .createTempDirectory("ops18_outliers").toString
+    time(f"outlier stream     (3 polls of $nDocs%8d docs / 3)") {
+      (0 until 3).foreach { b =>
+        graft.streaming.OutlierStream.ingestBatch(spark,
+          docs.filter(col("doc_id") % 3 === b),
+          graft.functions.TextExprs.tokenCount(col("text")),
+          col("source"), state)
+      }
+    }
+    time("outlier panel read (zero corpus access)") {
+      graft.streaming.OutlierStream.readPanel(spark, state, 3.0)
+        .collect().length
+    }
+    val ids = spark.range(100000L).select(col("id").as("vec_id"))
+    val sigs = MultimodalOps.dHashes(
+      MultimodalOps.gradientImages(ids)).toDF().cache()
+    sigs.count()
+    val qa = time("hammingBandQa      (100k sigs, 1-in-50 sample)") {
+      NearDup.hammingBandQa(sigs, maxHamming = 6, sampleMod = 50L)
+        .collect().head
+    }
+    println(s"[probe]   -> n_sample=${qa.getLong(0)} " +
+      s"true=${qa.getLong(1)} caught=${qa.getLong(2)} " +
+      s"recall=${if (qa.isNullAt(3)) "null" else qa.getDouble(3)}")
+    sigs.unpersist(); docs.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
-      "lmstream", "qs", "ops16", "ct", "ops17")
+      "lmstream", "qs", "ops16", "ct", "ops17", "ops18")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1489,6 +1537,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops17")) {
       ops17Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops18")) {
+      ops18Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
