@@ -5548,6 +5548,32 @@ FROM r$q82Rounds"""
        |    CAST(count(*) AS DOUBLE), 6) END AS recall
        |FROM tj""".stripMargin
 
+  // ------------------- leakage-free split assignment (§2.10 ext)
+  // The FIX for what q167 detects: hash-split on the near-dup CLUSTER
+  // representative instead of the doc id, so near-copies land in the
+  // same split by construction and the q167 leakage matrix is diagonal
+  // — no post-hoc filtering, the assignment itself is leakage-free.
+  // Composition of q44's clusters with q87's split law; the oracle
+  // replays the CC and the mixed-hash split over cluster_rep.
+  private def q186ClusterSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.assignSplits(q44DupClusters(s, d),
+        col("cluster_rep"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+
+  private val q186Sql = {
+    val poly = "list_reduce(list_transform(string_split(" +
+      "CAST(cluster_rep AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    val mh = s"((($poly * 1103515245 + 12345) % 1000000007) * " +
+      "2654435761) % 1000000007"
+    s"""WITH cl AS (SELECT doc_id, cluster_rep FROM ($q44Sql))
+       |SELECT doc_id, cluster_rep,
+       |  CASE WHEN h < 9000 THEN 'train'
+       |       WHEN h < 9500 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_rep, $mh % 10000 AS h FROM cl)""".stripMargin
+  }
+
   // ------------------- dedup-aware temperature mix (§2.10 ext)
   // The mixing mistake q168 exists to expose, fixed in-plan: a
   // dup-heavy source inflates its RAW token share, so temperature
@@ -6406,7 +6432,8 @@ FROM r$q82Rounds"""
     "q182_rank_normalize" -> (q182RankNormalize _),
     "q183_dedup_aware_mix" -> (q183DedupAwareMix _),
     "q184_streaming_outliers" -> (q184StreamingOutliers _),
-    "q185_dhash_recall" -> (q185DhashRecall _))
+    "q185_dhash_recall" -> (q185DhashRecall _),
+    "q186_cluster_split" -> (q186ClusterSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6592,5 +6619,6 @@ FROM r$q82Rounds"""
     // the streaming read equals the one-shot q177 exactly (additive
     // value-count state) — same oracle by construction
     "q184_streaming_outliers" -> q177Sql,
-    "q185_dhash_recall" -> q185Sql)
+    "q185_dhash_recall" -> q185Sql,
+    "q186_cluster_split" -> q186Sql)
 }

@@ -133,6 +133,27 @@ class MixSpec extends SparkSpec {
       Mix.capPerGroup(docs, col("id"), col("src"), col("q"), 0))
   }
 
+  test("cluster-keyed splits are leakage-free by construction") {
+    // split on cluster_rep: members of a cluster MUST share a split,
+    // so any verified near-dup pair is split-internal (the q167 matrix
+    // goes diagonal). Reps spread across splits like plain ids do.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_rep")
+    val out = Mix.assignSplits(clusters, col("cluster_rep"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byRep = out.groupBy(_._2).values
+    assert(byRep.forall(_.map(_._3).distinct.size == 1),
+      s"cluster members split apart: ${out.toSeq}")
+    // and the assignment equals splitting the rep ids directly
+    val repSplit = Mix.assignSplits(
+        clusters.select(col("cluster_rep").as("id")).distinct(), col("id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (_, rep, s) => repSplit(rep) == s })
+  }
+
   // ------------------------- DoReMi-lite reweighting
 
   // "common" speaks the corpus majority language; "weird" a disjoint
