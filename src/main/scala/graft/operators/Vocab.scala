@@ -91,23 +91,42 @@ object Vocab {
     * reorder ties; `pmi` is emitted rounded(4) for display. Ties break
     * pair-lexicographically.
     *
-    * Scale shape: the corpus tokenizes twice (the pair explode and the
-    * unigram explode); the PAIR TOTAL is derived from the pair count
-    * table itself — summed before the `minCount` filter, never a third
-    * scan — and `minCount` prunes the pair table BEFORE its two
+    * Scale shape: both totals derive from the COUNT TABLES (the pair
+    * total summed before the `minCount` filter — no extra corpus
+    * pass for either); `minCount` prunes the pair table BEFORE its two
     * vocab-sized marginal joins; the 1-row totals broadcast; the final
     * top-k is TakeOrderedAndProject (per-partition heaps), rank minted
-    * over k rows under the sanctioned pmod window. Output:
+    * over k rows under the sanctioned pmod window. This convenience
+    * form hands lazy count plans to [[pmiFromCounts]] and Catalyst
+    * re-evaluates each reference (measured: 4 corpus scans) —
+    * petabyte-scale callers materialize the count tables first and use
+    * [[pmiFromCounts]] directly (2 scans). Output:
     * `(rank, l_tok, r_tok, n_pair, pmi)`. */
   def pmiCollocations(df: DataFrame, text: Column, k: Int,
-                      minCount: Int): DataFrame = {
+                      minCount: Int): DataFrame =
+    pmiFromCounts(
+      pairRows(df, None, text)
+        .groupBy(col("l_tok"), col("r_tok")).agg(count(lit(1)).as("n_pair")),
+      df.select(explode(TextExprs.tokens(text)).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c_t")),
+      k, minCount)
+
+  /** [[pmiCollocations]] over pre-aggregated count tables — the
+    * sufficient-statistic entry (`(l_tok, r_tok, n_pair)` pair counts
+    * and `(t, c_t)` unigram counts; both totals derive from the tables
+    * themselves). The convenience wrapper above hands UNMATERIALIZED
+    * count plans to this function, and Catalyst inlines each reference
+    * — the executed q175 plan re-scans the corpus once per marginal
+    * join (4 scans total, one AQE stage reuse; measured via
+    * `tools.ExecutedPlan`). At fixture scale that's noise; a caller
+    * mining collocations from a petabyte corpus should materialize the
+    * two vocab-sized count tables first (one scan each) and call this
+    * entry, paying 2 corpus scans total. */
+  def pmiFromCounts(pairCntAll: DataFrame, uniCnt: DataFrame, k: Int,
+                    minCount: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
-    val pairCntAll = pairRows(df, None, text)
-      .groupBy(col("l_tok"), col("r_tok")).agg(count(lit(1)).as("n_pair"))
     val pairCnt = pairCntAll.filter(col("n_pair") >= minCount)
-    val uniCnt = df.select(explode(TextExprs.tokens(text)).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
     val totals = uniCnt.agg(sum(col("c_t")).as("n_uni"))
       .crossJoin(broadcast(pairCntAll.agg(sum(col("n_pair")).as("n_pairs"))))
     val scored = pairCnt
