@@ -299,6 +299,31 @@ object Datasheet {
         round(col("rep_tokens").cast("double") /
           col("n_tokens").cast("double"), 6).as("token_keep_rate"))
 
+  /** [[dedupEffectiveSize]] sliced by source — WHICH feed is dup-heavy:
+    * the per-source doc/token keep rates that justify (or kill) a
+    * feed's raw mixture share, and the direct motivation for the
+    * dedup-aware temperature mix (a source with token_keep_rate 0.4
+    * gets 2.5× its fair share from raw totals). `sources` maps
+    * `doc_id → src`; a cluster straddling sources counts its rep among
+    * each source's distinct reps (the straddle is exactly the q164
+    * cross-source signal, reported there). Scale: id-only metadata
+    * joins, sources-bounded output. */
+  def dedupEffectiveSizeBySource(clusters: DataFrame, tokens: DataFrame,
+                                 sources: DataFrame): DataFrame =
+    clusters.join(tokens, Seq("doc_id")).join(sources, Seq("doc_id"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_rep")).as("n_clusters"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("doc_id") === col("cluster_rep"), col("nt"))
+          .otherwise(0L)).as("rep_tokens"))
+      .select(col("src"), col("n_docs"), col("n_clusters"),
+        round(col("n_clusters").cast("double") /
+          col("n_docs").cast("double"), 6).as("doc_keep_rate"),
+        col("n_tokens"), col("rep_tokens"),
+        round(col("rep_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("token_keep_rate"))
+
   /** Embedding-table health panel per group — the datasheet entry that
     * catches a broken embedder BEFORE the ANN/dedup family consumes its
     * output: ragged dimensions (dim_min ≠ dim_max means a schema bug

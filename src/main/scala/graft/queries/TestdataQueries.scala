@@ -5548,6 +5548,76 @@ FROM r$q82Rounds"""
        |    CAST(count(*) AS DOUBLE), 6) END AS recall
        |FROM tj""".stripMargin
 
+  // ------------------- CDC chunk dedup rate (§2.10 ext)
+  // The scalar CDC chunking exists to produce: how much of the corpus
+  // is repeated CHUNKS (shifted copies included), and the token volume
+  // chunk-hash dedup would reclaim. The Spark side groups by the
+  // 64-bit chunk hash (the q9 trade); the oracle groups by the chunk
+  // TEXT, so a collision surfaces as a hash mismatch.
+  private def q187CdcDedupRate(s: SparkSession, d: String): DataFrame = {
+    val ch = graft.operators.Chunk.cdcChunks(Tables.documents(s, d),
+      col("doc_id"), col("text"), q176Divisor, q176Remainder)
+    ch.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("c"), min(col("n_tokens")).as("nt"))
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("nt")).as("total_tokens"),
+        sum((col("c") - 1) * col("nt")).as("dup_tokens"))
+      .select(col("n_chunks"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_chunks").cast("double"), 6).as("chunk_dup_rate"),
+        col("total_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("token_savings_rate"))
+  }
+
+  // lazy: q176Sql is declared later in the file — a strict val here
+  // would capture null at object-init time
+  private lazy val q187Sql =
+    s"""WITH ch AS (SELECT * FROM ($q176Sql)),
+       |g AS (SELECT chunk_text, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(min(n_tokens) AS BIGINT) AS nt
+       |  FROM ch GROUP BY 1)
+       |SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+       |    AS chunk_dup_rate,
+       |  CAST(sum(c * nt) AS BIGINT) AS total_tokens,
+       |  CAST(sum((c - 1) * nt) AS BIGINT) AS dup_tokens,
+       |  round(CAST(sum((c - 1) * nt) AS DOUBLE) /
+       |    CAST(sum(c * nt) AS DOUBLE), 6) AS token_savings_rate
+       |FROM g""".stripMargin
+
+  // ------------------- per-source effective size (§2.10 ext)
+  // q168 sliced: WHICH feed is dup-heavy — the per-source keep rates
+  // that directly motivate the q183 dedup-aware mix.
+  private def q188EffectiveBySource(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      TextExprs.tokenCount(col("text")).cast("long").as("nt"))
+    graft.operators.Datasheet.dedupEffectiveSizeBySource(
+      q44DupClusters(s, d), tok,
+      docs.select(col("doc_id"), col("source").as("src")))
+  }
+
+  private val q188Sql =
+    s"""WITH cl AS (SELECT doc_id, cluster_rep FROM ($q44Sql)),
+       |tok AS (SELECT doc_id, source AS src,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+       |  FROM documents)
+       |SELECT src, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+       |  round(CAST(count(DISTINCT cluster_rep) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS doc_keep_rate,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN doc_id = cluster_rep THEN nt ELSE 0 END)
+       |    AS BIGINT) AS rep_tokens,
+       |  round(CAST(sum(CASE WHEN doc_id = cluster_rep THEN nt ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6) AS token_keep_rate
+       |FROM cl JOIN tok USING (doc_id)
+       |GROUP BY src""".stripMargin
+
   // ------------------- leakage-free split assignment (§2.10 ext)
   // The FIX for what q167 detects: hash-split on the near-dup CLUSTER
   // representative instead of the doc id, so near-copies land in the
@@ -6433,7 +6503,9 @@ FROM r$q82Rounds"""
     "q183_dedup_aware_mix" -> (q183DedupAwareMix _),
     "q184_streaming_outliers" -> (q184StreamingOutliers _),
     "q185_dhash_recall" -> (q185DhashRecall _),
-    "q186_cluster_split" -> (q186ClusterSplit _))
+    "q186_cluster_split" -> (q186ClusterSplit _),
+    "q187_cdc_dedup_rate" -> (q187CdcDedupRate _),
+    "q188_effective_by_source" -> (q188EffectiveBySource _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6620,5 +6692,7 @@ FROM r$q82Rounds"""
     // value-count state) — same oracle by construction
     "q184_streaming_outliers" -> q177Sql,
     "q185_dhash_recall" -> q185Sql,
-    "q186_cluster_split" -> q186Sql)
+    "q186_cluster_split" -> q186Sql,
+    "q187_cdc_dedup_rate" -> q187Sql,
+    "q188_effective_by_source" -> q188Sql)
 }

@@ -157,6 +157,26 @@ class DatasheetSpec extends SparkSpec {
     assert(got("B") === ("B", 2L, 1, 3, 0L, 2.0, 1.0, 3.0))
   }
 
+  test("dedupEffectiveSizeBySource: keep rates per feed, straddles per source") {
+    // srcA: docs 1,2 cluster at rep 1 (10+5 tokens) + singleton 3 (2);
+    // srcB: doc 4 joins srcA's cluster (rep 1 straddles) + singleton 5
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 1L), (5L, 5L))
+      .toDF("doc_id", "cluster_rep")
+    val tokens = Seq((1L, 10L), (2L, 5L), (3L, 2L), (4L, 7L), (5L, 4L))
+      .toDF("doc_id", "nt")
+    val sources = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B")).toDF("doc_id", "src")
+    val got = Datasheet.dedupEffectiveSizeBySource(clusters, tokens,
+        sources)
+      .as[(String, Long, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // A: 3 docs, reps {1, 3}, 17 tokens, rep tokens 10+2=12
+    assert(got("A") === ("A", 3L, 2L, 0.666667, 17L, 12L, 0.705882))
+    // B: 2 docs, reps {1, 5} (1 straddles in), 11 tokens, rep tokens 4
+    // (doc 4 is not its cluster's rep; rep 1 lives in A)
+    assert(got("B") === ("B", 2L, 2L, 1.0, 11L, 4L, 0.363636))
+  }
+
   test("robustOutliers: median/MAD ignore the outlier they flag") {
     // srcA values 1..9 plus 100: med 5.5, MAD 2.5, threshold 7.5 → only
     // the 100 flags (a mean/sigma screen would have its threshold
