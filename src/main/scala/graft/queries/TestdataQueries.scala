@@ -5618,6 +5618,102 @@ FROM r$q82Rounds"""
        |FROM cl JOIN tok USING (doc_id)
        |GROUP BY src""".stripMargin
 
+  // ------------------- RM3 pseudo-relevance feedback (§2.10 ext)
+  // The query-expansion step of the lexical stack: retrieve, mine the
+  // top feedback docs' term distribution (RM1), rescore with the
+  // interpolated weighted query. Scores here are DATA-DRIVEN sums, so
+  // the dsum discipline applies end to end: decimal feedback mass,
+  // 1e-9-snapped RM1 terms and weighted contributions, exact-Long
+  // ranking keys. Interpolation constants are embedded from the SAME
+  // Scala doubles the operator uses (shortest-round-trip repr + CAST
+  // AS DOUBLE), so both engines parse identical IEEE values.
+  private val q189FbDocs = 3
+  private val q189FbTerms = 5
+  private val q189Alpha = 0.6
+  private val q189K = 5
+
+  private def q189Rm3(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bm25.rm3TopK(Tables.documents(s, d), col("doc_id"),
+      col("text"), q68Queries, q68K1, q68B, q189FbDocs, q189FbTerms,
+      q189Alpha, q189K)
+
+  private val q189Sql = {
+    val origRows = q68Queries.flatMap { case (qid, ts) =>
+      val u = q189Alpha / ts.distinct.size
+      ts.distinct.map(t => s"('$qid', '$t', CAST($u AS DOUBLE))")
+    }.mkString(",\n      ")
+    val oneMinusAlpha = (1.0 - q189Alpha).toString
+    val k1p1 = (q68K1 + 1.0).toString
+    val oneMinusB = (1.0 - q68B).toString
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val idf = "ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)) + 1.0)"
+    val sat = s"((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE) + " +
+      s"${q68K1} * ($oneMinusB + ${q68B} * (CAST(dl AS DOUBLE) / $avgdl))))"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |fb AS (SELECT query_id, doc_id, score
+       |  FROM (${bm25SqlFor(q68Queries, q68K1, q68B, q189FbDocs)})
+       |  WHERE score > 0),
+       |ft AS (SELECT query_id, sum(CAST(score AS DECIMAL(18,4))) AS tot
+       |  FROM fb GROUP BY 1),
+       |fbw AS (SELECT fb.query_id, fb.doc_id,
+       |    score / CAST(tot AS DOUBLE) AS w_d
+       |  FROM fb JOIN ft USING (query_id)),
+       |fbtf AS (SELECT query_id, doc_id, w_d, dl, t,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT f.query_id, f.doc_id, f.w_d, len(k.ts) AS dl,
+       |      unnest(k.ts) AS t
+       |    FROM fbw f JOIN toks k ON f.doc_id = k.doc_id)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |rm1 AS (SELECT query_id, t, CAST(sum(CAST(round(
+       |      w_d * CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE) * 1e9)
+       |      AS BIGINT)) AS BIGINT) AS rm1_e9
+       |  FROM fbtf GROUP BY 1, 2
+       |  HAVING CAST(sum(CAST(round(w_d * CAST(tf AS DOUBLE) /
+       |    CAST(dl AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) > 0),
+       |sel AS (SELECT query_id, t, rm1_e9 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rm1_e9 DESC, t) AS r FROM rm1)
+       |  WHERE r <= $q189FbTerms),
+       |st2 AS (SELECT query_id, CAST(sum(rm1_e9) AS BIGINT) AS sel_tot
+       |  FROM sel GROUP BY 1),
+       |expn AS (SELECT sel.query_id, t,
+       |    CAST($oneMinusAlpha AS DOUBLE) * CAST(rm1_e9 AS DOUBLE) /
+       |      CAST(sel_tot AS DOUBLE) AS w
+       |  FROM sel JOIN st2 USING (query_id)),
+       |orig AS (SELECT * FROM (VALUES
+       |      $origRows) AS o(query_id, t, w)),
+       |comb AS (SELECT query_id, t, CAST(sum(w) AS DOUBLE) AS w
+       |  FROM (SELECT * FROM orig UNION ALL SELECT * FROM expn)
+       |  GROUP BY 1, 2),
+       |tset AS (SELECT DISTINCT t FROM comb),
+       |dfx AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT doc_id, unnest(list_distinct(ts)) AS t FROM toks)
+       |  WHERE t IN (SELECT t FROM tset) GROUP BY 1),
+       |st3 AS (SELECT count(*) AS n_docs,
+       |    sum(CAST(len(ts) AS BIGINT)) AS sum_dl FROM toks),
+       |tft AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS t FROM toks)
+       |  WHERE t IN (SELECT t FROM tset) GROUP BY 1, 2, 3),
+       |contrib AS (SELECT c.query_id, tft.doc_id, CAST(round(
+       |      c.w * $idf * $sat * 1e9) AS BIGINT) AS e9
+       |  FROM tft JOIN comb c USING (t) JOIN dfx USING (t)
+       |    CROSS JOIN st3),
+       |sc2 AS (SELECT query_id, doc_id,
+       |    CAST(sum(e9) AS BIGINT) AS score_e9
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       |  round(CAST(score_e9 AS DOUBLE) / 1e9, 6) AS score
+       |FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rank
+       |  FROM sc2)
+       |WHERE rank <= $q189K""".stripMargin
+  }
+
   // ------------------- leakage-free split assignment (§2.10 ext)
   // The FIX for what q167 detects: hash-split on the near-dup CLUSTER
   // representative instead of the doc id, so near-copies land in the
@@ -6505,7 +6601,8 @@ FROM r$q82Rounds"""
     "q185_dhash_recall" -> (q185DhashRecall _),
     "q186_cluster_split" -> (q186ClusterSplit _),
     "q187_cdc_dedup_rate" -> (q187CdcDedupRate _),
-    "q188_effective_by_source" -> (q188EffectiveBySource _))
+    "q188_effective_by_source" -> (q188EffectiveBySource _),
+    "q189_rm3_expand" -> (q189Rm3 _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6694,5 +6791,6 @@ FROM r$q82Rounds"""
     "q185_dhash_recall" -> q185Sql,
     "q186_cluster_split" -> q186Sql,
     "q187_cdc_dedup_rate" -> q187Sql,
-    "q188_effective_by_source" -> q188Sql)
+    "q188_effective_by_source" -> q188Sql,
+    "q189_rm3_expand" -> q189Sql)
 }

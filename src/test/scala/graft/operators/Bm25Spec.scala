@@ -59,4 +59,55 @@ class Bm25Spec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length == 2))
     assert(out.forall(_._2 <= 2))
   }
+
+  test("rm3: expansion retrieves vocabulary the original query missed") {
+    import spark.implicits._
+    // docs 1-2 match "solar" and also speak of "panels"; doc 3 says
+    // ONLY "panels panels panels" — invisible to plain BM25 for
+    // "solar", reachable once feedback mines "panels"
+    val docs = Seq(
+      (1L, "solar power solar panels energy"),
+      (2L, "solar energy panels grid"),
+      (3L, "panels panels panels"),
+      (4L, "weather report rain"),
+      (5L, "stock market news")
+    ).toDF("doc_id", "text")
+    val q = Seq("s" -> Seq("solar"))
+    val plain = Bm25.topK(docs, col("doc_id"), col("text"), q, k = 5)
+      .filter(col("score") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(3L), "plain BM25 must not score doc 3")
+    val rm3 = Bm25.rm3TopK(docs, col("doc_id"), col("text"), q,
+        fbDocs = 2, fbTerms = 3, alpha = 0.5, k = 5)
+      .filter(col("score") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rm3.contains(3L), s"expansion must surface doc 3, got $rm3")
+    assert(!rm3.contains(4L) && !rm3.contains(5L),
+      "unrelated docs must stay unscored")
+  }
+
+  test("rm3: alpha=1 keeps the original ranking; no-feedback degrades") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple pie recipe"), (2L, "apple orchard"),
+      (3L, "banana bread"), (4L, "car engine")
+    ).toDF("doc_id", "text")
+    val q = Seq("a" -> Seq("apple"))
+    val plain = Bm25.topK(docs, col("doc_id"), col("text"), q, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val a1 = Bm25.rm3TopK(docs, col("doc_id"), col("text"), q,
+        fbDocs = 2, fbTerms = 3, alpha = 1.0, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // alpha=1: only the original term scores; ranked docs must come
+    // back in plain-BM25 order (score scale differs by the 1/|Q| and
+    // snap, order must not)
+    assert(a1.map(_._2).toSeq === plain.map(_._2).toSeq.take(a1.length))
+    // a query whose term is absent everywhere has no positive feedback
+    // and must return empty, not throw
+    val none = Bm25.rm3TopK(docs, col("doc_id"), col("text"),
+      Seq("z" -> Seq("zzz")), fbDocs = 2, fbTerms = 3, alpha = 0.5, k = 4)
+    assert(none.count() === 0)
+    intercept[IllegalArgumentException](Bm25.rm3TopK(docs, col("doc_id"),
+      col("text"), q, alpha = 1.5))
+  }
 }
