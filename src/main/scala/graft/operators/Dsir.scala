@@ -88,4 +88,48 @@ object Dsir {
         coalesce(col("logw"), lit(0.0)).as("logw"))
       .withColumn("selected", col("logw") > 0.0)
   }
+
+  /** The RESAMPLING step of DSIR (Xie et al. 2023 §2): importance
+    * weights become an actual selected subset via Gumbel top-k — key =
+    * logw + Gumbel(0,1), take the k largest per group. Sampling without
+    * replacement proportional-to-softmax(logw), exactly the paper's
+    * sampler, but with the Gumbel noise derived from the doc's own
+    * oracle-portable fingerprint (u = (poly(text) mod p + 0.5)/p,
+    * g = −ln(−ln u)) so the draw is deterministic and replayable by a
+    * relational oracle — no RNG state anywhere in the plan.
+    *
+    * Output: `(src, rank, doc_id, key)` — k rows per group, ranked by
+    * the 1e-9-snapped key (exact-Long ranking, the established
+    * cross-engine tie discipline), tie-broken by doc_id.
+    *
+    * Scale shape: weights cost what [[importanceWeights]] costs (bucket
+    * count tables + one map-side score pass); the perturbed key is
+    * map-side arithmetic; per-group top-k is a group-partitioned window
+    * whose rank filter prunes map-side (WindowGroupLimit), so the
+    * shuffle carries k-bounded traffic per group, never the pool.
+    */
+  def gumbelTopK(raw: DataFrame, target: DataFrame, id: Column,
+                 text: Column, src: Column, buckets: Int,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = 999983L // largest prime below 1e6: u is never 0 or 1
+    val w = importanceWeights(raw, target, id, text, buckets)
+    // empty docs carry no fingerprint entropy (and no grams): excluded
+    // from the draw on both engines
+    val pool = raw.where(length(text) > 0)
+      .select(id.as("doc_id"), src.as("src"),
+        HashKernels.polyHash(text, 31L, 1000000007L).as("h"))
+    val u = (pmod(col("h"), lit(p)).cast("double") + 0.5) / p.toDouble
+    val keyed = pool.join(w, Seq("doc_id"))
+      .select(col("doc_id"), col("src"),
+        round((col("logw") - log(-log(u))) * 1e9).cast("long").as("key_e9"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("key_e9").desc, col("doc_id").asc)
+    keyed.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col("src"), col("rank").cast("int").as("rank"),
+        col("doc_id"),
+        round(col("key_e9").cast("double") / 1e9, 6).as("key"))
+  }
 }

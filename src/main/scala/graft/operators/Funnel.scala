@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel conversion and cohort retention — the two standard
+  * event-analytics rollups over a keyed event stream.
+  *
+  * Both are built as chains of key-partitioned aggregations and
+  * key-equi-joins: every shuffle is on the entity key, each funnel stage
+  * shrinks the keyed set (converted users only), and the final outputs
+  * are stage- or cohort-cardinality tables. No windows, no self-joins of
+  * the full stream, nothing driver-side. At 100 TB the dominant cost is
+  * one hash-partition pass of the filtered stream per stage — and stage
+  * filters push down to the scan, so each pass reads only its stage's
+  * rows.
+  */
+object Funnel {
+
+  /** Strict-order funnel: a key converts to stage i+1 only with an event
+    * of that stage STRICTLY AFTER its stage-i conversion time (earliest
+    * such event). Returns one row per stage: entered keys, conversion
+    * rate vs the previous stage and vs stage 1.
+    *
+    * `stages` are matched against `typ`; rates are plain count ratios
+    * (IEEE division of exact longs — deterministic cross-engine).
+    */
+  def funnel(events: DataFrame, key: Column, ts: Column, typ: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // stage 1: earliest qualifying event per key
+    var reached = events.where(typ === stages.head)
+      .groupBy(key.as("k")).agg(min(ts).as("t"))
+    var counts = Vector(stages.head -> reached)
+    stages.tail.foreach { st =>
+      val nxt = events.where(typ === st)
+        .join(reached, key === col("k") && ts > col("t"), "inner")
+        .groupBy(col("k")).agg(min(ts).as("t2"))
+        .select(col("k"), col("t2").as("t"))
+      reached = nxt
+      counts :+= (st -> nxt)
+    }
+    val perStage = counts.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n")).select(lit(i + 1).as("stage_idx"),
+        lit(st).as("stage"), col("n").cast("long").as("n_keys"))
+    }.reduce(_.union(_))
+    // stage-cardinality table from here on: broadcast-joined scalars
+    val first = perStage.where($"stage_idx" === 1)
+      .select($"n_keys".as("n_first"))
+    val withPrev = perStage
+      .join(broadcast(perStage.select(($"stage_idx" + 1).as("stage_idx"),
+        $"n_keys".as("n_prev"))), Seq("stage_idx"), "left")
+      .crossJoin(broadcast(first))
+    withPrev.select($"stage_idx".cast("int").as("stage_idx"), $"stage",
+      $"n_keys",
+      round(when($"n_prev".isNull, lit(1.0))
+        .when($"n_prev" === 0, lit(0.0))
+        .otherwise($"n_keys".cast("double") / $"n_prev".cast("double")), 6)
+        .as("conv_from_prev"),
+      round(when($"n_first" === 0, lit(0.0))
+        .otherwise($"n_keys".cast("double") / $"n_first".cast("double")), 6)
+        .as("conv_from_first"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of the key's first event;
+    * a key is retained at offset w if it has any event in cohort-week+w.
+    * Output is (cohort_week, week_offset, n_active, retention-vs-cohort-
+    * size) — a cohorts×offsets-cardinality table.
+    *
+    * Two key-partitioned aggregations (first-event, active-weeks) meet in
+    * a key-equi-join, then roll up to cohort cells; cohort sizes re-join
+    * broadcast (cohort-cardinality table).
+    */
+  def weeklyRetention(events: DataFrame, key: Column, ts: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val week = date_trunc("week", ts).cast("date")
+    val firstWeek = events.groupBy(key.as("k"))
+      .agg(min(ts).as("t0"))
+      .select($"k", date_trunc("week", $"t0").cast("date").as("cw"))
+    val activeWeeks = events.select(key.as("k"), week.as("aw")).distinct()
+    val cells = activeWeeks.join(firstWeek, Seq("k"))
+      .groupBy($"cw", (datediff($"aw", $"cw") / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+    val sizes = cells.where($"week_offset" === 0)
+      .select($"cw", $"n_active".as("n_cohort"))
+    cells.join(broadcast(sizes), Seq("cw"))
+      .select(date_format($"cw", "yyyy-MM-dd").as("cohort_week"),
+        $"week_offset", $"n_active",
+        round($"n_active".cast("double") / $"n_cohort".cast("double"), 6)
+          .as("retention"))
+  }
+}

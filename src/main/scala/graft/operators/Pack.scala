@@ -45,4 +45,63 @@ object Pack {
         (least(col(weight).cast("long"), (col("example_id") + 1) * l - col("off")) -
           greatest(lit(0L), col("example_id") * l - col("off"))).as("tok_len"))
   }
+
+  /** Padding-overhead audit for PADDED (non-packed) batching: when each
+    * batch is padded to its longest member, how many pad tokens does a
+    * batching strategy cost? Compares the two standard strategies on the
+    * same corpus:
+    *
+    *  - `hashed`  — batch = hash(id) mod ceil(n/batchRows): the "random
+    *    shuffle" baseline every trainer starts with;
+    *  - `bucketed` — docs first bucket by `floor(len/bucketWidth)`, then
+    *    hash-batch WITHIN the bucket: the length-grouped batching that
+    *    bounds per-batch length spread to `bucketWidth`.
+    *
+    * One row per strategy: `(strategy, n_batches, real_tokens,
+    * padded_tokens, overhead_ratio)` with `padded = Σ_batch max_len ·
+    * rows` and `overhead = (padded − real) / real`.
+    *
+    * Scale shape: batch assignment is a map-side hash (the oracle-portable
+    * linear-congruential mix — no engine-specific hash), so each strategy
+    * is one groupBy on its batch key plus a batch-cardinality rollup. The
+    * bucket-size table re-joins broadcast (cardinality ≤ maxLen /
+    * bucketWidth). No global sort — this is the audit you run INSTEAD of
+    * sorting the corpus by length.
+    */
+  def paddingOverhead(df: DataFrame, id: Column, nTokens: Column,
+                      batchRows: Int, bucketWidth: Int): DataFrame = {
+    require(batchRows >= 1 && bucketWidth >= 1,
+      s"batchRows/bucketWidth must be >= 1, got $batchRows/$bucketWidth")
+    def fdiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val base = df.select(id.cast("long").as("id"),
+      nTokens.cast("long").as("nt"))
+    // oracle-portable LCG mix: id stays < 2^31-scale, so the product is
+    // exact in 64-bit on both engines
+    val h = pmod(base("id") * 1103515245L + 12345L, lit(2147483647L))
+    def summarize(strategy: String, batched: DataFrame): DataFrame =
+      batched.groupBy(col("bk"))
+        .agg(count(lit(1)).as("rows"), sum(col("nt")).as("real"),
+          max(col("nt")).as("mx"))
+        .agg(count(lit(1)).cast("long").as("n_batches"),
+          sum(col("real")).cast("long").as("real_tokens"),
+          sum(col("mx") * col("rows")).cast("long").as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          round((col("padded_tokens") - col("real_tokens")).cast("double") /
+            col("real_tokens").cast("double"), 6).as("overhead_ratio"))
+    val nDocs = base.agg(count(lit(1)).as("n"))
+    val hashed = base.crossJoin(broadcast(nDocs))
+      .select(col("nt"),
+        struct(pmod(h, greatest(lit(1L),
+          ceil(col("n").cast("double") / batchRows).cast("long")))).as("bk"))
+    val bucketed0 = base.select(col("id"), col("nt"),
+      fdiv(col("nt"), lit(bucketWidth.toLong)).as("lb"))
+    val bucketSizes = bucketed0.groupBy(col("lb"))
+      .agg(count(lit(1)).as("cb"))
+    val bucketed = bucketed0.join(broadcast(bucketSizes), Seq("lb"))
+      .select(col("nt"),
+        struct(col("lb"), pmod(h, greatest(lit(1L),
+          ceil(col("cb").cast("double") / batchRows).cast("long")))).as("bk"))
+    summarize("hashed", hashed).union(summarize("bucketed", bucketed))
+  }
 }

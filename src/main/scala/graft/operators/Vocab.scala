@@ -878,4 +878,34 @@ object Vocab {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(-col("s")).as("nll_e6"))
   }
+
+  /** Out-of-vocabulary rate per group under a MIN-FREQUENCY vocabulary
+    * (the `min_frequency` cut every tokenizer trainer applies): a token
+    * occurrence is OOV when its corpus-wide count is below `minCount`.
+    * One row per group: `(grp, n_tokens, oov_tokens, oov_rate)`.
+    *
+    * Scale shape: one shuffle of gram traffic to (group, token) counts,
+    * then all further work happens on COUNT tables — the global token
+    * totals are a re-aggregation of those counts (never a second pass
+    * over the corpus), and the totals join back on the token key. A
+    * frequency-threshold vocab needs no top-k ordering anywhere, which
+    * is what makes this shape scale: no global sort, no single-partition
+    * window, no driver-side vocab materialization.
+    */
+  def oovRateByGroup(df: DataFrame, grp: Column, text: Column,
+                     minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val st = df
+      .select(grp.as("grp"), explode(TextExprs.tokens(text)).as("t"))
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("cnt"))
+    val tot = st.groupBy(col("t")).agg(sum(col("cnt")).as("tot"))
+    st.join(tot, Seq("t"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+        sum(when(col("tot") < minCount, col("cnt")).otherwise(0L))
+          .cast("long").as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
 }

@@ -6416,6 +6416,203 @@ FROM r$q82Rounds"""
        |FROM ex LEFT JOIN cand ON id_a = ca AND id_b = cb
        |GROUP BY 1""".stripMargin
 
+  // ------------------- SCD2 history build (§2.10 ext)
+  // Change-event stream → validity intervals: the warehouse MERGE/SCD
+  // type-2 pattern (no-op suppression, lead-closed intervals). Two
+  // key-partitioned windows over ONE reused exchange; raw columns only,
+  // so no float discipline needed.
+  private def q190Scd2(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scd.scd2(Tables.events(s, d), Seq("user_id"),
+      col("ts"), col("event_id"), col("event_type"), Seq(col("value")))
+
+  private val q190Sql =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (SELECT user_id, ts, event_id, event_type, value FROM ordered
+      |       WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type AS version_value, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current,
+      |  value
+      |FROM ch""".stripMargin
+
+  // ------------------- ordered funnel conversion (§2.10 ext)
+  // view → click → purchase with STRICT ordering (stage i+1 counts only
+  // after the stage-i conversion instant). Stage filters push to the
+  // scan; every join is on the entity key; rates are IEEE divisions of
+  // exact longs.
+  private val q191Stages = Seq("view", "click", "purchase")
+
+  private def q191Funnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnel(Tables.events(s, d), col("user_id"),
+      col("ts"), col("event_type"), q191Stages)
+
+  private val q191Sql =
+    """WITH s1 AS (SELECT user_id AS k, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.k AND e.ts > s1.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s3 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.k AND e.ts > s2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |c AS (
+      |  SELECT 1 AS stage_idx, 'view' AS stage,
+      |    (SELECT count(*) FROM s1) AS n_keys
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+      |  CAST(n_keys AS BIGINT) AS n_keys,
+      |  round(CASE WHEN prev IS NULL THEN CAST(1.0 AS DOUBLE)
+      |    WHEN prev = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE CAST(n_keys AS DOUBLE) / CAST(prev AS DOUBLE) END, 6)
+      |    AS conv_from_prev,
+      |  round(CASE WHEN first_n = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE CAST(n_keys AS DOUBLE) / CAST(first_n AS DOUBLE) END, 6)
+      |    AS conv_from_first
+      |FROM (SELECT *, lag(n_keys) OVER (ORDER BY stage_idx) AS prev,
+      |    first_value(n_keys) OVER (ORDER BY stage_idx) AS first_n
+      |  FROM c)""".stripMargin
+
+  // ------------------- weekly cohort retention (§2.10 ext)
+  // Cohort = ISO week of the key's first event; retained at offset w on
+  // any activity in cohort-week + w. Two key-partitioned aggregations
+  // meet in a key join; the output is a cohorts×offsets cell table and
+  // cohort sizes re-join broadcast.
+  private def q192Retention(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.weeklyRetention(Tables.events(s, d),
+      col("user_id"), col("ts"))
+
+  private val q192Sql =
+    """WITH fw AS (SELECT user_id AS k,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+      |  FROM events GROUP BY 1),
+      |aw AS (SELECT DISTINCT user_id AS k,
+      |    CAST(date_trunc('week', ts) AS DATE) AS aw FROM events),
+      |cells AS (SELECT cw,
+      |    CAST(date_diff('day', cw, aw) // 7 AS INTEGER) AS week_offset,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM aw JOIN fw USING (k) GROUP BY 1, 2),
+      |sz AS (SELECT cw, n_active AS n_cohort FROM cells
+      |  WHERE week_offset = 0)
+      |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, week_offset,
+      |  n_active,
+      |  round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+      |    AS retention
+      |FROM cells c JOIN sz ON c.cw = sz.cw""".stripMargin
+
+  // ------------------- padding-overhead audit (§2.10 ext)
+  // Padded-batch cost of hashed vs length-bucketed batching on the same
+  // corpus — the audit that justifies bucketing WITHOUT a corpus sort.
+  // Batch assignment is the oracle-portable LCG mix, so both engines
+  // agree on every batch; all arithmetic is exact integers until the
+  // final ratio.
+  private val q193BatchRows = 32
+  private val q193BucketWidth = 16
+
+  private def q193PaddingOverhead(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pack.paddingOverhead(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(graft.functions.TextExprs.tokens(col("text"))).as("nt")),
+      col("doc_id"), col("nt"), q193BatchRows, q193BucketWidth)
+
+  private val q193Sql =
+    s"""WITH base AS (SELECT doc_id AS id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+       |  FROM documents),
+       |hx AS (SELECT id, CAST(nt AS BIGINT) AS nt,
+       |    (id * 1103515245 + 12345) % 2147483647 AS h FROM base),
+       |n AS (SELECT count(*) AS n FROM base),
+       |hb AS (SELECT nt, h % greatest(1,
+       |      CAST(ceil(CAST(n AS DOUBLE) / $q193BatchRows) AS BIGINT)) AS b
+       |  FROM hx CROSS JOIN n),
+       |hsum AS (SELECT b, count(*) AS nrows, sum(nt) AS realt, max(nt) AS mx
+       |  FROM hb GROUP BY b),
+       |hrow AS (SELECT 'hashed' AS strategy,
+       |    CAST(count(*) AS BIGINT) AS n_batches,
+       |    CAST(sum(realt) AS BIGINT) AS real_tokens,
+       |    CAST(sum(mx * nrows) AS BIGINT) AS padded_tokens FROM hsum),
+       |bx AS (SELECT id, nt, h, nt // $q193BucketWidth AS lb FROM hx),
+       |bs AS (SELECT lb, count(*) AS cb FROM bx GROUP BY lb),
+       |bb AS (SELECT nt, lb, h % greatest(1,
+       |      CAST(ceil(CAST(cb AS DOUBLE) / $q193BatchRows) AS BIGINT)) AS b
+       |  FROM bx JOIN bs USING (lb)),
+       |bsum AS (SELECT lb, b, count(*) AS nrows, sum(nt) AS realt,
+       |    max(nt) AS mx FROM bb GROUP BY lb, b),
+       |brow AS (SELECT 'bucketed' AS strategy,
+       |    CAST(count(*) AS BIGINT) AS n_batches,
+       |    CAST(sum(realt) AS BIGINT) AS real_tokens,
+       |    CAST(sum(mx * nrows) AS BIGINT) AS padded_tokens FROM bsum)
+       |SELECT strategy, n_batches, real_tokens, padded_tokens,
+       |  round(CAST(padded_tokens - real_tokens AS DOUBLE) /
+       |    CAST(real_tokens AS DOUBLE), 6) AS overhead_ratio
+       |FROM (SELECT * FROM hrow UNION ALL SELECT * FROM brow)""".stripMargin
+
+  // ------------------- DSIR Gumbel top-k resampling (§2.10 ext)
+  // The resampling step that turns q110's importance weights into an
+  // actual selected subset: key = logw + Gumbel noise derived from the
+  // doc's poly fingerprint (deterministic, RNG-free, oracle-replayable),
+  // top-20 per source by the 1e-9-snapped key (exact-Long ranking).
+  private val q194K = 20
+
+  private def q194DsirResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dsir.gumbelTopK(
+      raw = docs.filter(col("source") =!= "src0"),
+      target = docs.filter(col("source") === "src0"),
+      col("doc_id"), col("text"), col("source"),
+      buckets = q110Buckets, k = q194K)
+  }
+
+  private val q194Sql =
+    s"""WITH w AS (SELECT doc_id, logw FROM ($q110Sql)),
+       |p AS (SELECT doc_id, source AS src,
+       |    list_reduce(list_transform(string_split(text, ''),
+       |      c -> CAST(ascii(c) AS BIGINT)),
+       |      (a, c) -> (a * 31 + c) % 1000000007) AS h
+       |  FROM documents WHERE source <> 'src0' AND length(text) > 0),
+       |k AS (SELECT p.doc_id, src,
+       |    CAST(round((logw - ln(-ln((CAST(h % 999983 AS DOUBLE) + 0.5)
+       |      / 999983.0))) * 1e9) AS BIGINT) AS key_e9
+       |  FROM p JOIN w ON p.doc_id = w.doc_id)
+       |SELECT src, CAST(rank AS INTEGER) AS rank, doc_id,
+       |  round(CAST(key_e9 AS DOUBLE) / 1e9, 6) AS key
+       |FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY src ORDER BY key_e9 DESC, doc_id) AS rank FROM k)
+       |WHERE rank <= $q194K""".stripMargin
+
+  // ------------------- OOV rate under a min-frequency vocab (§2.10 ext)
+  // Tokenizer-coverage audit: per source, the fraction of token
+  // occurrences whose corpus-wide count is below the trainer's
+  // min_frequency cut. Count-table composition only — no top-k vocab
+  // ordering anywhere.
+  private val q195MinCount = 5L
+
+  private def q195OovRate(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.oovRateByGroup(Tables.documents(s, d),
+      col("source"), col("text"), q195MinCount)
+
+  private val q195Sql =
+    s"""WITH toks AS (SELECT source AS grp, unnest(
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+       |  FROM documents),
+       |st AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |tot AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS tot FROM st GROUP BY 1)
+       |SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN tot < $q195MinCount THEN cnt ELSE 0 END)
+       |    AS BIGINT) AS oov_tokens,
+       |  round(CAST(sum(CASE WHEN tot < $q195MinCount THEN cnt ELSE 0 END)
+       |      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS oov_rate
+       |FROM st JOIN tot USING (t) GROUP BY grp""".stripMargin
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6602,7 +6799,13 @@ FROM r$q82Rounds"""
     "q186_cluster_split" -> (q186ClusterSplit _),
     "q187_cdc_dedup_rate" -> (q187CdcDedupRate _),
     "q188_effective_by_source" -> (q188EffectiveBySource _),
-    "q189_rm3_expand" -> (q189Rm3 _))
+    "q189_rm3_expand" -> (q189Rm3 _),
+    "q190_scd2_history" -> (q190Scd2 _),
+    "q191_funnel" -> (q191Funnel _),
+    "q192_retention" -> (q192Retention _),
+    "q193_padding_overhead" -> (q193PaddingOverhead _),
+    "q194_dsir_resample" -> (q194DsirResample _),
+    "q195_oov_rate" -> (q195OovRate _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -6792,5 +6995,11 @@ FROM r$q82Rounds"""
     "q186_cluster_split" -> q186Sql,
     "q187_cdc_dedup_rate" -> q187Sql,
     "q188_effective_by_source" -> q188Sql,
-    "q189_rm3_expand" -> q189Sql)
+    "q189_rm3_expand" -> q189Sql,
+    "q190_scd2_history" -> q190Sql,
+    "q191_funnel" -> q191Sql,
+    "q192_retention" -> q192Sql,
+    "q193_padding_overhead" -> q193Sql,
+    "q194_dsir_resample" -> q194Sql,
+    "q195_oov_rate" -> q195Sql)
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ordered funnel + weekly retention (Funnel): strict stage ordering
+  * (events before the previous stage's conversion do NOT count), rate
+  * arithmetic, and cohort cell/retention values on a hand-checked
+  * fixture. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // u1 converts fully in order; u2 purchases BEFORE clicking (purchase
+  // must not count); u3 views only; u4 never views (excluded entirely,
+  // even though it clicks)
+  private val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "view"),
+    (1L, ts("2024-01-01 10:05:00"), "click"),
+    (1L, ts("2024-01-01 10:10:00"), "purchase"),
+    (2L, ts("2024-01-01 09:00:00"), "purchase"),
+    (2L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, ts("2024-01-01 11:00:00"), "click"),
+    (3L, ts("2024-01-01 12:00:00"), "view"),
+    (4L, ts("2024-01-01 12:00:00"), "click"))
+    .toDF("user_id", "ts", "event_type")
+
+  test("strict-order funnel counts and rates") {
+    val got = Funnel.funnel(events, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.map(r => (r._2, r._3)).toSeq ===
+      Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
+    assert(got.map(_._4).toSeq === Seq(1.0, 0.666667, 0.5))
+    assert(got.map(_._5).toSeq === Seq(1.0, 0.666667, 0.333333))
+  }
+
+  test("conversion strictly after: same-instant events do not convert") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(e, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click"))
+      .as[(Int, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq === Seq(1L, 0L))
+  }
+
+  test("weekly retention: cohort cells and rates") {
+    // weeks (Mondays): 2024-01-01, 2024-01-08, 2024-01-15
+    val e = Seq(
+      (1L, ts("2024-01-02 10:00:00")), // cohort w0
+      (1L, ts("2024-01-09 10:00:00")), // active w1
+      (1L, ts("2024-01-16 10:00:00")), // active w2
+      (2L, ts("2024-01-03 10:00:00")), // cohort w0
+      (2L, ts("2024-01-17 10:00:00")), // active w2 (skips w1)
+      (3L, ts("2024-01-10 10:00:00"))) // cohort w1
+      .toDF("user_id", "ts")
+    val got = Funnel.weeklyRetention(e, col("user_id"), col("ts"))
+      .as[(String, Int, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 0.5),
+      ("2024-01-01", 2, 2L, 1.0),
+      ("2024-01-08", 0, 1L, 1.0)))
+  }
+}
