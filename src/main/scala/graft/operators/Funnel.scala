@@ -26,7 +26,25 @@ object Funnel {
     * (IEEE division of exact longs — deterministic cross-engine).
     */
   def funnel(events: DataFrame, key: Column, ts: Column, typ: Column,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String]): DataFrame =
+    funnelImpl(events, key, ts, typ, stages, None)
+
+  /** [[funnel]] with a CONVERSION WINDOW: stage i+1 counts only events in
+    * `(t_i, t_i + maxGapSeconds]` — the "converted within an hour" form
+    * every product funnel actually uses (an unbounded funnel credits a
+    * purchase months after the click). Same plan shape; the gap bound is
+    * one more row-level join predicate on the already-keyed join.
+    */
+  def funnelWithin(events: DataFrame, key: Column, ts: Column, typ: Column,
+                   stages: Seq[String], maxGapSeconds: Long): DataFrame = {
+    require(maxGapSeconds >= 1,
+      s"maxGapSeconds must be >= 1, got $maxGapSeconds")
+    funnelImpl(events, key, ts, typ, stages, Some(maxGapSeconds))
+  }
+
+  private def funnelImpl(events: DataFrame, key: Column, ts: Column,
+                         typ: Column, stages: Seq[String],
+                         maxGapSeconds: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val spark = events.sparkSession
     import spark.implicits._
@@ -35,8 +53,13 @@ object Funnel {
       .groupBy(key.as("k")).agg(min(ts).as("t"))
     var counts = Vector(stages.head -> reached)
     stages.tail.foreach { st =>
+      // microsecond-exact gap bound (epoch-us longs on both engines)
+      val inWindow = maxGapSeconds.map(g =>
+        unix_micros(ts) <= unix_micros(col("t")) + g * 1000000L)
+        .getOrElse(lit(true))
       val nxt = events.where(typ === st)
-        .join(reached, key === col("k") && ts > col("t"), "inner")
+        .join(reached, key === col("k") && ts > col("t") && inWindow,
+          "inner")
         .groupBy(col("k")).agg(min(ts).as("t2"))
         .select(col("k"), col("t2").as("t"))
       reached = nxt
@@ -91,5 +114,47 @@ object Funnel {
         $"week_offset", $"n_active",
         round($"n_active".cast("double") / $"n_cohort".cast("double"), 6)
           .as("retention"))
+  }
+
+  /** Last-touch attribution: each conversion event credits the key's most
+    * recent touch event at-or-before it (`ts_touch ≤ ts_conv`), falling to
+    * `"unattributed"` when no touch exists or the latest one is older than
+    * `lookbackSeconds`. Output: one row per channel —
+    * `(channel, n_conversions, attributed_value)`.
+    *
+    * Built as a composition over [[AsOfJoin.asofJoin]] (the single-shuffle
+    * union+sort+merge — per-key cost linear, never the quadratic
+    * equi-join+filter), after collapsing touches to one per (key, instant)
+    * with a deterministic `max_by(channel, eventId)` winner so the as-of
+    * tie-break is explicit on both engines. Conversion values snap to
+    * 1e-2 fixed-point longs BEFORE the channel sum (order-free exactness —
+    * the dsum discipline), one division at channel grain. The rollup is a
+    * channels-cardinality aggregate; the lookback test is epoch-microsecond
+    * long arithmetic.
+    */
+  def lastTouchAttribution(events: DataFrame, key: Column, ts: Column,
+                           typ: Column, eventId: Column, value: Column,
+                           conversionType: String, touchTypes: Seq[String],
+                           lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(lookbackSeconds >= 1,
+      s"lookbackSeconds must be >= 1, got $lookbackSeconds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val conv = events.where(typ === conversionType)
+      .select(key.as("k"), ts.as("cts"),
+        round(value * 100).cast("long").as("vc"))
+    val touches = events.where(typ.isin(touchTypes.map(lit(_)): _*))
+      .groupBy(key.as("k"), ts.as("tts"))
+      .agg(max_by(typ, eventId).as("channel"))
+    val joined = AsOfJoin.asofJoin(conv, touches, Seq("k"), "cts", "tts")
+    val tooOld = unix_micros($"cts") - unix_micros($"asof_tts") >
+      lookbackSeconds * 1000000L
+    joined
+      .select(when($"asof_tts".isNull || tooOld, lit("unattributed"))
+        .otherwise($"asof_channel").as("channel"), $"vc")
+      .groupBy($"channel")
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        round(sum($"vc").cast("double") / 100.0, 2).as("attributed_value"))
   }
 }

@@ -6613,6 +6613,82 @@ FROM r$q82Rounds"""
        |      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS oov_rate
        |FROM st JOIN tot USING (t) GROUP BY grp""".stripMargin
 
+  // ------------------- windowed funnel (§2.10 ext)
+  // q191's funnel with the conversion window every product funnel
+  // actually uses: stage i+1 counts only within maxGap of the stage-i
+  // instant. Gap test is epoch-microsecond long arithmetic on both
+  // engines. 24h at fixture event density: 150 -> 60 -> 25.
+  private val q196GapSeconds = 86400L
+
+  private def q196FunnelWithin(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnelWithin(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_type"), q191Stages,
+      q196GapSeconds)
+
+  private val q196Sql = {
+    val g = q196GapSeconds * 1000000L
+    s"""WITH s1 AS (SELECT user_id AS k, min(ts) AS t FROM events
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e
+       |  JOIN s1 ON e.user_id = s1.k AND e.ts > s1.t
+       |    AND epoch_us(e.ts) <= epoch_us(s1.t) + $g
+       |  WHERE e.event_type = 'click' GROUP BY 1),
+       |s3 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e
+       |  JOIN s2 ON e.user_id = s2.k AND e.ts > s2.t
+       |    AND epoch_us(e.ts) <= epoch_us(s2.t) + $g
+       |  WHERE e.event_type = 'purchase' GROUP BY 1),
+       |c AS (
+       |  SELECT 1 AS stage_idx, 'view' AS stage,
+       |    (SELECT count(*) FROM s1) AS n_keys
+       |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+       |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+       |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       |  CAST(n_keys AS BIGINT) AS n_keys,
+       |  round(CASE WHEN prev IS NULL THEN CAST(1.0 AS DOUBLE)
+       |    WHEN prev = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(n_keys AS DOUBLE) / CAST(prev AS DOUBLE) END, 6)
+       |    AS conv_from_prev,
+       |  round(CASE WHEN first_n = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(n_keys AS DOUBLE) / CAST(first_n AS DOUBLE) END, 6)
+       |    AS conv_from_first
+       |FROM (SELECT *, lag(n_keys) OVER (ORDER BY stage_idx) AS prev,
+       |    first_value(n_keys) OVER (ORDER BY stage_idx) AS first_n
+       |  FROM c)""".stripMargin
+  }
+
+  // ------------------- last-touch attribution (§2.10 ext)
+  // Each purchase credits the user's most recent view/click at-or-before
+  // it (falling to 'unattributed' beyond the lookback) — composition
+  // over the registered as-of join; values snap to cents before the
+  // channel sum (dsum discipline). Oracle uses DuckDB's native ASOF
+  // LEFT JOIN on touches deduped per (user, instant) with an explicit
+  // max_by(event_id) winner, so the tie order matches by construction.
+  private val q197LookbackSeconds = 7200L
+
+  private def q197Attribution(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.lastTouchAttribution(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_type"), col("event_id"),
+      col("value"), "purchase", Seq("view", "click"),
+      q197LookbackSeconds)
+
+  private val q197Sql = {
+    val l = q197LookbackSeconds * 1000000L
+    s"""WITH conv AS (SELECT user_id AS k, ts AS cts,
+       |    CAST(round(value * 100) AS BIGINT) AS vc
+       |  FROM events WHERE event_type = 'purchase'),
+       |t0 AS (SELECT user_id AS k, ts AS tts,
+       |    max_by(event_type, event_id) AS ch
+       |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+       |a AS (SELECT conv.k, cts, vc, tts, ch FROM conv
+       |  ASOF LEFT JOIN t0 ON conv.k = t0.k AND t0.tts <= conv.cts)
+       |SELECT CASE WHEN tts IS NULL
+       |    OR epoch_us(cts) - epoch_us(tts) > $l
+       |    THEN 'unattributed' ELSE ch END AS channel,
+       |  CAST(count(*) AS BIGINT) AS n_conversions,
+       |  round(CAST(sum(vc) AS DOUBLE) / 100.0, 2) AS attributed_value
+       |FROM a GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6805,7 +6881,9 @@ FROM r$q82Rounds"""
     "q192_retention" -> (q192Retention _),
     "q193_padding_overhead" -> (q193PaddingOverhead _),
     "q194_dsir_resample" -> (q194DsirResample _),
-    "q195_oov_rate" -> (q195OovRate _))
+    "q195_oov_rate" -> (q195OovRate _),
+    "q196_funnel_within" -> (q196FunnelWithin _),
+    "q197_attribution" -> (q197Attribution _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7001,5 +7079,7 @@ FROM r$q82Rounds"""
     "q192_retention" -> q192Sql,
     "q193_padding_overhead" -> q193Sql,
     "q194_dsir_resample" -> q194Sql,
-    "q195_oov_rate" -> q195Sql)
+    "q195_oov_rate" -> q195Sql,
+    "q196_funnel_within" -> q196Sql,
+    "q197_attribution" -> q197Sql)
 }

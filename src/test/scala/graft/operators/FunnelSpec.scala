@@ -51,6 +51,71 @@ class FunnelSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === Seq(1L, 0L))
   }
 
+  test("windowed funnel: conversion only within maxGap of the previous stage") {
+    // u1 clicks 5 min after viewing (inside a 10-min window); u2 (1h)
+    // and u5 (30 min) click outside it — both convert unbounded only
+    val e = events.union(Seq(
+      (5L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, ts("2024-01-01 10:30:00"), "click"))
+      .toDF("user_id", "ts", "event_type"))
+    val unbounded = Funnel.funnel(e, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click"))
+      .as[(Int, String, Long, Double, Double)].collect().sortBy(_._1)
+    val windowed = Funnel.funnelWithin(e, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click"), maxGapSeconds = 600L)
+      .as[(Int, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(unbounded.map(_._3).toSeq === Seq(4L, 3L))
+    assert(windowed.map(_._3).toSeq === Seq(4L, 1L))
+  }
+
+  test("windowed funnel: boundary instant (exactly maxGap later) converts") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelWithin(e, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click"), maxGapSeconds = 600L)
+      .as[(Int, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq === Seq(1L, 1L))
+  }
+
+  test("last-touch attribution: latest touch wins, lookback and no-touch " +
+    "fall to unattributed, values sum in cents") {
+    val e = Seq(
+      // u1: view then click then purchase 10 min after the click →
+      // 'click' gets the credit (latest touch), value 10.01
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-01 10:15:00"), "purchase", 10.01),
+      // u2: view 3h before the purchase → outside the 1h lookback
+      (4L, 2L, ts("2024-01-01 07:00:00"), "view", 0.0),
+      (5L, 2L, ts("2024-01-01 10:00:00"), "purchase", 5.5),
+      // u3: purchase with no touch at all
+      (6L, 3L, ts("2024-01-01 10:00:00"), "purchase", 2.25),
+      // u1 again: second purchase, still within 1h of the same click
+      (7L, 1L, ts("2024-01-01 10:30:00"), "purchase", 1.99))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Funnel.lastTouchAttribution(e, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), col("value"),
+        "purchase", Seq("view", "click"), lookbackSeconds = 3600L)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("click", 2L, 12.0), ("unattributed", 2L, 7.75)))
+  }
+
+  test("attribution tie at the same instant: max event_id's channel wins") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-01 10:00:30"), "purchase", 4.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Funnel.lastTouchAttribution(e, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), col("value"),
+        "purchase", Seq("view", "click"), lookbackSeconds = 3600L)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("click", 1L, 4.0)))
+  }
+
   test("weekly retention: cohort cells and rates") {
     // weeks (Mondays): 2024-01-01, 2024-01-08, 2024-01-15
     val e = Seq(
