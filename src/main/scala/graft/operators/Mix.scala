@@ -396,4 +396,84 @@ object Mix {
             col("denom_e12").cast("double")) * (1.0 - smoothing) +
           lit(smoothing) / col("k_src").cast("double"), 6).as("weight"))
   }
+
+  /** UniMax allocation (Chung et al. 2023): split a token `budget` as
+    * UNIFORMLY as possible across groups, capping each group at
+    * `maxEpochs` passes over its own data — the mixing law that avoids
+    * both temperature tuning and over-epoching low-resource sources.
+    * The allocation is exact water-filling: groups with capacity below
+    * the water level θ are fully capped; the rest share the remaining
+    * budget equally, with θ solving Σ min(cap_g, θ) = budget.
+    *
+    * Output per group: `(grp, n_tokens, cap_tokens, alloc_tokens,
+    * epochs)`. If the budget exceeds total capacity every group is
+    * capped and the budget is underfilled (the caller's signal to raise
+    * `maxEpochs`).
+    *
+    * Determinism: capacities snap to 1e-6 fixed-point longs, cumulative
+    * prefix sums and the capped test run in DECIMAL(38,0) (exact at any
+    * corpus size), and θ is one IEEE division of exact values — every
+    * engine replays the identical allocation. Scale shape: the whole
+    * computation happens on the groups-cardinality totals table; the
+    * two windows ride the sanctioned always-zero partition key (the
+    * table is groups-sized by construction — sources/languages). */
+  def unimaxAllocate(df: DataFrame, group: Column, weight: Column,
+                     budget: Long, maxEpochs: Double): DataFrame =
+    unimaxFromTotals(
+      df.filter(group.isNotNull)
+        .groupBy(group.as("grp"))
+        .agg(sum(weight.cast("long")).as("t_total")),
+      budget, maxEpochs)
+
+  /** [[unimaxAllocate]] over a pre-aggregated `(grp, t_total)` totals
+    * relation (additive — shareable with a streaming totals state). */
+  def unimaxFromTotals(totals: DataFrame, budget: Long,
+                       maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    require(budget <= Long.MaxValue / 1000000L,
+      s"budget * 1e6 overflows Long: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("cap_e6"), lit(1L)))
+      .orderBy(col("cap_e6").asc, col("grp").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("cap_e6"), lit(1L)))
+    val bE6 = lit(budget * 1000000L).cast("decimal(38,0)")
+    val live = totals.filter(col("t_total").isNotNull && col("t_total") > 0)
+      .select(col("grp"),
+        col("t_total").cast("long").as("t_total"),
+        round(col("t_total").cast("double") * maxEpochs * 1e6)
+          .cast("long").as("cap_e6"))
+    // ascending-capacity scan: group i is capped iff even giving every
+    // later (larger) group the same cap_i would still fit the budget —
+    // cap_i·(S−i+1) + P_{i−1} ≤ B. The test is monotone in i, so the
+    // capped set is a prefix and θ comes from the first uncapped row.
+    val scanned = live
+      .withColumn("idx", row_number().over(w))
+      .withColumn("p_cum", sum(col("cap_e6").cast("decimal(38,0)")).over(w))
+      .withColumn("s_all", count(lit(1)).over(wAll))
+      .withColumn("capped",
+        col("cap_e6").cast("decimal(38,0)") *
+          (col("s_all") - col("idx") + 1).cast("decimal(38,0)") +
+          (col("p_cum") - col("cap_e6")).cast("decimal(38,0)") <= bE6)
+      .withColumn("n_capped",
+        sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("p_capped",
+        max(when(col("capped"), col("p_cum"))).over(wAll))
+    val thetaE6 = when(col("n_capped") === col("s_all"),
+        lit(null).cast("double")) // all capped: budget underfilled
+      .otherwise((bE6 - coalesce(col("p_capped"), lit(0).cast("decimal(38,0)")))
+        .cast("double") /
+        (col("s_all") - col("n_capped")).cast("double"))
+    scanned
+      .select(col("grp"), col("t_total").as("n_tokens"),
+        round(col("cap_e6").cast("double") / 1e6, 6).as("cap_tokens"),
+        when(col("capped"), col("cap_e6").cast("double"))
+          .otherwise(thetaE6).as("alloc_e6"))
+      .select(col("grp"), col("n_tokens"),
+        col("cap_tokens"),
+        round(col("alloc_e6") / 1e6, 6).as("alloc_tokens"),
+        round(col("alloc_e6") / 1e6 / col("n_tokens").cast("double"), 6)
+          .as("epochs"))
+  }
 }

@@ -6656,6 +6656,58 @@ FROM r$q82Rounds"""
        |  FROM c)""".stripMargin
   }
 
+  // ------------------- UniMax allocation (§2.10 ext)
+  // Epoch-capped uniform budget split (Chung et al. 2023): exact
+  // water-filling on the sources-cardinality totals table. With
+  // maxEpochs=1 and an 26k budget over ~27k tokens, the small sources
+  // cap at one epoch and the rest share the remaining budget at the
+  // water level.
+  private val q198Budget = 26000L
+  private val q198MaxEpochs = 1.0
+
+  private def q198Unimax(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.unimaxAllocate(Tables.documents(s, d),
+      col("source"),
+      graft.functions.TextExprs.tokenCount(col("text")),
+      q198Budget, q198MaxEpochs)
+
+  private val q198Sql =
+    s"""WITH tot AS (SELECT source AS grp, CAST(sum(
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+       |    AS BIGINT) AS t_total
+       |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+       |live AS (SELECT grp, t_total,
+       |    CAST(round(CAST(t_total AS DOUBLE) * $q198MaxEpochs * 1e6)
+       |      AS BIGINT) AS cap_e6
+       |  FROM tot WHERE t_total > 0),
+       |sc AS (SELECT *,
+       |    row_number() OVER (ORDER BY cap_e6, grp) AS idx,
+       |    sum(CAST(cap_e6 AS HUGEINT)) OVER (ORDER BY cap_e6, grp
+       |      ROWS UNBOUNDED PRECEDING) AS p_cum,
+       |    count(*) OVER () AS s_all
+       |  FROM live),
+       |c AS (SELECT *,
+       |    CAST(cap_e6 AS HUGEINT) * (s_all - idx + 1) +
+       |      (p_cum - cap_e6) <= ${q198Budget}000000::HUGEINT AS capped
+       |  FROM sc),
+       |f AS (SELECT *,
+       |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+       |    max(CASE WHEN capped THEN p_cum END) OVER () AS p_capped
+       |  FROM c),
+       |a AS (SELECT grp, t_total,
+       |    round(CAST(cap_e6 AS DOUBLE) / 1e6, 6) AS cap_tokens,
+       |    CASE WHEN capped THEN CAST(cap_e6 AS DOUBLE)
+       |      WHEN n_capped = s_all THEN NULL
+       |      ELSE CAST(${q198Budget}000000::HUGEINT -
+       |          coalesce(p_capped, 0::HUGEINT) AS DOUBLE) /
+       |        CAST(s_all - n_capped AS DOUBLE) END AS alloc_e6
+       |  FROM f)
+       |SELECT grp, t_total AS n_tokens, cap_tokens,
+       |  round(alloc_e6 / 1e6, 6) AS alloc_tokens,
+       |  round(alloc_e6 / 1e6 / CAST(t_total AS DOUBLE), 6) AS epochs
+       |FROM a""".stripMargin
+
   // ------------------- last-touch attribution (§2.10 ext)
   // Each purchase credits the user's most recent view/click at-or-before
   // it (falling to 'unattributed' beyond the lookback) — composition
@@ -6883,7 +6935,8 @@ FROM r$q82Rounds"""
     "q194_dsir_resample" -> (q194DsirResample _),
     "q195_oov_rate" -> (q195OovRate _),
     "q196_funnel_within" -> (q196FunnelWithin _),
-    "q197_attribution" -> (q197Attribution _))
+    "q197_attribution" -> (q197Attribution _),
+    "q198_unimax" -> (q198Unimax _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7081,5 +7134,6 @@ FROM r$q82Rounds"""
     "q194_dsir_resample" -> q194Sql,
     "q195_oov_rate" -> q195Sql,
     "q196_funnel_within" -> q196Sql,
-    "q197_attribution" -> q197Sql)
+    "q197_attribution" -> q197Sql,
+    "q198_unimax" -> q198Sql)
 }

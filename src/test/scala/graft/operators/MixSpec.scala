@@ -202,4 +202,35 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mix.doremiReweight(
       doremiDocs, col("text"), col("source"), eta = 1, smoothing = 2))
   }
+
+  test("unimax: exact water-filling — small sources cap, the rest share " +
+    "the level, allocations conserve the budget") {
+    // caps (maxEpochs=1): a=10, b=20, c=100; budget 60 → a and b cap
+    // (10·3 ≤ 60, 20·2+10 ≤ 60), c gets θ = (60−30)/1 = 30
+    val totals = Seq(("a", 10L), ("b", 20L), ("c", 100L))
+      .toDF("grp", "t_total")
+    val got = Mix.unimaxFromTotals(totals, budget = 60L, maxEpochs = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._4)).toSeq ===
+      Seq(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+    assert(got.map(_._4).sum === 60.0) // budget exactly conserved
+    assert(got.map(_._5).toSeq === Seq(1.0, 1.0, 0.3)) // epochs
+  }
+
+  test("unimax: budget beyond total capacity caps everything (underfill); " +
+    "fractional epoch caps bind") {
+    val totals = Seq(("a", 10L), ("b", 20L)).toDF("grp", "t_total")
+    val over = Mix.unimaxFromTotals(totals, budget = 1000L, maxEpochs = 2.0)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(over.map(_._4).toSeq === Seq(20.0, 40.0)) // alloc = cap
+    assert(over.map(_._5).toSeq === Seq(2.0, 2.0))   // epochs = maxEpochs
+    val frac = Mix.unimaxFromTotals(totals, budget = 14L, maxEpochs = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // caps 5 and 10; a caps (5·2 ≤ 14), b gets θ = 9 < its cap 10
+    assert(frac.map(_._4).toSeq === Seq(5.0, 9.0))
+    intercept[IllegalArgumentException](
+      Mix.unimaxFromTotals(totals, budget = 0L, maxEpochs = 1.0))
+    intercept[IllegalArgumentException](
+      Mix.unimaxFromTotals(totals, budget = 10L, maxEpochs = 0.0))
+  }
 }
