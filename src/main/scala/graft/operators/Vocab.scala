@@ -893,11 +893,22 @@ object Vocab {
     * window, no driver-side vocab materialization.
     */
   def oovRateByGroup(df: DataFrame, grp: Column, text: Column,
-                     minCount: Long): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val st = df
-      .select(grp.as("grp"), explode(TextExprs.tokens(text)).as("t"))
+                     minCount: Long): DataFrame =
+    oovRateFromCounts(oovCounts(df, grp, text), minCount)
+
+  /** [[oovRateByGroup]]'s sufficient statistic: the `(grp, t, cnt)`
+    * token-occurrence count table. COUNTS, hence additive — batches fold
+    * into an accumulated table in any arrival order and equal the
+    * one-shot table exactly (the streaming arm's batch-equivalence
+    * argument). */
+  def oovCounts(df: DataFrame, grp: Column, text: Column): DataFrame =
+    df.select(grp.as("grp"), explode(TextExprs.tokens(text)).as("t"))
       .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("cnt"))
+
+  /** [[oovRateByGroup]] over a pre-aggregated `(grp, t, cnt)` count
+    * table (the streaming state's grain). */
+  def oovRateFromCounts(st: DataFrame, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val tot = st.groupBy(col("t")).agg(sum(col("cnt")).as("tot"))
     st.join(tot, Seq("t"))
       .groupBy(col("grp"))

@@ -6656,6 +6656,23 @@ FROM r$q82Rounds"""
        |  FROM c)""".stripMargin
   }
 
+  // ------------------- streaming OOV rate (§2.10 ext)
+  // q195's tokenizer-coverage audit in its real regime: the (grp, token)
+  // count state is additive, so the accumulated table equals the
+  // one-shot table exactly under any arrival split — the read shares
+  // q195's oracle verbatim.
+  private def q199StreamingOov(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("oov_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.OovStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b),
+        col("source"), col("text"), state)
+    }
+    graft.streaming.OovStream.readRates(s, state, q195MinCount)
+  }
+
   // ------------------- UniMax allocation (§2.10 ext)
   // Epoch-capped uniform budget split (Chung et al. 2023): exact
   // water-filling on the sources-cardinality totals table. With
@@ -6936,7 +6953,8 @@ FROM r$q82Rounds"""
     "q195_oov_rate" -> (q195OovRate _),
     "q196_funnel_within" -> (q196FunnelWithin _),
     "q197_attribution" -> (q197Attribution _),
-    "q198_unimax" -> (q198Unimax _))
+    "q198_unimax" -> (q198Unimax _),
+    "q199_streaming_oov" -> (q199StreamingOov _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7135,5 +7153,6 @@ FROM r$q82Rounds"""
     "q195_oov_rate" -> q195Sql,
     "q196_funnel_within" -> q196Sql,
     "q197_attribution" -> q197Sql,
-    "q198_unimax" -> q198Sql)
+    "q198_unimax" -> q198Sql,
+    "q199_streaming_oov" -> q195Sql)
 }
