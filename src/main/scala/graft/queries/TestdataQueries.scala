@@ -6656,6 +6656,48 @@ FROM r$q82Rounds"""
        |  FROM c)""".stripMargin
   }
 
+  // ------------------- grouped OLS trend fit (§2.10 ext)
+  // Per-source chars-vs-tokens regression line from decimal-exact
+  // sufficient statistics: one map-side scan, groups-sized aggregate,
+  // fixed IEEE closed form over the exact sums on both engines.
+  private def q200OlsTrend(s: SparkSession, d: String): DataFrame =
+    graft.operators.Trend.olsByGroup(Tables.documents(s, d),
+      col("source"), col("n_chars"),
+      graft.functions.TextExprs.tokenCount(col("text")))
+
+  private val q200Sql =
+    """WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |      AS BIGINT) AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM base GROUP BY 1),
+      |d AS (SELECT grp, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(sy AS DOUBLE) AS syd,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+      |  FROM st)
+      |SELECT grp, n, round(sxd / nd, 6) AS mean_x,
+      |  round(syd / nd, 6) AS mean_y,
+      |  round(CASE WHEN denx = 0 THEN NULL ELSE num / denx END, 6)
+      |    AS slope,
+      |  round((syd - CASE WHEN denx = 0 THEN NULL ELSE num / denx END
+      |    * sxd) / nd, 6) AS intercept,
+      |  round(CASE WHEN denx = 0 OR deny = 0 THEN NULL
+      |    ELSE (num * num) / (denx * deny) END, 6) AS r2
+      |FROM d""".stripMargin
+
   // ------------------- streaming OOV rate (§2.10 ext)
   // q195's tokenizer-coverage audit in its real regime: the (grp, token)
   // count state is additive, so the accumulated table equals the
@@ -6954,7 +6996,8 @@ FROM r$q82Rounds"""
     "q196_funnel_within" -> (q196FunnelWithin _),
     "q197_attribution" -> (q197Attribution _),
     "q198_unimax" -> (q198Unimax _),
-    "q199_streaming_oov" -> (q199StreamingOov _))
+    "q199_streaming_oov" -> (q199StreamingOov _),
+    "q200_ols_trend" -> (q200OlsTrend _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7154,5 +7197,6 @@ FROM r$q82Rounds"""
     "q196_funnel_within" -> q196Sql,
     "q197_attribution" -> q197Sql,
     "q198_unimax" -> q198Sql,
-    "q199_streaming_oov" -> q195Sql)
+    "q199_streaming_oov" -> q195Sql,
+    "q200_ols_trend" -> q200Sql)
 }
