@@ -26,7 +26,7 @@ object Vocab {
     * lambda bodies, so the once-per-row projection below is worth ~4× on
     * the pair stream (measured in ScaleProbe ops, 8k-doc corpus).
     * Docs with < 2 tokens contribute nothing. */
-  private def pairRows(df: DataFrame, idOpt: Option[Column],
+  private[operators] def pairRows(df: DataFrame, idOpt: Option[Column],
       text: Column): DataFrame = {
     val base = idOpt match {
       case Some(id) => df.select(id.as("id"), TextExprs.tokens(text).as("__ts"))

@@ -6656,6 +6656,54 @@ FROM r$q82Rounds"""
        |  FROM c)""".stripMargin
   }
 
+  // ------------------- TextRank keywords (§2.10 ext)
+  // PageRank over the token co-occurrence graph: vocabulary-bounded
+  // edges, 1e-12 fixed-point ranks, per-edge contributions snapped
+  // before the per-node sum so all three iterations replay exactly.
+  // Constants (damping, teleport mass) are emitted from the operator's
+  // Scala doubles — (1-0.85)*1e12 is NOT the decimal 1.5e11 in IEEE.
+  private val q201MinCount = 5L
+  private val q201Damping = 0.85
+  private val q201Iters = 3
+  private val q201K = 25
+
+  private def q201TextRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextRank.textRank(Tables.documents(s, d),
+      col("text"), q201MinCount, q201Damping, q201Iters, q201K)
+
+  private val q201Sql = {
+    val d = q201Damping.toString
+    val base = ((1.0 - q201Damping) * 1e12).toString
+    val iters = (1 to q201Iters).map { i =>
+      s"""a$i AS (SELECT dst, CAST(sum(CAST(round(CAST(r AS DOUBLE) * $d *
+         |      CAST(w AS DOUBLE) / CAST(wdeg AS DOUBLE)) AS BIGINT))
+         |    AS BIGINT) AS s
+         |  FROM ed JOIN wd USING (src) JOIN r${i - 1} ON r${i - 1}.tok = ed.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT dst AS tok,
+         |    CAST(round($base / CAST(n AS DOUBLE)) AS BIGINT) + s AS r
+         |  FROM a$i CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""$q71PairsCte,
+       |und AS (SELECT least(l_tok, r_tok) AS a, greatest(l_tok, r_tok) AS b,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM pairs WHERE l_tok <> r_tok GROUP BY 1, 2
+       |  HAVING count(*) >= $q201MinCount),
+       |ed AS (SELECT a AS src, b AS dst, w FROM und
+       |  UNION ALL SELECT b, a, w FROM und),
+       |wd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM ed GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM wd),
+       |r0 AS (SELECT src AS tok,
+       |    CAST(round(1e12 / CAST(n AS DOUBLE)) AS BIGINT) AS r
+       |  FROM wd CROSS JOIN nn),
+       |$iters
+       |SELECT CAST(rank AS INTEGER) AS rank, tok AS token,
+       |  round(CAST(r AS DOUBLE) / 1e12, 6) AS score
+       |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, tok) AS rank
+       |  FROM r$q201Iters)
+       |WHERE rank <= $q201K""".stripMargin
+  }
+
   // ------------------- grouped OLS trend fit (§2.10 ext)
   // Per-source chars-vs-tokens regression line from decimal-exact
   // sufficient statistics: one map-side scan, groups-sized aggregate,
@@ -6997,7 +7045,8 @@ FROM r$q82Rounds"""
     "q197_attribution" -> (q197Attribution _),
     "q198_unimax" -> (q198Unimax _),
     "q199_streaming_oov" -> (q199StreamingOov _),
-    "q200_ols_trend" -> (q200OlsTrend _))
+    "q200_ols_trend" -> (q200OlsTrend _),
+    "q201_textrank" -> (q201TextRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7198,5 +7247,6 @@ FROM r$q82Rounds"""
     "q197_attribution" -> q197Sql,
     "q198_unimax" -> q198Sql,
     "q199_streaming_oov" -> q195Sql,
-    "q200_ols_trend" -> q200Sql)
+    "q200_ols_trend" -> q200Sql,
+    "q201_textrank" -> q201Sql)
 }
