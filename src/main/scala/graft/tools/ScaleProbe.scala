@@ -1457,10 +1457,111 @@ object ScaleProbe {
     ()
   }
 
+  /** The q190–q201 block at mining scale: 5M synthetic events / 200k
+    * keys for the event-analytics family (SCD2, both funnels, retention,
+    * as-of attribution), and 100× document fixtures for the
+    * training-prep additions (padding audit, Gumbel resampling, OOV
+    * batch+stream, UniMax, OLS, TextRank with a materialized edge
+    * table). */
+  def ops19Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Dsir, Funnel, Mix, Pack, Scd, TextRank, Trend, Vocab}
+    import graft.functions.TextExprs
+    val nEv = 5000000L
+    val types = array(lit("view"), lit("click"), lit("purchase"),
+      lit("signup"), lit("error"))
+    val events = spark.range(nEv).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(col("id") * 2654435761L, lit(5184000L)) * 1000000L).as("ts"),
+      // 199999 keys (coprime with 5): a key's successive events CYCLE
+      // through types, so SCD2's no-op suppression has real work — with
+      // a 5-divisible key count every key would be constant-typed
+      pmod(col("id") * 40503L, lit(199999L)).as("user_id"),
+      element_at(types, (pmod(col("id"), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(col("id"), lit(1000)).cast("double") / 100.0).as("value"))
+      .cache()
+    val nE = events.count()
+    println(s"[probe] events: $nE rows, 199999 keys, 60-day span")
+    val stages = Seq("view", "click", "purchase")
+    val nVer = time(f"scd2               ($nE%8d events, 200k keys)") {
+      Scd.scd2(events, Seq("user_id"), col("ts"), col("event_id"),
+        col("event_type"), Seq(col("value"))).count()
+    }
+    println(s"[probe]   -> $nVer versions")
+    time(f"funnel             ($nE%8d events, 3 stages)") {
+      Funnel.funnel(events, col("user_id"), col("ts"),
+        col("event_type"), stages).collect().length
+    }
+    time(f"funnelWithin       ($nE%8d events, 24h window)") {
+      Funnel.funnelWithin(events, col("user_id"), col("ts"),
+        col("event_type"), stages, 86400L).collect().length
+    }
+    time(f"weeklyRetention    ($nE%8d events)") {
+      Funnel.weeklyRetention(events, col("user_id"), col("ts")).count()
+    }
+    time(f"lastTouchAttrib    ($nE%8d events, 2h lookback)") {
+      Funnel.lastTouchAttribution(events, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), col("value"),
+        "purchase", Seq("view", "click"), 7200L).collect().length
+    }
+    events.unpersist()
+    val docs = genDocs(spark, 100).select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+        col("text"))
+      .cache()
+    val nD = docs.count()
+    println(s"[probe] corpus: $nD docs, 20 sources")
+    time(f"paddingOverhead    ($nD%8d docs, rows 32 / width 16)") {
+      Pack.paddingOverhead(docs.select(col("doc_id"),
+          TextExprs.tokenCount(col("text")).as("nt")),
+        col("doc_id"), col("nt"), 32, 16).collect().length
+    }
+    time(f"gumbelTopK         ($nD%8d docs, 1024 buckets, k 20)") {
+      Dsir.gumbelTopK(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), col("doc_id"),
+        col("text"), col("source"), 1024, 20).count()
+    }
+    time(f"oovRateByGroup     ($nD%8d docs, minCount 5)") {
+      Vocab.oovRateByGroup(docs, col("source"), col("text"), 5L)
+        .collect().length
+    }
+    val state = java.nio.file.Files
+      .createTempDirectory("ops19_oov").toString
+    time(f"oov stream         (3 polls of $nD%8d docs / 3)") {
+      (0 until 3).foreach { b =>
+        graft.streaming.OovStream.ingestBatch(spark,
+          docs.filter(col("doc_id") % 3 === b),
+          col("source"), col("text"), state)
+      }
+    }
+    time("oov rate read      (zero corpus access)") {
+      graft.streaming.OovStream.readRates(spark, state, 5L)
+        .collect().length
+    }
+    time(f"unimaxAllocate     ($nD%8d docs -> 20 totals)") {
+      Mix.unimaxAllocate(docs, col("source"),
+        TextExprs.tokenCount(col("text")), 2600000L, 1.0)
+        .collect().length
+    }
+    time(f"olsByGroup         ($nD%8d docs, chars vs tokens)") {
+      Trend.olsByGroup(docs, col("source"), length(col("text")),
+        TextExprs.tokenCount(col("text"))).collect().length
+    }
+    val edges = TextRank.cooccurrenceEdges(docs, col("text"), 50L).cache()
+    val nEd = edges.count()
+    println(s"[probe] textrank edges (minCount 50): $nEd")
+    time(f"textRankFromEdges  ($nEd%8d edges, 3 iterations)") {
+      TextRank.textRankFromEdges(edges, 0.85, 3, 25).collect().length
+    }
+    edges.unpersist(); docs.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
-      "lmstream", "qs", "ops16", "ct", "ops17", "ops18")
+      "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1540,6 +1641,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops18")) {
       ops18Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops19")) {
+      ops19Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
