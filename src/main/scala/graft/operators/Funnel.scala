@@ -116,6 +116,34 @@ object Funnel {
           .as("retention"))
   }
 
+  /** Per-key event transition matrix — the first-order Markov model of
+    * user journeys: order each key's events by `(ts, tieBreak)`, count
+    * each `(from_type → to_type)` adjacency, and row-normalize into
+    * transition probabilities. Output: `(from_type, to_type, n, p)` —
+    * a types²-cardinality table.
+    *
+    * One key-partitioned window (lag) over one shuffle of the event
+    * stream, then a types²-bounded count aggregate; row totals re-derive
+    * from the count table (never a second corpus pass) and join back on
+    * the types-sized key. `p` is one IEEE division of exact longs,
+    * snapped to 6 decimals.
+    */
+  def transitionMatrix(events: DataFrame, key: Column, ts: Column,
+                       tieBreak: Column, typ: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(ts.asc, tieBreak.asc)
+    val pairs = events
+      .select(typ.as("to_type"), lag(typ, 1).over(w).as("from_type"))
+      .where(col("from_type").isNotNull)
+    val cnt = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("t"))
+    cnt.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 6)
+          .as("p"))
+  }
+
   /** Last-touch attribution: each conversion event credits the key's most
     * recent touch event at-or-before it (`ts_touch ≤ ts_conv`), falling to
     * `"unattributed"` when no touch exists or the latest one is older than

@@ -6656,6 +6656,48 @@ FROM r$q82Rounds"""
        |  FROM c)""".stripMargin
   }
 
+  // ------------------- streaming SCD2 (§2.10 ext)
+  // q190's MERGE pattern run incrementally: three ts-ordered polls fold
+  // into the version-table state; splits on the ts VALUE respect every
+  // key's event order, so the accumulated table equals one-shot scd2
+  // exactly and q203 shares q190's oracle verbatim.
+  private def q203StreamingScd(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("scd_stream")
+      .toString
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val cuts = ev.stat.approxQuantile("tsu", Array(0.33, 0.66), 0.0)
+    val batches = Seq(
+      ev.where(col("tsu") < cuts(0)),
+      ev.where(col("tsu") >= cuts(0) && col("tsu") < cuts(1)),
+      ev.where(col("tsu") >= cuts(1)))
+    batches.foreach { b =>
+      graft.streaming.ScdStream.ingestBatch(s, b.drop("tsu"),
+        Seq("user_id"), "ts", "event_id", "event_type", Seq("value"),
+        state)
+    }
+    graft.streaming.ScdStream.readVersions(s, state, "event_id")
+  }
+
+  // ------------------- event transition matrix (§2.10 ext)
+  // First-order Markov model of user journeys: per-key lag window over
+  // one shuffle, types²-bounded counts, row-normalized probabilities.
+  private def q202Transitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"))
+
+  private val q202Sql =
+    """WITH pairs AS (SELECT event_type AS to_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+      |  FROM cnt GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
+      |FROM cnt JOIN tot USING (from_type)""".stripMargin
+
   // ------------------- TextRank keywords (§2.10 ext)
   // PageRank over the token co-occurrence graph: vocabulary-bounded
   // edges, 1e-12 fixed-point ranks, per-edge contributions snapped
@@ -7046,7 +7088,9 @@ FROM r$q82Rounds"""
     "q198_unimax" -> (q198Unimax _),
     "q199_streaming_oov" -> (q199StreamingOov _),
     "q200_ols_trend" -> (q200OlsTrend _),
-    "q201_textrank" -> (q201TextRank _))
+    "q201_textrank" -> (q201TextRank _),
+    "q202_transitions" -> (q202Transitions _),
+    "q203_streaming_scd2" -> (q203StreamingScd _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7248,5 +7292,7 @@ FROM r$q82Rounds"""
     "q198_unimax" -> q198Sql,
     "q199_streaming_oov" -> q195Sql,
     "q200_ols_trend" -> q200Sql,
-    "q201_textrank" -> q201Sql)
+    "q201_textrank" -> q201Sql,
+    "q202_transitions" -> q202Sql,
+    "q203_streaming_scd2" -> q190Sql)
 }

@@ -116,6 +116,31 @@ class FunnelSpec extends SparkSpec {
     assert(got.toSeq === Seq(("click", 1L, 4.0)))
   }
 
+  test("transition matrix: per-key adjacency counts, row-normalized") {
+    // u1: a→b→a ; u2: a→b — transitions a→b ×2, b→a ×1; keys never mix
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "a"),
+      (4L, 2L, ts("2024-01-01 09:00:00"), "a"),
+      (5L, 2L, ts("2024-01-01 09:30:00"), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.transitionMatrix(e, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .as[(String, String, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+    // same-instant tie: event_id orders the pair deterministically
+    val tie = Seq(
+      (2L, 1L, ts("2024-01-01 10:00:00"), "y"),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "x"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val t = Funnel.transitionMatrix(tie, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .as[(String, String, Long, Double)].collect()
+    assert(t.toSeq === Seq(("x", "y", 1L, 1.0)))
+  }
+
   test("weekly retention: cohort cells and rates") {
     // weeks (Mondays): 2024-01-01, 2024-01-08, 2024-01-15
     val e = Seq(
