@@ -82,6 +82,69 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+    * 1998; Zhai & Lafferty 2001) — the language-modeling member of the
+    * lexical trio (BM25 [[topK]], RM3 [[rm3TopK]]): each document is a
+    * unigram LM smoothed toward the collection model, scored by the
+    * query's log-likelihood
+    *
+    *   score(D, Q) = Σ_{t∈Q} ln( (tf_tD + μ·cf_t/|C|) / (dl_D + μ) )
+    *
+    * Query terms absent from the ENTIRE collection (cf_t = 0) contribute
+    * nothing (the standard drop — with cf = 0 the smoothed probability
+    * is 0 for every document and the term carries no ranking signal).
+    *
+    * Same determinism regime as [[topK]] (literal-term chains, not
+    * data-driven sums): each query's score is ONE fixed-order scalar
+    * expression per doc, and every collection statistic (|C|, per-term
+    * cf) comes from a single conditional-aggregation row — the oracle
+    * replays the identical IEEE op sequence. Same scale shape too: ONE
+    * corpus pass for the stats (map-combinable conditional sums, no
+    * explode), the one-row stats frame broadcast onto the scan, scoring
+    * pure map-side, per-query top-k pruned map-side by WindowGroupLimit.
+    */
+  def qlTopK(docs: DataFrame, id: Column, text: Column,
+             queries: Seq[(String, Seq[String])],
+             mu: Double = 2000.0, k: Int = 5): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val terms = queries.flatMap(_._2).distinct
+    val base = docs.select(id.as("doc_id"), TextExprs.tokens(text).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("dl"))
+    // one conditional-aggregation row: |C| and cf per distinct term
+    val statAggs =
+      sum(col("dl").cast("long")).as("sum_dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(size(filter(col("ts"), x => x === t)).cast("long"))
+          .as(s"cf_$i")
+      }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val cfIdx = terms.zipWithIndex.toMap
+    def contrib(t: String): Column = {
+      val cfD = col(s"cf_${cfIdx(t)}").cast("double")
+      val tf = size(filter(col("ts"), x => x === t)).cast("double")
+      when(cfD > 0,
+        log((tf + lit(mu) * (cfD / col("sum_dl").cast("double"))) /
+          (col("dl").cast("double") + lit(mu))))
+        .otherwise(lit(0.0))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+    val qStructs = queries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        round(ts.map(contrib).reduceLeft(_ + _), 4).as("score"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .select(col("doc_id"), explode(array(qStructs: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.score").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the Jaleel et
     * al. 2004 RM3 interpolation) — the query-EXPANSION step the lexical
     * stack lacks: retrieve once, mine the top `fbDocs` documents' term

@@ -6656,6 +6656,62 @@ FROM r$q82Rounds"""
        |  FROM c)""".stripMargin
   }
 
+  // ------------------- query-likelihood Dirichlet retrieval (§2.10 ext)
+  // The language-modeling member of the lexical trio (BM25 q68, RM3
+  // q189): Dirichlet-smoothed unigram doc LMs scored by query
+  // log-likelihood, plus one term absent from the whole collection to
+  // pin the cf=0 drop. Same one-scan/one-stats-row/literal-chain
+  // discipline as q68.
+  private val q204Queries: Seq[(String, Seq[String])] = Seq(
+    "narrow" -> Seq("spark", "window"),
+    "mixed" -> Seq("customer", "fast", "join"),
+    "oov" -> Seq("scan", "zzzunseen"))
+  private val q204Mu = 500.0
+  private val q204K = 5
+
+  private def q204QlTopK(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bm25.qlTopK(Tables.documents(s, d), col("doc_id"),
+      col("text"), q204Queries, q204Mu, q204K)
+
+  private val q204Sql = {
+    val terms = q204Queries.flatMap(_._2).distinct
+    val cfIdx = terms.zipWithIndex.toMap
+    val mu = q204Mu.toString
+    val cfAggs = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT)) AS cf_$i"
+    }.mkString(",\n      ")
+    def contrib(t: String): String = {
+      val cf = s"cf_${cfIdx(t)}"
+      val tf = s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE)"
+      s"CASE WHEN $cf > 0 THEN ln(($tf + $mu * (CAST($cf AS DOUBLE) / " +
+        s"CAST(sum_dl AS DOUBLE))) / (CAST(len(ts) AS DOUBLE) + $mu)) " +
+        s"ELSE 0.0 END"
+    }
+    val scoreCols = q204Queries.zipWithIndex.map { case ((_, ts), i) =>
+      ts.map(contrib).mkString(" + ") + s" AS s$i"
+    }.mkString(",\n      ")
+    val union = q204Queries.zipWithIndex.map { case ((qid, _), i) =>
+      s"SELECT '$qid' AS query_id, doc_id, round(s$i, 4) AS score FROM sc"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |st AS (SELECT sum(CAST(len(ts) AS BIGINT)) AS sum_dl,
+       |      $cfAggs
+       |    FROM toks),
+       |sc AS (SELECT doc_id,
+       |      $scoreCols
+       |    FROM toks CROSS JOIN st),
+       |u AS ($union),
+       |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |      FROM u)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+       |FROM r WHERE rank <= $q204K""".stripMargin
+  }
+
   // ------------------- streaming SCD2 (§2.10 ext)
   // q190's MERGE pattern run incrementally: three ts-ordered polls fold
   // into the version-table state; splits on the ts VALUE respect every
@@ -7090,7 +7146,8 @@ FROM r$q82Rounds"""
     "q200_ols_trend" -> (q200OlsTrend _),
     "q201_textrank" -> (q201TextRank _),
     "q202_transitions" -> (q202Transitions _),
-    "q203_streaming_scd2" -> (q203StreamingScd _))
+    "q203_streaming_scd2" -> (q203StreamingScd _),
+    "q204_ql_retrieval" -> (q204QlTopK _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7294,5 +7351,6 @@ FROM r$q82Rounds"""
     "q200_ols_trend" -> q200Sql,
     "q201_textrank" -> q201Sql,
     "q202_transitions" -> q202Sql,
-    "q203_streaming_scd2" -> q190Sql)
+    "q203_streaming_scd2" -> q190Sql,
+    "q204_ql_retrieval" -> q204Sql)
 }

@@ -110,4 +110,38 @@ class Bm25Spec extends SparkSpec {
     intercept[IllegalArgumentException](Bm25.rm3TopK(docs, col("doc_id"),
       col("text"), q, alpha = 1.5))
   }
+
+  test("ql: hand-checked Dirichlet score; smoothing keeps non-matching " +
+    "docs finite and below matches") {
+    val got = Bm25.qlTopK(docs, col("id"), col("text"),
+        Seq("q" -> Seq("apple")), mu = 10.0, k = 6)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    // |C| = 25, cf(apple) = 6, p = 6/25; doc2: tf 4, dl 4 →
+    // ln((4 + 10·6/25) / (4 + 10))
+    val p = 6.0 / 25.0
+    val d2 = math.rint(math.log((4.0 + 10.0 * p) / 14.0) * 1e4) / 1e4
+    assert(got.find(_._3 == 2L).get._4 === d2)
+    // doc2 (dense apple) ranks first; docs 4/5/6 (tf 0) score the pure
+    // smoothed mass — finite, ordered by length (shorter dl scores higher)
+    assert(got.head._3 === 2L)
+    val d6 = math.rint(math.log((0.0 + 10.0 * p) / 10.0) * 1e4) / 1e4
+    assert(got.find(_._3 == 6L).get._4 === d6)
+    assert(got.find(_._3 == 6L).get._4 > got.find(_._3 == 5L).get._4)
+  }
+
+  test("ql: collection-absent terms contribute nothing; length " +
+    "normalization separates equal tf") {
+    val withOov = Bm25.qlTopK(docs, col("id"), col("text"),
+      Seq("q" -> Seq("banana", "zzznope")), mu = 10.0, k = 6)
+      .as[(String, Int, Long, Double)].collect().toSet
+    val without = Bm25.qlTopK(docs, col("id"), col("text"),
+      Seq("q" -> Seq("banana")), mu = 10.0, k = 6)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(withOov === without)
+    // docs 1 and 3 both have tf(banana)=1; shorter doc 3 must score higher
+    val r = without.toSeq.sortBy(_._2)
+    assert(r.indexWhere(_._3 == 3L) < r.indexWhere(_._3 == 1L))
+    intercept[IllegalArgumentException](Bm25.qlTopK(docs, col("id"),
+      col("text"), Seq("q" -> Seq("a")), mu = 0.0))
+  }
 }
