@@ -905,6 +905,48 @@ object Vocab {
     df.select(grp.as("grp"), explode(TextExprs.tokens(text)).as("t"))
       .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("cnt"))
 
+  /** Zipf rank-frequency fit per group — the corpus-health scalar the
+    * log-log plot everyone draws actually encodes: natural text's token
+    * frequencies fall as `freq ∝ rank^s` with `s ≈ −1`; template spam,
+    * generated text, and truncation artifacts bend the slope (flatter =
+    * suspiciously uniform vocabulary, steeper = a few tokens dominating).
+    * Returns [[Trend.olsByGroup]]'s row per group over the snapped
+    * `(ln rank, ln freq)` points — `slope` is the Zipf exponent
+    * (scale-invariant: the common 1e6 snap factor cancels in Δy/Δx).
+    *
+    * The fit uses ONE POINT PER DISTINCT FREQUENCY (x = ln of the tie
+    * group's min-rank, the classic plotting convention) — so everything
+    * after the token-count shuffle runs on the (grp, cnt) DISTINCT-COUNT
+    * table: state bounded by distinct frequency values per group, the
+    * same bound as the q177 exact-percentile argument, and the per-group
+    * cumulative window orders that bounded table, never the vocabulary
+    * and never the corpus. Transcendentals snap to 1e-6 fixed-point
+    * longs BEFORE entering the OLS sums (the established cross-engine
+    * discipline); the OLS itself is [[Trend.olsByGroup]]'s decimal-exact
+    * sufficient statistics.
+    */
+  def zipfSlopeByGroup(df: DataFrame, grp: Column, text: Column)
+      : DataFrame =
+    zipfSlopeFromCounts(oovCounts(df, grp, text))
+
+  /** [[zipfSlopeByGroup]] over a pre-aggregated `(grp, t, cnt)` count
+    * table (the streaming/OOV state's grain — additive, shareable). */
+  def zipfSlopeFromCounts(st: DataFrame): DataFrame = {
+    val byCnt = st.groupBy(col("grp"), col("cnt"))
+      .agg(count(lit(1)).as("n_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("cnt").desc)
+    val pts = byCnt
+      .withColumn("min_rank",
+        sum(col("n_types")).over(w) - col("n_types") + 1L)
+      .select(col("grp"),
+        round(log(col("min_rank").cast("double")) * 1e6).cast("long")
+          .as("lx"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long")
+          .as("ly"))
+    Trend.olsByGroup(pts, col("grp"), col("lx"), col("ly"))
+  }
+
   /** [[oovRateByGroup]] over a pre-aggregated `(grp, t, cnt)` count
     * table (the streaming state's grain). */
   def oovRateFromCounts(st: DataFrame, minCount: Long): DataFrame = {

@@ -6811,12 +6811,11 @@ FROM r$q82Rounds"""
       col("source"), col("n_chars"),
       graft.functions.TextExprs.tokenCount(col("text")))
 
-  private val q200Sql =
-    """WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
-      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-      |      AS BIGINT) AS y
-      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+  /** The decimal-exact OLS oracle tail over a CTE chain whose last
+    * relation is `base(grp, x, y)` — shared by every Trend.olsByGroup
+    * composition so the IEEE formula text is identical everywhere. */
+  private def olsSqlOver(baseCtes: String): String =
+    s"""$baseCtes,
       |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
       |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
@@ -6843,6 +6842,38 @@ FROM r$q82Rounds"""
       |  round(CASE WHEN denx = 0 OR deny = 0 THEN NULL
       |    ELSE (num * num) / (denx * deny) END, 6) AS r2
       |FROM d""".stripMargin
+
+  private val q200Sql = olsSqlOver(
+    """WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |      AS BIGINT) AS y
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL)"""
+      .stripMargin)
+
+  // ------------------- Zipf rank-frequency slope (§2.10 ext)
+  // Corpus-health scalar per source: the log-log rank-frequency slope
+  // (natural text ≈ -1). One point per DISTINCT frequency (tie-group
+  // min-rank), snapped lns, then the shared decimal-exact OLS tail.
+  private def q205ZipfSlope(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.zipfSlopeByGroup(Tables.documents(s, d),
+      col("source"), col("text"))
+
+  private val q205Sql = olsSqlOver(
+    """WITH toks AS (SELECT source AS grp, unnest(
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
+      |  FROM documents),
+      |stc AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      |bc AS (SELECT grp, cnt, CAST(count(*) AS BIGINT) AS n_types
+      |  FROM stc GROUP BY 1, 2),
+      |base AS (SELECT grp,
+      |    CAST(round(ln(CAST(sum(n_types) OVER (PARTITION BY grp
+      |        ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING)
+      |      - n_types + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM bc)""".stripMargin)
 
   // ------------------- streaming OOV rate (§2.10 ext)
   // q195's tokenizer-coverage audit in its real regime: the (grp, token)
@@ -7147,7 +7178,8 @@ FROM r$q82Rounds"""
     "q201_textrank" -> (q201TextRank _),
     "q202_transitions" -> (q202Transitions _),
     "q203_streaming_scd2" -> (q203StreamingScd _),
-    "q204_ql_retrieval" -> (q204QlTopK _))
+    "q204_ql_retrieval" -> (q204QlTopK _),
+    "q205_zipf_slope" -> (q205ZipfSlope _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7352,5 +7384,6 @@ FROM r$q82Rounds"""
     "q201_textrank" -> q201Sql,
     "q202_transitions" -> q202Sql,
     "q203_streaming_scd2" -> q190Sql,
-    "q204_ql_retrieval" -> q204Sql)
+    "q204_ql_retrieval" -> q204Sql,
+    "q205_zipf_slope" -> q205Sql)
 }
