@@ -68,6 +68,38 @@ object Pack {
     * bucketWidth). No global sort — this is the audit you run INSTEAD of
     * sorting the corpus by length.
     */
+  /** Context-window truncation audit — the question asked before picking
+    * `seq_len` (or before choosing truncation over [[packExamples]] /
+    * chunking): per group, how many documents exceed the window and how
+    * much token mass a hard truncation throws away. One row per group:
+    * `(grp, n_docs, n_truncated, total_tokens, lost_tokens, trunc_share,
+    * lost_share)`.
+    *
+    * Scale shape: pure map-side arithmetic on the token-count column
+    * folded by ONE groups-cardinality aggregate — exact long sums, two
+    * snap-6 divisions at group grain. Null token counts are excluded
+    * (not zero-filled); an all-null group reports zero totals with null
+    * shares rather than inventing a rate.
+    */
+  def truncationLoss(df: DataFrame, grp: Column, nTokens: Column,
+                     seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val nt = nTokens.cast("long")
+    df.filter(nt.isNotNull)
+      .groupBy(grp.as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(nt > seqLen, 1L).otherwise(0L)).as("n_truncated"),
+        sum(nt).as("total_tokens"),
+        sum(greatest(nt - seqLen, lit(0L))).as("lost_tokens"))
+      .select(col("grp"), col("n_docs"), col("n_truncated"),
+        col("total_tokens"), col("lost_tokens"),
+        round(col("n_truncated").cast("double") /
+          col("n_docs").cast("double"), 6).as("trunc_share"),
+        when(col("total_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("lost_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6)).as("lost_share"))
+  }
+
   def paddingOverhead(df: DataFrame, id: Column, nTokens: Column,
                       batchRows: Int, bucketWidth: Int): DataFrame = {
     require(batchRows >= 1 && bucketWidth >= 1,

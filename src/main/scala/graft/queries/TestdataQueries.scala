@@ -6875,6 +6875,36 @@ FROM r$q82Rounds"""
       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
       |  FROM bc)""".stripMargin)
 
+  // ------------------- truncation-loss audit (§2.10 ext)
+  // The pre-seq_len question: per source, how many docs exceed the
+  // window and how much token mass hard truncation throws away. Map-side
+  // arithmetic, one groups-sized aggregate.
+  private val q206SeqLen = 64
+
+  private def q206TruncationLoss(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pack.truncationLoss(Tables.documents(s, d),
+      col("source"),
+      graft.functions.TextExprs.tokenCount(col("text")), q206SeqLen)
+
+  private val q206Sql =
+    s"""WITH base AS (SELECT source AS grp, CAST(
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |    AS BIGINT) AS nt
+       |  FROM documents)
+       |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN nt > $q206SeqLen THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_truncated,
+       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |  CAST(sum(greatest(nt - $q206SeqLen, 0)) AS BIGINT)
+       |    AS lost_tokens,
+       |  round(CAST(sum(CASE WHEN nt > $q206SeqLen THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS trunc_share,
+       |  CASE WHEN sum(nt) = 0 THEN NULL
+       |    ELSE round(CAST(sum(greatest(nt - $q206SeqLen, 0)) AS DOUBLE) /
+       |      CAST(sum(nt) AS DOUBLE), 6) END AS lost_share
+       |FROM base GROUP BY grp""".stripMargin
+
   // ------------------- streaming OOV rate (§2.10 ext)
   // q195's tokenizer-coverage audit in its real regime: the (grp, token)
   // count state is additive, so the accumulated table equals the
@@ -7179,7 +7209,8 @@ FROM r$q82Rounds"""
     "q202_transitions" -> (q202Transitions _),
     "q203_streaming_scd2" -> (q203StreamingScd _),
     "q204_ql_retrieval" -> (q204QlTopK _),
-    "q205_zipf_slope" -> (q205ZipfSlope _))
+    "q205_zipf_slope" -> (q205ZipfSlope _),
+    "q206_truncation_loss" -> (q206TruncationLoss _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7385,5 +7416,6 @@ FROM r$q82Rounds"""
     "q202_transitions" -> q202Sql,
     "q203_streaming_scd2" -> q190Sql,
     "q204_ql_retrieval" -> q204Sql,
-    "q205_zipf_slope" -> q205Sql)
+    "q205_zipf_slope" -> q205Sql,
+    "q206_truncation_loss" -> q206Sql)
 }

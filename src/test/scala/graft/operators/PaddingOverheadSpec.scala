@@ -60,4 +60,22 @@ class PaddingOverheadSpec extends SparkSpec {
     assert(got.forall(r => r._4 >= r._3))
     assert(got.map(_._3).distinct.length === 1)
   }
+
+  test("truncationLoss: hand-checked shares, null handling, zero-token " +
+    "group contract") {
+    val df = Seq(
+      ("a", Some(10L)), ("a", Some(100L)), ("a", Some(64L)),
+      ("a", None), // excluded, not zero-filled
+      ("b", Some(0L)), ("b", Some(0L)))
+      .toDF("src", "nt")
+    val got = Pack.truncationLoss(df, col("src"), col("nt"), seqLen = 64)
+      .as[(String, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().sortBy(_._1)
+    // a: 3 docs, 1 truncated (100 > 64, exactly-64 is NOT), lost 36
+    assert(got(0) === (("a", 3L, 1L, 174L, 36L, 0.333333, Some(0.206897))))
+    // b: all-zero tokens → lost_share null, not 0/0
+    assert(got(1) === (("b", 2L, 0L, 0L, 0L, 0.0, None)))
+    intercept[IllegalArgumentException](
+      Pack.truncationLoss(df, col("src"), col("nt"), seqLen = 0))
+  }
 }
