@@ -129,14 +129,28 @@ object Funnel {
     * snapped to 6 decimals.
     */
   def transitionMatrix(events: DataFrame, key: Column, ts: Column,
+                       tieBreak: Column, typ: Column): DataFrame =
+    transitionsFromCounts(transitionCounts(events, key, ts, tieBreak, typ))
+
+  /** [[transitionMatrix]]'s sufficient statistic: the types²-bounded
+    * `(from_type, to_type, n)` adjacency count table. ADDITIVE across
+    * disjoint event sets only when per-key boundary adjacencies are
+    * stitched — which is exactly what the streaming arm's last-event
+    * state exists for. */
+  def transitionCounts(events: DataFrame, key: Column, ts: Column,
                        tieBreak: Column, typ: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(ts.asc, tieBreak.asc)
-    val pairs = events
+    events
       .select(typ.as("to_type"), lag(typ, 1).over(w).as("from_type"))
       .where(col("from_type").isNotNull)
-    val cnt = pairs.groupBy(col("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[transitionMatrix]] over a pre-aggregated `(from_type, to_type,
+    * n)` count table (the streaming state's grain). */
+  def transitionsFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("t"))
     cnt.join(broadcast(tot), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),

@@ -6754,6 +6754,28 @@ FROM r$q82Rounds"""
       |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
       |FROM cnt JOIN tot USING (from_type)""".stripMargin
 
+  // ------------------- streaming transition matrix (§2.10 ext)
+  // q202's Markov model updated per ingest batch: the count state is
+  // additive once per-key boundary adjacencies are stitched from the
+  // last-event table — under ts-ordered polls the accumulated matrix
+  // equals the one-shot build exactly, so q207 shares q202's oracle.
+  private def q207StreamingTransitions(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("trans_stream")
+      .toString
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val cuts = ev.stat.approxQuantile("tsu", Array(0.33, 0.66), 0.0)
+    val batches = Seq(
+      ev.where(col("tsu") < cuts(0)),
+      ev.where(col("tsu") >= cuts(0) && col("tsu") < cuts(1)),
+      ev.where(col("tsu") >= cuts(1)))
+    batches.foreach { b =>
+      graft.streaming.TransitionStream.ingestBatch(s, b.drop("tsu"),
+        Seq("user_id"), "ts", "event_id", "event_type", state)
+    }
+    graft.streaming.TransitionStream.readMatrix(s, state)
+  }
+
   // ------------------- TextRank keywords (§2.10 ext)
   // PageRank over the token co-occurrence graph: vocabulary-bounded
   // edges, 1e-12 fixed-point ranks, per-edge contributions snapped
@@ -7210,7 +7232,8 @@ FROM r$q82Rounds"""
     "q203_streaming_scd2" -> (q203StreamingScd _),
     "q204_ql_retrieval" -> (q204QlTopK _),
     "q205_zipf_slope" -> (q205ZipfSlope _),
-    "q206_truncation_loss" -> (q206TruncationLoss _))
+    "q206_truncation_loss" -> (q206TruncationLoss _),
+    "q207_streaming_transitions" -> (q207StreamingTransitions _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7417,5 +7440,6 @@ FROM r$q82Rounds"""
     "q203_streaming_scd2" -> q190Sql,
     "q204_ql_retrieval" -> q204Sql,
     "q205_zipf_slope" -> q205Sql,
-    "q206_truncation_loss" -> q206Sql)
+    "q206_truncation_loss" -> q206Sql,
+    "q207_streaming_transitions" -> q202Sql)
 }
