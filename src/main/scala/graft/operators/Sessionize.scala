@@ -41,4 +41,25 @@ object Sessionize {
         min(ts).as("session_start"),
         max(ts).as("session_end"),
         (max(ts.cast("long")) - min(ts.cast("long"))).as("duration_s"))
+
+  /** The engagement dashboard's one-row rollup over [[sessionStats]]:
+    * session count, bounce share (single-event sessions), mean events
+    * per session, mean duration. Everything derives from exact long
+    * sums of the session table in one further aggregate (the session
+    * table itself is the only corpus-sized work); three snap-6
+    * divisions at the end. */
+  def sessionSummary(df: DataFrame, key: Seq[String], ts: Column,
+                     tieBreak: Column, gapSeconds: Long): DataFrame =
+    sessionStats(df, key, ts, tieBreak, gapSeconds)
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("se"),
+        sum(col("duration_s")).as("sd"))
+      .select(col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce").cast("double") /
+          col("n_sessions").cast("double"), 6).as("bounce_rate"),
+        round(col("se").cast("double") /
+          col("n_sessions").cast("double"), 6).as("mean_events"),
+        round(col("sd").cast("double") /
+          col("n_sessions").cast("double"), 6).as("mean_duration_s"))
 }

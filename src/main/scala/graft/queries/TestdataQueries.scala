@@ -6754,6 +6754,44 @@ FROM r$q82Rounds"""
       |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
       |FROM cnt JOIN tot USING (from_type)""".stripMargin
 
+  // ------------------- session summary (§2.10 ext)
+  // The engagement dashboard's one-row rollup over q43's session table:
+  // bounce share, mean events/session, mean duration. Composes the
+  // registered sessionization; oracle composes q43's oracle.
+  private def q208SessionSummary(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessionSummary(Tables.events(s, d),
+      Seq("user_id"), col("ts").cast("timestamp"), col("event_id"),
+      gapSeconds = 3600L)
+
+  private val q208Sql =
+    s"""WITH sess AS ($q43Sql)
+       |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bounce,
+       |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+       |  round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS mean_events,
+       |  round(CAST(sum(duration_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS mean_duration_s
+       |FROM sess""".stripMargin
+
+  // ------------------- streaming Zipf slope (§2.10 ext)
+  // q205 read live off the SAME (grp, token) count state q199 keeps —
+  // one sufficient statistic serving both the coverage and the
+  // corpus-health monitor; shares q205's oracle verbatim.
+  private def q209StreamingZipf(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("zipf_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.OovStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b),
+        col("source"), col("text"), state)
+    }
+    graft.streaming.OovStream.readZipf(s, state)
+  }
+
   // ------------------- streaming transition matrix (§2.10 ext)
   // q202's Markov model updated per ingest batch: the count state is
   // additive once per-key boundary adjacencies are stitched from the
@@ -7233,7 +7271,9 @@ FROM r$q82Rounds"""
     "q204_ql_retrieval" -> (q204QlTopK _),
     "q205_zipf_slope" -> (q205ZipfSlope _),
     "q206_truncation_loss" -> (q206TruncationLoss _),
-    "q207_streaming_transitions" -> (q207StreamingTransitions _))
+    "q207_streaming_transitions" -> (q207StreamingTransitions _),
+    "q208_session_summary" -> (q208SessionSummary _),
+    "q209_streaming_zipf" -> (q209StreamingZipf _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7441,5 +7481,7 @@ FROM r$q82Rounds"""
     "q204_ql_retrieval" -> q204Sql,
     "q205_zipf_slope" -> q205Sql,
     "q206_truncation_loss" -> q206Sql,
-    "q207_streaming_transitions" -> q202Sql)
+    "q207_streaming_transitions" -> q202Sql,
+    "q208_session_summary" -> q208Sql,
+    "q209_streaming_zipf" -> q205Sql)
 }

@@ -48,4 +48,12 @@ object OovStream {
                 minCount: Long): DataFrame =
     Vocab.oovRateFromCounts(
       SketchState.read(spark, cntPath(stateDir)), minCount)
+
+  /** Zipf rank-frequency fit of the ACCUMULATED ingest — the SAME count
+    * state read through [[Vocab.zipfSlopeFromCounts]]: one state table
+    * serves both tokenizer-coverage and corpus-health monitoring, which
+    * is the point of keeping the sufficient statistic rather than the
+    * answers. */
+  def readZipf(spark: SparkSession, stateDir: String): DataFrame =
+    Vocab.zipfSlopeFromCounts(SketchState.read(spark, cntPath(stateDir)))
 }

@@ -112,6 +112,14 @@ class SessionizeSpec extends SparkSpec {
       ("u2", 1L, 1L, 0L)))
   }
 
+  test("sessionSummary: bounce share and means over the session table") {
+    val got = Sessionize.sessionSummary(ev, Seq("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 3600L)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // 3 sessions, 2 bounces (u1 session 2, u2); 4 events; 1800s total
+    assert(got === ((3L, 2L, 0.666667, 1.333333, 600.0)))
+  }
+
   test("matches Spark's built-in session_window aggregation") {
     // same gap semantics: merged windows = gap-based sessions
     val builtin = ev

@@ -58,5 +58,12 @@ class OovStreamSpec extends SparkSpec {
     // s2 tokens: a a b b c rare2 rare2 b → 8; OOV under minCount=3:
     // rare2 (2 occurrences < 3) ×2 → c has tot 5, a tot 5, b tot 6
     assert(s2 === (("s2", 8L, 2L, 0.25)))
+    // the SAME state serves the corpus-health read: readZipf equals the
+    // one-shot fit exactly
+    val zipfOneShot = Vocab.zipfSlopeByGroup(docs, col("source"),
+      col("text")).collect().map(_.toSeq).toSet
+    val zipfStreamed = OovStream.readZipf(spark, state)
+      .collect().map(_.toSeq).toSet
+    assert(zipfStreamed === zipfOneShot)
   }
 }
