@@ -360,6 +360,47 @@ object Classify {
         .when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Fleiss' kappa over `raters.size` binary gates — [[agreementKappa]]
+    * generalized past two raters (Fleiss 1971): with three or more
+    * stacked quality filters, pairwise kappas hide three-way structure
+    * (any two can look independent while all three agree everywhere).
+    * One row: `(n_items, n_raters, p_keep, p_bar, p_e, kappa)` where
+    * `p_bar` is the mean per-item pair agreement
+    * `Σᵢ [kᵢ(kᵢ−1) + (n−kᵢ)(n−kᵢ−1)] / (N·n·(n−1))` (kᵢ = keep votes on
+    * item i), `p_e = p̄₁² + (1−p̄₁)²` the chance agreement from the
+    * pooled keep prevalence, and `kappa = (p_bar − p_e)/(1 − p_e)`
+    * (null when `p_e = 1` — all raters unanimous on one side
+    * everywhere, agreement indistinguishable from chance).
+    *
+    * Scale shape: ONE corpus scan, one metadata-row aggregate — the
+    * per-item pair numerator is exact integer arithmetic on the vote
+    * count (bounded by n(n−1) per row, so Long holds past 10¹⁷ items),
+    * and the three final ratios are a fixed IEEE sequence snapped to 6.
+    * Rows where any rater abstains (null) are EXCLUDED — a null vote is
+    * not a "reject". */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2,
+      s"fleissKappa needs >= 2 raters, got ${raters.size}")
+    val n = raters.size.toLong
+    val votes = raters.map(r => r.cast("boolean").cast("long"))
+      .reduce(_ + _)
+    val base = df.select(votes.as("k")).filter(col("k").isNotNull)
+    val agg = base.agg(count(lit(1)).as("n_items"),
+      sum(col("k")).as("s_keep"),
+      sum(col("k") * (col("k") - 1L) +
+        (lit(n) - col("k")) * (lit(n) - col("k") - 1L)).as("s_pairs"))
+    val p1 = col("s_keep").cast("double") /
+      (col("n_items") * lit(n)).cast("double")
+    val pBar = col("s_pairs").cast("double") /
+      (col("n_items") * lit(n * (n - 1L))).cast("double")
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    agg.select(col("n_items"), lit(n).as("n_raters"),
+      round(p1, 6).as("p_keep"), round(pBar, 6).as("p_bar"),
+      round(pe, 6).as("p_e"),
+      when(pe < 1.0, round((pBar - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
+
   /** Full-batch gradient-descent TRAINING of the hashed logistic
     * classifier [[hashedLinearScore]] serves — the learn step of a
     * CCNet/fastText-style quality or language filter, run where the

@@ -447,4 +447,60 @@ object Datasheet {
         round(col("n_outliers").cast("double") /
           col("n_docs").cast("double"), 6).as("outlier_share"))
   }
+
+  /** Source-affinity map — pairwise cosine between per-source embedding
+    * CENTROIDS: the datasheet entry that shows which feeds are
+    * near-duplicates of each other in embedding space BEFORE mixture
+    * weights are assigned (two sources at cosine 0.98 are one source
+    * with two names; upweighting both double-counts a domain). One row
+    * per unordered source pair `(src_a, src_b, cos)`, `src_a < src_b`;
+    * a zero-norm centroid yields null cosine.
+    *
+    * Determinism, the part a naive mean-then-dot gets wrong twice:
+    * components snap to 1e-9 fixed point and sum in DECIMAL(38,0)
+    * (order-free under any partitioning — the [[embeddingHealthRaw]]
+    * discipline), the per-dim mean then snaps to 1e-6 fixed-point longs,
+    * and the pair dot/norms are DECIMAL sums of long products — integer
+    * arithmetic end to end, one snap-6 double division per pair.
+    *
+    * Scale shape: the corpus pass is a map-side posexplode collapsing
+    * to (source, dim) partial sums per task — the shuffle carries
+    * sources × dims rows, never vectors; everything downstream
+    * (centroid table, dim-keyed pair join, sources²-sized output) is
+    * metadata. No vector ever crosses an exchange. */
+  def sourceAffinity(embs: DataFrame, vec: Column, grp: Column)
+      : DataFrame = {
+    val byDim = embs
+      .select(grp.as("src"), posexplode(vec.cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy(col("src"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * 1e9).cast("decimal(38,0)")).as("s9"))
+    val cent = byDim.select(col("src"), col("dim"),
+      round(col("s9").cast("double") / 1e9 /
+        col("n").cast("double") * 1e6).cast("long").as("m6"))
+    val norms = cent.groupBy(col("src"))
+      .agg(sum((col("m6") * col("m6")).cast("decimal(38,0)"))
+        .as("nn"))
+    val a = cent.select(col("src").as("src_a"), col("dim"),
+      col("m6").as("ma"))
+    val b = cent.select(col("src").as("src_b"), col("dim"),
+      col("m6").as("mb"))
+    val dots = a.join(b, Seq("dim"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum((col("ma") * col("mb")).cast("decimal(38,0)"))
+        .as("dot"))
+    dots
+      .join(broadcast(norms.select(col("src").as("src_a"),
+        col("nn").as("nn_a"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("src").as("src_b"),
+        col("nn").as("nn_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        when(col("nn_a") === 0 || col("nn_b") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("dot").cast("double") /
+            (sqrt(col("nn_a").cast("double")) *
+              sqrt(col("nn_b").cast("double"))), 6)).as("cos"))
+  }
 }

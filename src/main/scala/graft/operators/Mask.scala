@@ -41,4 +41,37 @@ object Mask {
         when(masked(col("id_s"), i), lit(sentinel)).otherwise(t)))
         .as("masked_text"))
   }
+
+  /** Deterministic prefix-LM example generation (UL2's S-denoiser /
+    * PrefixLM objective, Tay et al. 2023): each document splits at a
+    * hash-derived pivot into a bidirectionally-attended INPUT prefix and
+    * a causally-predicted TARGET suffix. The pivot is
+    * `1 + mixedHash(id) mod (n−1)` — uniform over the n−1 interior cut
+    * points, both sides always non-empty, and a pure function of the id
+    * (NO RNG: the same example set reproduces across runs, engines, and
+    * partitionings — the [[spanCorrupt]] contract). Documents with
+    * fewer than 2 tokens are DROPPED (no interior cut exists).
+    *
+    * Output: `(id, n_tokens, input_len, target_len, input_text,
+    * target_text)`.
+    *
+    * Scale shape: entirely map-side — one tokenize, two array slices,
+    * no shuffle, no join; a pure projection over the corpus scan. */
+  def prefixLmSplit(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val base = docs.select(id.as("id"), TextExprs.tokens(text).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("id"), col("ts"), size(col("ts")).cast("long").as("n"))
+    val pivot = pmod(Sketch.mixedHash(col("id").cast("string")),
+      col("n") - 1L) + 1L
+    base.select(col("id"), col("ts"), col("n").as("n_tokens"),
+        pivot.as("input_len"))
+      .withColumn("target_len", col("n_tokens") - col("input_len"))
+      .select(col("id"), col("n_tokens"), col("input_len"),
+        col("target_len"),
+        concat_ws(" ", slice(col("ts"), lit(1),
+          col("input_len").cast("int"))).as("input_text"),
+        concat_ws(" ", slice(col("ts"), col("input_len").cast("int") + 1,
+          col("target_len").cast("int"))).as("target_text"))
+  }
 }

@@ -640,4 +640,57 @@ object NearDup {
         round(col("n_caught").cast("double") /
           col("n_exact").cast("double"), 6).as("recall"))
   }
+
+  /** Dedup-threshold operating curve — what the similarity cut actually
+    * COSTS at each candidate setting, read off ONE pair table: per
+    * threshold, how many pairs survive and how many distinct documents
+    * they touch. The curve a near-dup threshold is picked from (0.8 is
+    * folklore; this is the measurement), and it works over ANY scored
+    * pair relation — shingle Jaccard, MinHash, SimHash, embedding
+    * cosine — because it never recomputes similarity.
+    *
+    * The cut compares the pair table's SNAPPED score column (the pairs
+    * operators emit snap-6/snap-4 scores), so the curve is replayable
+    * cross-engine; `thresholds` must all be ≥ the threshold the pair
+    * table was built with, or the low rows undercount (require'd
+    * against the caller-declared `builtAt`).
+    *
+    * Scale shape: the pair table is id+score metadata (the expensive
+    * blocking already happened upstream); thresholds explode from a
+    * plan literal onto it, pairs fold in one |T|-cardinality aggregate,
+    * and the distinct-doc count folds the exploded (threshold, id)
+    * pairs — every stage is pair-table-sized × |T|, never corpus-sized.
+    * Thresholds with zero surviving pairs still emit a row (left join
+    * from the literal threshold relation). */
+  def thresholdCurve(pairs: DataFrame, idA: Column, idB: Column,
+                     score: Column, thresholds: Seq[Double],
+                     builtAt: Double): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdCurve needs >= 1 threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      s"thresholds must be distinct, got ${thresholds.mkString(",")}")
+    require(thresholds.forall(_ >= builtAt),
+      s"thresholds ${thresholds.mkString(",")} must all be >= the pair " +
+        s"table's build threshold $builtAt (lower rows would undercount)")
+    val tArr = array(thresholds.map(lit): _*)
+    val base = pairs
+      .select(idA.as("id_a"), idB.as("id_b"), score.as("s"))
+      .select(col("id_a"), col("id_b"), col("s"),
+        explode(tArr).as("threshold"))
+      .filter(col("s") >= col("threshold"))
+    val nPairs = base.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = base
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b")))
+        .as("id"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    val tTab = pairs.sparkSession.range(thresholds.size.toLong)
+      .select(element_at(tArr, col("id").cast("int") + 1)
+        .as("threshold"))
+    tTab.join(broadcast(nPairs), Seq("threshold"), "left")
+      .join(broadcast(nDocs), Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
 }

@@ -100,6 +100,45 @@ object Pack {
             col("total_tokens").cast("double"), 6)).as("lost_share"))
   }
 
+  /** [[truncationLoss]] swept over CANDIDATE window sizes in one corpus
+    * scan — the operating curve `seq_len` is actually picked from, not a
+    * single point on it. Emits one GLOBAL row per candidate length:
+    * `(seq_len, n_docs, n_truncated, total_tokens, lost_tokens,
+    * trunc_share, lost_share)`.
+    *
+    * Scale shape: the corpus is scanned ONCE for the token count; the
+    * candidate lengths explode from a plan LITERAL array onto the
+    * (nt)-only metadata row — the ×|lengths| fan-out carries one long,
+    * never the text — and fold by one |lengths|-cardinality aggregate.
+    * Running [[truncationLoss]] per candidate would scan (and tokenize)
+    * the corpus |lengths| times for the same answer.
+    */
+  def truncationSweep(df: DataFrame, nTokens: Column,
+                      seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty, "truncationSweep needs >= 1 seqLen")
+    require(seqLens.forall(_ >= 1),
+      s"seqLens must be >= 1, got ${seqLens.mkString(",")}")
+    require(seqLens.distinct.size == seqLens.size,
+      s"seqLens must be distinct, got ${seqLens.mkString(",")}")
+    val nt = nTokens.cast("long")
+    val l = col("seq_len")
+    df.filter(nt.isNotNull).select(nt.as("nt"))
+      .select(col("nt"),
+        explode(array(seqLens.map(x => lit(x.toLong)): _*)).as("seq_len"))
+      .groupBy(l)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") > l, 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("nt")).as("total_tokens"),
+        sum(greatest(col("nt") - l, lit(0L))).as("lost_tokens"))
+      .select(l, col("n_docs"), col("n_truncated"),
+        col("total_tokens"), col("lost_tokens"),
+        round(col("n_truncated").cast("double") /
+          col("n_docs").cast("double"), 6).as("trunc_share"),
+        when(col("total_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("lost_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6)).as("lost_share"))
+  }
+
   def paddingOverhead(df: DataFrame, id: Column, nTokens: Column,
                       batchRows: Int, bucketWidth: Int): DataFrame = {
     require(batchRows >= 1 && bucketWidth >= 1,

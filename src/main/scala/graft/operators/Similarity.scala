@@ -659,4 +659,66 @@ object Similarity {
         coalesce(col("back_src") === col("src_id"), lit(false))
           .as("mutual"))
   }
+
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-QA number for the IVF/k-means family: for each point,
+    * `a` = distance to its OWN (nearest) centroid, `b` = distance to
+    * the runner-up centroid, silhouette `s = (b − a) / max(a, b)`
+    * (Rousseeuw 1987's per-point ratio with centroid distances standing
+    * in for mean intra/inter-cluster distances — the O(N·k) form
+    * surveyed as "simplified silhouette"; the classical O(N²) form
+    * cannot exist at corpus scale). Output, one row per cluster:
+    * `(cluster_id, n_points, mean_a, mean_b, mean_sil)` — a cluster
+    * whose `mean_sil` approaches 0 is not separated from its neighbor
+    * (its IVF list boundary cuts through a real cluster → recall loss
+    * at low nprobe); a panel-wide drop flags a bad `k`.
+    *
+    * Centroids arrive as LITERALS (`(cluster_id, vector)`), the
+    * PQ-family codebook discipline — so the whole scan is map-side:
+    * per point, `k` codegen'd distance expressions, one `array_sort`
+    * of the k-struct array (ties on d² break on ascending centroid
+    * id), zero shuffles before the clusters-cardinality aggregate.
+    * Distances are `√max(0, ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩)` — the expansion
+    * reuses the [[bruteForceTopK]] dot kernel and the max(0,·) clamps
+    * the tiny negative the expansion can produce at near-zero
+    * distances. Means snap per-point values to 1e-9 fixed point and
+    * sum in DECIMAL(38,0) (order-free), one snap-6 division each.
+    * `max(a,b) = 0` (point sits ON both centroids) contributes
+    * silhouette 0 by convention. */
+  def clusterSilhouette(points: DataFrame, vec: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.size >= 2,
+      s"clusterSilhouette needs >= 2 centroids, got ${centroids.size}")
+    require(centroids.map(_._1).distinct.size == centroids.size,
+      "centroid ids must be distinct")
+    val v = col(vec).cast("array<double>")
+    val vv = VectorExprs.norm2(v)
+    val dists = centroids.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(sqrt(greatest(vv - lit(2.0) * VectorExprs.dot(v, cArr) +
+        lit(cc), lit(0.0))).as("d"), lit(cid).as("cid"))
+    }
+    val sorted = array_sort(array(dists: _*))
+    val aD = element_at(col("ds"), 1)("d")
+    val bD = element_at(col("ds"), 2)("d")
+    val sil = when(greatest(aD, bD) === 0.0, lit(0.0))
+      .otherwise((bD - aD) / greatest(aD, bD))
+    points.select(sorted.as("ds"))
+      .select(element_at(col("ds"), 1)("cid").as("cluster_id"),
+        round(aD * 1e9).cast("decimal(38,0)").as("a9"),
+        round(bD * 1e9).cast("decimal(38,0)").as("b9"),
+        round(sil * 1e9).cast("decimal(38,0)").as("s9"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("a9")).as("sa"), sum(col("b9")).as("sb"),
+        sum(col("s9")).as("ss"))
+      .select(col("cluster_id"), col("n_points"),
+        round(col("sa").cast("double") / 1e9 /
+          col("n_points").cast("double"), 6).as("mean_a"),
+        round(col("sb").cast("double") / 1e9 /
+          col("n_points").cast("double"), 6).as("mean_b"),
+        round(col("ss").cast("double") / 1e9 /
+          col("n_points").cast("double"), 6).as("mean_sil"))
+  }
 }

@@ -961,4 +961,104 @@ object Vocab {
         round(col("oov_tokens").cast("double") /
           col("n_tokens").cast("double"), 6))
   }
+
+  /** Vocabulary-concentration panel per group — the corpus-health
+    * numbers next to the Zipf slope on every datasheet: how much of the
+    * token mass a handful of types carries, and how long the singleton
+    * tail is. Per group: `n_types` (V), `n_tokens` (N), `hapax_types`
+    * (types occurring exactly once — legomena; a bloated hapax share
+    * flags OCR noise / tokenizer shredding), `hapax_share` (hapax/V),
+    * `top10_mass` (share of N held by the highest-frequency types,
+    * TIES-INCLUSIVE at the distinct-frequency grain: every type whose
+    * min-rank ≤ 10 counts, so a tie block straddling rank 10 is taken
+    * whole — deterministic without a token-level tiebreak), and the
+    * `gini` coefficient of the count distribution (0 = perfectly
+    * uniform vocabulary — suspicious for natural text — 1 = one type
+    * holds everything).
+    *
+    * Scale shape: everything after the (grp, token) count shuffle runs
+    * on the `(grp, cnt)` DISTINCT-FREQUENCY table (the [[zipfSlopeFromCounts]]
+    * bound — state per group is the number of distinct count values,
+    * not the vocabulary). The rank windows order that bounded table.
+    * Gini's rank-weighted sum is exact integer arithmetic in
+    * DECIMAL(38,0) (doubled to stay division-free): an ascending tie
+    * block of `n` types with count `c` starting after cumulative rank
+    * `r0` contributes `2·Σ rank·c = c · (2·n·r0 + n(n+1))` — tied types
+    * share a count, so any rank assignment inside the block gives the
+    * same sum and the panel is deterministic without a token-level
+    * tiebreak; one snap-6 double division at the end.
+    */
+  def concentrationByGroup(df: DataFrame, grp: Column, text: Column)
+      : DataFrame =
+    concentrationFromCounts(oovCounts(df, grp, text))
+
+  /** [[concentrationByGroup]] over a pre-aggregated `(grp, t, cnt)`
+    * count table (the streaming/OOV state's grain — additive,
+    * shareable with q195/q199/q205/q209). */
+  def concentrationFromCounts(st: DataFrame): DataFrame = {
+    val byCnt = st.groupBy(col("grp"), col("cnt"))
+      .agg(count(lit(1)).as("n_types"))
+    val wDesc = Window.partitionBy(col("grp")).orderBy(col("cnt").desc)
+    val wAsc = Window.partitionBy(col("grp")).orderBy(col("cnt").asc)
+    val c = col("cnt").cast("decimal(38,0)")
+    val n = col("n_types").cast("decimal(38,0)")
+    val r0 = (sum(col("n_types")).over(wAsc) - col("n_types"))
+      .cast("decimal(38,0)")
+    val blocks = byCnt.select(col("grp"), col("cnt"), col("n_types"),
+      (sum(col("n_types")).over(wDesc) - col("n_types") + 1L)
+        .as("min_rank"),
+      // 2·Σ rank_i · c_i over the ascending tie block, exact in decimal
+      (c * (lit(2).cast("decimal(38,0)") * n * r0 +
+        n * (n + lit(1).cast("decimal(38,0)")))).as("rw2"))
+    val agg = blocks.groupBy(col("grp"))
+      .agg(sum(col("n_types")).cast("long").as("n_types"),
+        sum(col("cnt").cast("decimal(38,0)") *
+          col("n_types").cast("decimal(38,0)")).as("n_tok_d"),
+        sum(when(col("cnt") === 1L, col("n_types")).otherwise(0L))
+          .cast("long").as("hapax_types"),
+        sum(when(col("min_rank") <= 10L,
+          col("cnt").cast("decimal(38,0)") *
+            col("n_types").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("top_mass_d"),
+        sum(col("rw2").cast("decimal(38,0)")).as("s_rw2"))
+    val vD = col("n_types").cast("double")
+    val nD = col("n_tok_d").cast("double")
+    agg.select(col("grp"), col("n_types"),
+      col("n_tok_d").cast("long").as("n_tokens"),
+      col("hapax_types"),
+      round(col("hapax_types").cast("double") / vD, 6).as("hapax_share"),
+      round(col("top_mass_d").cast("double") / nD, 6).as("top10_mass"),
+      // G = (2·Σ rank·c − (V+1)·N) / (V·N), ranks ascending by count
+      round((col("s_rw2").cast("double") -
+        (vD + 1.0) * nD) / (vD * nD), 6).as("gini"))
+  }
+
+  /** Heaps'-law fit across groups — the vocabulary-GROWTH health check
+    * beside the Zipf slope: natural corpora obey `V ≈ k·N^β` with
+    * β ≈ 0.4–0.6 (Heaps 1978), so the per-group `(ln N, ln V)` points
+    * fall on a line whose slope is β. A β near 1 means vocabulary grows
+    * as fast as the corpus (unbounded noise — OCR garbage, random ids
+    * in text); a β near 0 means template spam re-using a closed
+    * vocabulary. One row: [[Trend.olsByGroup]] over the groups-bounded
+    * point set under the fixed group `'all'` (`slope` = β, `intercept`
+    * = ln k).
+    *
+    * Scale: the points are one row per GROUP (per-group N and V from
+    * one re-aggregation of the count table); the fit input is
+    * groups-sized metadata. Transcendentals snap to 1e-6 fixed point
+    * before the decimal-exact OLS sums — the cross-engine discipline
+    * shared with [[zipfSlopeFromCounts]]. */
+  def heapsFitFromCounts(st: DataFrame): DataFrame = {
+    val pts = st.groupBy(col("grp"))
+      .agg(count(lit(1)).as("v"), sum(col("cnt")).as("nt"))
+      .select(
+        round(log(col("nt").cast("double")) * 1e6).cast("long").as("lx"),
+        round(log(col("v").cast("double")) * 1e6).cast("long").as("ly"))
+    Trend.olsByGroup(pts, lit("all"), col("lx"), col("ly"))
+  }
+
+  /** [[heapsFitFromCounts]] from raw documents. */
+  def heapsFitByGroup(df: DataFrame, grp: Column, text: Column)
+      : DataFrame =
+    heapsFitFromCounts(oovCounts(df, grp, text))
 }

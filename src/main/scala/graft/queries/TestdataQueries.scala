@@ -6792,6 +6792,324 @@ FROM r$q82Rounds"""
     graft.streaming.OovStream.readZipf(s, state)
   }
 
+  // ------------------- vocab concentration panel (§2.10 ext)
+  // Per-source corpus-health numbers beside the Zipf slope: hapax
+  // share, ties-inclusive top-10 token mass, Gini of the count
+  // distribution. Everything past the count shuffle runs on the
+  // (grp, cnt) distinct-frequency table; Gini's rank-weighted sum is
+  // division-free decimal integer arithmetic.
+  private def q210Concentration(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.concentrationByGroup(Tables.documents(s, d),
+      col("source"), col("text"))
+
+  private val q210Sql =
+    """WITH toks AS (SELECT source AS grp, unnest(
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
+      |  FROM documents),
+      |stc AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      |bc AS (SELECT grp, cnt, CAST(count(*) AS BIGINT) AS n_types
+      |  FROM stc GROUP BY 1, 2),
+      |blk AS (SELECT grp, cnt, n_types,
+      |    sum(n_types) OVER (PARTITION BY grp ORDER BY cnt DESC
+      |      ROWS UNBOUNDED PRECEDING) - n_types + 1 AS min_rank,
+      |    CAST(sum(n_types) OVER (PARTITION BY grp ORDER BY cnt ASC
+      |      ROWS UNBOUNDED PRECEDING) - n_types AS HUGEINT) AS r0
+      |  FROM bc),
+      |agg AS (SELECT grp,
+      |    CAST(sum(n_types) AS BIGINT) AS n_types,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * n_types) AS HUGEINT) AS n_tok,
+      |    CAST(sum(CASE WHEN cnt = 1 THEN n_types ELSE 0 END) AS BIGINT)
+      |      AS hapax_types,
+      |    CAST(sum(CASE WHEN min_rank <= 10
+      |        THEN CAST(cnt AS HUGEINT) * n_types ELSE 0 END) AS HUGEINT)
+      |      AS top_mass,
+      |    CAST(sum(CAST(cnt AS HUGEINT) *
+      |        (2 * CAST(n_types AS HUGEINT) * r0 +
+      |         CAST(n_types AS HUGEINT) * (n_types + 1))) AS HUGEINT)
+      |      AS s_rw2
+      |  FROM blk GROUP BY 1)
+      |SELECT grp, n_types, CAST(n_tok AS BIGINT) AS n_tokens,
+      |  hapax_types,
+      |  round(CAST(hapax_types AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+      |    AS hapax_share,
+      |  round(CAST(top_mass AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+      |    AS top10_mass,
+      |  round((CAST(s_rw2 AS DOUBLE) -
+      |      (CAST(n_types AS DOUBLE) + 1) * CAST(n_tok AS DOUBLE)) /
+      |    (CAST(n_types AS DOUBLE) * CAST(n_tok AS DOUBLE)), 6) AS gini
+      |FROM agg""".stripMargin
+
+  // ------------------- Heaps'-law fit (§2.10 ext)
+  // Vocabulary-growth health: OLS of (ln N, ln V) across the per-source
+  // points — slope is Heaps' β (natural text ≈ 0.4–0.6). Points are one
+  // row per source off the count table; shared decimal-exact OLS tail.
+  private def q211HeapsFit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.heapsFitByGroup(Tables.documents(s, d),
+      col("source"), col("text"))
+
+  private val q211Sql = olsSqlOver(
+    """WITH toks AS (SELECT source AS src, unnest(
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
+      |  FROM documents),
+      |stc AS (SELECT src, t, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      |g AS (SELECT src, CAST(count(*) AS BIGINT) AS v,
+      |    CAST(sum(cnt) AS BIGINT) AS nt
+      |  FROM stc GROUP BY 1),
+      |base AS (SELECT 'all' AS grp,
+      |    CAST(round(ln(CAST(nt AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM g)""".stripMargin)
+
+  // ------------------- streaming vocab concentration (§2.10 ext)
+  // q210 read live off the SAME (grp, token) count state q199/q209
+  // keep — the third monitor served by one sufficient statistic; the
+  // additive state equals the one-shot table exactly under any arrival
+  // split, so q212 shares q210's oracle verbatim.
+  private def q212StreamingConcentration(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("conc_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.OovStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b),
+        col("source"), col("text"), state)
+    }
+    graft.streaming.OovStream.readConcentration(s, state)
+  }
+
+  // ------------------- Fleiss' kappa, 3 filter gates (§2.10 ext)
+  // q143's agreement diagnostic generalized to the real stacked-filter
+  // case: learned gate (q77 >= 0.5), Gopher rule gate (q101), and a
+  // length gate. One scan, one metadata row, exact integer pair counts.
+  private val q214LenGate = 200L
+
+  private def q214FleissKappa(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.operators.Classify.hashedLinearScore(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      q77Weights, q77Bias)
+      .select(col("id").as("doc_id"), (col("score") >= 0.5).as("pa"))
+    val gopher = q101GopherRules(s, d)
+      .select(col("doc_id"), col("keep").as("pb"))
+    val len = Tables.documents(s, d)
+      .select(col("doc_id"), (col("n_chars") >= q214LenGate).as("pc"))
+    graft.operators.Classify.fleissKappa(
+      scores.join(gopher, Seq("doc_id")).join(len, Seq("doc_id")),
+      Seq(col("pa"), col("pb"), col("pc")))
+  }
+
+  private val q214Sql =
+    s"""WITH sc AS (SELECT doc_id, score >= CAST(0.5 AS DOUBLE) AS pa
+       |           FROM ($q77Sql)),
+       |gp AS (SELECT doc_id, keep AS pb FROM ($q101Sql)),
+       |lg AS (SELECT doc_id, n_chars >= $q214LenGate AS pc
+       |       FROM documents),
+       |j AS (SELECT CAST(pa AS INT) + CAST(pb AS INT) + CAST(pc AS INT)
+       |        AS k
+       |      FROM sc JOIN gp USING (doc_id) JOIN lg USING (doc_id)
+       |      WHERE pa IS NOT NULL AND pb IS NOT NULL AND pc IS NOT NULL),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(k) AS BIGINT) AS s_keep,
+       |    CAST(sum(k * (k - 1) + (3 - k) * (3 - k - 1)) AS BIGINT)
+       |      AS s_pairs
+       |  FROM j),
+       |d AS (SELECT n_items,
+       |    CAST(s_keep AS DOUBLE) / CAST(n_items * 3 AS DOUBLE) AS p1,
+       |    CAST(s_pairs AS DOUBLE) / CAST(n_items * 6 AS DOUBLE) AS pbar
+       |  FROM c)
+       |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+       |  round(p1, 6) AS p_keep, round(pbar, 6) AS p_bar,
+       |  round(p1 * p1 + (1.0 - p1) * (1.0 - p1), 6) AS p_e,
+       |  CASE WHEN p1 * p1 + (1.0 - p1) * (1.0 - p1) < 1.0
+       |    THEN round((pbar - (p1 * p1 + (1.0 - p1) * (1.0 - p1))) /
+       |      (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 6)
+       |  END AS kappa
+       |FROM d""".stripMargin
+
+  // ------------------- dedup threshold operating curve (§2.10 ext)
+  // What each similarity cut costs, read off q18's pair table: pairs
+  // surviving and distinct docs touched per threshold. Thresholds ride
+  // the plan as a literal; pair table is id+score metadata.
+  private val q215Thresholds = Seq(0.8, 0.85, 0.9, 0.95)
+
+  private def q215ThresholdCurve(s: SparkSession, d: String): DataFrame =
+    graft.operators.NearDup.thresholdCurve(q18ShingleJaccard(s, d),
+      col("id_a"), col("id_b"), col("jaccard"), q215Thresholds,
+      builtAt = 0.8)
+
+  private val q215Sql =
+    s"""WITH pairs AS ($q18Sql),
+       |t AS (SELECT unnest([${q215Thresholds.mkString(", ")}])
+       |        AS threshold),
+       |e AS (SELECT t.threshold, p.id_a, p.id_b
+       |      FROM pairs p JOIN t ON p.jaccard >= t.threshold),
+       |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+       |       FROM e GROUP BY 1),
+       |nd AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM (SELECT DISTINCT threshold, id FROM (
+       |               SELECT threshold, id_a AS id FROM e
+       |               UNION ALL SELECT threshold, id_b FROM e))
+       |       GROUP BY 1)
+       |SELECT t.threshold,
+       |  coalesce(np.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       |  coalesce(nd.n_docs, CAST(0 AS BIGINT)) AS n_docs
+       |FROM t LEFT JOIN np USING (threshold)
+       |  LEFT JOIN nd USING (threshold)""".stripMargin
+
+  // ------------------- source-affinity map (§2.10 ext)
+  // Pairwise cosine between per-label embedding centroids: which feeds
+  // are the same domain under two names. Snap-9 decimal component sums,
+  // snap-6 fixed-point means, integer dot/norms — order-free end to
+  // end; the corpus shuffle carries (label, dim) partials, no vectors.
+  private def q216SourceAffinity(s: SparkSession, d: String): DataFrame =
+    graft.operators.Datasheet.sourceAffinity(Tables.embeddings(s, d),
+      col("embedding"), col("label"))
+
+  private val q216Sql =
+    """WITH x AS (SELECT label AS src,
+      |    generate_subscripts(embedding, 1) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings),
+      |a AS (SELECT src, dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(v * 1e9) AS HUGEINT)) AS HUGEINT) AS s9
+      |  FROM x GROUP BY 1, 2),
+      |cent AS (SELECT src, dim,
+      |    CAST(round(CAST(s9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) * 1e6)
+      |      AS BIGINT) AS m6
+      |  FROM a),
+      |norms AS (SELECT src,
+      |    CAST(sum(CAST(m6 AS HUGEINT) * m6) AS HUGEINT) AS nn
+      |  FROM cent GROUP BY 1),
+      |dots AS (SELECT ca.src AS src_a, cb.src AS src_b,
+      |    CAST(sum(CAST(ca.m6 AS HUGEINT) * cb.m6) AS HUGEINT) AS dt
+      |  FROM cent ca JOIN cent cb USING (dim)
+      |  WHERE ca.src < cb.src GROUP BY 1, 2)
+      |SELECT CAST(src_a AS INTEGER) AS src_a,
+      |  CAST(src_b AS INTEGER) AS src_b,
+      |  CASE WHEN na.nn = 0 OR nb.nn = 0 THEN NULL
+      |    ELSE round(CAST(dt AS DOUBLE) /
+      |      (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))),
+      |      6) END AS cos
+      |FROM dots JOIN norms na ON dots.src_a = na.src
+      |  JOIN norms nb ON dots.src_b = nb.src""".stripMargin
+
+  // ------------------- prefix-LM split (§2.10 ext)
+  // UL2 S-denoiser example generation: hash-derived interior pivot, both
+  // sides non-empty, no RNG — the oracle replays both texts in full.
+  private def q217PrefixLm(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mask.prefixLmSplit(Tables.documents(s, d),
+      col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+
+  private val q217Sql = {
+    val poly = "list_reduce(list_transform(" +
+      "string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    s"""WITH tk AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents),
+       |f AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n
+       |      FROM tk WHERE len(ts) >= 2),
+       |p AS (SELECT doc_id, ts, n,
+       |    (((($poly * 1103515245 + 12345) % 1000000007) *
+       |      2654435761) % 1000000007) % (n - 1) + 1 AS il
+       |  FROM f)
+       |SELECT doc_id, n AS n_tokens, il AS input_len,
+       |  n - il AS target_len,
+       |  array_to_string(array_slice(ts, 1, il), ' ') AS input_text,
+       |  array_to_string(array_slice(ts, il + 1, n), ' ') AS target_text
+       |FROM p""".stripMargin
+  }
+
+  // ------------------- cluster silhouette (§2.10 ext)
+  // Simplified (centroid-distance) silhouette per cluster over seed-row
+  // centroids: the clustering-QA panel for the IVF family. Centroids
+  // ride the plan as literals; the scan is pure map-side with snap-9
+  // decimal means.
+  private val q218NCentroids = 4
+
+  private def q218Silhouette(s: SparkSession, d: String): DataFrame = {
+    // k seed rows collected driver-side (the PQ codebook discipline)
+    val cents = Tables.embeddings(s, d)
+      .filter(col("vec_id") < q218NCentroids)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.toSeq))
+      .sortBy(_._1).toSeq
+    graft.operators.Similarity.clusterSilhouette(
+      Tables.embeddings(s, d), "embedding", cents)
+  }
+
+  private val q218Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e
+       |      WHERE vec_id < $q218NCentroids),
+       |dd AS (SELECT e.vec_id, c.cid,
+       |    sqrt(greatest(list_inner_product(e.v, e.v) -
+       |      2.0 * list_inner_product(e.v, c.cv) +
+       |      list_inner_product(c.cv, c.cv), 0.0)) AS dist
+       |  FROM e CROSS JOIN c),
+       |r AS (SELECT vec_id, cid, dist, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |      FROM dd),
+       |ab AS (SELECT a.vec_id, a.cid AS cluster_id, a.dist AS ad,
+       |    b.dist AS bd
+       |  FROM (SELECT * FROM r WHERE rn = 1) a
+       |  JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)),
+       |s AS (SELECT cluster_id,
+       |    CAST(round(ad * 1e9) AS HUGEINT) AS a9,
+       |    CAST(round(bd * 1e9) AS HUGEINT) AS b9,
+       |    CAST(round(CASE WHEN greatest(ad, bd) = 0.0 THEN 0.0
+       |      ELSE (bd - ad) / greatest(ad, bd) END * 1e9) AS HUGEINT)
+       |      AS s9
+       |  FROM ab)
+       |SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_points,
+       |  round(CAST(sum(a9) AS DOUBLE) / 1e9 /
+       |    CAST(count(*) AS DOUBLE), 6) AS mean_a,
+       |  round(CAST(sum(b9) AS DOUBLE) / 1e9 /
+       |    CAST(count(*) AS DOUBLE), 6) AS mean_b,
+       |  round(CAST(sum(s9) AS DOUBLE) / 1e9 /
+       |    CAST(count(*) AS DOUBLE), 6) AS mean_sil
+       |FROM s GROUP BY 1""".stripMargin
+
+  // ------------------- truncation sweep (§2.10 ext)
+  // q206's audit over the CANDIDATE window sizes seq_len is picked
+  // from, in ONE corpus scan: the lengths explode from a plan literal
+  // onto the token-count metadata row, never the text.
+  private val q213SeqLens = Seq(32, 64, 128, 256)
+
+  private def q213TruncationSweep(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pack.truncationSweep(Tables.documents(s, d),
+      graft.functions.TextExprs.tokenCount(col("text")), q213SeqLens)
+
+  private val q213Sql =
+    s"""WITH base AS (SELECT CAST(
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |    AS BIGINT) AS nt
+       |  FROM documents),
+       |e AS (SELECT nt, CAST(unnest([${q213SeqLens.mkString(", ")}])
+       |    AS BIGINT) AS seq_len FROM base)
+       |SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN nt > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_truncated,
+       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |  CAST(sum(greatest(nt - seq_len, 0)) AS BIGINT) AS lost_tokens,
+       |  round(CAST(sum(CASE WHEN nt > seq_len THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS trunc_share,
+       |  CASE WHEN sum(nt) = 0 THEN NULL
+       |    ELSE round(CAST(sum(greatest(nt - seq_len, 0)) AS DOUBLE) /
+       |      CAST(sum(nt) AS DOUBLE), 6) END AS lost_share
+       |FROM e GROUP BY seq_len""".stripMargin
+
   // ------------------- streaming transition matrix (§2.10 ext)
   // q202's Markov model updated per ingest batch: the count state is
   // additive once per-key boundary adjacencies are stitched from the
@@ -7273,7 +7591,16 @@ FROM r$q82Rounds"""
     "q206_truncation_loss" -> (q206TruncationLoss _),
     "q207_streaming_transitions" -> (q207StreamingTransitions _),
     "q208_session_summary" -> (q208SessionSummary _),
-    "q209_streaming_zipf" -> (q209StreamingZipf _))
+    "q209_streaming_zipf" -> (q209StreamingZipf _),
+    "q210_concentration" -> (q210Concentration _),
+    "q211_heaps_fit" -> (q211HeapsFit _),
+    "q212_streaming_concentration" -> (q212StreamingConcentration _),
+    "q213_truncation_sweep" -> (q213TruncationSweep _),
+    "q214_fleiss_kappa" -> (q214FleissKappa _),
+    "q215_threshold_curve" -> (q215ThresholdCurve _),
+    "q216_source_affinity" -> (q216SourceAffinity _),
+    "q217_prefix_lm" -> (q217PrefixLm _),
+    "q218_silhouette" -> (q218Silhouette _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7483,5 +7810,14 @@ FROM r$q82Rounds"""
     "q206_truncation_loss" -> q206Sql,
     "q207_streaming_transitions" -> q202Sql,
     "q208_session_summary" -> q208Sql,
-    "q209_streaming_zipf" -> q205Sql)
+    "q209_streaming_zipf" -> q205Sql,
+    "q210_concentration" -> q210Sql,
+    "q211_heaps_fit" -> q211Sql,
+    "q212_streaming_concentration" -> q210Sql,
+    "q213_truncation_sweep" -> q213Sql,
+    "q214_fleiss_kappa" -> q214Sql,
+    "q215_threshold_curve" -> q215Sql,
+    "q216_source_affinity" -> q216Sql,
+    "q217_prefix_lm" -> q217Sql,
+    "q218_silhouette" -> q218Sql)
 }

@@ -56,4 +56,14 @@ object OovStream {
     * answers. */
   def readZipf(spark: SparkSession, stateDir: String): DataFrame =
     Vocab.zipfSlopeFromCounts(SketchState.read(spark, cntPath(stateDir)))
+
+  /** Vocabulary-concentration panel of the ACCUMULATED ingest — the
+    * THIRD monitor served by the same (grp, token) count state
+    * (coverage [[readRates]], Zipf health [[readZipf]], concentration
+    * here): exactly [[Vocab.concentrationByGroup]]'s output over
+    * everything folded so far. */
+  def readConcentration(spark: SparkSession, stateDir: String)
+      : DataFrame =
+    Vocab.concentrationFromCounts(
+      SketchState.read(spark, cntPath(stateDir)))
 }

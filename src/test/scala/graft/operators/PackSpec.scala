@@ -72,4 +72,21 @@ class PackSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(a === b)
   }
+
+  test("truncationSweep: hand counts per length, and each length's row " +
+    "equals single-length truncationLoss") {
+    import spark.implicits._
+    val nts = Seq((1L, 3L), (2L, 5L), (3L, 10L)).toDF("id", "nt")
+    val got = Pack.truncationSweep(nts, col("nt"), Seq(4, 8))
+      .collect().map(_.toSeq).toSet
+    // len 4: trunc {5,10}, lost (1+6)=7/18; len 8: trunc {10}, lost 2/18
+    assert(got === Set(
+      Seq(4L, 3L, 2L, 18L, 7L, 0.666667, 0.388889),
+      Seq(8L, 3L, 1L, 18L, 2L, 0.333333, 0.111111)))
+    val single = Pack.truncationLoss(nts, lit(8L), col("nt"), 8)
+      .drop("grp").collect().map(_.toSeq).toSet
+    val sweep8 = Pack.truncationSweep(nts, col("nt"), Seq(8))
+      .drop("seq_len").collect().map(_.toSeq).toSet
+    assert(sweep8 === single)
+  }
 }

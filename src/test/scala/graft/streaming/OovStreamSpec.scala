@@ -65,5 +65,11 @@ class OovStreamSpec extends SparkSpec {
     val zipfStreamed = OovStream.readZipf(spark, state)
       .collect().map(_.toSeq).toSet
     assert(zipfStreamed === zipfOneShot)
+    // ...and the concentration panel — third monitor, same statistic
+    val concOneShot = Vocab.concentrationByGroup(docs, col("source"),
+      col("text")).collect().map(_.toSeq).toSet
+    val concStreamed = OovStream.readConcentration(spark, state)
+      .collect().map(_.toSeq).toSet
+    assert(concStreamed === concOneShot)
   }
 }
