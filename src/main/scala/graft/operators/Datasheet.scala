@@ -463,19 +463,59 @@ object Datasheet {
     * and the pair dot/norms are DECIMAL sums of long products — integer
     * arithmetic end to end, one snap-6 double division per pair.
     *
-    * Scale shape: the corpus pass is a map-side posexplode collapsing
-    * to (source, dim) partial sums per task — the shuffle carries
-    * sources × dims rows, never vectors; everything downstream
-    * (centroid table, dim-keyed pair join, sources²-sized output) is
-    * metadata. No vector ever crosses an exchange. */
-  def sourceAffinity(embs: DataFrame, vec: Column, grp: Column)
-      : DataFrame = {
-    val byDim = embs
-      .select(grp.as("src"), posexplode(vec.cast("array<double>"))
-        .as(Seq("dim", "v")))
-      .groupBy(col("src"), col("dim"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("v") * 1e9).cast("decimal(38,0)")).as("s9"))
+    * Scale shape: the corpus pass is ONE wide hash aggregate — `dims`
+    * explicit LONG sum buffers per source (single-field buffers keep
+    * the aggregate inside whole-stage codegen's field limit; decimal
+    * sums carry a two-field (sum, isEmpty) buffer each, push the
+    * buffer past `spark.sql.codegen.maxFields`, and drop the whole
+    * stage to interpreted Decimal boxing — measured 40 s vs 3.4 s at
+    * 500k×64 in ScaleProbe ops20), so the reduction happens in the
+    * aggregation buffer with NO row fan-out and the exchange carries
+    * sources-cardinality wide rows. Everything downstream (centroid
+    * table, dim-keyed pair join, sources²-sized output) is metadata;
+    * no vector ever crosses an exchange.
+    *
+    * Long-sum safety is GUARDED, not assumed: the same pass tracks
+    * per-source `n` and `max|v9|`, and the finish projection
+    * raise_errors when `n · max|v9|` (the worst-case |sum|, checked in
+    * decimal) could exceed Long — both guard inputs are correct even
+    * when a sum has wrapped, so a wrapped sum can never escape. For
+    * unit-normalized embeddings (|v| ≤ 1 → |v9| ≤ 1e9) the ceiling is
+    * ~9.2e9 rows per source; past it, pre-shard the source and merge
+    * the (finished) centroid sums outside. Rows whose length ≠ `dims`
+    * are EXCLUDED (fixed-dims contract; [[embeddingHealth]] is the
+    * ragged-dims alarm). */
+  def sourceAffinity(embs: DataFrame, vec: Column, grp: Column,
+                     dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val v = vec.cast("array<double>")
+    // snap the whole row ONCE (one O(dims) pass), then pick columns off
+    // the materialized long array — per-column element_at over the raw
+    // vector would re-run the float→double cast dims× per row
+    val snapped = embs.select(grp.as("src"),
+      transform(v, x => round(x * 1e9).cast("long")).as("v9"))
+      .filter(size(col("v9")) === dims)
+    val base = snapped.select(col("src") +:
+      array_max(transform(col("v9"), x => abs(x))).as("vmax") +:
+      (0 until dims).map(i =>
+        element_at(col("v9"), i + 1).as(s"v$i")): _*)
+    val aggs = Seq(count(lit(1)).as("n"), max(col("vmax")).as("smax")) ++
+      (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i"))
+    val wide = base.groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+    val dec = "decimal(38,0)"
+    val guarded = wide.withColumn("s0",
+      when(col("n").cast(dec) * col("smax").cast(dec) >=
+        lit(Long.MaxValue).cast(dec),
+        raise_error(concat(lit("sourceAffinity: source "),
+          col("src").cast("string"),
+          lit(" could overflow the Long component sums (n*max|v9| = "),
+          (col("n").cast(dec) * col("smax").cast(dec)).cast("string"),
+          lit("); pre-shard the source and merge centroids outside"))))
+        .otherwise(col("s0")))
+    val byDim = guarded.select(col("src"), col("n"),
+      posexplode(array((0 until dims).map(i => col(s"s$i")): _*))
+        .as(Seq("dim", "s9")))
+      .filter(col("n") > 0)
     val cent = byDim.select(col("src"), col("dim"),
       round(col("s9").cast("double") / 1e9 /
         col("n").cast("double") * 1e6).cast("long").as("m6"))

@@ -6967,7 +6967,7 @@ FROM r$q82Rounds"""
   // end; the corpus shuffle carries (label, dim) partials, no vectors.
   private def q216SourceAffinity(s: SparkSession, d: String): DataFrame =
     graft.operators.Datasheet.sourceAffinity(Tables.embeddings(s, d),
-      col("embedding"), col("label"))
+      col("embedding"), col("label"), dims = 64)
 
   private val q216Sql =
     """WITH x AS (SELECT label AS src,

@@ -1558,10 +1558,96 @@ object ScaleProbe {
     ()
   }
 
+  /** The q210–q218 block at mining scale: corpus-health panels on a
+    * 100× doc corpus (count-table-bounded tails), the one-scan
+    * truncation sweep vs per-length single scans, Fleiss over hash
+    * gates, the threshold curve over a 5M-row synthetic pair table,
+    * and the vector panels (affinity, silhouette) at 500k×64. */
+  def ops20Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Classify, Datasheet, Mask, NearDup, Pack,
+      Similarity, Vocab}
+    import graft.functions.TextExprs
+    val docs = genDocs(spark, 100).select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+        col("text"))
+      .cache()
+    val nD = docs.count()
+    println(s"[probe] corpus: $nD docs, 20 sources")
+    time(f"concentration      ($nD%8d docs, 20 groups)") {
+      Vocab.concentrationByGroup(docs, col("source"), col("text"))
+        .collect().length
+    }
+    time(f"heapsFit           ($nD%8d docs -> 20 points)") {
+      Vocab.heapsFitByGroup(docs, col("source"), col("text"))
+        .collect().length
+    }
+    time(f"truncationSweep    ($nD%8d docs, 4 lengths, 1 scan)") {
+      Pack.truncationSweep(docs,
+        TextExprs.tokenCount(col("text")), Seq(32, 64, 128, 256))
+        .collect().length
+    }
+    time(f"4x truncationLoss  (the swept alternative)") {
+      Seq(32, 64, 128, 256).map { l =>
+        Pack.truncationLoss(docs, lit("all"),
+          TextExprs.tokenCount(col("text")), l).collect().length
+      }.sum
+    }
+    time(f"prefixLmSplit      ($nD%8d docs, full text out)") {
+      Mask.prefixLmSplit(docs, col("doc_id"), col("text")).count()
+    }
+    time(f"fleissKappa        ($nD%8d docs, 3 hash gates)") {
+      Classify.fleissKappa(docs.select(
+          (pmod(col("doc_id"), lit(7)) < 4).as("a"),
+          (pmod(col("doc_id"), lit(5)) < 3).as("b"),
+          (pmod(col("doc_id"), lit(3)) < 2).as("c")),
+        Seq(col("a"), col("b"), col("c"))).collect().length
+    }
+    docs.unpersist()
+    val nPairs = 5000000L
+    val pairs = spark.range(nPairs).select(
+      pmod(col("id") * 40503L, lit(1000000L)).as("id_a"),
+      (pmod(col("id") * 2654435761L, lit(1000000L)) + 1000000L)
+        .as("id_b"),
+      (lit(0.8) + pmod(col("id"), lit(2000)).cast("double") / 10000.0)
+        .as("jaccard")).cache()
+    val nP = pairs.count()
+    time(f"thresholdCurve     ($nP%8d pairs, 4 cuts)") {
+      NearDup.thresholdCurve(pairs, col("id_a"), col("id_b"),
+        col("jaccard"), Seq(0.8, 0.85, 0.9, 0.95), 0.8)
+        .collect().length
+    }
+    pairs.unpersist()
+    val nVec = 500000L
+    val dims = 64
+    def vecExpr(idCol: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = transform(
+      sequence(lit(0), lit(dims - 1)),
+      j => (pmod(idCol * 31L + j.cast("long") * 17L, lit(1000L))
+        .cast("double") / 500.0 - 1.0))
+    val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+      pmod(col("id"), lit(20)).cast("int").as("label"),
+      vecExpr(col("id")).as("embedding")).cache()
+    val nV = vecs.count()
+    println(s"[probe] vectors: $nV x $dims, 20 labels")
+    time(f"sourceAffinity     ($nV%8d vecs -> 190 pairs)") {
+      Datasheet.sourceAffinity(vecs, col("embedding"), col("label"),
+          dims = dims)
+        .collect().length
+    }
+    val cents = (0 until 16).map(c => c -> Seq.tabulate(dims)(j =>
+      ((c * 31L + j * 17L) % 1000L).toDouble / 500.0 - 1.0))
+    time(f"clusterSilhouette  ($nV%8d vecs, 16 centroids)") {
+      Similarity.clusterSilhouette(vecs, "embedding", cents)
+        .collect().length
+    }
+    vecs.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
-      "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19")
+      "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1644,6 +1730,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops19")) {
       ops19Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops20")) {
+      ops20Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"

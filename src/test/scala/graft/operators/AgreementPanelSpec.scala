@@ -63,7 +63,7 @@ class AgreementPanelSpec extends SparkSpec {
       (4, Seq(0.0f, 0.0f))                        // zero-norm centroid
     ).toDF("label", "embedding")
     val got = Datasheet.sourceAffinity(embs, col("embedding"),
-      col("label")).collect().map(_.toSeq).toSet
+      col("label"), dims = 2).collect().map(_.toSeq).toSet
     assert(got === Set(
       Seq(1, 2, 0.0), Seq(1, 3, 1.0), Seq(1, 4, null),
       Seq(2, 3, 0.0), Seq(2, 4, null), Seq(3, 4, null)))
