@@ -448,6 +448,53 @@ object Datasheet {
           col("n_docs").cast("double"), 6).as("outlier_share"))
   }
 
+  /** Categorical-balance panel — per source, Pearson's χ² of the
+    * source's category composition (language, label, format …) against
+    * the corpus-wide composition: the stratification QA run before a
+    * per-source mixture weight is trusted (a "web" source that is 80%
+    * one language inherits that skew into every epoch it dominates).
+    * Row per source: `(src, n_docs, n_cats, chi2)` — `n_cats` is the
+    * GLOBAL category count (dof = n_cats − 1); a source missing a
+    * global category still pays that cell's full expected mass (o = 0
+    * ⇒ term = e), which is what makes χ² catch absence, not just
+    * excess. Null categories are excluded (an unknown label is not a
+    * category).
+    *
+    * Scale shape: one (src, cat) count shuffle; category totals and
+    * source totals re-aggregate the count table; the srcs × cats
+    * expectation grid is metadata (both factors are aggregates) built
+    * with broadcast joins. Exactness: all counts are exact longs;
+    * each cell's `(o−e)²/e` is a fixed IEEE sequence snapped to 1e-6
+    * fixed point before the per-source DECIMAL sum — order-free — with
+    * one snap-6 finish. */
+  def categoricalBalance(df: DataFrame, grp: Column, cat: Column)
+      : DataFrame = {
+    val base = df.select(grp.as("src"), cat.as("cat"))
+      .filter(col("cat").isNotNull)
+    val cnt = base.groupBy(col("src"), col("cat"))
+      .agg(count(lit(1)).as("o"))
+    val catTot = cnt.groupBy(col("cat")).agg(sum(col("o")).as("ct"))
+    val srcTot = cnt.groupBy(col("src")).agg(sum(col("o")).as("st"))
+    val tot = cnt.agg(sum(col("o")).as("n"))
+    val grid = srcTot.crossJoin(broadcast(catTot))
+      .join(cnt, Seq("src", "cat"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+    val e = col("st").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val term = (col("o").cast("double") - e) *
+      (col("o").cast("double") - e) / e
+    grid
+      .select(col("src"), col("st"),
+        round(term * 1e6).cast("decimal(38,0)").as("t6"))
+      .groupBy(col("src"))
+      .agg(max(col("st")).as("n_docs"),
+        count(lit(1)).as("n_cats"),
+        sum(col("t6")).as("s6"))
+      .select(col("src"), col("n_docs"), col("n_cats"),
+        round(col("s6").cast("double") / 1e6, 6).as("chi2"))
+  }
+
   /** Source-affinity map — pairwise cosine between per-source embedding
     * CENTROIDS: the datasheet entry that shows which feeds are
     * near-duplicates of each other in embedding space BEFORE mixture
@@ -486,7 +533,19 @@ object Datasheet {
     * are EXCLUDED (fixed-dims contract; [[embeddingHealth]] is the
     * ragged-dims alarm). */
   def sourceAffinity(embs: DataFrame, vec: Column, grp: Column,
-                     dims: Int): DataFrame = {
+                     dims: Int): DataFrame =
+    sourceAffinityFinish(sourceAffinityRaw(embs, vec, grp, dims), dims)
+
+  /** The MERGEABLE wide state behind [[sourceAffinity]] — one row per
+    * source: `(src, n, smax, s0..s{dims−1})`, every column associative
+    * (count sum, max, long component sums), so per-batch raw tables
+    * fold exactly under any arrival split: the grain
+    * `streaming/AffinityStream` maintains. The overflow guard lives in
+    * the FINISH (its inputs n and smax merge correctly even when a
+    * component sum has already wrapped, so a wrapped sum still cannot
+    * escape a later read). */
+  def sourceAffinityRaw(embs: DataFrame, vec: Column, grp: Column,
+                        dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val v = vec.cast("array<double>")
     // snap the whole row ONCE (one O(dims) pass), then pick columns off
@@ -501,7 +560,19 @@ object Datasheet {
         element_at(col("v9"), i + 1).as(s"v$i")): _*)
     val aggs = Seq(count(lit(1)).as("n"), max(col("vmax")).as("smax")) ++
       (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i"))
-    val wide = base.groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+    base.groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two raw affinity states (the stream's per-batch fold). */
+  def sourceAffinityMerge(a: DataFrame, b: DataFrame, dims: Int)
+      : DataFrame = {
+    val aggs = Seq(sum(col("n")).as("n"), max(col("smax")).as("smax")) ++
+      (0 until dims).map(i => sum(col(s"s$i")).as(s"s$i"))
+    a.unionByName(b).groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Finish a raw affinity state into the reported pair panel. */
+  def sourceAffinityFinish(wide: DataFrame, dims: Int): DataFrame = {
     val dec = "decimal(38,0)"
     val guarded = wide.withColumn("s0",
       when(col("n").cast(dec) * col("smax").cast(dec) >=

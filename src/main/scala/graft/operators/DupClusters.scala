@@ -334,6 +334,22 @@ object DupClusters {
   def clusterSizes(labeled: DataFrame): DataFrame =
     labeled.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Cluster-SIZE histogram — the duplication dashboard's shape panel
+    * over a `(doc_id, cluster_rep)` labeling: one row per distinct
+    * cluster size `(cluster_size, n_clusters, n_docs)`. The tail
+    * answers "do dup families stay pairs or snowball?" — a fat tail
+    * (one 50k-member family) usually means a boilerplate shingle got
+    * through the df-cut and glued unrelated docs, which is invisible
+    * in the mean dup rate. Scale: two count aggregates (ids →
+    * cluster-cardinality → distinct-size-cardinality), id traffic
+    * only. */
+  def sizeHistogram(labeled: DataFrame): DataFrame =
+    clusterSizes(labeled)
+      .groupBy(col("n_members").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
 }
 
 /** Minimal open-addressing long→long hash map: power-of-two capacity,

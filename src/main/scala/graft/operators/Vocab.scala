@@ -1061,4 +1061,44 @@ object Vocab {
   def heapsFitByGroup(df: DataFrame, grp: Column, text: Column)
       : DataFrame =
     heapsFitFromCounts(oovCounts(df, grp, text))
+
+  /** Unigram entropy and EFFECTIVE vocabulary per group — the
+    * concentration panel's information-theoretic sibling: `H = −Σ p·ln p`
+    * over the group's token distribution, reported in nats together
+    * with `exp(H)` — the "perplexity of the corpus under itself", i.e.
+    * how many EQUIPROBABLE types would carry the same uncertainty. A
+    * 200k-type vocabulary with an effective size of 900 is template
+    * spam; effective size tracking `n_types` means suspiciously flat
+    * usage. Row: `(grp, n_tokens, n_types, entropy, eff_vocab)`.
+    *
+    * Exactness: `H = ln N − (Σ cnt·ln cnt)/N` — the Σ runs over the
+    * `(grp, cnt)` DISTINCT-FREQUENCY table (`n_types · cnt · snap6(ln
+    * cnt)` per block: two exact long factors times a 1e-6 fixed-point
+    * ln, summed in DECIMAL — order-free), so the only IEEE sequence is
+    * the three-op finish, snapped to 6. Same count-table bound as the
+    * Zipf fit and the concentration panel. */
+  def entropyByGroup(df: DataFrame, grp: Column, text: Column)
+      : DataFrame =
+    entropyFromCounts(oovCounts(df, grp, text))
+
+  /** [[entropyByGroup]] over a pre-aggregated `(grp, t, cnt)` count
+    * table (the shared streaming state's grain). */
+  def entropyFromCounts(st: DataFrame): DataFrame = {
+    val byCnt = st.groupBy(col("grp"), col("cnt"))
+      .agg(count(lit(1)).as("n_types"))
+    val agg = byCnt.groupBy(col("grp"))
+      .agg(sum(col("n_types")).cast("long").as("n_types"),
+        sum(col("cnt").cast("decimal(38,0)") *
+          col("n_types").cast("decimal(38,0)")).cast("long")
+          .as("n_tokens"),
+        sum((col("cnt").cast("decimal(38,0)") *
+          col("n_types").cast("decimal(38,0)")) *
+          round(log(col("cnt").cast("double")) * 1e6).cast("long")
+            .cast("decimal(38,0)")).as("s6"))
+    val h = log(col("n_tokens").cast("double")) -
+      col("s6").cast("double") / 1e6 / col("n_tokens").cast("double")
+    agg.select(col("grp"), col("n_tokens"), col("n_types"),
+      round(h, 6).as("entropy"),
+      round(exp(h), 6).as("eff_vocab"))
+  }
 }

@@ -6882,6 +6882,107 @@ FROM r$q82Rounds"""
     graft.streaming.OovStream.readConcentration(s, state)
   }
 
+  // ------------------- unigram entropy / effective vocab (§2.10 ext)
+  // The concentration panel's information-theoretic sibling: H and
+  // exp(H) per source off the same count table; the Σ cnt·ln(cnt) runs
+  // on the distinct-frequency table with snapped lns in decimal.
+  private def q219Entropy(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocab.entropyByGroup(Tables.documents(s, d),
+      col("source"), col("text"))
+
+  private val q219Sql =
+    """WITH toks AS (SELECT source AS grp, unnest(
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
+      |  FROM documents),
+      |stc AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      |bc AS (SELECT grp, cnt, CAST(count(*) AS BIGINT) AS n_types
+      |  FROM stc GROUP BY 1, 2),
+      |agg AS (SELECT grp,
+      |    CAST(sum(n_types) AS BIGINT) AS n_types,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * n_types) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(sum((CAST(cnt AS HUGEINT) * n_types) *
+      |      CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT))
+      |      AS HUGEINT) AS s6
+      |  FROM bc GROUP BY 1)
+      |SELECT grp, n_tokens, n_types,
+      |  round(ln(CAST(n_tokens AS DOUBLE)) -
+      |    CAST(s6 AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE), 6)
+      |    AS entropy,
+      |  round(exp(ln(CAST(n_tokens AS DOUBLE)) -
+      |    CAST(s6 AS DOUBLE) / 1e6 / CAST(n_tokens AS DOUBLE)), 6)
+      |    AS eff_vocab
+      |FROM agg""".stripMargin
+
+  // ------------------- categorical balance, chi-square (§2.10 ext)
+  // Stratification QA: per source, Pearson's chi² of its language
+  // composition vs the corpus-wide one. Missing categories pay their
+  // full expected mass; cell terms snap to 1e-6 into a decimal sum.
+  private def q220CategoricalBalance(s: SparkSession, d: String)
+      : DataFrame =
+    graft.operators.Datasheet.categoricalBalance(Tables.documents(s, d),
+      col("source"), col("lang"))
+
+  private val q220Sql =
+    """WITH cnt AS (SELECT source AS src, lang AS cat,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+      |ctt AS (SELECT cat, CAST(sum(o) AS BIGINT) AS ct
+      |  FROM cnt GROUP BY 1),
+      |stt AS (SELECT src, CAST(sum(o) AS BIGINT) AS st
+      |  FROM cnt GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cnt),
+      |grid AS (SELECT s.src, c.cat, s.st, c.ct,
+      |    COALESCE(cnt.o, 0) AS o, nn.n
+      |  FROM stt s CROSS JOIN ctt c
+      |  LEFT JOIN cnt ON cnt.src = s.src AND cnt.cat = c.cat
+      |  CROSS JOIN nn),
+      |t AS (SELECT src, st, CAST(round(
+      |    (CAST(o AS DOUBLE) - CAST(st AS DOUBLE) * CAST(ct AS DOUBLE)
+      |       / CAST(n AS DOUBLE)) *
+      |    (CAST(o AS DOUBLE) - CAST(st AS DOUBLE) * CAST(ct AS DOUBLE)
+      |       / CAST(n AS DOUBLE)) /
+      |    (CAST(st AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1e6) AS HUGEINT) AS t6
+      |  FROM grid)
+      |SELECT src, max(st) AS n_docs, CAST(count(*) AS BIGINT) AS n_cats,
+      |  round(CAST(sum(t6) AS DOUBLE) / 1e6, 6) AS chi2
+      |FROM t GROUP BY src""".stripMargin
+
+  // ------------------- streaming source affinity (§2.10 ext)
+  // q216 in its ingest regime: the per-source wide state (n, smax,
+  // component sums) is associative, so the accumulated state equals the
+  // one-shot raw table exactly — q221 shares q216's oracle verbatim.
+  private def q221StreamingAffinity(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("aff_stream")
+      .toString
+    val embs = Tables.embeddings(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.AffinityStream.ingestBatch(s,
+        embs.filter(col("vec_id") % 3 === b),
+        col("embedding"), col("label"), dims = 64, state)
+    }
+    graft.streaming.AffinityStream.readAffinity(s, dims = 64, state)
+  }
+
+  // ------------------- dup cluster-size histogram (§2.10 ext)
+  // The duplication dashboard's shape panel over q44's labeling: a fat
+  // tail means a boilerplate shingle glued unrelated docs. Composes the
+  // registered clusters; the oracle composes q44's recursive CTE.
+  private def q222ClusterSizes(s: SparkSession, d: String): DataFrame =
+    graft.operators.DupClusters.sizeHistogram(q44DupClusters(s, d))
+
+  private val q222Sql =
+    s"""WITH lab AS ($q44Sql),
+       |cs AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS sz
+       |       FROM lab GROUP BY 1)
+       |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sz * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY sz""".stripMargin
+
   // ------------------- Fleiss' kappa, 3 filter gates (§2.10 ext)
   // q143's agreement diagnostic generalized to the real stacked-filter
   // case: learned gate (q77 >= 0.5), Gopher rule gate (q101), and a
@@ -7600,7 +7701,11 @@ FROM r$q82Rounds"""
     "q215_threshold_curve" -> (q215ThresholdCurve _),
     "q216_source_affinity" -> (q216SourceAffinity _),
     "q217_prefix_lm" -> (q217PrefixLm _),
-    "q218_silhouette" -> (q218Silhouette _))
+    "q218_silhouette" -> (q218Silhouette _),
+    "q219_entropy" -> (q219Entropy _),
+    "q220_categorical_balance" -> (q220CategoricalBalance _),
+    "q221_streaming_affinity" -> (q221StreamingAffinity _),
+    "q222_cluster_sizes" -> (q222ClusterSizes _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7819,5 +7924,9 @@ FROM r$q82Rounds"""
     "q215_threshold_curve" -> q215Sql,
     "q216_source_affinity" -> q216Sql,
     "q217_prefix_lm" -> q217Sql,
-    "q218_silhouette" -> q218Sql)
+    "q218_silhouette" -> q218Sql,
+    "q219_entropy" -> q219Sql,
+    "q220_categorical_balance" -> q220Sql,
+    "q221_streaming_affinity" -> q216Sql,
+    "q222_cluster_sizes" -> q222Sql)
 }

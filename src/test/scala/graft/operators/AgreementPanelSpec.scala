@@ -55,6 +55,56 @@ class AgreementPanelSpec extends SparkSpec {
     assert(err.getMessage.contains("undercount"))
   }
 
+  test("categoricalBalance: hand chi-square incl. a missing category " +
+    "paying its full expected mass") {
+    // s1 (en3, fr1), s2 (en1, fr3), s3 (de2); N=10
+    // s1/s2: 1.225 + 0.225 + 0.8 = 2.25;  s3: 0.8 + 0.8 + 6.4 = 8.0
+    val df = (Seq.fill(3)(("s1", "en")) ++ Seq(("s1", "fr")) ++
+      Seq(("s2", "en")) ++ Seq.fill(3)(("s2", "fr")) ++
+      Seq.fill(2)(("s3", "de")) ++ Seq(("s3", null))
+    ).toDF("src", "lang")
+    val got = Datasheet.categoricalBalance(df, col("src"), col("lang"))
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(
+      Seq("s1", 4L, 3L, 2.25), Seq("s2", 4L, 3L, 2.25),
+      Seq("s3", 2L, 3L, 8.0)))
+  }
+
+  test("dup cluster sizeHistogram: hand counts") {
+    val labeled = Seq(
+      (1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L), (6L, 4L)
+    ).toDF("doc_id", "cluster_rep")
+    val got = DupClusters.sizeHistogram(labeled)
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(Seq(1L, 1L, 1L), Seq(2L, 1L, 2L), Seq(3L, 1L, 3L)))
+  }
+
+  test("AffinityStream: accumulated state equals one-shot under any " +
+    "split; read equals the batch operator") {
+    val embs = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)), (1L, 1, Seq(1.0f, 0.5f)),
+      (2L, 2, Seq(0.0f, 2.0f)), (3L, 2, Seq(0.5f, 1.0f)),
+      (4L, 3, Seq(2.0f, 0.0f)), (5L, 3, Seq(1.0f, -1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val oneShot = Datasheet.sourceAffinity(embs, col("embedding"),
+      col("label"), dims = 2).collect().map(_.toSeq).toSet
+    Seq(Seq(Seq(0L, 1L, 2L, 3L, 4L, 5L)),
+        Seq(Seq(0L), Seq(1L, 2L, 3L), Seq(4L, 5L)),
+        Seq(Seq(5L, 4L), Seq(3L, 2L), Seq(1L, 0L))).foreach { split =>
+      val state = java.nio.file.Files
+        .createTempDirectory("aff_spec").toString
+      split.foreach { ids =>
+        graft.streaming.AffinityStream.ingestBatch(spark,
+          embs.filter(col("vec_id").isin(ids.map(lit): _*)),
+          col("embedding"), col("label"), dims = 2, state)
+      }
+      val streamed = graft.streaming.AffinityStream
+        .readAffinity(spark, dims = 2, state)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === oneShot, s"split $split")
+    }
+  }
+
   test("sourceAffinity: orthogonal/parallel/zero-norm centroids") {
     val embs = Seq(
       (1, Seq(1.0f, 0.0f)), (1, Seq(1.0f, 0.0f)), // centroid (1, 0)

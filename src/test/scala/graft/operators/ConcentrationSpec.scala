@@ -37,6 +37,25 @@ class ConcentrationSpec extends SparkSpec {
     assert(got === Set(Seq("g", 16L, 125L, 5L, 0.3125, 0.96, 0.7625)))
   }
 
+  test("entropy replays the exact snapped-ln sequence; uniform corpus " +
+    "has eff_vocab = n_types") {
+    def snap6(x: Double) = math.round(math.log(x) * 1e6)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts a=4, b=2, c=2, d=1: s6 = 4·ln4 + 4·ln2 (snapped), N=9
+    val s6 = 4L * snap6(4.0) + 2L * 2L * snap6(2.0) + 1L * snap6(1.0)
+    val h = math.log(9.0) - s6 / 1e6 / 9.0
+    val got = Vocab.entropyByGroup(docs, col("src"), col("text"))
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(Seq("s", 9L, 4L, r6(h), r6(math.exp(h)))))
+    // perfectly uniform usage: H = ln V exactly, eff_vocab = V
+    val uni = Seq((1L, "u", "p q r s")).toDF("id", "src", "text")
+    val g2 = Vocab.entropyByGroup(uni, col("src"), col("text"))
+      .collect().head
+    assert(g2.getDouble(4) === 4.0 &&
+      g2.getDouble(3) === r6(math.log(4.0)))
+  }
+
   test("heaps fit equals the hand-built (ln N, ln V) point replay") {
     def snap(v: Double) = math.round(math.log(v) * 1e6)
     val two = Seq(
