@@ -61,6 +61,42 @@ object Dedup {
     df.groupBy(keyHash128(key).as("dup_key"))
       .agg(min(id).as("representative_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate groups under AGGRESSIVE normalization — the dedup rung
+    * between byte-exact (q9) and near-dup (MinHash): case, Unicode
+    * composition, punctuation, and whitespace differences collapse
+    * ([[graft.functions.TextExprs.normalizeText]] + a non-alnum strip),
+    * catching the re-render/re-escape duplicates byte hashing misses at
+    * a fraction of shingling's cost. One row per group with ≥ 2
+    * members: `(group_rep, n_members, n_raw_variants)` —
+    * `n_raw_variants` counts distinct RAW texts inside the group (a
+    * group with 40 members but 2 raw variants is a re-render; 40
+    * variants is template spam), which is the triage signal between
+    * "fix the exporter" and "write a boilerplate rule".
+    *
+    * Rows whose normalized key is EMPTY are excluded (text made only of
+    * punctuation/whitespace — or entirely outside the kept alphabet —
+    * is not a meaningful dup group; at fixture scale the zh corpus
+    * lands here whole, and one mega-group of unrelated docs is exactly
+    * the artifact this guard removes).
+    *
+    * Scale shape: ONE shuffle keyed on the 128-bit hash of the
+    * normalized key; the raw-variant count rides as a second 128-bit
+    * hash — id + 32 bytes per row cross the exchange, never text. */
+  def normalizedDupGroups(df: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val normKey = regexp_replace(
+      graft.functions.TextExprs.normalizeText(text), "[^a-z0-9 ]", "")
+    df.select(id.as("id"), keyHash128(normKey).as("k"),
+        keyHash128(text).as("rk"), normKey.as("nk"))
+      .filter(length(col("nk")) > 0)
+      .groupBy(col("k"))
+      .agg(min(col("id")).as("group_rep"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("rk")).as("n_raw_variants"))
+      .filter(col("n_members") >= 2)
+      .select(col("group_rep"), col("n_members"), col("n_raw_variants"))
+  }
+
   /** Corpus snapshot diff — the reference's batch-over-batch diff (A2,
     * OmmCancellationHandler's new-vs-repeated split) generalized to
     * dataset versioning: classify every id across two corpus snapshots

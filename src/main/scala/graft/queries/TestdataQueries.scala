@@ -6983,6 +6983,73 @@ FROM r$q82Rounds"""
        |  CAST(sz * count(*) AS BIGINT) AS n_docs
        |FROM cs GROUP BY sz""".stripMargin
 
+  // ------------------- column profile (§2.10 ext)
+  // The Deequ-style schema-health panel: per column, exact null rate,
+  // exact distinct count, min/max — one scan (Expand-planned
+  // multi-distinct), one metadata explode.
+  private val q223Cols = Seq("doc_id", "lang", "source", "n_chars")
+
+  private def q223ColumnProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Datasheet.columnProfile(Tables.documents(s, d),
+      q223Cols)
+
+  private val q223Sql = {
+    val aggs = q223Cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(count($c) AS BIGINT) AS np$i, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS nd$i,\n" +
+        s"    CAST(min($c) AS VARCHAR) AS mn$i, " +
+        s"CAST(max($c) AS VARCHAR) AS mx$i"
+    }.mkString(",\n    ")
+    val rows = q223Cols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS "column", n_rows, n_rows - np$i AS n_null,
+         |  round(CAST(n_rows - np$i AS DOUBLE) /
+         |    CAST(n_rows AS DOUBLE), 6) AS null_rate,
+         |  nd$i AS n_distinct, mn$i AS min_value, mx$i AS max_value
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    $aggs
+       |  FROM documents)
+       |$rows""".stripMargin
+  }
+
+  // ------------------- normalized-dedup groups (§2.10 ext)
+  // The dedup rung between byte-exact and MinHash: case / NFC / punct /
+  // whitespace differences collapse; n_raw_variants separates re-render
+  // groups from template spam. Empty normalized keys are excluded.
+  private def q224NormalizedDups(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.normalizedDupGroups(Tables.documents(s, d),
+      col("doc_id"), col("text"))
+
+  private val q224Sql =
+    """WITH n AS (SELECT doc_id, text,
+      |    regexp_replace(trim(regexp_replace(regexp_replace(
+      |      lower(nfc_normalize(text)), '[[:cntrl:]]', ' ', 'g'),
+      |      '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g') AS k
+      |  FROM documents)
+      |SELECT min(doc_id) AS group_rep,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
+      |FROM n WHERE length(k) > 0
+      |GROUP BY k HAVING count(*) >= 2""".stripMargin
+
+  // ------------------- streaming categorical balance (§2.10 ext)
+  // q220 per ingest batch: the (src, cat) count state is additive, so
+  // the accumulated table equals the one-shot exactly — q225 shares
+  // q220's oracle verbatim.
+  private def q225StreamingBalance(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("bal_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.BalanceStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b),
+        col("source"), col("lang"), state)
+    }
+    graft.streaming.BalanceStream.readBalance(s, state)
+  }
+
   // ------------------- Fleiss' kappa, 3 filter gates (§2.10 ext)
   // q143's agreement diagnostic generalized to the real stacked-filter
   // case: learned gate (q77 >= 0.5), Gopher rule gate (q101), and a
@@ -7705,7 +7772,10 @@ FROM r$q82Rounds"""
     "q219_entropy" -> (q219Entropy _),
     "q220_categorical_balance" -> (q220CategoricalBalance _),
     "q221_streaming_affinity" -> (q221StreamingAffinity _),
-    "q222_cluster_sizes" -> (q222ClusterSizes _))
+    "q222_cluster_sizes" -> (q222ClusterSizes _),
+    "q223_column_profile" -> (q223ColumnProfile _),
+    "q224_normalized_dups" -> (q224NormalizedDups _),
+    "q225_streaming_balance" -> (q225StreamingBalance _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -7928,5 +7998,8 @@ FROM r$q82Rounds"""
     "q219_entropy" -> q219Sql,
     "q220_categorical_balance" -> q220Sql,
     "q221_streaming_affinity" -> q216Sql,
-    "q222_cluster_sizes" -> q222Sql)
+    "q222_cluster_sizes" -> q222Sql,
+    "q223_column_profile" -> q223Sql,
+    "q224_normalized_dups" -> q224Sql,
+    "q225_streaming_balance" -> q220Sql)
 }
