@@ -199,4 +199,78 @@ object Funnel {
       .agg(count(lit(1)).cast("long").as("n_conversions"),
         round(sum($"vc").cast("double") / 100.0, 2).as("attributed_value"))
   }
+
+  /** Daily + rolling-window active users — the DAU/WAU pair on every
+    * engagement dashboard: per calendar day, EXACT distinct keys active
+    * that day and exact distinct keys active in the trailing
+    * `windowDays` window ending that day. Rolling distinct is NOT a sum
+    * of dailies (a key active twice in a window counts once), which is
+    * why the naive "sum the DAU" chart overstates WAU.
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct
+    * (key, day) grain — the only corpus-sized shuffle; dailies are one
+    * count over it, and the rolling count explodes each (key, day) to
+    * the `windowDays` windows it can serve (keys × days × window
+    * metadata, integer epoch-day arithmetic) before a distinct count
+    * per window end. Days with no events emit no row (there is no
+    * zero-filled calendar — joins stay data-sized). */
+  def activeUsers(events: DataFrame, key: Column, ts: Column,
+                  windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val epoch = to_date(lit("1970-01-01"))
+    val ud = events
+      .select(key.as("k"), datediff(to_date(ts), epoch).as("dd"))
+      .filter(col("k").isNotNull && col("dd").isNotNull)
+      .distinct()
+    val dau = ud.groupBy(col("dd")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("k"), explode(sequence(col("dd").cast("long"),
+        col("dd").cast("long") + (windowDays - 1))).as("wd"))
+      .distinct()
+      .groupBy(col("wd")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("dd").cast("long") === wau("wd"))
+      .select(date_add(epoch, col("dd").cast("int")).as("day"),
+        col("dau"), col("wau"))
+  }
+
+  /** Per-type event-volume anomaly panel — the ingest monitor that
+    * catches a feed spike/outage BEFORE a mixture inherits it: per
+    * (event type, day), the day's count against the type's own
+    * daily history — population mean/σ from exact decimal sums, a day
+    * is a spike when `|n − mean| > z·σ`. One row per (type, day):
+    * `(event_type, day, n, dev, is_spike)`; `dev` is null (and
+    * is_spike false) for constant-volume types (σ = 0).
+    *
+    * Scale shape: the corpus collapses to the types × days count table
+    * (one shuffle, map-combined); stats re-aggregate that table with
+    * DECIMAL-exact Σn / Σn² (order-free), and the flag join is a
+    * broadcast of the types-cardinality stats row. The IEEE finish
+    * (mean, σ, dev) is a fixed sequence snapped to 4. */
+  def volumeAnomaly(events: DataFrame, typ: Column, ts: Column,
+                    z: Double): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val epoch = to_date(lit("1970-01-01"))
+    val cnt = events
+      .select(typ.as("t"), datediff(to_date(ts), epoch).as("dd"))
+      .filter(col("t").isNotNull && col("dd").isNotNull)
+      .groupBy(col("t"), col("dd")).agg(count(lit(1)).as("n"))
+    val dec = "decimal(38,0)"
+    val stats = cnt.groupBy(col("t"))
+      .agg(count(lit(1)).as("d"),
+        sum(col("n").cast(dec)).as("s1"),
+        sum((col("n") * col("n")).cast(dec)).as("s2"))
+    val mean = col("s1").cast("double") / col("d").cast("double")
+    val vr = col("s2").cast("double") / col("d").cast("double") -
+      mean * mean
+    val sd = sqrt(greatest(vr, lit(0.0)))
+    val withStats = cnt.join(broadcast(stats), Seq("t"))
+    val dev = (col("n").cast("double") - mean) / sd
+    withStats.select(col("t").as("event_type"),
+      date_add(epoch, col("dd").cast("int")).as("day"), col("n"),
+      when(sd === 0.0, lit(null).cast("double"))
+        .otherwise(round(dev, 4)).as("dev"),
+      when(sd === 0.0, lit(false))
+        .otherwise(abs(col("n").cast("double") - mean) > sd * z)
+        .as("is_spike"))
+  }
 }

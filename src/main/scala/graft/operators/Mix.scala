@@ -112,6 +112,93 @@ object Mix {
       .select(col("id"), col("grp"), col("w"), col("rate_bp"))
   }
 
+  /** Post-stratification rebalance to a TARGET categorical distribution
+    * (raking's one-dimensional case): given target shares over a
+    * category (language, domain, label), find the LARGEST corpus subset
+    * whose composition matches them — `T = min_c n_c / t_c` rows total,
+    * the limiting category kept whole — and hash-keep each category at
+    * `rate_c = T·t_c / n_c`. The standard "rebalance languages before
+    * training" stage, dual to [[temperatureSample]] (temperature warps
+    * shares by a law; this HITS given shares exactly in expectation).
+    *
+    * Returns the PANEL, one row per target category: `(cat, n,
+    * target_share, rate_bp, n_kept, realized_share)` — `rate_bp` in
+    * parts of `scale`, keeps decided by the portable
+    * `mixedHash(id) mod scale < rate_bp` (no RNG; every decision
+    * replayable). [[rebalanceSample]] returns the kept rows under the
+    * identical rates. Rows whose category is OUTSIDE the target list
+    * are dropped (no target = no share); a target category ABSENT from
+    * the corpus fails fast (T would be 0 — silently keeping nothing is
+    * the wrong answer to a typo'd target). Target shares are
+    * normalized driver-side.
+    *
+    * Scale shape: a cats-cardinality count table, a 1-row min (T), the
+    * rate table broadcast back onto a map-side filtered scan — the
+    * corpus never shuffles; the panel's realized counts are one more
+    * map-side conditional count. */
+  def rebalanceToTarget(df: DataFrame, id: Column, cat: Column,
+      targets: Seq[(String, Double)], scale: Int = 1000000)
+      : DataFrame = {
+    val rates = rebalanceRates(df, id, cat, targets, scale)
+    val kept = rebalanceSample(df, id, cat, targets, scale)
+      .groupBy(col("cat")).agg(count(lit(1)).as("n_kept"))
+    val tot = kept.agg(sum(col("n_kept")).as("tk"))
+    rates.join(broadcast(kept), Seq("cat"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("cat"), col("n"),
+        round(col("tgt"), 6).as("target_share"), col("rate_bp"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") /
+          col("tk").cast("double"), 6).as("realized_share"))
+  }
+
+  /** The kept rows `(id, cat, rate_bp)` under [[rebalanceToTarget]]'s
+    * rates — the same hash-keep discipline as [[sampleToBudget]]. */
+  def rebalanceSample(df: DataFrame, id: Column, cat: Column,
+      targets: Seq[(String, Double)], scale: Int = 1000000)
+      : DataFrame = {
+    val rates = rebalanceRates(df, id, cat, targets, scale)
+    df.select(id.as("id"), cat.as("cat"))
+      .join(broadcast(rates.select(col("cat"), col("rate_bp"))),
+        Seq("cat"))
+      .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
+        lit(scale.toLong)) < col("rate_bp"))
+      .select(col("id"), col("cat"), col("rate_bp"))
+  }
+
+  private def rebalanceRates(df: DataFrame, id: Column, cat: Column,
+      targets: Seq[(String, Double)], scale: Int): DataFrame = {
+    require(targets.nonEmpty, "rebalanceToTarget needs >= 1 target")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "target categories must be distinct")
+    require(targets.forall(_._2 > 0),
+      "target shares must be positive")
+    require(scale >= 2, s"scale must be >= 2, got $scale")
+    val z = targets.map(_._2).sum
+    val norm = targets.map { case (c, s) => (c, s / z) }
+    val tgt = norm.tail.foldLeft(
+      when(col("cat") === norm.head._1, lit(norm.head._2))) {
+      case (acc, (c, s)) => acc.when(col("cat") === c, lit(s))
+    }
+    val cnt = df.select(cat.as("cat"))
+      .filter(col("cat").isin(norm.map(_._1): _*))
+      .groupBy(col("cat")).agg(count(lit(1)).as("n"))
+      .select(col("cat"), col("n"), tgt.as("tgt"))
+    // a target category absent from the corpus caps T at 0 — fail fast
+    val nCats = cnt.agg(count(lit(1)).as("k"),
+      min(col("n").cast("double") / col("tgt")).as("t"))
+      .select(when(col("k") < norm.size, raise_error(lit(
+        s"rebalanceToTarget: a target category is absent from the " +
+          s"corpus (found fewer than ${norm.size} target categories)"))
+        .cast("double")).otherwise(col("t")).as("t"))
+    cnt.crossJoin(broadcast(nCats))
+      .select(col("cat"), col("n"), col("tgt"),
+        least(lit(scale.toLong), floor(round(
+          col("t") * col("tgt") / col("n").cast("double") *
+            scale.toLong, 6)).cast("long")).as("rate_bp"))
+  }
+
   /** [[temperatureSample]]'s rate table from a `(grp, t_total)` totals
     * relation — shared by the batch and streaming ([[
     * temperatureSampleIngestBatch]]) regimes so both replay the exact

@@ -7050,6 +7050,131 @@ FROM r$q82Rounds"""
     graft.streaming.BalanceStream.readBalance(s, state)
   }
 
+  // ------------------- rebalance to target shares (§2.10 ext)
+  // Post-stratification: the largest subset matching target language
+  // shares (T = min n_c/t_c; limiting category kept whole), hash-keep
+  // decisions replayed row-for-row by the oracle. Shares are powers of
+  // two so the normalized literals are exact in both engines.
+  private val q226Targets = Seq("en" -> 0.25, "fr" -> 0.25,
+    "de" -> 0.25, "es" -> 0.125, "zh" -> 0.125)
+  private val q226Scale = 1000000
+
+  private def q226Rebalance(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.rebalanceToTarget(Tables.documents(s, d),
+      col("doc_id"), col("lang"), q226Targets, q226Scale)
+
+  private val q226Sql = {
+    val z = q226Targets.map(_._2).sum
+    val cats = q226Targets.map(t => s"'${t._1}'").mkString(", ")
+    val caseTgt = "CASE cat " + q226Targets.map { case (c, sh) =>
+      s"WHEN '$c' THEN CAST(${sh / z} AS DOUBLE)"
+    }.mkString(" ") + " END"
+    val poly = "list_reduce(list_transform(" +
+      "string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    s"""WITH c AS (SELECT lang AS cat, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents WHERE lang IN ($cats) GROUP BY 1),
+       |x AS (SELECT cat, n, $caseTgt AS tgt FROM c),
+       |tt AS (SELECT min(CAST(n AS DOUBLE) / tgt) AS t FROM x),
+       |r AS (SELECT cat, n, tgt, least($q226Scale,
+       |    CAST(floor(round(t * tgt / CAST(n AS DOUBLE) * $q226Scale,
+       |      6)) AS BIGINT)) AS rate_bp
+       |  FROM x CROSS JOIN tt),
+       |k AS (SELECT d.lang AS cat, CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM documents d JOIN r ON r.cat = d.lang
+       |  WHERE (((($poly * 1103515245 + 12345) % 1000000007) *
+       |    2654435761) % 1000000007) % $q226Scale < r.rate_bp
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS tk FROM k)
+       |SELECT r.cat, r.n, round(r.tgt, 6) AS target_share, r.rate_bp,
+       |  COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) /
+       |    CAST(tot.tk AS DOUBLE), 6) AS realized_share
+       |FROM r LEFT JOIN k USING (cat) CROSS JOIN tot""".stripMargin
+  }
+
+  // ------------------- DAU / rolling WAU (§2.10 ext)
+  // Exact distinct actives per day and per trailing 7-day window: the
+  // corpus collapses to the (key, day) grain once; the rolling count
+  // explodes that metadata to the windows each pair serves.
+  private def q227ActiveUsers(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.activeUsers(Tables.events(s, d),
+      col("user_id"), col("ts"), windowDays = 7)
+
+  private val q227Sql =
+    """WITH ud AS (SELECT DISTINCT user_id AS k,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |dau AS (SELECT dd, CAST(count(*) AS BIGINT) AS dau
+      |        FROM ud GROUP BY 1),
+      |w AS (SELECT DISTINCT k, dd + t.x AS wd FROM ud CROSS JOIN
+      |        (SELECT unnest(generate_series(0, 6)) AS x) t),
+      |wau AS (SELECT wd, CAST(count(*) AS BIGINT) AS wau
+      |        FROM w GROUP BY 1)
+      |SELECT DATE '1970-01-01' + CAST(dd AS INTEGER) AS day,
+      |  dau.dau, wau.wau
+      |FROM dau JOIN wau ON wau.wd = dau.dd""".stripMargin
+
+  // ------------------- language-ID confusion matrix (§2.10 ext)
+  // Declared lang vs the n-gram guess (q16), as the confusion matrix +
+  // per-declared-lang share: the data-quality check on the lang column
+  // itself. Pure composition: two count aggregates over q16's output.
+  private def q228LangConfusion(s: SparkSession, d: String): DataFrame = {
+    val g = q16LangId(s, d)
+    val c = g.groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(t), Seq("lang"))
+      .select(col("lang"), col("lang_guess"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+  }
+
+  private val q228Sql =
+    s"""WITH g AS ($q16Sql),
+       |c AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+       |      FROM g GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot
+       |      FROM c GROUP BY 1)
+       |SELECT c.lang, c.lang_guess, c.n,
+       |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+       |FROM c JOIN t USING (lang)""".stripMargin
+
+  // ------------------- event-volume anomaly panel (§2.10 ext)
+  // Per-type daily counts vs the type's own history: spike when
+  // |n - mean| > z·σ, stats from exact decimal sums over the
+  // types×days count table.
+  private val q229Z = 2.0
+
+  private def q229VolumeAnomaly(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.volumeAnomaly(Tables.events(s, d),
+      col("event_type"), col("ts"), q229Z)
+
+  private val q229Sql =
+    s"""WITH cnt AS (SELECT event_type AS t,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2),
+       |st AS (SELECT t, CAST(count(*) AS BIGINT) AS d,
+       |    CAST(sum(CAST(n AS HUGEINT)) AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
+       |  FROM cnt GROUP BY 1),
+       |x AS (SELECT cnt.t, cnt.dd, cnt.n,
+       |    CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE) AS mean,
+       |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(d AS DOUBLE) -
+       |      (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE)) *
+       |      (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE)), 0.0)) AS sd
+       |  FROM cnt JOIN st USING (t))
+       |SELECT t AS event_type,
+       |  DATE '1970-01-01' + CAST(dd AS INTEGER) AS day, n,
+       |  CASE WHEN sd = 0.0 THEN NULL
+       |    ELSE round((CAST(n AS DOUBLE) - mean) / sd, 4) END AS dev,
+       |  CASE WHEN sd = 0.0 THEN FALSE
+       |    ELSE abs(CAST(n AS DOUBLE) - mean) > sd * $q229Z END
+       |    AS is_spike
+       |FROM x""".stripMargin
+
   // ------------------- Fleiss' kappa, 3 filter gates (§2.10 ext)
   // q143's agreement diagnostic generalized to the real stacked-filter
   // case: learned gate (q77 >= 0.5), Gopher rule gate (q101), and a
@@ -7775,7 +7900,11 @@ FROM r$q82Rounds"""
     "q222_cluster_sizes" -> (q222ClusterSizes _),
     "q223_column_profile" -> (q223ColumnProfile _),
     "q224_normalized_dups" -> (q224NormalizedDups _),
-    "q225_streaming_balance" -> (q225StreamingBalance _))
+    "q225_streaming_balance" -> (q225StreamingBalance _),
+    "q226_rebalance" -> (q226Rebalance _),
+    "q227_active_users" -> (q227ActiveUsers _),
+    "q228_lang_confusion" -> (q228LangConfusion _),
+    "q229_volume_anomaly" -> (q229VolumeAnomaly _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -8001,5 +8130,9 @@ FROM r$q82Rounds"""
     "q222_cluster_sizes" -> q222Sql,
     "q223_column_profile" -> q223Sql,
     "q224_normalized_dups" -> q224Sql,
-    "q225_streaming_balance" -> q220Sql)
+    "q225_streaming_balance" -> q220Sql,
+    "q226_rebalance" -> q226Sql,
+    "q227_active_users" -> q227Sql,
+    "q228_lang_confusion" -> q228Sql,
+    "q229_volume_anomaly" -> q229Sql)
 }

@@ -160,4 +160,44 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-01", 2, 2L, 1.0),
       ("2024-01-08", 0, 1L, 1.0)))
   }
+
+  test("activeUsers: exact DAU and rolling WAU on a hand calendar") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 11:00:00"),
+      ("u2", "2024-01-01 09:00:00"), ("u1", "2024-01-04 08:00:00"),
+      ("u3", "2024-01-09 12:00:00")
+    ).toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Funnel.activeUsers(ev, col("user_id"), col("ts"), 7)
+      .select(col("day").cast("string"), col("dau"), col("wau"))
+      .collect().map(_.toSeq).toSet
+    // WAU(1/1)={u1,u2}; WAU(1/4)={u1 (1/1 and 1/4), u2 (1/1)};
+    // WAU(1/9)={u1 (1/4), u3}
+    assert(got === Set(
+      Seq("2024-01-01", 2L, 2L),
+      Seq("2024-01-04", 1L, 2L),
+      Seq("2024-01-09", 1L, 2L)))
+  }
+
+  test("volumeAnomaly: hand stats, sigma-zero type yields null dev") {
+    import org.apache.spark.sql.functions._
+    def day(d: Int, n: Int, t: String) =
+      (0 until n).map(i => (t, f"2024-01-0$d 00:$i%02d:00"))
+    // A: 10, 10, 40 per day -> mean 20, sd sqrt(200); B: 5, 5
+    val ev = (day(1, 10, "A") ++ day(2, 10, "A") ++ day(3, 40, "A") ++
+      day(1, 5, "B") ++ day(2, 5, "B"))
+      .toDF("event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Funnel.volumeAnomaly(ev, col("event_type"), col("ts"),
+      z = 1.0)
+      .select(col("event_type"), col("day").cast("string"), col("n"),
+        col("dev"), col("is_spike"))
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(
+      Seq("A", "2024-01-01", 10L, -0.7071, false),
+      Seq("A", "2024-01-02", 10L, -0.7071, false),
+      Seq("A", "2024-01-03", 40L, 1.4142, true),
+      Seq("B", "2024-01-01", 5L, null, false),
+      Seq("B", "2024-01-02", 5L, null, false)))
+  }
 }

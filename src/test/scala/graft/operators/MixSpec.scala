@@ -233,4 +233,29 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mix.unimaxFromTotals(totals, budget = 10L, maxEpochs = 0.0))
   }
+
+  test("rebalanceToTarget: limiting category kept whole, rates hit " +
+    "T*t/n, absent target fails fast") {
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 8).map(i => (i.toLong, "a")) ++
+      Seq((9L, "b"), (10L, "b"))).toDF("id", "cat")
+    val panel = Mix.rebalanceToTarget(df, col("id"), col("cat"),
+      Seq("a" -> 0.5, "b" -> 0.5), scale = 1000000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // T = min(8/.5, 2/.5) = 4 -> rate_a = 4*.5/8 = 0.25, rate_b = 1
+    assert(panel("a")._1 === 8L && panel("a")._3 === 250000L)
+    assert(panel("b") === ((2L, 0.5, 1000000L, 2L)))
+    val kept = Mix.rebalanceSample(df, col("id"), col("cat"),
+      Seq("a" -> 0.5, "b" -> 0.5), scale = 1000000)
+    // b is limiting: every b row survives; kept ids are a subset
+    assert(kept.filter(col("cat") === "b").count() === 2L)
+    assert(kept.join(df, Seq("id"), "left_anti").count() === 0L)
+    val err = intercept[org.apache.spark.SparkException] {
+      Mix.rebalanceToTarget(df, col("id"), col("cat"),
+        Seq("a" -> 0.5, "zz" -> 0.5)).collect()
+    }
+    assert(err.getMessage.contains("absent"))
+  }
 }
