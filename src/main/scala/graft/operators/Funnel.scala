@@ -215,13 +215,26 @@ object Funnel {
     * per window end. Days with no events emit no row (there is no
     * zero-filled calendar — joins stay data-sized). */
   def activeUsers(events: DataFrame, key: Column, ts: Column,
-                  windowDays: Int): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+                  windowDays: Int): DataFrame =
+    activeUsersFromGrain(activeGrain(events, key, ts), windowDays)
+
+  /** [[activeUsers]]' sufficient statistic: the distinct `(k, dd)`
+    * key-day grain. Distinct sets MERGE by union-distinct (idempotent),
+    * so per-batch grains fold exactly under any arrival split — the
+    * streaming arm's state (`streaming/ActiveStream`). */
+  def activeGrain(events: DataFrame, key: Column, ts: Column)
+      : DataFrame = {
     val epoch = to_date(lit("1970-01-01"))
-    val ud = events
+    events
       .select(key.as("k"), datediff(to_date(ts), epoch).as("dd"))
       .filter(col("k").isNotNull && col("dd").isNotNull)
       .distinct()
+  }
+
+  /** [[activeUsers]] over a pre-built distinct `(k, dd)` grain. */
+  def activeUsersFromGrain(ud: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val epoch = to_date(lit("1970-01-01"))
     val dau = ud.groupBy(col("dd")).agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("k"), explode(sequence(col("dd").cast("long"),
@@ -247,13 +260,26 @@ object Funnel {
     * broadcast of the types-cardinality stats row. The IEEE finish
     * (mean, σ, dev) is a fixed sequence snapped to 4. */
   def volumeAnomaly(events: DataFrame, typ: Column, ts: Column,
-                    z: Double): DataFrame = {
-    require(z > 0, s"z must be positive, got $z")
+                    z: Double): DataFrame =
+    volumeAnomalyFromCounts(volumeCounts(events, typ, ts), z)
+
+  /** [[volumeAnomaly]]'s sufficient statistic: the `(t, dd, n)` daily
+    * count table — ADDITIVE, so per-batch tables fold exactly under any
+    * arrival split (the streaming arm's state,
+    * `streaming/ActiveStream`). */
+  def volumeCounts(events: DataFrame, typ: Column, ts: Column)
+      : DataFrame = {
     val epoch = to_date(lit("1970-01-01"))
-    val cnt = events
+    events
       .select(typ.as("t"), datediff(to_date(ts), epoch).as("dd"))
       .filter(col("t").isNotNull && col("dd").isNotNull)
       .groupBy(col("t"), col("dd")).agg(count(lit(1)).as("n"))
+  }
+
+  /** [[volumeAnomaly]] over a pre-aggregated `(t, dd, n)` count table. */
+  def volumeAnomalyFromCounts(cnt: DataFrame, z: Double): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val epoch = to_date(lit("1970-01-01"))
     val dec = "decimal(38,0)"
     val stats = cnt.groupBy(col("t"))
       .agg(count(lit(1)).as("d"),

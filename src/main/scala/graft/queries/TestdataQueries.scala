@@ -7175,6 +7175,111 @@ FROM r$q82Rounds"""
        |    AS is_spike
        |FROM x""".stripMargin
 
+  // ------------------- streaming DAU/WAU (§2.10 ext)
+  // q227 per ingest poll: the distinct (key, day) grain merges by
+  // union-distinct (idempotent — duplicate deliveries fold away), so
+  // the accumulated grain equals one-shot exactly and q230 shares
+  // q227's oracle verbatim.
+  private def q230StreamingActive(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("act_stream")
+      .toString
+    val ev = Tables.events(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.ActiveStream.ingestBatch(s,
+        ev.filter(col("event_id") % 3 === b),
+        col("user_id"), col("event_type"), col("ts"), state)
+    }
+    graft.streaming.ActiveStream.readActive(s, windowDays = 7, state)
+  }
+
+  // ------------------- session association rules (§2.10 ext)
+  // Market-basket on the session grain: support / confidence / lift per
+  // ordered event-type pair — the empirical check on a funnel's assumed
+  // stage order. One session window, then types²-bounded rule rows.
+  private def q231AssociationRules(s: SparkSession, d: String)
+      : DataFrame =
+    graft.operators.Sessionize.associationRules(Tables.events(s, d),
+      Seq("user_id"), col("ts").cast("timestamp"), col("event_id"),
+      col("event_type"), gapSeconds = 3600L)
+
+  private val q231Sql =
+    """WITH b AS (SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_ms(ts) // 1000 -
+      |            epoch_ms(lag(ts) OVER w) // 1000 > 3600
+      |         THEN 1 ELSE 0 END AS nb
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, event_type,
+      |    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+      |  FROM b),
+      |items AS (SELECT DISTINCT user_id, sidx, event_type AS t
+      |  FROM s WHERE event_type IS NOT NULL),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS s FROM
+      |  (SELECT DISTINCT user_id, sidx FROM items)),
+      |singles AS (SELECT t, CAST(count(*) AS BIGINT) AS n1
+      |  FROM items GROUP BY 1),
+      |pairs AS (SELECT a.t AS ta, b2.t AS tb,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM items a JOIN items b2
+      |    ON a.user_id = b2.user_id AND a.sidx = b2.sidx AND a.t < b2.t
+      |  GROUP BY 1, 2),
+      |r AS (SELECT ta AS lhs, tb AS rhs, n_both FROM pairs
+      |      UNION ALL SELECT tb, ta, n_both FROM pairs)
+      |SELECT lhs, rhs, n_both,
+      |  round(CAST(n_both AS DOUBLE) / CAST(tot.s AS DOUBLE), 6)
+      |    AS support,
+      |  round(CAST(n_both AS DOUBLE) / CAST(nl.n1 AS DOUBLE), 6)
+      |    AS confidence,
+      |  round((CAST(n_both AS DOUBLE) * CAST(tot.s AS DOUBLE)) /
+      |    (CAST(nl.n1 AS DOUBLE) * CAST(nr.n1 AS DOUBLE)), 6) AS lift
+      |FROM r JOIN singles nl ON r.lhs = nl.t
+      |  JOIN singles nr ON r.rhs = nr.t CROSS JOIN tot""".stripMargin
+
+  // ------------------- inter-arrival cadence panel (§2.10 ext)
+  // Per event type, exact median/p90 of same-user consecutive-event
+  // gaps (attributed to the later event's type): the measured number a
+  // session gap or poll budget is tuned against. Frequency-weighted
+  // exact percentiles over the (type, gap) count table.
+  private def q232InterArrival(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.interArrival(Tables.events(s, d),
+      Seq("user_id"), col("ts").cast("timestamp"), col("event_id"),
+      col("event_type"))
+
+  private val q232Sql =
+    """WITH g AS (SELECT event_type AS t,
+      |    CAST(epoch_ms(ts) // 1000 - epoch_ms(lag(ts) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000
+      |      AS DOUBLE) AS gap
+      |  FROM events),
+      |f AS (SELECT t, gap FROM g
+      |      WHERE t IS NOT NULL AND gap IS NOT NULL)
+      |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap), 6)
+      |    AS median_gap_s,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap), 6)
+      |    AS p90_gap_s
+      |FROM f GROUP BY 1""".stripMargin
+
+  // ------------------- streaming volume anomaly (§2.10 ext)
+  // q229 per ingest poll: the (type, day) count state is additive, so
+  // the accumulated table equals one-shot exactly and q233 shares
+  // q229's oracle verbatim.
+  private def q233StreamingVolume(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("vol_stream")
+      .toString
+    val ev = Tables.events(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.ActiveStream.ingestBatch(s,
+        ev.filter(col("event_id") % 3 === b),
+        col("user_id"), col("event_type"), col("ts"), state)
+    }
+    graft.streaming.ActiveStream.readVolume(s, q229Z, state)
+  }
+
   // ------------------- Fleiss' kappa, 3 filter gates (§2.10 ext)
   // q143's agreement diagnostic generalized to the real stacked-filter
   // case: learned gate (q77 >= 0.5), Gopher rule gate (q101), and a
@@ -7904,7 +8009,11 @@ FROM r$q82Rounds"""
     "q226_rebalance" -> (q226Rebalance _),
     "q227_active_users" -> (q227ActiveUsers _),
     "q228_lang_confusion" -> (q228LangConfusion _),
-    "q229_volume_anomaly" -> (q229VolumeAnomaly _))
+    "q229_volume_anomaly" -> (q229VolumeAnomaly _),
+    "q230_streaming_active" -> (q230StreamingActive _),
+    "q231_association_rules" -> (q231AssociationRules _),
+    "q232_inter_arrival" -> (q232InterArrival _),
+    "q233_streaming_volume" -> (q233StreamingVolume _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -8134,5 +8243,9 @@ FROM r$q82Rounds"""
     "q226_rebalance" -> q226Sql,
     "q227_active_users" -> q227Sql,
     "q228_lang_confusion" -> q228Sql,
-    "q229_volume_anomaly" -> q229Sql)
+    "q229_volume_anomaly" -> q229Sql,
+    "q230_streaming_active" -> q227Sql,
+    "q231_association_rules" -> q231Sql,
+    "q232_inter_arrival" -> q232Sql,
+    "q233_streaming_volume" -> q229Sql)
 }

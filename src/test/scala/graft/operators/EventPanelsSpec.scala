@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Session association rules, the inter-arrival cadence panel, and the
+  * ActiveStream event-dashboard state: hand fixtures + batch
+  * equivalence. */
+class EventPanelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String, String)*) =
+    rows.toSeq.toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("associationRules: support/confidence/lift on hand sessions") {
+    // u1 session1 {view, click}; u1 session2 {view} (gap > 1h);
+    // u2 session1 {view, click}; u2 session2 {click} -> S = 4,
+    // n(view)=3, n(click)=3, n(view,click)=2
+    val df = ev(
+      (1L, "u1", "view", "2024-01-01 10:00:00"),
+      (2L, "u1", "click", "2024-01-01 10:10:00"),
+      (3L, "u1", "view", "2024-01-01 13:00:00"),
+      (4L, "u2", "view", "2024-01-01 09:00:00"),
+      (5L, "u2", "click", "2024-01-01 09:30:00"),
+      (6L, "u2", "click", "2024-01-01 12:00:00"))
+    val got = Sessionize.associationRules(df, Seq("user_id"), col("ts"),
+      col("event_id"), col("event_type"), 3600L)
+      .collect().map(_.toSeq).toSet
+    // support 2/4 = 0.5; confidence 2/3 = 0.666667;
+    // lift (2·4)/(3·3) = 0.888889 — both directions symmetric here
+    assert(got === Set(
+      Seq("view", "click", 2L, 0.5, 0.666667, 0.888889),
+      Seq("click", "view", 2L, 0.5, 0.666667, 0.888889)))
+  }
+
+  test("interArrival: exact median/p90 of same-user gaps, attributed " +
+    "to the later event's type") {
+    // u1 gaps: 600 s (to click), 10200 s (to view);
+    // u2 gap: 1800 s (to click) -> click gaps {600, 1800}, view {10200}
+    val df = ev(
+      (1L, "u1", "view", "2024-01-01 10:00:00"),
+      (2L, "u1", "click", "2024-01-01 10:10:00"),
+      (3L, "u1", "view", "2024-01-01 13:00:00"),
+      (4L, "u2", "view", "2024-01-01 09:00:00"),
+      (5L, "u2", "click", "2024-01-01 09:30:00"))
+    val got = Sessionize.interArrival(df, Seq("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(
+      Seq("click", 2L, 1200.0, 1680.0),
+      Seq("view", 1L, 10200.0, 10200.0)))
+  }
+
+  test("ActiveStream: both accumulated states equal one-shot under any " +
+    "split, including duplicate deliveries") {
+    val df = ev(
+      (1L, "u1", "view", "2024-01-01 10:00:00"),
+      (2L, "u1", "click", "2024-01-02 10:00:00"),
+      (3L, "u2", "view", "2024-01-01 11:00:00"),
+      (4L, "u2", "view", "2024-01-09 11:00:00"),
+      (5L, "u3", "click", "2024-01-09 12:00:00"))
+    val oneShotA = Funnel.activeUsers(df, col("user_id"), col("ts"), 7)
+      .collect().map(_.toSeq).toSet
+    val oneShotV = Funnel.volumeAnomaly(df, col("event_type"),
+      col("ts"), 2.0).collect().map(_.toSeq).toSet
+    val state = java.nio.file.Files
+      .createTempDirectory("act_spec").toString
+    Seq(Seq(1L, 3L), Seq(2L, 4L), Seq(5L)).foreach { ids =>
+      graft.streaming.ActiveStream.ingestBatch(spark,
+        df.filter(col("event_id").isin(ids.map(lit): _*)),
+        col("user_id"), col("event_type"), col("ts"), state)
+    }
+    val gotA = graft.streaming.ActiveStream.readActive(spark, 7, state)
+      .collect().map(_.toSeq).toSet
+    val gotV = graft.streaming.ActiveStream.readVolume(spark, 2.0, state)
+      .collect().map(_.toSeq).toSet
+    assert(gotA === oneShotA && gotA.nonEmpty)
+    assert(gotV === oneShotV && gotV.nonEmpty)
+    // redeliver event 1: the DISTINCT grain folds it away (DAU/WAU
+    // unchanged) — the additive volume counts, by contract, would not
+    graft.streaming.ActiveStream.ingestBatch(spark,
+      df.filter(col("event_id") === 1L),
+      col("user_id"), col("event_type"), col("ts"), state)
+    val redelivered = graft.streaming.ActiveStream
+      .readActive(spark, 7, state).collect().map(_.toSeq).toSet
+    assert(redelivered === oneShotA)
+  }
+}
