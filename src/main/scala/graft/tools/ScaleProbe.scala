@@ -1644,10 +1644,93 @@ object ScaleProbe {
     ()
   }
 
+  /** The q219–q233 block at mining scale: corpus-health/balance panels
+    * on a 100× doc corpus, event panels (DAU/WAU, volume anomaly,
+    * association rules, inter-arrival) on 5M events / 200k keys, and
+    * the ActiveStream fold. */
+  def ops21Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Datasheet, Funnel, Mix, Sessionize, Vocab}
+    val langs = array(lit("en"), lit("fr"), lit("de"), lit("es"),
+      lit("zh"))
+    val docs = genDocs(spark, 100).select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+        element_at(langs, (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+          .as("lang"),
+        col("text"))
+      .cache()
+    val nD = docs.count()
+    println(s"[probe] corpus: $nD docs, 20 sources, 5 langs")
+    time(f"entropyByGroup     ($nD%8d docs, 20 groups)") {
+      Vocab.entropyByGroup(docs, col("source"), col("text"))
+        .collect().length
+    }
+    time(f"categoricalBalance ($nD%8d docs, 20x5 grid)") {
+      Datasheet.categoricalBalance(docs, col("source"), col("lang"))
+        .collect().length
+    }
+    time(f"columnProfile      ($nD%8d docs, 3 columns)") {
+      Datasheet.columnProfile(docs, Seq("doc_id", "lang", "source"))
+        .collect().length
+    }
+    time(f"rebalanceToTarget  ($nD%8d docs, 5 targets)") {
+      Mix.rebalanceToTarget(docs, col("doc_id"), col("lang"),
+        Seq("en" -> 0.25, "fr" -> 0.25, "de" -> 0.25,
+          "es" -> 0.125, "zh" -> 0.125)).collect().length
+    }
+    docs.unpersist()
+    val types = array(lit("view"), lit("click"), lit("purchase"),
+      lit("signup"), lit("error"))
+    val nEv = 5000000L
+    val events = spark.range(nEv).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(col("id") * 2654435761L, lit(5184000L)) * 1000000L).as("ts"),
+      pmod(col("id") * 40503L, lit(199999L)).as("user_id"),
+      element_at(types, (pmod(col("id"), lit(5)) + 1).cast("int"))
+        .as("event_type"))
+      .cache()
+    val nE = events.count()
+    println(s"[probe] events: $nE rows, 200k keys, 60-day span")
+    time(f"activeUsers        ($nE%8d events, 7d window)") {
+      Funnel.activeUsers(events, col("user_id"), col("ts"), 7)
+        .collect().length
+    }
+    time(f"volumeAnomaly      ($nE%8d events, z=2)") {
+      Funnel.volumeAnomaly(events, col("event_type"), col("ts"), 2.0)
+        .collect().length
+    }
+    time(f"associationRules   ($nE%8d events, 1h gap)") {
+      Sessionize.associationRules(events, Seq("user_id"), col("ts"),
+        col("event_id"), col("event_type"), 3600L).collect().length
+    }
+    time(f"interArrival       ($nE%8d events)") {
+      Sessionize.interArrival(events, Seq("user_id"), col("ts"),
+        col("event_id"), col("event_type")).collect().length
+    }
+    val state = java.nio.file.Files
+      .createTempDirectory("ops21_act").toString
+    time(f"ActiveStream       (3 polls of $nE%8d / 3)") {
+      (0 until 3).foreach { b =>
+        graft.streaming.ActiveStream.ingestBatch(spark,
+          events.filter(col("event_id") % 3 === b),
+          col("user_id"), col("event_type"), col("ts"), state)
+      }
+    }
+    time("active/volume read (zero corpus access)") {
+      graft.streaming.ActiveStream.readActive(spark, 7, state)
+        .collect().length +
+        graft.streaming.ActiveStream.readVolume(spark, 2.0, state)
+          .collect().length
+    }
+    events.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
-      "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20")
+      "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
+      "ops21")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1733,6 +1816,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops20")) {
       ops20Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops21")) {
+      ops21Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
