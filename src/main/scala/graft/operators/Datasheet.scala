@@ -469,6 +469,8 @@ object Datasheet {
     * into the per-column rows. */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs >= 1 column")
+    require(cols.distinct.size == cols.size,
+      s"columnProfile columns must be distinct, got ${cols.mkString(",")}")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"np_$c"),
         countDistinct(col(c)).as(s"nd_$c"),

@@ -84,8 +84,13 @@ object Dedup {
     * hash — id + 32 bytes per row cross the exchange, never text. */
   def normalizedDupGroups(df: DataFrame, id: Column, text: Column)
       : DataFrame = {
-    val normKey = regexp_replace(
-      graft.functions.TextExprs.normalizeText(text), "[^a-z0-9 ]", "")
+    // ORDER MATTERS: the non-alnum strip must be FOLLOWED by a second
+    // whitespace collapse + trim — stripping "foo , bar" leaves a
+    // double space ("foo  bar") and punctuation-only text leaves a
+    // bare " " that would defeat the empty-key guard below
+    val normKey = trim(regexp_replace(regexp_replace(
+      graft.functions.TextExprs.normalizeText(text), "[^a-z0-9 ]", ""),
+      "\\s+", " "))
     df.select(id.as("id"), keyHash128(normKey).as("k"),
         keyHash128(text).as("rk"), normKey.as("nk"))
       .filter(length(col("nk")) > 0)

@@ -248,15 +248,22 @@ object Funnel {
 
   /** Per-type event-volume anomaly panel — the ingest monitor that
     * catches a feed spike/outage BEFORE a mixture inherits it: per
-    * (event type, day), the day's count against the type's own
-    * daily history — population mean/σ from exact decimal sums, a day
-    * is a spike when `|n − mean| > z·σ`. One row per (type, day):
-    * `(event_type, day, n, dev, is_spike)`; `dev` is null (and
-    * is_spike false) for constant-volume types (σ = 0).
+    * (event type, day), the day's count against the type's own daily
+    * history with the tested day LEFT OUT of its own baseline. The
+    * leave-in z-score caps `|dev|` at `√(d−1)` over `d` days (the
+    * tested point drags its own mean and σ), so with z = 2 a type with
+    * ≤ 4 days of history could mathematically never flag — exactly the
+    * early-history window where new feeds break; leave-one-out keeps a
+    * 3-day-old feed's outage flaggable. A day is a spike when
+    * `|n − mean_loo| > z·σ_loo`; a CONSTANT history (σ_loo = 0) flags
+    * ANY deviation from it (dev reported null — the ratio is
+    * undefined); `d = 1` has no baseline at all (dev null, no flag).
+    * One row per (type, day): `(event_type, day, n, dev, is_spike)`.
     *
     * Scale shape: the corpus collapses to the types × days count table
     * (one shuffle, map-combined); stats re-aggregate that table with
-    * DECIMAL-exact Σn / Σn² (order-free), and the flag join is a
+    * DECIMAL-exact Σn / Σn² (order-free — leave-one-out needs only the
+    * GLOBAL sums: `mean_i = (Σn − nᵢ)/(d−1)`), and the flag join is a
     * broadcast of the types-cardinality stats row. The IEEE finish
     * (mean, σ, dev) is a fixed sequence snapped to 4. */
   def volumeAnomaly(events: DataFrame, typ: Column, ts: Column,
@@ -285,18 +292,24 @@ object Funnel {
       .agg(count(lit(1)).as("d"),
         sum(col("n").cast(dec)).as("s1"),
         sum((col("n") * col("n")).cast(dec)).as("s2"))
-    val mean = col("s1").cast("double") / col("d").cast("double")
-    val vr = col("s2").cast("double") / col("d").cast("double") -
-      mean * mean
+    // leave-one-out baseline from the GLOBAL sums: the tested day is
+    // excluded from its own mean/σ (see the operator doc for why)
+    val nD = col("n").cast("double")
+    // clamp to 1 for d = 1 — that row's outputs are forced null/false
+    // below, but ANSI mode would throw on the division itself
+    val dm1 = greatest(col("d") - 1L, lit(1L)).cast("double")
+    val mean = (col("s1").cast("double") - nD) / dm1
+    val vr = (col("s2").cast("double") - nD * nD) / dm1 - mean * mean
     val sd = sqrt(greatest(vr, lit(0.0)))
     val withStats = cnt.join(broadcast(stats), Seq("t"))
-    val dev = (col("n").cast("double") - mean) / sd
+    val dev = (nD - mean) / sd
     withStats.select(col("t").as("event_type"),
       date_add(epoch, col("dd").cast("int")).as("day"), col("n"),
-      when(sd === 0.0, lit(null).cast("double"))
+      when(col("d") === 1L || sd === 0.0, lit(null).cast("double"))
         .otherwise(round(dev, 4)).as("dev"),
-      when(sd === 0.0, lit(false))
-        .otherwise(abs(col("n").cast("double") - mean) > sd * z)
+      when(col("d") === 1L, lit(false))
+        .when(sd === 0.0, abs(nD - mean) > 0.0)
+        .otherwise(abs(nD - mean) > sd * z)
         .as("is_spike"))
   }
 }

@@ -139,8 +139,11 @@ object Mix {
   def rebalanceToTarget(df: DataFrame, id: Column, cat: Column,
       targets: Seq[(String, Double)], scale: Int = 1000000)
       : DataFrame = {
+    // rates computed ONCE and shared with the sample pass — building
+    // the sample via rebalanceSample would re-run the corpus count
+    // aggregate a second time for the identical rate table
     val rates = rebalanceRates(df, id, cat, targets, scale)
-    val kept = rebalanceSample(df, id, cat, targets, scale)
+    val kept = sampleFromRates(df, id, cat, rates, scale)
       .groupBy(col("cat")).agg(count(lit(1)).as("n_kept"))
     val tot = kept.agg(sum(col("n_kept")).as("tk"))
     rates.join(broadcast(kept), Seq("cat"), "left")
@@ -157,15 +160,18 @@ object Mix {
     * rates — the same hash-keep discipline as [[sampleToBudget]]. */
   def rebalanceSample(df: DataFrame, id: Column, cat: Column,
       targets: Seq[(String, Double)], scale: Int = 1000000)
-      : DataFrame = {
-    val rates = rebalanceRates(df, id, cat, targets, scale)
+      : DataFrame =
+    sampleFromRates(df, id, cat,
+      rebalanceRates(df, id, cat, targets, scale), scale)
+
+  private def sampleFromRates(df: DataFrame, id: Column, cat: Column,
+      rates: DataFrame, scale: Int): DataFrame =
     df.select(id.as("id"), cat.as("cat"))
       .join(broadcast(rates.select(col("cat"), col("rate_bp"))),
         Seq("cat"))
       .filter(pmod(Sketch.mixedHash(col("id").cast("string")),
         lit(scale.toLong)) < col("rate_bp"))
       .select(col("id"), col("cat"), col("rate_bp"))
-  }
 
   private def rebalanceRates(df: DataFrame, id: Column, cat: Column,
       targets: Seq[(String, Double)], scale: Int): DataFrame = {

@@ -81,7 +81,12 @@ object Sessionize {
   def associationRules(df: DataFrame, key: Seq[String], ts: Column,
                        tieBreak: Column, typ: Column,
                        gapSeconds: Long): DataFrame = {
-    val items = assignSessions(df, key, ts, tieBreak, gapSeconds)
+    // null session-key rows are DROPPED before the struct key is built:
+    // struct equality would otherwise glue every null-key event into
+    // one pseudo-session (struct fields compare null == null in
+    // joins/distinct), which no relational oracle replays
+    val nonNull = df.filter(key.map(col(_).isNotNull).reduce(_ && _))
+    val items = assignSessions(nonNull, key, ts, tieBreak, gapSeconds)
       .select(struct((key.map(col) :+ col("session_idx")): _*).as("sid"),
         typ.as("t"))
       .filter(col("t").isNotNull)

@@ -1040,8 +1040,10 @@ object Vocab {
     * as fast as the corpus (unbounded noise — OCR garbage, random ids
     * in text); a β near 0 means template spam re-using a closed
     * vocabulary. One row: [[Trend.olsByGroup]] over the groups-bounded
-    * point set under the fixed group `'all'` (`slope` = β, `intercept`
-    * = ln k).
+    * point set under the fixed group `'all'`. `slope` = β (the 1e-6
+    * snap factor cancels in Δy/Δx); `intercept` (like mean_x/mean_y)
+    * is reported on the SNAPPED axis, i.e. `1e6 · ln k` — descale
+    * before exponentiating for k.
     *
     * Scale: the points are one row per GROUP (per-group N and V from
     * one re-aggregation of the count table); the fit input is

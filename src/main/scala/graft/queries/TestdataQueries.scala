@@ -7023,9 +7023,11 @@ FROM r$q82Rounds"""
 
   private val q224Sql =
     """WITH n AS (SELECT doc_id, text,
-      |    regexp_replace(trim(regexp_replace(regexp_replace(
-      |      lower(nfc_normalize(text)), '[[:cntrl:]]', ' ', 'g'),
-      |      '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g') AS k
+      |    trim(regexp_replace(
+      |      regexp_replace(trim(regexp_replace(regexp_replace(
+      |        lower(nfc_normalize(text)), '[[:cntrl:]]', ' ', 'g'),
+      |        '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'),
+      |      '\s+', ' ', 'g')) AS k
       |  FROM documents)
       |SELECT min(doc_id) AS group_rep,
       |  CAST(count(*) AS BIGINT) AS n_members,
@@ -7160,17 +7162,23 @@ FROM r$q82Rounds"""
        |    CAST(sum(CAST(n AS HUGEINT)) AS HUGEINT) AS s1,
        |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
        |  FROM cnt GROUP BY 1),
-       |x AS (SELECT cnt.t, cnt.dd, cnt.n,
-       |    CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE) AS mean,
-       |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(d AS DOUBLE) -
-       |      (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE)) *
-       |      (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE)), 0.0)) AS sd
+       |x AS (SELECT cnt.t, cnt.dd, cnt.n, st.d,
+       |    (CAST(s1 AS DOUBLE) - CAST(n AS DOUBLE)) /
+       |      CAST(greatest(d - 1, 1) AS DOUBLE) AS mean,
+       |    sqrt(greatest((CAST(s2 AS DOUBLE) -
+       |        CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+       |        CAST(greatest(d - 1, 1) AS DOUBLE) -
+       |      ((CAST(s1 AS DOUBLE) - CAST(n AS DOUBLE)) /
+       |        CAST(greatest(d - 1, 1) AS DOUBLE)) *
+       |      ((CAST(s1 AS DOUBLE) - CAST(n AS DOUBLE)) /
+       |        CAST(greatest(d - 1, 1) AS DOUBLE)), 0.0)) AS sd
        |  FROM cnt JOIN st USING (t))
        |SELECT t AS event_type,
        |  DATE '1970-01-01' + CAST(dd AS INTEGER) AS day, n,
-       |  CASE WHEN sd = 0.0 THEN NULL
+       |  CASE WHEN d = 1 OR sd = 0.0 THEN NULL
        |    ELSE round((CAST(n AS DOUBLE) - mean) / sd, 4) END AS dev,
-       |  CASE WHEN sd = 0.0 THEN FALSE
+       |  CASE WHEN d = 1 THEN FALSE
+       |    WHEN sd = 0.0 THEN abs(CAST(n AS DOUBLE) - mean) > 0.0
        |    ELSE abs(CAST(n AS DOUBLE) - mean) > sd * $q229Z END
        |    AS is_spike
        |FROM x""".stripMargin

@@ -179,13 +179,19 @@ class FunnelSpec extends SparkSpec {
       Seq("2024-01-09", 1L, 2L)))
   }
 
-  test("volumeAnomaly: hand stats, sigma-zero type yields null dev") {
+  test("volumeAnomaly: leave-one-out stats — the spike day cannot " +
+    "mask itself; constant history flags any deviation; single-day " +
+    "types have no baseline") {
     import org.apache.spark.sql.functions._
     def day(d: Int, n: Int, t: String) =
       (0 until n).map(i => (t, f"2024-01-0$d 00:$i%02d:00"))
-    // A: 10, 10, 40 per day -> mean 20, sd sqrt(200); B: 5, 5
+    // A: 10, 10, 40 per day. Day 3 LOO baseline = {10, 10}: σ = 0 and
+    // 40 ≠ 10 → spike (the leave-in form gave |dev| = 1.41 < 2 — the
+    // spike dragged its own σ). Days 1/2 LOO = {10, 40}: mean 25,
+    // σ 15, dev -1. B: 5, 5 → each day's LOO = {5}: σ 0, no deviation.
+    // C: one day → no baseline.
     val ev = (day(1, 10, "A") ++ day(2, 10, "A") ++ day(3, 40, "A") ++
-      day(1, 5, "B") ++ day(2, 5, "B"))
+      day(1, 5, "B") ++ day(2, 5, "B") ++ day(1, 3, "C"))
       .toDF("event_type", "ts")
       .withColumn("ts", col("ts").cast("timestamp"))
     val got = Funnel.volumeAnomaly(ev, col("event_type"), col("ts"),
@@ -194,10 +200,11 @@ class FunnelSpec extends SparkSpec {
         col("dev"), col("is_spike"))
       .collect().map(_.toSeq).toSet
     assert(got === Set(
-      Seq("A", "2024-01-01", 10L, -0.7071, false),
-      Seq("A", "2024-01-02", 10L, -0.7071, false),
-      Seq("A", "2024-01-03", 40L, 1.4142, true),
+      Seq("A", "2024-01-01", 10L, -1.0, false),
+      Seq("A", "2024-01-02", 10L, -1.0, false),
+      Seq("A", "2024-01-03", 40L, null, true),
       Seq("B", "2024-01-01", 5L, null, false),
-      Seq("B", "2024-01-02", 5L, null, false)))
+      Seq("B", "2024-01-02", 5L, null, false),
+      Seq("C", "2024-01-01", 3L, null, false)))
   }
 }

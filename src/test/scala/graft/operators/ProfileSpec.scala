@@ -28,13 +28,17 @@ class ProfileSpec extends SparkSpec {
     val docs = Seq(
       (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO   world."),
       (4L, "hello world"),              // byte-dup of 2
-      (5L, "different text"), (6L, "?!?! ..."), (7L, "-- !! --")
+      (5L, "different text"), (6L, "?!?! ..."), (7L, "-- !! --"),
+      (8L, "foo, bar"), (9L, "foo , bar"),   // strip leaves "foo  bar"
+      (10L, "?! ?!"), (11L, "!! !!")         // strip leaves only spaces
     ).toDF("doc_id", "text")
     val got = Dedup.normalizedDupGroups(docs, col("doc_id"), col("text"))
       .collect().map(_.toSeq).toSet
-    // group {1,2,3,4}: 4 members, 3 distinct raw texts; 5 is a
-    // singleton (dropped); 6/7 normalize to empty (excluded)
-    assert(got === Set(Seq(1L, 4L, 3L)))
+    // {1,2,3,4}: 4 members, 3 distinct raw texts; {8,9}: the post-strip
+    // whitespace re-collapse makes "foo  bar" == "foo bar"; 5 is a
+    // singleton (dropped); 6/7/10/11 normalize to EMPTY (excluded —
+    // space-only keys must not form a punctuation mega-group)
+    assert(got === Set(Seq(1L, 4L, 3L), Seq(8L, 2L, 2L)))
   }
 
   test("BalanceStream: accumulated counts equal one-shot; read equals " +
