@@ -58,4 +58,90 @@ object Trend {
       round(when(denX === 0.0 || denY === 0.0, lit(null).cast("double"))
         .otherwise((num * num) / (denX * denY)), 6).as("r2"))
   }
+
+  /** Grouped (delete-one-group) jackknife for a RATIO metric
+    * `θ = Σnum / Σden` — the uncertainty number every corpus-level
+    * metric report should carry but almost never does: documents
+    * within a source are correlated, so the i.i.d. row-level standard
+    * error is fiction; deleting whole GROUPS (sources/domains) is the
+    * standard fix (the grouped/cluster jackknife). [[jackknifePanel]]
+    * emits one row per group — `(grp, theta_loo, influence)` with
+    * `influence = (g−1)·(θ − θ₍ᵢ₎)`, the classic "which source drags
+    * the corpus metric" ranking; [[jackknifeSummary]] collapses to one
+    * row `(n_groups, theta, jack_mean, jack_se, ci_lo, ci_hi)` with
+    * `SE² = (g−1)/g · Σ(θ₍ᵢ₎ − θ̄₍·₎)²` and a normal-approximation 95%
+    * interval.
+    *
+    * Exactness: num/den snap to 1e-6 fixed point into per-group
+    * DECIMAL sums (one corpus scan, order-free); every θ₍ᵢ₎ is then a
+    * fixed IEEE sequence over those exact sums, and the SE's
+    * cross-group Σ squares snaps each term to 1e-12 fixed point before
+    * its DECIMAL sum — so nothing depends on row or group order. A
+    * group holding ALL the denominator mass (D − d_g = 0) yields null
+    * θ_loo and is excluded from the SE (documented contract; it means
+    * g is effectively 1 and no resampling-based error exists). */
+  def jackknifePanel(df: DataFrame, grp: Column, num: Column,
+                     den: Column): DataFrame = {
+    val s = jackknifeSums(df, grp, num, den)
+    val g = col("g").cast("double")
+    val theta = col("tn").cast("double") / col("td").cast("double")
+    s.select(col("grp"),
+        round(col("th_loo"), 6).as("theta_loo"),
+        round((g - 1.0) * (theta - col("th_loo")), 6).as("influence"))
+  }
+
+  /** One-row jackknife summary — see [[jackknifePanel]]. */
+  def jackknifeSummary(df: DataFrame, grp: Column, num: Column,
+                       den: Column): DataFrame = {
+    val s = jackknifeSums(df, grp, num, den)
+    val t9 = round(col("th_loo") * 1e9).cast("long")
+    val live = s.filter(col("th_loo").isNotNull)
+      .select(col("tn"), col("td"), t9.as("t9"))
+    val agg = live.agg(count(lit(1)).as("g"),
+      max(col("tn")).as("tn"), max(col("td")).as("td"),
+      sum(col("t9").cast("decimal(38,0)")).as("s9"))
+    val gD = col("g").cast("double")
+    val theta = col("tn").cast("double") / col("td").cast("double")
+    val jackMean = col("s9").cast("double") / 1e9 / gD
+    val withMean = agg.crossJoin(broadcast(live.select(col("t9"))))
+    // Σ(θ_i − θ̄)² with each term snapped to 1e-12 before the sum
+    val term = round(
+      (col("t9").cast("double") / 1e9 - jackMean) *
+        (col("t9").cast("double") / 1e9 - jackMean) * 1e12).cast("long")
+    val fin = withMean.select(col("g"), col("tn"), col("td"),
+        col("s9"), term.as("t12"))
+      .groupBy(col("g"), col("tn"), col("td"), col("s9"))
+      .agg(sum(col("t12").cast("decimal(38,0)")).as("ss"))
+    val se = sqrt((gD - 1.0) / gD *
+      (col("ss").cast("double") / 1e12))
+    fin.select(col("g").as("n_groups"),
+      round(theta, 6).as("theta"),
+      round(col("s9").cast("double") / 1e9 / gD, 6).as("jack_mean"),
+      round(se, 6).as("jack_se"),
+      round(theta - lit(1.96) * se, 6).as("ci_lo"),
+      round(theta + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
+  /** Shared per-group leave-one-out table: `(grp, g, tn, td, th_loo)`
+    * — exact decimal totals replicated onto each group row. */
+  private def jackknifeSums(df: DataFrame, grp: Column, num: Column,
+                            den: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(grp.as("grp"),
+      round(num.cast("double") * 1e6).cast("long").as("n6"),
+      round(den.cast("double") * 1e6).cast("long").as("d6"))
+      .filter(col("grp").isNotNull && col("n6").isNotNull &&
+        col("d6").isNotNull)
+    val sums = base.groupBy(col("grp"))
+      .agg(sum(col("n6").cast(dec)).as("n_g"),
+        sum(col("d6").cast(dec)).as("d_g"))
+    val tot = sums.agg(count(lit(1)).as("g"),
+      sum(col("n_g")).as("tn"), sum(col("d_g")).as("td"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("grp"), col("g"), col("tn"), col("td"),
+        when((col("td") - col("d_g")).cast("double") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("tn") - col("n_g")).cast("double") /
+            (col("td") - col("d_g")).cast("double")).as("th_loo"))
+  }
 }

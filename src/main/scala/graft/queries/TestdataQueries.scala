@@ -7288,6 +7288,85 @@ FROM r$q82Rounds"""
     graft.streaming.ActiveStream.readVolume(s, q229Z, state)
   }
 
+  // ------------------- grouped jackknife (§2.10 ext)
+  // Delete-one-SOURCE jackknife for the corpus mean-tokens-per-doc
+  // ratio: the uncertainty number row-level i.i.d. SEs fake (documents
+  // within a source are correlated). q234 = one-row summary with the
+  // normal-approx CI; q235 = the per-source influence ranking.
+  private def q234JackknifeSummary(s: SparkSession, d: String)
+      : DataFrame =
+    graft.operators.Trend.jackknifeSummary(Tables.documents(s, d),
+      col("source"), graft.functions.TextExprs.tokenCount(col("text")),
+      lit(1L))
+
+  private def q235JackknifePanel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Trend.jackknifePanel(Tables.documents(s, d),
+      col("source"), graft.functions.TextExprs.tokenCount(col("text")),
+      lit(1L))
+
+  private val q23xJackCtes =
+    """WITH base AS (SELECT source AS grp,
+      |    CAST(round(CAST(
+      |      CASE WHEN length(trim(text)) = 0 THEN 0
+      |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |      AS DOUBLE) * 1e6) AS BIGINT) AS n6,
+      |    CAST(round(CAST(1 AS DOUBLE) * 1e6) AS BIGINT) AS d6
+      |  FROM documents WHERE source IS NOT NULL),
+      |sums AS (SELECT grp, CAST(sum(CAST(n6 AS HUGEINT)) AS HUGEINT)
+      |    AS n_g,
+      |    CAST(sum(CAST(d6 AS HUGEINT)) AS HUGEINT) AS d_g
+      |  FROM base GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS g,
+      |    CAST(sum(n_g) AS HUGEINT) AS tn,
+      |    CAST(sum(d_g) AS HUGEINT) AS td FROM sums),
+      |lo AS (SELECT grp, g, tn, td,
+      |    CASE WHEN CAST(td - d_g AS DOUBLE) = 0.0 THEN NULL
+      |      ELSE CAST(tn - n_g AS DOUBLE) / CAST(td - d_g AS DOUBLE)
+      |    END AS th_loo
+      |  FROM sums CROSS JOIN tot)""".stripMargin
+
+  private val q234Sql =
+    s"""$q23xJackCtes,
+       |live AS (SELECT tn, td,
+       |    CAST(round(th_loo * 1e9) AS BIGINT) AS t9
+       |  FROM lo WHERE th_loo IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS g2, max(tn) AS tn,
+       |    max(td) AS td,
+       |    CAST(sum(CAST(t9 AS HUGEINT)) AS HUGEINT) AS s9 FROM live),
+       |w AS (SELECT a.g2, a.tn, a.td, a.s9, live.t9
+       |      FROM a CROSS JOIN live),
+       |t AS (SELECT g2, tn, td, s9, CAST(round(
+       |    (CAST(t9 AS DOUBLE) / 1e9 -
+       |      CAST(s9 AS DOUBLE) / 1e9 / CAST(g2 AS DOUBLE)) *
+       |    (CAST(t9 AS DOUBLE) / 1e9 -
+       |      CAST(s9 AS DOUBLE) / 1e9 / CAST(g2 AS DOUBLE)) * 1e12)
+       |    AS BIGINT) AS t12
+       |  FROM w),
+       |f AS (SELECT g2, tn, td, s9,
+       |    CAST(sum(CAST(t12 AS HUGEINT)) AS HUGEINT) AS ss
+       |  FROM t GROUP BY 1, 2, 3, 4)
+       |SELECT g2 AS n_groups,
+       |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) AS theta,
+       |  round(CAST(s9 AS DOUBLE) / 1e9 / CAST(g2 AS DOUBLE), 6)
+       |    AS jack_mean,
+       |  round(sqrt((CAST(g2 AS DOUBLE) - 1.0) / CAST(g2 AS DOUBLE) *
+       |    (CAST(ss AS DOUBLE) / 1e12)), 6) AS jack_se,
+       |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) -
+       |    1.96 * sqrt((CAST(g2 AS DOUBLE) - 1.0) / CAST(g2 AS DOUBLE) *
+       |      (CAST(ss AS DOUBLE) / 1e12)), 6) AS ci_lo,
+       |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) +
+       |    1.96 * sqrt((CAST(g2 AS DOUBLE) - 1.0) / CAST(g2 AS DOUBLE) *
+       |      (CAST(ss AS DOUBLE) / 1e12)), 6) AS ci_hi
+       |FROM f""".stripMargin
+
+  private val q235Sql =
+    s"""$q23xJackCtes
+       |SELECT grp, round(th_loo, 6) AS theta_loo,
+       |  round((CAST(g AS DOUBLE) - 1.0) *
+       |    (CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) - th_loo), 6)
+       |    AS influence
+       |FROM lo""".stripMargin
+
   // ------------------- Fleiss' kappa, 3 filter gates (§2.10 ext)
   // q143's agreement diagnostic generalized to the real stacked-filter
   // case: learned gate (q77 >= 0.5), Gopher rule gate (q101), and a
@@ -8021,7 +8100,9 @@ FROM r$q82Rounds"""
     "q230_streaming_active" -> (q230StreamingActive _),
     "q231_association_rules" -> (q231AssociationRules _),
     "q232_inter_arrival" -> (q232InterArrival _),
-    "q233_streaming_volume" -> (q233StreamingVolume _))
+    "q233_streaming_volume" -> (q233StreamingVolume _),
+    "q234_jackknife_summary" -> (q234JackknifeSummary _),
+    "q235_jackknife_panel" -> (q235JackknifePanel _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -8255,5 +8336,7 @@ FROM r$q82Rounds"""
     "q230_streaming_active" -> q227Sql,
     "q231_association_rules" -> q231Sql,
     "q232_inter_arrival" -> q232Sql,
-    "q233_streaming_volume" -> q229Sql)
+    "q233_streaming_volume" -> q229Sql,
+    "q234_jackknife_summary" -> q234Sql,
+    "q235_jackknife_panel" -> q235Sql)
 }

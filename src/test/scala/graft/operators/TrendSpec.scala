@@ -49,4 +49,33 @@ class TrendSpec extends SparkSpec {
     assert(got.getLong(1) === 2L) // only the two complete rows
     assert(got.get(4) === 2.0 && got.get(5) === 0.0 && got.get(6) === 1.0)
   }
+
+  test("grouped jackknife: hand leave-one-out ratios, influence, and " +
+    "the snapped-sequence summary replay") {
+    val df = Seq(
+      ("g1", 10L), ("g1", 20L), ("g2", 30L), ("g3", 50L), ("g3", 50L)
+    ).toDF("src", "v")
+    // N=160, D=5, theta=32; loo: g1 130/3, g2 130/4, g3 60/3
+    val panel = Trend.jackknifePanel(df, col("src"), col("v"), lit(1L))
+      .collect().map(_.toSeq).toSet
+    assert(panel === Set(
+      Seq("g1", 43.333333, -22.666667),
+      Seq("g2", 32.5, -1.0),
+      Seq("g3", 20.0, 24.0)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val loos = Seq(130.0 / 3.0, 130.0 / 4.0, 60.0 / 3.0)
+    val t9 = loos.map(x => math.round(x * 1e9))
+    val s9 = t9.sum
+    val mean = s9.toDouble / 1e9 / 3.0
+    val ss = t9.map { t =>
+      math.round((t.toDouble / 1e9 - mean) * (t.toDouble / 1e9 - mean)
+        * 1e12)
+    }.sum
+    val se = math.sqrt((3.0 - 1.0) / 3.0 * (ss.toDouble / 1e12))
+    val got = Trend.jackknifeSummary(df, col("src"), col("v"), lit(1L))
+      .collect().head
+    assert(got.toSeq === Seq(3L, 32.0, r6(mean), r6(se),
+      r6(32.0 - 1.96 * se), r6(32.0 + 1.96 * se)))
+  }
 }
