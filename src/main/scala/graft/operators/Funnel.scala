@@ -42,6 +42,26 @@ object Funnel {
     funnelImpl(events, key, ts, typ, stages, Some(maxGapSeconds))
   }
 
+  /** [[funnel]] per hash-split experiment bucket — the A/B view of the
+    * conversion funnel (which STAGE an experiment moved, not just the
+    * end rate [[abTest]] reports). Buckets from the portable
+    * `mixedHash(key) mod 2` — identical assignment to [[abTest]], so
+    * the two panels describe the same experiment. Output = the funnel
+    * rows with a leading `bucket` column.
+    *
+    * Scale: two filtered funnel passes — each stage filter pushes to
+    * the scan, so total scanned volume equals one unsplit funnel's. */
+  def funnelBySplit(events: DataFrame, key: Column, ts: Column,
+                    typ: Column, stages: Seq[String]): DataFrame = {
+    val b = pmod(Sketch.mixedHash(key.cast("string")), lit(2L))
+    val withB = events.withColumn("__bucket", b)
+    (0 to 1).map { i =>
+      funnel(withB.filter(col("__bucket") === i.toLong), key, ts, typ,
+        stages)
+        .select(lit(i.toLong).as("bucket"), col("*"))
+    }.reduce(_ unionByName _)
+  }
+
   private def funnelImpl(events: DataFrame, key: Column, ts: Column,
                          typ: Column, stages: Seq[String],
                          maxGapSeconds: Option[Long]): DataFrame = {
@@ -244,6 +264,58 @@ object Funnel {
     dau.join(wau, dau("dd").cast("long") === wau("wd"))
       .select(date_add(epoch, col("dd").cast("int")).as("day"),
         col("dau"), col("wau"))
+  }
+
+  /** Two-proportion z-test between hash-split user buckets — the A/B
+    * experimentation staple, run the way a data engine should: buckets
+    * from the PORTABLE `mixedHash(key) mod 2` (no RNG — the assignment
+    * replays anywhere, the [[graft.operators.Mix]] discipline),
+    * conversion = the key emitted `convertType` at least once, pooled
+    * standard error `√(p̂(1−p̂)(1/n₁+1/n₂))`, z = (p₁−p₂)/se. One row:
+    * `(n_a, n_b, conv_a, conv_b, rate_a, rate_b, z, significant)` —
+    * `z` null (and significant false) when the pooled rate is 0 or 1
+    * (no variance: identical all-or-nothing behavior in both buckets).
+    *
+    * Scale shape: one key-grain aggregate (max-of-indicator per key —
+    * the only corpus-sized shuffle) folding into a 2-row bucket table
+    * and one metadata row; exact long counts, a fixed IEEE finish
+    * snapped to 6 (z to 4). */
+  def abTest(events: DataFrame, key: Column, typ: Column,
+             convertType: String, zCrit: Double = 1.96): DataFrame = {
+    require(zCrit > 0, s"zCrit must be positive, got $zCrit")
+    val perKey = events
+      .select(key.as("k"), (typ === convertType).cast("long").as("c"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(max(col("c")).as("conv"))
+      .select(pmod(Sketch.mixedHash(col("k").cast("string")), lit(2L))
+        .as("b"), col("conv"))
+    val agg = perKey.agg(
+      sum(when(col("b") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("b") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("b") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("b") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    // ANSI-safe: clamp the bucket sizes inside the divisions; an empty
+    // bucket's outputs are forced null/false below before these leak
+    val nA = greatest(col("n_a"), lit(1L)).cast("double")
+    val nB = greatest(col("n_b"), lit(1L)).cast("double")
+    val pA = col("conv_a").cast("double") / nA
+    val pB = col("conv_b").cast("double") / nB
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      greatest(col("n_a") + col("n_b"), lit(1L)).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / nA + lit(1.0) / nB))
+    val z = (pA - pB) / se
+    val degenerate = col("n_a") === 0L || col("n_b") === 0L ||
+      pool === 0.0 || pool === 1.0
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") === 0L, lit(null).cast("double"))
+        .otherwise(round(pA, 6)).as("rate_a"),
+      when(col("n_b") === 0L, lit(null).cast("double"))
+        .otherwise(round(pB, 6)).as("rate_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(z, 4)).as("z"),
+      when(degenerate, lit(false))
+        .otherwise(abs(z) > zCrit).as("significant"))
   }
 
   /** Per-type event-volume anomaly panel — the ingest monitor that

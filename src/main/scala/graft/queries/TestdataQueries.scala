@@ -7288,6 +7288,103 @@ FROM r$q82Rounds"""
     graft.streaming.ActiveStream.readVolume(s, q229Z, state)
   }
 
+  // ------------------- A/B two-proportion z-test (§2.10 ext)
+  // Hash-split buckets (portable mixedHash mod 2 — the oracle replays
+  // every assignment), conversion = key purchased at least once,
+  // pooled-SE z. One key-grain aggregate, metadata finish.
+  private def q236AbTest(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.abTest(Tables.events(s, d), col("user_id"),
+      col("event_type"), "purchase")
+
+  private val q23xUserPoly = "list_reduce(list_transform(" +
+    "string_split(CAST(k AS VARCHAR), ''), " +
+    "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+
+  private val q236Sql =
+    s"""WITH pk AS (SELECT user_id AS k,
+       |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |bk AS (SELECT (((($q23xUserPoly * 1103515245 + 12345) %
+       |    1000000007) * 2654435761) % 1000000007) % 2 AS b, conv
+       |  FROM pk),
+       |a AS (SELECT
+       |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN b = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_a,
+       |    CAST(sum(CASE WHEN b = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_b
+       |  FROM bk),
+       |x AS (SELECT n_a, n_b, conv_a, conv_b,
+       |    CAST(conv_a AS DOUBLE) /
+       |      CAST(greatest(n_a, 1) AS DOUBLE) AS pa,
+       |    CAST(conv_b AS DOUBLE) /
+       |      CAST(greatest(n_b, 1) AS DOUBLE) AS pb,
+       |    CAST(conv_a + conv_b AS DOUBLE) /
+       |      CAST(greatest(n_a + n_b, 1) AS DOUBLE) AS pool
+       |  FROM a),
+       |y AS (SELECT *, sqrt(pool * (1.0 - pool) *
+       |    (1.0 / CAST(greatest(n_a, 1) AS DOUBLE) +
+       |     1.0 / CAST(greatest(n_b, 1) AS DOUBLE))) AS se
+       |  FROM x)
+       |SELECT n_a, n_b, conv_a, conv_b,
+       |  CASE WHEN n_a = 0 THEN NULL ELSE round(pa, 6) END AS rate_a,
+       |  CASE WHEN n_b = 0 THEN NULL ELSE round(pb, 6) END AS rate_b,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR pool = 0.0 OR pool = 1.0
+       |    THEN NULL ELSE round((pa - pb) / se, 4) END AS z,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR pool = 0.0 OR pool = 1.0
+       |    THEN FALSE ELSE abs((pa - pb) / se) > 1.96 END AS significant
+       |FROM y""".stripMargin
+
+  // ------------------- A/B split funnel (§2.10 ext)
+  // The funnel per experiment bucket (same hash assignment as q236):
+  // which STAGE the experiment moved. Two scan-pushed funnel passes.
+  private def q237SplitFunnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnelBySplit(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_type"), q191Stages)
+
+  private val q237Sql = {
+    val bExpr = s"(((($q23xUserPoly * 1103515245 + 12345) % " +
+      "1000000007) * 2654435761) % 1000000007) % 2"
+    val perBucket = (0 to 1).map { b =>
+      s"""e$b AS (SELECT user_id AS k, ts, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND $bExpr = $b),
+         |s1_$b AS (SELECT k, min(ts) AS t FROM e$b
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2_$b AS (SELECT e.k, min(e.ts) AS t FROM e$b e
+         |  JOIN s1_$b s ON e.k = s.k AND e.ts > s.t
+         |  WHERE e.event_type = 'click' GROUP BY 1),
+         |s3_$b AS (SELECT e.k, min(e.ts) AS t FROM e$b e
+         |  JOIN s2_$b s ON e.k = s.k AND e.ts > s.t
+         |  WHERE e.event_type = 'purchase' GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 1).flatMap { b =>
+      Seq(s"SELECT $b AS bucket, 1 AS stage_idx, 'view' AS stage, " +
+        s"(SELECT count(*) FROM s1_$b) AS n_keys",
+        s"SELECT $b, 2, 'click', (SELECT count(*) FROM s2_$b)",
+        s"SELECT $b, 3, 'purchase', (SELECT count(*) FROM s3_$b)")
+    }.mkString(" UNION ALL ")
+    s"""WITH $perBucket,
+       |c AS ($rows)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       |  CAST(n_keys AS BIGINT) AS n_keys,
+       |  round(CASE WHEN prev IS NULL THEN CAST(1.0 AS DOUBLE)
+       |    WHEN prev = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(n_keys AS DOUBLE) / CAST(prev AS DOUBLE) END, 6)
+       |    AS conv_from_prev,
+       |  round(CASE WHEN first_n = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(n_keys AS DOUBLE) / CAST(first_n AS DOUBLE) END, 6)
+       |    AS conv_from_first
+       |FROM (SELECT *,
+       |    lag(n_keys) OVER (PARTITION BY bucket ORDER BY stage_idx)
+       |      AS prev,
+       |    first_value(n_keys) OVER (PARTITION BY bucket
+       |      ORDER BY stage_idx) AS first_n
+       |  FROM c)""".stripMargin
+  }
+
   // ------------------- grouped jackknife (§2.10 ext)
   // Delete-one-SOURCE jackknife for the corpus mean-tokens-per-doc
   // ratio: the uncertainty number row-level i.i.d. SEs fake (documents
@@ -8102,7 +8199,9 @@ FROM r$q82Rounds"""
     "q232_inter_arrival" -> (q232InterArrival _),
     "q233_streaming_volume" -> (q233StreamingVolume _),
     "q234_jackknife_summary" -> (q234JackknifeSummary _),
-    "q235_jackknife_panel" -> (q235JackknifePanel _))
+    "q235_jackknife_panel" -> (q235JackknifePanel _),
+    "q236_ab_test" -> (q236AbTest _),
+    "q237_split_funnel" -> (q237SplitFunnel _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -8338,5 +8437,7 @@ FROM r$q82Rounds"""
     "q232_inter_arrival" -> q232Sql,
     "q233_streaming_volume" -> q229Sql,
     "q234_jackknife_summary" -> q234Sql,
-    "q235_jackknife_panel" -> q235Sql)
+    "q235_jackknife_panel" -> q235Sql,
+    "q236_ab_test" -> q236Sql,
+    "q237_split_funnel" -> q237Sql)
 }

@@ -53,6 +53,60 @@ class EventPanelsSpec extends SparkSpec {
       Seq("view", 1L, 10200.0, 10200.0)))
   }
 
+  test("abTest: buckets partition the keys, the z finish replays from " +
+    "the emitted counts, no-conversion corpus yields null z") {
+    val rows = (1 to 10).flatMap { u =>
+      val base = Seq((u * 10L, s"u$u", "view", "2024-01-01 10:00:00"))
+      if (u % 3 == 0)
+        base :+ ((u * 10L + 1L, s"u$u", "purchase", "2024-01-01 11:00:00"))
+      else base
+    }
+    val df = ev(rows: _*)
+    val r = Funnel.abTest(df, col("user_id"), col("event_type"),
+      "purchase").collect().head
+    val (na, nb, ca, cb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb === 10L && ca + cb === 3L && na > 0 && nb > 0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    assert(r.getDouble(4) === r6(pa) && r.getDouble(5) === r6(pb))
+    val pool = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    val z = (pa - pb) / se
+    assert(r.getDouble(6) ===
+      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getBoolean(7) === (math.abs(z) > 1.96))
+    // no conversions anywhere: pooled rate 0 -> no variance, null z
+    val none = Funnel.abTest(df.filter(col("event_type") =!= "purchase"),
+      col("user_id"), col("event_type"), "purchase").collect().head
+    assert(none.get(6) == null && none.getBoolean(7) === false)
+  }
+
+  test("funnelBySplit: bucket funnels partition the unsplit funnel's " +
+    "stage counts") {
+    val df = ev(
+      (1L, "u1", "view", "2024-01-01 10:00:00"),
+      (2L, "u1", "click", "2024-01-01 10:05:00"),
+      (3L, "u1", "purchase", "2024-01-01 10:10:00"),
+      (4L, "u2", "view", "2024-01-01 09:00:00"),
+      (5L, "u2", "click", "2024-01-01 09:30:00"),
+      (6L, "u3", "view", "2024-01-01 08:00:00"),
+      (7L, "u4", "click", "2024-01-01 08:00:00"))
+    val stages = Seq("view", "click", "purchase")
+    val whole = Funnel.funnel(df, col("user_id"), col("ts"),
+      col("event_type"), stages)
+      .select(col("stage_idx"), col("n_keys"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val split = Funnel.funnelBySplit(df, col("user_id"), col("ts"),
+      col("event_type"), stages)
+    val summed = split.groupBy(col("stage_idx"))
+      .agg(sum(col("n_keys")).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(summed === whole)
+    assert(split.select(col("bucket")).distinct().count() <= 2L)
+  }
+
   test("ActiveStream: both accumulated states equal one-shot under any " +
     "split, including duplicate deliveries") {
     val df = ev(
