@@ -82,7 +82,7 @@ object Trend {
     * g is effectively 1 and no resampling-based error exists). */
   def jackknifePanel(df: DataFrame, grp: Column, num: Column,
                      den: Column): DataFrame = {
-    val s = jackknifeSums(df, grp, num, den)
+    val s = jackknifeLoo(jackknifeGroupSums(df, grp, num, den))
     val g = col("g").cast("double")
     val theta = col("tn").cast("double") / col("td").cast("double")
     s.select(col("grp"),
@@ -92,8 +92,14 @@ object Trend {
 
   /** One-row jackknife summary — see [[jackknifePanel]]. */
   def jackknifeSummary(df: DataFrame, grp: Column, num: Column,
-                       den: Column): DataFrame = {
-    val s = jackknifeSums(df, grp, num, den)
+                       den: Column): DataFrame =
+    jackknifeSummaryFromSums(jackknifeGroupSums(df, grp, num, den))
+
+  /** [[jackknifeSummary]] over a pre-aggregated `(grp, n_g, d_g)`
+    * per-group decimal sum table (the streaming arm's grain —
+    * additive, so batches fold exactly under any arrival split). */
+  def jackknifeSummaryFromSums(sums: DataFrame): DataFrame = {
+    val s = jackknifeLoo(sums)
     val t9 = round(col("th_loo") * 1e9).cast("long")
     val live = s.filter(col("th_loo").isNotNull)
       .select(col("tn"), col("td"), t9.as("t9"))
@@ -122,19 +128,25 @@ object Trend {
       round(theta + lit(1.96) * se, 6).as("ci_hi"))
   }
 
-  /** Shared per-group leave-one-out table: `(grp, g, tn, td, th_loo)`
-    * — exact decimal totals replicated onto each group row. */
-  private def jackknifeSums(df: DataFrame, grp: Column, num: Column,
-                            den: Column): DataFrame = {
+  /** [[jackknifeSummary]]'s sufficient statistic: per-group exact
+    * decimal sums `(grp, n_g, d_g)` of the 1e-6-snapped num/den —
+    * ADDITIVE, hence the streaming state grain. */
+  def jackknifeGroupSums(df: DataFrame, grp: Column, num: Column,
+                         den: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val base = df.select(grp.as("grp"),
-      round(num.cast("double") * 1e6).cast("long").as("n6"),
-      round(den.cast("double") * 1e6).cast("long").as("d6"))
+    df.select(grp.as("grp"),
+        round(num.cast("double") * 1e6).cast("long").as("n6"),
+        round(den.cast("double") * 1e6).cast("long").as("d6"))
       .filter(col("grp").isNotNull && col("n6").isNotNull &&
         col("d6").isNotNull)
-    val sums = base.groupBy(col("grp"))
+      .groupBy(col("grp"))
       .agg(sum(col("n6").cast(dec)).as("n_g"),
         sum(col("d6").cast(dec)).as("d_g"))
+  }
+
+  /** Shared per-group leave-one-out table: `(grp, g, tn, td, th_loo)`
+    * — exact decimal totals replicated onto each group row. */
+  private def jackknifeLoo(sums: DataFrame): DataFrame = {
     val tot = sums.agg(count(lit(1)).as("g"),
       sum(col("n_g")).as("tn"), sum(col("d_g")).as("td"))
     sums.crossJoin(broadcast(tot))

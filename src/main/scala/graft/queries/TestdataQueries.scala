@@ -7288,6 +7288,24 @@ FROM r$q82Rounds"""
     graft.streaming.ActiveStream.readVolume(s, q229Z, state)
   }
 
+  // ------------------- streaming grouped jackknife (§2.10 ext)
+  // q234 per ingest batch: the (grp, n_g, d_g) decimal-sum state is
+  // additive, so the accumulated table equals one-shot exactly and
+  // q238 shares q234's oracle verbatim.
+  private def q238StreamingJackknife(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("jack_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.JackknifeStream.ingestBatch(s,
+        docs.filter(col("doc_id") % 3 === b), col("source"),
+        graft.functions.TextExprs.tokenCount(col("text")), lit(1L),
+        state)
+    }
+    graft.streaming.JackknifeStream.readSummary(s, state)
+  }
+
   // ------------------- A/B two-proportion z-test (§2.10 ext)
   // Hash-split buckets (portable mixedHash mod 2 — the oracle replays
   // every assignment), conversion = key purchased at least once,
@@ -8201,7 +8219,8 @@ FROM r$q82Rounds"""
     "q234_jackknife_summary" -> (q234JackknifeSummary _),
     "q235_jackknife_panel" -> (q235JackknifePanel _),
     "q236_ab_test" -> (q236AbTest _),
-    "q237_split_funnel" -> (q237SplitFunnel _))
+    "q237_split_funnel" -> (q237SplitFunnel _),
+    "q238_streaming_jackknife" -> (q238StreamingJackknife _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -8439,5 +8458,6 @@ FROM r$q82Rounds"""
     "q234_jackknife_summary" -> q234Sql,
     "q235_jackknife_panel" -> q235Sql,
     "q236_ab_test" -> q236Sql,
-    "q237_split_funnel" -> q237Sql)
+    "q237_split_funnel" -> q237Sql,
+    "q238_streaming_jackknife" -> q234Sql)
 }

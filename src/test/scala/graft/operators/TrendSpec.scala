@@ -78,4 +78,23 @@ class TrendSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L, 32.0, r6(mean), r6(se),
       r6(32.0 - 1.96 * se), r6(32.0 + 1.96 * se)))
   }
+
+  test("JackknifeStream: accumulated sums equal one-shot under any " +
+    "split; read equals the batch summary") {
+    val df = Seq(
+      ("g1", 10L), ("g1", 20L), ("g2", 30L), ("g3", 50L), ("g3", 50L)
+    ).toDF("src", "v").withColumn("id", monotonically_increasing_id())
+    val oneShot = Trend.jackknifeSummary(df, col("src"), col("v"),
+      lit(1L)).collect().map(_.toSeq).toSet
+    val state = java.nio.file.Files
+      .createTempDirectory("jack_spec").toString
+    Seq(Seq("g1"), Seq("g2", "g3"), Seq[String]()).foreach { srcs =>
+      graft.streaming.JackknifeStream.ingestBatch(spark,
+        df.filter(col("src").isin(srcs.map(lit): _*)),
+        col("src"), col("v"), lit(1L), state)
+    }
+    val streamed = graft.streaming.JackknifeStream
+      .readSummary(spark, state).collect().map(_.toSeq).toSet
+    assert(streamed === oneShot && oneShot.nonEmpty)
+  }
 }
