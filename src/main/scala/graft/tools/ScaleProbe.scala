@@ -1726,11 +1726,56 @@ object ScaleProbe {
     ()
   }
 
+  /** The q234–q238 block (UQ + experimentation) at mining scale. */
+  def ops22Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Funnel, Trend}
+    import graft.functions.TextExprs
+    val docs = genDocs(spark, 100).select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+        col("text"))
+      .cache()
+    val nD = docs.count()
+    println(s"[probe] corpus: $nD docs, 20 sources")
+    time(f"jackknifeSummary   ($nD%8d docs, 20 groups)") {
+      Trend.jackknifeSummary(docs, col("source"),
+        TextExprs.tokenCount(col("text")), lit(1L)).collect().length
+    }
+    time(f"jackknifePanel     ($nD%8d docs, 20 groups)") {
+      Trend.jackknifePanel(docs, col("source"),
+        TextExprs.tokenCount(col("text")), lit(1L)).collect().length
+    }
+    docs.unpersist()
+    val types = array(lit("view"), lit("click"), lit("purchase"),
+      lit("signup"), lit("error"))
+    val nEv = 5000000L
+    val events = spark.range(nEv).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(col("id") * 2654435761L, lit(5184000L)) * 1000000L).as("ts"),
+      pmod(col("id") * 40503L, lit(199999L)).as("user_id"),
+      element_at(types, (pmod(col("id"), lit(5)) + 1).cast("int"))
+        .as("event_type"))
+      .cache()
+    val nE = events.count()
+    println(s"[probe] events: $nE rows, 200k keys")
+    time(f"abTest             ($nE%8d events)") {
+      Funnel.abTest(events, col("user_id"), col("event_type"),
+        "purchase").collect().length
+    }
+    time(f"funnelBySplit      ($nE%8d events, 3 stages)") {
+      Funnel.funnelBySplit(events, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+        .collect().length
+    }
+    events.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
-      "ops21")
+      "ops21", "ops22")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1819,6 +1864,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops21")) {
       ops21Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops22")) {
+      ops22Probe(spark); spark.stop(); return
     }
 
     val dir = "/tmp/omm_scale"
