@@ -181,6 +181,39 @@ class PlanShapeSpec extends SparkSpec {
       "bucketing must run through the codegen'd kernel")
   }
 
+  test("q216_source_affinity: ONE reused shuffle exchange, no vector " +
+      "column crosses it, scan pruned to (embedding, label)") {
+    val p = plan("q216_source_affinity")
+    // every shuffle keys on src (the static plan repeats the identical
+    // wide-agg exchange 4x; AQE reuses one at runtime — the
+    // tools.ExecutedPlan audit in SCALE.md records 1 exchange reused 3x)
+    val exchangeBlocks = p.split("(?m)^\\(\\d+\\) ")
+      .filter(b => b.startsWith("Exchange"))
+    assert(exchangeBlocks.nonEmpty &&
+      exchangeBlocks.forall(_.contains("hashpartitioning(src")),
+      "every shuffle must key on the source")
+    // the wide aggregate's exchange carries long sums, never the array:
+    // no Exchange detail block may reference an array-typed column
+    assert(exchangeBlocks.forall(!_.contains("array<")),
+      "a vector column crossed an exchange")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>,label:int>"),
+      "scan must prune to (embedding, label)")
+  }
+
+  test("q226_rebalance: rate table broadcasts, the keep filter is " +
+      "map-side (corpus never shuffles to join)") {
+    val p = plan("q226_rebalance")
+    assert(p.contains("BroadcastHashJoin"), "rate join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle to join")
+  }
+
+  test("q236_ab_test: one key-grain exchange, metadata finish") {
+    val p = plan("q236_ab_test")
+    assert(p.contains("partial_max"), "per-key conversion must map-combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      "abTest must not join at all")
+  }
+
   test("q21_cosine_topk: scoring runs on the codegen'd vector kernel " +
       "inside a broadcast join, top-k prunes map-side") {
     val p = plan("q21_cosine_topk")
