@@ -281,12 +281,27 @@ object Funnel {
     * and one metadata row; exact long counts, a fixed IEEE finish
     * snapped to 6 (z to 4). */
   def abTest(events: DataFrame, key: Column, typ: Column,
-             convertType: String, zCrit: Double = 1.96): DataFrame = {
-    require(zCrit > 0, s"zCrit must be positive, got $zCrit")
-    val perKey = events
+             convertType: String, zCrit: Double = 1.96): DataFrame =
+    abTestFromKeyConv(abKeyConv(events, key, typ, convertType), zCrit)
+
+  /** [[abTest]]'s sufficient statistic: the per-key `(k, conv)`
+    * converted-ever indicator — max-MERGEABLE (idempotent: duplicate
+    * deliveries and any arrival split fold to the same state), the
+    * streaming arm's grain (`streaming/AbTestStream`). */
+  def abKeyConv(events: DataFrame, key: Column, typ: Column,
+                convertType: String): DataFrame =
+    events
       .select(key.as("k"), (typ === convertType).cast("long").as("c"))
       .filter(col("k").isNotNull)
       .groupBy(col("k")).agg(max(col("c")).as("conv"))
+
+  /** [[abTest]] over a pre-built per-key `(k, conv)` table; the bucket
+    * derives from the key at finish time (a pure hash function — no
+    * bucket column needs storing). */
+  def abTestFromKeyConv(perKeyConv: DataFrame, zCrit: Double)
+      : DataFrame = {
+    require(zCrit > 0, s"zCrit must be positive, got $zCrit")
+    val perKey = perKeyConv
       .select(pmod(Sketch.mixedHash(col("k").cast("string")), lit(2L))
         .as("b"), col("conv"))
     val agg = perKey.agg(

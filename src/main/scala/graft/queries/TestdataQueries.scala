@@ -7403,6 +7403,23 @@ FROM r$q82Rounds"""
        |  FROM c)""".stripMargin
   }
 
+  // ------------------- streaming A/B monitor (§2.10 ext)
+  // q236 per event poll: the per-key converted-ever state merges by
+  // MAX (idempotent — redeliveries fold away), so the accumulated
+  // verdict equals one-shot exactly and q239 shares q236's oracle.
+  private def q239StreamingAbTest(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("ab_stream")
+      .toString
+    val ev = Tables.events(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.AbTestStream.ingestBatch(s,
+        ev.filter(col("event_id") % 3 === b),
+        col("user_id"), col("event_type"), "purchase", state)
+    }
+    graft.streaming.AbTestStream.readVerdict(s, state)
+  }
+
   // ------------------- grouped jackknife (§2.10 ext)
   // Delete-one-SOURCE jackknife for the corpus mean-tokens-per-doc
   // ratio: the uncertainty number row-level i.i.d. SEs fake (documents
@@ -8220,7 +8237,8 @@ FROM r$q82Rounds"""
     "q235_jackknife_panel" -> (q235JackknifePanel _),
     "q236_ab_test" -> (q236AbTest _),
     "q237_split_funnel" -> (q237SplitFunnel _),
-    "q238_streaming_jackknife" -> (q238StreamingJackknife _))
+    "q238_streaming_jackknife" -> (q238StreamingJackknife _),
+    "q239_streaming_abtest" -> (q239StreamingAbTest _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -8459,5 +8477,6 @@ FROM r$q82Rounds"""
     "q235_jackknife_panel" -> q235Sql,
     "q236_ab_test" -> q236Sql,
     "q237_split_funnel" -> q237Sql,
-    "q238_streaming_jackknife" -> q234Sql)
+    "q238_streaming_jackknife" -> q234Sql,
+    "q239_streaming_abtest" -> q236Sql)
 }

@@ -83,6 +83,31 @@ class EventPanelsSpec extends SparkSpec {
     assert(none.get(6) == null && none.getBoolean(7) === false)
   }
 
+  test("AbTestStream: accumulated verdict equals one-shot under any " +
+    "split, redeliveries fold away") {
+    val rows = (1 to 10).flatMap { u =>
+      val base = Seq((u * 10L, s"u$u", "view", "2024-01-01 10:00:00"))
+      if (u % 3 == 0)
+        base :+ ((u * 10L + 1L, s"u$u", "purchase", "2024-01-01 11:00:00"))
+      else base
+    }
+    val df = ev(rows: _*)
+    val oneShot = Funnel.abTest(df, col("user_id"), col("event_type"),
+      "purchase").collect().map(_.toSeq).toSet
+    val state = java.nio.file.Files
+      .createTempDirectory("ab_spec").toString
+    // batch 2 redelivers batch 1's events entirely — max-merge folds it
+    Seq(df.filter(col("event_id") % 2 === 0),
+        df.filter(col("event_id") % 2 === 0),
+        df.filter(col("event_id") % 2 === 1)).foreach { b =>
+      graft.streaming.AbTestStream.ingestBatch(spark, b,
+        col("user_id"), col("event_type"), "purchase", state)
+    }
+    val streamed = graft.streaming.AbTestStream.readVerdict(spark, state)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot && oneShot.nonEmpty)
+  }
+
   test("funnelBySplit: bucket funnels partition the unsplit funnel's " +
     "stage counts") {
     val df = ev(
