@@ -304,11 +304,20 @@ object Funnel {
     val perKey = perKeyConv
       .select(pmod(Sketch.mixedHash(col("k").cast("string")), lit(2L))
         .as("b"), col("conv"))
+    // sum() over ZERO rows is null — coalesce to 0 so an empty corpus
+    // takes the documented degenerate branch (null z, significant =
+    // false) instead of null-skipping every when() below
     val agg = perKey.agg(
-      sum(when(col("b") === 0L, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("b") === 1L, 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("b") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
-      sum(when(col("b") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+        sum(when(col("b") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("b") === 0L, col("conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("b") === 1L, col("conv")).otherwise(0L))
+          .as("conv_b"))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("conv_a"), lit(0L)).as("conv_a"),
+        coalesce(col("conv_b"), lit(0L)).as("conv_b"))
     // ANSI-safe: clamp the bucket sizes inside the divisions; an empty
     // bucket's outputs are forced null/false below before these leak
     val nA = greatest(col("n_a"), lit(1L)).cast("double")
@@ -375,10 +384,12 @@ object Funnel {
     require(z > 0, s"z must be positive, got $z")
     val epoch = to_date(lit("1970-01-01"))
     val dec = "decimal(38,0)"
+    // n² in DECIMAL (not long·long — a >3e9/day feed would overflow
+    // the long multiply under ANSI where the oracle's HUGEINT doesn't)
     val stats = cnt.groupBy(col("t"))
       .agg(count(lit(1)).as("d"),
         sum(col("n").cast(dec)).as("s1"),
-        sum((col("n") * col("n")).cast(dec)).as("s2"))
+        sum(col("n").cast(dec) * col("n").cast(dec)).as("s2"))
     // leave-one-out baseline from the GLOBAL sums: the tested day is
     // excluded from its own mean/σ (see the operator doc for why)
     val nD = col("n").cast("double")
@@ -390,12 +401,24 @@ object Funnel {
     val sd = sqrt(greatest(vr, lit(0.0)))
     val withStats = cnt.join(broadcast(stats), Seq("t"))
     val dev = (nD - mean) / sd
+    // structural constant-history test, EXACT in decimal: the d−1
+    // leave-one-out days are all equal iff (d−1)·(Σn² − nᵢ²) equals
+    // (Σn − nᵢ)². The IEEE `sd === 0.0` alone misfires once daily
+    // counts pass ~2²⁶ (n·n > 2⁵³ rounds in the double cast): a truly
+    // constant history yields a tiny nonzero sd and a z-test against a
+    // near-zero sigma. sd === 0.0 is KEPT as a second guard for the
+    // converse (non-constant history whose sd cancels to 0.0 in
+    // doubles) so dev never divides by IEEE zero.
+    val nDec = col("n").cast(dec)
+    val looVar = (col("d") - 1L).cast(dec) * (col("s2") - nDec * nDec)
+    val isConst = looVar === (col("s1") - nDec) * (col("s1") - nDec)
+    val flagAny = isConst || sd === 0.0
     withStats.select(col("t").as("event_type"),
       date_add(epoch, col("dd").cast("int")).as("day"), col("n"),
-      when(col("d") === 1L || sd === 0.0, lit(null).cast("double"))
+      when(col("d") === 1L || flagAny, lit(null).cast("double"))
         .otherwise(round(dev, 4)).as("dev"),
       when(col("d") === 1L, lit(false))
-        .when(sd === 0.0, abs(nD - mean) > 0.0)
+        .when(flagAny, abs(nD - mean) > 0.0)
         .otherwise(abs(nD - mean) > sd * z)
         .as("is_spike"))
   }

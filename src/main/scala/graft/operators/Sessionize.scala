@@ -136,7 +136,12 @@ object Sessionize {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(ts.asc, tieBreak.asc)
     val gap = ts.cast("long") - lag(ts, 1).over(w).cast("long")
-    val cnts = df.select(typ.as("t"), gap.as("g"))
+    // null keys would collapse into ONE window partition and produce
+    // gaps between unrelated key-less events — drop them before the
+    // lag, the associationRules null-key contract
+    val cnts = df
+      .filter(key.map(col(_).isNotNull).reduce(_ && _))
+      .select(typ.as("t"), gap.as("g"))
       .filter(col("t").isNotNull && col("g").isNotNull)
       .groupBy(col("t"), col("g")).agg(count(lit(1)).as("c"))
     cnts.groupBy(col("t").as("event_type"))

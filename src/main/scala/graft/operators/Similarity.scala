@@ -691,6 +691,9 @@ object Similarity {
       s"clusterSilhouette needs >= 2 centroids, got ${centroids.size}")
     require(centroids.map(_._1).distinct.size == centroids.size,
       "centroid ids must be distinct")
+    val dims = centroids.head._2.size
+    require(centroids.forall(_._2.size == dims),
+      "centroid vectors must share one dimensionality")
     val v = col(vec).cast("array<double>")
     val vv = VectorExprs.norm2(v)
     val dists = centroids.map { case (cid, c) =>
@@ -704,7 +707,13 @@ object Similarity {
     val bD = element_at(col("ds"), 2)("d")
     val sil = when(greatest(aD, bD) === 0.0, lit(0.0))
       .otherwise((bD - aD) / greatest(aD, bD))
-    points.select(sorted.as("ds"))
+    points
+      // null / wrong-dims embeddings would null every distance, tie-break
+      // into the lowest centroid id, and deflate that cluster's means
+      // while inflating n_points — same fixed-dims contract as
+      // sourceAffinityRaw
+      .filter(v.isNotNull && size(v) === dims)
+      .select(sorted.as("ds"))
       .select(element_at(col("ds"), 1)("cid").as("cluster_id"),
         round(aD * 1e9).cast("decimal(38,0)").as("a9"),
         round(bD * 1e9).cast("decimal(38,0)").as("b9"),

@@ -7171,14 +7171,18 @@ FROM r$q82Rounds"""
        |      ((CAST(s1 AS DOUBLE) - CAST(n AS DOUBLE)) /
        |        CAST(greatest(d - 1, 1) AS DOUBLE)) *
        |      ((CAST(s1 AS DOUBLE) - CAST(n AS DOUBLE)) /
-       |        CAST(greatest(d - 1, 1) AS DOUBLE)), 0.0)) AS sd
+       |        CAST(greatest(d - 1, 1) AS DOUBLE)), 0.0)) AS sd,
+       |    (CAST(d - 1 AS HUGEINT) *
+       |       (s2 - CAST(n AS HUGEINT) * n) =
+       |     (s1 - n) * (s1 - n)) AS is_const
        |  FROM cnt JOIN st USING (t))
        |SELECT t AS event_type,
        |  DATE '1970-01-01' + CAST(dd AS INTEGER) AS day, n,
-       |  CASE WHEN d = 1 OR sd = 0.0 THEN NULL
+       |  CASE WHEN d = 1 OR is_const OR sd = 0.0 THEN NULL
        |    ELSE round((CAST(n AS DOUBLE) - mean) / sd, 4) END AS dev,
        |  CASE WHEN d = 1 THEN FALSE
-       |    WHEN sd = 0.0 THEN abs(CAST(n AS DOUBLE) - mean) > 0.0
+       |    WHEN is_const OR sd = 0.0
+       |      THEN abs(CAST(n AS DOUBLE) - mean) > 0.0
        |    ELSE abs(CAST(n AS DOUBLE) - mean) > sd * $q229Z END
        |    AS is_spike
        |FROM x""".stripMargin
@@ -7217,7 +7221,7 @@ FROM r$q82Rounds"""
       |         OR epoch_ms(ts) // 1000 -
       |            epoch_ms(lag(ts) OVER w) // 1000 > 3600
       |         THEN 1 ELSE 0 END AS nb
-      |  FROM events
+      |  FROM events WHERE user_id IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (SELECT user_id, event_type,
       |    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -7261,7 +7265,7 @@ FROM r$q82Rounds"""
       |    CAST(epoch_ms(ts) // 1000 - epoch_ms(lag(ts) OVER (
       |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000
       |      AS DOUBLE) AS gap
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |f AS (SELECT t, gap FROM g
       |      WHERE t IS NOT NULL AND gap IS NOT NULL)
       |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_gaps,
@@ -7664,10 +7668,12 @@ FROM r$q82Rounds"""
   }
 
   private val q218Sql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings),
-       |c AS (SELECT vec_id AS cid, v AS cv FROM e
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e0
        |      WHERE vec_id < $q218NCentroids),
+       |e AS (SELECT * FROM e0 WHERE v IS NOT NULL AND len(v) =
+       |      (SELECT len(cv) FROM c ORDER BY cid LIMIT 1)),
        |dd AS (SELECT e.vec_id, c.cid,
        |    sqrt(greatest(list_inner_product(e.v, e.v) -
        |      2.0 * list_inner_product(e.v, c.cv) +

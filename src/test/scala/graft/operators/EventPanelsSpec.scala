@@ -53,6 +53,31 @@ class EventPanelsSpec extends SparkSpec {
       Seq("view", 1L, 10200.0, 10200.0)))
   }
 
+  test("interArrival: null keys are dropped, not lumped into one " +
+    "pseudo-user window") {
+    val df = ev(
+      (1L, "u1", "view", "2024-01-01 10:00:00"),
+      (2L, "u1", "click", "2024-01-01 10:10:00"),
+      // two unrelated key-less events 1 s apart: the old behavior
+      // manufactured a 1 s "click" gap between them
+      (3L, null, "view", "2024-01-01 11:00:00"),
+      (4L, null, "click", "2024-01-01 11:00:01"))
+    val got = Sessionize.interArrival(df, Seq("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(Seq("click", 1L, 600.0, 600.0)))
+  }
+
+  test("abTest: EMPTY corpus yields the documented degenerate row " +
+    "(zero counts, null z, significant=false), not nulls") {
+    val df = ev((1L, "u1", "view", "2024-01-01 10:00:00"))
+      .filter(col("event_id") < 0L)
+    val r = Funnel.abTest(df, col("user_id"), col("event_type"),
+      "purchase").collect()
+    assert(r.length === 1)
+    assert(r.head.toSeq === Seq(0L, 0L, 0L, 0L, null, null, null, false))
+  }
+
   test("abTest: buckets partition the keys, the z finish replays from " +
     "the emitted counts, no-conversion corpus yields null z") {
     val rows = (1 to 10).flatMap { u =>

@@ -207,4 +207,21 @@ class FunnelSpec extends SparkSpec {
       Seq("B", "2024-01-02", 5L, null, false),
       Seq("C", "2024-01-01", 3L, null, false)))
   }
+
+  test("volumeAnomalyFromCounts: constant history detected " +
+    "structurally — counts past 2^26 (n² > 2^53 rounds in double) " +
+    "must not z-test against a phantom near-zero sigma") {
+    import org.apache.spark.sql.functions._
+    // 2^27 + 1: n² is NOT double-representable, so the IEEE sd of a
+    // constant history lands at a tiny nonzero value; the decimal
+    // (d−1)·(Σn²−nᵢ²) = (Σn−nᵢ)² test is exact
+    val big = (1L << 27) + 1L
+    val cnt = Seq(("A", 0L, big), ("A", 1L, big), ("A", 2L, big))
+      .toDF("t", "dd", "n")
+    val got = Funnel.volumeAnomalyFromCounts(cnt, z = 2.0)
+      .select(col("n"), col("dev"), col("is_spike"))
+      .collect().map(_.toSeq).toSet
+    // every LOO baseline is {big, big}: constant, zero deviation
+    assert(got === Set(Seq(big, null, false)))
+  }
 }

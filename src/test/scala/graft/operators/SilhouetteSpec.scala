@@ -33,6 +33,25 @@ class SilhouetteSpec extends SparkSpec {
     assert(err.getMessage.contains(">= 2 centroids"))
   }
 
+  test("silhouette drops null and wrong-dims embeddings instead of " +
+    "tie-breaking them into the lowest centroid") {
+    val cents = Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 0.0))
+    val pts = Seq(
+      Some(Seq(1.0f, 0.0f)),          // valid, c0
+      None,                           // null embedding → dropped
+      Some(Seq(3.0f)),                // ragged (1-dim) → dropped
+      Some(Seq(1.0f, 0.0f, 0.0f))     // ragged (3-dim) → dropped
+    ).toDF("embedding")
+    val got = Similarity.clusterSilhouette(pts, "embedding", cents)
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(Seq(0, 1L, 1.0, 9.0, 0.888889)))
+    val ragged = intercept[IllegalArgumentException] {
+      Similarity.clusterSilhouette(pts, "embedding",
+        Seq(0 -> Seq(0.0), 1 -> Seq(10.0, 0.0)))
+    }
+    assert(ragged.getMessage.contains("dimensionality"))
+  }
+
   test("prefixLmSplit: reconstruction, interior pivot, short docs " +
     "dropped, deterministic under repartitioning") {
     val docs = Seq(
