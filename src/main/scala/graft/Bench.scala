@@ -138,6 +138,12 @@ object Bench {
     // honest fixture-scale rep varies ±2× with JIT state; 3× is outside that
     val SpreadLimit = 3.0
     val ExtraReps = 2
+    // steal-aware verdict: hypervisor co-tenancy that inflates EVERY rep
+    // evenly never trips the median/min spread (r13: a query with ~219
+    // stolen CPU-seconds recorded spread 1.28 and flew under the flag), so
+    // a query is also contended when its stolen CPU-seconds (steal_d/100,
+    // USER_HZ=100) exceed this fraction of its summed rep wall-time
+    val StealFrac = 0.25
     case class QRes(name: String, median: Double, min: Double,
                     times: Vector[Double], load: Double, stealD: Long,
                     contended: Boolean)
@@ -169,27 +175,44 @@ object Bench {
       def median(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
       def spreadOk(ts: Vector[Double]): Boolean =
         ts.size < 2 || ts.max / ts.min.max(1e-9) <= SpreadLimit
+      def stealSoFar(): Long = {
+        val s1 = stealJiffies()
+        if (s1 >= 0 && stealQ0 >= 0) s1 - stealQ0 else -1L
+      }
+      def stealHigh(ts: Vector[Double]): Boolean = {
+        val wall = ts.sum
+        val d = stealSoFar()
+        d >= 0 && wall > 0 && d / 100.0 > StealFrac * wall
+      }
       // adaptive reps: a transient contention spike that owned one of 3 reps
       // gets outvoted by honest extras; stop once the median is within
       // SpreadLimit of the contention-immune min (median trustworthy again)
+      // AND the stolen-CPU fraction is back under StealFrac — sustained
+      // steal inflates every rep evenly, so the extras give the query more
+      // chances to land a quiet rep that pulls min (the headline companion)
+      // down even when the median stays polluted
       var extras = 0
-      while (!failed && reps > 1 && extras < ExtraReps && !spreadOk(times) &&
-             median(times) / times.min.max(1e-9) > SpreadLimit) {
+      while (!failed && reps > 1 && extras < ExtraReps &&
+             ((!spreadOk(times) &&
+               median(times) / times.min.max(1e-9) > SpreadLimit) ||
+              stealHigh(times))) {
         val t = runRep()
         if (t >= 0) times = times :+ t
         extras += 1
       }
       val med = if (failed || times.size < reps) -1.0 else median(times)
       val mn = if (times.isEmpty) -1.0 else times.min
-      // contended = the MEDIAN is still more than SpreadLimit above the
-      // contention-immune min after the extra reps — the same quantity the
-      // adaptive loop repairs (raw max/min spread can never clear once one
-      // rep spiked, so it would over-report; a transient first-rep spike
-      // that the extras outvoted is NOT contention)
+      // contended = EITHER the median is still more than SpreadLimit above
+      // the contention-immune min after the extra reps (transient spike the
+      // extras could not outvote), OR the query's stolen CPU-seconds exceed
+      // StealFrac of its summed rep wall-time (even steal the spread test
+      // is blind to). Raw max/min spread is NOT used: it can never clear
+      // once one rep spiked, so it would over-report.
       val contended = !failed && times.size >= 2 &&
-        median(times) / times.min.max(1e-9) > SpreadLimit
+        (median(times) / times.min.max(1e-9) > SpreadLimit ||
+         stealHigh(times))
       val load = loadavg()
-      val stealD = { val s1 = stealJiffies(); if (s1 >= 0 && stealQ0 >= 0) s1 - stealQ0 else -1L }
+      val stealD = stealSoFar()
       // one short evidence line per query, printed BEFORE the summary so a
       // tail capture keeps the summary; the detail file keeps everything
       rawOut.println(s"""{"q":${q(name)},"median":${r3(med)},"min":${r3(mn)},"reps":[${times.map(r3).mkString(",")}],"load":$load,"steal_d":$stealD,"contended":$contended}""")

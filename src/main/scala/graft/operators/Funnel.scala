@@ -65,9 +65,22 @@ object Funnel {
   private def funnelImpl(events: DataFrame, key: Column, ts: Column,
                          typ: Column, stages: Seq[String],
                          maxGapSeconds: Option[Long]): DataFrame = {
+    val counts = stageReached(events, key, ts, typ, stages, maxGapSeconds)
+    val perStage = counts.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n")).select(lit(i + 1).as("stage_idx"),
+        lit(st).as("stage"), col("n").cast("long").as("n_keys"))
+    }.reduce(_.union(_))
+    funnelFinish(perStage)
+  }
+
+  /** The funnel's per-stage reach cascade: for each stage, the keys that
+    * converted to it with their EARLIEST qualifying conversion time
+    * (`(k, t)` per stage). Shared with the streaming arm, whose per-key
+    * state is exactly this cascade folded wide. */
+  private[graft] def stageReached(events: DataFrame, key: Column,
+      ts: Column, typ: Column, stages: Seq[String],
+      maxGapSeconds: Option[Long]): Vector[(String, DataFrame)] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val spark = events.sparkSession
-    import spark.implicits._
     // stage 1: earliest qualifying event per key
     var reached = events.where(typ === stages.head)
       .groupBy(key.as("k")).agg(min(ts).as("t"))
@@ -85,11 +98,15 @@ object Funnel {
       reached = nxt
       counts :+= (st -> nxt)
     }
-    val perStage = counts.zipWithIndex.map { case ((st, df), i) =>
-      df.agg(count(lit(1)).as("n")).select(lit(i + 1).as("stage_idx"),
-        lit(st).as("stage"), col("n").cast("long").as("n_keys"))
-    }.reduce(_.union(_))
-    // stage-cardinality table from here on: broadcast-joined scalars
+    counts
+  }
+
+  /** Rate finish over a `(stage_idx, stage, n_keys)` table — stage-
+    * cardinality broadcast scalars; the streaming arm reads the same
+    * finish over counts derived from its state. */
+  private[graft] def funnelFinish(perStage: DataFrame): DataFrame = {
+    val spark = perStage.sparkSession
+    import spark.implicits._
     val first = perStage.where($"stage_idx" === 1)
       .select($"n_keys".as("n_first"))
     val withPrev = perStage
@@ -209,16 +226,38 @@ object Funnel {
     val touches = events.where(typ.isin(touchTypes.map(lit(_)): _*))
       .groupBy(key.as("k"), ts.as("tts"))
       .agg(max_by(typ, eventId).as("channel"))
+    attributionFinish(assignLastTouch(conv, touches, lookbackSeconds)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"), sum($"vc").as("s")))
+  }
+
+  /** Per-conversion channel assignment — the as-of core of
+    * [[lastTouchAttribution]], shared with the streaming arm (whose
+    * per-poll verdicts are FINAL under ts-monotone arrival and fold
+    * additively). `conv` is `(k, cts, vc)` with `vc` the cents-snapped
+    * value; `touches` is `(k, tts, channel)` already collapsed to one
+    * winner per (key, instant). Returns one `(channel, vc)` row per
+    * conversion. */
+  private[graft] def assignLastTouch(conv: DataFrame, touches: DataFrame,
+                                     lookbackSeconds: Long): DataFrame = {
+    val spark = conv.sparkSession
+    import spark.implicits._
     val joined = AsOfJoin.asofJoin(conv, touches, Seq("k"), "cts", "tts")
     val tooOld = unix_micros($"cts") - unix_micros($"asof_tts") >
       lookbackSeconds * 1000000L
-    joined
-      .select(when($"asof_tts".isNull || tooOld, lit("unattributed"))
-        .otherwise($"asof_channel").as("channel"), $"vc")
-      .groupBy($"channel")
-      .agg(count(lit(1)).cast("long").as("n_conversions"),
-        round(sum($"vc").cast("double") / 100.0, 2).as("attributed_value"))
+    joined.select(when($"asof_tts".isNull || tooOld, lit("unattributed"))
+      .otherwise($"asof_channel").as("channel"), $"vc")
   }
+
+  /** Channel rollup finish over an additive `(channel, n, s)` partial
+    * table (`s` = cents sum): exact long sums, one snapped division at
+    * channel grain — identical whether the partials come from one batch
+    * or from a stream's accumulated state. */
+  private[graft] def attributionFinish(partials: DataFrame): DataFrame =
+    partials.groupBy(col("channel"))
+      .agg(sum(col("n")).cast("long").as("n_conversions"),
+        round(sum(col("s")).cast("double") / 100.0, 2)
+          .as("attributed_value"))
 
   /** Daily + rolling-window active users — the DAU/WAU pair on every
     * engagement dashboard: per calendar day, EXACT distinct keys active

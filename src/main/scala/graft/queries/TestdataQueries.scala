@@ -7424,6 +7424,55 @@ FROM r$q82Rounds"""
     graft.streaming.AbTestStream.readVerdict(s, state)
   }
 
+  // ------------------- streaming windowed funnel (§2.10 ext)
+  // q196 per ingest poll under the ScdStream arrival contract (batches
+  // split on the ts VALUE, so per-key arrival is ts-monotone and equal
+  // instants co-arrive): the per-key stage-times state re-derives each
+  // touched key through the batch cascade, so the accumulated funnel
+  // equals one-shot exactly and q240 shares q196's oracle verbatim.
+  private def q240StreamingFunnel(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("funnel_stream")
+      .toString
+    tsValueBatches(s, d).foreach { b =>
+      graft.streaming.FunnelStream.ingestBatch(s, b, "user_id", "ts",
+        "event_type", q191Stages, Some(q196GapSeconds), state)
+    }
+    graft.streaming.FunnelStream.readFunnel(s, q191Stages, state)
+  }
+
+  // ------------------- streaming last-touch attribution (§2.10 ext)
+  // q197 per ingest poll, same arrival contract: per-conversion verdicts
+  // are final at their poll (no later touch can precede an already-seen
+  // conversion), fold additively into channel partials, and the per-key
+  // last-touch state is the only retention — so q241 shares q197's
+  // oracle verbatim.
+  private def q241StreamingAttribution(s: SparkSession, d: String)
+      : DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("attr_stream")
+      .toString
+    tsValueBatches(s, d).foreach { b =>
+      graft.streaming.AttributionStream.ingestBatch(s, b, "user_id",
+        "ts", "event_type", "event_id", "value", "purchase",
+        Seq("view", "click"), q197LookbackSeconds, state)
+    }
+    graft.streaming.AttributionStream.readAttribution(s, state)
+  }
+
+  /** The events table split into 3 ts-VALUE batches (the q203 pattern):
+    * boundaries cut on the timestamp value, so per-key arrival is
+    * ts-monotone and equal instants co-arrive — the documented contract
+    * of the Scd/Funnel/Attribution streams. */
+  private def tsValueBatches(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val cuts = ev.stat.approxQuantile("tsu", Array(0.33, 0.66), 0.0)
+    Seq(
+      ev.where(col("tsu") < cuts(0)),
+      ev.where(col("tsu") >= cuts(0) && col("tsu") < cuts(1)),
+      ev.where(col("tsu") >= cuts(1))).map(_.drop("tsu"))
+  }
+
   // ------------------- grouped jackknife (§2.10 ext)
   // Delete-one-SOURCE jackknife for the corpus mean-tokens-per-doc
   // ratio: the uncertainty number row-level i.i.d. SEs fake (documents
@@ -8244,7 +8293,9 @@ FROM r$q82Rounds"""
     "q236_ab_test" -> (q236AbTest _),
     "q237_split_funnel" -> (q237SplitFunnel _),
     "q238_streaming_jackknife" -> (q238StreamingJackknife _),
-    "q239_streaming_abtest" -> (q239StreamingAbTest _))
+    "q239_streaming_abtest" -> (q239StreamingAbTest _),
+    "q240_streaming_funnel" -> (q240StreamingFunnel _),
+    "q241_streaming_attribution" -> (q241StreamingAttribution _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -8484,5 +8535,7 @@ FROM r$q82Rounds"""
     "q236_ab_test" -> q236Sql,
     "q237_split_funnel" -> q237Sql,
     "q238_streaming_jackknife" -> q234Sql,
-    "q239_streaming_abtest" -> q236Sql)
+    "q239_streaming_abtest" -> q236Sql,
+    "q240_streaming_funnel" -> q196Sql,
+    "q241_streaming_attribution" -> q197Sql)
 }
