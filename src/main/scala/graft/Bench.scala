@@ -207,9 +207,13 @@ object Bench {
       // extras could not outvote), OR the query's stolen CPU-seconds exceed
       // StealFrac of its summed rep wall-time (even steal the spread test
       // is blind to). Raw max/min spread is NOT used: it can never clear
-      // once one rep spiked, so it would over-report.
-      val contended = !failed && times.size >= 2 &&
-        (median(times) / times.min.max(1e-9) > SpreadLimit ||
+      // once one rep spiked, so it would over-report. The spread clause
+      // needs >= 2 reps by construction; the steal clause is meaningful
+      // for ANY rep count — its whole point is catching even inflation a
+      // single rep cannot reveal through spread.
+      val contended = !failed && times.nonEmpty &&
+        ((times.size >= 2 &&
+          median(times) / times.min.max(1e-9) > SpreadLimit) ||
          stealHigh(times))
       val load = loadavg()
       val stealD = stealSoFar()

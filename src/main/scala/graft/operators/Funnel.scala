@@ -24,6 +24,8 @@ object Funnel {
     *
     * `stages` are matched against `typ`; rates are plain count ratios
     * (IEEE division of exact longs — deterministic cross-engine).
+    * Null-key events are excluded (see [[stageReached]]) — identical to
+    * the streaming arm, so their shared oracle holds with null keys.
     */
   def funnel(events: DataFrame, key: Column, ts: Column, typ: Column,
              stages: Seq[String]): DataFrame =
@@ -76,13 +78,21 @@ object Funnel {
   /** The funnel's per-stage reach cascade: for each stage, the keys that
     * converted to it with their EARLIEST qualifying conversion time
     * (`(k, t)` per stage). Shared with the streaming arm, whose per-key
-    * state is exactly this cascade folded wide. */
+    * state is exactly this cascade folded wide.
+    *
+    * NULL keys are excluded at stage 1 — a null key is not an entity, it
+    * can never convert past stage 1 anyway (the stage joins are
+    * null-unsafe), and the streaming arm's per-key state cannot carry a
+    * null row (it would miss every semi/anti probe and duplicate on each
+    * re-derivation). Dropping it here keeps batch ≡ stream EXACT for
+    * corpora with null keys; registered oracles filter the key
+    * null-explicitly to pin the contract. */
   private[graft] def stageReached(events: DataFrame, key: Column,
       ts: Column, typ: Column, stages: Seq[String],
       maxGapSeconds: Option[Long]): Vector[(String, DataFrame)] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    // stage 1: earliest qualifying event per key
-    var reached = events.where(typ === stages.head)
+    // stage 1: earliest qualifying event per non-null key
+    var reached = events.where(typ === stages.head && key.isNotNull)
       .groupBy(key.as("k")).agg(min(ts).as("t"))
     var counts = Vector(stages.head -> reached)
     stages.tail.foreach { st =>

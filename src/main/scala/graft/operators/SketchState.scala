@@ -70,6 +70,43 @@ object SketchState {
   def swapReplace(df: DataFrame, statePath: String): Unit =
     swapReplaceWrite(df, statePath, identity)
 
+  /** Atomic MULTI-TABLE replace: writes each `(name, df)` as a parquet
+    * subdirectory of ONE swap parent, stamps a parent-level `_SUCCESS`
+    * only after every subtable write completed, then delete+rename the
+    * parent in the usual protocol. For state that is a PAIR (or more) of
+    * tables whose consistency is joint — e.g. a rollup plus the per-key
+    * state that produced it — where two independent [[swapReplace]]s
+    * could crash between commits and leave the pair split (one table
+    * including a batch the other lacks).
+    *
+    * Crash points: during subtable writes → no parent `_SUCCESS`, swap
+    * never adopted, live pair untouched; between delete and rename →
+    * the complete swap (witnessed by the parent `_SUCCESS` that only
+    * exists once ALL subtables finished) is adopted by [[exists]] as one
+    * unit. The pair is never observable half-committed.
+    *
+    * Read subtables with `spark.read.parquet(s"$statePath/$name")` after
+    * an [[exists]] check on the PARENT path (subpaths have no swap of
+    * their own). */
+  def swapReplaceMany(spark: SparkSession, parts: Seq[(String, DataFrame)],
+                      statePath: String): Unit = {
+    require(parts.nonEmpty, "swapReplaceMany needs at least one table")
+    val live = new Path(statePath)
+    val swap = swapPath(statePath)
+    val fs = fsOf(spark, live)
+    if (fs.exists(swap)) fs.delete(swap, true) // dead previous swap
+    // caller's layout per table (rollups are metadata-sized and arrive
+    // pre-coalesced; keyed tables may legitimately be many partitions)
+    parts.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(new Path(swap, name).toString)
+    }
+    fs.create(new Path(swap, "_SUCCESS"), true).close() // joint witness
+    if (fs.exists(live)) fs.delete(live, true)
+    if (!fs.rename(swap, live))
+      throw new java.io.IOException(
+        s"SketchState: rename $swap -> $live failed")
+  }
+
   /** [[swapReplace]] for a hive-partitioned state layout (e.g. the
     * streaming IVF-PQ codes index partitioned by list_id): same
     * write-swap / delete / rename discipline, the swap just carries the

@@ -6454,7 +6454,7 @@ FROM r$q82Rounds"""
 
   private val q191Sql =
     """WITH s1 AS (SELECT user_id AS k, min(ts) AS t FROM events
-      |  WHERE event_type = 'view' GROUP BY 1),
+      |  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
       |s2 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e
       |  JOIN s1 ON e.user_id = s1.k AND e.ts > s1.t
       |  WHERE e.event_type = 'click' GROUP BY 1),
@@ -6628,7 +6628,7 @@ FROM r$q82Rounds"""
   private val q196Sql = {
     val g = q196GapSeconds * 1000000L
     s"""WITH s1 AS (SELECT user_id AS k, min(ts) AS t FROM events
-       |  WHERE event_type = 'view' GROUP BY 1),
+       |  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
        |s2 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e
        |  JOIN s1 ON e.user_id = s1.k AND e.ts > s1.t
        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + $g

@@ -25,10 +25,13 @@ import graft.operators.{Funnel, SketchState}
   * [[Funnel.assignLastTouch]] core as the batch operator — the verdict
   * per conversion is FINAL (a later touch has a later timestamp than
   * every already-processed conversion, so it can never re-win one) —
-  * then folds the channel partials and advances the per-key last touch,
-  * each under the crash-safe [[SketchState.swapReplace]]. Batch
-  * equivalence is exact, so the registered query shares the batch
-  * attribution oracle verbatim.
+  * then folds the channel partials and advances the per-key last touch
+  * in ONE [[SketchState.swapReplaceMany]] commit: both tables live as
+  * subdirectories of a single state dir swapped by one parent rename,
+  * so a crash can never land the rollup with the batch's conversions
+  * while the touch state lacks its touches (the split that two
+  * independent swaps permitted). Batch equivalence is exact, so the
+  * registered query shares the batch attribution oracle verbatim.
   *
   * Scale shape: per-poll work is batch-sized (batch keys semi-join +
   * one as-of sort-merge over batch-cardinality rows); the read finish
@@ -36,8 +39,10 @@ import graft.operators.{Funnel, SketchState}
   */
 object AttributionStream {
 
-  private def tPath(stateDir: String) = s"$stateDir/touch"
-  private def rPath(stateDir: String) = s"$stateDir/rollup"
+  // both tables under ONE swapped parent — their consistency is joint
+  private def pairPath(stateDir: String) = s"$stateDir/state"
+  private def touchSub = "touch"
+  private def rollupSub = "rollup"
 
   /** Fold one batch of events: attribute its conversions, advance the
     * per-key last-touch state. */
@@ -48,8 +53,9 @@ object AttributionStream {
                   stateDir: String): Unit = {
     require(touchTypes.nonEmpty,
       "attribution needs at least one touch type")
-    val touchP = tPath(stateDir)
-    val rollupP = rPath(stateDir)
+    require(lookbackSeconds >= 1, // the batch operator's contract, shared
+      s"lookbackSeconds must be >= 1, got $lookbackSeconds")
+    val pairP = pairPath(stateDir)
     val ev = batch.select(col(keyCol).as("k"),
       col(tsCol).cast("timestamp").as("ts"), col(typCol).as("typ"),
       col(eidCol).as("eid"), col(valCol).as("value"))
@@ -64,8 +70,8 @@ object AttributionStream {
       .agg(max_by(col("typ"), col("eid")).as("channel"),
         max(col("eid")).as("eid"))
     val prior =
-      if (SketchState.exists(spark, touchP))
-        Some(SketchState.read(spark, touchP))
+      if (SketchState.exists(spark, pairP)) // adopts an interrupted swap
+        Some(spark.read.parquet(s"$pairP/$touchSub"))
       else None
     // eligible touches for THIS batch's conversions: each conversion
     // key's stored last touch ∪ the batch's own touches (instants never
@@ -80,30 +86,38 @@ object AttributionStream {
         eligible.select("k", "tts", "channel"), lookbackSeconds)
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
-    val mergedRollup =
-      if (SketchState.exists(spark, rollupP))
-        SketchState.read(spark, rollupP).unionByName(partial)
+    val mergedRollup = prior match {
+      case Some(_) =>
+        spark.read.parquet(s"$pairP/$rollupSub").unionByName(partial)
           .groupBy(col("channel"))
           .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
-      else partial
-    SketchState.swapReplace(mergedRollup, rollupP)
+      case None => partial
+    }
     // advance the per-key last touch: max by (tts, eid)
     val mergedTouch = prior match {
       case Some(st) => st.unionByName(batchTouches)
       case None => batchTouches
     }
-    SketchState.swapReplace(
-      mergedTouch.groupBy(col("k"))
-        .agg(max_by(struct(col("tts"), col("channel"), col("eid")),
-          struct(col("tts"), col("eid"))).as("w"))
-        .select(col("k"), col("w.tts").as("tts"),
-          col("w.channel").as("channel"), col("w.eid").as("eid")),
-      touchP)
+    val nextTouch = mergedTouch.groupBy(col("k"))
+      .agg(max_by(struct(col("tts"), col("channel"), col("eid")),
+        struct(col("tts"), col("eid"))).as("w"))
+      .select(col("k"), col("w.tts").as("tts"),
+        col("w.channel").as("channel"), col("w.eid").as("eid"))
+    // ONE commit for the pair: the swap parent materializes both tables
+    // (reading the live pair is safe — the copy completes before the
+    // live dir is touched), then a single rename publishes them together
+    SketchState.swapReplaceMany(spark,
+      Seq(rollupSub -> mergedRollup.coalesce(1), touchSub -> nextTouch),
+      pairP)
   }
 
   /** The accumulated attribution — [[Funnel.attributionFinish]] over
     * the additive channel partials; equals the one-shot batch operator
     * under the arrival contract. */
-  def readAttribution(spark: SparkSession, stateDir: String): DataFrame =
-    Funnel.attributionFinish(SketchState.read(spark, rPath(stateDir)))
+  def readAttribution(spark: SparkSession, stateDir: String): DataFrame = {
+    val pairP = pairPath(stateDir)
+    SketchState.exists(spark, pairP) // adopt an interrupted swap first
+    Funnel.attributionFinish(
+      spark.read.parquet(s"$pairP/$rollupSub"))
+  }
 }

@@ -52,6 +52,33 @@ class SketchStateSpec extends SparkSpec {
       "adopted swap dir must have been renamed into place")
   }
 
+  test("swapReplaceMany: both subtables publish under one rename; an " +
+    "incomplete multi-table swap is never adopted") {
+    val p = freshPath()
+    SketchState.swapReplaceMany(spark,
+      Seq("a" -> Seq(1L).toDF("h"), "b" -> Seq(2L, 3L).toDF("h")), p)
+    assert(SketchState.exists(spark, p))
+    assert(spark.read.parquet(s"$p/a").as[Long].collect().toSeq === Seq(1L))
+    assert(spark.read.parquet(s"$p/b").as[Long].collect().sorted.toSeq
+      === Seq(2L, 3L))
+    // crash AFTER table "a" committed but before "b" finished: the swap
+    // parent has a's _SUCCESS but no PARENT-level _SUCCESS — live pair
+    // must survive untouched and the dead swap must not be adopted
+    Seq(9L).toDF("h").write.mode("overwrite").parquet(p + ".__swap/a")
+    val live = new java.io.File(p)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(live)
+    assert(!SketchState.exists(spark, p),
+      "a swap missing the parent-level witness must not be adopted")
+    // next commit clobbers the dead swap and publishes a consistent pair
+    SketchState.swapReplaceMany(spark,
+      Seq("a" -> Seq(4L).toDF("h"), "b" -> Seq(5L).toDF("h")), p)
+    assert(spark.read.parquet(s"$p/a").as[Long].collect().toSeq === Seq(4L))
+    assert(spark.read.parquet(s"$p/b").as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("kmv ingest state survives a simulated interrupted swap mid-stream") {
     val p = freshPath()
     Sketch.kmvIngestBatch(Seq("a", "b", "c").toDF("s"),

@@ -67,6 +67,27 @@ class AttributionStreamSpec extends SparkSpec {
       Seq("unattributed", 2L, 11.25)))  // u3, u1's 14:00 purchase
   }
 
+  test("pair state commits atomically: one parent dir, both subtables, " +
+    "no separate live stores") {
+    val state = tmp()
+    ingestSplit(Seq("2024-01-01 11:10:00"), state)
+    val root = new java.io.File(s"$state/state")
+    assert(root.isDirectory)
+    assert(new java.io.File(root, "touch").isDirectory)
+    assert(new java.io.File(root, "rollup").isDirectory)
+    assert(new java.io.File(root, "_SUCCESS").isFile) // the joint witness
+    assert(!new java.io.File(s"$state/state.__swap").exists)
+  }
+
+  test("rejects the zero/negative lookback the batch operator rejects") {
+    val state = tmp()
+    intercept[IllegalArgumentException] {
+      AttributionStream.ingestBatch(spark, events, "user_id", "ts",
+        "event_type", "event_id", "value", "purchase",
+        Seq("view", "click"), 0L, state)
+    }
+  }
+
   test("accumulated attribution equals one-shot under any ts-value " +
     "split") {
     Seq(

@@ -77,6 +77,33 @@ class FunnelStreamSpec extends SparkSpec {
     }
   }
 
+  test("null keys: batch funnel excludes them at stage 1, so batch " +
+    "equals stream exactly on a corpus WITH null keys") {
+    val withNulls = events.unionByName(Seq(
+      (9L, null.asInstanceOf[String], "view", "2024-01-01 10:01:00"),
+      (10L, null.asInstanceOf[String], "click", "2024-01-01 10:02:00"))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp")))
+    val oneShot = Funnel.funnel(withNulls, col("user_id"), col("ts"),
+      col("event_type"), stages).collect().map(_.toSeq).toSet
+    // identical to the null-free corpus: a null key is not an entity
+    assert(oneShot === Set(
+      Seq(1, "view", 3L, 1.0, 1.0),
+      Seq(2, "click", 2L, 0.666667, 0.666667),
+      Seq(3, "purchase", 1L, 0.5, 0.333333)))
+    val state = tmp()
+    var prev = "1970-01-01 00:00:00"
+    Seq("2024-01-01 10:20:00", "2024-01-01 12:00:00").foreach { cut =>
+      FunnelStream.ingestBatch(spark,
+        withNulls.filter(col("ts") >= ts(prev) && col("ts") < ts(cut)),
+        "user_id", "ts", "event_type", stages, None, state)
+      prev = cut
+    }
+    val streamed = FunnelStream.readFunnel(spark, stages, state)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+  }
+
   test("strict funnel: accumulated equals one-shot; pre-entry click " +
     "never counts even when it arrived first") {
     val oneShot = Funnel.funnel(events, col("user_id"), col("ts"),
