@@ -688,4 +688,171 @@ private[queries] trait TdqMix { this: TestdataQueries.type =>
        |  round(alloc_e6 / 1e6, 6) AS alloc_tokens,
        |  round(alloc_e6 / 1e6 / CAST(t_total AS DOUBLE), 6) AS epochs
        |FROM a""".stripMargin
+
+  // ------------------- full curation composition (§2.10 ext)
+  // q55 extended to the WHOLE training-set cut the brief describes, as
+  // ONE DAG: benchmark holdout (q62's doc_id-mod convention) → quality
+  // floor (q30) → raw exact dedup (q9) → normalized dedup keep-min-id
+  // (q224's key; texts whose normalized key is EMPTY — e.g. CJK under
+  // the latin strip — pass through: the stage cannot speak about them)
+  // → near-dup CC keep-representative (q19/q44) → shingle
+  // decontamination vs the holdout (q62; docs too short to shingle are
+  // vacuously clean) → rebalance to target language shares (q226's
+  // hash-keep over the SURVIVOR counts) → token-budget shards (q60).
+  // Output = (doc_id, n_tok, shard) of the final cut; every stage's
+  // semantics mirror stage-by-stage in the oracle, so stage ORDER and
+  // survivor propagation are hash-checked end to end.
+  private[queries] lazy val q242Budget = 2000L
+
+  /** Everything before the shard pass — the DAG whose plan the
+    * broadcast/no-cartesian assertions inspect ([[q242CurationInner]]'s
+    * returned plan is Shard.byBudget's RDD scan, which would pass them
+    * vacuously). Same caching contract as [[q55CurationInner]]: callers
+    * wrap in their own cleanup scope. */
+  private[graft] def q242CurationKept(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val flt = docs
+      .filter(col("doc_id") % q62BenchMod =!= 0) // the holdout never trains
+      .filter(length(trim(col("text"))) > 0)
+      .filter(round(TextExprs.qualityScore(col("text")), 6)
+        >= q55QualityFloor)
+    val ex1 = Dedup.exactDedup(flt, col("text"), col("doc_id"))
+    val normKey = trim(regexp_replace(regexp_replace(
+      TextExprs.normalizeText(col("text")), "[^a-z0-9 ]", ""),
+      "\\s+", " "))
+    val keyed = ex1.withColumn("__nk", normKey)
+    val ndd = Dedup.exactDedup(keyed.filter(length(col("__nk")) > 0),
+        col("__nk"), col("doc_id"))
+      .unionByName(keyed.filter(length(col("__nk")) === 0))
+      .drop("__nk")
+      .persist() // edges + CC vertices + semijoin + contam read it
+    val edges = NearDup.minhashLshPairs(ndd, col("doc_id"), col("text"),
+        n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val reps = graft.operators.DupClusters.connectedComponents(
+        ndd.select(col("doc_id").as("id")), edges)
+      .filter(col("id") === col("cluster_rep"))
+      .select(col("id").as("doc_id"))
+    val surv = ndd.join(reps, Seq("doc_id"), "left_semi")
+      .persist() // contamination corpus + the clean anti-join
+    val contaminated = graft.operators.Contamination.overlapVsBenchmark(
+        corpus = surv,
+        benchmark = docs.filter(col("doc_id") % q62BenchMod === 0),
+        id = col("doc_id"), text = col("text"), n = 3)
+      .filter(col("contaminated"))
+      .select(col("doc_id"))
+    val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept = graft.operators.Mix.rebalanceSample(clean, col("doc_id"),
+        col("lang"), q226Targets, q226Scale)
+      .select(col("id").as("doc_id"))
+    clean.join(kept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextExprs.tokenCount(col("text")).cast("long").as("n_tok"))
+  }
+
+  private[graft] def q242CurationInner(s: SparkSession, d: String): DataFrame =
+    graft.operators.Shard.byBudget(q242CurationKept(s, d),
+      "doc_id", "n_tok", q242Budget)
+
+  private[queries] def q242CurationFull(s: SparkSession, d: String): DataFrame =
+    graft.operators.CacheHygiene.withRddCleanup(s) {
+      graft.operators.CacheHygiene.spillToTempParquet(
+        q242CurationInner(s, d), "graft-q242-")
+    }
+
+  private[queries] lazy val q242Sql = {
+    val z = q226Targets.map(_._2).sum
+    val cats = q226Targets.map(t => s"'${t._1}'").mkString(", ")
+    val caseTgt = "CASE cat " + q226Targets.map { case (c, sh) =>
+      s"WHEN '$c' THEN CAST(${sh / z} AS DOUBLE)"
+    }.mkString(" ") + " END"
+    val poly = "list_reduce(list_transform(" +
+      "string_split(CAST(k.doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, c) -> (a * 31 + c) % 1000000007)"
+    s"""WITH RECURSIVE
+       |flt AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % $q62BenchMod <> 0 AND length(trim(text)) > 0
+       |    AND round(
+       |  $qualitySqlBody,
+       |  6) >= $q55QualityFloor),
+       |ex1 AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM flt) WHERE rn = 1),
+       |nrm AS (SELECT *,
+       |    trim(regexp_replace(
+       |      regexp_replace(trim(regexp_replace(regexp_replace(
+       |        lower(nfc_normalize(text)), '[[:cntrl:]]', ' ', 'g'),
+       |        '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'),
+       |      '\\s+', ' ', 'g')) AS nk
+       |  FROM ex1),
+       |ex AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn
+       |    FROM nrm WHERE length(nk) > 0) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT doc_id, lang, text FROM nrm WHERE length(nk) = 0),
+       |${jaccardPairsCteOver("ex")},
+       |und AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.8
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.8),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM ex
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN und e ON e.src = reach.id),
+       |labels AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+       |reps AS (
+       |  SELECT ex.doc_id, ex.lang, ex.text FROM ex
+       |  JOIN labels ON labels.id = ex.doc_id
+       |  WHERE labels.cluster_rep = ex.doc_id),
+       |ctoks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM reps),
+       |csh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS s FROM ctoks WHERE len(ts) > 0),
+       |btoks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents WHERE doc_id % $q62BenchMod = 0),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS s FROM btoks WHERE len(ts) > 0),
+       |contam AS (
+       |  SELECT c.doc_id FROM csh c LEFT JOIN bsh b ON c.s = b.s
+       |  GROUP BY c.doc_id HAVING count(b.s) * 2 >= count(*)),
+       |keep AS (
+       |  SELECT * FROM reps
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |c AS (SELECT lang AS cat, CAST(count(*) AS BIGINT) AS n
+       |  FROM keep WHERE lang IN ($cats) GROUP BY 1),
+       |x AS (SELECT cat, n, $caseTgt AS tgt FROM c),
+       |tt AS (SELECT min(CAST(n AS DOUBLE) / tgt) AS t FROM x),
+       |r AS (SELECT cat, n, tgt, least($q226Scale,
+       |    CAST(floor(round(t * tgt / CAST(n AS DOUBLE) * $q226Scale,
+       |      6)) AS BIGINT)) AS rate_bp
+       |  FROM x CROSS JOIN tt),
+       |kept AS (
+       |  SELECT k.doc_id, k.text FROM keep k JOIN r ON r.cat = k.lang
+       |  WHERE (((($poly * 1103515245 + 12345) % 1000000007) *
+       |    2654435761) % 1000000007) % $q226Scale < r.rate_bp),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |         AS BIGINT) AS n_tok
+       |  FROM kept)
+       |SELECT doc_id, n_tok,
+       |  CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // $q242Budget AS BIGINT) AS shard
+       |FROM t""".stripMargin
+  }
 }

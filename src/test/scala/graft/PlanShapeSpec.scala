@@ -252,6 +252,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q242 full curation composition: CC labels broadcast, the only " +
+      "nested-loop join is the rebalance T-scalar, no cartesian") {
+    // pre-shard stage: the registered query's own plan ends at the
+    // shard pass's RDD scan, which would pass these checks vacuously.
+    // Unlike q44/q55, one BroadcastNestedLoopJoin is LEGITIMATE here:
+    // Mix.rebalanceRates crossJoins the one-row water-level scalar (T)
+    // onto the cats-cardinality count table — a bounded broadcast of
+    // metadata, the registry-wide documented pattern. Anything beyond
+    // that single scalar join is a regression.
+    val p = graft.operators.CacheHygiene.withRddCleanup(spark) {
+      graft.queries.TestdataQueries.q242CurationKept(spark, sf)
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+    assert(!p.contains("CartesianProduct"), "grew a cartesian product")
+    // formatted explain names each node twice (tree + detail header);
+    // count the numbered detail headers — one per physical node
+    val nNlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(nNlj <= 1, s"expected at most the T-scalar nested-loop join, got $nNlj")
+    assert(p.contains("BroadcastHashJoin"),
+      "cluster labels / rate table must broadcast onto the corpus")
+    assert(p.contains("LocalTableScan"),
+      "the CC label set should enter as a driver-built local relation")
+  }
+
   /** Registry-wide structural sweep. Two permanent invariants over EVERY
     * registered query's physical plan (the returned DataFrame; internal
     * jobs of imperative sims are covered by their own specs, e.g. the q57
