@@ -646,6 +646,52 @@ object Quantize {
     }
   }
 
+  /** LEARNED per-subspace PQ codebook — the k-means upgrade over
+    * [[seedCodebook]]/[[residualSeedCodebook]] (Jégou et al. 2011's
+    * actual training step): each of the `m` subspaces gets its own
+    * k-means fit over the corpus's subvectors (sampled at
+    * `maxTrainRows`, fixed per-subspace seed), and code `c`'s codebook
+    * entry is the CONCATENATION of subspace c-th centroids — the same
+    * `(code, full-dim vector)` literal form every encode/ADC entry
+    * point already cuts per-subspace, so this is a drop-in swap at any
+    * `centroids` parameter. Train on a RESIDUAL column ([[
+    * ivfResidualCol]]) to get the learned IVFADC codebook.
+    *
+    * Why it beats seed rows: a seed-row codebook quantizes subspace j
+    * with the j-subvectors of `k` arbitrary corpus rows — those k
+    * points are a sample, not a partition, of the subspace's density,
+    * so cell radii (hence ADC error) are whatever the draw happened to
+    * give. Per-subspace k-means minimizes exactly the quantization MSE
+    * the ADC distance sums over subspaces; the recall uplift is
+    * measured in SCALE.md (q243 vs q148's seed-residual arm).
+    *
+    * Scale shape: the [[learnedCoarse]] discipline — m small sampled
+    * fits driver-side, result is an m×k literal table baked into the
+    * plan; nothing here touches the serving path's shape. Not
+    * SQL-replayable (MLlib internals), so queries built on this use
+    * the q31/q145 recall-floor oracle pattern. */
+  def learnedSubCodebooks(embs: DataFrame, vec: Column, m: Int, dim: Int,
+                          k: Int, seed: Long,
+                          maxTrainRows: Long = 100000L)
+      : Seq[(Int, Seq[Double])] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    import org.apache.spark.ml.functions.array_to_vector
+    val perSub: Seq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map { j =>
+      val fv = embs.select(array_to_vector(
+        slice(vec.cast("array<double>"), j * sub + 1, sub)).as("features"))
+      val (model, _) =
+        Similarity.fitQuantizer(fv, k, seed + j, maxTrainRows)
+      val cs = model.clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq)
+      require(cs.size == k,
+        s"subspace $j k-means returned ${cs.size} centroids, wanted $k")
+      cs
+    }
+    (0 until k).map { c =>
+      c -> (0 until m).flatMap(j => perSub(j)(c)).toIndexedSeq
+    }
+  }
+
   /** Seed-row codebook: subvectors of the designated corpus rows. */
   def seedCodebook(embs: DataFrame, id: Column, vec: Column,
                    centroidIds: Seq[Long]): Seq[(Int, Seq[Double])] = {

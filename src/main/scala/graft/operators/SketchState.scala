@@ -141,7 +141,12 @@ object SketchState {
     * before the partitioned write so each partition's rows arrive at one
     * task — the rewrite emits O(max(ideal, partitions)) files, not
     * tasks × partitions — and file counting recurses into the partition
-    * directories. */
+    * directories. The excess trigger then uses the PARTITION-DIR floor,
+    * not just the byte-ideal: a hive-partitioned state can never hold
+    * fewer files than its non-empty partition dirs, so a byte-ideal
+    * below that count would re-trigger a full rewrite on every batch
+    * (the same pathology the excess form exists to prevent, resurfacing
+    * through the directory floor instead of the flat ceiling). */
   def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int,
                       partitionCols: Seq[String] = Nil): Boolean = {
     if (maxFiles <= 0 || !exists(spark, path)) return false
@@ -150,14 +155,19 @@ object SketchState {
     val it = fs.listFiles(p, true) // recursive: flat dirs and hive layouts
     var nParts = 0L
     var totalBytes = 0L
+    val partDirs = scala.collection.mutable.HashSet.empty[String]
     while (it.hasNext) {
       val s = it.next()
       if (s.getPath.getName.startsWith("part-")) {
         nParts += 1; totalBytes += s.getLen
+        partDirs += s.getPath.getParent.toString
       }
     }
     val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val ideal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val byteIdeal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val ideal =
+      if (partitionCols.isEmpty) byteIdeal
+      else math.max(byteIdeal, partDirs.size.toLong)
     if (nParts <= math.max(maxFiles.toLong, 2L * ideal)) return false
     val n = ideal.min(nParts).toInt
     if (partitionCols.isEmpty)

@@ -989,6 +989,9 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
   // (recall >= 0.4 with margin). Measured hits@5 (seed 42, local[32]):
   //   q145  sf0.001: Σ45 (.90)   sf0.01: Σ40 (.80)   sf0.1: Σ28 (.56)
   //   q148  sf0.001: Σ45 (.90)   sf0.01: Σ40 (.80)   sf0.1: Σ34 (.68)
+  //   q243  sf0.001: Σ46 (.92)   sf0.01: Σ40 (.80)   sf0.1: Σ36 (.72)
+  // — the codebook ladder at the scale where the shortlist is tight:
+  // flat seed .56 < seed residual .68 < learned-subspace residual .72.
   // (re-measure with `runMain graft.tools.RecallMeasure`).
   private[queries] lazy val q145NProbe = 4 // half the lists: the recall queries' probe budget
   private[queries] lazy val q145Shortlist = 200 // ADC shortlist R >> k, exact-reranked
@@ -1136,6 +1139,48 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     recallFloor(q148HitsTable(s, d), q148PerQueryFloor, q148TotalFloor)
 
   private[queries] lazy val q148Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
+  // ------------------- learned-PQ IVFADC recall (§2.10 ext)
+  // q148 with the training step PQ actually prescribes (Jégou et al.
+  // 2011): per-subspace k-means codebooks fit in RESIDUAL space
+  // (Quantize.learnedSubCodebooks) replacing q148's seed-row residual
+  // codebook — same coarse quantizer, serving shape (nProbe-pruned ADC
+  // shortlist → exact re-rank), floors discipline, and recall-floor
+  // oracle. The measured uplift vs the seed arm is in SCALE.md
+  // (`runMain graft.tools.RecallMeasure` prints all three arms).
+  private[queries] lazy val q243PerQueryFloor = 1L
+  private[queries] lazy val q243TotalFloor = 20L
+
+  private[graft] def q243HitsTable(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val coarse = graft.operators.Quantize.learnedCoarse(embs,
+      col("embedding"), nLists = 8, seed = 42L)
+    val listC = graft.operators.Quantize.ivfListCol(col("embedding"),
+      coarse)
+    val resC = graft.operators.Quantize.ivfResidualCol(col("embedding"),
+      coarse, listC)
+    val rb = graft.operators.Quantize.learnedSubCodebooks(embs, resC,
+      pqM, pqDim, k = pqSeedIds.size, seed = 7L)
+    val codes = graft.operators.Quantize.pqEncode(embs, col("vec_id"),
+        resC, rb, pqM, pqDim, keep = Seq(listC.as("list_id")))
+      .drop("distortion")
+    val qset = embs.filter(col("vec_id") < 10)
+    val shortlist = graft.operators.Quantize.ivfPqResidualTopK(codes,
+      qset, "vec_id", "embedding", coarse, rb, pqM, pqDim, q145NProbe,
+      k = q145Shortlist)
+    val ann = graft.operators.Quantize.rerankL2(shortlist, embs, qset,
+      "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopKL2(embs, qset,
+      "vec_id", "embedding", k = 5)
+    recallHits(qset, ann, exact)
+  }
+
+  private[queries] def q243LearnedPqRecall(s: SparkSession, d: String): DataFrame =
+    recallFloor(q243HitsTable(s, d), q243PerQueryFloor, q243TotalFloor)
+
+  private[queries] lazy val q243Sql =
     s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
        |FROM range(10)""".stripMargin
 

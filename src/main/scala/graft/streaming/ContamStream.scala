@@ -35,16 +35,27 @@ import graft.operators.SketchState
   * excess-triggered compaction):
   *  - `bench`     distinct benchmark gram hashes (h1, h2) — the 128-bit
   *                key of the batch operator, gram TEXT never persists
-  *  - `grams`     (id, h1, h2) accumulated doc-gram index
+  *  - `grams`     (id, h1, h2) accumulated doc-gram index,
+  *                HIVE-PARTITIONED by `b = pmod(h1, nBuckets)` (the
+  *                [[IvfPqStream]] layout discipline: ingest layout ==
+  *                probe layout)
   *  - `docstats`  (id, n_shingles) one row per doc, appended on arrival
   *  - `hits`      (id, n_hits) per-batch overlap increments
   *
   * Scale shape per batch: one shingle explode of the BATCH (never the
   * accumulated corpus), one join of batch-grams against the bench set,
   * one join of the gram index against the benchmark INCREMENT — the
-  * index side is corpus-sized but the probe side is increment-sized, so
-  * per-poll cost tracks what actually changed. The final read joins two
-  * id-keyed metadata tables (no text, no grams). */
+  * index side is corpus-sized but the probe side is increment-sized,
+  * and the probe reads ONLY the increment's hash buckets (partition
+  * pruning on `b`; matching index rows share the increment gram's h1,
+  * hence its bucket). The pruning law is explicit: a k-gram increment
+  * touches at most min(k, nBuckets) buckets — expected coverage
+  * nBuckets·(1−(1−1/nBuckets)^k) — so SMALL increments (the production
+  * cadence: one eval suite registered at a time, k ≈ 10²–10³ grams vs
+  * thousands of buckets at 100 TB index scale) read a k/nBuckets
+  * sliver, while a bulk backfill honestly degrades to the full scan it
+  * genuinely needs (its grams cover every bucket). The final read joins
+  * two id-keyed metadata tables (no text, no grams). */
 object ContamStream {
 
   case class BatchResult(newDocs: Long, newBenchGrams: Long, newHits: Long)
@@ -62,10 +73,15 @@ object ContamStream {
     * `newBench` (id, text) benchmark arrivals — either may be empty.
     * Corpus ids must be globally unique across the stream's life and
     * disjoint from benchmark membership (the batch operator's caller
-    * contract). */
+    * contract). `nBuckets` is the gram-index hash-bucket count; it must
+    * stay CONSTANT across a stream's life (it is baked into the state
+    * layout) — size it so the expected benchmark increment is smaller
+    * than it (see the pruning law in the class doc). */
   def ingestBatch(spark: SparkSession, newDocs: DataFrame,
                   newBench: DataFrame, stateDir: String, n: Int = 3,
-                  compactAfterFiles: Int = 64): BatchResult = {
+                  compactAfterFiles: Int = 64,
+                  nBuckets: Int = 64): BatchResult = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val benchPath = p(stateDir, "bench")
     val gramsPath = p(stateDir, "grams")
     val statsPath = p(stateDir, "docstats")
@@ -110,10 +126,20 @@ object ContamStream {
         case _ => None
       }
       // hits for OLD docs: the accumulated gram index probes ONLY the
-      // increment — per-poll cost tracks the benchmark delta
+      // increment — and only the increment's HASH BUCKETS of the index:
+      // a matching index row carries the same h1, hence the same bucket,
+      // so restricting the scan to the increment's bucket set loses
+      // nothing. The bucket list is collected (bounded: ≤ nBuckets ints)
+      // so the restriction is a plan literal → static hive-partition
+      // pruning at the file source, no runtime-filter machinery.
       val hitsOld = newBenchGrams match {
         case Some(inc) if nBenchInc > 0 && SketchState.exists(spark, gramsPath) =>
-          Some(spark.read.parquet(gramsPath).join(inc, Seq("h1", "h2"))
+          val bks = inc
+            .select(pmod(col("h1"), lit(nBuckets.toLong)).cast("int").as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          Some(spark.read.parquet(gramsPath)
+            .where(col("b").isin(bks: _*))
+            .join(inc, Seq("h1", "h2"))
             .groupBy(col("id")).agg(count(lit(1)).as("n_hits")))
         case _ => None
       }
@@ -122,16 +148,23 @@ object ContamStream {
       val nHits = hits.map(_.agg(coalesce(sum(col("n_hits")), lit(0L)))
         .head().getLong(0)).getOrElse(0L)
 
-      // appends: increments only, never a rewrite of accumulated state
+      // appends: increments only, never a rewrite of accumulated state.
+      // The gram index appends in its bucket layout — repartition(b)
+      // clusters each bucket's rows into one task, so a batch adds at
+      // most min(nBuckets, its distinct buckets) files, not tasks×dirs.
       hits.foreach(_.write.mode("append").parquet(hitsPath))
       newDocGrams.foreach { dg =>
         dg.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
           .write.mode("append").parquet(statsPath)
-        dg.write.mode("append").parquet(gramsPath)
+        dg.withColumn("b", pmod(col("h1"), lit(nBuckets.toLong)).cast("int"))
+          .repartition(col("b"))
+          .write.mode("append").partitionBy("b").parquet(gramsPath)
       }
       newBenchGrams.foreach(_.write.mode("append").parquet(benchPath))
-      Seq(benchPath, gramsPath, statsPath, hitsPath)
+      Seq(benchPath, statsPath, hitsPath)
         .foreach(SketchState.compactIfNeeded(spark, _, compactAfterFiles))
+      SketchState.compactIfNeeded(spark, gramsPath, compactAfterFiles,
+        partitionCols = Seq("b"))
 
       hits.foreach(_.unpersist())
       newDocGrams.foreach(_.unpersist())

@@ -126,8 +126,13 @@ object ScaleProbe {
     * (16×-spread); at each, ONE document poll (5k new docs, no benchmark
     * change — expected ~flat: new grams probe only the bounded benchmark
     * set) and ONE benchmark poll (200 new suites, no new docs — expected
-    * linear map-side in the gram index: the broadcast-increment join
-    * scans the index once, no index shuffle). Results in SCALE.md. */
+    * sub-linear since round 15: the gram index is hive-bucketed by
+    * pmod(h1, nBuckets) and the probe prunes to the increment's buckets;
+    * a 200-suite increment covers every bucket, so it still pays the
+    * full scan it genuinely needs). Two extra polls at the largest
+    * corpus witness the pruning LAW: one suite (~148 grams → expected
+    * coverage 256·(1−(1−1/256)^148) ≈ 112/256 buckets ≈ 44 % of the
+    * index) and one gram (1/256 of the index). Results in SCALE.md. */
   def contamStreamProbe(spark: SparkSession): Unit = {
     import graft.streaming.ContamStream
     def text(idc: org.apache.spark.sql.Column) =
@@ -151,6 +156,7 @@ object ScaleProbe {
       spark.range(2000).select(col("id"), text(col("id")).as("text")),
       benchInc, warm)
     ContamStream.ingestBatch(spark, docBatch, empty, warm)
+    val nB = 256 // buckets sized so the 1-suite poll shows the law
     Seq(25000L, 100000L, 400000L).foreach { nCorpus =>
       val base = s"/tmp/ct_probe_$nCorpus"
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -160,15 +166,69 @@ object ScaleProbe {
         .select((col("id") + 850000000L).as("id"),
           text(col("id") + 500000000L).as("text"))
       time(f"ct seed       corpus=$nCorpus%7d") {
-        ContamStream.ingestBatch(spark, corpus, bench0, base)
+        ContamStream.ingestBatch(spark, corpus, bench0, base, nBuckets = nB)
       }
       time(f"ct doc-poll   corpus=$nCorpus%7d (5k docs)") {
-        ContamStream.ingestBatch(spark, docBatch, empty, base)
+        ContamStream.ingestBatch(spark, docBatch, empty, base, nBuckets = nB)
       }
       time(f"ct bench-poll corpus=$nCorpus%7d (200 suites)") {
-        ContamStream.ingestBatch(spark, empty, benchInc, base)
+        ContamStream.ingestBatch(spark, empty, benchInc, base, nBuckets = nB)
+      }
+      // the pruning-law witnesses: ONE suite (~112/256 expected buckets)
+      // and ONE gram (1/256) against the same accumulated index
+      val oneSuite = spark.range(1)
+        .select((col("id") + 870000000L + nCorpus).as("id"),
+          text(col("id") + 400000000L + nCorpus).as("text"))
+      time(f"ct bench-poll corpus=$nCorpus%7d (1 suite)") {
+        ContamStream.ingestBatch(spark, empty, oneSuite, base, nBuckets = nB)
+      }
+      val oneGram = spark.range(1)
+        .select((col("id") + 880000000L + nCorpus).as("id"),
+          concat(lit("zq"), lit(nCorpus), lit(" zr"), lit(nCorpus),
+            lit(" zs"), lit(nCorpus)).as("text"))
+      time(f"ct bench-poll corpus=$nCorpus%7d (1 gram)") {
+        ContamStream.ingestBatch(spark, empty, oneGram, base, nBuckets = nB)
       }
     }
+    contamFilesWitness(spark)
+  }
+
+  /** The SCAN-side witness for the bucketed gram index, free of the
+    * fixture-scale fixed costs that blur the poll wall clocks: the
+    * numFiles metric of the exact read hitsOld performs, full vs
+    * bucket-pruned, over the state the `ct` probe leaves behind. At
+    * 100 TB bytes dominate and this fraction IS the cost law.
+    * Standalone mode `ctfiles` (requires a prior `ct` run). */
+  def contamFilesWitness(spark: SparkSession): Unit = {
+    val nB = 256
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      // execute THIS df's plan (df.count() builds a different Dataset
+      // whose run would leave these metrics untouched)
+      df.queryExecution.toRdd.count()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case s: QueryStageExec => unwrap(s.plan)
+        case other => other
+      }
+      def scans(p: SparkPlan): Seq[Long] = {
+        val h = unwrap(p)
+        val here = h match {
+          case f: FileSourceScanExec => Seq(f.metrics("numFiles").value)
+          case _ => Nil
+        }
+        here ++ h.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan).sum
+    }
+    val idx = spark.read.parquet("/tmp/ct_probe_400000/grams")
+    val full = filesRead(idx)
+    val one = filesRead(idx.where(col("b").isin(7)))
+    val suite = filesRead(idx.where(col("b").isin(0 until 112: _*)))
+    println(s"[probe] ct grams-index files read: full=$full " +
+      s"1-bucket=$one 112-bucket(1-suite coverage)=$suite " +
+      s"(pruning law: k-gram increment reads ≤ min(k,$nB)/$nB of the index)")
   }
 
   /** Crossover measurement for NearDupStream's verify-side corpus access
@@ -1771,11 +1831,70 @@ object ScaleProbe {
     ()
   }
 
+  /** The q242 end-to-end curation composition at mining scale, with
+    * EXECUTED-plan scan accounting — the q175/q201 lazy-recompute lesson
+    * generalized to the whole DAG: the wall figure says what the cut
+    * costs; the scan counts say how many times the corpus was actually
+    * read (the quality/normalize/dedup chain must hit parquet ONCE and
+    * feed every downstream consumer from the persisted dedup table).
+    * Corpus = sf0.01 documents ×`mult` with per-copy perturbed text, so
+    * each base doc becomes a near-dup family of `mult` members — CC
+    * edges ≈ 500·mult²/2, the worst-case-by-construction dup regime. */
+  def ops23Probe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(4, 20).foreach { mult =>
+      val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      val dir = s"/tmp/ops23_$mult"
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(mult).crossJoin(base).select(
+          (col("doc_id") + col("id") * 500L).as("doc_id"),
+          col("lang"),
+          concat(col("text"), lit(" copy"), col("id")).as("text"))
+        .write.parquet(s"$dir/documents.parquet")
+      val nD = 500L * mult
+      time(f"ops23 full DAG      ($nD%7d docs, families of $mult)") {
+        graft.operators.CacheHygiene.withRddCleanup(spark) {
+          graft.queries.TestdataQueries.q242CurationInner(spark, dir)
+            .count()
+        }
+      }
+      // scan accounting: execute the pre-shard stage and walk its FINAL
+      // adaptive plan — parquet scans say how often the corpus was read,
+      // InMemoryTableScans say how often the persisted dedup table fed a
+      // consumer instead of a recompute
+      graft.operators.CacheHygiene.withRddCleanup(spark) {
+        val kept = graft.queries.TestdataQueries
+          .q242CurationKept(spark, dir)
+        kept.count()
+        def unwrap(p: SparkPlan): SparkPlan = p match {
+          case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+          case s: QueryStageExec => unwrap(s.plan)
+          case other => other
+        }
+        def walk(p: SparkPlan): Seq[String] = {
+          val h = unwrap(p)
+          h.nodeName +: (h.children.flatMap(walk) ++
+            h.subqueries.flatMap(walk))
+        }
+        val names = walk(kept.queryExecution.executedPlan)
+        println(s"[probe] ops23 kept-stage executed plan (mult=$mult): " +
+          s"parquetScans=${names.count(_.contains("Scan parquet"))} " +
+          s"inMemoryScans=${names.count(_.contains("InMemoryTableScan"))} " +
+          s"shuffles=${names.count(_ == "Exchange")} " +
+          s"broadcasts=${names.count(_ == "BroadcastExchange")} " +
+          s"reused=${names.count(_.startsWith("Reused"))}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
-      "ops21", "ops22")
+      "ops21", "ops22", "ops23", "ctfiles")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1804,6 +1923,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("nd")) {
       nearDupStreamProbe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops23")) {
+      ops23Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ctfiles")) {
+      contamFilesWitness(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return

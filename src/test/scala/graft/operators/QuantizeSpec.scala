@@ -444,4 +444,41 @@ class QuantizeSpec extends SparkSpec {
       nLists = 4, seed = 7L)
     assert(again === coarse)
   }
+
+  test("learnedSubCodebooks: k-means subspace codebook recovers planted " +
+    "clusters, beats the seed codebook's distortion, deterministic") {
+    // two tight planted clusters PER SUBSPACE: sub1 around (0,0)/(100,100),
+    // sub2 around (50,50)/(-50,-50) — k-means with k=2 must land one
+    // centroid in each ball, so every row encodes within its ball's
+    // radius and total distortion is far below the seed codebook built
+    // from rows 0 and 1 (both from the SAME balls — the other balls
+    // quantize to a distant centroid under it)
+    val pts = (0 until 40).map { i =>
+      val b1 = if (i % 2 == 0) 0.0 else 100.0
+      val b2 = if (i % 4 < 2) 50.0 else -50.0
+      (i.toLong, Seq(b1 + (i % 5) * 0.1, b1 + (i % 7) * 0.1,
+        b2 + (i % 3) * 0.1, b2 + (i % 11) * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val learned = Quantize.learnedSubCodebooks(df, col("embedding"),
+      m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 1000L)
+    assert(learned.size === 2)
+    assert(learned.forall(_._2.size === 4))
+    def totalDistortion(cb: Seq[(Int, Seq[Double])]): Double =
+      Quantize.pqEncode(df, col("vec_id"), col("embedding"), cb,
+          m = 2, dim = 4)
+        .agg(sum(col("distortion"))).head().getDouble(0)
+    val dl = totalDistortion(learned)
+    val ds = totalDistortion(Quantize.seedCodebook(df, col("vec_id"),
+      col("embedding"), Seq(0L, 1L)))
+    // every planted ball has radius < 1.2; a recovered codebook keeps
+    // per-row distortion < 4, while the seed codebook strands half of
+    // sub2's rows ~100 units from both centroids
+    assert(dl < 40 * 4.0, s"learned distortion $dl not within ball radii")
+    assert(dl < ds / 100,
+      s"learned $dl should be orders below seed $ds on planted clusters")
+    val again = Quantize.learnedSubCodebooks(df, col("embedding"),
+      m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 1000L)
+    assert(again === learned, "fixed seed must pin the codebook")
+  }
 }

@@ -48,6 +48,27 @@ class ContamStreamSpec extends SparkSpec {
     }
   }
 
+  test("gram index is hive-bucketed and the bucket-pruned probe is " +
+    "exact at any nBuckets (incl. 1 = no pruning possible)") {
+    for (nb <- Seq(1, 7, 64)) {
+      val state = Files.createTempDirectory("contamstream").toString
+      // docs first, benchmark second — forces the bucket-pruned
+      // old-docs probe to produce EVERY hit
+      ContamStream.ingestBatch(spark, corpus, bench.limit(0), state,
+        n = 3, nBuckets = nb)
+      ContamStream.ingestBatch(spark, corpus.limit(0), bench, state,
+        n = 3, nBuckets = nb)
+      val got = ContamStream.contamination(spark, state)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(got === oneShot, s"nBuckets=$nb diverged from batch")
+      val dirs = new java.io.File(s"$state/grams").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("b="))
+      assert(dirs.nonEmpty && dirs.forall { d =>
+        val v = d.stripPrefix("b=").toInt; v >= 0 && v < nb
+      }, s"expected b=<0..${nb - 1}> partition dirs, got ${dirs.toSeq}")
+    }
+  }
+
   test("benchmark-after-docs: hits land when the gram side arrives late") {
     val state = Files.createTempDirectory("contamstream").toString
     // all docs first, benchmark only in the second batch
