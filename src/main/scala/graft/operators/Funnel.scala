@@ -144,13 +144,22 @@ object Funnel {
     * broadcast (cohort-cardinality table).
     */
   def weeklyRetention(events: DataFrame, key: Column, ts: Column): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val week = date_trunc("week", ts).cast("date")
     val firstWeek = events.groupBy(key.as("k"))
       .agg(min(ts).as("t0"))
-      .select($"k", date_trunc("week", $"t0").cast("date").as("cw"))
+      .select(col("k"), date_trunc("week", col("t0")).cast("date").as("cw"))
     val activeWeeks = events.select(key.as("k"), week.as("aw")).distinct()
+    retentionFinish(firstWeek, activeWeeks)
+  }
+
+  /** The retention rollup over the two sufficient statistics — per-key
+    * cohort week `(k, cw)` and distinct activity weeks `(k, aw)`.
+    * Shared with the streaming arm, whose state is exactly these two
+    * tables accumulated (min-merged / distinct-appended). */
+  private[graft] def retentionFinish(firstWeek: DataFrame,
+                                     activeWeeks: DataFrame): DataFrame = {
+    val spark = firstWeek.sparkSession
+    import spark.implicits._
     val cells = activeWeeks.join(firstWeek, Seq("k"))
       .groupBy($"cw", (datediff($"aw", $"cw") / 7).cast("int").as("week_offset"))
       .agg(count(lit(1)).cast("long").as("n_active"))

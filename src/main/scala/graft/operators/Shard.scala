@@ -45,10 +45,16 @@ object Shard {
     * `orderCol` (long) order against `budget` per shard. Output columns:
     * (orderCol, weightCol, shard). Contract: both columns non-null and
     * weights non-negative (ids and token counts in every registered
-    * use); a null would fail the tuple encoder loudly, not corrupt. */
+    * use); a null would fail the tuple encoder loudly, not corrupt.
+    * `startWeight` seeds the global prefix sum (default 0): the
+    * streaming arm passes the accumulated weight of everything already
+    * sharded, so an incremental batch lands exactly where the one-shot
+    * pass over the whole corpus would have put it. */
   def byBudget(df: DataFrame, orderCol: String, weightCol: String,
-      budget: Long, partitions: Int = 0): DataFrame = {
+      budget: Long, partitions: Int = 0,
+      startWeight: Long = 0L): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(startWeight >= 0, s"startWeight must be >= 0, got $startWeight")
     val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions
@@ -73,7 +79,7 @@ object Shard {
       }
       .collect()
     val offsets = new Array[Long](totals.length)
-    var acc = 0L
+    var acc = startWeight
     totals.sortBy(_._1).foreach { case (pid, s) => offsets(pid) = acc; acc += s }
     val bc = spark.sparkContext.broadcast(offsets)
     // pass 3: stream each sorted partition adding its exclusive offset

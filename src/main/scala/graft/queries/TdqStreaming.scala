@@ -740,4 +740,49 @@ private[queries] trait TdqStreaming { this: TestdataQueries.type =>
     }
     graft.streaming.OovStream.readRates(s, state, q195MinCount)
   }
+
+  // ------------------- streaming weekly retention (§2.10 ext)
+  // q192 per event poll. BOTH sufficient statistics are order-free
+  // (min-merged cohort instants, distinct activity weeks), so the
+  // accumulated matrix equals one-shot for ANY arrival split — no
+  // ts-monotone contract at all. The polls here deliberately split by
+  // USER HASH, not time (each batch spans the whole timeline), to
+  // register that freedom; q244 shares q192's oracle verbatim.
+  private[queries] def q244StreamingRetention(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("ret_stream")
+      .toString
+    val ev = Tables.events(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.RetentionStream.ingestBatch(s,
+        ev.filter(pmod(xxhash64(col("user_id")), lit(3L)) === b),
+        "user_id", "ts", state)
+    }
+    graft.streaming.RetentionStream.readRetention(s, state)
+  }
+
+  // ------------------- streaming token-budget shards (§2.10 ext)
+  // q60 per arrival poll: documents are packed into training shards the
+  // moment they land, assignments FINAL at their poll (one carried
+  // number — the accumulated weight — seeds each batch's prefix sum),
+  // and the accumulated sink is row-identical to the one-shot q60 pass,
+  // so q245 shares q60's oracle verbatim. Arrival splits on the doc_id
+  // value (the ScdStream contract on the order column).
+  private[queries] def q245StreamingShards(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("shard_stream")
+      .toString
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextExprs.tokenCount(col("text")).cast("long")
+        .as("n_tok"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val lo = mm.getLong(0) - 1
+    val span = mm.getLong(1) - lo
+    val bounds = Seq(lo, lo + span / 3, lo + 2 * span / 3, Long.MaxValue)
+    (0 until 3).foreach { b =>
+      graft.streaming.ShardStream.ingestBatch(s,
+        docs.filter(col("doc_id") > bounds(b) &&
+          col("doc_id") <= bounds(b + 1)),
+        "doc_id", "n_tok", q60Budget, state)
+    }
+    graft.streaming.ShardStream.readShards(s, state)
+  }
 }
