@@ -785,4 +785,83 @@ private[queries] trait TdqStreaming { this: TestdataQueries.type =>
     }
     graft.streaming.ShardStream.readShards(s, state)
   }
+
+  // ------------------- streaming corpus curation (§2.10 ext)
+  // The training-set builder run incrementally: every poll is quality-
+  // gated, deduplicated against everything already ACCEPTED, shingle-
+  // decontaminated against the fixed q62 holdout, and packed into
+  // token-budget shards — each document's fate final at its poll. The
+  // honest streaming subset of q242 (near-dup CC and rebalancing are
+  // global decisions and deliberately stay batch); under id-value
+  // splits keep-first-seen == keep-min-id, so the accumulated sink is
+  // row-identical to the one-shot quality → exact-dedup → decontaminate
+  // → shard cascade the oracle replays.
+  private[queries] def q246StreamingCuration(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("curation_stream")
+      .toString
+    val docs = Tables.documents(s, d)
+    graft.streaming.CurationStream.installBenchmark(s,
+      docs.filter(col("doc_id") % q62BenchMod === 0), "text", n = 3,
+      stateDir = state)
+    val corpus = docs.filter(col("doc_id") % q62BenchMod =!= 0)
+    val mm = corpus.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val lo = mm.getLong(0) - 1
+    val span = mm.getLong(1) - lo
+    val bounds = Seq(lo, lo + span / 3, lo + 2 * span / 3, Long.MaxValue)
+    (0 until 3).foreach { b =>
+      graft.streaming.CurationStream.ingestBatch(s,
+        corpus.filter(col("doc_id") > bounds(b) &&
+          col("doc_id") <= bounds(b + 1)),
+        "doc_id", "text", q55QualityFloor, n = 3, budget = q60Budget,
+        stateDir = state)
+    }
+    graft.streaming.CurationStream.readCurated(s, state)
+  }
+
+  private[queries] lazy val q246Sql =
+    s"""WITH flt AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % $q62BenchMod <> 0 AND length(trim(text)) > 0
+       |    AND round(
+       |  $qualitySqlBody,
+       |  6) >= $q55QualityFloor),
+       |ex AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM flt) WHERE rn = 1),
+       |ctoks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM ex),
+       |csh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS s FROM ctoks WHERE len(ts) > 0),
+       |btoks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents WHERE doc_id % $q62BenchMod = 0),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS s FROM btoks WHERE len(ts) > 0),
+       |contam AS (
+       |  SELECT c.doc_id FROM csh c LEFT JOIN bsh b ON c.s = b.s
+       |  GROUP BY c.doc_id HAVING count(b.s) * 2 >= count(*)),
+       |keep AS (
+       |  SELECT * FROM ex
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |         AS BIGINT) AS n_tok
+       |  FROM keep)
+       |SELECT doc_id AS id, n_tok,
+       |  CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // $q60Budget AS BIGINT) AS shard
+       |FROM t""".stripMargin
 }
