@@ -1890,11 +1890,65 @@ object ScaleProbe {
     }
   }
 
+  /** The round-15 streaming arms at mining scale: CurationStream's
+    * per-poll cost must be FLAT in the accumulated corpus (the seen
+    * store is probed by an anti-join whose build side is the BATCH, the
+    * holdout probe is a fixed broadcast, the shard pass range-shuffles
+    * only the batch), and RetentionStream/ShardStream per-poll costs
+    * must likewise track the batch. Three accumulated sizes, one
+    * identical poll at each. */
+  def ops24Probe(spark: SparkSession): Unit = {
+    import graft.streaming.{CurationStream, RetentionStream, ShardStream}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def text(idc: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(0), lit(99)),
+        i => concat(lit("the w"), pmod(hash(idc * 31 + i), lit(100000)))))
+    val bench = spark.range(500)
+      .select((col("id") + 900000000L).as("doc_id"),
+        text(col("id") + 800000000L).as("text"))
+    val poll = 5000L
+    Seq(25000L, 100000L, 400000L).foreach { nCorpus =>
+      val base = s"/tmp/ops24_$nCorpus"
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      CurationStream.installBenchmark(spark, bench, "text", n = 3,
+        stateDir = base)
+      val seed = spark.range(nCorpus)
+        .select(col("id").as("doc_id"), text(col("id")).as("text"))
+      time(f"ops24 curation seed  corpus=$nCorpus%7d") {
+        CurationStream.ingestBatch(spark, seed, "doc_id", "text",
+          qualityFloor = 0.2, n = 3, budget = 100000L, stateDir = base)
+      }
+      val batch = spark.range(poll)
+        .select((col("id") + nCorpus).as("doc_id"),
+          text(col("id") + 500000000L).as("text"))
+      time(f"ops24 curation poll  corpus=$nCorpus%7d (5k docs)") {
+        CurationStream.ingestBatch(spark, batch, "doc_id", "text",
+          qualityFloor = 0.2, n = 3, budget = 100000L, stateDir = base)
+      }
+      // retention: same flat-poll claim over an accumulated event state
+      val rBase = s"/tmp/ops24r_$nCorpus"
+      fs.delete(new org.apache.hadoop.fs.Path(rBase), true)
+      val ev0 = spark.range(nCorpus).select(
+        pmod(col("id"), lit(200000L)).as("user_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(col("id") * 2654435761L, lit(5184000L)) * 1000000L).as("ts"))
+      RetentionStream.ingestBatch(spark, ev0, "user_id", "ts", rBase)
+      val ev1 = spark.range(poll).select(
+        pmod(col("id") * 7L, lit(200000L)).as("user_id"),
+        timestamp_micros(lit(1709251200000000L) +
+          pmod(col("id") * 40503L, lit(2592000L)) * 1000000L).as("ts"))
+      time(f"ops24 retention poll corpus=$nCorpus%7d (5k events)") {
+        RetentionStream.ingestBatch(spark, ev1, "user_id", "ts", rBase)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
-      "ops21", "ops22", "ops23", "ctfiles")
+      "ops21", "ops22", "ops23", "ctfiles", "ops24")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1929,6 +1983,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ctfiles")) {
       contamFilesWitness(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops24")) {
+      ops24Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return
