@@ -692,6 +692,193 @@ object Quantize {
     }
   }
 
+  /** LEARNED OPQ: the rotation + per-subspace codebook pair trained by
+    * alternating minimization (Ge et al. 2013, "Optimized Product
+    * Quantization" — the non-parametric OPQ_NP loop):
+    *
+    *   repeat: (1) k-means each subspace of the ROTATED sample;
+    *           (2) orthogonal Procrustes — with A = Xᵀ·C (data ×
+    *               reconstruction cross-covariance) and SVD A = UΣVᵀ,
+    *               the distortion-minimizing orthogonal update is
+    *               R = V·Uᵀ;
+    *
+    * which monotonically lowers quantization MSE — the thing ADC error
+    * sums — below what ANY fixed rotation (identity = plain PQ, the
+    * q117 random rotation = OPQ-lite) gives on correlated data. Returns
+    * `(rotation rows, codebook)` in the exact literal forms
+    * [[graft.operators.Similarity.rpProject]] and every encode/ADC
+    * entry point already take — a drop-in upgrade of the q117/q173
+    * serving shape.
+    *
+    * Scale shape: the WHOLE loop runs driver-side on a deterministic
+    * sample (`maxTrainRows` × dim doubles ≈ 1 MB at the defaults — the
+    * learnedCoarse / seed-codebook bounded-literal discipline; this is
+    * a training step, not a serving path), with its own seeded Lloyd
+    * iterations so no MLlib fit enters the loop. Rotation and codebook
+    * emerge as plan literals; serving cost is IDENTICAL to the
+    * random-rotation arm. Not SQL-replayable (LAPACK SVD) → recall-
+    * floor oracle, the q31/q145 pattern. */
+  def learnedOpq(embs: DataFrame, vec: Column, m: Int, dim: Int, k: Int,
+                 seed: Long, iters: Int = 4, maxTrainRows: Int = 2000)
+      : (Seq[Seq[Double]], Seq[(Int, Seq[Double])]) = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(iters >= 1 && k >= 1 && maxTrainRows >= k)
+    val sub = dim / m
+    val all = embs.select(vec.cast("array<double>").as("v"))
+    val n0 = all.count()
+    val sample =
+      (if (n0 <= maxTrainRows) all
+       else all.sample(withReplacement = false,
+         maxTrainRows.toDouble / n0, seed))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val n = sample.length
+    require(n >= k, s"sample too small: $n rows for k=$k")
+    import breeze.linalg.{DenseMatrix, eigSym, svd => bsvd}
+    val x = DenseMatrix.tabulate(n, dim)((i, j) => sample(i)(j))
+    // INIT: eigen-rotation with balanced eigenvalue allocation (the OPQ
+    // paper's parametric seed). Procrustes refinement is LOCAL — from
+    // the identity it cannot discover a rotation that un-mixes variance
+    // split across a subspace boundary (the k-means reconstruction of
+    // mixed data is itself near-axis-aligned, so the cross-covariance
+    // keeps R at the identity fixed point). The eigenbasis diagonalizes
+    // the second moment, and greedy allocation (each eigenvector to the
+    // non-full subspace with the smallest Σ log λ) balances information
+    // across subspaces — the AM loop then refines from a basin that
+    // actually contains the product structure.
+    var rot = {
+      // CENTERED covariance for the init only (the rotation still
+      // applies to raw vectors): the uncentered second moment's
+      // mean×mean cross terms would smear factor axes together
+      val means = Array.tabulate(dim)(j =>
+        (0 until n).map(i => x(i, j)).sum / n)
+      val xc = DenseMatrix.tabulate(n, dim)((i, j) => x(i, j) - means(j))
+      val cov = (xc.t * xc) *:* (1.0 / n)
+      val es = eigSym(cov)
+      val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+      val buckets = Array.fill(m)(List.empty[Int])
+      val logSum = Array.fill(m)(0.0)
+      order.foreach { ei =>
+        val j = (0 until m).filter(buckets(_).size < sub)
+          .minBy(b => (logSum(b), b))
+        buckets(j) = buckets(j) :+ ei
+        logSum(j) += math.log(math.max(es.eigenvalues(ei), 1e-12))
+      }
+      val r = DenseMatrix.zeros[Double](dim, dim)
+      var row = 0
+      for (j <- 0 until m; ei <- buckets(j)) {
+        // sign-normalize: largest-|component| entry positive
+        val v = es.eigenvectors(::, ei)
+        val piv = (0 until dim).maxBy(t => (math.abs(v(t)), -t))
+        val sgn = if (v(piv) < 0) -1.0 else 1.0
+        for (t <- 0 until dim) r(row, t) = sgn * v(t)
+        row += 1
+      }
+      r
+    }
+    // deterministic Lloyd's per subspace: farthest-first init (one
+    // LCG-seeded start row, then greedy max-min-distance picks, ties to
+    // the lower index — lands one seed per well-separated mode), ties
+    // to the lower code, fixed iteration count
+    def kmeansSub(y: DenseMatrix[Double], j: Int): Array[Array[Double]] = {
+      val off = j * sub
+      val s0 = seed * 6364136223846793005L + j * 1442695040888963407L
+      val first = (((s0 >>> 33) % n) + n).toInt % n
+      def d2(a: Int, b: Int): Double = {
+        var d = 0.0; var t = 0
+        while (t < sub) {
+          val df = y(a, off + t) - y(b, off + t); d += df * df; t += 1
+        }
+        d
+      }
+      val picked = scala.collection.mutable.ArrayBuffer(first)
+      val minD = Array.tabulate(n)(i => d2(i, first))
+      while (picked.size < k) {
+        var best = -1; var bd = -1.0
+        var i = 0
+        while (i < n) {
+          if (minD(i) > bd) { bd = minD(i); best = i }
+          i += 1
+        }
+        picked += best
+        i = 0
+        while (i < n) {
+          val d = d2(i, best); if (d < minD(i)) minD(i) = d; i += 1
+        }
+      }
+      var cents = picked.toArray.map(r =>
+        Array.tabulate(sub)(c => y(r, off + c)))
+      for (_ <- 0 until 15) {
+        val sums = Array.fill(k, sub)(0.0)
+        val cnts = Array.fill(k)(0L)
+        var i = 0
+        while (i < n) {
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val df = y(i, off + t) - cents(c)(t); d += df * df; t += 1
+            }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < sub) { sums(best)(t) += y(i, off + t); t += 1 }
+          cnts(best) += 1
+          i += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (cnts(c) > 0) Array.tabulate(sub)(t => sums(c)(t) / cnts(c))
+          else cents(c)) // empty cell keeps its centroid (deterministic)
+      }
+      cents
+    }
+    for (_ <- 0 until iters) {
+      val y = x * rot.t // serving convention: y = R·x per row
+      val perSub = (0 until m).map(j => kmeansSub(y, j))
+      // reconstruction C (n × dim) under the current assignment
+      val c = DenseMatrix.zeros[Double](n, dim)
+      for (j <- 0 until m) {
+        val off = j * sub
+        val cents = perSub(j)
+        var i = 0
+        while (i < n) {
+          var best = 0; var bd = Double.MaxValue
+          var cc = 0
+          while (cc < k) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val df = y(i, off + t) - cents(cc)(t); d += df * df; t += 1
+            }
+            if (d < bd) { bd = d; best = cc }
+            cc += 1
+          }
+          var t = 0
+          while (t < sub) { c(i, off + t) = cents(best)(t); t += 1 }
+          i += 1
+        }
+      }
+      // Procrustes update: A = Xᵀ·C, R = V·Uᵀ (min ‖X·Rᵀ − C‖ over
+      // orthogonal R)
+      val a = x.t * c
+      val s = bsvd(a)
+      rot = s.Vt.t * s.U.t
+    }
+    // the loop leaves the rotation one step AHEAD of the last-trained
+    // codebook — retrain once against the final rotation so the served
+    // pair is consistent
+    val yF = x * rot.t
+    val perSubF = (0 until m).map(j => kmeansSub(yF, j))
+    val codebook = (0 until k).map(cc =>
+      (0 until m).flatMap(j => perSubF(j)(cc)).toArray).toArray
+    val rotRows = (0 until dim).map(i =>
+      (0 until dim).map(j => rot(i, j)).toIndexedSeq)
+    val cb = codebook.zipWithIndex.map { case (cv, code) =>
+      code -> cv.toIndexedSeq
+    }.toIndexedSeq
+    (rotRows, cb)
+  }
+
   /** Seed-row codebook: subvectors of the designated corpus rows. */
   def seedCodebook(embs: DataFrame, id: Column, vec: Column,
                    centroidIds: Seq[Long]): Seq[(Int, Seq[Double])] = {

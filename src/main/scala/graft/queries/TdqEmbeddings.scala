@@ -1184,6 +1184,46 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
        |FROM range(10)""".stripMargin
 
+  // ------------------- learned OPQ recall (§2.10 ext)
+  // q173's rotated-PQ serving shape with BOTH halves trained: the
+  // rotation and the per-subspace codebooks come from the OPQ
+  // alternating-minimization loop (Quantize.learnedOpq — Procrustes
+  // rotation updates against per-subspace k-means), instead of q117's
+  // seed-117 random rotation + seed-row codebook. Same two-stage ADC
+  // shortlist → exact original-space re-rank; LAPACK SVD is not
+  // SQL-replayable, so the oracle is the q243-style recall floor, and
+  // the measured ladder vs the random-rotation arm is in SCALE.md.
+  private[queries] lazy val q247PerQueryFloor = 1L
+  private[queries] lazy val q247TotalFloor = 20L
+
+  private[graft] def q247HitsTable(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val (rotM, cb) = graft.operators.Quantize.learnedOpq(embs,
+      col("embedding"), pqM, pqDim, k = pqSeedIds.size, seed = 11L)
+    val rot = embs.select(col("vec_id"),
+      Similarity.rpProject(col("embedding").cast("array<double>"), rotM)
+        .as("rvec"))
+    val codes = graft.operators.Quantize.pqEncode(rot, col("vec_id"),
+        col("rvec"), cb, pqM, pqDim)
+      .drop("distortion")
+    val qset = rot.filter(col("vec_id") < 10)
+    val shortlist = graft.operators.Quantize.pqAdcTopK(codes, qset,
+      "vec_id", "rvec", cb, pqM, pqDim, k = q145Shortlist)
+    val origQ = embs.filter(col("vec_id") < 10)
+    val ann = graft.operators.Quantize.rerankL2(shortlist, embs, origQ,
+      "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopKL2(embs, origQ,
+      "vec_id", "embedding", k = 5)
+    recallHits(origQ, ann, exact)
+  }
+
+  private[queries] def q247LearnedOpqRecall(s: SparkSession, d: String): DataFrame =
+    recallFloor(q247HitsTable(s, d), q247PerQueryFloor, q247TotalFloor)
+
+  private[queries] lazy val q247Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
   // ------------------- OPQ-rotation ADC recall (§2.10 ext)
   // The recall arm for the LAST quantization family member without one:
   // q117's rotated-space PQ in the standard two-stage serving shape (ADC

@@ -10,6 +10,38 @@ import org.apache.spark.sql.SparkSession
   * codebook comparison). Usage:
   * sbt "runMain graft.tools.RecallMeasure [sfDir ...]" */
 object RecallMeasure {
+
+  private def randRotHits(spark: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Quantize, Similarity}
+    val embs = spark.read.parquet(s"$d/embeddings.parquet")
+    val rotM = Similarity.orthogonalMatrix(64, seed = 117L)
+    val rot = embs.select(col("vec_id"),
+      Similarity.rpProject(col("embedding").cast("array<double>"), rotM)
+        .as("rvec"))
+    val cb = Quantize.learnedSubCodebooks(rot, col("rvec"),
+      m = 8, dim = 64, k = 16, seed = 7L)
+    val codes = Quantize.pqEncode(rot, col("vec_id"), col("rvec"), cb,
+      m = 8, dim = 64).drop("distortion")
+    val qset = rot.filter(col("vec_id") < 10)
+    val shortlist = Quantize.pqAdcTopK(codes, qset, "vec_id", "rvec",
+      cb, m = 8, dim = 64, k = 200)
+    val origQ = embs.filter(col("vec_id") < 10)
+    val ann = Quantize.rerankL2(shortlist, embs, origQ, "vec_id",
+        "embedding", k = 5)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val exact = Similarity.bruteForceTopKL2(embs, origQ, "vec_id",
+        "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("an")).as("hits"))
+      .select(col("query_id"), col("hits"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -28,7 +60,14 @@ object RecallMeasure {
         "q148 ivfadc learned" ->
           graft.queries.TestdataQueries.q148HitsTable(spark, d),
         "q243 learned-pq     " ->
-          graft.queries.TestdataQueries.q243HitsTable(spark, d)
+          graft.queries.TestdataQueries.q243HitsTable(spark, d),
+        "q247 learned-opq    " ->
+          graft.queries.TestdataQueries.q247HitsTable(spark, d),
+        // the like-for-like comparator for q247: SAME serving config
+        // (full ADC shortlist 200 → exact re-rank, 10 queries, k=5,
+        // learned subspace codebooks) but the q117-style RANDOM
+        // rotation — isolates what LEARNING the rotation buys
+        "rand-rot + learned-cb" -> randRotHits(spark, d)
       ).foreach { case (name, hits) =>
         val rows = hits.orderBy("query_id").collect()
           .map(r => s"${r.getLong(0)}->${r.getLong(1)}")

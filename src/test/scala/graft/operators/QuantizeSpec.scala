@@ -481,4 +481,50 @@ class QuantizeSpec extends SparkSpec {
       m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 1000L)
     assert(again === learned, "fixed seed must pin the codebook")
   }
+
+  test("learnedOpq: orthogonal rotation, deterministic, redistributes " +
+    "factors that crowd one subspace under axis-aligned PQ") {
+    // the textbook OPQ win (eigenvalue allocation): BOTH independent
+    // 4-level factors live in subspace 1's dims (0, 1) while subspace 2
+    // carries only jitter — axis-aligned k=4 must cover 16 (f0, f1)
+    // combos with 4 codes (it clusters by the 30-spaced f0 and eats
+    // f1's variance as error), while OPQ's allocation moves one factor
+    // axis into the idle subspace, giving each subspace exactly 4
+    // levels and near-jitter distortion
+    val pts = (0 until 64).map { i =>
+      val f0 = (i % 4) * 30.0 + (i % 3) * 0.01
+      val f1 = ((i / 4) % 4) * 10.0 + (i % 5) * 0.01
+      (i.toLong, Seq(f0, f1, (i % 7) * 0.01, (i % 11) * 0.01))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val (rot, cb) = Quantize.learnedOpq(df, col("embedding"),
+      m = 2, dim = 4, k = 4, seed = 5L, iters = 6, maxTrainRows = 1000)
+    // orthogonality: R·Rᵀ = I to numerical precision
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dotij = (0 until 4).map(t => rot(i)(t) * rot(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dotij - want) < 1e-9, s"R·Rᵀ[$i][$j] = $dotij")
+    }
+    def distortion(rotM: Seq[Seq[Double]],
+                   book: Seq[(Int, Seq[Double])]): Double = {
+      val r = df.select(col("vec_id"), graft.operators.Similarity
+        .rpProject(col("embedding").cast("array<double>"), rotM)
+        .as("rv"))
+      Quantize.pqEncode(r, col("vec_id"), col("rv"), book, m = 2, dim = 4)
+        .agg(sum(col("distortion"))).head().getDouble(0)
+    }
+    val idRot = (0 until 4).map(i => (0 until 4).map(j =>
+      if (i == j) 1.0 else 0.0))
+    val axisCb = Quantize.learnedSubCodebooks(df, col("embedding"),
+      m = 2, dim = 4, k = 4, seed = 5L, maxTrainRows = 1000L)
+    val dOpq = distortion(rot, cb)
+    val dAxis = distortion(idRot, axisCb)
+    // jitter is < 0.11 per dim; the crowded layout forces axis-aligned
+    // error on f1's 10-unit level spacing (~125/row over 64 rows)
+    assert(dOpq < dAxis / 10,
+      s"OPQ distortion $dOpq should be far below axis-aligned $dAxis")
+    val (rot2, cb2) = Quantize.learnedOpq(df, col("embedding"),
+      m = 2, dim = 4, k = 4, seed = 5L, iters = 6, maxTrainRows = 1000)
+    assert(rot2 === rot && cb2 === cb, "fixed seed must pin the pair")
+  }
 }
