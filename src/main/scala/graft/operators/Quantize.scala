@@ -665,31 +665,103 @@ object Quantize {
     * the ADC distance sums over subspaces; the recall uplift is
     * measured in SCALE.md (q243 vs q148's seed-residual arm).
     *
-    * Scale shape: the [[learnedCoarse]] discipline — m small sampled
-    * fits driver-side, result is an m×k literal table baked into the
+    * Scale shape: ONE corpus pass total. The training sample is a
+    * hash-ordered top-`maxTrainRows` (per-partition top-k + driver
+    * merge — `TakeOrderedAndProject`, no global sort, no count() pass),
+    * so it is (a) bounded at `maxTrainRows × dim` doubles ≈ 1 MB on the
+    * driver and (b) PARTITION-INVARIANT: the same rows come back in the
+    * same order under any repartitioning, so the codebook is
+    * bit-identical across layouts (QuantizeSpec pins this). All m
+    * subspace fits then slice that one driver array and run the same
+    * seeded farthest-first Lloyd as [[learnedOpq]] — deterministic, no
+    * MLlib in the path. Result is an m×k literal table baked into the
     * plan; nothing here touches the serving path's shape. Not
-    * SQL-replayable (MLlib internals), so queries built on this use
-    * the q31/q145 recall-floor oracle pattern. */
+    * SQL-replayable (k-means), so queries built on this use the
+    * q31/q145 recall-floor oracle pattern. */
   def learnedSubCodebooks(embs: DataFrame, vec: Column, m: Int, dim: Int,
                           k: Int, seed: Long,
-                          maxTrainRows: Long = 100000L)
+                          maxTrainRows: Int = 2000)
       : Seq[(Int, Seq[Double])] = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(maxTrainRows >= k, s"maxTrainRows=$maxTrainRows < k=$k")
     val sub = dim / m
-    import org.apache.spark.ml.functions.array_to_vector
-    val perSub: Seq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map { j =>
-      val fv = embs.select(array_to_vector(
-        slice(vec.cast("array<double>"), j * sub + 1, sub)).as("features"))
-      val (model, _) =
-        Similarity.fitQuantizer(fv, k, seed + j, maxTrainRows)
-      val cs = model.clusterCenters.toIndexedSeq.map(_.toArray.toIndexedSeq)
-      require(cs.size == k,
-        s"subspace $j k-means returned ${cs.size} centroids, wanted $k")
-      cs
+    val sample = embs.select(vec.cast("array<double>").as("v"))
+      .orderBy(xxhash64(lit(seed), col("v")), col("v"))
+      .limit(maxTrainRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = sample.length
+    require(n >= k, s"sample too small: $n rows for k=$k")
+    import breeze.linalg.DenseMatrix
+    val y = DenseMatrix.tabulate(n, dim)((i, j) => sample(i)(j))
+    val perSub = (0 until m).map { j =>
+      lloydSubspace(y, n, j * sub, sub, k,
+        seed * 6364136223846793005L + j * 1442695040888963407L)
     }
     (0 until k).map { c =>
-      c -> (0 until m).flatMap(j => perSub(j)(c)).toIndexedSeq
+      c -> (0 until m).flatMap(j => perSub(j)(c).toIndexedSeq).toIndexedSeq
     }
+  }
+
+  /** Deterministic driver-side Lloyd over one subspace of a sample
+    * matrix (shared by [[learnedSubCodebooks]] and [[learnedOpq]]):
+    * farthest-first init (one LCG-seeded start row, then greedy
+    * max-min-distance picks, ties to the lower index — lands one seed
+    * per well-separated mode), assignment ties to the lower code, fixed
+    * 15 iterations, empty cells keep their centroid. Pure function of
+    * (matrix contents, offsets, k, s0) — no RNG state, no MLlib. */
+  private def lloydSubspace(y: breeze.linalg.DenseMatrix[Double], n: Int,
+                            off: Int, sub: Int, k: Int, s0: Long)
+      : Array[Array[Double]] = {
+    val first = (((s0 >>> 33) % n) + n).toInt % n
+    def d2(a: Int, b: Int): Double = {
+      var d = 0.0; var t = 0
+      while (t < sub) {
+        val df = y(a, off + t) - y(b, off + t); d += df * df; t += 1
+      }
+      d
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(first)
+    val minD = Array.tabulate(n)(i => d2(i, first))
+    while (picked.size < k) {
+      var best = -1; var bd = -1.0
+      var i = 0
+      while (i < n) {
+        if (minD(i) > bd) { bd = minD(i); best = i }
+        i += 1
+      }
+      picked += best
+      i = 0
+      while (i < n) {
+        val d = d2(i, best); if (d < minD(i)) minD(i) = d; i += 1
+      }
+    }
+    var cents = picked.toArray.map(r =>
+      Array.tabulate(sub)(c => y(r, off + c)))
+    for (_ <- 0 until 15) {
+      val sums = Array.fill(k, sub)(0.0)
+      val cnts = Array.fill(k)(0L)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val df = y(i, off + t) - cents(c)(t); d += df * df; t += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var t = 0
+        while (t < sub) { sums(best)(t) += y(i, off + t); t += 1 }
+        cnts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnts(c) > 0) Array.tabulate(sub)(t => sums(c)(t) / cnts(c))
+        else cents(c)) // empty cell keeps its centroid (deterministic)
+    }
+    cents
   }
 
   /** LEARNED OPQ: the rotation + per-subspace codebook pair trained by
@@ -775,64 +847,12 @@ object Quantize {
       }
       r
     }
-    // deterministic Lloyd's per subspace: farthest-first init (one
-    // LCG-seeded start row, then greedy max-min-distance picks, ties to
-    // the lower index — lands one seed per well-separated mode), ties
-    // to the lower code, fixed iteration count
-    def kmeansSub(y: DenseMatrix[Double], j: Int): Array[Array[Double]] = {
-      val off = j * sub
-      val s0 = seed * 6364136223846793005L + j * 1442695040888963407L
-      val first = (((s0 >>> 33) % n) + n).toInt % n
-      def d2(a: Int, b: Int): Double = {
-        var d = 0.0; var t = 0
-        while (t < sub) {
-          val df = y(a, off + t) - y(b, off + t); d += df * df; t += 1
-        }
-        d
-      }
-      val picked = scala.collection.mutable.ArrayBuffer(first)
-      val minD = Array.tabulate(n)(i => d2(i, first))
-      while (picked.size < k) {
-        var best = -1; var bd = -1.0
-        var i = 0
-        while (i < n) {
-          if (minD(i) > bd) { bd = minD(i); best = i }
-          i += 1
-        }
-        picked += best
-        i = 0
-        while (i < n) {
-          val d = d2(i, best); if (d < minD(i)) minD(i) = d; i += 1
-        }
-      }
-      var cents = picked.toArray.map(r =>
-        Array.tabulate(sub)(c => y(r, off + c)))
-      for (_ <- 0 until 15) {
-        val sums = Array.fill(k, sub)(0.0)
-        val cnts = Array.fill(k)(0L)
-        var i = 0
-        while (i < n) {
-          var best = 0; var bd = Double.MaxValue
-          var c = 0
-          while (c < k) {
-            var d = 0.0; var t = 0
-            while (t < sub) {
-              val df = y(i, off + t) - cents(c)(t); d += df * df; t += 1
-            }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          var t = 0
-          while (t < sub) { sums(best)(t) += y(i, off + t); t += 1 }
-          cnts(best) += 1
-          i += 1
-        }
-        cents = Array.tabulate(k)(c =>
-          if (cnts(c) > 0) Array.tabulate(sub)(t => sums(c)(t) / cnts(c))
-          else cents(c)) // empty cell keeps its centroid (deterministic)
-      }
-      cents
-    }
+    // deterministic Lloyd's per subspace — the shared
+    // [[lloydSubspace]] kernel (same seeding discipline as
+    // learnedSubCodebooks)
+    def kmeansSub(y: DenseMatrix[Double], j: Int): Array[Array[Double]] =
+      lloydSubspace(y, n, j * sub, sub, k,
+        seed * 6364136223846793005L + j * 1442695040888963407L)
     for (_ <- 0 until iters) {
       val y = x * rot.t // serving convention: y = R·x per row
       val perSub = (0 until m).map(j => kmeansSub(y, j))

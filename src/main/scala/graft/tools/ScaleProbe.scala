@@ -1944,11 +1944,75 @@ object ScaleProbe {
     }
   }
 
+  /** Round-16 probe: the q243 training path after the refit (the r15
+    * weak flag — VERDICT r15 "What's wrong" #1). learnedSubCodebooks
+    * must now read the corpus ONCE (a hash-ordered
+    * TakeOrderedAndProject sample collected driver-side, then m local
+    * Lloyd fits over slices of that one array), where the r15
+    * formulation ran m independent MLlib fits, each paying its own
+    * count() + persist-materialize scan (~2m corpus passes). Measured
+    * here with a scan-STAGE counter (completed stages whose RDD chain
+    * contains a FileScanRDD — i.e. how many stages re-read parquet),
+    * on the exact q243 training column (IVF residuals) at two SFs,
+    * with the r15 shape replayed inline for the machine-recorded
+    * delta. Timing is secondary to the pass count: at 100 TB the old
+    * path's extra 2m−1 scans ARE the cost. */
+  def ops26Probe(spark: SparkSession): Unit = {
+    val scanStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit =
+        if (s.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          scanStages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def counted[A](label: String)(body: => A): A = {
+      // the listener bus is async (and private[spark]) — a short drain
+      // sleep around the measured region is enough for a dev probe
+      Thread.sleep(1500); scanStages.set(0)
+      val t0 = System.nanoTime()
+      val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500)
+      println(f"[probe] ops26 $label%-38s scanStages=${scanStages.get}%3d wall=$wall%7.2fs")
+      r
+    }
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val embs = spark.read.parquet(s"$d/embeddings.parquet")
+      val coarse = graft.operators.Quantize.learnedCoarse(embs,
+        col("embedding"), nLists = 8, seed = 42L)
+      val listC = graft.operators.Quantize.ivfListCol(col("embedding"),
+        coarse)
+      val resC = graft.operators.Quantize.ivfResidualCol(col("embedding"),
+        coarse, listC)
+      val (m, dim, k) = (8, 64, 16)
+      // r15 shape, replayed for the delta (Quantize.scala:673–692 at
+      // commit 2d40bb0): one MLlib fit per subspace, each with its own
+      // count() + persist-materialize pass over the full residual column
+      counted(s"$d r15 m-MLlib-fits") {
+        import org.apache.spark.ml.functions.array_to_vector
+        val sub = dim / m
+        (0 until m).foreach { j =>
+          val fv = embs.select(array_to_vector(
+            slice(resC.cast("array<double>"), j * sub + 1, sub))
+            .as("features"))
+          graft.operators.Similarity.fitQuantizer(fv, k, 7L + j, 100000L)
+        }
+      }
+      counted(s"$d r16 one-pass Lloyd") {
+        graft.operators.Quantize.learnedSubCodebooks(embs, resC,
+          m, dim, k, seed = 7L)
+      }
+    }
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
-      "ops21", "ops22", "ops23", "ctfiles", "ops24")
+      "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -1986,6 +2050,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops24")) {
       ops24Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops26")) {
+      ops26Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return

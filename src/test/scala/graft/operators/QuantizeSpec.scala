@@ -461,7 +461,7 @@ class QuantizeSpec extends SparkSpec {
     }
     val df = pts.toDF("vec_id", "embedding")
     val learned = Quantize.learnedSubCodebooks(df, col("embedding"),
-      m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 1000L)
+      m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 1000)
     assert(learned.size === 2)
     assert(learned.forall(_._2.size === 4))
     def totalDistortion(cb: Seq[(Int, Seq[Double])]): Double =
@@ -478,8 +478,43 @@ class QuantizeSpec extends SparkSpec {
     assert(dl < ds / 100,
       s"learned $dl should be orders below seed $ds on planted clusters")
     val again = Quantize.learnedSubCodebooks(df, col("embedding"),
-      m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 1000L)
+      m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 1000)
     assert(again === learned, "fixed seed must pin the codebook")
+  }
+
+  test("learnedSubCodebooks: bit-identical across partitionings and " +
+    "row orders (hash-ordered one-pass sample), bounded by maxTrainRows") {
+    val pts = (0 until 60).map { i =>
+      val b1 = if (i % 2 == 0) 0.0 else 100.0
+      val b2 = if (i % 4 < 2) 50.0 else -50.0
+      (i.toLong, Seq(b1 + (i % 5) * 0.1, b1 + (i % 7) * 0.1,
+        b2 + (i % 3) * 0.1, b2 + (i % 11) * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val base = Quantize.learnedSubCodebooks(df, col("embedding"),
+      m = 2, dim = 4, k = 2, seed = 3L)
+    // any repartitioning — including a skewed single partition and a
+    // reversed row order — must return the SAME sample in the SAME
+    // order, hence the same codebook bit-for-bit
+    val layouts = Seq(
+      df.repartition(7),
+      df.repartition(1),
+      df.orderBy(col("vec_id").desc),
+      df.repartition(13, col("vec_id")))
+    layouts.zipWithIndex.foreach { case (alt, i) =>
+      val cb = Quantize.learnedSubCodebooks(alt, col("embedding"),
+        m = 2, dim = 4, k = 2, seed = 3L)
+      assert(cb === base, s"layout $i changed the learned codebook")
+    }
+    // maxTrainRows bounds the sample: a cap below n still trains (on
+    // the hash-lowest rows) and stays deterministic
+    val capped = Quantize.learnedSubCodebooks(df, col("embedding"),
+      m = 2, dim = 4, k = 2, seed = 3L, maxTrainRows = 16)
+    val capped2 = Quantize.learnedSubCodebooks(df.repartition(5),
+      col("embedding"), m = 2, dim = 4, k = 2, seed = 3L,
+      maxTrainRows = 16)
+    assert(capped === capped2, "capped sample must be partition-invariant")
+    assert(capped.size === 2 && capped.forall(_._2.size === 4))
   }
 
   test("learnedOpq: orthogonal rotation, deterministic, redistributes " +
@@ -516,7 +551,7 @@ class QuantizeSpec extends SparkSpec {
     val idRot = (0 until 4).map(i => (0 until 4).map(j =>
       if (i == j) 1.0 else 0.0))
     val axisCb = Quantize.learnedSubCodebooks(df, col("embedding"),
-      m = 2, dim = 4, k = 4, seed = 5L, maxTrainRows = 1000L)
+      m = 2, dim = 4, k = 4, seed = 5L, maxTrainRows = 1000)
     val dOpq = distortion(rot, cb)
     val dAxis = distortion(idRot, axisCb)
     // jitter is < 0.11 per dim; the crowded layout forces axis-aligned
