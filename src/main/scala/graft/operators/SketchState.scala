@@ -105,6 +105,10 @@ object SketchState {
     if (!fs.rename(swap, live))
       throw new java.io.IOException(
         s"SketchState: rename $swap -> $live failed")
+    // invalidate stale listings/plan fragments (see swapReplaceWrite)
+    parts.foreach { case (name, _) =>
+      spark.catalog.refreshByPath(new Path(statePath, name).toString)
+    }
   }
 
   /** [[swapReplace]] for a hive-partitioned state layout (e.g. the
@@ -192,5 +196,11 @@ object SketchState {
     if (!fs.rename(swap, live))
       throw new java.io.IOException(
         s"SketchState: rename $swap -> $live failed")
+    // the delete+rename bypasses Spark's writer path, so cached file
+    // listings / cached plan fragments keyed on this path still name
+    // the deleted part files — any later plan that CacheManager matches
+    // by root path would resurrect them (FAILED_READ_FILE.FILE_NOT_EXIST
+    // mid-poll). Invalidate both caches at the swap point.
+    spark.catalog.refreshByPath(statePath)
   }
 }

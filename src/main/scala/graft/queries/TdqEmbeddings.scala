@@ -1224,6 +1224,81 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
        |FROM range(10)""".stripMargin
 
+  // ------------------- OPQ × IVF serving composition (§2.10 ext)
+  // q247 proved the learned rotation on a FULL ADC scan; this is how
+  // production OPQ actually serves (FAISS's OPQ+IVFPQ): the coarse
+  // quantizer is q148/q243's EXACT learned quantizer (same call, same
+  // seed — so the probe sets and the coarse-miss ceiling are shared and
+  // the recall delta is attributable to the residual stage alone), and
+  // the OPQ pair (rotation + per-subspace codebooks) is trained on the
+  // RESIDUAL distribution — the vectors PQ actually encodes here (Ge et
+  // al.'s objective applied where it belongs). Serving rides the
+  // orthogonal-invariance identity R·(x − c) = R·x − R·c: rotate the
+  // corpus map-side and hand ivfPqResidualTopK the ROTATED coarse
+  // centroids — probe distances are unchanged (orthogonal R preserves
+  // L2), residuals come out OPQ-rotated, and the serving operator needs
+  // no rotation hook. Codes land hive-partitioned on list_id (ingest
+  // layout == serving layout, the q97/IvfPqStream discipline, so the
+  // broadcast probe join partition-prunes the scan via DPP,
+  // PlanShapeSpec-asserted); the re-rank is exact L2 in the ORIGINAL
+  // space. Probe config is IDENTICAL to q148/q243 (nLists=8, nProbe=4,
+  // shortlist 200, m=8 × k=16 codes) — ladder + probe-ceiling analysis
+  // in SCALE.md. Training is all bounded driver-side fits; LAPACK SVD
+  // is not SQL-replayable, so the oracle is the recall floor (q243's
+  // pattern).
+  private[queries] lazy val q248PerQueryFloor = 1L
+  private[queries] lazy val q248TotalFloor = 20L
+
+  private[graft] def q248HitsTable(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val coarse = graft.operators.Quantize.learnedCoarse(embs,
+      col("embedding"), nLists = 8, seed = 42L)
+    val listC = graft.operators.Quantize.ivfListCol(col("embedding"),
+      coarse)
+    val resC = graft.operators.Quantize.ivfResidualCol(col("embedding"),
+      coarse, listC)
+    // OPQ trained on the residuals themselves; the codebook that falls
+    // out of the final alternation is the serving codebook
+    val (rotM, rcb) = graft.operators.Quantize.learnedOpq(embs, resC,
+      pqM, pqDim, k = pqSeedIds.size, seed = 11L)
+    val rotCoarse = coarse.map { case (l, c) =>
+      l -> rotM.map(row => row.zip(c).map { case (a, b) => a * b }.sum)
+    }
+    val rot = embs.select(col("vec_id"),
+      Similarity.rpProject(col("embedding").cast("array<double>"), rotM)
+        .as("rvec"))
+    val rListC = graft.operators.Quantize.ivfListCol(col("rvec"),
+      rotCoarse)
+    val rResC = graft.operators.Quantize.ivfResidualCol(col("rvec"),
+      rotCoarse, rListC)
+    val codes = graft.operators.Quantize.pqEncode(rot, col("vec_id"),
+        rResC, rcb, pqM, pqDim, keep = Seq(rListC.as("list_id")))
+      .drop("distortion")
+    val dirFile = java.nio.file.Files.createTempDirectory("opq_ivf").toFile
+    // serving reads the index files — JVM-exit sweep (q97's precedent)
+    graft.operators.CacheHygiene.registerForCleanup(dirFile)
+    val dir = dirFile.getAbsolutePath + "/codes"
+    codes.repartition(col("list_id")).write.mode("overwrite")
+      .partitionBy("list_id").parquet(dir)
+    val qset = rot.filter(col("vec_id") < 10)
+    val shortlist = graft.operators.Quantize.ivfPqResidualTopK(
+      s.read.parquet(dir), qset, "vec_id", "rvec", rotCoarse, rcb, pqM,
+      pqDim, q145NProbe, k = q145Shortlist)
+    val origQ = embs.filter(col("vec_id") < 10)
+    val ann = graft.operators.Quantize.rerankL2(shortlist, embs, origQ,
+      "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopKL2(embs, origQ,
+      "vec_id", "embedding", k = 5)
+    recallHits(origQ, ann, exact)
+  }
+
+  private[queries] def q248OpqIvfRecall(s: SparkSession, d: String): DataFrame =
+    recallFloor(q248HitsTable(s, d), q248PerQueryFloor, q248TotalFloor)
+
+  private[queries] lazy val q248Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
   // ------------------- OPQ-rotation ADC recall (§2.10 ext)
   // The recall arm for the LAST quantization family member without one:
   // q117's rotated-space PQ in the standard two-stage serving shape (ADC

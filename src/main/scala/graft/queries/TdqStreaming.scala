@@ -422,29 +422,31 @@ private[queries] trait TdqStreaming { this: TestdataQueries.type =>
   // ------------------- streaming dup clusters (§2.10 ext)
   // Duplicate clusters maintained ONLINE: the incremental band-index
   // stream (q57's operator) discovers each near-dup pair exactly once,
-  // when its later endpoint arrives, so after any arrival split the
-  // accumulated pair sink EQUALS the batch pair set and the cluster
-  // read — connected components over ids + sink — equals q44 exactly
-  // (its oracle certifies this query). Per-poll cost tracks the BATCH
-  // (band probe + verify); the cluster read costs O(accumulated pairs),
-  // which is id-only METADATA, never corpus text — recomputing CC from
-  // the pair sink is the honest scale shape until cluster counts make
-  // an alias-log union-find state worth its compaction machinery.
+  // when its later endpoint arrives, and each poll folds ITS pairs into
+  // ClusterStream's alias-log union-find state — so the cluster read
+  // resolves a #merges-sized forest (pointer doubling + one broadcast
+  // label join) instead of recomputing CC over every pair ever
+  // discovered (the r15 shape, whose read grew with pair history). The
+  // alias log's union-by-min labeling equals connectedComponents'
+  // exactly (ClusterStreamSpec pins it under arbitrary arrival splits),
+  // so q44's oracle keeps certifying this query verbatim.
   private[queries] def q170StreamingClusters(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("cluster_stream")
       .toString
     val docs = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("text"))
     (0 until 3).foreach { b =>
+      // per-batch sink subdir: the poll's NEW pairs are exactly this
+      // dir's rows (pair discovery is exactly-once across polls)
       graft.streaming.NearDupStream.ingestBatch(s,
         docs.filter(col("id") % 3 === b),
-        s"$base/state", s"$base/sink",
+        s"$base/state", s"$base/sink/b$b",
         n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8)
+      graft.streaming.ClusterStream.ingestPairs(s,
+        s.read.parquet(s"$base/sink/b$b"), s"$base/clusters")
     }
-    val edges = s.read.parquet(s"$base/sink")
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    graft.operators.DupClusters.connectedComponents(
-        docs.select(col("id")), edges)
+    graft.streaming.ClusterStream.clusters(s, docs.select(col("id")),
+        s"$base/clusters")
       .select(col("id").as("doc_id"), col("cluster_rep"))
   }
 

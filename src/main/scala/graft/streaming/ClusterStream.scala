@@ -1,0 +1,221 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.{CacheHygiene, SketchState}
+
+/** Incremental duplicate-CLUSTER maintenance over streamed near-dup
+  * pairs — the alias-log union-find that replaces q170's per-read
+  * connected-components recompute over the accumulated pair sink
+  * (≙ the reference's micro-batch polling model, Main.java:53–66, for
+  * the cluster-labeling stage of a dedup pipeline).
+  *
+  * STATE is a forest stored as an append-only merge log
+  * `<stateDir>/aliases` of rows `(node, parent)`:
+  *
+  *  - only a node that was a component ROOT and then lost a merge ever
+  *    gets a row, and it gets exactly ONE row for the stream's life (a
+  *    node stops being a root the moment it is aliased, and only
+  *    current roots are ever aliased) — so the log is a forest by
+  *    construction, `|log| = #merges ≤ #docs-with-duplicates`, id-only
+  *    METADATA that never re-reads pair history;
+  *  - merges alias the LARGER root to the smaller (union by min), so
+  *    every chain terminates at its component's minimum id — exactly
+  *    [[graft.operators.DupClusters.connectedComponents]]' labeling
+  *    (the spec pins equality under arbitrary arrival splits, and q170
+  *    keeps certifying against q44's oracle verbatim).
+  *
+  * PER-POLL COST tracks the BATCH: the batch's pair endpoints (batch-
+  * bounded) chase the alias forest — one join per chain hop, hops kept
+  * short by compaction (below) — and the batch-local union-find over
+  * the RESOLVED roots runs driver-side (bounded by the batch's pair
+  * count, the q44 small-regime discipline). Appended aliases point
+  * DIRECTLY at the poll's final root (path compression at write), so
+  * chains only deepen when LATER polls merge a former root again.
+  *
+  * READ COST is bounded by the FOREST, not by pair history: the whole
+  * alias log resolves to terminal roots by pointer doubling
+  * (O(log depth) self-joins of the metadata-sized log — depth, not
+  * edge count, and no corpus-sized iteration), then ONE broadcast left
+  * join labels the vertex universe map-side. The old read ran
+  * iterative CC over EVERY pair ever discovered; this one never reads
+  * a pair again after its poll.
+  *
+  * CRASH SAFETY: ingest is IDEMPOTENT under at-least-once replay — a
+  * replayed pair resolves both endpoints to the same root (the merge
+  * already happened) and appends nothing, so the upstream
+  * pair-discovery replay contract (NearDupStream's sink-then-state
+  * ordering) carries through with no watermark needed. COMPACTION:
+  * when the log's part-file count exceeds the excess trigger, it is
+  * rewritten FULLY COMPRESSED (every node straight to its terminal
+  * root — depth 1) via [[SketchState.swapReplace]]'s crash-safe
+  * write-swap-delete-rename, fixing small files and chain depth in
+  * one mechanism. */
+object ClusterStream {
+
+  case class BatchResult(pairs: Long, merges: Long)
+
+  private def aliasPath(stateDir: String) = s"$stateDir/aliases"
+
+  private val aliasSchema = StructType(Seq(
+    StructField("node", LongType), StructField("parent", LongType)))
+
+  /** Fold one poll's newly discovered pairs `(id_a, id_b)` into the
+    * alias forest. Endpoint ids must be ids of ingested documents;
+    * pairs may repeat across polls (replay-safe no-op). */
+  def ingestPairs(spark: SparkSession, newPairs: DataFrame,
+                  stateDir: String, compactAfterFiles: Int = 64,
+                  maxChase: Int = 64): BatchResult = {
+    val path = aliasPath(stateDir)
+    val hasState = SketchState.exists(spark, path)
+    val pr = newPairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct().persist()
+    try {
+      val nPairs = pr.count()
+      if (nPairs == 0) return BatchResult(0, 0)
+      // resolve the batch's endpoints through the CURRENT forest: one
+      // join per chain hop, endpoint side batch-bounded throughout
+      val eps = pr.select(col("id_a").as("id"))
+        .union(pr.select(col("id_b").as("id"))).distinct()
+      var cur = eps.select(col("id"), col("id").as("root"))
+      // track the PERSISTED frame itself: unpersisting a derived frame
+      // (e.g. nxt.drop) misses the cache entry, and a leaked entry is a
+      // stale-file time bomb — CacheManager matches later polls' plans
+      // by root path, resurrecting scans of files a compaction swap
+      // already deleted
+      var pinned = cur.persist()
+      pinned.count()
+      if (hasState) {
+        val al = spark.read.parquet(path)
+          .select(col("node").as("root"), col("parent").as("__p"))
+        var moved = 1L
+        var hops = 0
+        while (moved > 0) {
+          require(hops < maxChase,
+            s"alias chain deeper than maxChase=$maxChase — compaction broken?")
+          val nxt = cur.join(al, Seq("root"), "left")
+            .select(col("id"),
+              coalesce(col("__p"), col("root")).as("root"),
+              col("__p").isNotNull.as("__m"))
+            .persist()
+          moved = nxt.filter(col("__m")).count()
+          pinned.unpersist()
+          pinned = nxt
+          cur = nxt.drop("__m")
+          hops += 1
+        }
+      }
+      // batch-local union-find over resolved roots, driver-side (the
+      // q44 bounded-regime discipline: rows ≤ 2 × batch pair count)
+      val rootOf = cur.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      pinned.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path-compress the probe
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      pr.collect().foreach { row =>
+        val ra = find(rootOf(row.getLong(0)))
+        val rb = find(rootOf(row.getLong(1)))
+        if (ra != rb) {
+          val (hi, lo) = if (ra > rb) (ra, rb) else (rb, ra)
+          parent(hi) = lo
+        }
+      }
+      // emit each losing root aliased straight to its FINAL root this
+      // poll (write-time path compression)
+      val aliasRows: Seq[Row] = parent.keys.toSeq.sorted.flatMap { n =>
+        val r = find(n)
+        if (r != n) Some(Row(n, r)) else None
+      }
+      if (aliasRows.nonEmpty) {
+        spark.createDataFrame(
+            java.util.Arrays.asList(aliasRows: _*), aliasSchema)
+          .coalesce(1) // driver-built metadata: one file per poll
+          .write.mode("append").parquet(path)
+        compressIfNeeded(spark, path, compactAfterFiles)
+      }
+      BatchResult(nPairs, aliasRows.size.toLong)
+    } finally { pr.unpersist(); () }
+  }
+
+  /** Label a vertex universe with its duplicate-cluster representative
+    * (the component minimum — q44's labeling): resolve the forest by
+    * pointer doubling (log-depth self-joins of the metadata-sized
+    * log), spill the resolved labels, then ONE broadcast left join
+    * keeps the (possibly corpus-sized) vertex scan map-side. */
+  def clusters(spark: SparkSession, vertices: DataFrame,
+               stateDir: String): DataFrame = {
+    val path = aliasPath(stateDir)
+    val v = vertices.select(col("id"))
+    if (!SketchState.exists(spark, path))
+      return v.select(col("id"), col("id").as("cluster_rep"))
+    val resolved = resolveForest(spark, spark.read.parquet(path))
+    v.join(broadcast(resolved.withColumnRenamed("node", "id")), Seq("id"),
+        "left")
+      .select(col("id"),
+        coalesce(col("root"), col("id")).as("cluster_rep"))
+  }
+
+  /** Resolve every node of the alias forest to its terminal root by
+    * POINTER DOUBLING: each round substitutes root := resolve(root)
+    * using the current table itself, halving remaining chain depth —
+    * O(log depth) passes over the log, never over pairs or corpus.
+    * Returns a spill-decoupled (node, root) frame. */
+  private[streaming] def resolveForest(spark: SparkSession,
+      aliases: DataFrame, maxIter: Int = 64): DataFrame =
+    CacheHygiene.withRddCleanup(spark) {
+      var cur = aliases.select(col("node"), col("parent").as("root"))
+      var pinned = cur.persist() // see ingestPairs on unpersist hygiene
+      pinned.count()
+      var moved = 1L
+      var iter = 0
+      while (moved > 0) {
+        require(iter < maxIter,
+          s"forest resolution exceeded $maxIter doubling rounds — cycle?")
+        val hop = cur.select(col("node").as("root"), col("root").as("__r"))
+        val nxt = cur.join(hop, Seq("root"), "left")
+          .select(col("node"),
+            coalesce(col("__r"), col("root")).as("root"),
+            col("__r").isNotNull.as("__m"))
+          .persist()
+        moved = nxt.filter(col("__m")).count()
+        pinned.unpersist()
+        pinned = nxt
+        cur = nxt.drop("__m")
+        iter += 1
+      }
+      val out = CacheHygiene.spillToTempParquet(cur, "cluster_forest")
+      pinned.unpersist()
+      out
+    }
+
+  /** Excess-triggered compression+compaction: rewrite the log fully
+    * path-compressed (depth 1) in one crash-safe swap when its
+    * part-file count exceeds the trigger — one mechanism retires both
+    * the small-file wall and chain growth. */
+  private def compressIfNeeded(spark: SparkSession, path: String,
+                               maxFiles: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val nFiles = fs.listStatus(p)
+      .count(_.getPath.getName.startsWith("part-"))
+    if (nFiles <= maxFiles) return false
+    val resolved = resolveForest(spark, spark.read.parquet(path))
+      .select(col("node"), col("root").as("parent"))
+    SketchState.swapReplace(resolved, path)
+    true
+  }
+}

@@ -42,6 +42,38 @@ object RecallMeasure {
       .select(col("query_id"), col("hits"))
   }
 
+  /** The COARSE-PROBE CEILING for the q148/q243/q248 serving config:
+    * per query, how many of the exact top-5 live in one of the query's
+    * nProbe probed lists at all — no shortlist/ADC/rerank stage can
+    * recover a neighbor whose list is never read, so this is the
+    * recall bound any training improvement under the same probe budget
+    * is squeezed against. Uses the EXACT coarse quantizer all three
+    * arms share (learnedCoarse on original embeddings, seed 42). */
+  private def probeCeilingHits(spark: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Quantize, Similarity}
+    val embs = spark.read.parquet(s"$d/embeddings.parquet")
+    val coarse = Quantize.learnedCoarse(embs, col("embedding"),
+      nLists = 8, seed = 42L)
+    val lists = embs.select(col("vec_id").as("neighbor_id"),
+      Quantize.ivfListCol(col("embedding"), coarse).as("nlist"))
+    val probes = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.PqKernels.nearestListsCol(
+          col("embedding").cast("array<double>"), coarse,
+          dim = 64, nProbe = 4).as("probes"))
+    val exact = Similarity.bruteForceTopKL2(embs,
+        embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(lists, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(array_contains(col("probes"), col("nlist")), 1L)
+        .otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("hits"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -63,6 +95,9 @@ object RecallMeasure {
           graft.queries.TestdataQueries.q243HitsTable(spark, d),
         "q247 learned-opq    " ->
           graft.queries.TestdataQueries.q247HitsTable(spark, d),
+        "q248 opq-ivf        " ->
+          graft.queries.TestdataQueries.q248HitsTable(spark, d),
+        "probe-ceiling nP=4/8" -> probeCeilingHits(spark, d),
         // the like-for-like comparator for q247: SAME serving config
         // (full ADC shortlist 200 → exact re-rank, 10 queries, k=5,
         // learned subspace codebooks) but the q117-style RANDOM

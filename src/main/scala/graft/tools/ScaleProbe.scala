@@ -2008,11 +2008,60 @@ object ScaleProbe {
     spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** Round-16 probe: q170's cluster read after the alias-log refit
+    * (VERDICT r15 next-round #4). The r15 read recomputed connected
+    * components over EVERY pair ever discovered — O(accumulated pairs)
+    * per read, the one streaming read that grew with history, and past
+    * `localMaxEdges` (1M) it leaves the driver contraction for the
+    * iterative propagation loop. The ClusterStream read resolves a
+    * #merges-sized forest by pointer doubling and labels vertices with
+    * one broadcast join — bounded by merge churn, and (with write-time
+    * compression + the compaction swap) the doubling loop converges in
+    * one or two passes. Synthetic stream: polls of 200k pairs forming
+    * 4-clusters (3 merges per cluster); after each poll, time BOTH
+    * reads over the SAME accumulated history. */
+  def ops27Probe(spark: SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = "/tmp/ops27_clusters"
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val pollPairs = 200000L
+    val nPolls = 8
+    // pair p: group r = p/3 of ids {4r..4r+3}, link 4r+(p%3+1) -> 4r
+    def pairsIn(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(
+        ((col("id") / 3L).cast("long") * 4L + pmod(col("id"), lit(3L)) + 1L)
+          .as("id_a"),
+        ((col("id") / 3L).cast("long") * 4L).as("id_b"))
+    (0 until nPolls).foreach { t =>
+      val acc = (t + 1) * pollPairs
+      val nVerts = ((acc / 3L) + 1L) * 4L
+      val verts = spark.range(nVerts).select(col("id"))
+      time(f"ops27 ingest poll ${t + 1}%2d      (200k pairs)") {
+        graft.streaming.ClusterStream.ingestPairs(spark,
+          pairsIn(t * pollPairs, (t + 1) * pollPairs), base)
+      }
+      val nNew = time(f"ops27 aliasRead  acc=$acc%8d") {
+        graft.streaming.ClusterStream.clusters(spark, verts, base)
+          .filter(col("id") =!= col("cluster_rep")).count()
+      }
+      val nOld = time(f"ops27 ccRecompute acc=$acc%8d") {
+        graft.operators.CacheHygiene.withRddCleanup(spark) {
+          graft.operators.DupClusters.connectedComponents(verts,
+              pairsIn(0, acc).select(col("id_a").as("src"),
+                col("id_b").as("dst")))
+            .filter(col("id") =!= col("cluster_rep")).count()
+        }
+      }
+      require(nNew == nOld, s"read mismatch: alias $nNew vs cc $nOld")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
-      "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26")
+      "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26", "ops27")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -2053,6 +2102,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops26")) {
       ops26Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops27")) {
+      ops27Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return

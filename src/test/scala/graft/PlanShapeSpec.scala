@@ -277,6 +277,24 @@ class PlanShapeSpec extends SparkSpec {
       "the CC label set should enter as a driver-built local relation")
   }
 
+  test("q248 OPQ×IVF serving: the codes scan is DYNAMICALLY partition-" +
+      "pruned (DPP) — unprobed lists are never read, probe side broadcast") {
+    // the registered query serves from a list_id-hive-partitioned codes
+    // index (ingest layout == serving layout); the broadcast probe join
+    // on the partition column must put a dynamicpruning expression in
+    // the scan's PartitionFilters, so at 100 TB the nProbe/nLists scan
+    // cut is I/O pruning, not post-scan filtering (the ops10 witness,
+    // now pinned)
+    val p = plan("q248_opq_ivf_recall")
+    assert(p.contains("dynamicpruning"),
+      "codes scan lost dynamic partition pruning")
+    assert(p.contains("PartitionFilters"),
+      "codes must be read through a partitioned scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe tables must broadcast into the codes scan")
+    assert(!p.contains("CartesianProduct"), "grew a cartesian product")
+  }
+
   /** Registry-wide structural sweep. Two permanent invariants over EVERY
     * registered query's physical plan (the returned DataFrame; internal
     * jobs of imperative sims are covered by their own specs, e.g. the q57
