@@ -45,6 +45,11 @@ import org.apache.spark.sql.SparkSession
   *    i.e. the hypervisor running someone else on our vCPU, is the real
   *    confounder; loadavg only sees our own runqueue).
   *
+  * Round-16: contended queries are additionally RE-MEASURED in a detected
+  * low-steal window after the main pass (`quiet_min` in BENCH_DETAIL) —
+  * the r15 q92/q156 manual forensics, automated. See the quiet-window
+  * block in main for the acceptance rule and budget.
+  *
   * Between queries the JVM is returned to a known-clean state so query k's
   * number does not depend on queries 1..k-1 (round-5 forensics: q44 read
   * 22.9 s in the 66-query bench vs 7.0 s standalone, and untouched queries
@@ -277,6 +282,61 @@ object Bench {
       rawOut.println(s"""{"q":${q(name)},"median":${r3(med)},"min":${r3(mn)},"reps":[${times.map(r3).mkString(",")}],"load":$load,"steal_d":$stealD,"contended":$contended,"fp":${q(fp)}}""")
       QRes(name, med, mn, times, load, stealD, contended, fp, pc)
     }
+    // QUIET-WINDOW RE-MEASURE (automated r15 forensics): every query the
+    // main pass flagged contended gets re-repped inside a low-steal
+    // window, so round-over-round comparisons read `quiet_min` instead of
+    // needing the manual dedicated-window runs r15 did for q92/q156. A
+    // window opens when a 2 s /proc/stat probe shows ≤ 40 stolen jiffies
+    // (≈ 0.2 stolen cpu-s/s on this 32-cpu box; idle steal here is ~0 —
+    // the hypervisor steals proportionally to load, SCALE.md r15). A rep
+    // is ACCEPTED only if the steal DURING it stayed under StealFrac of
+    // its wall — the same rule the contended verdict uses — so an
+    // accepted quiet_min is a steal-clean floor by construction. The
+    // whole pass shares one wall-clock budget (SPARK_GRAFT_BENCH_QUIET_SEC,
+    // default 900 s); queries the budget never reached record quiet_min
+    // -1 with their attempt count.
+    val quietBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SEC", "900").toDouble
+    val quietDeadline = System.nanoTime() + (quietBudgetSec * 1e9).toLong
+    def quietWindowOpen(): Boolean = {
+      val s0 = stealJiffies()
+      Thread.sleep(2000)
+      val s1 = stealJiffies()
+      s0 >= 0 && s1 >= 0 && s1 - s0 <= 40
+    }
+    case class Quiet(min: Double, stealD: Long, reps: Int)
+    // SPARK_GRAFT_BENCH_QUIET_ALL=1 re-measures EVERY successful query
+    // (validation / richer artifacts), not just the contended ones
+    val quietTargets =
+      if (sys.env.get("SPARK_GRAFT_BENCH_QUIET_ALL").contains("1"))
+        results.filter(_.median >= 0)
+      else results.filter(_.contended)
+    val quiet: Map[String, Quiet] = quietTargets.map { r =>
+      val fn = SparkEntry.queries(r.name)
+      var accepted = Vector.empty[Double]
+      var stealTot = 0L
+      var attempts = 0
+      while (accepted.size < 2 && System.nanoTime() < quietDeadline) {
+        if (quietWindowOpen()) {
+          resetJvmState(settle = false)
+          val s0 = stealJiffies()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val d = { val s1 = stealJiffies(); if (s1 >= 0 && s0 >= 0) s1 - s0 else -1L }
+          attempts += 1
+          if (d >= 0) stealTot += d
+          if (ok && d >= 0 && d / 100.0 <= StealFrac * wall)
+            accepted = accepted :+ wall
+        }
+      }
+      val qm = if (accepted.isEmpty) -1.0 else accepted.min
+      rawOut.println(s"""{"q":${q(r.name)},"quiet_min":${r3(qm)},"quiet_steal_d":$stealTot,"quiet_reps":$attempts}""")
+      r.name -> Quiet(qm, stealTot, attempts)
+    }.toMap
+
     val loadEnd = loadavg()
     val stealEnd = stealJiffies()
     val total = results.collect { case r if r.median >= 0 => r.median }.sum
@@ -295,7 +355,10 @@ object Bench {
     // per-query steal delta and the contended verdict
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detailEntries = results.map { r =>
-      s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"contended":${r.contended},"plan":{"fp":${q(r.planFp)},${r.planCounts}}}"""
+      val quietPart = quiet.get(r.name)
+        .map(qq => s""","quiet_min":${qq.min},"quiet_steal_d":${qq.stealD},"quiet_reps":${qq.reps}""")
+        .getOrElse("")
+      s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"contended":${r.contended}$quietPart,"plan":{"fp":${q(r.planFp)},${r.planCounts}}}"""
     }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"value_min":$totalMin,"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","queries":$detailEntries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"uptime_sec":${uptimeSec()}}"""
