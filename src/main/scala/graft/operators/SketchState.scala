@@ -119,6 +119,56 @@ object SketchState {
                              partitionCols: String*): Unit =
     swapReplaceWrite(df, statePath, _.partitionBy(partitionCols: _*))
 
+  /** Marker files: tiny layout-metadata files (`_graft_*` — the leading
+    * underscore keeps them invisible to Spark's parquet reader, like
+    * `_SUCCESS`) that live INSIDE a state directory so they travel
+    * atomically with every swap rename. The use case is layout parameters
+    * that a reader must know to interpret the directory (e.g.
+    * ContamStream's adaptive bucket modulus): storing them in a sibling
+    * file would let a crash between the data rewrite and the metadata
+    * write split the two — inside the dir, the swap protocol commits
+    * data + metadata as one rename. [[compactIfNeeded]] carries existing
+    * `_graft_*` markers through its rewrite for the same reason. */
+  def writeMarker(spark: SparkSession, statePath: String, name: String,
+                  value: String): Unit = {
+    require(name.startsWith("_graft_"), s"marker must be _graft_*: $name")
+    val p = new Path(statePath, name)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The marker's content, or None when absent (fresh dir / pre-marker
+    * layout). Completes an interrupted swap first, like [[read]]. */
+  def readMarker(spark: SparkSession, statePath: String,
+                 name: String): Option[String] = {
+    if (!exists(spark, statePath)) return None
+    val p = new Path(statePath, name)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(bytes.toString("UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  private def liveMarkers(spark: SparkSession,
+                          statePath: String): Map[String, String] = {
+    val p = new Path(statePath)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_graft_"))
+      .map(s => s.getPath.getName ->
+        readMarker(spark, statePath, s.getPath.getName).getOrElse(""))
+      .toMap
+  }
+
   /** Excess-triggered compaction of an append-accumulated state or sink
     * directory — THE one implementation every streaming store uses
     * (near-dup band index/doc store, segment store, semantic-dedup
@@ -174,24 +224,41 @@ object SketchState {
       else math.max(byteIdeal, partDirs.size.toLong)
     if (nParts <= math.max(maxFiles.toLong, 2L * ideal)) return false
     val n = ideal.min(nParts).toInt
+    // existing `_graft_*` layout markers ride the rewrite: compaction
+    // changes file counts, never layout semantics, so the markers must
+    // land in the swap and survive the rename (see [[writeMarker]])
+    val markers = liveMarkers(spark, path)
     if (partitionCols.isEmpty)
-      swapReplace(spark.read.parquet(path).repartition(n), path)
+      swapReplaceWrite(spark.read.parquet(path).repartition(n), path,
+        identity, markers)
     else
-      swapReplacePartitioned(
+      swapReplaceWrite(
         spark.read.parquet(path).repartition(n,
           partitionCols.map(org.apache.spark.sql.functions.col): _*),
-        path, partitionCols: _*)
+        path, _.partitionBy(partitionCols: _*), markers)
     true
   }
 
+  /** [[swapReplacePartitioned]] plus `_graft_*` marker files written into
+    * the swap BEFORE the rename — layout metadata and the relaid data
+    * commit as one atomic unit (ContamStream's adaptive rebucket). */
+  def swapReplacePartitionedKeeping(df: DataFrame, statePath: String,
+                                    partitionCols: Seq[String],
+                                    markers: Map[String, String]): Unit =
+    swapReplaceWrite(df, statePath,
+      _.partitionBy(partitionCols: _*), markers)
+
   private def swapReplaceWrite(df: DataFrame, statePath: String,
       shape: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
-        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      markers: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val live = new Path(statePath)
     val swap = swapPath(statePath)
     val fs = fsOf(spark, live)
     shape(df.write.mode("overwrite")).parquet(swap.toString)
+    markers.foreach { case (name, v) =>
+      writeMarker(spark, swap.toString, name, v) }
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(swap, live))
       throw new java.io.IOException(

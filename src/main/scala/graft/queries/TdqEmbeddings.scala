@@ -1299,6 +1299,69 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
        |FROM range(10)""".stripMargin
 
+  // ------------------- streaming OPQ × IVF index (§2.10 ext)
+  // q248's production serving composition in its production INGEST
+  // regime: the whole learned index — coarse quantizer, OPQ rotation,
+  // residual codebooks — is trained ONCE on the FIRST arrival batch
+  // (the IVF contract IvfPqStream already states: codebooks are fixed
+  // at build time, re-training is a rebuild, not an increment), then
+  // every batch encodes map-side against the frozen index and appends
+  // into the hive-partitioned codes state. The rotation folds into the
+  // stream exactly as in q248 (R·(x−c) = R·x − R·c: rotate vectors and
+  // coarse centroids, hand IvfPqStream rotated inputs — the stream
+  // needs no rotation hook). What this measures that q248 cannot: the
+  // recall COST of training on a 1/3 prefix instead of the full corpus
+  // — the number a production deployer actually gets (ladder in
+  // SCALE.md). LAPACK SVD is not SQL-replayable, so the oracle is the
+  // q243-style recall floor.
+  private[queries] lazy val q250PerQueryFloor = 1L
+  private[queries] lazy val q250TotalFloor = 20L
+
+  private[graft] def q250HitsTable(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val train = embs.filter(col("vec_id") % 3 === 0) // first arrivals
+    val coarse = graft.operators.Quantize.learnedCoarse(train,
+      col("embedding"), nLists = 8, seed = 42L)
+    val listC = graft.operators.Quantize.ivfListCol(col("embedding"),
+      coarse)
+    val resC = graft.operators.Quantize.ivfResidualCol(col("embedding"),
+      coarse, listC)
+    val (rotM, rcb) = graft.operators.Quantize.learnedOpq(train, resC,
+      pqM, pqDim, k = pqSeedIds.size, seed = 11L)
+    val rotCoarse = coarse.map { case (l, c) =>
+      l -> rotM.map(row => row.zip(c).map { case (a, b) => a * b }.sum)
+    }
+    val dirFile = java.nio.file.Files.createTempDirectory("opq_stream")
+      .toFile
+    graft.operators.CacheHygiene.registerForCleanup(dirFile)
+    val dir = dirFile.getAbsolutePath
+    val rot = embs.select(col("vec_id"),
+      Similarity.rpProject(col("embedding").cast("array<double>"), rotM)
+        .as("rvec"))
+    (0 until 3).foreach { b =>
+      graft.streaming.IvfPqStream.ingestBatch(s,
+        rot.filter(col("vec_id") % 3 === b), dir,
+        col("vec_id"), col("rvec"), rotCoarse, rcb, pqM, pqDim)
+    }
+    val qset = rot.filter(col("vec_id") < 10)
+    val shortlist = graft.streaming.IvfPqStream.topK(s, dir, qset,
+      "vec_id", "rvec", rotCoarse, rcb, pqM, pqDim, q145NProbe,
+      k = q145Shortlist)
+    val origQ = embs.filter(col("vec_id") < 10)
+    val ann = graft.operators.Quantize.rerankL2(shortlist, embs, origQ,
+      "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopKL2(embs, origQ,
+      "vec_id", "embedding", k = 5)
+    recallHits(origQ, ann, exact)
+  }
+
+  private[queries] def q250StreamingOpqIvf(s: SparkSession, d: String): DataFrame =
+    recallFloor(q250HitsTable(s, d), q250PerQueryFloor, q250TotalFloor)
+
+  private[queries] lazy val q250Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
   // ------------------- OPQ-rotation ADC recall (§2.10 ext)
   // The recall arm for the LAST quantization family member without one:
   // q117's rotated-space PQ in the standard two-stage serving shape (ADC

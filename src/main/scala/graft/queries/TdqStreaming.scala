@@ -346,6 +346,33 @@ private[queries] trait TdqStreaming { this: TestdataQueries.type =>
         col("contaminated"))
   }
 
+  // ------------------- adaptive gram-index growth (§2.10 ext)
+  // q156's regime with the adaptive layout FORCED through its growth
+  // path: a tiny bucketTargetBytes makes the gram index rebucket
+  // (1 → maxBuckets via the crash-safe swap) between the doc batches, so
+  // later appends land in a GROWN layout and the benchmark increments
+  // bucket-prune against it. Hits are counted identically at every
+  // modulus (the marker travels inside the swap, so probe modulus ==
+  // layout modulus at every crash point) — q62's oracle certifies the
+  // grown stream verbatim, exactly as it does the fixed-layout q156.
+  private[queries] def q249ContamAdaptive(s: SparkSession, d: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("contam_adaptive")
+      .toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+    (0 until 3).foreach { b =>
+      val arrivals = docs.filter(col("id") % 3 === b)
+      graft.streaming.ContamStream.ingestBatch(s,
+        newDocs = arrivals.filter(col("id") % q62BenchMod =!= 0),
+        newBench = arrivals.filter(col("id") % q62BenchMod === 0),
+        stateDir = state, n = 3,
+        bucketTargetBytes = 1L << 16, maxBuckets = 32)
+    }
+    graft.streaming.ContamStream.contamination(s, state)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("contaminated"))
+  }
+
   // ------------------- streaming DoReMi reweighting (§2.10 ext)
   // q174's weights re-derived after every ingest batch from additive
   // (src, token) count state — the accumulated table equals the

@@ -36,11 +36,28 @@ import graft.operators.SketchState
   *  - `bench`     distinct benchmark gram hashes (h1, h2) — the 128-bit
   *                key of the batch operator, gram TEXT never persists
   *  - `grams`     (id, h1, h2) accumulated doc-gram index,
-  *                HIVE-PARTITIONED by `b = pmod(h1, nBuckets)` (the
-  *                [[IvfPqStream]] layout discipline: ingest layout ==
-  *                probe layout)
+  *                HIVE-PARTITIONED by `b = pmod(h1, N)` where N is the
+  *                CURRENT bucket modulus (the [[IvfPqStream]] layout
+  *                discipline: ingest layout == probe layout)
   *  - `docstats`  (id, n_shingles) one row per doc, appended on arrival
   *  - `hits`      (id, n_hits) per-batch overlap increments
+  *
+  * ADAPTIVE BUCKETING (default, `nBuckets = 0`): the modulus N starts at
+  * 1 — a fresh stream's appends are layout-free (no per-batch shuffle, no
+  * partitioned-compaction floor; the round-15 fixed-64 layout paid ~1 s
+  * per poll of exactly that floor at fixture scale where the whole index
+  * fits in one scan partition anyway). When the index bytes reach
+  * 2 × N × `bucketTargetBytes`, the WHOLE index is rewritten at
+  * N′ = nextPow2(bytes / bucketTargetBytes) (capped at `maxBuckets`) via
+  * a crash-safe swap — doubling-triggered like [[SketchState
+  * .compactIfNeeded]], so total rebucket cost over a stream's life is
+  * O(index × log batches). The live modulus is a `_graft_nbuckets`
+  * marker INSIDE the grams directory: every layout rewrite (rebucket and
+  * compaction both) commits data + marker in one rename, so no crash
+  * point can leave a reader pruning with a modulus the layout doesn't
+  * have. Passing `nBuckets > 0` pins the legacy fixed layout (the spec's
+  * exactness-at-any-modulus sweep and ScaleProbe's pruning-law witness
+  * need a deterministic N).
   *
   * Scale shape per batch: one shingle explode of the BATCH (never the
   * accumulated corpus), one join of batch-grams against the bench set,
@@ -49,18 +66,20 @@ import graft.operators.SketchState
   * and the probe reads ONLY the increment's hash buckets (partition
   * pruning on `b`; matching index rows share the increment gram's h1,
   * hence its bucket). The pruning law is explicit: a k-gram increment
-  * touches at most min(k, nBuckets) buckets — expected coverage
-  * nBuckets·(1−(1−1/nBuckets)^k) — so SMALL increments (the production
-  * cadence: one eval suite registered at a time, k ≈ 10²–10³ grams vs
-  * thousands of buckets at 100 TB index scale) read a k/nBuckets
-  * sliver, while a bulk backfill honestly degrades to the full scan it
-  * genuinely needs (its grams cover every bucket). The final read joins
-  * two id-keyed metadata tables (no text, no grams). */
+  * touches at most min(k, N) buckets — expected coverage
+  * N·(1−(1−1/N)^k) — so SMALL increments (the production cadence: one
+  * eval suite registered at a time, k ≈ 10²–10³ grams vs thousands of
+  * buckets at 100 TB index scale) read a k/N sliver, while a bulk
+  * backfill honestly degrades to the full scan it genuinely needs (its
+  * grams cover every bucket). The final read joins two id-keyed metadata
+  * tables (no text, no grams). */
 object ContamStream {
 
   case class BatchResult(newDocs: Long, newBenchGrams: Long, newHits: Long)
 
   private def p(stateDir: String, leaf: String) = s"$stateDir/$leaf"
+
+  private val NBucketsMarker = "_graft_nbuckets"
 
   private def gramHashes(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("id"),
@@ -69,23 +88,52 @@ object ContamStream {
         xxhash64(col("g"), lit(1)).as("h2"))
       .distinct()
 
+  /** The gram index's live bucket modulus: the in-dir marker, or 1 for a
+    * fresh/adaptive-initial layout. A pinned caller (`nBuckets > 0`) must
+    * match the marker — mixing moduli on one state dir would probe with
+    * a modulus the layout doesn't have. */
+  private def currentBuckets(spark: SparkSession, gramsPath: String,
+                             pinned: Int): Int = {
+    val marked = SketchState.readMarker(spark, gramsPath, NBucketsMarker)
+      .map(_.trim.toInt)
+    if (pinned > 0) {
+      require(marked.forall(_ == pinned),
+        s"gram index at $gramsPath has nBuckets=${marked.get}; " +
+          s"caller pinned $pinned — the modulus is baked into the layout")
+      pinned
+    } else marked.getOrElse(1)
+  }
+
+  private def nextPow2(x: Long): Int = {
+    var n = 1
+    while (n < x && n < (1 << 30)) n <<= 1
+    n
+  }
+
   /** One micro-batch increment: `newDocs` (id, text) are corpus arrivals,
     * `newBench` (id, text) benchmark arrivals — either may be empty.
     * Corpus ids must be globally unique across the stream's life and
     * disjoint from benchmark membership (the batch operator's caller
-    * contract). `nBuckets` is the gram-index hash-bucket count; it must
-    * stay CONSTANT across a stream's life (it is baked into the state
-    * layout) — size it so the expected benchmark increment is smaller
-    * than it (see the pruning law in the class doc). */
+    * contract). `nBuckets = 0` (default) = adaptive layout (see class
+    * doc); `nBuckets > 0` pins that fixed modulus for the stream's life.
+    * `bucketTargetBytes` is the adaptive target per bucket — size it to
+    * the increment-probe read you want (a pruned probe reads
+    * ~coverage × bucketTargetBytes per touched bucket). */
   def ingestBatch(spark: SparkSession, newDocs: DataFrame,
                   newBench: DataFrame, stateDir: String, n: Int = 3,
                   compactAfterFiles: Int = 64,
-                  nBuckets: Int = 64): BatchResult = {
-    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+                  nBuckets: Int = 0,
+                  bucketTargetBytes: Long = 256L << 20,
+                  maxBuckets: Int = 4096): BatchResult = {
+    require(nBuckets >= 0, s"nBuckets must be >= 0, got $nBuckets")
+    require(bucketTargetBytes >= 1, "bucketTargetBytes must be >= 1")
     val benchPath = p(stateDir, "bench")
     val gramsPath = p(stateDir, "grams")
     val statsPath = p(stateDir, "docstats")
     val hitsPath = p(stateDir, "hits")
+    // the modulus this batch appends AND probes with; a rebucket (end of
+    // batch) only affects the NEXT batch's reads
+    val nB = currentBuckets(spark, gramsPath, nBuckets)
 
     val nd = newDocs.select(col("id"), col("text")).persist()
     val nb = newBench.select(col("id"), col("text")).persist()
@@ -129,13 +177,13 @@ object ContamStream {
       // increment — and only the increment's HASH BUCKETS of the index:
       // a matching index row carries the same h1, hence the same bucket,
       // so restricting the scan to the increment's bucket set loses
-      // nothing. The bucket list is collected (bounded: ≤ nBuckets ints)
-      // so the restriction is a plan literal → static hive-partition
+      // nothing. The bucket list is collected (bounded: ≤ nB ints) so
+      // the restriction is a plan literal → static hive-partition
       // pruning at the file source, no runtime-filter machinery.
       val hitsOld = newBenchGrams match {
         case Some(inc) if nBenchInc > 0 && SketchState.exists(spark, gramsPath) =>
           val bks = inc
-            .select(pmod(col("h1"), lit(nBuckets.toLong)).cast("int").as("b"))
+            .select(pmod(col("h1"), lit(nB.toLong)).cast("int").as("b"))
             .distinct().collect().map(_.getInt(0)).toSeq
           Some(spark.read.parquet(gramsPath)
             .where(col("b").isin(bks: _*))
@@ -149,22 +197,33 @@ object ContamStream {
         .head().getLong(0)).getOrElse(0L)
 
       // appends: increments only, never a rewrite of accumulated state.
-      // The gram index appends in its bucket layout — repartition(b)
-      // clusters each bucket's rows into one task, so a batch adds at
-      // most min(nBuckets, its distinct buckets) files, not tasks×dirs.
+      // The gram index appends in its bucket layout; at nB > 1,
+      // repartition(b) clusters each bucket's rows into one task so a
+      // batch adds at most min(nB, its distinct buckets) files — at
+      // nB == 1 (adaptive initial) the clustering shuffle buys nothing
+      // (one bucket) and is skipped; compaction owns the file count.
       hits.foreach(_.write.mode("append").parquet(hitsPath))
       newDocGrams.foreach { dg =>
         dg.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
           .write.mode("append").parquet(statsPath)
-        dg.withColumn("b", pmod(col("h1"), lit(nBuckets.toLong)).cast("int"))
-          .repartition(col("b"))
+        val laid = dg.withColumn("b",
+          pmod(col("h1"), lit(nB.toLong)).cast("int"))
+        (if (nB > 1) laid.repartition(col("b")) else laid)
           .write.mode("append").partitionBy("b").parquet(gramsPath)
+        // first-ever append: stamp the live modulus so a later adaptive
+        // reader never has to guess (appends don't change the modulus,
+        // so this write needs no atomicity with the data)
+        if (SketchState.readMarker(spark, gramsPath, NBucketsMarker).isEmpty)
+          SketchState.writeMarker(spark, gramsPath, NBucketsMarker,
+            nB.toString)
       }
       newBenchGrams.foreach(_.write.mode("append").parquet(benchPath))
       Seq(benchPath, statsPath, hitsPath)
         .foreach(SketchState.compactIfNeeded(spark, _, compactAfterFiles))
       SketchState.compactIfNeeded(spark, gramsPath, compactAfterFiles,
         partitionCols = Seq("b"))
+      if (nBuckets == 0)
+        rebucketIfNeeded(spark, gramsPath, nB, bucketTargetBytes, maxBuckets)
 
       hits.foreach(_.unpersist())
       newDocGrams.foreach(_.unpersist())
@@ -173,6 +232,34 @@ object ContamStream {
     } finally {
       nd.unpersist(); nb.unpersist()
     }
+  }
+
+  /** Doubling-triggered layout growth: rewrite the gram index at
+    * N′ = nextPow2(bytes / bucketTargetBytes) once that is ≥ 2 × N. The
+    * rewrite is one crash-safe swap carrying BOTH the relaid partition
+    * dirs and the updated `_graft_nbuckets` marker, so modulus and
+    * layout are never observable split. Returns the new modulus. */
+  private def rebucketIfNeeded(spark: SparkSession, gramsPath: String,
+                               nB: Int, bucketTargetBytes: Long,
+                               maxBuckets: Int): Int = {
+    if (!SketchState.exists(spark, gramsPath)) return nB
+    val path = new org.apache.hadoop.fs.Path(gramsPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.startsWith("part-")) bytes += s.getLen
+    }
+    val ideal = math.min(maxBuckets,
+      nextPow2((bytes + bucketTargetBytes - 1) / bucketTargetBytes))
+    if (ideal < 2 * nB) return nB
+    SketchState.swapReplacePartitionedKeeping(
+      spark.read.parquet(gramsPath)
+        .withColumn("b", pmod(col("h1"), lit(ideal.toLong)).cast("int"))
+        .repartition(col("b")),
+      gramsPath, Seq("b"), Map(NBucketsMarker -> ideal.toString))
+    ideal
   }
 
   /** The accumulated contamination table — identical to

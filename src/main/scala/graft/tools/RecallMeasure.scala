@@ -97,6 +97,10 @@ object RecallMeasure {
           graft.queries.TestdataQueries.q247HitsTable(spark, d),
         "q248 opq-ivf        " ->
           graft.queries.TestdataQueries.q248HitsTable(spark, d),
+        // q250: q248's serving composition trained on the FIRST arrival
+        // batch only (1/3 prefix) — the train-once streaming regime
+        "q250 stream opq-ivf " ->
+          graft.queries.TestdataQueries.q250HitsTable(spark, d),
         "probe-ceiling nP=4/8" -> probeCeilingHits(spark, d),
         // the like-for-like comparator for q247: SAME serving config
         // (full ADC shortlist 200 → exact re-rank, 10 queries, k=5,

@@ -231,6 +231,69 @@ object ScaleProbe {
       s"(pruning law: k-gram increment reads ≤ min(k,$nB)/$nB of the index)")
   }
 
+  /** ops28: the adaptive gram-index layout (round 16). Two questions,
+    * measured: (a) what does the fixture regime RECLAIM by starting at
+    * one bucket — q156's exact 3-poll mix timed adaptive vs pinned-64
+    * (the r15 layout, which paid a per-poll repartition shuffle +
+    * partitioned compaction for pruning the fixture never exercised);
+    * (b) does growth preserve the law — a stream whose index rebuckets
+    * 1 → 256 mid-life, marker printed per poll, then the SAME
+    * numFiles pruning witness as `ctfiles` against the GROWN layout. */
+  def ops28Probe(spark: SparkSession): Unit = {
+    import graft.streaming.ContamStream
+    def text(idc: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(0), lit(149)),
+        i => concat(lit("w"), pmod(hash(idc * 31 + i), lit(100000)))))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val nDocs = 15000L // ~sf0.1 documents cardinality
+    val docs = spark.range(nDocs)
+      .select(col("id"), text(col("id")).as("text")).cache()
+    docs.count()
+    // JIT/codegen warmup outside every timed window
+    val warm = "/tmp/ops28_warm"
+    fs.delete(new org.apache.hadoop.fs.Path(warm), true)
+    ContamStream.ingestBatch(spark, docs.limit(2000), docs.limit(0), warm)
+    // (a) q156's regime: 3 polls, docs + benchmark arrivals mixed
+    Seq(("adaptive", 0), ("pinned-64", 64)).foreach { case (tag, nb) =>
+      val base = s"/tmp/ops28_$tag"
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      (0 until 3).foreach { b =>
+        val arrivals = docs.filter(col("id") % 3 === b)
+        time(f"ops28 $tag%-10s poll $b") {
+          ContamStream.ingestBatch(spark,
+            newDocs = arrivals.filter(col("id") % 50 =!= 0),
+            newBench = arrivals.filter(col("id") % 50 === 0),
+            stateDir = base, nBuckets = nb)
+        }
+      }
+      time(f"ops28 $tag%-10s read") {
+        ContamStream.contamination(spark, base).count()
+      }
+    }
+    // (b) growth path: target ~1 MB/bucket so this corpus crosses
+    // several doublings; marker after each poll is the growth witness
+    val base = "/tmp/ops28_grown"
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    (0 until 3).foreach { b =>
+      time(f"ops28 grown      poll $b (incl. rebucket)") {
+        ContamStream.ingestBatch(spark, docs.filter(col("id") % 3 === b),
+          docs.limit(0), base, bucketTargetBytes = 1L << 20,
+          maxBuckets = 256)
+      }
+      val n = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/grams/_graft_nbuckets"))).trim
+      println(s"[probe] ops28 grown      modulus after poll $b: $n")
+    }
+    val oneGram = spark.range(1).select(lit(999999999L).as("id"),
+      lit("zq1 zr1 zs1").as("text"))
+    time("ops28 grown      1-gram bench poll") {
+      ContamStream.ingestBatch(spark, docs.limit(0), oneGram, base,
+        bucketTargetBytes = 1L << 20, maxBuckets = 256)
+    }
+    docs.unpersist()
+  }
+
   /** Crossover measurement for NearDupStream's verify-side corpus access
     * (full-scan shingle vs candidate-id broadcast semi-join) at growing
     * corpus/batch ratios. State is seeded directly with what ingestBatch
@@ -2061,7 +2124,8 @@ object ScaleProbe {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
-      "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26", "ops27")
+      "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26", "ops27",
+      "ops28")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -2105,6 +2169,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops27")) {
       ops27Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops28")) {
+      ops28Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return

@@ -79,6 +79,35 @@ class SketchStateSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/b").as[Long].collect().toSeq === Seq(5L))
   }
 
+  test("_graft_* markers are invisible to reads, ride compaction's " +
+    "rewrite, and commit atomically with swapReplacePartitionedKeeping") {
+    val p = freshPath()
+    // flat layout: 10 files + a marker; compaction (ideal=1) must rewrite
+    // to 1 file AND carry the marker into the swapped dir
+    Seq.range(0L, 100L).toDF("h").repartition(10)
+      .write.mode("overwrite").parquet(p)
+    SketchState.writeMarker(spark, p, "_graft_nbuckets", "1")
+    assert(SketchState.read(spark, p).count() === 100L,
+      "marker file must not be read as data")
+    assert(SketchState.compactIfNeeded(spark, p, maxFiles = 3),
+      "10 files over maxFiles=3 must compact")
+    assert(SketchState.readMarker(spark, p, "_graft_nbuckets")
+      === Some("1"), "compaction dropped the layout marker")
+    assert(SketchState.read(spark, p).count() === 100L)
+    // partitioned replace with a marker: data + marker land in one rename
+    SketchState.swapReplacePartitionedKeeping(
+      Seq.range(0L, 100L).toDF("h")
+        .withColumn("b", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("h"),
+          org.apache.spark.sql.functions.lit(4L)).cast("int")),
+      p, Seq("b"), Map("_graft_nbuckets" -> "4"))
+    assert(SketchState.readMarker(spark, p, "_graft_nbuckets")
+      === Some("4"))
+    assert(SketchState.read(spark, p).count() === 100L)
+    // partitioned compaction preserves it too
+    assert(SketchState.readMarker(spark, p, "_graft_absent") === None)
+  }
+
   test("kmv ingest state survives a simulated interrupted swap mid-stream") {
     val p = freshPath()
     Sketch.kmvIngestBatch(Seq("a", "b", "c").toDF("s"),

@@ -102,6 +102,58 @@ class ContamStreamSpec extends SparkSpec {
     assert(ids === Set(1L, 2L, 3L, 4L)) // doc 5 is empty: no shingles
   }
 
+  test("adaptive layout: starts at 1 bucket, grows via rebucket, and the " +
+    "grown probe is still exact") {
+    val state = Files.createTempDirectory("contamstream").toString
+    // docs only, two batches, 1-byte bucket target: the first batch
+    // seeds at modulus 1, the post-append rebucket grows the layout, the
+    // second batch appends INTO the grown layout
+    ContamStream.ingestBatch(spark, corpus.filter(col("id") <= 3),
+      bench.limit(0), state, n = 3, bucketTargetBytes = 1L, maxBuckets = 8)
+    val grown = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$state/grams/_graft_nbuckets"))).trim.toInt
+    assert(grown === 8, s"1-byte target must grow to the 8-bucket cap")
+    ContamStream.ingestBatch(spark, corpus.filter(col("id") > 3),
+      bench.limit(0), state, n = 3, bucketTargetBytes = 1L, maxBuckets = 8)
+    val dirs = new java.io.File(s"$state/grams").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("b="))
+    assert(dirs.forall { d =>
+      val v = d.stripPrefix("b=").toInt; v >= 0 && v < 8
+    }, s"grown layout must be b=<0..7>, got ${dirs.toSeq}")
+    // benchmark arrives LAST: every hit comes from the bucket-pruned
+    // old-docs probe against the grown layout
+    ContamStream.ingestBatch(spark, corpus.limit(0), bench, state,
+      n = 3, bucketTargetBytes = 1L, maxBuckets = 8)
+    val got = ContamStream.contamination(spark, state)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === oneShot, "post-rebucket pruned probe diverged")
+  }
+
+  test("modulus marker survives the stream's state maintenance; a pinned " +
+    "caller that disagrees with the layout is rejected") {
+    val state = Files.createTempDirectory("contamstream").toString
+    // force growth AND per-batch compaction in the same stream
+    (0 until 3).foreach { b =>
+      ContamStream.ingestBatch(spark,
+        newDocs = corpus.filter(col("id") % 3 === b),
+        newBench = bench.filter(col("id") % 3 === b),
+        stateDir = state, n = 3, compactAfterFiles = 1,
+        bucketTargetBytes = 1L, maxBuckets = 8)
+    }
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$state/grams/_graft_nbuckets"))).trim
+    assert(marker === "8", "compaction must carry the layout marker")
+    val got = ContamStream.contamination(spark, state)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === oneShot)
+    val e = intercept[IllegalArgumentException] {
+      ContamStream.ingestBatch(spark, corpus.limit(0), bench, state,
+        n = 3, nBuckets = 64)
+    }
+    assert(e.getMessage.contains("nBuckets=8"),
+      s"pinned-modulus mismatch must name the live layout: ${e.getMessage}")
+  }
+
   test("compaction keeps results identical") {
     val state = Files.createTempDirectory("contamstream").toString
     (0 until 3).foreach { b =>
