@@ -64,33 +64,87 @@ object ClusterStream {
 
   /** Fold one poll's newly discovered pairs `(id_a, id_b)` into the
     * alias forest. Endpoint ids must be ids of ingested documents;
-    * pairs may repeat across polls (replay-safe no-op). */
+    * pairs may repeat across polls (replay-safe no-op).
+    *
+    * Endpoint resolution is size-gated like [[graft.operators
+    * .DupClusters.connectedComponents]]' crossover: while the alias log
+    * is ≤ `localMaxAliasBytes` on disk (decided from the file listing —
+    * zero jobs; 32 MB ≈ 2M aliases, the DupClusters-measured crossover
+    * neighborhood) the log is collected once and chased driver-side —
+    * ZERO joins and shuffles per poll, which is what the poll floor is
+    * made of at fixture scale (each tiny chase join+count was a full
+    * 32-partition shuffle round-trip). Past the gate, the join-per-hop
+    * chase runs: batch-bounded endpoint side, one join per chain depth
+    * — the 100 TB path. */
   def ingestPairs(spark: SparkSession, newPairs: DataFrame,
                   stateDir: String, compactAfterFiles: Int = 64,
-                  maxChase: Int = 64): BatchResult = {
+                  maxChase: Int = 64,
+                  localMaxAliasBytes: Long = 32L << 20): BatchResult = {
     val path = aliasPath(stateDir)
     val hasState = SketchState.exists(spark, path)
-    val pr = newPairs
+    val prPlan = newPairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-      .distinct().persist()
-    try {
-      val nPairs = pr.count()
-      if (nPairs == 0) return BatchResult(0, 0)
-      // resolve the batch's endpoints through the CURRENT forest: one
-      // join per chain hop, endpoint side batch-bounded throughout
-      val eps = pr.select(col("id_a").as("id"))
-        .union(pr.select(col("id_b").as("id"))).distinct()
-      var cur = eps.select(col("id"), col("id").as("root"))
-      // track the PERSISTED frame itself: unpersisting a derived frame
-      // (e.g. nxt.drop) misses the cache entry, and a leaked entry is a
-      // stale-file time bomb — CacheManager matches later polls' plans
-      // by root path, resurrecting scans of files a compaction swap
-      // already deleted
-      var pinned = cur.persist()
-      pinned.count()
-      if (hasState) {
+      .distinct()
+    // regime gate from the FILE LISTING (zero Spark jobs): 32 MB of
+    // encoded (long, long) rows ≈ 2M aliases, the DupClusters-measured
+    // union-find crossover neighborhood
+    val logBytes = if (!hasState) 0L else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).iterator
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
+    }
+    // the batch's distinct pairs are driver-bounded by contract (the
+    // q44 small-regime discipline: a poll's near-dup pairs are a sliver
+    // of its docs) — ONE action collects them for both the union-find
+    // and, in the local regime, the endpoint set
+    val pairRows: Array[(Long, Long)] = prPlan.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nPairs = pairRows.length.toLong
+    if (nPairs == 0) return BatchResult(0, 0)
+    val rootOf: Map[Long, Long] =
+      if (logBytes <= localMaxAliasBytes) {
+        // LOCAL regime: chase the collected forest driver-side — zero
+        // joins, zero shuffles per poll
+        val alias: Map[Long, Long] =
+          if (!hasState) Map.empty
+          else spark.read.parquet(path).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        def chase(x: Long): Long = {
+          var r = x
+          var hops = 0
+          while (alias.contains(r)) {
+            require(hops < maxChase,
+              s"alias chain deeper than maxChase=$maxChase — compaction broken?")
+            r = alias(r); hops += 1
+          }
+          r
+        }
+        val ids: Set[Long] =
+          pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+        ids.iterator.map(id => id -> chase(id)).toMap
+      } else {
+        // DISTRIBUTED regime: resolve the batch's endpoints through
+        // the CURRENT forest — one join per chain hop, endpoint side
+        // batch-bounded throughout (built from the already-collected
+        // pairs: the union-find is driver-side in BOTH regimes, so the
+        // distributed path exists for a LARGE ALIAS LOG, not large
+        // batches)
+        import spark.implicits._
+        val ids: Set[Long] =
+          pairRows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+        val eps = ids.toSeq.toDF("id")
+        var cur = eps.select(col("id"), col("id").as("root"))
+        // track the PERSISTED frame itself: unpersisting a derived
+        // frame (e.g. nxt.drop) misses the cache entry, and a leaked
+        // entry is a stale-file time bomb — CacheManager matches later
+        // polls' plans by root path, resurrecting scans of files a
+        // compaction swap already deleted
+        var pinned = cur.persist()
+        pinned.count()
         val al = spark.read.parquet(path)
           .select(col("node").as("root"), col("parent").as("__p"))
         var moved = 1L
@@ -109,45 +163,45 @@ object ClusterStream {
           cur = nxt.drop("__m")
           hops += 1
         }
+        // batch-local union-find over resolved roots, driver-side
+        // (rows ≤ 2 × batch pair count)
+        val out = cur.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        pinned.unpersist()
+        out
       }
-      // batch-local union-find over resolved roots, driver-side (the
-      // q44 bounded-regime discipline: rows ≤ 2 × batch pair count)
-      val rootOf = cur.collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      pinned.unpersist()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path-compress the probe
-        while (parent.getOrElse(c, c) != c) {
-          val n = parent(c); parent(c) = r; c = n
-        }
-        r
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path-compress the probe
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
       }
-      pr.collect().foreach { row =>
-        val ra = find(rootOf(row.getLong(0)))
-        val rb = find(rootOf(row.getLong(1)))
-        if (ra != rb) {
-          val (hi, lo) = if (ra > rb) (ra, rb) else (rb, ra)
-          parent(hi) = lo
-        }
+      r
+    }
+    pairRows.foreach { case (a, b) =>
+      val ra = find(rootOf(a))
+      val rb = find(rootOf(b))
+      if (ra != rb) {
+        val (hi, lo) = if (ra > rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo
       }
-      // emit each losing root aliased straight to its FINAL root this
-      // poll (write-time path compression)
-      val aliasRows: Seq[Row] = parent.keys.toSeq.sorted.flatMap { n =>
-        val r = find(n)
-        if (r != n) Some(Row(n, r)) else None
-      }
-      if (aliasRows.nonEmpty) {
-        spark.createDataFrame(
-            java.util.Arrays.asList(aliasRows: _*), aliasSchema)
-          .coalesce(1) // driver-built metadata: one file per poll
-          .write.mode("append").parquet(path)
-        compressIfNeeded(spark, path, compactAfterFiles)
-      }
-      BatchResult(nPairs, aliasRows.size.toLong)
-    } finally { pr.unpersist(); () }
+    }
+    // emit each losing root aliased straight to its FINAL root this
+    // poll (write-time path compression)
+    val aliasRows: Seq[Row] = parent.keys.toSeq.sorted.flatMap { n =>
+      val r = find(n)
+      if (r != n) Some(Row(n, r)) else None
+    }
+    if (aliasRows.nonEmpty) {
+      spark.createDataFrame(
+          java.util.Arrays.asList(aliasRows: _*), aliasSchema)
+        .coalesce(1) // driver-built metadata: one file per poll
+        .write.mode("append").parquet(path)
+      compressIfNeeded(spark, path, compactAfterFiles)
+    }
+    BatchResult(nPairs, aliasRows.size.toLong)
   }
 
   /** Label a vertex universe with its duplicate-cluster representative
@@ -168,13 +222,41 @@ object ClusterStream {
         coalesce(col("root"), col("id")).as("cluster_rep"))
   }
 
-  /** Resolve every node of the alias forest to its terminal root by
-    * POINTER DOUBLING: each round substitutes root := resolve(root)
-    * using the current table itself, halving remaining chain depth —
-    * O(log depth) passes over the log, never over pairs or corpus.
-    * Returns a spill-decoupled (node, root) frame. */
+  /** Resolve every node of the alias forest to its terminal root.
+    * Size-gated like [[ingestPairs]]: a log of ≤ `localMaxAliases` rows
+    * is collected and path-compressed driver-side (one job, zero
+    * shuffles — the read-path floor at fixture scale was the doubling
+    * rounds' join+count shuffles over a few hundred rows). Past the
+    * gate: POINTER DOUBLING — each round substitutes root :=
+    * resolve(root) using the current table itself, halving remaining
+    * chain depth — O(log depth) passes over the log, never over pairs
+    * or corpus. Returns a (node, root) frame (spill-decoupled in the
+    * distributed regime). */
   private[streaming] def resolveForest(spark: SparkSession,
-      aliases: DataFrame, maxIter: Int = 64): DataFrame =
+      aliases: DataFrame, maxIter: Int = 64,
+      localMaxAliases: Long = 1000000L): DataFrame = {
+    if (aliases.count() <= localMaxAliases) {
+      val alias = aliases.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val memo = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = memo.getOrElseUpdate(x, {
+        var r = x
+        var hops = 0
+        while (alias.contains(r)) {
+          require(hops <= alias.size, "alias forest has a cycle?")
+          r = alias(r); hops += 1
+        }
+        r
+      })
+      val rows: Seq[Row] = alias.keys.toSeq.sorted
+        .map(n => Row(n, find(n)))
+      // metadata-sized: one partition, so a compression rewrite lands
+      // as one file and the read-path broadcast builds from one task
+      return spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), StructType(Seq(
+          StructField("node", LongType), StructField("root", LongType))))
+        .coalesce(1)
+    }
     CacheHygiene.withRddCleanup(spark) {
       var cur = aliases.select(col("node"), col("parent").as("root"))
       var pinned = cur.persist() // see ingestPairs on unpersist hygiene
@@ -200,6 +282,7 @@ object ClusterStream {
       pinned.unpersist()
       out
     }
+  }
 
   /** Excess-triggered compression+compaction: rewrite the log fully
     * path-compressed (depth 1) in one crash-safe swap when its

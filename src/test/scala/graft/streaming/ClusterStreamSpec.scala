@@ -114,6 +114,37 @@ class ClusterStreamSpec extends SparkSpec {
       "a node may carry at most one alias row")
   }
 
+  test("local and distributed chase regimes append IDENTICAL alias logs " +
+    "and labels (the size gate changes cost, never state)") {
+    val want = expected
+    val splits = pairs.map(Seq(_)) // one pair per poll: deepest chains
+    val baseL = Files.createTempDirectory("clstream_l").toString
+    val baseD = Files.createTempDirectory("clstream_d").toString
+    splits.foreach { s =>
+      ClusterStream.ingestPairs(spark, s.toDF("id_a", "id_b"), baseL)
+      // localMaxAliasBytes = 0: every poll past the first takes the
+      // join-per-hop path; resolveForest's gate is likewise bypassed
+      ClusterStream.ingestPairs(spark, s.toDF("id_a", "id_b"), baseD,
+        localMaxAliasBytes = 0L)
+    }
+    def log(b: String) = spark.read.parquet(s"$b/aliases")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(log(baseL) === log(baseD),
+      "the two regimes must write byte-identical forests")
+    val gotD = ClusterStream.clusters(spark, vertices, baseD)
+      .as[(Long, Long)].collect().toMap
+    assert(gotD === want)
+    // distributed read path too: pointer-doubling resolution of the
+    // same log equals the driver-side chase
+    val resolved = ClusterStream.resolveForest(spark,
+        spark.read.parquet(s"$baseD/aliases"), localMaxAliases = 0L)
+      .as[(Long, Long)].collect().toMap
+    val local = ClusterStream.resolveForest(spark,
+        spark.read.parquet(s"$baseL/aliases"))
+      .as[(Long, Long)].collect().toMap
+    assert(resolved === local, "read regimes diverged on the same forest")
+  }
+
   test("empty polls and unknown-singleton vertices label themselves") {
     val base = Files.createTempDirectory("clstream_e").toString
     val r = ClusterStream.ingestPairs(spark,
