@@ -232,7 +232,7 @@ object ClusterStream {
     * chain depth — O(log depth) passes over the log, never over pairs
     * or corpus. Returns a (node, root) frame (spill-decoupled in the
     * distributed regime). */
-  private[streaming] def resolveForest(spark: SparkSession,
+  private[graft] def resolveForest(spark: SparkSession,
       aliases: DataFrame, maxIter: Int = 64,
       localMaxAliases: Long = 1000000L): DataFrame = {
     if (aliases.count() <= localMaxAliases) {

@@ -294,6 +294,60 @@ object ScaleProbe {
     docs.unpersist()
   }
 
+  /** ops29: ClusterStream's chase-regime crossover, measured. The r16
+    * size gate (collect-and-chase ≤ 32 MB of log, join-per-hop past it)
+    * needs its threshold justified the way DupClusters' was: seed alias
+    * forests of growing size DIRECTLY (node 4r+k → parent 4r — depth-1,
+    * the compacted shape), then time ONE identical 50k-pair ingest
+    * (half its endpoints hit the forest) under the default gate vs
+    * forced-distributed, and one forest resolution each way. Separate
+    * state dirs per variant so both time the identical increment. */
+  def ops29Probe(spark: SparkSession): Unit = {
+    import graft.streaming.ClusterStream
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def seed(nAlias: Long, dir: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(nAlias).select(
+          ((col("id") / 3L).cast("long") * 4L + pmod(col("id"), lit(3L)) + 1L)
+            .as("node"),
+          ((col("id") / 3L).cast("long") * 4L).as("parent"))
+        .repartition(math.max(1L, nAlias / 2000000L).toInt)
+        .write.mode("overwrite").parquet(s"$dir/aliases")
+    }
+    // 6.4M is enough: the local regime is already 2–13× behind there
+    // (and collapse is super-linear — driver Map + row materialization);
+    // larger sizes only repeat the verdict at unbounded probe cost
+    Seq(400000L, 1600000L, 6400000L).foreach { nAlias =>
+      // batch: 50k pairs, id_a an aliased node, id_b a fresh id — every
+      // chase has to consult the forest
+      val fresh = nAlias * 8L
+      val batch = spark.range(50000L).select(
+        ((col("id") / 3L).cast("long") * 4L + pmod(col("id"), lit(3L)) + 1L)
+          .as("id_a"),
+        (col("id") + fresh).as("id_b"))
+      Seq(("local", Long.MaxValue), ("dist ", 0L)).foreach { case (tag, gate) =>
+        val dir = s"/tmp/ops29_${nAlias}_${tag.trim}"
+        seed(nAlias, dir)
+        time(f"ops29 ingest $tag aliases=$nAlias%9d (50k pairs)") {
+          ClusterStream.ingestPairs(spark, batch, dir,
+            localMaxAliasBytes = gate)
+        }
+      }
+      val dir = s"/tmp/ops29_${nAlias}_local"
+      time(f"ops29 read   local aliases=$nAlias%9d") {
+        ClusterStream.resolveForest(spark,
+          spark.read.parquet(s"$dir/aliases"),
+          localMaxAliases = Long.MaxValue).count()
+      }
+      time(f"ops29 read   dist  aliases=$nAlias%9d") {
+        ClusterStream.resolveForest(spark,
+          spark.read.parquet(s"$dir/aliases"),
+          localMaxAliases = 0L).count()
+      }
+    }
+  }
+
   /** Crossover measurement for NearDupStream's verify-side corpus access
     * (full-scan shingle vs candidate-id broadcast semi-join) at growing
     * corpus/batch ratios. State is seeded directly with what ingestBatch
@@ -2125,7 +2179,7 @@ object ScaleProbe {
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
       "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26", "ops27",
-      "ops28")
+      "ops28", "ops29")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -2172,6 +2226,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops28")) {
       ops28Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops29")) {
+      ops29Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return
