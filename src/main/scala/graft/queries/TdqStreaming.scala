@@ -353,12 +353,16 @@ private[queries] trait TdqStreaming { this: TestdataQueries.type =>
   // later appends land in a GROWN layout and the benchmark increments
   // bucket-prune against it. Hits are counted identically at every
   // modulus (the marker travels inside the swap, so probe modulus ==
-  // layout modulus at every crash point) — q62's oracle certifies the
-  // grown stream verbatim, exactly as it does the fixed-layout q156.
+  // layout modulus at every crash point). Runs on a QUARTER corpus
+  // slice (doc_id % 4 = 0) — the growth path still triggers at every
+  // SF, and the registry doesn't pay the full contam-stream cost twice
+  // (q156 already covers the full corpus); q249Sql is q62's oracle
+  // restricted to the same slice.
   private[queries] def q249ContamAdaptive(s: SparkSession, d: String): DataFrame = {
     val state = java.nio.file.Files.createTempDirectory("contam_adaptive")
       .toString
     val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id").as("id"), col("text"))
     (0 until 3).foreach { b =>
       val arrivals = docs.filter(col("id") % 3 === b)
@@ -372,6 +376,23 @@ private[queries] trait TdqStreaming { this: TestdataQueries.type =>
       .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
         col("contaminated"))
   }
+
+  private[queries] lazy val q249Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts)-3, 0) + 2)]
+       |  )) AS s FROM toks WHERE len(ts) > 0),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $q62BenchMod = 0),
+       |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % $q62BenchMod <> 0)
+       |SELECT doc_id, count(*) AS n_shingles, count(b.s) AS n_overlap,
+       |  count(b.s) * 2 >= count(*) AS contaminated
+       |FROM corp LEFT JOIN bench b ON corp.s = b.s
+       |GROUP BY doc_id""".stripMargin
 
   // ------------------- streaming DoReMi reweighting (§2.10 ext)
   // q174's weights re-derived after every ingest batch from additive
