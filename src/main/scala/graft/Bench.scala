@@ -50,6 +50,33 @@ import org.apache.spark.sql.SparkSession
   * the r15 q92/q156 manual forensics, automated. See the quiet-window
   * block in main for the acceptance rule and budget.
   *
+  * Round-17: the whole run is BUDGET-AWARE (r16's driver artifact was
+  * timeout-killed ~200/260 queries in; r15's full run fit in 1519 s, so
+  * the external ceiling is ~1800 s and this main must land under it on
+  * its own):
+  *  - SPARK_GRAFT_BENCH_BUDGET_SEC (default 1500) is a hard wall for the
+  *    WHOLE main, measured from entry;
+  *  - a query whose FIRST rep exceeds SPARK_GRAFT_BENCH_SLOW_REP_SEC
+  *    (default 8) runs 2 steady-state reps instead of 3 — the ~15
+  *    multi-poll streaming sims dominate the suite, and their medians at
+  *    2 reps equal their mins, which is the number read anyway;
+  *  - past 70% of the main-pass share of the budget every query drops to
+  *    2 reps; past 90%, to 1 (coverage beats reps — a 260/260 artifact
+  *    with thin reps is strictly more useful than a rich 200/260 one);
+  *  - BENCH_DETAIL.json is rewritten INCREMENTALLY after every query and
+  *    every quiet re-measure, so even an external kill leaves a
+  *    full-evidence artifact for everything that ran;
+  *  - the quiet-window pass budget is derived from the time REMAINING
+  *    (capped by SPARK_GRAFT_BENCH_QUIET_SEC), not a flat 900 s.
+  *  Quiet-window targets now also include DRIFT: any query whose min
+  *  regressed > 20% vs the prior committed BENCH_DETAIL.json floor
+  *  (min of its min and accepted quiet_min) gets a quiet verdict even
+  *  when no contention flag fired — the r16 q57/q125/q55 pattern, where
+  *  real steal flew under the StealFrac flag and unexplained floor
+  *  regressions shipped without a verdict. Drift targets run FIRST
+  *  (ordered by regression ratio), since they carry a round-over-round
+  *  claim the contended-only ones don't.
+  *
   * Between queries the JVM is returned to a known-clean state so query k's
   * number does not depend on queries 1..k-1 (round-5 forensics: q44 read
   * 22.9 s in the 66-query bench vs 7.0 s standalone, and untouched queries
@@ -64,9 +91,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSec(): Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    val slowRepSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_REP_SEC", "8").toDouble
+    // the main pass may spend up to this much; the rest is the quiet
+    // pass's reserve (it shrinks further if the main pass overruns)
+    val mainBudgetSec = budgetSec * 0.75
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -176,6 +212,28 @@ object Bench {
         (sha, s""""scans":$scans,"xchg":$xchg,"bcast":$bcast""")
       } catch { case _: Throwable => ("na", """"scans":-1""") }
 
+    // Prior committed floors (min of min and accepted quiet_min per
+    // query) parsed from the LAST round's BENCH_DETAIL.json before this
+    // run overwrites it — the reference for the drift-triggered quiet
+    // re-measure. The format is this file's own emission, so a strict
+    // regex is reliable; parse failures just mean an empty reference.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val priorFloor: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(detailPath)), "UTF-8")
+      val entryRe = ("\"([^\"]+)\":\\{\"median\":[^,]*,\"min\":(-?[0-9.eE+]+)," +
+        "\"reps\":\\[[^\\]]*\\],\"load\":[^,]*,\"steal_d\":[^,]*," +
+        "\"contended\":(?:true|false)" +
+        "(?:,\"quiet_min\":(-?[0-9.eE+]+),\"quiet_steal_d\":-?\\d+," +
+        "\"quiet_reps\":\\d+(?:,\"quiet_why\":\"[^\"]*\")?)?,\"plan\":").r
+      entryRe.findAllMatchIn(txt).flatMap { m =>
+        val mn = m.group(2).toDouble
+        val qm = Option(m.group(3)).map(_.toDouble).filter(_ >= 0)
+        val floor = qm.fold(mn)(math.min(mn, _))
+        if (mn >= 0) Some(m.group(1) -> floor) else None
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+
     val loadStart = loadavg()
     val stealStart = stealJiffies()
     var errors = Map.empty[String, String]
@@ -192,15 +250,41 @@ object Bench {
     case class QRes(name: String, median: Double, min: Double,
                     times: Vector[Double], load: Double, stealD: Long,
                     contended: Boolean, planFp: String, planCounts: String)
+    case class Quiet(min: Double, stealD: Long, reps: Int, why: String)
+
+    // incremental artifact: rewritten after EVERY query and quiet
+    // re-measure, so an external kill leaves full evidence for
+    // everything that ran (the r16 driver artifact died with its detail
+    // file never written)
+    val quietAcc = scala.collection.mutable.LinkedHashMap.empty[String, Quiet]
+    def writeDetail(results: Seq[QRes], done: Boolean): Unit = {
+      val total = results.collect { case r if r.median >= 0 => r.median }.sum
+      val totalMin = results.collect { case r if r.min >= 0 => r.min }.sum
+      val flagship = results.find(_.name == "omm_envelope")
+      val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
+        .mkString("{", ",", "}")
+      val entries = results.map { r =>
+        val quietPart = quietAcc.get(r.name)
+          .map(qq => s""","quiet_min":${qq.min},"quiet_steal_d":${qq.stealD},"quiet_reps":${qq.reps},"quiet_why":${q(qq.why)}""")
+          .getOrElse("")
+        s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"contended":${r.contended}$quietPart,"plan":{"fp":${q(r.planFp)},${r.planCounts}}}"""
+      }.mkString("{", ",", "}")
+      val detail =
+        s"""{"metric":"total","value":$total,"value_min":$totalMin,"flagship_sec":${r3(flagship.map(_.median).getOrElse(-1.0))},"flagship_min":${r3(flagship.map(_.min).getOrElse(-1.0))},"unit":"sec","complete":$done,"queries":$entries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"budget_sec":$budgetSec,"elapsed_sec":${r3(elapsedSec())},"load_start":$loadStart,"load_end":${loadavg()},"steal_start":$stealStart,"steal_end":${stealJiffies()},"uptime_sec":${uptimeSec()}}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
+    }
     // SPARK_GRAFT_BENCH_ONLY=q92_...,q140_... restricts the run — the
     // quiet-window re-measure loop (drift forensics) without paying the
     // full sweep; unset = every registered query (the driver contract)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val resultsAcc = scala.collection.mutable.ArrayBuffer.empty[QRes]
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+      .foreach { case (name, fn) =>
       // full reset + GC before each query so its reps start from the same
       // heap/broadcast state regardless of position in the alphabet
       resetJvmState(settle = true)
@@ -226,8 +310,26 @@ object Bench {
             -1.0
         }
       }
-      var times = (0 until reps).iterator.map(_ => runRep())
-        .takeWhile(_ >= 0).toVector // an error rep aborts the remaining reps
+      // budget-aware target rep count: coverage beats reps. Past 70% of
+      // the main-pass budget everything drops to 2 reps, past 90% to 1;
+      // and a query whose FIRST rep is slow (the streaming sims) caps at
+      // 2 regardless — its median at 3 reps equals its min anyway, and
+      // those third reps alone cost the r16 run minutes it didn't have.
+      val pace = elapsedSec() / mainBudgetSec
+      var target =
+        if (pace >= 0.9) 1
+        else if (pace >= 0.7) math.min(reps, 2)
+        else reps
+      var times = Vector.empty[Double]
+      var i = 0
+      while (!failed && i < target) {
+        val t = runRep()
+        if (t >= 0) {
+          times = times :+ t
+          if (i == 0 && t > slowRepSec && target > 2) target = 2
+        }
+        i += 1
+      }
       def median(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
       def spreadOk(ts: Vector[Double]): Boolean =
         ts.size < 2 || ts.max / ts.min.max(1e-9) <= SpreadLimit
@@ -248,7 +350,8 @@ object Bench {
       // chances to land a quiet rep that pulls min (the headline companion)
       // down even when the median stays polluted
       var extras = 0
-      while (!failed && reps > 1 && extras < ExtraReps &&
+      while (!failed && target > 1 && extras < ExtraReps &&
+             elapsedSec() < 0.9 * mainBudgetSec &&
              ((!spreadOk(times) &&
                median(times) / times.min.max(1e-9) > SpreadLimit) ||
               stealHigh(times))) {
@@ -256,7 +359,7 @@ object Bench {
         if (t >= 0) times = times :+ t
         extras += 1
       }
-      val med = if (failed || times.size < reps) -1.0 else median(times)
+      val med = if (failed || times.isEmpty) -1.0 else median(times)
       val mn = if (times.isEmpty) -1.0 else times.min
       // contended = EITHER the median is still more than SpreadLimit above
       // the contention-immune min after the extra reps (transient spike the
@@ -280,8 +383,10 @@ object Bench {
       // one short evidence line per query, printed BEFORE the summary so a
       // tail capture keeps the summary; the detail file keeps everything
       rawOut.println(s"""{"q":${q(name)},"median":${r3(med)},"min":${r3(mn)},"reps":[${times.map(r3).mkString(",")}],"load":$load,"steal_d":$stealD,"contended":$contended,"fp":${q(fp)}}""")
-      QRes(name, med, mn, times, load, stealD, contended, fp, pc)
+      resultsAcc += QRes(name, med, mn, times, load, stealD, contended, fp, pc)
+      writeDetail(resultsAcc.toSeq, done = false)
     }
+    val results: Seq[QRes] = resultsAcc.toSeq
     // QUIET-WINDOW RE-MEASURE (automated r15 forensics): every query the
     // main pass flagged contended gets re-repped inside a low-steal
     // window, so round-over-round comparisons read `quiet_min` instead of
@@ -295,8 +400,13 @@ object Bench {
     // whole pass shares one wall-clock budget (SPARK_GRAFT_BENCH_QUIET_SEC,
     // default 900 s); queries the budget never reached record quiet_min
     // -1 with their attempt count.
-    val quietBudgetSec =
+    val quietCapSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SEC", "900").toDouble
+    // the quiet pass spends what the wall budget has LEFT (minus a stop
+    // margin for the summary + spark.stop), capped by the env knob — a
+    // flat 900 s on top of a long main pass is how r16 overran its kill
+    val quietBudgetSec = math.max(0.0,
+      math.min(quietCapSec, budgetSec - elapsedSec() - 30.0))
     val quietDeadline = System.nanoTime() + (quietBudgetSec * 1e9).toLong
     def quietWindowOpen(): Boolean = {
       val s0 = stealJiffies()
@@ -304,14 +414,30 @@ object Bench {
       val s1 = stealJiffies()
       s0 >= 0 && s1 >= 0 && s1 - s0 <= 40
     }
-    case class Quiet(min: Double, stealD: Long, reps: Int)
+    // DRIFT targets: min regressed > 20% vs the prior committed floor —
+    // quiet-verdicted even when no contention flag fired (the r16
+    // q57/q125/q55 pattern: real steal under the StealFrac radar).
+    // Worst regression first: each carries a round-over-round claim.
+    val drift: Seq[(QRes, Double)] = results
+      .filter(_.min >= 0)
+      .flatMap(r => priorFloor.get(r.name)
+        .filter(pf => pf > 0 && r.min > 1.2 * pf)
+        .map(pf => r -> r.min / pf))
+      .sortBy(-_._2)
+    val driftNames = drift.map(_._1.name).toSet
     // SPARK_GRAFT_BENCH_QUIET_ALL=1 re-measures EVERY successful query
-    // (validation / richer artifacts), not just the contended ones
-    val quietTargets =
+    // (validation / richer artifacts), not just drift + contended
+    val quietTargets: Seq[(QRes, String)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_QUIET_ALL").contains("1"))
-        results.filter(_.median >= 0)
-      else results.filter(_.contended)
-    val quiet: Map[String, Quiet] = quietTargets.map { r =>
+        results.filter(_.median >= 0).map { r =>
+          r -> (if (driftNames(r.name)) "drift"
+                else if (r.contended) "contended" else "all")
+        }
+      else drift.map { case (r, _) =>
+        r -> (if (r.contended) "drift+contended" else "drift")
+      } ++ results.filter(r => r.contended && !driftNames(r.name))
+        .map(r => r -> "contended")
+    quietTargets.foreach { case (r, why) =>
       val fn = SparkEntry.queries(r.name)
       var accepted = Vector.empty[Double]
       var stealTot = 0L
@@ -333,9 +459,10 @@ object Bench {
         }
       }
       val qm = if (accepted.isEmpty) -1.0 else accepted.min
-      rawOut.println(s"""{"q":${q(r.name)},"quiet_min":${r3(qm)},"quiet_steal_d":$stealTot,"quiet_reps":$attempts}""")
-      r.name -> Quiet(qm, stealTot, attempts)
-    }.toMap
+      rawOut.println(s"""{"q":${q(r.name)},"quiet_min":${r3(qm)},"quiet_steal_d":$stealTot,"quiet_reps":$attempts,"quiet_why":${q(why)}}""")
+      quietAcc(r.name) = Quiet(qm, stealTot, attempts, why)
+      writeDetail(results, done = false)
+    }
 
     val loadEnd = loadavg()
     val stealEnd = stealJiffies()
@@ -351,20 +478,9 @@ object Bench {
     val flagshipMin = r3(flagship.map(_.min).getOrElse(-1.0))
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
 
-    // full artifact on disk: every query's median/min, raw reps, loadavg,
-    // per-query steal delta and the contended verdict
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val detailEntries = results.map { r =>
-      val quietPart = quiet.get(r.name)
-        .map(qq => s""","quiet_min":${qq.min},"quiet_steal_d":${qq.stealD},"quiet_reps":${qq.reps}""")
-        .getOrElse("")
-      s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"contended":${r.contended}$quietPart,"plan":{"fp":${q(r.planFp)},${r.planCounts}}}"""
-    }.mkString("{", ",", "}")
-    val detail =
-      s"""{"metric":"total","value":$total,"value_min":$totalMin,"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","queries":$detailEntries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"uptime_sec":${uptimeSec()}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
+    // final (complete) artifact on disk — the incremental writer has been
+    // keeping it current all run; this stamps "complete": true
+    writeDetail(results, done = true)
 
     // compact trailing summary: total LAST on stdout, slowest-10 medians
     // in-line (q44-class outliers are thus always in-artifact), bounded
@@ -380,7 +496,7 @@ object Bench {
     spark.stop()
     // print the summary AFTER spark.stop() so no late executor/log line can
     // land between it and the end of the capture window
-    rawOut.println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"contended":$contendedNames,"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
+    rawOut.println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"n_quiet":${quietAcc.size},"n_drift":${drift.size},"budget_sec":$budgetSec,"elapsed_sec":${r3(elapsedSec())},"contended":$contendedNames,"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -257,8 +257,22 @@ object SketchState {
     val swap = swapPath(statePath)
     val fs = fsOf(spark, live)
     shape(df.write.mode("overwrite")).parquet(swap.toString)
-    markers.foreach { case (name, v) =>
-      writeMarker(spark, swap.toString, name, v) }
+    // The parquet job itself creates swap/_SUCCESS — the completeness
+    // witness [[exists]] uses for adoption. Markers must be INSIDE that
+    // witness, not after it: a crash between the parquet commit and the
+    // marker writes would otherwise leave an adoptable swap whose layout
+    // metadata is missing (an adaptive reader then defaults the bucket
+    // modulus against a rebucketed layout and silently mis-prunes). So:
+    // retract the witness, write the markers, re-stamp it — adoption only
+    // ever sees marker-complete swaps (the swapReplaceMany joint-witness
+    // pattern).
+    if (markers.nonEmpty) {
+      val witness = new Path(swap, "_SUCCESS")
+      fs.delete(witness, false)
+      markers.foreach { case (name, v) =>
+        writeMarker(spark, swap.toString, name, v) }
+      fs.create(witness, true).close()
+    }
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(swap, live))
       throw new java.io.IOException(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.operators.{CacheHygiene, SketchState}
+import graft.operators.{CacheHygiene, DupClusters, SketchState}
 
 /** Incremental duplicate-CLUSTER maintenance over streamed near-dup
   * pairs — the alias-log union-find that replaces q170's per-read
@@ -75,11 +75,19 @@ object ClusterStream {
     * made of at fixture scale (each tiny chase join+count was a full
     * 32-partition shuffle round-trip). Past the gate, the join-per-hop
     * chase runs: batch-bounded endpoint side, one join per chain depth
-    * — the 100 TB path. */
+    * — the 100 TB path.
+    *
+    * The BATCH side is gated too (`maxLocalPairs`): the batch's distinct
+    * pair count is measured before anything is collected, and a batch
+    * past the ceiling (a boilerplate flood producing quadratic
+    * within-batch pairs) runs entirely distributed through
+    * [[ingestPairsDistributed]] — label-identical, never an unguarded
+    * driver collect. */
   def ingestPairs(spark: SparkSession, newPairs: DataFrame,
                   stateDir: String, compactAfterFiles: Int = 64,
                   maxChase: Int = 64,
-                  localMaxAliasBytes: Long = 32L << 20): BatchResult = {
+                  localMaxAliasBytes: Long = 32L << 20,
+                  maxLocalPairs: Long = 2000000L): BatchResult = {
     val path = aliasPath(stateDir)
     val hasState = SketchState.exists(spark, path)
     val prPlan = newPairs
@@ -87,6 +95,32 @@ object ClusterStream {
         col("id_b").cast("long").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
+      .persist()
+    try {
+      // MEASURED batch-size gate, not a contract comment: "a poll's
+      // near-dup pairs are a sliver of its docs" is the normal shape, but
+      // one boilerplate flood inside a batch produces quadratic
+      // within-batch pairs — collecting those unguarded OOMs the driver
+      // with no diagnostic. The count materializes the persist, so the
+      // in-gate collect below is a cache read, and an over-ceiling batch
+      // redirects to DupClusters' distributed big-regime rounds
+      // (spec-pinned label-identical) instead of dying. 2M pairs is the
+      // DupClusters-measured union-find crossover neighborhood — past it
+      // the distributed path is the faster one anyway.
+      val nPairs = prPlan.count()
+      if (nPairs == 0) return BatchResult(0, 0)
+      if (nPairs > maxLocalPairs)
+        return ingestPairsDistributed(spark, prPlan, path, hasState,
+          maxChase, compactAfterFiles, nPairs)
+      ingestPairsLocal(spark, prPlan, path, hasState, maxChase,
+        localMaxAliasBytes, compactAfterFiles, nPairs)
+    } finally prPlan.unpersist()
+  }
+
+  private def ingestPairsLocal(spark: SparkSession, prPlan: DataFrame,
+      path: String, hasState: Boolean, maxChase: Int,
+      localMaxAliasBytes: Long, compactAfterFiles: Int,
+      nPairs: Long): BatchResult = {
     // regime gate from the FILE LISTING (zero Spark jobs): 32 MB of
     // encoded (long, long) rows ≈ 2M aliases, the DupClusters-measured
     // union-find crossover neighborhood
@@ -97,14 +131,10 @@ object ClusterStream {
         .filter(_.getPath.getName.startsWith("part-"))
         .map(_.getLen).sum
     }
-    // the batch's distinct pairs are driver-bounded by contract (the
-    // q44 small-regime discipline: a poll's near-dup pairs are a sliver
-    // of its docs) — ONE action collects them for both the union-find
-    // and, in the local regime, the endpoint set
+    // batch-bounded by the caller's maxLocalPairs gate; the persist was
+    // materialized by the gate's count, so this is a cache read
     val pairRows: Array[(Long, Long)] = prPlan.collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val nPairs = pairRows.length.toLong
-    if (nPairs == 0) return BatchResult(0, 0)
     val rootOf: Map[Long, Long] =
       if (logBytes <= localMaxAliasBytes) {
         // LOCAL regime: chase the collected forest driver-side — zero
@@ -203,6 +233,77 @@ object ClusterStream {
     }
     BatchResult(nPairs, aliasRows.size.toLong)
   }
+
+  /** The over-ceiling batch path: everything stays distributed. The
+    * batch's endpoints resolve through the forest (join per chain hop,
+    * endpoint side batch-bounded), the batch contracts to a ROOT graph
+    * (pairs whose endpoints already share a root vanish — replay-safe
+    * like the local path), and [[DupClusters.connectedComponents]]' rounds
+    * label each root with its component minimum — the SAME labeling the
+    * driver union-find produces (union by min), so the appended aliases
+    * are byte-identical: every losing root aliased straight to its final
+    * component min (write-time path compression preserved).
+    * `failOnNonConvergence = true` because these labels enter a PERSISTENT
+    * forest: a partially-propagated label would corrupt every later poll,
+    * so an over-deep graph must fail the batch, not taint the state. */
+  private def ingestPairsDistributed(spark: SparkSession, pairs: DataFrame,
+      path: String, hasState: Boolean, maxChase: Int,
+      compactAfterFiles: Int, nPairs: Long): BatchResult =
+    CacheHygiene.withRddCleanup(spark) {
+      val eps = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .distinct()
+      var cur = eps.select(col("id"), col("id").as("root"))
+      var pinned = cur.persist()
+      pinned.count()
+      if (hasState) {
+        val al = spark.read.parquet(path)
+          .select(col("node").as("root"), col("parent").as("__p"))
+        var moved = 1L
+        var hops = 0
+        while (moved > 0) {
+          require(hops < maxChase,
+            s"alias chain deeper than maxChase=$maxChase — compaction broken?")
+          val nxt = cur.join(al, Seq("root"), "left")
+            .select(col("id"),
+              coalesce(col("__p"), col("root")).as("root"),
+              col("__p").isNotNull.as("__m"))
+            .persist()
+          moved = nxt.filter(col("__m")).count()
+          pinned.unpersist()
+          pinned = nxt
+          cur = nxt.drop("__m")
+          hops += 1
+        }
+      }
+      val rootEdges = pairs
+        .join(cur.select(col("id").as("id_a"), col("root").as("src")),
+          Seq("id_a"))
+        .join(cur.select(col("id").as("id_b"), col("root").as("dst")),
+          Seq("id_b"))
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val rootVertices = rootEdges.select(col("src").as("id"))
+        .union(rootEdges.select(col("dst").as("id")))
+        .distinct()
+      val newAliases = DupClusters
+        .connectedComponents(rootVertices, rootEdges,
+          failOnNonConvergence = true)
+        .filter(col("id") =!= col("cluster_rep"))
+        .select(col("id").as("node"), col("cluster_rep").as("parent"))
+        .persist()
+      val nMerges = newAliases.count()
+      if (nMerges > 0) {
+        // aliases are 16 B/row metadata; land them in O(bytes/64MB) files
+        val nFiles = math.max(1L, (nMerges * 16L) >> 26).toInt
+        newAliases.coalesce(nFiles).write.mode("append").parquet(path)
+        compressIfNeeded(spark, path, compactAfterFiles)
+      }
+      pinned.unpersist()
+      newAliases.unpersist()
+      BatchResult(nPairs, nMerges)
+    }
 
   /** Label a vertex universe with its duplicate-cluster representative
     * (the component minimum — q44's labeling): resolve the forest by

@@ -46,8 +46,9 @@ import graft.operators.SketchState
   * 1 — a fresh stream's appends are layout-free (no per-batch shuffle, no
   * partitioned-compaction floor; the round-15 fixed-64 layout paid ~1 s
   * per poll of exactly that floor at fixture scale where the whole index
-  * fits in one scan partition anyway). When the index bytes reach
-  * 2 × N × `bucketTargetBytes`, the WHOLE index is rewritten at
+  * fits in one scan partition anyway). Once the index bytes EXCEED
+  * N × `bucketTargetBytes` (the smallest size whose rounded-up power-of-2
+  * ideal reaches 2 × N), the WHOLE index is rewritten at
   * N′ = nextPow2(bytes / bucketTargetBytes) (capped at `maxBuckets`) via
   * a crash-safe swap — doubling-triggered like [[SketchState
   * .compactIfNeeded]], so total rebucket cost over a stream's life is
@@ -88,10 +89,32 @@ object ContamStream {
         xxhash64(col("g"), lit(1)).as("h2"))
       .distinct()
 
+  /** True when the directory holds at least one parquet part file —
+    * distinguishes real index data from the marker-only residue a crash
+    * between the first marker stamp and the first data append leaves
+    * behind (reading parquet on a data-less dir fails schema inference).
+    * Only consulted on cold/rare paths: the marker-absent open and the
+    * old-docs probe guard — both listings of a fresh-or-small dir, and
+    * the per-batch compaction already pays a full recursive listing. */
+  private def hasPartFiles(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return false
+    val it = fs.listFiles(path, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.startsWith("part-")
+    found
+  }
+
   /** The gram index's live bucket modulus: the in-dir marker, or 1 for a
     * fresh/adaptive-initial layout. A pinned caller (`nBuckets > 0`) must
     * match the marker — mixing moduli on one state dir would probe with
-    * a modulus the layout doesn't have. */
+    * a modulus the layout doesn't have. An adaptive caller REFUSES a
+    * non-empty unmarked index for the same reason: with no marker there
+    * is no way to tell a legacy modulus-1 layout from an N-bucket layout
+    * whose marker was lost, and guessing 1 against N-bucket data silently
+    * prunes the probe to bucket 0 only (missed contamination hits). */
   private def currentBuckets(spark: SparkSession, gramsPath: String,
                              pinned: Int): Int = {
     val marked = SketchState.readMarker(spark, gramsPath, NBucketsMarker)
@@ -101,7 +124,13 @@ object ContamStream {
         s"gram index at $gramsPath has nBuckets=${marked.get}; " +
           s"caller pinned $pinned — the modulus is baked into the layout")
       pinned
-    } else marked.getOrElse(1)
+    } else marked.getOrElse {
+      require(!hasPartFiles(spark, gramsPath),
+        s"gram index at $gramsPath has data but no $NBucketsMarker marker; " +
+          "refusing to guess the bucket modulus — stamp the marker with " +
+          "the layout's true modulus to re-open this state adaptively")
+      1
+    }
   }
 
   private def nextPow2(x: Long): Int = {
@@ -180,8 +209,11 @@ object ContamStream {
       // nothing. The bucket list is collected (bounded: ≤ nB ints) so
       // the restriction is a plan literal → static hive-partition
       // pruning at the file source, no runtime-filter machinery.
+      // hasPartFiles, not bare exists: a crash between the first marker
+      // stamp and the first data append leaves a marker-only grams dir,
+      // which exists but has no readable parquet (and no hits to find)
       val hitsOld = newBenchGrams match {
-        case Some(inc) if nBenchInc > 0 && SketchState.exists(spark, gramsPath) =>
+        case Some(inc) if nBenchInc > 0 && hasPartFiles(spark, gramsPath) =>
           val bks = inc
             .select(pmod(col("h1"), lit(nB.toLong)).cast("int").as("b"))
             .distinct().collect().map(_.getInt(0)).toSeq
@@ -206,24 +238,33 @@ object ContamStream {
       newDocGrams.foreach { dg =>
         dg.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
           .write.mode("append").parquet(statsPath)
+        // first-ever append: stamp the live modulus BEFORE the data lands.
+        // A marker without data is harmless (appends never change the
+        // modulus, and readers guard on part files); data without a marker
+        // is not — a pinned-modulus stream crashing after an N-bucket
+        // append but before the stamp would leave a layout a later
+        // adaptive open can only misread (currentBuckets now refuses it).
+        if (SketchState.readMarker(spark, gramsPath, NBucketsMarker).isEmpty)
+          SketchState.writeMarker(spark, gramsPath, NBucketsMarker,
+            nB.toString)
         val laid = dg.withColumn("b",
           pmod(col("h1"), lit(nB.toLong)).cast("int"))
         (if (nB > 1) laid.repartition(col("b")) else laid)
           .write.mode("append").partitionBy("b").parquet(gramsPath)
-        // first-ever append: stamp the live modulus so a later adaptive
-        // reader never has to guess (appends don't change the modulus,
-        // so this write needs no atomicity with the data)
-        if (SketchState.readMarker(spark, gramsPath, NBucketsMarker).isEmpty)
-          SketchState.writeMarker(spark, gramsPath, NBucketsMarker,
-            nB.toString)
       }
       newBenchGrams.foreach(_.write.mode("append").parquet(benchPath))
       Seq(benchPath, statsPath, hitsPath)
         .foreach(SketchState.compactIfNeeded(spark, _, compactAfterFiles))
-      SketchState.compactIfNeeded(spark, gramsPath, compactAfterFiles,
-        partitionCols = Seq("b"))
-      if (nBuckets == 0)
-        rebucketIfNeeded(spark, gramsPath, nB, bucketTargetBytes, maxBuckets)
+      // rebucket FIRST: its swap already lands the whole index at one file
+      // per bucket, so running compaction before it could pay two full
+      // index rewrites back-to-back in one batch; compaction only runs
+      // when no rebucket rewrote the index this batch
+      val rebucketed = nBuckets == 0 &&
+        rebucketIfNeeded(spark, gramsPath, nB, bucketTargetBytes,
+          maxBuckets) != nB
+      if (!rebucketed)
+        SketchState.compactIfNeeded(spark, gramsPath, compactAfterFiles,
+          partitionCols = Seq("b"))
 
       hits.foreach(_.unpersist())
       newDocGrams.foreach(_.unpersist())

@@ -2174,12 +2174,162 @@ object ScaleProbe {
     }
   }
 
+  /** ops30: streaming-state LONGEVITY. Every compaction / rebucket /
+    * adaptive-growth trigger in the streaming stores had only ever run
+    * single-digit polls (the registered queries replay 3 batches); this
+    * ages the four heaviest streams 200+ polls at fixture scale and
+    * charts poll wall + state part-file count vs poll index. PASS =
+    * flat or bounded-sawtooth curves (a compaction paying its rewrite
+    * then returning to the floor); sustained growth in either signal is
+    * a state-maintenance bug. Ids increase strictly across polls (the
+    * arrival contract); texts recycle with a period so the dedup /
+    * seen-hash / near-dup paths do real work every poll.
+    * SPARK_GRAFT_OPS30_POLLS overrides the default 220;
+    * SPARK_GRAFT_OPS30_ONLY=contam|curation|ivfpq|neardup selects one. */
+  def ops30Probe(spark: SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val polls = sys.env.getOrElse("SPARK_GRAFT_OPS30_POLLS", "220").toInt
+    val onlyStream = sys.env.get("SPARK_GRAFT_OPS30_ONLY")
+    def want(tag: String) = onlyStream.forall(_ == tag)
+    def wipe(dir: String): String = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true); dir
+    }
+    def partFiles(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) return 0
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    def text(idc: org.apache.spark.sql.Column, period: Long) =
+      concat_ws(" ", transform(sequence(lit(0), lit(79)),
+        i => concat(lit("w"), pmod(hash(pmod(idc, lit(period)) * 31 + i),
+          lit(50000)))))
+    def age(tag: String, stateRoot: String)(poll: Int => Unit): Unit = {
+      val walls = new Array[Double](polls)
+      val files = new Array[Int](polls)
+      for (p <- 0 until polls) {
+        val t0 = System.nanoTime()
+        poll(p)
+        walls(p) = (System.nanoTime() - t0) / 1e9
+        files(p) = partFiles(stateRoot)
+        if (p % 10 == 0 || p == polls - 1)
+          println(f"[probe] ops30 $tag%-8s poll=$p%4d wall=${walls(p)}%7.3f s files=${files(p)}%5d")
+      }
+      val k = math.max(1, polls / 10)
+      def avg(a: Seq[Double]) = a.sum / a.size
+      println(f"[probe] ops30 $tag%-8s SUMMARY wall first=${avg(walls.take(k).toSeq)}%.3f" +
+        f" mid=${avg(walls.slice(polls / 2 - k / 2, polls / 2 + k - k / 2).toSeq)}%.3f" +
+        f" last=${avg(walls.takeRight(k).toSeq)}%.3f max=${walls.max}%.3f s |" +
+        f" files last=${files.last} max=${files.max}")
+    }
+
+    // (1) ContamStream adaptive: 300 docs/poll, a 40-gram benchmark
+    // increment every 10th poll (the production cadence: suites arrive
+    // rarely); growth params sized so the modulus crosses several
+    // doublings over the run
+    if (want("contam")) {
+      val base = wipe("/tmp/ops30_contam")
+      val emptyDf = spark.range(0).select(col("id"),
+        lit("").as("text"))
+      age("contam", base) { p =>
+        val lo = p * 300L
+        val batch = spark.range(lo, lo + 300)
+          .select(col("id"), text(col("id"), 1L << 40).as("text"))
+        val bench =
+          if (p % 10 == 5)
+            spark.range(2000000000L + p * 20L, 2000000000L + p * 20L + 20L)
+              .select(col("id"), text(col("id") + 7, 1L << 40).as("text"))
+          else emptyDf
+        graft.streaming.ContamStream.ingestBatch(spark, batch, bench, base,
+          n = 3, bucketTargetBytes = 4L << 20, maxBuckets = 64)
+      }
+      println(s"[probe] ops30 contam   final modulus: " + new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          s"$base/grams/_graft_nbuckets"))).trim)
+      time("ops30 contam   final read") {
+        graft.streaming.ContamStream.contamination(spark, base).count()
+      }
+    }
+
+    // (2) CurationStream: 300 docs/poll, text period 1000 → after ~3
+    // polls most arrivals are exact dups of accepted docs (the
+    // seen-hash anti-join carries the load the design claims it does)
+    if (want("curation")) {
+      val base = wipe("/tmp/ops30_curation")
+      graft.streaming.CurationStream.installBenchmark(spark,
+        spark.range(3000000000L, 3000000100L)
+          .select(col("id"), text(col("id"), 1L << 40).as("text")),
+        "text", n = 3, stateDir = base)
+      age("curation", base) { p =>
+        val lo = p * 300L
+        graft.streaming.CurationStream.ingestBatch(spark,
+          spark.range(lo, lo + 300)
+            .select(col("id"), text(col("id"), 1000L).as("text")),
+          "id", "text", qualityFloor = 0.0, n = 3,
+          budget = 1000000000L, stateDir = base)
+      }
+      time("ops30 curation final read") {
+        graft.streaming.CurationStream.readCurated(spark, base).count()
+      }
+    }
+
+    // (3) IvfPqStream: 500 vecs/poll into a 16-list codes index — the
+    // hive-partitioned append + compaction cycle under 200+ batches
+    if (want("ivfpq")) {
+      val base = wipe("/tmp/ops30_ivfpq")
+      val dim = 16
+      def vecs(lo: Long, n: Long) = spark.range(lo, lo + n)
+        .select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (pmod(hash(col("id") * 17 + j), lit(1000)) / lit(1000.0))
+              .cast("float")).as("vec"))
+      val seed = vecs(0, 64).cache()
+      seed.count()
+      val coarse = graft.operators.Quantize.seedCodebook(seed,
+        col("id"), col("vec"), (0L until 16L).toSeq)
+      val rb = graft.operators.Quantize.residualSeedCodebook(seed,
+        col("id"), col("vec"), (16L until 48L).toSeq, coarse)
+      seed.unpersist()
+      age("ivfpq", base) { p =>
+        graft.streaming.IvfPqStream.ingestBatch(spark,
+          vecs(1000L + p * 500L, 500L), base, col("id"), col("vec"),
+          coarse, rb, m = 4, dim = dim)
+      }
+      time("ops30 ivfpq    final topk") {
+        graft.streaming.IvfPqStream.topK(spark, base, vecs(0, 5), "id",
+          "vec", coarse, rb, m = 4, dim = dim, nProbe = 4, k = 3).count()
+      }
+    }
+
+    // (4) NearDupStream: 200 docs/poll, text period 500 → steady
+    // cross-poll duplicate pairs feed the band index, doc store, AND
+    // sink every poll
+    if (want("neardup")) {
+      val base = wipe("/tmp/ops30_neardup")
+      age("neardup", base) { p =>
+        val lo = p * 200L
+        graft.streaming.NearDupStream.ingestBatch(spark,
+          spark.range(lo, lo + 200)
+            .select(col("id"), text(col("id"), 500L).as("text")),
+          s"$base/state", s"$base/sink", n = 3, bands = 16,
+          rowsPerBand = 2, threshold = 0.8)
+      }
+      time("ops30 neardup  final sink read") {
+        spark.read.parquet(s"$base/sink").count()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
       "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26", "ops27",
-      "ops28", "ops29")
+      "ops28", "ops29", "ops30")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -2229,6 +2379,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops29")) {
       ops29Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops30")) {
+      ops30Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return

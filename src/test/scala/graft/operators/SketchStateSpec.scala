@@ -108,6 +108,37 @@ class SketchStateSpec extends SparkSpec {
     assert(SketchState.readMarker(spark, p, "_graft_absent") === None)
   }
 
+  test("marker-carrying swaps are adoption-gated on marker completeness: " +
+    "the witness is retracted while markers land, so no crash point " +
+    "leaves an adoptable marker-less swap") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val p = freshPath()
+    def stage(withMarker: Boolean, withWitness: Boolean): Unit = {
+      Seq.range(0L, 8L).toDF("h")
+        .withColumn("b", pmod(col("h"), lit(4L)).cast("int"))
+        .write.mode("overwrite").partitionBy("b").parquet(p + ".__swap")
+      val witness = new java.io.File(p + ".__swap", "_SUCCESS")
+      witness.delete() // the protocol's retract step
+      if (withMarker)
+        SketchState.writeMarker(spark, p + ".__swap", "_graft_nbuckets", "4")
+      if (withWitness) witness.createNewFile()
+    }
+    // crash inside the marker phase (witness retracted, marker not yet
+    // written), live never created: the state must read as ABSENT —
+    // nothing was committed, so nothing may be adopted
+    stage(withMarker = false, withWitness = false)
+    assert(!SketchState.exists(spark, p),
+      "an unwitnessed swap must never be adopted")
+    // crash in the post-delete pre-rename window: under the retract
+    // protocol the swap at that point ALWAYS holds data + marker +
+    // witness together, and adoption must arrive marker-complete
+    stage(withMarker = true, withWitness = true)
+    assert(SketchState.exists(spark, p), "complete swap must be adopted")
+    assert(SketchState.readMarker(spark, p, "_graft_nbuckets") === Some("4"),
+      "adoption must carry the layout marker with the data")
+    assert(SketchState.read(spark, p).count() === 8L)
+  }
+
   test("kmv ingest state survives a simulated interrupted swap mid-stream") {
     val p = freshPath()
     Sketch.kmvIngestBatch(Seq("a", "b", "c").toDF("s"),

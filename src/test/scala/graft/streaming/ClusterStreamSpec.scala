@@ -145,6 +145,42 @@ class ClusterStreamSpec extends SparkSpec {
     assert(resolved === local, "read regimes diverged on the same forest")
   }
 
+  test("over-ceiling batches redirect through the distributed big-regime " +
+    "path and append IDENTICAL alias logs and labels") {
+    val want = expected
+    val splits = Seq(pairs.take(3), pairs.slice(3, 5), pairs.drop(5))
+    val baseL = Files.createTempDirectory("clstream_gl").toString
+    val baseB = Files.createTempDirectory("clstream_gb").toString
+    val baseM = Files.createTempDirectory("clstream_gm").toString
+    splits.zipWithIndex.foreach { case (s, i) =>
+      ClusterStream.ingestPairs(spark, s.toDF("id_a", "id_b"), baseL)
+      // maxLocalPairs = 0: EVERY non-empty batch is "oversized" and must
+      // take ingestPairsDistributed — including polls whose endpoints
+      // chase an existing forest
+      ClusterStream.ingestPairs(spark, s.toDF("id_a", "id_b"), baseB,
+        maxLocalPairs = 0L)
+      // mixed regimes on ONE state dir: alternate gate decisions — the
+      // paths must be interchangeable poll to poll, not just run to run
+      ClusterStream.ingestPairs(spark, s.toDF("id_a", "id_b"), baseM,
+        maxLocalPairs = if (i % 2 == 0) 0L else 2000000L)
+    }
+    def log(b: String) = spark.read.parquet(s"$b/aliases")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(log(baseB) === log(baseL),
+      "the oversized-batch path must write a byte-identical forest")
+    assert(log(baseM) === log(baseL),
+      "alternating gate decisions must write a byte-identical forest")
+    for (b <- Seq(baseB, baseM)) {
+      val got = ClusterStream.clusters(spark, vertices, b)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want)
+    }
+    // replay through the distributed path is a no-op too
+    val r = ClusterStream.ingestPairs(spark,
+      splits.last.toDF("id_a", "id_b"), baseB, maxLocalPairs = 0L)
+    assert(r.merges === 0L, "replayed oversized batch must append nothing")
+  }
+
   test("empty polls and unknown-singleton vertices label themselves") {
     val base = Files.createTempDirectory("clstream_e").toString
     val r = ClusterStream.ingestPairs(spark,

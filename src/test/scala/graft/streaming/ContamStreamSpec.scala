@@ -154,6 +154,45 @@ class ContamStreamSpec extends SparkSpec {
       s"pinned-modulus mismatch must name the live layout: ${e.getMessage}")
   }
 
+  test("crash residue between the first marker stamp and the first data " +
+    "append (marker-only grams dir) is recovered, not tripped over") {
+    val state = Files.createTempDirectory("contamstream_mk").toString
+    // the residue the marker-first stamp order can leave: a grams dir
+    // holding ONLY the modulus marker, no parquet
+    graft.operators.SketchState.writeMarker(spark, s"$state/grams",
+      "_graft_nbuckets", "8")
+    // pinned caller must still match the marker
+    intercept[IllegalArgumentException] {
+      ContamStream.ingestBatch(spark, corpus, bench, state, n = 3,
+        nBuckets = 4)
+    }
+    // an adaptive caller resumes at the marked modulus and the stream
+    // converges to the batch answer — benchmark arriving LAST exercises
+    // the old-docs probe against the recovered layout
+    ContamStream.ingestBatch(spark, corpus, bench.limit(0), state, n = 3)
+    ContamStream.ingestBatch(spark, corpus.limit(0), bench, state, n = 3)
+    val got = ContamStream.contamination(spark, state)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === oneShot, "marker-only residue broke batch equivalence")
+    assert(graft.operators.SketchState.readMarker(spark, s"$state/grams",
+      "_graft_nbuckets") === Some("8"), "recovered modulus must persist")
+  }
+
+  test("an adaptive open REFUSES a non-empty unmarked gram index instead " +
+    "of guessing modulus 1 against an unknown layout") {
+    val state = Files.createTempDirectory("contamstream_um").toString
+    // fabricate pre-marker-era residue: partitioned gram data, no marker
+    corpus.select(col("id"), xxhash64(col("text")).as("h1"),
+        xxhash64(col("text"), lit(1)).as("h2"))
+      .withColumn("b", pmod(col("h1"), lit(8L)).cast("int"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$state/grams")
+    val e = intercept[IllegalArgumentException] {
+      ContamStream.ingestBatch(spark, corpus, bench, state, n = 3)
+    }
+    assert(e.getMessage.contains("_graft_nbuckets"),
+      s"refusal must name the missing marker, got: ${e.getMessage}")
+  }
+
   test("compaction keeps results identical") {
     val state = Files.createTempDirectory("contamstream").toString
     (0 until 3).foreach { b =>
