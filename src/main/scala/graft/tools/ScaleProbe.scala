@@ -2324,12 +2324,56 @@ object ScaleProbe {
     }
   }
 
+  /** ops31: attribute the r16 q241 floor regression (2.63 → 4.53 s
+    * quiet) to — or exonerate — the `catalog.refreshByPath` calls that
+    * commit c8ef75e added to every SketchState swap. Times the call in
+    * the three cache states a stream can be in, then a full
+    * swapReplaceMany pair commit (q241's per-poll shape) so the refresh
+    * share of a poll is a measured number, not a suspicion. */
+  def ops31Probe(spark: SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = "/tmp/ops31_state"
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    spark.range(100).write.mode("overwrite").parquet(p)
+    def per(n: Int)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      (0 until n).foreach(_ => f)
+      (System.nanoTime() - t0) / 1e9 / n
+    }
+    println(f"[probe] ops31 refreshByPath empty-cache      ${per(200)(spark.catalog.refreshByPath(p)) * 1000}%8.3f ms/call")
+    val c1 = spark.range(1000).selectExpr("id*2 as x").cache(); c1.count()
+    val c2 = spark.range(1000).selectExpr("id*3 as x").cache(); c2.count()
+    println(f"[probe] ops31 refreshByPath unrelated-cached ${per(200)(spark.catalog.refreshByPath(p)) * 1000}%8.3f ms/call")
+    val c3 = spark.read.parquet(p)
+      .filter(col("id") > 10).cache(); c3.count()
+    println(f"[probe] ops31 refreshByPath cached-ON-path   ${per(50)(spark.catalog.refreshByPath(p)) * 1000}%8.3f ms/call")
+    spark.catalog.clearCache()
+    // q241's per-poll commit shape: a channels-sized rollup + a
+    // keys-sized touch table through ONE swapReplaceMany
+    val pair = "/tmp/ops31_pair"
+    fs.delete(new org.apache.hadoop.fs.Path(pair), true)
+    val rollup = spark.range(8).selectExpr("cast(id as string) as channel",
+      "id as n", "id*100 as s")
+    val touch = spark.range(20000).selectExpr("id as k",
+      "timestamp_micros(id*1000000) as tts",
+      "cast(id % 3 as string) as channel", "id as eid")
+    (0 until 3).foreach { _ => // warm
+      graft.operators.SketchState.swapReplaceMany(spark,
+        Seq("rollup" -> rollup.coalesce(1), "touch" -> touch), pair)
+    }
+    println(f"[probe] ops31 swapReplaceMany pair commit    ${per(20) {
+      graft.operators.SketchState.swapReplaceMany(spark,
+        Seq("rollup" -> rollup.coalesce(1), "touch" -> touch), pair)
+    } * 1000}%8.3f ms/commit")
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("uf", "hh", "z", "ops", "nd", "bpe", "ops7", "ops8",
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
       "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26", "ops27",
-      "ops28", "ops29", "ops30")
+      "ops28", "ops29", "ops30", "ops31")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -2382,6 +2426,9 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops30")) {
       ops30Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops31")) {
+      ops31Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return
