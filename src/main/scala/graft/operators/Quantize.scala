@@ -164,6 +164,28 @@ object Quantize {
                 coarse: Seq[(Int, Seq[Double])]): DataFrame =
     embs.select(id.as("id"), ivfListCol(vec, coarse).as("list_id"))
 
+  /** The `nProbe` nearest coarse lists per row, as an int array — the
+    * probe-selection expression [[ivfPqTopK]]/[[ivfPqResidualTopK]] rank
+    * probes with, exposed for coarse-stage diagnostics (the q251 ceiling
+    * sweep: recall lost to probing the WRONG lists is invisible to ADC
+    * tuning, so it needs its own measured dial). Map-side: the centroid
+    * table rides the plan as literals (or the codegen'd kernel past
+    * [[maxLiteralCodes]]); ties break on list id like every other
+    * lexicographic (dist, list) argmin here. */
+  def ivfProbesCol(vec: Column, coarse: Seq[(Int, Seq[Double])],
+                   nProbe: Int): Column = {
+    if (coarse.size > maxLiteralCodes)
+      return graft.functions.PqKernels.nearestListsCol(
+        vec, coarse, coarse.head._2.length, nProbe)
+    val v = vec.cast("array<double>")
+    val cands = coarse.map { case (listId, cv) =>
+      struct(VectorExprs.l2sq(v, array(cv.map(lit): _*)).as("dist"),
+        lit(listId).as("list"))
+    }
+    transform(slice(array_sort(array(cands: _*)), 1, nProbe),
+      s => s.getField("list"))
+  }
+
   /** The coarse centroid table as one plan-literal 2-D array, indexed by
     * list id (requires the ids to be 0..n-1, which [[seedCodebook]]
     * mints). `element_at(matrix, list+1)` then selects a row's assigned

@@ -1249,10 +1249,12 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
   private[queries] lazy val q248PerQueryFloor = 1L
   private[queries] lazy val q248TotalFloor = 20L
 
-  private[graft] def q248HitsTable(s: SparkSession, d: String): DataFrame = {
+  private[graft] def q248HitsTable(s: SparkSession, d: String,
+                                   nLists: Int = 8,
+                                   nProbe: Int = q145NProbe): DataFrame = {
     val embs = Tables.embeddings(s, d)
     val coarse = graft.operators.Quantize.learnedCoarse(embs,
-      col("embedding"), nLists = 8, seed = 42L)
+      col("embedding"), nLists = nLists, seed = 42L)
     val listC = graft.operators.Quantize.ivfListCol(col("embedding"),
       coarse)
     val resC = graft.operators.Quantize.ivfResidualCol(col("embedding"),
@@ -1283,7 +1285,7 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     val qset = rot.filter(col("vec_id") < 10)
     val shortlist = graft.operators.Quantize.ivfPqResidualTopK(
       s.read.parquet(dir), qset, "vec_id", "rvec", rotCoarse, rcb, pqM,
-      pqDim, q145NProbe, k = q145Shortlist)
+      pqDim, nProbe, k = q145Shortlist)
     val origQ = embs.filter(col("vec_id") < 10)
     val ann = graft.operators.Quantize.rerankL2(shortlist, embs, origQ,
       "vec_id", "embedding", k = 5)
@@ -1296,6 +1298,90 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     recallFloor(q248HitsTable(s, d), q248PerQueryFloor, q248TotalFloor)
 
   private[queries] lazy val q248Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
+  // ------------------- coarse-stage probe-ceiling sweep (§2.10 ext)
+  // q248's residual-OPQ arm sits AT its measured probe ceiling (SCALE.md
+  // r16: 38/50 served vs 39/50 ceiling): with the ADC gap closed, the
+  // remaining misses are exact neighbors whose home list is simply not
+  // among the query's probes — a coarse-stage property no codebook can
+  // recover. This sweeps coarse GRANULARITY at a CONSTANT
+  // scanned-candidate fraction (nProbe/nLists = 1/2 throughout — the
+  // q145 probe budget; learnedCoarse equalizes list populations, so the
+  // fraction is the scan cost): per arm, fit the learned coarse
+  // quantizer at nLists and check each exact top-5 neighbor's home list
+  // for membership in its query's nProbe nearest lists. Finer partitions
+  // target the same scan budget better; the measured curve (SCALE.md
+  // r17) picks q252's serving operating point. The brute-force truth is
+  // computed ONCE and spilled (4 arms re-read it); each arm is then a
+  // map-side assignment + one broadcast join over 50 rows. K-means is
+  // not SQL-replayable → floor oracle (q243's pattern); n_exact IS
+  // replayable and rides the compare.
+  private[queries] lazy val q251Configs = Seq((4, 2), (8, 4), (16, 8), (32, 16))
+  private[queries] lazy val q251Floor = 30L // of 50, conservative across SFs
+
+  private[graft] def q251CeilingTable(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val origQ = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKL2(embs, origQ,
+      "vec_id", "embedding", k = 5)
+    val neigh = graft.operators.CacheHygiene.spillToTempParquet(
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(embs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("nv")),
+          Seq("neighbor_id")),
+      "q251_neigh")
+    q251Configs.map { case (nl, np) =>
+      val coarse = graft.operators.Quantize.learnedCoarse(embs,
+        col("embedding"), nLists = nl, seed = 42L)
+      val probed = origQ.select(col("vec_id").as("query_id"),
+        graft.operators.Quantize.ivfProbesCol(col("embedding"), coarse, np)
+          .as("__probes"))
+      neigh
+        .withColumn("n_list",
+          graft.operators.Quantize.ivfListCol(col("nv"), coarse))
+        .join(broadcast(probed), Seq("query_id"))
+        .select(lit(nl).as("n_lists"), lit(np).as("n_probe"),
+          array_contains(col("__probes"), col("n_list")).as("hit"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("n_lists"), col("n_probe"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_ceiling"))
+  }
+
+  private[queries] def q251CoarseCeiling(s: SparkSession, d: String): DataFrame =
+    q251CeilingTable(s, d).select(col("n_lists"), col("n_probe"),
+      col("n_exact"),
+      (col("n_ceiling") >= q251Floor).as("ceiling_ok"))
+
+  private[queries] lazy val q251Sql = {
+    val arms = q251Configs.map { case (nl, np) => s"($nl, $np)" }
+      .mkString(", ")
+    s"""SELECT n_lists, n_probe,
+       |  (SELECT least(5, count(*) - 1) FROM embeddings) * 10 AS n_exact,
+       |  true AS ceiling_ok
+       |FROM (VALUES $arms) t(n_lists, n_probe)""".stripMargin
+  }
+
+  // ------------------- finer-coarse OPQ×IVF serving (§2.10 ext)
+  // The q251 ceiling sweep's conclusion, SERVED: q248's exact
+  // composition (learned coarse → residual-OPQ → ADC shortlist → exact
+  // re-rank) at (nLists=32, nProbe=16) — the SAME scanned-candidate
+  // fraction (1/2), where the sweep measured the probe ceiling at 47/50
+  // vs the (8,4) arm's 39/50 at sf0.1. This is the r16 verdict's "raise
+  // the coarse ceiling" arm: recall q248's ADC could not reach because
+  // the right list was never probed is bought back purely by coarse
+  // granularity, at unchanged scan cost. Measured served hits@5 and the
+  // ladder vs q248 are in SCALE.md r17. Floor oracle (q243's pattern).
+  private[queries] lazy val q252PerQueryFloor = 1L
+  private[queries] lazy val q252TotalFloor = 20L
+
+  private[queries] def q252OpqIvfFine(s: SparkSession, d: String): DataFrame =
+    recallFloor(q248HitsTable(s, d, nLists = 32, nProbe = 16),
+      q252PerQueryFloor, q252TotalFloor)
+
+  private[queries] lazy val q252Sql =
     s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
        |FROM range(10)""".stripMargin
 

@@ -357,20 +357,30 @@ private[queries] trait TdqStreaming { this: TestdataQueries.type =>
   // slice (doc_id % 4 = 0) — the growth path still triggers at every
   // SF, and the registry doesn't pay the full contam-stream cost twice
   // (q156 already covers the full corpus); q249Sql is q62's oracle
-  // restricted to the same slice.
+  // restricted to the same slice. TWO polls, not three: growth triggers
+  // identically after the first (the 16 KB target rebuckets batch 0's
+  // index at every SF, spec-checked below by the marker read), and the
+  // witness needs exactly one grown-layout append + pruned-probe batch
+  // after it — the third poll only repeated that at ~35 Spark jobs of
+  // fixture cost (SCALE.md ops28: the floor is job count, not data).
   private[queries] def q249ContamAdaptive(s: SparkSession, d: String): DataFrame = {
     val state = java.nio.file.Files.createTempDirectory("contam_adaptive")
       .toString
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id").as("id"), col("text"))
-    (0 until 3).foreach { b =>
-      val arrivals = docs.filter(col("id") % 3 === b)
+    (0 until 2).foreach { b =>
+      val arrivals = docs.filter(col("id") % 2 === b)
       graft.streaming.ContamStream.ingestBatch(s,
         newDocs = arrivals.filter(col("id") % q62BenchMod =!= 0),
         newBench = arrivals.filter(col("id") % q62BenchMod === 0),
         stateDir = state, n = 3,
-        bucketTargetBytes = 1L << 16, maxBuckets = 32)
+        bucketTargetBytes = 1L << 14, maxBuckets = 32)
+      if (b == 0) // the growth WITNESS: poll 1 must append + probe GROWN
+        require(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$state/grams/_graft_nbuckets")))
+          .trim.toInt > 1,
+          "q249 growth witness: index must rebucket after poll 0")
     }
     graft.streaming.ContamStream.contamination(s, state)
       .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
