@@ -32,8 +32,13 @@ object SketchState {
 
   private def swapPath(statePath: String) = new Path(statePath + ".__swap")
 
+  private def mergeLogPath(statePath: String) = new Path(statePath + ".__mlog")
+  private def mergeStagePath(statePath: String) = new Path(statePath + ".__mstage")
+
   /** True when state exists, first completing an interrupted swap (live
-    * missing + complete swap present → rename swap into place). */
+    * missing + complete swap present → rename swap into place) and any
+    * interrupted tiered merge (manifest present → finish the file-level
+    * renames + retirements idempotently — see [[compactIfNeeded]]). */
   def exists(spark: SparkSession, statePath: String): Boolean = {
     val live = new Path(statePath)
     val fs = fsOf(spark, live)
@@ -45,8 +50,53 @@ object SketchState {
       if (fs.exists(new Path(swap, "_SUCCESS")) && !fs.rename(swap, live))
         throw new java.io.IOException(
           s"SketchState: swap adoption rename $swap -> $live failed")
-    }
+      // a merge manifest without a live dir is stale residue (a later
+      // full swap replaced the dir wholesale); drop it so it can never
+      // retire files of the adopted state
+      if (fs.exists(mergeLogPath(statePath))) {
+        fs.delete(mergeLogPath(statePath), false)
+        fs.delete(mergeStagePath(statePath), true)
+      }
+    } else completeMerge(fs, statePath)
     fs.exists(live)
+  }
+
+  /** Finish an interrupted tiered merge: every staged file still in the
+    * staging dir renames into the live layout, every retired original is
+    * deleted, then manifest + staging go. Idempotent at every crash
+    * point — a staged file already renamed is skipped (its staging copy
+    * is gone), a retired file already deleted is skipped. Runs from
+    * [[exists]], so every reader/writer that opens state through the
+    * SketchState gate recovers before it can observe duplicates. */
+  private def completeMerge(fs: org.apache.hadoop.fs.FileSystem,
+                            statePath: String): Unit = {
+    val mlog = mergeLogPath(statePath)
+    if (!fs.exists(mlog)) return
+    val stage = mergeStagePath(statePath)
+    val lines = {
+      val in = fs.open(mlog)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    lines.foreach { line =>
+      if (line.startsWith("S\t")) {
+        val rel = line.drop(2)
+        val src = new Path(stage, rel)
+        if (fs.exists(src)) {
+          val dst = new Path(statePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"SketchState: merge publish rename $src -> $dst failed")
+        }
+      }
+    }
+    lines.foreach { line =>
+      if (line.startsWith("R\t"))
+        fs.delete(new Path(statePath, line.drop(2)), false)
+    }
+    fs.delete(mlog, false)
+    fs.delete(stage, true)
   }
 
   /** The live state as a DataFrame (recovers an interrupted swap first).
@@ -210,11 +260,14 @@ object SketchState {
     var nParts = 0L
     var totalBytes = 0L
     val partDirs = scala.collection.mutable.HashSet.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path, Long)]
     while (it.hasNext) {
       val s = it.next()
       if (s.getPath.getName.startsWith("part-")) {
         nParts += 1; totalBytes += s.getLen
         partDirs += s.getPath.getParent.toString
+        files += ((s.getPath, s.getLen))
       }
     }
     val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
@@ -223,6 +276,31 @@ object SketchState {
       if (partitionCols.isEmpty) byteIdeal
       else math.max(byteIdeal, partDirs.size.toLong)
     if (nParts <= math.max(maxFiles.toLong, 2L * ideal)) return false
+    // TIERED pass first (the r17 ops30 fix): the old whole-dir rewrite
+    // made per-poll cost GROW with the accumulated state — a
+    // hive-partitioned store appends O(partitions) files per poll
+    // regardless of bytes, so the excess trigger fired every few polls
+    // and each firing rewrote the ENTIRE index (measured: ContamStream's
+    // poll wall 4.3 → 9.0 s across 220 polls, SCALE.md ops30). Instead,
+    // merge only the OVER-FULL size bands: files group by
+    // floor(log4(size)) per partition dir, and a (dir, band) group past
+    // `bandMax` files merges into ONE output file — recent small appends
+    // consolidate geometrically into ever-larger chunks while the big
+    // consolidated chunks are left alone. Per-compaction work is bounded
+    // by the merged groups (≈ the recent arrivals), each byte is
+    // rewritten O(log₄(state/append)) times over the stream's life, and
+    // the file count is structurally bounded by dirs × bands × bandMax.
+    if (tieredMerge(spark, path, partitionCols, files.toSeq)) return true
+    // fallback whole-dir swap: only when the count is over-trigger with
+    // NO over-full band AND genuinely above twice the tiered structural
+    // floor (occupied (dir, band) groups) — i.e. fragmentation the bands
+    // cannot express, which a one-off full consolidation retires. The
+    // floor guard keeps the tiered steady state (legitimately more files
+    // than `maxFiles`) from re-triggering the full rewrite every poll —
+    // the exact pathology the tiered pass exists to prevent.
+    val occupied = files.iterator
+      .map { case (f, len) => (f.getParent.toString, band(len)) }.toSet.size
+    if (nParts <= 2L * occupied) return false
     val n = ideal.min(nParts).toInt
     // existing `_graft_*` layout markers ride the rewrite: compaction
     // changes file counts, never layout semantics, so the markers must
@@ -236,6 +314,88 @@ object SketchState {
         spark.read.parquet(path).repartition(n,
           partitionCols.map(org.apache.spark.sql.functions.col): _*),
         path, _.partitionBy(partitionCols: _*), markers)
+    true
+  }
+
+  /** 4×-spaced size band of a part file: files of similar magnitude
+    * merge together (size-tiered compaction's grouping). */
+  private def band(len: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, len))) / 2
+
+  /** A (dir, band) group with more files than this merges. 4 ≈ each
+    * merge roughly quadruples the chunk, matching the band spacing. */
+  private val bandMax = 4
+
+  /** Merge every over-full (partition dir, size band) group into one
+    * file per group's partition dir, crash-safely WITHOUT rewriting the
+    * untouched chunks (a whole-dir swap must copy every byte; this
+    * publishes by file-level rename):
+    *  1. ONE Spark job reads exactly the merge-set files (basePath keeps
+    *     hive partition columns) and writes them — clustered one file
+    *     per partition dir — into the sibling `.__mstage` dir;
+    *  2. the `.__mlog` manifest commits the plan: staged relpaths (S)
+    *     and retired originals (R);
+    *  3. [[completeMerge]] executes it — rename staged files into the
+    *     live layout, delete retired ones, drop manifest + staging.
+    * A crash before (2) leaves an orphan staging dir (clobbered by the
+    * next merge); after (2), [[exists]] replays (3) idempotently before
+    * any SketchState-gated read can observe the directory, so no reader
+    * sees duplicates. Returns false when no group is over-full. */
+  private def tieredMerge(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      files: Seq[(org.apache.hadoop.fs.Path, Long)]): Boolean = {
+    val mergeSet = files
+      .groupBy { case (f, len) => (f.getParent.toString, band(len)) }
+      .valuesIterator
+      .filter(_.size > bandMax)
+      .flatten
+      .map(_._1)
+      .toVector
+    if (mergeSet.isEmpty) return false
+    val mergeKeys = mergeSet.toSet
+    val live = new Path(path)
+    val fs = fsOf(spark, live)
+    val qualifiedLive = fs.makeQualified(live)
+    val stage = mergeStagePath(path)
+    val mlog = mergeLogPath(path)
+    fs.delete(stage, true) // orphan of a pre-manifest crash
+    val df = spark.read.option("basePath", qualifiedLive.toString)
+      .parquet(mergeSet.map(_.toString): _*)
+    val shaped =
+      if (partitionCols.isEmpty) {
+        val bytes = files.collect {
+          case (f, len) if mergeKeys.contains(f) => len }.sum
+        val target = spark.sessionState.conf.filesMaxPartitionBytes
+        df.coalesce(math.max(1L, (bytes + target - 1) / target).toInt)
+          .write.mode("overwrite")
+      } else
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode("overwrite").partitionBy(partitionCols: _*)
+    shaped.parquet(stage.toString)
+    // relpaths of staged part files (mirroring the live layout) and of
+    // the retired originals — the manifest IS the commit point
+    val stageQ = fs.makeQualified(stage)
+    def rel(base: Path, f: org.apache.hadoop.fs.Path): String = {
+      val b = base.toString + "/"
+      val s = fs.makeQualified(f).toString
+      require(s.startsWith(b), s"$f not under $base")
+      s.drop(b.length)
+    }
+    val staged = {
+      val sit = fs.listFiles(stage, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (sit.hasNext) {
+        val s = sit.next()
+        if (s.getPath.getName.startsWith("part-"))
+          out += rel(stageQ, s.getPath)
+      }
+      out.toVector
+    }
+    val manifest = (staged.map("S\t" + _) ++
+      mergeSet.map(f => "R\t" + rel(qualifiedLive, f))).mkString("\n")
+    val out = fs.create(mlog, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    completeMerge(fs, path)
     true
   }
 

@@ -79,9 +79,14 @@ object IvfPqStream {
   def topK(spark: SparkSession, stateDir: String, queries: DataFrame,
            id: String, vec: String, coarse: Seq[(Int, Seq[Double])],
            resCentroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
-           nProbe: Int, k: Int): DataFrame =
+           nProbe: Int, k: Int): DataFrame = {
+    // recover an interrupted compaction swap / tiered merge BEFORE the
+    // scan plans: a crashed maintenance step must never serve a query
+    // duplicated (mid-merge) or stale (unadopted swap) rows
+    SketchState.exists(spark, codesPath(stateDir))
     Quantize.ivfPqResidualTopK(spark.read.parquet(codesPath(stateDir)),
       queries, id, vec, coarse, resCentroids, m, dim, nProbe, k)
+  }
 
   private def partFiles(spark: SparkSession, path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(path)

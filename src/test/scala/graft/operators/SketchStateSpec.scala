@@ -139,6 +139,115 @@ class SketchStateSpec extends SparkSpec {
     assert(SketchState.read(spark, p).count() === 8L)
   }
 
+  test("tiered compaction merges only the over-full size band and leaves " +
+    "consolidated chunks untouched") {
+    val p = freshPath()
+    // one big consolidated chunk (band of ~800 rows) ...
+    Seq.range(0L, 800L).toDF("h").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val bigFile = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+    assert(bigFile.size === 1)
+    // ... plus 8 tiny appends (a much smaller band)
+    (0 until 8).foreach { i =>
+      Seq(1000L + i).toDF("h").coalesce(1).write.mode("append").parquet(p)
+    }
+    assert(SketchState.compactIfNeeded(spark, p, maxFiles = 4),
+      "9 files over maxFiles=4 must compact")
+    val after = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+    assert(after.contains(bigFile.head),
+      "the consolidated chunk must survive BY NAME (never rewritten)")
+    assert(after.size <= 3,
+      s"tiny band must have merged to ~1 file, got ${after.size}")
+    assert(SketchState.read(spark, p).count() === 808L,
+      "merge must preserve every row exactly once")
+  }
+
+  test("tiered compaction on a hive-partitioned layout merges per " +
+    "partition dir and keeps partition values") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val p = freshPath()
+    def append(lo: Long, n: Long): Unit =
+      Seq.range(lo, lo + n).toDF("h")
+        .withColumn("b", pmod(col("h"), lit(4L)).cast("int"))
+        .repartition(col("b"))
+        .write.mode("append").partitionBy("b").parquet(p)
+    (0 until 6).foreach(i => append(i * 100L, 100L)) // 6 files per b dir
+    assert(SketchState.compactIfNeeded(spark, p, maxFiles = 8,
+      partitionCols = Seq("b")))
+    val perDir = (0 until 4).map { b =>
+      Option(new java.io.File(s"$p/b=$b").listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("part-"))
+    }
+    assert(perDir.forall(_ <= 2), s"per-dir counts after merge: $perDir")
+    val rows = spark.read.parquet(p)
+    assert(rows.count() === 600L)
+    assert(rows.selectExpr("sum(case when pmod(h,4) = b then 0 else 1 end)")
+      .head().getLong(0) === 0L, "partition values must survive the merge")
+  }
+
+  test("an interrupted tiered merge recovers through exists() with no " +
+    "duplicate and no lost row, from every manifest-era crash point") {
+    val p = freshPath()
+    Seq.range(0L, 100000L).toDF("h").coalesce(1).write.mode("overwrite").parquet(p)
+    (0 until 8).foreach { i =>
+      Seq(100L + i).toDF("h").coalesce(1).write.mode("append").parquet(p)
+    }
+    // run the merge for real, then REWIND it into the crash window:
+    // stage a manifest-equivalent state by hand — staged file present,
+    // originals present, manifest present (= crash right after commit)
+    val live = new java.io.File(p)
+    val origSmall = live.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() < 10000)
+      .map(_.getName).sorted.toSeq
+    val stage = new java.io.File(p + ".__mstage")
+    stage.mkdirs()
+    // staged merged file = the 8 tiny rows re-written as one parquet
+    Seq.range(100L, 108L).toDF("h").coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath + "/tmp")
+    val stagedSrc = new java.io.File(stage, "tmp").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val stagedName = "part-merged-test.snappy.parquet"
+    assert(stagedSrc.renameTo(new java.io.File(stage, stagedName)))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(stage, "tmp"))
+    val manifest = (s"S\t$stagedName" +: origSmall.map("R\t" + _))
+      .mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(p + ".__mlog"), manifest.getBytes("UTF-8"))
+    // crash point A: nothing executed yet → exists() completes all of it
+    assert(SketchState.exists(spark, p))
+    assert(!new java.io.File(p + ".__mlog").exists(), "manifest must clear")
+    assert(!stage.exists(), "staging dir must clear")
+    assert(SketchState.read(spark, p).count() === 100008L,
+      "recovered state must have every row exactly once")
+    // crash point B: staged file already renamed in, retirements pending
+    (0 until 8).foreach { i =>
+      Seq(200L + i).toDF("h").coalesce(1).write.mode("append").parquet(p)
+    }
+    val small2 = live.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() < 10000 &&
+        !f.getName.contains("merged-test")) // crash-A's chunk stays live
+      .map(_.getName).sorted.toSeq
+    Seq.range(200L, 208L).toDF("h").coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath + "/tmp")
+    val src2 = new java.io.File(stage, "tmp").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val staged2 = "part-merged-test2.snappy.parquet"
+    // "already renamed in": the staged file sits in the LIVE dir and is
+    // gone from staging — the manifest still lists it as S
+    assert(src2.renameTo(new java.io.File(live, staged2)))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(stage, "tmp"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p + ".__mlog"),
+      ((s"S\t$staged2" +: small2.map("R\t" + _)).mkString("\n"))
+        .getBytes("UTF-8"))
+    assert(SketchState.exists(spark, p))
+    assert(SketchState.read(spark, p).count() === 100016L,
+      "crash-after-publish recovery must retire originals exactly once")
+  }
+
   test("kmv ingest state survives a simulated interrupted swap mid-stream") {
     val p = freshPath()
     Sketch.kmvIngestBatch(Seq("a", "b", "c").toDF("s"),

@@ -133,8 +133,13 @@ class SemDedupStreamSpec extends SparkSpec {
       if (!d.exists) 0
       else d.listFiles.count(f => f.isFile && f.getName.startsWith("part-"))
     }
-    assert(partFiles(s"$base/state/vecs") <= 3)
-    assert(partFiles(s"$base/sink") <= 3)
+    // bound under the r17 TIERED contract: compaction keeps the count
+    // structurally bounded (≤ ~2 × occupied (dir, band) groups + the
+    // batch's fresh appends) rather than pinned at maxFiles — the price
+    // of bounded write amplification (SketchState.compactIfNeeded doc);
+    // what matters is that the count does not GROW with the batch count
+    assert(partFiles(s"$base/state/vecs") <= 7)
+    assert(partFiles(s"$base/sink") <= 7)
     assert(sink(base).toSet === batchDecisions) // output unaffected
   }
 }
