@@ -2305,16 +2305,23 @@ object ScaleProbe {
       }
     }
 
-    // (4) NearDupStream: 200 docs/poll, text period 500 → steady
-    // cross-poll duplicate pairs feed the band index, doc store, AND
-    // sink every poll
+    // (4) NearDupStream: 200 docs/poll with BOUNDED dup families — each
+    // text recurs 4× inside a 400-id window (two polls), so cross-poll
+    // pairs flow through the band index every poll but family size is
+    // capped and per-poll pair WORK is constant by construction. (The
+    // first ops30 run recycled texts globally, which made every poll's
+    // docs pair with ALL earlier copies — per-poll pairs grew linearly
+    // and the wall read as a maintenance leak when it was the WORKLOAD
+    // growing; unbounded dup families are genuinely quadratic, and
+    // capping them is the production posture, cf. NearDup's df-cut.)
     if (want("neardup")) {
       val base = wipe("/tmp/ops30_neardup")
       age("neardup", base) { p =>
         val lo = p * 200L
+        val famKey = col("id") - (col("id") % 400) + (col("id") % 100)
         graft.streaming.NearDupStream.ingestBatch(spark,
           spark.range(lo, lo + 200)
-            .select(col("id"), text(col("id"), 500L).as("text")),
+            .select(col("id"), text(famKey, 1L << 40).as("text")),
           s"$base/state", s"$base/sink", n = 3, bands = 16,
           rowsPerBand = 2, threshold = 0.8)
       }
