@@ -562,4 +562,41 @@ class QuantizeSpec extends SparkSpec {
       m = 2, dim = 4, k = 4, seed = 5L, iters = 6, maxTrainRows = 1000)
     assert(rot2 === rot && cb2 === cb, "fixed seed must pin the pair")
   }
+
+  test("ivfProbesCol ranks the nProbe nearest lists (ties on list id) " +
+    "and the literal and kernel paths agree") {
+    // 40 centroids on a line: centroid k = (3k, 3k, 3k, 3k). A query at
+    // (10,10,10,10)/3-ish has a known nearest-list ranking.
+    val coarse40 = (0 until 40).map(k =>
+      k -> Seq.fill(4)(3.0 * k)).toSeq
+    val q = Seq((0L, Seq(9.4, 9.4, 9.4, 9.4))).toDF("vec_id", "embedding")
+    // nearest: centroid 3 (9.0, d=.4^2*4), then 4 (12, d=2.6^2*4), then 2
+    val kernelProbes = q.select(Quantize.ivfProbesCol(col("embedding"),
+        coarse40, nProbe = 3).as("p")) // 40 > maxLiteralCodes -> kernel
+      .head().getSeq[Int](0).toSeq
+    assert(kernelProbes === Seq(3, 4, 2))
+    val literalProbes = q.select(Quantize.ivfProbesCol(col("embedding"),
+        coarse40.take(8), nProbe = 3).as("p")) // 8 lists -> literal path
+      .head().getSeq[Int](0).toSeq
+    assert(literalProbes === Seq(3, 4, 2))
+    // parity across the maxLiteralCodes boundary on the SAME geometry:
+    // every corpus row's full ranking must agree between the two paths
+    val corpus = (0 until 25).map(i =>
+      (i.toLong, Seq.fill(4)(i * 2.9 % 80))).toSeq
+      .toDF("vec_id", "embedding")
+    val lit = corpus.select(col("vec_id"),
+      Quantize.ivfProbesCol(col("embedding"), coarse40.take(32), 5).as("p"))
+    val ker = corpus.select(col("vec_id"),
+      Quantize.ivfProbesCol(col("embedding"), coarse40.take(33), 5).as("p"))
+    // corpus values stay < 80, so the 33rd centroid (96,96,96,96) never
+    // enters any row's top-5 and the two configs' rankings are comparable
+    val litM = lit.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val kerM = ker.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(litM === kerM, "literal and kernel probe rankings diverged")
+    // ties break toward the smaller list id (the repo-wide argmin rule)
+    val tie = Seq((0L, Seq(1.5, 1.5, 1.5, 1.5))).toDF("vec_id", "embedding")
+    val tp = tie.select(Quantize.ivfProbesCol(col("embedding"),
+        coarse40.take(8), 2).as("p")).head().getSeq[Int](0).toSeq
+    assert(tp === Seq(0, 1), "equidistant lists must order by list id")
+  }
 }
