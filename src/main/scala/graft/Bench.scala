@@ -77,6 +77,44 @@ import org.apache.spark.sql.SparkSession
   *  (ordered by regression ratio), since they carry a round-over-round
   *  claim the contended-only ones don't.
   *
+  * Round-18 (the r17 starvation forensics — 188 flagged queries, 0 quiet
+  * verdicts, because the contended main pass alone overran the whole
+  * wall and the single end-of-run quiet pass got `budget − elapsed` = 0):
+  *  - CALIBRATION: 2–3 fixed cheap probes (SPARK_GRAFT_BENCH_CALIB,
+  *    default q1_agg,q13_sort,q197_attribution) run best-of-3 at bench
+  *    start and again at the end; `calib` = median(probe min / prior
+  *    committed floor) is the measured host-throughput factor (the
+  *    ops31 manual attribution, automated). The DRIFT trigger compares
+  *    CALIBRATION-NORMALIZED floors — min > 1.2 × priorFloor ×
+  *    max(1, calib) — so a box running 2× slow no longer flags half the
+  *    suite, and a floor that regressed beyond the box's own drift still
+  *    does. Both factors land in the artifact (`calib` block) so
+  *    round-over-round totals can be read normalized.
+  *  - INTERLEAVED quiet re-measure: a query that finishes flagged
+  *    (drift-normalized or contended) is re-measured IMMEDIATELY, while
+  *    the budget still exists — gated on predictive headroom (elapsed +
+  *    Σ remaining prior floors × calib + the quiet attempt's own cost
+  *    estimate must fit inside the wall minus the stop margin), so
+  *    coverage is never sacrificed for verdicts. The end-of-run pass
+  *    only retries what interleaving could not accept (plus QUIET_ALL).
+  *  - PREDICTIVE rep pacing: before each query, if the remaining prior
+  *    floors × calib predict a main-pass overrun at the planned rep
+  *    count, reps drop ahead of the overrun (the old rule only reacted
+  *    to elapsed share AFTER the budget was already spent).
+  *  - TRUE hard wall (r17 ADVICE): once elapsed exceeds
+  *    SPARK_GRAFT_BENCH_WALL_SEC (default 1.18 × budget — above the soft
+  *    target so coverage is never traded away early, below the ~1800 s
+  *    external kill) minus the stop margin, remaining queries are
+  *    recorded as SKIPPED in the artifact (`skipped` list) and the main
+  *    loop breaks — an overrun ends with a complete, self-describing
+  *    artifact instead of relying on the external kill.
+  *  - CONTENDED gains a load-without-steal clause (the r17 q242 blind
+  *    spot: one 47.6 s rep at loadavg 10.3 with steal_d 295 →
+  *    contended:false): per query, `other_d` = non-idle non-steal CPU
+  *    jiffies minus THIS JVM's own jiffies — foreign processes on the
+  *    box. other_d above OtherFrac of the query's wall × ncpus capacity
+  *    flags it, the signal loadavg sees but steal does not.
+  *
   * Between queries the JVM is returned to a known-clean state so query k's
   * number does not depend on queries 1..k-1 (round-5 forensics: q44 read
   * 22.9 s in the 66-query bench vs 7.0 s standalone, and untouched queries
@@ -98,6 +136,14 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    // the TRUE hard wall sits ABOVE the soft budget: pacing and the quiet
+    // reserve aim at budgetSec, but voluntarily skipping queries at the
+    // soft target would trade coverage the external kill (~1800 s on the
+    // driver) still allows — so the wall defaults to 1.18 × budget
+    // (1770 s at the default), an emergency stop that beats the kill
+    // while never under-running the plan
+    val wallSec = sys.env.get("SPARK_GRAFT_BENCH_WALL_SEC")
+      .map(_.toDouble).getOrElse(budgetSec * 1.18)
     val slowRepSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_REP_SEC", "8").toDouble
     // the main pass may spend up to this much; the rest is the quiet
@@ -170,6 +216,33 @@ object Bench {
         .find(_.startsWith("cpu "))
         .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
       catch { case _: Throwable => -1L }
+    // total BUSY jiffies across all cpus (user+nice+system+irq+softirq —
+    // not idle/iowait/steal/guest): with the JVM's own jiffies subtracted,
+    // the delta across a query is CPU burned by FOREIGN processes on this
+    // box — the co-tenancy signal loadavg sees but steal does not (the
+    // r17 q242 blind spot: load 10.3, steal_d 295, contended:false).
+    def busyJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+        .map { l =>
+          val f = l.trim.split("\\s+")
+          f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong
+        }.getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    // this JVM's own utime+stime (all threads). /proc/self/stat's comm
+    // field may contain spaces, so parse after the closing paren.
+    def selfJiffies(): Long =
+      try {
+        val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(' ')
+        rest(11).toLong + rest(12).toLong // fields 14,15 (1-based in stat)
+      } catch { case _: Throwable => -1L }
+    def otherDelta(busy0: Long, self0: Long): Long = {
+      val b1 = busyJiffies(); val s1 = selfJiffies()
+      if (b1 >= 0 && busy0 >= 0 && s1 >= 0 && self0 >= 0)
+        math.max(0L, (b1 - busy0) - (s1 - self0))
+      else -1L
+    }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000 // ms precision, short JSON
 
     // STATIC-plan fingerprint: preorder nodeName walk of the prepared
@@ -223,6 +296,7 @@ object Bench {
         java.nio.file.Paths.get(detailPath)), "UTF-8")
       val entryRe = ("\"([^\"]+)\":\\{\"median\":[^,]*,\"min\":(-?[0-9.eE+]+)," +
         "\"reps\":\\[[^\\]]*\\],\"load\":[^,]*,\"steal_d\":[^,]*," +
+        "(?:\"other_d\":-?\\d+,)?" + // r18+ emission; absent in r17 files
         "\"contended\":(?:true|false)" +
         "(?:,\"quiet_min\":(-?[0-9.eE+]+),\"quiet_steal_d\":-?\\d+," +
         "\"quiet_reps\":\\d+(?:,\"quiet_why\":\"[^\"]*\")?)?,\"plan\":").r
@@ -237,6 +311,9 @@ object Bench {
     val loadStart = loadavg()
     val stealStart = stealJiffies()
     var errors = Map.empty[String, String]
+    val ncpus =
+      try cpus.toInt catch { case _: Throwable =>
+        Runtime.getRuntime.availableProcessors }
     // a rep's spread counts as contaminated when max/min exceeds this: an
     // honest fixture-scale rep varies ±2× with JIT state; 3× is outside that
     val SpreadLimit = 3.0
@@ -247,16 +324,68 @@ object Bench {
     // a query is also contended when its stolen CPU-seconds (steal_d/100,
     // USER_HZ=100) exceed this fraction of its summed rep wall-time
     val StealFrac = 0.25
+    // load-without-steal clause: foreign processes burning more than this
+    // fraction of the box's total CPU capacity (wall × ncpus) during a
+    // query flag it contended even when steal and spread stay quiet. At
+    // 0.15 on 32 cpus that is ~5 foreign runqueue slots sustained — the
+    // r17 q242 window (load 10.3) trips it with 2× margin, while an
+    // idle-box run's daemon ticks sit orders of magnitude under it.
+    val OtherFrac = 0.15
     case class QRes(name: String, median: Double, min: Double,
                     times: Vector[Double], load: Double, stealD: Long,
-                    contended: Boolean, planFp: String, planCounts: String)
+                    otherD: Long, contended: Boolean,
+                    planFp: String, planCounts: String)
     case class Quiet(min: Double, stealD: Long, reps: Int, why: String)
+
+    // CALIBRATION (ops31, automated): fixed cheap probes, best-of-3 each,
+    // against their prior committed floors → a measured host-throughput
+    // factor for THIS run. Runs before the main pass (calibStart — used
+    // to normalize the drift trigger and the predictive pacing) and after
+    // it (calibEnd — so a box that changed speed mid-run is visible in
+    // the artifact). Empty SPARK_GRAFT_BENCH_CALIB disables.
+    val calibProbeNames = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB",
+        "q1_agg,q13_sort,q197_attribution")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(SparkEntry.queries.contains)
+    def calibPass(): Map[String, Double] =
+      calibProbeNames.flatMap { name =>
+        val fn = SparkEntry.queries(name)
+        val best = (0 until 3).foldLeft(Double.MaxValue) { (b, _) =>
+          resetJvmState(settle = false)
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            math.min(b, (System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => b }
+        }
+        if (best < Double.MaxValue) Some(name -> best) else None
+      }.toMap
+    def calibFactor(probes: Map[String, Double]): Double = {
+      val ratios = probes.toSeq
+        .flatMap { case (n, t) =>
+          priorFloor.get(n).filter(_ > 0).map(t / _) }
+        .sorted
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    }
+    val calibStartProbes = calibPass()
+    val calibStart = calibFactor(calibStartProbes)
+    // normalization never LOOSENS below the raw floor: a faster box
+    // (calib < 1) still flags any raw >20% regression
+    val calibUsed = math.max(1.0, calibStart)
+    rawOut.println(s"""{"calib_start":${r3(calibStart)},"probes":${calibStartProbes.toSeq.sortBy(_._1).map { case (n, t) => s"${q(n)}:${r3(t)}" }.mkString("{", ",", "}")}}""")
 
     // incremental artifact: rewritten after EVERY query and quiet
     // re-measure, so an external kill leaves full evidence for
     // everything that ran (the r16 driver artifact died with its detail
     // file never written)
     val quietAcc = scala.collection.mutable.LinkedHashMap.empty[String, Quiet]
+    val skippedAcc = scala.collection.mutable.ArrayBuffer.empty[String]
+    var calibEnd = -1.0
+    var calibEndProbes = Map.empty[String, Double]
+    def calibJson(): String = {
+      def probes(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+        .map { case (n, t) => s"${q(n)}:${r3(t)}" }.mkString("{", ",", "}")
+      s""""calib":{"start":${r3(calibStart)},"end":${r3(calibEnd)},"used":${r3(calibUsed)},"probes_start":${probes(calibStartProbes)},"probes_end":${probes(calibEndProbes)}}"""
+    }
     def writeDetail(results: Seq[QRes], done: Boolean): Unit = {
       val total = results.collect { case r if r.median >= 0 => r.median }.sum
       val totalMin = results.collect { case r if r.min >= 0 => r.min }.sum
@@ -267,10 +396,11 @@ object Bench {
         val quietPart = quietAcc.get(r.name)
           .map(qq => s""","quiet_min":${qq.min},"quiet_steal_d":${qq.stealD},"quiet_reps":${qq.reps},"quiet_why":${q(qq.why)}""")
           .getOrElse("")
-        s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"contended":${r.contended}$quietPart,"plan":{"fp":${q(r.planFp)},${r.planCounts}}}"""
+        s"""${q(r.name)}:{"median":${r.median},"min":${r.min},"reps":[${r.times.mkString(",")}],"load":${r.load},"steal_d":${r.stealD},"other_d":${r.otherD},"contended":${r.contended}$quietPart,"plan":{"fp":${q(r.planFp)},${r.planCounts}}}"""
       }.mkString("{", ",", "}")
+      val skipped = skippedAcc.map(q).mkString("[", ",", "]")
       val detail =
-        s"""{"metric":"total","value":$total,"value_min":$totalMin,"flagship_sec":${r3(flagship.map(_.median).getOrElse(-1.0))},"flagship_min":${r3(flagship.map(_.min).getOrElse(-1.0))},"unit":"sec","complete":$done,"queries":$entries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"budget_sec":$budgetSec,"elapsed_sec":${r3(elapsedSec())},"load_start":$loadStart,"load_end":${loadavg()},"steal_start":$stealStart,"steal_end":${stealJiffies()},"uptime_sec":${uptimeSec()}}"""
+        s"""{"metric":"total","value":$total,"value_min":$totalMin,"flagship_sec":${r3(flagship.map(_.median).getOrElse(-1.0))},"flagship_min":${r3(flagship.map(_.min).getOrElse(-1.0))},"unit":"sec","complete":$done,"queries":$entries,"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"n_quiet_accepted":${quietAcc.valuesIterator.count(_.min >= 0)},"skipped":$skipped,"n_skipped":${skippedAcc.size},${calibJson()},"reps":$reps,"sf":${q(sfDir)},"cpus":${q(cpus)},"budget_sec":$budgetSec,"elapsed_sec":${r3(elapsedSec())},"load_start":$loadStart,"load_end":${loadavg()},"steal_start":$stealStart,"steal_end":${stealJiffies()},"uptime_sec":${uptimeSec()}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
@@ -282,13 +412,86 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val resultsAcc = scala.collection.mutable.ArrayBuffer.empty[QRes]
-    SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // ---- quiet-window machinery (shared by the interleaved re-measure
+    // and the end-of-run pass). A window opens when a 2 s /proc/stat
+    // probe shows ≤ 40 stolen jiffies AND foreign processes burned under
+    // OtherFrac of capacity during the probe; a rep is ACCEPTED only if
+    // the steal AND foreign-CPU during it stayed under the same verdict
+    // thresholds — an accepted quiet_min is a clean floor by construction.
+    val quietCapSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SEC", "900").toDouble
+    def quietWindowOpen(): Boolean = {
+      val s0 = stealJiffies(); val b0 = busyJiffies(); val j0 = selfJiffies()
+      Thread.sleep(2000)
+      val s1 = stealJiffies()
+      val oth = otherDelta(b0, j0)
+      s0 >= 0 && s1 >= 0 && s1 - s0 <= 40 &&
+        (oth < 0 || oth / 100.0 <= OtherFrac * 2.0 * ncpus)
+    }
+    def quietMeasure(name: String, why: String, deadline: Long): Unit = {
+      val fn = SparkEntry.queries(name)
+      val prior = quietAcc.get(name)
+      var accepted = Vector.empty[Double]
+      var stealTot = prior.map(_.stealD).getOrElse(0L)
+      var attempts = prior.map(_.reps).getOrElse(0)
+      while (accepted.size < 2 && System.nanoTime() < deadline) {
+        if (quietWindowOpen()) {
+          resetJvmState(settle = false)
+          val s0 = stealJiffies(); val b0 = busyJiffies(); val j0 = selfJiffies()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val d = { val s1 = stealJiffies(); if (s1 >= 0 && s0 >= 0) s1 - s0 else -1L }
+          val oth = otherDelta(b0, j0)
+          attempts += 1
+          if (d >= 0) stealTot += d
+          if (ok && d >= 0 && d / 100.0 <= StealFrac * wall &&
+              (oth < 0 || oth / 100.0 <= OtherFrac * wall * ncpus))
+            accepted = accepted :+ wall
+        }
+      }
+      val qm = if (accepted.isEmpty) -1.0 else accepted.min
+      rawOut.println(s"""{"q":${q(name)},"quiet_min":${r3(qm)},"quiet_steal_d":$stealTot,"quiet_reps":$attempts,"quiet_why":${q(why)}}""")
+      quietAcc(name) = Quiet(qm, stealTot, attempts, why)
+      writeDetail(resultsAcc.toSeq, done = false)
+    }
+
+    // ---- predictive pacing state: the sum of prior committed floors of
+    // queries NOT yet run, calibration-scaled, is the best available
+    // estimate of the minimum time still needed for full coverage.
+    // Queries with no prior floor (new this round) are estimated at 1 s.
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    var remFloorKnown = toRun.flatMap(t => priorFloor.get(t._1)).sum
+    var remFloorUnknown = toRun.count(t => !priorFloor.contains(t._1))
+    def predictedRemainMain(repsEach: Int): Double =
+      (remFloorKnown * calibUsed + remFloorUnknown * 1.0) * repsEach
+    // stop margin: summary emission + spark.stop + the end calibration
+    val StopMarginSec = 45.0
+    var walled = false
+
+    toRun.foreach { case (name, fn) =>
+      // TRUE hard wall (r17 ADVICE): no further query starts once the
+      // wall is reached — remaining queries are recorded as skipped so
+      // the artifact says so explicitly instead of relying on the
+      // external kill to tell the story
+      if (walled || elapsedSec() > wallSec - StopMarginSec) {
+        walled = true
+        skippedAcc += name
+      } else {
+      priorFloor.get(name) match {
+        case Some(f) => remFloorKnown -= f
+        case None => remFloorUnknown -= 1
+      }
       // full reset + GC before each query so its reps start from the same
       // heap/broadcast state regardless of position in the alphabet
       resetJvmState(settle = true)
       val stealQ0 = stealJiffies()
+      val busyQ0 = busyJiffies()
+      val selfQ0 = selfJiffies()
       var failed = false
       var lastDf: org.apache.spark.sql.DataFrame = null
       def runRep(): Double = {
@@ -320,6 +523,18 @@ object Bench {
         if (pace >= 0.9) 1
         else if (pace >= 0.7) math.min(reps, 2)
         else reps
+      // PREDICTIVE pacing (r18): drop reps BEFORE the overrun, not after.
+      // If running this query plus everything still queued at k reps each
+      // (prior floors × calibration) won't fit in the main-pass share,
+      // reduce k now — the r17 run only reacted once elapsed share was
+      // already spent, which is exactly how its quiet pass starved.
+      locally {
+        val selfCost = priorFloor.get(name).map(_ * calibUsed).getOrElse(1.0)
+        def fits(k: Int): Boolean =
+          elapsedSec() + selfCost * k + predictedRemainMain(k) <= mainBudgetSec
+        if (target > 2 && !fits(target)) target = 2
+        if (target > 1 && !fits(2)) target = 1
+      }
       var times = Vector.empty[Double]
       var i = 0
       while (!failed && i < target) {
@@ -370,10 +585,19 @@ object Bench {
       // needs >= 2 reps by construction; the steal clause is meaningful
       // for ANY rep count — its whole point is catching even inflation a
       // single rep cannot reveal through spread.
+      // ... OR (r18) foreign processes burned more than OtherFrac of the
+      // box's CPU capacity during the query (other_d vs wall × ncpus) —
+      // load-without-steal the first two clauses are both blind to (the
+      // r17 q242 hole: one 47.6 s rep, load 10.3, steal_d 295, no flag).
+      val otherD = otherDelta(busyQ0, selfQ0)
+      val otherHigh = {
+        val wall = times.filter(_ >= 0).sum
+        otherD >= 0 && wall > 0 && otherD / 100.0 > OtherFrac * wall * ncpus
+      }
       val contended = !failed && times.nonEmpty &&
         ((times.size >= 2 &&
           median(times) / times.min.max(1e-9) > SpreadLimit) ||
-         stealHigh(times))
+         stealHigh(times) || otherHigh)
       val load = loadavg()
       val stealD = stealSoFar()
       val (fp, pc) =
@@ -382,53 +606,57 @@ object Bench {
       lastDf = null
       // one short evidence line per query, printed BEFORE the summary so a
       // tail capture keeps the summary; the detail file keeps everything
-      rawOut.println(s"""{"q":${q(name)},"median":${r3(med)},"min":${r3(mn)},"reps":[${times.map(r3).mkString(",")}],"load":$load,"steal_d":$stealD,"contended":$contended,"fp":${q(fp)}}""")
-      resultsAcc += QRes(name, med, mn, times, load, stealD, contended, fp, pc)
+      rawOut.println(s"""{"q":${q(name)},"median":${r3(med)},"min":${r3(mn)},"reps":[${times.map(r3).mkString(",")}],"load":$load,"steal_d":$stealD,"other_d":$otherD,"contended":$contended,"fp":${q(fp)}}""")
+      resultsAcc += QRes(name, med, mn, times, load, stealD, otherD,
+        contended, fp, pc)
       writeDetail(resultsAcc.toSeq, done = false)
+      // INTERLEAVED quiet re-measure (r18): a flagged query gets its
+      // verdict NOW, while budget demonstrably remains — the r17 single
+      // end-pass starved to zero verdicts exactly when the run was
+      // contended enough to need them. Gated on predictive headroom so a
+      // verdict never costs coverage: the attempt fits only if minimum
+      // completion of everything still queued fits after it.
+      val driftNow = !failed && mn >= 0 && priorFloor.get(name)
+        .exists(pf => pf > 0 && mn > 1.2 * pf * calibUsed)
+      if (driftNow || contended) {
+        val why =
+          if (driftNow && contended) "drift+contended"
+          else if (driftNow) "drift" else "contended"
+        val estQuiet = 2.2 * math.max(0.0, mn) + 12.0
+        val headroom = (budgetSec - StopMarginSec) - elapsedSec() -
+          predictedRemainMain(1)
+        if (headroom > estQuiet) {
+          val allowSec = math.min(headroom,
+            math.max(24.0, 3.5 * math.max(0.0, mn) + 10.0))
+          quietMeasure(name, why, System.nanoTime() + (allowSec * 1e9).toLong)
+        }
+      }
+      }
     }
+    if (walled) writeDetail(resultsAcc.toSeq, done = false)
     val results: Seq[QRes] = resultsAcc.toSeq
-    // QUIET-WINDOW RE-MEASURE (automated r15 forensics): every query the
-    // main pass flagged contended gets re-repped inside a low-steal
-    // window, so round-over-round comparisons read `quiet_min` instead of
-    // needing the manual dedicated-window runs r15 did for q92/q156. A
-    // window opens when a 2 s /proc/stat probe shows ≤ 40 stolen jiffies
-    // (≈ 0.2 stolen cpu-s/s on this 32-cpu box; idle steal here is ~0 —
-    // the hypervisor steals proportionally to load, SCALE.md r15). A rep
-    // is ACCEPTED only if the steal DURING it stayed under StealFrac of
-    // its wall — the same rule the contended verdict uses — so an
-    // accepted quiet_min is a steal-clean floor by construction. The
-    // whole pass shares one wall-clock budget (SPARK_GRAFT_BENCH_QUIET_SEC,
-    // default 900 s); queries the budget never reached record quiet_min
-    // -1 with their attempt count.
-    val quietCapSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SEC", "900").toDouble
-    // the quiet pass spends what the wall budget has LEFT (minus a stop
-    // margin for the summary + spark.stop), capped by the env knob — a
-    // flat 900 s on top of a long main pass is how r16 overran its kill
-    val quietBudgetSec = math.max(0.0,
-      math.min(quietCapSec, budgetSec - elapsedSec() - 30.0))
-    val quietDeadline = System.nanoTime() + (quietBudgetSec * 1e9).toLong
-    def quietWindowOpen(): Boolean = {
-      val s0 = stealJiffies()
-      Thread.sleep(2000)
-      val s1 = stealJiffies()
-      s0 >= 0 && s1 >= 0 && s1 - s0 <= 40
-    }
-    // DRIFT targets: min regressed > 20% vs the prior committed floor —
-    // quiet-verdicted even when no contention flag fired (the r16
-    // q57/q125/q55 pattern: real steal under the StealFrac radar).
-    // Worst regression first: each carries a round-over-round claim.
+    // END-OF-RUN QUIET PASS: with the interleaved re-measures (above)
+    // having first claim on the budget, this pass only RETRIES what
+    // interleaving could not accept (no accepted quiet_min yet) plus, in
+    // SPARK_GRAFT_BENCH_QUIET_ALL=1 mode, every other successful query.
+    // It spends what the wall has LEFT (minus the stop margin), capped by
+    // SPARK_GRAFT_BENCH_QUIET_SEC; targets the budget never reached keep
+    // their quiet_min −1 with attempt counts — an explicit budget-skip
+    // verdict, never a silent one.
+    // DRIFT = min regressed > 20% vs the prior committed floor,
+    // CALIBRATION-NORMALIZED (this run's measured host factor): on a box
+    // running 2× slow, only queries beyond the box's own drift flag.
     val drift: Seq[(QRes, Double)] = results
       .filter(_.min >= 0)
       .flatMap(r => priorFloor.get(r.name)
-        .filter(pf => pf > 0 && r.min > 1.2 * pf)
+        .filter(pf => pf > 0 && r.min > 1.2 * pf * calibUsed)
         .map(pf => r -> r.min / pf))
       .sortBy(-_._2)
     val driftNames = drift.map(_._1.name).toSet
-    // SPARK_GRAFT_BENCH_QUIET_ALL=1 re-measures EVERY successful query
-    // (validation / richer artifacts), not just drift + contended
+    def accepted(name: String): Boolean =
+      quietAcc.get(name).exists(_.min >= 0)
     val quietTargets: Seq[(QRes, String)] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_QUIET_ALL").contains("1"))
+      (if (sys.env.get("SPARK_GRAFT_BENCH_QUIET_ALL").contains("1"))
         results.filter(_.median >= 0).map { r =>
           r -> (if (driftNames(r.name)) "drift"
                 else if (r.contended) "contended" else "all")
@@ -436,33 +664,29 @@ object Bench {
       else drift.map { case (r, _) =>
         r -> (if (r.contended) "drift+contended" else "drift")
       } ++ results.filter(r => r.contended && !driftNames(r.name))
-        .map(r => r -> "contended")
+        .map(r => r -> "contended"))
+        .filterNot { case (r, _) => accepted(r.name) }
+    val quietCapSec2 = math.max(0.0, math.min(quietCapSec,
+      budgetSec - elapsedSec() - StopMarginSec))
+    val quietDeadline = System.nanoTime() + (quietCapSec2 * 1e9).toLong
     quietTargets.foreach { case (r, why) =>
-      val fn = SparkEntry.queries(r.name)
-      var accepted = Vector.empty[Double]
-      var stealTot = 0L
-      var attempts = 0
-      while (accepted.size < 2 && System.nanoTime() < quietDeadline) {
-        if (quietWindowOpen()) {
-          resetJvmState(settle = false)
-          val s0 = stealJiffies()
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          val wall = (System.nanoTime() - t0) / 1e9
-          val d = { val s1 = stealJiffies(); if (s1 >= 0 && s0 >= 0) s1 - s0 else -1L }
-          attempts += 1
-          if (d >= 0) stealTot += d
-          if (ok && d >= 0 && d / 100.0 <= StealFrac * wall)
-            accepted = accepted :+ wall
-        }
+      if (System.nanoTime() < quietDeadline) {
+        // per-target allowance inside the shared deadline, so one slow
+        // target cannot starve every target behind it in the list
+        val allow = math.max(24.0, 3.5 * math.max(0.0, r.min) + 10.0)
+        quietMeasure(r.name, why, math.min(quietDeadline,
+          System.nanoTime() + (allow * 1e9).toLong))
+      } else if (!quietAcc.contains(r.name)) {
+        // explicit budget-skip verdict (r17 left these rows silent)
+        quietAcc(r.name) = Quiet(-1.0, 0L, 0, why + ":budget-skip")
+        writeDetail(results, done = false)
       }
-      val qm = if (accepted.isEmpty) -1.0 else accepted.min
-      rawOut.println(s"""{"q":${q(r.name)},"quiet_min":${r3(qm)},"quiet_steal_d":$stealTot,"quiet_reps":$attempts,"quiet_why":${q(why)}}""")
-      quietAcc(r.name) = Quiet(qm, stealTot, attempts, why)
-      writeDetail(results, done = false)
     }
+
+    // end calibration: the same probes again, so the artifact records
+    // whether the box changed speed across the run
+    calibEndProbes = calibPass()
+    calibEnd = calibFactor(calibEndProbes)
 
     val loadEnd = loadavg()
     val stealEnd = stealJiffies()
@@ -496,7 +720,7 @@ object Bench {
     spark.stop()
     // print the summary AFTER spark.stop() so no late executor/log line can
     // land between it and the end of the capture window
-    rawOut.println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"n_quiet":${quietAcc.size},"n_drift":${drift.size},"budget_sec":$budgetSec,"elapsed_sec":${r3(elapsedSec())},"contended":$contendedNames,"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
+    rawOut.println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"flagship_sec":$flagshipSec,"flagship_min":$flagshipMin,"unit":"sec","n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"n_contended":${results.count(_.contended)},"n_quiet":${quietAcc.size},"n_quiet_accepted":${quietAcc.valuesIterator.count(_.min >= 0)},"n_drift":${drift.size},"n_skipped":${skippedAcc.size},"calib_start":${r3(calibStart)},"calib_end":${r3(calibEnd)},"budget_sec":$budgetSec,"elapsed_sec":${r3(elapsedSec())},"contended":$contendedNames,"reps":$reps,"sf":${q(sfDir)},"load_start":$loadStart,"load_end":$loadEnd,"steal_start":$stealStart,"steal_end":$stealEnd,"slowest":$slow,"detail":${q(detailPath)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

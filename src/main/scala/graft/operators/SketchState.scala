@@ -53,12 +53,21 @@ object SketchState {
       // a merge manifest without a live dir is stale residue (a later
       // full swap replaced the dir wholesale); drop it so it can never
       // retire files of the adopted state
-      if (fs.exists(mergeLogPath(statePath))) {
-        fs.delete(mergeLogPath(statePath), false)
-        fs.delete(mergeStagePath(statePath), true)
-      }
+      dropPendingMerge(fs, statePath)
     } else completeMerge(fs, statePath)
     fs.exists(live)
+  }
+
+  /** Discard a pending tiered-merge plan (manifest, its uncommitted tmp,
+    * and the staging dir). Safe whenever the live dir is about to be (or
+    * was) replaced wholesale — the plan describes a layout that no longer
+    * exists, so replaying it would inject retired rows into fresh state. */
+  private def dropPendingMerge(fs: org.apache.hadoop.fs.FileSystem,
+                               statePath: String): Unit = {
+    fs.delete(new Path(mergeLogPath(statePath).toString + ".tmp"), false)
+    fs.delete(mergeLogPath(statePath), false)
+    fs.delete(mergeStagePath(statePath), true)
+    ()
   }
 
   /** Finish an interrupted tiered merge: every staged file still in the
@@ -151,6 +160,7 @@ object SketchState {
       df.write.mode("overwrite").parquet(new Path(swap, name).toString)
     }
     fs.create(new Path(swap, "_SUCCESS"), true).close() // joint witness
+    dropPendingMerge(fs, statePath) // see swapReplaceWrite
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(swap, live))
       throw new java.io.IOException(
@@ -393,8 +403,19 @@ object SketchState {
     }
     val manifest = (staged.map("S\t" + _) ++
       mergeSet.map(f => "R\t" + rel(qualifiedLive, f))).mkString("\n")
-    val out = fs.create(mlog, true)
+    // the manifest IS the commit point, so its creation must be atomic:
+    // a direct create+write can crash mid-stream and leave a TRUNCATED
+    // manifest whose surviving S lines publish staged files while the
+    // lost R lines never retire the originals — completeMerge would then
+    // commit duplicate rows with no later repair possible. Write the full
+    // bytes to a temp sibling and rename; a crash before the rename is a
+    // clean no-commit (orphan staging dir, clobbered by the next merge).
+    val mlogTmp = new Path(mlog.toString + ".tmp")
+    val out = fs.create(mlogTmp, true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(mlogTmp, mlog))
+      throw new java.io.IOException(
+        s"SketchState: manifest commit rename $mlogTmp -> $mlog failed")
     completeMerge(fs, path)
     true
   }
@@ -433,6 +454,13 @@ object SketchState {
         writeMarker(spark, swap.toString, name, v) }
       fs.create(witness, true).close()
     }
+    // a crashed tiered merge's pending manifest must die WITH the dir it
+    // describes: replaying it against the freshly-swapped state would
+    // rename stale staged files into the NEW layout (injecting old rows).
+    // Today every writer reaches here through an exists() that already
+    // replayed the manifest, but that is convention — enforce it at the
+    // swap itself.
+    dropPendingMerge(fs, statePath)
     if (fs.exists(live)) fs.delete(live, true)
     if (!fs.rename(swap, live))
       throw new java.io.IOException(

@@ -248,6 +248,56 @@ class SketchStateSpec extends SparkSpec {
       "crash-after-publish recovery must retire originals exactly once")
   }
 
+  test("a crash before the manifest rename is a clean no-commit: an " +
+    "orphan .__mlog.tmp never publishes or retires anything") {
+    val p = freshPath()
+    Seq.range(0L, 100L).toDF("h").coalesce(1).write.mode("overwrite").parquet(p)
+    val before = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    // simulate the crash window: staged file + a (possibly truncated)
+    // manifest TMP — the commit rename never happened
+    val stage = new java.io.File(p + ".__mstage")
+    stage.mkdirs()
+    Seq(999L).toDF("h").coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath + "/tmp")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p + ".__mlog.tmp"),
+      "S\tpart-truncat".getBytes("UTF-8")) // torn write, R lines lost
+    assert(SketchState.exists(spark, p))
+    assert(SketchState.read(spark, p).count() === 100L,
+      "no-commit: row set unchanged")
+    val after = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(after === before, "no staged file may publish without a manifest")
+  }
+
+  test("a whole-dir swapReplace drops a pending merge plan so it can " +
+    "never replay stale rows into the new state") {
+    val p = freshPath()
+    Seq.range(0L, 100L).toDF("h").coalesce(1).write.mode("overwrite").parquet(p)
+    // plant a pending merge plan: staged file + committed manifest that
+    // publishes it (as if a merge crashed right after its commit point)
+    val stage = new java.io.File(p + ".__mstage")
+    stage.mkdirs()
+    Seq(777L).toDF("h").coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath + "/tmp")
+    val src = new java.io.File(stage, "tmp").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val stagedName = "part-stale-merge.snappy.parquet"
+    assert(src.renameTo(new java.io.File(stage, stagedName)))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(stage, "tmp"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p + ".__mlog"),
+      s"S\t$stagedName".getBytes("UTF-8"))
+    // a writer that (against convention) skips exists() and replaces the
+    // dir wholesale — the swap itself must retire the stale plan
+    SketchState.swapReplace(Seq(1L, 2L).toDF("h").coalesce(1), p)
+    assert(!new java.io.File(p + ".__mlog").exists(),
+      "pending manifest must die with the dir it described")
+    assert(!stage.exists(), "staging dir must die with it")
+    assert(SketchState.read(spark, p).as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L), "stale staged rows must never reach the new state")
+  }
+
   test("kmv ingest state survives a simulated interrupted swap mid-stream") {
     val p = freshPath()
     Sketch.kmvIngestBatch(Seq("a", "b", "c").toDF("s"),
