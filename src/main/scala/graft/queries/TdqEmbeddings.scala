@@ -1251,7 +1251,9 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
 
   private[graft] def q248HitsTable(s: SparkSession, d: String,
                                    nLists: Int = 8,
-                                   nProbe: Int = q145NProbe): DataFrame = {
+                                   nProbe: Int = q145NProbe,
+                                   m: Int = pqM,
+                                   shortlist: Int = q145Shortlist): DataFrame = {
     val embs = Tables.embeddings(s, d)
     val coarse = graft.operators.Quantize.learnedCoarse(embs,
       col("embedding"), nLists = nLists, seed = 42L)
@@ -1262,7 +1264,7 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     // OPQ trained on the residuals themselves; the codebook that falls
     // out of the final alternation is the serving codebook
     val (rotM, rcb) = graft.operators.Quantize.learnedOpq(embs, resC,
-      pqM, pqDim, k = pqSeedIds.size, seed = 11L)
+      m, pqDim, k = pqSeedIds.size, seed = 11L)
     val rotCoarse = coarse.map { case (l, c) =>
       l -> rotM.map(row => row.zip(c).map { case (a, b) => a * b }.sum)
     }
@@ -1274,7 +1276,7 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     val rResC = graft.operators.Quantize.ivfResidualCol(col("rvec"),
       rotCoarse, rListC)
     val codes = graft.operators.Quantize.pqEncode(rot, col("vec_id"),
-        rResC, rcb, pqM, pqDim, keep = Seq(rListC.as("list_id")))
+        rResC, rcb, m, pqDim, keep = Seq(rListC.as("list_id")))
       .drop("distortion")
     val dirFile = java.nio.file.Files.createTempDirectory("opq_ivf").toFile
     // serving reads the index files — JVM-exit sweep (q97's precedent)
@@ -1283,11 +1285,11 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
     codes.repartition(col("list_id")).write.mode("overwrite")
       .partitionBy("list_id").parquet(dir)
     val qset = rot.filter(col("vec_id") < 10)
-    val shortlist = graft.operators.Quantize.ivfPqResidualTopK(
-      s.read.parquet(dir), qset, "vec_id", "rvec", rotCoarse, rcb, pqM,
-      pqDim, nProbe, k = q145Shortlist)
+    val short = graft.operators.Quantize.ivfPqResidualTopK(
+      s.read.parquet(dir), qset, "vec_id", "rvec", rotCoarse, rcb, m,
+      pqDim, nProbe, k = shortlist)
     val origQ = embs.filter(col("vec_id") < 10)
-    val ann = graft.operators.Quantize.rerankL2(shortlist, embs, origQ,
+    val ann = graft.operators.Quantize.rerankL2(short, embs, origQ,
       "vec_id", "embedding", k = 5)
     val exact = Similarity.bruteForceTopKL2(embs, origQ,
       "vec_id", "embedding", k = 5)
@@ -1382,6 +1384,125 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
       q252PerQueryFloor, q252TotalFloor)
 
   private[queries] lazy val q252Sql =
+    s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
+       |FROM range(10)""".stripMargin
+
+  // ------------------- shortlist/ADC dial sweep at the fine coarse (§2.10 ext)
+  // q252 serves 43/50 at sf0.1 against its own measured 47/50 probe
+  // ceiling (SCALE.md r17) — the residual misses are SHORTLIST/ADC
+  // losses: the right list is probed, but the true neighbor is ranked
+  // below position R by the quantized ADC distance, so the exact
+  // re-rank never sees it. The two dials that govern that loss, swept
+  // at q252's exact coarse operating point (nLists=32, nProbe=16 —
+  // constant scan fraction): shortlist R ∈ {100, 200, 400} (R only
+  // changes the WindowGroupLimit rank bound on the already-scanned
+  // candidates — scan cost is UNCHANGED; the exact re-rank grows
+  // linearly in R over R×10 rows, noise at any scale) and pqM ∈ {8, 16}
+  // (16 subspaces of 4 dims halve the per-subspace quantization error at
+  // 2× the code bytes — ADC cost per candidate scales with m, scan
+  // fraction unchanged). One index build per m serves all three R arms;
+  // the brute-force truth is computed ONCE and spilled (q251's pattern).
+  // K-means/SVD not SQL-replayable → floor oracle; n_exact rides the
+  // compare (replayable: 10 queries × min(5, n−1) exact neighbors).
+  private[queries] lazy val q253Ms = Seq(8, 16)
+  private[queries] lazy val q253Rs = Seq(100, 200, 400)
+  private[queries] lazy val q253Floor = 30L // of 50, conservative across SFs
+
+  private[graft] def q253SweepTable(s: SparkSession, d: String,
+                                    nLists: Int = 32,
+                                    nProbe: Int = 16): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val origQ = embs.filter(col("vec_id") < 10)
+    val exact = graft.operators.CacheHygiene.spillToTempParquet(
+      Similarity.bruteForceTopKL2(embs, origQ, "vec_id", "embedding",
+        k = 5).select(col("query_id"), col("neighbor_id")),
+      "q253_exact")
+    // coarse stage is m-independent: one fit serves every arm
+    val coarse = graft.operators.Quantize.learnedCoarse(embs,
+      col("embedding"), nLists = nLists, seed = 42L)
+    val listC = graft.operators.Quantize.ivfListCol(col("embedding"),
+      coarse)
+    val resC = graft.operators.Quantize.ivfResidualCol(col("embedding"),
+      coarse, listC)
+    q253Ms.map { m =>
+      // per-m: OPQ rotation + residual codebooks + the codes index,
+      // built once and re-read by all R arms (serving reads files,
+      // q248/q97's discipline)
+      val (rotM, rcb) = graft.operators.Quantize.learnedOpq(embs, resC,
+        m, pqDim, k = pqSeedIds.size, seed = 11L)
+      val rotCoarse = coarse.map { case (l, c) =>
+        l -> rotM.map(row => row.zip(c).map { case (a, b) => a * b }.sum)
+      }
+      val rot = embs.select(col("vec_id"),
+        Similarity.rpProject(col("embedding").cast("array<double>"), rotM)
+          .as("rvec"))
+      val rListC = graft.operators.Quantize.ivfListCol(col("rvec"),
+        rotCoarse)
+      val rResC = graft.operators.Quantize.ivfResidualCol(col("rvec"),
+        rotCoarse, rListC)
+      val codes = graft.operators.Quantize.pqEncode(rot, col("vec_id"),
+          rResC, rcb, m, pqDim, keep = Seq(rListC.as("list_id")))
+        .drop("distortion")
+      val dirFile = java.nio.file.Files.createTempDirectory("q253_ivf").toFile
+      graft.operators.CacheHygiene.registerForCleanup(dirFile)
+      val dir = dirFile.getAbsolutePath + "/codes"
+      codes.repartition(col("list_id")).write.mode("overwrite")
+        .partitionBy("list_id").parquet(dir)
+      val qset = rot.filter(col("vec_id") < 10)
+      q253Rs.map { r =>
+        val shortlist = graft.operators.Quantize.ivfPqResidualTopK(
+          s.read.parquet(dir), qset, "vec_id", "rvec", rotCoarse, rcb, m,
+          pqDim, nProbe, k = r)
+        val ann = graft.operators.Quantize.rerankL2(shortlist, embs,
+          origQ, "vec_id", "embedding", k = 5)
+        exact
+          .join(ann.select(col("query_id"), col("neighbor_id"))
+              .withColumn("__hit", lit(true)),
+            Seq("query_id", "neighbor_id"), "left")
+          .select(lit(m).as("pq_m"), lit(r).as("shortlist_r"),
+            coalesce(col("__hit"), lit(false)).as("hit"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+      .groupBy(col("pq_m"), col("shortlist_r"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+  }
+
+  private[queries] def q253ShortlistSweep(s: SparkSession, d: String): DataFrame =
+    q253SweepTable(s, d).select(col("pq_m"), col("shortlist_r"),
+      col("n_exact"), (col("n_hits") >= q253Floor).as("arm_ok"))
+
+  private[queries] lazy val q253Sql = {
+    val arms = (for (m <- q253Ms; r <- q253Rs) yield s"($m, $r)")
+      .mkString(", ")
+    s"""SELECT pq_m, shortlist_r,
+       |  (SELECT least(5, count(*) - 1) FROM embeddings) * 10 AS n_exact,
+       |  true AS arm_ok
+       |FROM (VALUES $arms) t(pq_m, shortlist_r)""".stripMargin
+  }
+
+  // ------------------- ceiling-saturating OPQ×IVF serving (§2.10 ext)
+  // The q253 sweep's conclusion, SERVED: q248's exact composition at
+  // (nLists=32, nProbe=16) — q252's coarse operating point — with
+  // pqM=16 (4-dim subspaces halve per-subspace quantization error; 2×
+  // code bytes, scan FRACTION unchanged) and shortlist R=400 (a rank
+  // bound on already-scanned candidates — zero extra scan; the exact
+  // re-rank reads 400×10 rows). Measured served hits@5 (seed 42):
+  // sf0.001 48, sf0.01 48, sf0.1 **47 = the measured coarse probe
+  // ceiling itself** (q251's (32,16) arm) — the shortlist/ADC residual
+  // that kept q252 at 43 is fully closed; any further recall now
+  // requires probing more lists (a scan-fraction trade, not a codebook
+  // one). Ladder at sf0.1: q248 38 → q252 43 → q254 47, all at
+  // nProbe/nLists = 1/2. Floor oracle (q243's pattern).
+  private[queries] lazy val q254PerQueryFloor = 2L
+  private[queries] lazy val q254TotalFloor = 45L
+
+  private[queries] def q254OpqIvfSaturated(s: SparkSession, d: String): DataFrame =
+    recallFloor(q248HitsTable(s, d, nLists = 32, nProbe = 16,
+        m = 16, shortlist = 400),
+      q254PerQueryFloor, q254TotalFloor)
+
+  private[queries] lazy val q254Sql =
     s"""SELECT CAST(range AS BIGINT) AS query_id, true AS recall_ok
        |FROM range(10)""".stripMargin
 

@@ -2337,6 +2337,177 @@ object ScaleProbe {
     * the three cache states a stream can be in, then a full
     * swapReplaceMany pair commit (q241's per-poll shape) so the refresh
     * share of a poll is a measured number, not a suspicion. */
+  /** ops32: longevity, round 2 (r17 VERDICT next-round #4).
+    * (a) ContamStream aged LONG — ops30's 220 polls only reached
+    * band-2 merges of the size-tiered compaction (the 13.9 s spike at
+    * poll 150); the amortization claim (each byte rewritten
+    * O(log₄(state/append)) times, file count bounded by
+    * dirs × bands × bandMax) needs the DEEP bands witnessed: this run
+    * ages it SPARK_GRAFT_OPS32_POLLS (default 1000) polls and, beyond
+    * the wall/file curves, prints the live band histogram every 100
+    * polls so band-3+ consolidation is directly visible.
+    * (b) The three streams ops30 skipped — SegDedupStream,
+    * NgramLmStream, DoremiStream — aged 220 polls each at fixture
+    * scale. PASS = flat or bounded-sawtooth walls; NgramLm/Doremi
+    * rewrite TYPES-bounded state per poll, so their walls must plateau
+    * once the recycled-text vocabulary saturates, NOT track poll index.
+    * SPARK_GRAFT_OPS32_ONLY=contam|segdedup|ngramlm|doremi selects one;
+    * SPARK_GRAFT_OPS32_POLLS220 overrides the short arms' 220. */
+  def ops32Probe(spark: SparkSession): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val pollsLong = sys.env.getOrElse("SPARK_GRAFT_OPS32_POLLS", "1000").toInt
+    val pollsShort =
+      sys.env.getOrElse("SPARK_GRAFT_OPS32_POLLS220", "220").toInt
+    val onlyStream = sys.env.get("SPARK_GRAFT_OPS32_ONLY")
+    def want(tag: String) = onlyStream.forall(_ == tag)
+    def wipe(dir: String): String = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true); dir
+    }
+    def partSizes(dir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) return Nil
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.startsWith("part-")) out += s.getLen
+      }
+      out.toSeq
+    }
+    // the same 4×-spaced band as SketchState.band: consolidation depth
+    // is readable straight off the histogram
+    def bandHist(sizes: Seq[Long]): String =
+      sizes.groupBy(l => (63 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, l))) / 2)
+        .toSeq.sortBy(_._1)
+        .map { case (b, fs0) => s"b$b:${fs0.size}" }.mkString(" ")
+    def text(idc: org.apache.spark.sql.Column, period: Long) =
+      concat_ws(" ", transform(sequence(lit(0), lit(79)),
+        i => concat(lit("w"), pmod(hash(pmod(idc, lit(period)) * 31 + i),
+          lit(50000)))))
+    def age(tag: String, stateRoot: String, polls: Int,
+            histEvery: Int = 0)(poll: Int => Unit): Unit = {
+      val walls = new Array[Double](polls)
+      val files = new Array[Int](polls)
+      for (p <- 0 until polls) {
+        val t0 = System.nanoTime()
+        poll(p)
+        walls(p) = (System.nanoTime() - t0) / 1e9
+        val sizes = partSizes(stateRoot)
+        files(p) = sizes.size
+        if (p % 20 == 0 || p == polls - 1)
+          println(f"[probe] ops32 $tag%-8s poll=$p%4d wall=${walls(p)}%7.3f s files=${files(p)}%5d")
+        if (histEvery > 0 && (p % histEvery == 0 || p == polls - 1))
+          println(s"[probe] ops32 $tag bands poll=$p ${bandHist(sizes)}")
+      }
+      val k = math.max(1, polls / 10)
+      def avg(a: Seq[Double]) = a.sum / a.size
+      println(f"[probe] ops32 $tag%-8s SUMMARY wall first=${avg(walls.take(k).toSeq)}%.3f" +
+        f" mid=${avg(walls.slice(polls / 2 - k / 2, polls / 2 + k - k / 2).toSeq)}%.3f" +
+        f" last=${avg(walls.takeRight(k).toSeq)}%.3f max=${walls.max}%.3f s |" +
+        f" files last=${files.last} max=${files.max}")
+    }
+
+    // (a) ContamStream deep-band aging — ops30's exact fixture, more
+    // polls, with the band histogram printed on a fixed cadence
+    if (want("contam")) {
+      val base = wipe("/tmp/ops32_contam")
+      val emptyDf = spark.range(0).select(col("id"), lit("").as("text"))
+      age("contam", base, pollsLong, histEvery = 100) { p =>
+        val lo = p * 300L
+        val batch = spark.range(lo, lo + 300)
+          .select(col("id"), text(col("id"), 1L << 40).as("text"))
+        val bench =
+          if (p % 10 == 5)
+            spark.range(2000000000L + p * 20L, 2000000000L + p * 20L + 20L)
+              .select(col("id"), text(col("id") + 7, 1L << 40).as("text"))
+          else emptyDf
+        graft.streaming.ContamStream.ingestBatch(spark, batch, bench, base,
+          n = 3, bucketTargetBytes = 4L << 20, maxBuckets = 64)
+      }
+      time("ops32 contam   final read") {
+        graft.streaming.ContamStream.contamination(spark, base).count()
+      }
+    }
+
+    // (b1) SegDedupStream: 200 docs/poll, texts recycle with period 800
+    // (ids are stream-unique and batch-monotone, the exactness
+    // contract) so most segments past poll ~4 are already-seen — the
+    // anti-join against the accumulated hash index carries real load
+    if (want("segdedup")) {
+      val base = wipe("/tmp/ops32_segdedup")
+      age("segdedup", base, pollsShort) { p =>
+        val lo = p * 200L
+        graft.streaming.SegDedupStream.ingestBatch(spark,
+          spark.range(lo, lo + 200)
+            .select(col("id"), text(col("id"), 800L).as("text")),
+          s"$base/state", s"$base/sink", w = 20)
+      }
+      time("ops32 segdedup final sink read") {
+        spark.read.parquet(s"$base/sink").count()
+      }
+    }
+
+    // (b2) NgramLmStream: 200 docs/poll over a 50k-word closed
+    // vocabulary — the count tables saturate to TYPES size, so the
+    // per-poll merge wall must go FLAT once the tri-table stops growing
+    if (want("ngramlm")) {
+      val base = wipe("/tmp/ops32_ngramlm")
+      age("ngramlm", base, pollsShort) { p =>
+        val lo = p * 200L
+        graft.streaming.NgramLmStream.ingestBatch(spark,
+          spark.range(lo, lo + 200)
+            .select(col("id"), text(col("id"), 500L).as("text")),
+          col("id"), col("text"), base)
+      }
+      time("ops32 ngramlm  final state read") {
+        spark.read.parquet(s"$base/tri").count()
+      }
+    }
+
+    // (b3) DoremiStream: 200 docs/poll across 4 sources; state is
+    // sources × vocab, the weight read never touches the corpus
+    if (want("doremi")) {
+      val base = wipe("/tmp/ops32_doremi")
+      age("doremi", base, pollsShort) { p =>
+        val lo = p * 200L
+        graft.streaming.DoremiStream.ingestBatch(spark,
+          spark.range(lo, lo + 200)
+            .select(col("id"), text(col("id"), 500L).as("text"),
+              concat(lit("src"), pmod(col("id"), lit(4))).as("src")),
+          col("text"), col("src"), base)
+      }
+      time("ops32 doremi   final weights read") {
+        graft.streaming.DoremiStream.readWeights(spark, base,
+          eta = 0.1, smoothing = 0.5).count()
+      }
+    }
+  }
+
+  /** Round-18 measurement driver for the q253 shortlist/ADC dial sweep
+    * (SCALE.md r18): per SF, the full (pqM × shortlist R) hits table at
+    * q252's coarse operating point, with wall time. */
+  def sweep253Probe(spark: SparkSession): Unit = {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
+      val t0 = System.nanoTime()
+      val rows = graft.queries.TestdataQueries.q253SweepTable(spark, d)
+        .orderBy("pq_m", "shortlist_r").collect()
+      println(f"== q253 sweep $d (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      rows.foreach(r => println(
+        s"  m=${r.getInt(0)} R=${r.getInt(1)} " +
+        s"n_exact=${r.getLong(2)} n_hits=${r.getLong(3)}"))
+      // q254's serving arm, per-query (the floors' evidence)
+      val hits = graft.queries.TestdataQueries.q248HitsTable(spark, d,
+        nLists = 32, nProbe = 16, m = 16, shortlist = 400)
+        .orderBy("query_id").collect()
+      println("  q254 per-query hits: " + hits.map(r =>
+        s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+      spark.catalog.clearCache()
+    }
+  }
+
   def ops31Probe(spark: SparkSession): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -2380,7 +2551,7 @@ object ScaleProbe {
       "ops9", "ops10", "ops11", "ops12", "ops12v", "ops13", "ops14", "ops15",
       "lmstream", "qs", "ops16", "ct", "ops17", "ops18", "ops19", "ops20",
       "ops21", "ops22", "ops23", "ctfiles", "ops24", "ops26", "ops27",
-      "ops28", "ops29", "ops30", "ops31")
+      "ops28", "ops29", "ops30", "ops31", "ops32", "sweep253")
     val nCases = args.headOption.filter(a => !modes.contains(a))
       .map(_.toLong)
       .getOrElse(1000000L)
@@ -2436,6 +2607,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("ops31")) {
       ops31Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("ops32")) {
+      ops32Probe(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("sweep253")) {
+      sweep253Probe(spark); spark.stop(); return
     }
     if (args.headOption.contains("ct")) {
       contamStreamProbe(spark); spark.stop(); return
