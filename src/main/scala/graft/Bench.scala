@@ -350,6 +350,12 @@ object Bench {
     def calibPass(): Map[String, Double] =
       calibProbeNames.flatMap { name =>
         val fn = SparkEntry.queries(name)
+        // one UNTIMED warm rep first: the start-of-run pass otherwise
+        // charges these probes' codegen/JIT warmup to the host factor
+        // (measured: calib_start 1.36 vs calib_end 0.43 on one quiet
+        // box — the delta was warmup, not throughput)
+        try { resetJvmState(settle = false); fn(spark, sfDir).count() }
+        catch { case _: Throwable => () }
         val best = (0 until 3).foldLeft(Double.MaxValue) { (b, _) =>
           resetJvmState(settle = false)
           val t0 = System.nanoTime()
