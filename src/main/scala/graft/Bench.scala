@@ -108,6 +108,15 @@ import org.apache.spark.sql.SparkSession
   *    recorded as SKIPPED in the artifact (`skipped` list) and the main
   *    loop breaks — an overrun ends with a complete, self-describing
   *    artifact instead of relying on the external kill.
+  *  - FLOOR LEDGER: BENCH_FLOORS.json (SPARK_GRAFT_BENCH_FLOORS) keeps
+  *    the best CLEAN floor per query across ALL runs, keyed by plan
+  *    fingerprint — BENCH_DETAIL only remembers the last run, so one
+  *    contended round inflated every drift reference (r17's q242 47.6 s
+  *    "floor" would mask any regression under ~57 s). Clean evidence
+  *    (accepted quiet_min, or uncontended min) ratchets a floor down;
+  *    a changed fingerprint re-bases it; contended-without-verdict runs
+  *    commit nothing. Ledger floors take precedence as the drift /
+  *    pacing / calibration reference.
   *  - CONTENDED gains a load-without-steal clause (the r17 q242 blind
   *    spot: one 47.6 s rep at loadavg 10.3 with steal_d 295 →
   *    contended:false): per query, `other_d` = non-idle non-steal CPU
@@ -308,6 +317,30 @@ object Bench {
       }.toMap
     } catch { case _: Throwable => Map.empty }
 
+    // Persistent fingerprint-keyed floor LEDGER (r18): BENCH_DETAIL only
+    // remembers the LAST run, so one contended round inflates every
+    // reference floor and hides the next real regression (r17's q242:
+    // a 47.6 s contended min as "prior floor" would mask any regression
+    // under ~57 s). The ledger keeps the best CLEAN floor per query —
+    // an accepted quiet_min or an uncontended min — keyed by the plan
+    // fingerprint: clean evidence only ever ratchets it DOWN; a changed
+    // fingerprint re-bases it (an intentional reformulation is a new
+    // baseline, not a regression, so it stops flagging after one run).
+    // The file lives in the repo root and is committed, so floors carry
+    // across rounds and boxes; calibration normalizes box speed at
+    // compare time. Ledger floors take precedence over the detail file.
+    val floorsPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "BENCH_FLOORS.json")
+    val ledgerPrior: Map[String, (Double, String)] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(floorsPath)), "UTF-8")
+      val re = "\"([^\"]+)\":\\{\"floor\":(-?[0-9.eE+]+),\"fp\":\"([^\"]*)\"\\}".r
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3))).toMap
+    } catch { case _: Throwable => Map.empty[String, (Double, String)] }
+    val priorFloorAll: Map[String, Double] =
+      priorFloor ++ ledgerPrior.map { case (n, (f, _)) => n -> f }
+
     val loadStart = loadavg()
     val stealStart = stealJiffies()
     var errors = Map.empty[String, String]
@@ -368,7 +401,7 @@ object Bench {
     def calibFactor(probes: Map[String, Double]): Double = {
       val ratios = probes.toSeq
         .flatMap { case (n, t) =>
-          priorFloor.get(n).filter(_ > 0).map(t / _) }
+          priorFloorAll.get(n).filter(_ > 0).map(t / _) }
         .sorted
       if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
     }
@@ -441,8 +474,16 @@ object Bench {
       var accepted = Vector.empty[Double]
       var stealTot = prior.map(_.stealD).getOrElse(0L)
       var attempts = prior.map(_.reps).getOrElse(0)
-      while (accepted.size < 2 && System.nanoTime() < deadline) {
+      // bail fast on a box with NO quiet windows: 8 consecutive closed
+      // 2 s probes with nothing accepted yet (≈16 s) says the window
+      // isn't coming — stop burning this target's allowance; a later
+      // pass (or round) retries. Once one rep IS accepted, keep probing
+      // to the deadline for the second.
+      var closedProbes = 0
+      while (accepted.size < 2 && System.nanoTime() < deadline &&
+             (accepted.nonEmpty || closedProbes < 8)) {
         if (quietWindowOpen()) {
+          closedProbes = 0
           resetJvmState(settle = false)
           val s0 = stealJiffies(); val b0 = busyJiffies(); val j0 = selfJiffies()
           val t0 = System.nanoTime()
@@ -457,7 +498,7 @@ object Bench {
           if (ok && d >= 0 && d / 100.0 <= StealFrac * wall &&
               (oth < 0 || oth / 100.0 <= OtherFrac * wall * ncpus))
             accepted = accepted :+ wall
-        }
+        } else closedProbes += 1
       }
       val qm = if (accepted.isEmpty) -1.0 else accepted.min
       rawOut.println(s"""{"q":${q(name)},"quiet_min":${r3(qm)},"quiet_steal_d":$stealTot,"quiet_reps":$attempts,"quiet_why":${q(why)}}""")
@@ -471,8 +512,8 @@ object Bench {
     // Queries with no prior floor (new this round) are estimated at 1 s.
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    var remFloorKnown = toRun.flatMap(t => priorFloor.get(t._1)).sum
-    var remFloorUnknown = toRun.count(t => !priorFloor.contains(t._1))
+    var remFloorKnown = toRun.flatMap(t => priorFloorAll.get(t._1)).sum
+    var remFloorUnknown = toRun.count(t => !priorFloorAll.contains(t._1))
     def predictedRemainMain(repsEach: Int): Double =
       (remFloorKnown * calibUsed + remFloorUnknown * 1.0) * repsEach
     // stop margin: summary emission + spark.stop + the end calibration
@@ -488,7 +529,7 @@ object Bench {
         walled = true
         skippedAcc += name
       } else {
-      priorFloor.get(name) match {
+      priorFloorAll.get(name) match {
         case Some(f) => remFloorKnown -= f
         case None => remFloorUnknown -= 1
       }
@@ -535,7 +576,7 @@ object Bench {
       // reduce k now — the r17 run only reacted once elapsed share was
       // already spent, which is exactly how its quiet pass starved.
       locally {
-        val selfCost = priorFloor.get(name).map(_ * calibUsed).getOrElse(1.0)
+        val selfCost = priorFloorAll.get(name).map(_ * calibUsed).getOrElse(1.0)
         def fits(k: Int): Boolean =
           elapsedSec() + selfCost * k + predictedRemainMain(k) <= mainBudgetSec
         if (target > 2 && !fits(target)) target = 2
@@ -622,7 +663,7 @@ object Bench {
       // contended enough to need them. Gated on predictive headroom so a
       // verdict never costs coverage: the attempt fits only if minimum
       // completion of everything still queued fits after it.
-      val driftNow = !failed && mn >= 0 && priorFloor.get(name)
+      val driftNow = !failed && mn >= 0 && priorFloorAll.get(name)
         .exists(pf => pf > 0 && mn > 1.2 * pf * calibUsed)
       if (driftNow || contended) {
         val why =
@@ -654,7 +695,7 @@ object Bench {
     // running 2× slow, only queries beyond the box's own drift flag.
     val drift: Seq[(QRes, Double)] = results
       .filter(_.min >= 0)
-      .flatMap(r => priorFloor.get(r.name)
+      .flatMap(r => priorFloorAll.get(r.name)
         .filter(pf => pf > 0 && r.min > 1.2 * pf * calibUsed)
         .map(pf => r -> r.min / pf))
       .sortBy(-_._2)
@@ -693,6 +734,42 @@ object Bench {
     // whether the box changed speed across the run
     calibEndProbes = calibPass()
     calibEnd = calibFactor(calibEndProbes)
+
+    // ledger commit: clean evidence only. An accepted quiet_min is clean
+    // by construction; an uncontended min is clean by the three-clause
+    // verdict. A contended query with no quiet verdict commits nothing —
+    // its min can only be inflated, and inflation must never become the
+    // reference floor (the r17 q242 lesson). Same fingerprint ratchets
+    // down; a changed fingerprint re-bases to this run's clean floor.
+    locally {
+      val updated = results.foldLeft(ledgerPrior) { (lg, r) =>
+        val quiet = quietAcc.get(r.name).map(_.min).filter(_ >= 0)
+        val clean: Option[Double] = quiet match {
+          case Some(qm) if r.min >= 0 => Some(math.min(qm, r.min))
+          case Some(qm) => Some(qm)
+          case None if !r.contended && r.min >= 0 => Some(r.min)
+          case None => None
+        }
+        clean match {
+          case Some(f) if r.planFp != "na" =>
+            lg.get(r.name) match {
+              case Some((old, fp)) if fp == r.planFp =>
+                lg + (r.name -> (math.min(old, f), fp))
+              case _ => lg + (r.name -> (f, r.planFp))
+            }
+          case _ => lg
+        }
+      }
+      if (updated != ledgerPrior) try {
+        val body = updated.toSeq.sortBy(_._1).map { case (n, (f, fp)) =>
+          s"${q(n)}:{\"floor\":${r3(f)},\"fp\":${q(fp)}}"
+        }.mkString("{\n", ",\n", "\n}\n")
+        val tmp = java.nio.file.Paths.get(floorsPath + ".tmp")
+        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(floorsPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () } // best-effort: never fail a bench
+    }
 
     val loadEnd = loadavg()
     val stealEnd = stealJiffies()
