@@ -115,8 +115,12 @@ import org.apache.spark.sql.SparkSession
   *    "floor" would mask any regression under ~57 s). Clean evidence
   *    (accepted quiet_min, or uncontended min) ratchets a floor down;
   *    a changed fingerprint re-bases it; contended-without-verdict runs
-  *    commit nothing. Ledger floors take precedence as the drift /
-  *    pacing / calibration reference.
+  *    commit nothing; two CONSECUTIVE clean verdicts above 1.2× the
+  *    floor re-base it (the fingerprint only sees the final DataFrame's
+  *    plan shape, so it cannot prove a query never changed — a
+  *    twice-confirmed slowdown is documented in two artifacts and then
+  *    becomes the baseline instead of flagging forever). Ledger floors
+  *    take precedence as the drift / pacing / calibration reference.
   *  - CONTENDED gains a load-without-steal clause (the r17 q242 blind
   *    spot: one 47.6 s rep at loadavg 10.3 with steal_d 295 →
   *    contended:false): per query, `other_d` = non-idle non-steal CPU
@@ -137,6 +141,31 @@ import org.apache.spark.sql.SparkSession
   *    pays the heap pressure).
   */
 object Bench {
+  /** One floor-ledger entry: the best CLEAN floor seen, the final-plan
+    * fingerprint it was measured under, and `conf` — the streak of
+    * consecutive clean verdicts that still exceeded 1.2 × floor. */
+  case class Floor(floor: Double, fp: String, conf: Int)
+
+  /** The ledger update rule for one clean observation, pure so
+    * BenchLedgerSpec can pin it. `cleanFloor` must already be clean
+    * evidence (accepted quiet_min or uncontended min) — contended
+    * observations must not reach this function at all. */
+  private[graft] def ledgerStep(prior: Option[Floor], cleanFloor: Double,
+      fp: String): Floor = prior match {
+    case Some(Floor(old, pfp, conf)) if pfp == fp =>
+      if (cleanFloor <= 1.2 * old)
+        // at-or-near the floor: ratchet down, any streak is broken
+        Floor(math.min(old, cleanFloor), pfp, 0)
+      else if (conf + 1 >= 2)
+        // second consecutive clean verdict above the floor: the
+        // slowdown is confirmed and documented in two artifacts —
+        // re-base instead of flagging forever
+        Floor(cleanFloor, pfp, 0)
+      else Floor(old, pfp, conf + 1)
+    // new query, or the plan fingerprint changed: new baseline
+    case _ => Floor(cleanFloor, fp, 0)
+  }
+
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
     def elapsedSec(): Double = (System.nanoTime() - benchT0) / 1e9
@@ -329,17 +358,26 @@ object Bench {
     // The file lives in the repo root and is committed, so floors carry
     // across rounds and boxes; calibration normalizes box speed at
     // compare time. Ledger floors take precedence over the detail file.
+    // Entry: floor seconds, plan fingerprint, and `conf` = consecutive
+    // runs whose CLEAN floor still exceeded 1.2 × this floor. The
+    // fingerprint only sees the FINAL DataFrame's plan shape (multi-job
+    // streaming sims can share one), so fp equality cannot prove "the
+    // query never changed" — after TWO consecutive steal-clean verdicts
+    // above the floor, the regression is confirmed-and-documented in two
+    // artifacts and the ledger re-bases, instead of flagging forever.
     val floorsPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "BENCH_FLOORS.json")
-    val ledgerPrior: Map[String, (Double, String)] = try {
+    val ledgerPrior: Map[String, Floor] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(floorsPath)), "UTF-8")
-      val re = "\"([^\"]+)\":\\{\"floor\":(-?[0-9.eE+]+),\"fp\":\"([^\"]*)\"\\}".r
+      val re = ("\"([^\"]+)\":\\{\"floor\":(-?[0-9.eE+]+),\"fp\":\"([^\"]*)\"" +
+        "(?:,\"conf\":(\\d+))?\\}").r
       re.findAllMatchIn(txt)
-        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3))).toMap
-    } catch { case _: Throwable => Map.empty[String, (Double, String)] }
+        .map(m => m.group(1) -> Floor(m.group(2).toDouble, m.group(3),
+          Option(m.group(4)).map(_.toInt).getOrElse(0))).toMap
+    } catch { case _: Throwable => Map.empty[String, Floor] }
     val priorFloorAll: Map[String, Double] =
-      priorFloor ++ ledgerPrior.map { case (n, (f, _)) => n -> f }
+      priorFloor ++ ledgerPrior.map { case (n, f) => n -> f.floor }
 
     val loadStart = loadavg()
     val stealStart = stealJiffies()
@@ -752,17 +790,14 @@ object Bench {
         }
         clean match {
           case Some(f) if r.planFp != "na" =>
-            lg.get(r.name) match {
-              case Some((old, fp)) if fp == r.planFp =>
-                lg + (r.name -> (math.min(old, f), fp))
-              case _ => lg + (r.name -> (f, r.planFp))
-            }
+            lg + (r.name -> ledgerStep(lg.get(r.name), f, r.planFp))
           case _ => lg
         }
       }
       if (updated != ledgerPrior) try {
-        val body = updated.toSeq.sortBy(_._1).map { case (n, (f, fp)) =>
-          s"${q(n)}:{\"floor\":${r3(f)},\"fp\":${q(fp)}}"
+        val body = updated.toSeq.sortBy(_._1).map { case (n, fl) =>
+          s"${q(n)}:{\"floor\":${r3(fl.floor)},\"fp\":${q(fl.fp)}" +
+            (if (fl.conf > 0) s""","conf":${fl.conf}}""" else "}")
         }.mkString("{\n", ",\n", "\n}\n")
         val tmp = java.nio.file.Paths.get(floorsPath + ".tmp")
         java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))

@@ -2364,17 +2364,19 @@ object ScaleProbe {
     def wipe(dir: String): String = {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true); dir
     }
-    def partSizes(dir: String): Seq[Long] = {
+    def partEntries(dir: String): Seq[(String, Long)] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(p)) return Nil
       val it = fs.listFiles(p, true)
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       while (it.hasNext) {
         val s = it.next()
-        if (s.getPath.getName.startsWith("part-")) out += s.getLen
+        if (s.getPath.getName.startsWith("part-"))
+          out += ((s.getPath.getParent.toString, s.getLen))
       }
       out.toSeq
     }
+    def partSizes(dir: String): Seq[Long] = partEntries(dir).map(_._2)
     // the same 4×-spaced band as SketchState.band: consolidation depth
     // is readable straight off the histogram
     def bandHist(sizes: Seq[Long]): String =
@@ -2398,8 +2400,21 @@ object ScaleProbe {
         files(p) = sizes.size
         if (p % 20 == 0 || p == polls - 1)
           println(f"[probe] ops32 $tag%-8s poll=$p%4d wall=${walls(p)}%7.3f s files=${files(p)}%5d")
-        if (histEvery > 0 && (p % histEvery == 0 || p == polls - 1))
-          println(s"[probe] ops32 $tag bands poll=$p ${bandHist(sizes)}")
+        if (histEvery > 0 && (p % histEvery == 0 || p == polls - 1)) {
+          // the max-file-count law, machine-printed: the tiered steady
+          // state can hold at most bandMax (4) files per occupied
+          // (partition dir, size band) group, plus ≤ dirs in-flight
+          // appends since the last excess trigger — `files` vs `bound`
+          // on the same line makes a violation self-evident in the log
+          val entries = partEntries(stateRoot)
+          val dirs = entries.iterator.map(_._1).toSet.size
+          val groups = entries.iterator.map { case (d, l) =>
+            (d, (63 - java.lang.Long.numberOfLeadingZeros(
+              math.max(1L, l))) / 2) }.toSet.size
+          println(s"[probe] ops32 $tag bands poll=$p ${bandHist(sizes)} | " +
+            s"dirs=$dirs groups=$groups files=${sizes.size} " +
+            s"bound=${4 * groups + dirs}")
+        }
       }
       val k = math.max(1, polls / 10)
       def avg(a: Seq[Double]) = a.sum / a.size
