@@ -4,11 +4,20 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = args.toSeq
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // diagnosis hook: SPARK_GRAFT_CONF="k=v;k=v" overlays extra session
+    // confs (e.g. spark.sql.codegen.wholeStage=false to attribute codegen
+    // compile cost) without touching the Bench contract
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     graft.omm.OmmFixtures.ensure(spark)

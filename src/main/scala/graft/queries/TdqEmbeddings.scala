@@ -1449,10 +1449,21 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
       codes.repartition(col("list_id")).write.mode("overwrite")
         .partitionBy("list_id").parquet(dir)
       val qset = rot.filter(col("vec_id") < 10)
-      q253Rs.map { r =>
-        val shortlist = graft.operators.Quantize.ivfPqResidualTopK(
+      // ONE ADC scan per m at the LARGEST R, spilled (guide §1.2/§2.4:
+      // the R arms differ only in the row_number rank bound, and the
+      // rank order (adc_dist asc, neighbor_id asc) is total, so
+      // top-R ≡ filter(rank <= R) over the top-Rmax table EXACTLY —
+      // this replaces |Rs| full index scans + windows per m with one,
+      // and the union-of-arms plan reads a 10×Rmax-row spill instead
+      // of |Rs| inlined scan+window subtrees (r18: 41.7 s → see
+      // OPTIMIZATION_r18.md for the after number)
+      val shortMax = graft.operators.CacheHygiene.spillToTempParquet(
+        graft.operators.Quantize.ivfPqResidualTopK(
           s.read.parquet(dir), qset, "vec_id", "rvec", rotCoarse, rcb, m,
-          pqDim, nProbe, k = r)
+          pqDim, nProbe, k = q253Rs.max),
+        "q253_short")
+      q253Rs.map { r =>
+        val shortlist = shortMax.filter(col("rank") <= r)
         val ann = graft.operators.Quantize.rerankL2(shortlist, embs,
           origQ, "vec_id", "embedding", k = 5)
         exact

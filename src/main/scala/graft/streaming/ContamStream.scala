@@ -173,7 +173,7 @@ object ContamStream {
       // benchmark increment: grams NOT already in the accumulated set —
       // the anti-join is what makes re-registered grams count zero
       val newBenchGrams0 =
-        if (nb.count() == 0L) None
+        if (nb.isEmpty) None // emptiness gate only — isEmpty stops at row 1
         else {
           val g = gramHashes(nb, n).select(col("h1"), col("h2")).distinct()
           Some(if (haveBenchState)
@@ -184,9 +184,11 @@ object ContamStream {
       val newBenchGrams = newBenchGrams0.map(_.persist())
       val nBenchInc = newBenchGrams.map(_.count()).getOrElse(0L)
 
+      // no materializing count: the first consumer (the hits join, or the
+      // docstats write) populates the persist — a separate count() job per
+      // poll bought nothing (guide §1.2: don't add passes)
       val newDocGrams = if (nNew > 0) Some(gramHashes(nd, n).persist())
         else None
-      newDocGrams.foreach(_.count())
 
       // hits for NEW docs: probe state ∪ increment (the full post-batch
       // benchmark set; state and increment are disjoint by construction)
@@ -223,10 +225,11 @@ object ContamStream {
             .groupBy(col("id")).agg(count(lit(1)).as("n_hits")))
         case _ => None
       }
+      // the total-hit metric rides the hits append as an observed metric —
+      // the write is hits' only consumer, so the old persist + separate
+      // aggregate job per poll was a whole extra plan cycle (guide §1.2)
       val hits = (hitsNew ++ hitsOld).reduceOption(_ unionByName _)
-        .map(_.persist())
-      val nHits = hits.map(_.agg(coalesce(sum(col("n_hits")), lit(0L)))
-        .head().getLong(0)).getOrElse(0L)
+      val hitsObs = new org.apache.spark.sql.Observation()
 
       // appends: increments only, never a rewrite of accumulated state.
       // The gram index appends in its bucket layout; at nB > 1,
@@ -234,7 +237,12 @@ object ContamStream {
       // batch adds at most min(nB, its distinct buckets) files — at
       // nB == 1 (adaptive initial) the clustering shuffle buys nothing
       // (one bucket) and is skipped; compaction owns the file count.
-      hits.foreach(_.write.mode("append").parquet(hitsPath))
+      hits.foreach(_.observe(hitsObs,
+          coalesce(sum(col("n_hits")), lit(0L)).as("n"))
+        .write.mode("append").parquet(hitsPath))
+      val nHits = if (hits.isEmpty) 0L
+        else hitsObs.get.get("n").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
       newDocGrams.foreach { dg =>
         dg.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
           .write.mode("append").parquet(statsPath)
@@ -266,7 +274,6 @@ object ContamStream {
         SketchState.compactIfNeeded(spark, gramsPath, compactAfterFiles,
           partitionCols = Seq("b"))
 
-      hits.foreach(_.unpersist())
       newDocGrams.foreach(_.unpersist())
       newBenchGrams.foreach(_.unpersist())
       BatchResult(nNew, nBenchInc, nHits)

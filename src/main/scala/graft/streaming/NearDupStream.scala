@@ -109,7 +109,8 @@ object NearDupStream {
         NearDup.minhashBands(nd, col("id"), col("text"), n, bands, rowsPerBand)
           .persist()
       try {
-        newBands.count()
+        // no bare materializing count(): the first consuming action
+        // populates the persist — one fewer plan/job per poll (guide §1.2)
         // cross-generation candidates: new bands probe the accumulated
         // index; orientation normalized so (id_a < id_b) like the batch op
         val probe = newBands.select(
@@ -174,10 +175,15 @@ object NearDupStream {
               size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
           .filter(col("jaccard") >= threshold)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-          .persist()
         try {
-          val nPairs = verified.count()
-          verified.write.mode("append").parquet(sinkDir)
+          // the pair count rides the sink append as an observed metric —
+          // the write is verified's only consumer, so the old persist +
+          // separate count() was a full extra plan/job per poll
+          val obs = new org.apache.spark.sql.Observation()
+          verified.observe(obs, count(lit(1)).as("n"))
+            .write.mode("append").parquet(sinkDir)
+          val nPairs = obs.get.get("n").flatMap(Option(_))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           // state appends AFTER the sink write (at-least-once on restart,
           // same ordering contract as CancellationStream's key-set state)
           newBands.write.mode("append").parquet(bandsPath)
@@ -193,7 +199,6 @@ object NearDupStream {
           compactIfNeeded(spark, sinkDir, compactAfterFiles)
           BatchResult(nNew, nPairs)
         } finally {
-          verified.unpersist()
           if (restrict) candMat.unpersist()
           ()
         }

@@ -70,13 +70,19 @@ object SegDedupStream {
           Seq("h1", "h2"), "left_anti")
       else batchFirst).persist()
       try {
-        val nKept = fresh.count()
         val cleaned = Dedup.rebuildFromKept(base, fresh, w)
         // sink first, then state (at-least-once on restart — the same
-        // ordering contract as NearDupStream / CancellationStream)
+        // ordering contract as NearDupStream / CancellationStream).
+        // The kept-segment count rides the state append as an observed
+        // metric (the state write IS the fresh rows), replacing the old
+        // separate count() job per poll (guide §1.2: fewer passes)
         cleaned.write.mode("append").parquet(sinkDir)
-        fresh.select(col("h1"), col("h2")).write.mode("append")
-          .parquet(segsPath)
+        val obs = new org.apache.spark.sql.Observation()
+        fresh.select(col("h1"), col("h2")).observe(obs,
+            count(lit(1)).as("n"))
+          .write.mode("append").parquet(segsPath)
+        val nKept = obs.get.get("n").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         NearDupStream.compactIfNeeded(spark, segsPath, compactAfterFiles)
         NearDupStream.compactIfNeeded(spark, sinkDir, compactAfterFiles)
         BatchResult(nNew, nKept)

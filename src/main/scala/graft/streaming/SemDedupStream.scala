@@ -148,12 +148,20 @@ object SemDedupStream {
             .join(crossDropIds, Seq("vec_id"), "left")
             .select(col("vec_id"),
               (col("kept") && col("__xdrop").isNull).as("kept"))
-            .persist()
-          try {
+          locally {
             // sink first, then state (at-least-once on restart — the same
-            // ordering contract as the sibling streams)
-            decisions.write.mode("append").parquet(sinkDir)
-            val nKept = decisions.filter(col("kept")).count()
+            // ordering contract as the sibling streams). The kept count
+            // rides the write as an observed metric: decisions' ONLY
+            // consumer is this append, so the old persist + separate
+            // count() paid a full extra plan/job per poll for a number
+            // the write's own tasks already see (guide §1.2: fewer
+            // passes; measured in OPTIMIZATION_r18.md).
+            val obs = new org.apache.spark.sql.Observation()
+            decisions.observe(obs,
+                sum(when(col("kept"), 1L).otherwise(0L)).as("kept"))
+              .write.mode("append").parquet(sinkDir)
+            val nKept = obs.get.get("kept").flatMap(Option(_))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
             // state grows by distinct vector values NOT already present —
             // kept or dropped, both justify future drops (class doc);
             // batch × batch anti-join on the exact-hit verdicts (the
@@ -170,7 +178,7 @@ object SemDedupStream {
             NearDupStream.compactIfNeeded(spark, vecsPath, compactAfterFiles)
             NearDupStream.compactIfNeeded(spark, sinkDir, compactAfterFiles)
             BatchResult(nNew, nKept)
-          } finally decisions.unpersist()
+          }
         } finally verdicts.unpersist()
       } finally distinctVals.unpersist()
     } finally nv.unpersist()
