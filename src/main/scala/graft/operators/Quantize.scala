@@ -30,15 +30,25 @@ import graft.functions.VectorExprs
 object Quantize {
 
   /** Above this code count the plan-literal formulation is replaced by
-    * the [[graft.functions.PqKernels]] codegen'd kernels: the unrolled
-    * k×m distance expressions overflow janino's 64 KB method limit
-    * around 64 codes/subspace (measured, ScaleProbe `ops10`) and fall
-    * out of whole-stage codegen, while the kernels carry the codebook
-    * as a reference object and generate fixed-size code at any k (the
-    * production PQ regime is 256). Both paths compute bit-identical
-    * results (same fold order, same (dist, id) tiebreaks) — pinned by
-    * QuantizeSpec's literal≡kernel tests and the q95 oracle. */
-  private val maxLiteralCodes = 32
+    * the [[graft.functions.PqKernels]] codegen'd kernels, which carry the
+    * codebook as a reference object and generate fixed-size code at any k.
+    * Both paths compute bit-identical results (same fold order, same
+    * (dist, id) tiebreaks) — pinned by QuantizeSpec's literal≡kernel
+    * tests and the q95 oracle.
+    *
+    * Was 32 (the unrolled k×m distance expressions overflow janino's
+    * 64 KB method limit around 64 codes/subspace — ScaleProbe `ops10`).
+    * r18 set it to 0 — kernels ALWAYS — after measuring where the wall
+    * time of the literal path actually goes: not task compute but DRIVER
+    * planning/codegen of the unrolled expression trees. Per plan
+    * instantiation at (k=16, m=16, dim=64) the literal formulation cost
+    * 4–11 s of driver wall against job sums under 2 s (q253 stage
+    * attribution, OPTIMIZATION_r18.md); the kernel plans are a few nodes
+    * regardless of k×m, and their per-row tight loops over a flat
+    * double[] are no slower than the unrolled zip_with chains. The
+    * literal formulation stays as the independent cross-check the parity
+    * specs construct explicitly. */
+  private val maxLiteralCodes = 0
 
   /** The j-th subvector of a literal codebook vector, cut at plan time. */
   private def centroidSub(cv: Seq[Double], j: Int, sub: Int): Column =

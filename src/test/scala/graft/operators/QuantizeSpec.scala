@@ -172,9 +172,31 @@ class QuantizeSpec extends SparkSpec {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val pq = Quantize.seedCodebook(embs, col("vec_id"), col("embedding"),
       10L to 25L)
-    val lit16 = Quantize.pqEncode(embs, col("vec_id"), col("embedding"),
-        pq, 8, 64)
-      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // r18: pqEncode always takes the kernel, so the literal reference
+    // formulation (staged slices + per-subspace argmin over literal
+    // centroid structs — the pre-r18 production path) is built here
+    // explicitly, keeping this a genuine two-formulation parity test.
+    val lit16 = {
+      val m = 8; val sub = 8
+      val v = col("embedding").cast("array<double>")
+      val staged = embs.select((col("vec_id").as("id") +:
+        (0 until m).map(j => slice(v, j * sub + 1, sub).as(s"__s$j"))): _*)
+      val perSubspace = (0 until m).map { j =>
+        val cands = pq.map { case (code, cv) =>
+          struct(graft.functions.VectorExprs.l2sq(col(s"__s$j"),
+              array(cv.slice(j * sub, (j + 1) * sub).map(lit): _*))
+              .as("dist"),
+            lit(code).as("code"))
+        }
+        array_min(array(cands: _*)).as(s"__m$j")
+      }
+      val encoded = staged.select((col("id") +: perSubspace): _*)
+      val codeCols = (0 until m).map(j => col(s"__m$j.code").as(s"c$j"))
+      val mse = (0 until m).map(j => col(s"__m$j.dist")).reduce(_ + _)
+      encoded.select((col("id") +: codeCols :+
+          round(mse, 6).as("distortion")): _*)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
     val kern = embs.select(col("vec_id").as("id"),
         graft.functions.PqKernels.encodeCol(col("embedding"), pq, 8, 8)
           .as("__e"))
@@ -564,7 +586,21 @@ class QuantizeSpec extends SparkSpec {
   }
 
   test("ivfProbesCol ranks the nProbe nearest lists (ties on list id) " +
-    "and the literal and kernel paths agree") {
+    "and the literal and kernel formulations agree") {
+    // r18: ivfProbesCol always takes the kernel (maxLiteralCodes = 0),
+    // so the literal side of the parity check is constructed explicitly
+    // here — the same array_sort-over-literal-structs formulation the
+    // production path used before r18.
+    def literalProbes(coarse: Seq[(Int, Seq[Double])], nProbe: Int) = {
+      val v = col("embedding").cast("array<double>")
+      val cands = coarse.map { case (listId, cv) =>
+        struct(graft.functions.VectorExprs
+            .l2sq(v, array(cv.map(lit): _*)).as("dist"),
+          lit(listId).as("list"))
+      }
+      transform(slice(array_sort(array(cands: _*)), 1, nProbe),
+        s => s.getField("list"))
+    }
     // 40 centroids on a line: centroid k = (3k, 3k, 3k, 3k). A query at
     // (10,10,10,10)/3-ish has a known nearest-list ranking.
     val coarse40 = (0 until 40).map(k =>
@@ -572,25 +608,22 @@ class QuantizeSpec extends SparkSpec {
     val q = Seq((0L, Seq(9.4, 9.4, 9.4, 9.4))).toDF("vec_id", "embedding")
     // nearest: centroid 3 (9.0, d=.4^2*4), then 4 (12, d=2.6^2*4), then 2
     val kernelProbes = q.select(Quantize.ivfProbesCol(col("embedding"),
-        coarse40, nProbe = 3).as("p")) // 40 > maxLiteralCodes -> kernel
+        coarse40, nProbe = 3).as("p"))
       .head().getSeq[Int](0).toSeq
     assert(kernelProbes === Seq(3, 4, 2))
-    val literalProbes = q.select(Quantize.ivfProbesCol(col("embedding"),
-        coarse40.take(8), nProbe = 3).as("p")) // 8 lists -> literal path
+    val litProbes8 = q.select(literalProbes(coarse40.take(8), 3).as("p"))
       .head().getSeq[Int](0).toSeq
-    assert(literalProbes === Seq(3, 4, 2))
-    // parity across the maxLiteralCodes boundary on the SAME geometry:
-    // every corpus row's full ranking must agree between the two paths
+    assert(litProbes8 === Seq(3, 4, 2))
+    // parity on the SAME geometry: every corpus row's full ranking must
+    // agree between the explicit literal form and the kernel
     val corpus = (0 until 25).map(i =>
       (i.toLong, Seq.fill(4)(i * 2.9 % 80))).toSeq
       .toDF("vec_id", "embedding")
-    val lit = corpus.select(col("vec_id"),
-      Quantize.ivfProbesCol(col("embedding"), coarse40.take(32), 5).as("p"))
+    val lit32 = corpus.select(col("vec_id"),
+      literalProbes(coarse40.take(32), 5).as("p"))
     val ker = corpus.select(col("vec_id"),
-      Quantize.ivfProbesCol(col("embedding"), coarse40.take(33), 5).as("p"))
-    // corpus values stay < 80, so the 33rd centroid (96,96,96,96) never
-    // enters any row's top-5 and the two configs' rankings are comparable
-    val litM = lit.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      Quantize.ivfProbesCol(col("embedding"), coarse40.take(32), 5).as("p"))
+    val litM = lit32.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
     val kerM = ker.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
     assert(litM === kerM, "literal and kernel probe rankings diverged")
     // ties break toward the smaller list id (the repo-wide argmin rule)
