@@ -463,6 +463,13 @@ object Classify {
     // hash each token ONCE per pass: the bucket array feeds both the
     // logit fold and the gradient entries (the per-token char fold is
     // the dominant map-side cost at 100M tokens — measured 2× win)
+    // r18 (guide §1.2/§5): the tokenize + per-token polyHash pass is the
+    // dominant map-side cost and is IDENTICAL in every GD iteration —
+    // persist the hashed feature table (bs, y, n) so iteration 1 computes
+    // it once and iterations 2..k read the cache instead of re-tokenizing
+    // the corpus. Scoped to this call (unpersist in finally; Verify's
+    // hygiene check would flag a leak). Values unchanged: the same plan,
+    // evaluated once.
     val base = df.select(TextExprs.tokens(text).as("ts"),
         label.cast("int").as("y"))
       .filter(size(col("ts")) > 0)
@@ -471,6 +478,8 @@ object Classify {
           pmod(HashKernels.polyHash(t, 31L, P), lit(dim.toLong)).cast("int"))
           .as("bs"),
         col("y"), size(col("ts")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var w = IndexedSeq.fill(dim)(0.0)
     var b = 0.0
     (0 until iters).foreach { _ =>
@@ -499,6 +508,7 @@ object Classify {
         w(j) - lr * ((grads.get(j).map(_._1).getOrElse(0L) / 1.0e8) / n))
     }
     (w, b)
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** Prediction churn between two FILTER VERSIONS on the same corpus —

@@ -1462,10 +1462,33 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
           s.read.parquet(dir), qset, "vec_id", "rvec", rotCoarse, rcb, m,
           pqDim, nProbe, k = q253Rs.max),
         "q253_short")
+      // exact re-rank distances computed ONCE per m over the Rmax
+      // shortlist (guide §1.2/§2.4, r18): rerankL2 over the rank<=R
+      // prefix ranks by (exact dist asc, neighbor_id asc), and a
+      // (query, candidate) pair's exact distance does not depend on R —
+      // so ONE corpus join scores the Rmax candidates (same l2sq over
+      // the same array<double> casts as rerankL2, bit-identical dists)
+      // and each R arm becomes filter(rank<=R) + top-5 window over the
+      // 10×Rmax-row spill, replacing |Rs| corpus scans + joins per m.
+      val scored = graft.operators.CacheHygiene.spillToTempParquet(
+        embs.select(col("vec_id").as("neighbor_id"),
+            col("embedding").cast("array<double>").as("__cv"))
+          .join(broadcast(shortMax.select(col("query_id"),
+            col("neighbor_id"), col("rank"))), Seq("neighbor_id"))
+          .join(broadcast(origQ.select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("__qv"))),
+            Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            graft.functions.VectorExprs.l2sq(col("__qv"), col("__cv"))
+              .as("dist")),
+        "q253_scored")
       q253Rs.map { r =>
-        val shortlist = shortMax.filter(col("rank") <= r)
-        val ann = graft.operators.Quantize.rerankL2(shortlist, embs,
-          origQ, "vec_id", "embedding", k = 5)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("neighbor_id").asc)
+        val ann = scored.filter(col("rank") <= r)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= 5)
         exact
           .join(ann.select(col("query_id"), col("neighbor_id"))
               .withColumn("__hit", lit(true)),

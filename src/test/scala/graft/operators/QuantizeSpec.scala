@@ -632,4 +632,43 @@ class QuantizeSpec extends SparkSpec {
         coarse40.take(8), 2).as("p")).head().getSeq[Int](0).toSeq
     assert(tp === Seq(0, 1), "equidistant lists must order by list id")
   }
+
+  test("scored-shortlist prefix top-k equals rerankL2 over the prefix " +
+    "(the r18 q253 arm fold)") {
+    // q253's R arms were folded: exact distances are computed ONCE over
+    // the Rmax shortlist and each arm top-5s the rank<=R prefix of that
+    // scored table. The fold is exact because a pair's exact distance is
+    // R-independent and rerankL2 ranks by (dist asc, neighbor_id asc) —
+    // pinned here against rerankL2 itself at several R cuts.
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val origQ = embs.filter(col("vec_id") < 3)
+    val shortMax = Similarity.bruteForceTopKL2(embs, origQ, "vec_id",
+      "embedding", k = 20) // any total-ordered Rmax shortlist works
+    val scored = embs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      .join(broadcast(shortMax.select(col("query_id"), col("neighbor_id"),
+        col("rank"))), Seq("neighbor_id"))
+      .join(broadcast(origQ.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        graft.functions.VectorExprs.l2sq(col("__qv"), col("__cv"))
+          .as("dist"))
+    Seq(5, 12, 20).foreach { r =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("neighbor_id").asc)
+      val folded = scored.filter(col("rank") <= r)
+        .withColumn("__rk", org.apache.spark.sql.functions.row_number()
+          .over(w))
+        .filter(col("__rk") <= 5)
+        .select(col("query_id"), col("__rk").as("rank"), col("neighbor_id"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val ref = Quantize.rerankL2(shortMax.filter(col("rank") <= r), embs,
+          origQ, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(folded.nonEmpty && folded === ref, s"diverged at R=$r")
+    }
+  }
 }
