@@ -141,4 +141,150 @@ object HashKernels {
               remainder: Int): Column =
     ColumnBridge.column(CdcCuts(ColumnBridge.expression(tokens),
       mult, mod, divisor, remainder))
+
+  /** Winnowing fingerprints of a token array as ONE kernel call (r18):
+    * the HOF formulation (slideGrams → per-gram [[polyHash]] → per-window
+    * `array_min(slice(...))` → `array_distinct`) runs interpreted per
+    * ELEMENT and rebuilds each k-gram string character-by-character, so
+    * a w-window pass costs O(grams·w) interpreted steps on top of
+    * O(grams·k·len) string building. This kernel computes the SAME
+    * values in one compiled pass:
+    *
+    *  - per-token (hash, mult^codepoints) pairs, O(total chars);
+    *  - gram hash by the concat-combine identity
+    *    H(a·b) = (H(a)·mult^|b| + H(b)) mod p, folding a separator step
+    *    (`h·mult + 32`) between adjacent non-null tokens — EXACTLY the
+    *    fold [[polyHash]] runs over `array_join(slice(ts,i+1,k), " ")`
+    *    (array_join skips null elements, so null tokens contribute
+    *    neither chars nor a separator), O(grams·k) long ops;
+    *  - sliding window minima over max(grams−w+1, 1) windows via a
+    *    monotonic deque, O(grams);
+    *  - distinct preserving FIRST-OCCURRENCE order (array_distinct's
+    *    order), so the output array is element-identical, not just
+    *    set-identical.
+    *
+    * size(ts) < k → empty array (slideGrams' clamp); null array → null.
+    * Parity with the HOF form is pinned in NearDupSpec. */
+  def winnowKernel(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                   k: Int, w: Int, mult: Long, mod: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < k)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[Long])
+    // per-token hash and mult^steps (steps = code points, the fold's
+    // per-char count); null tokens marked with pow = -1
+    val th = new Array[Long](n)
+    val tp = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) { th(i) = 0L; tp(i) = -1L }
+      else {
+        val str = arr.getUTF8String(i).toString
+        var h = 0L
+        var pw = 1L
+        var j = 0
+        while (j < str.length) {
+          val cp = str.codePointAt(j)
+          val cw = Character.charCount(cp)
+          val v = if (cw == 1) cp else str.charAt(j).toInt
+          h = (h * mult + v) % mod
+          pw = (pw * mult) % mod
+          j += cw
+        }
+        th(i) = h; tp(i) = pw
+      }
+      i += 1
+    }
+    val nGrams = n - k + 1
+    val gh = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var h = 0L
+      var first = true
+      var j = g
+      while (j < g + k) {
+        if (tp(j) >= 0L) { // non-null token
+          if (!first) h = (h * mult + 32L) % mod // the " " separator char
+          h = (h * tp(j) + th(j)) % mod
+          first = false
+        }
+        j += 1
+      }
+      gh(g) = h
+      g += 1
+    }
+    val nWin = math.max(nGrams - w + 1, 1)
+    val out = new Array[Long](nWin)
+    if (nGrams < w) {
+      // slideGrams' clamp: a single window covering every gram
+      var m = gh(0)
+      var t = 1
+      while (t < nGrams) { if (gh(t) < m) m = gh(t); t += 1 }
+      out(0) = m
+    } else {
+      // monotonic deque of indices with strictly increasing values; a
+      // new equal-or-smaller value evicts the tail (min is identical
+      // either way)
+      val dq = new Array[Int](nGrams)
+      var lo = 0
+      var hi = 0 // exclusive
+      var p = 0
+      while (p < nGrams) {
+        while (hi > lo && gh(dq(hi - 1)) >= gh(p)) hi -= 1
+        dq(hi) = p; hi += 1
+        val winStart = p - w + 1
+        if (winStart >= 0) {
+          while (dq(lo) < winStart) lo += 1
+          out(winStart) = gh(dq(lo))
+        }
+        p += 1
+      }
+    }
+    // distinct, first-occurrence order
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var q = 0
+    while (q < nWin) { seen.add(out(q)); q += 1 }
+    val res = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(res)
+  }
+
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int,
+                                mult: Long, mod: Long)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"winnow needs k,w >= 1, got k=$k w=$w")
+    require(mod > 0 && mult > 0 && mult < mod,
+      s"winnow needs 0 < mult < mod, got mult=$mult mod=$mod")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints expects array<string>, got $other")
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+
+    override protected def nullSafeEval(input: Any): Any =
+      winnowKernel(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        k, w, mult, mod)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashKernels.winnowKernel($c, $k, $w, " +
+          s"${mult}L, ${mod}L)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: [[WinnowFingerprints]] over a token-array column. */
+  def winnowFingerprints(tokens: Column, k: Int, w: Int, mult: Long,
+                         mod: Long): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(tokens),
+      k, w, mult, mod))
 }

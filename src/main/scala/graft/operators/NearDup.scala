@@ -145,15 +145,15 @@ object NearDup {
     * Entirely map-side: one tokenize, two let-bound array passes. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1, got k=$k w=$w")
-    let(Diversity.slideGrams(TextExprs.tokens(text), k)) { grams =>
-      let(transform(grams, g =>
-        graft.functions.HashKernels.polyHash(g, 31L, 1000000007L))) { gh =>
-        when(size(gh) === 0, array().cast("array<bigint>"))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), greatest(size(gh) - (w - 1), lit(1))),
-            j => array_min(slice(gh, j, lit(w))))))
-      }
-    }
+    // r18: ONE codegen'd kernel call per row (HashKernels
+    // .winnowFingerprints) replacing the interpreted HOF chain
+    // (slideGrams → per-gram polyHash → per-window array_min(slice) →
+    // array_distinct) — element-identical output incl. first-occurrence
+    // order, pinned against the HOF reference formulation in
+    // NearDupSpec; q121's task compute was this chain (4.6 s job sum in
+    // 7 jobs at sf0.1).
+    graft.functions.HashKernels.winnowFingerprints(
+      TextExprs.tokens(text), k, w, 31L, 1000000007L)
   }
 
   /** Cross-document matching over winnowing fingerprints: pairs sharing

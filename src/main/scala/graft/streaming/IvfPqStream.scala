@@ -49,28 +49,32 @@ object IvfPqStream {
                   compactAfterFiles: Int = 64): BatchResult = {
     val path = codesPath(stateDir)
     SketchState.exists(spark, path) // adopt an interrupted compaction swap
+    // emptiness gate first (stops at row 1, before any encode work): an
+    // empty batch must not append an empty file-set into the state
+    if (newVecs.isEmpty) return BatchResult(0, partFiles(spark, path))
     val listC = Quantize.ivfListCol(vec, coarse)
+    // r18 (guide §1.2): `added` rides the append as an observed metric —
+    // the write is the encode's only consumer now, so the old persist +
+    // materializing count() paid a whole extra plan/job per poll (and
+    // held the encoded batch in storage memory) for a number the write's
+    // own tasks see.
+    val obs = new org.apache.spark.sql.Observation()
     val codes = Quantize.pqEncode(newVecs, id,
         Quantize.ivfResidualCol(vec, coarse, listC),
         resCentroids, m, dim, keep = Seq(listC.as("list_id")))
       .drop("distortion")
-      // scoped persist: count + write otherwise each run the full
-      // residual-ADC encode — a 2× on the batch's dominant map pass.
-      // Batch-bounded footprint (a micro-batch, not the corpus).
-      .persist()
-    try {
-      val added = codes.count()
-      // one shuffle of the batch-bounded code rows so each touched list
-      // writes exactly ONE file per batch — without it every scan task
-      // writes a sliver into every list it sees (tasks × lists files per
-      // batch), quadrupling small-file pressure and compaction frequency.
-      // A hot list's batch rows land on one task, bounded by batch size.
-      if (added > 0)
-        codes.repartition(col("list_id")).write.mode("append")
-          .partitionBy("list_id").parquet(path)
-      compactPartitionedIfNeeded(spark, path, compactAfterFiles)
-      BatchResult(added, partFiles(spark, path))
-    } finally { codes.unpersist(blocking = false); () }
+      .observe(obs, count(lit(1)).as("n"))
+    // one shuffle of the batch-bounded code rows so each touched list
+    // writes exactly ONE file per batch — without it every scan task
+    // writes a sliver into every list it sees (tasks × lists files per
+    // batch), quadrupling small-file pressure and compaction frequency.
+    // A hot list's batch rows land on one task, bounded by batch size.
+    codes.repartition(col("list_id")).write.mode("append")
+      .partitionBy("list_id").parquet(path)
+    val added = obs.get.get("n").flatMap(Option(_))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    compactPartitionedIfNeeded(spark, path, compactAfterFiles)
+    BatchResult(added, partFiles(spark, path))
   }
 
   /** Serve top-k from the accumulated index — exactly the batch

@@ -45,22 +45,30 @@ object NovelGramStream {
                   compactAfterFiles: Int = 64): BatchResult = {
     import spark.implicits._
     val gp = gramsPath(stateDir)
-    val bg = gramHashes(batch, text, n).persist()
-    try {
-      val nGrams = bg.count()
-      val novel =
-        (if (SketchState.exists(spark, gp))
-          bg.join(spark.read.parquet(gp), Seq("h1", "h2"), "left_anti")
-        else bg).persist()
-      val nNovel = novel.count()
-      novel.write.mode("append").parquet(gp)
-      Seq((batchId, nGrams, nNovel))
-        .toDF("batch_id", "n_grams", "n_novel")
-        .write.mode("append").parquet(seriesPath(stateDir))
-      SketchState.compactIfNeeded(spark, gp, compactAfterFiles)
-      novel.unpersist()
-      BatchResult(nGrams, nNovel)
-    } finally bg.unpersist()
+    // r18 (guide §1.2): both series numbers ride the novel-grams append
+    // as observed metrics — the anti-join consumes every bg row, so a
+    // count observed there IS |batch grams|, and one observed at the
+    // write IS |novel|. The old shape paid two extra count() jobs and
+    // two persists per poll for numbers the write's own tasks see.
+    val obsG = new org.apache.spark.sql.Observation()
+    val obsN = new org.apache.spark.sql.Observation()
+    val bg = gramHashes(batch, text, n)
+      .observe(obsG, count(lit(1)).as("n"))
+    val novel =
+      (if (SketchState.exists(spark, gp))
+        bg.join(spark.read.parquet(gp), Seq("h1", "h2"), "left_anti")
+      else bg).observe(obsN, count(lit(1)).as("n"))
+    novel.write.mode("append").parquet(gp)
+    def got(o: org.apache.spark.sql.Observation): Long =
+      o.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+    val nGrams = got(obsG)
+    val nNovel = got(obsN)
+    Seq((batchId, nGrams, nNovel))
+      .toDF("batch_id", "n_grams", "n_novel")
+      .write.mode("append").parquet(seriesPath(stateDir))
+    SketchState.compactIfNeeded(spark, gp, compactAfterFiles)
+    BatchResult(nGrams, nNovel)
   }
 
   /** The accumulated (batch_id, n_grams, n_novel, novelty_rate) series —

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.functions.TextExprs
+import graft.sources.Tables
 
 /** Near-dup operator invariants. */
 class NearDupSpec extends SparkSpec {
@@ -133,5 +135,44 @@ class NearDupSpec extends SparkSpec {
         k = 3, w = 4, minShared = 1)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 1.0)))
+  }
+
+  test("winnowing kernel is element-identical to the HOF reference " +
+    "formulation (order included)") {
+    // r18: winnowFingerprints runs as one codegen'd kernel; the pre-r18
+    // HOF chain is reconstructed here as the independent reference.
+    def reference(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
+      val grams = when(size(TextExprs.tokens(text)) < k,
+          array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(TextExprs.tokens(text)) - k),
+          i => array_join(slice(TextExprs.tokens(text), i + 1, lit(k)), " ")))
+      val gh = transform(grams, g =>
+        graft.functions.HashKernels.polyHash(g, 31L, 1000000007L))
+      when(size(gh) === 0, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), greatest(size(gh) - (w - 1), lit(1))),
+          j => array_min(slice(gh, j, lit(w))))))
+    }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), // empty → no tokens
+        (9002L, "a b"), // fewer than k tokens
+        (9003L, "one two three four"), // nGrams < w (clamped window)
+        (9004L, "x x x x x x x x"), // all-equal gram hashes (ties)
+        (9005L, "héllo wörld ünïcode ☃ tokens 𝄞clef 𝄞clef more data here")
+      ).toDF("id", "text"))
+    Seq((3, 4), (2, 7), (1, 1)).foreach { case (k, w) =>
+      val both = docs.select(
+          NearDup.winnowFingerprints(col("text"), k, w).as("kern"),
+          reference(col("text"), k, w).as("ref"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"kernel/HOF diverged at k=$k w=$w")
+      }
+    }
   }
 }
