@@ -47,17 +47,14 @@ object TextExprs {
   /** Word n-gram shingles, e.g. n=3 → "a b c" strings. Docs shorter than n
     * tokens yield a single shingle of all their tokens (never empty — keeps
     * short docs joinable in near-dup pipelines). */
+  // Empty doc → empty shingle set (not [""]): otherwise every empty doc
+  // becomes a mutual near-dup candidate of every other empty doc. r18:
+  // one codegen'd kernel call (TextKernels.WordGrams, SHINGLE mode)
+  // replacing the interpreted transform/array_join/array_distinct HOF
+  // chain — element-identical incl. first-occurrence distinct order,
+  // pinned against the HOF reference in TextExprsSpec.
   def wordShingles(text: Column, n: Int): Column =
-    bind(tokens(text)) { ts =>
-      val k = size(ts)
-      val slide = transform(
-        sequence(lit(0), greatest(k - n, lit(0))),
-        i => array_join(slice(ts, i + 1, lit(n)), " "))
-      // Empty doc → empty shingle set (not [""]): otherwise every empty
-      // doc becomes a mutual near-dup candidate of every other empty doc.
-      when(k === 0, array().cast("array<string>"))
-        .otherwise(array_distinct(slide))
-    }
+    TextKernels.wordShingles(tokens(text), n)
 
   /** Character n-grams of the whitespace-normalized text. */
   def charShingles(text: Column, n: Int): Column =

@@ -205,4 +205,103 @@ object TextKernels {
   /** Column API: letter-code-unit count (see [[letterUnits]]). */
   def letterUnits(text: Column): Column =
     ColumnBridge.column(LetterUnits(ColumnBridge.expression(text)))
+
+  /** Word n-grams of a token array as ONE kernel call (r18) — the hot
+    * map-side pass under every shingle/gram operator (contamination,
+    * curation, near-dup postings, novelty, n-gram analytics). The HOF
+    * formulation (`transform(sequence(...), i -> array_join(slice(ts,
+    * i+1, n), " "))` ± `array_distinct`) runs interpreted per ELEMENT
+    * and allocates a slice array + join per gram; this walks the token
+    * array once in compiled code, joining each window with
+    * `UTF8String.concatWs` (byte-level copies, null elements skipped —
+    * array_join's exact semantics).
+    *
+    * Two modes, matching the two existing formulations exactly:
+    *  - SLIDE ([[Diversity.slideGrams]]'s contract): full n-windows
+    *    only; fewer than n tokens → empty array; no distinct.
+    *  - SHINGLE ([[TextExprs.wordShingles]]'s contract): positions
+    *    0..max(k−n, 0) with the final windows TRUNCATED at the array
+    *    end (a k<n doc yields its whole text as one shingle), then
+    *    distinct preserving first-occurrence order (array_distinct's
+    *    order); an empty token array → empty set.
+    *
+    * Parity with the HOF forms is pinned in TextExprsSpec. */
+  def wordGramsKernel(ts: org.apache.spark.sql.catalyst.util.ArrayData,
+                      n: Int, shingle: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = ts.numElements()
+    val empty = if (shingle) k == 0 else k < n
+    if (empty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val toks = new Array[UTF8String](k)
+    var i = 0
+    while (i < k) {
+      toks(i) = if (ts.isNullAt(i)) null else ts.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val last = math.max(k - n, 0)
+    if (!shingle) {
+      val out = new Array[Any](last + 1)
+      var g = 0
+      while (g <= last) {
+        val win = java.util.Arrays.copyOfRange(toks, g, g + n)
+        out(g) = UTF8String.concatWs(sep, win: _*)
+        g += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var g = 0
+      while (g <= last) {
+        val win = java.util.Arrays.copyOfRange(toks, g, math.min(g + n, k))
+        seen.add(UTF8String.concatWs(sep, win: _*))
+        g += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var r = 0
+      while (it.hasNext) { out(r) = it.next(); r += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  case class WordGrams(child: Expression, n: Int, shingle: Boolean)
+      extends UnaryExpression {
+    require(n >= 1, s"word_grams needs n >= 1, got $n")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_grams expects array<string>, got $other")
+    }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType,
+        containsNull = false)
+    override def prettyName: String =
+      if (shingle) "word_shingles_k" else "word_grams_k"
+
+    override protected def nullSafeEval(input: Any): Any =
+      wordGramsKernel(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        n, shingle)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.wordGramsKernel($c, $n, $shingle)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: SLIDE-mode [[WordGrams]] (full windows, no distinct). */
+  def slideGrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(tokens), n,
+      shingle = false))
+
+  /** Column API: SHINGLE-mode [[WordGrams]] (clamped windows, distinct). */
+  def wordShingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(tokens), n,
+      shingle = true))
 }

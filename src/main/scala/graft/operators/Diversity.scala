@@ -31,10 +31,12 @@ object Diversity {
   /** Every n-gram occurrence of the token array (NOT deduplicated —
     * unlike `TextExprs.wordShingles`, which is a distinct SET for
     * similarity). Empty when the doc has fewer than n tokens. */
+  // r18: one codegen'd kernel call (TextKernels.WordGrams, SLIDE mode)
+  // replacing the interpreted transform/array_join HOF — identical
+  // output (full n-windows only; < n tokens → empty), pinned against
+  // the HOF reference in TextExprsSpec.
   private[operators] def slideGrams(ts: Column, n: Int): Column =
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(ts) - n),
-        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+    graft.functions.TextKernels.slideGrams(ts, n)
 
   /** Per `group` and per n in `ns`: `(grp, n, n_grams, n_distinct,
     * diversity = n_distinct / n_grams)`. A group whose docs all have

@@ -99,4 +99,47 @@ class TextExprsSpec extends SparkSpec {
     assert(math.abs(eval[Double](TextExprs.charEntropy(lit("aaab"))) -
       expect) < 1e-4)
   }
+
+  test("word-gram kernels are element-identical to the HOF reference " +
+    "formulations (order included)") {
+    // r18: wordShingles / slideGrams run as one codegen'd kernel; the
+    // pre-r18 HOF chains are reconstructed here as the independent
+    // reference (the winnowing-kernel parity discipline).
+    def shingleRef(text: Column, n: Int): Column = {
+      val ts = TextExprs.tokens(text)
+      val slide = transform(
+        sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => array_join(slice(ts, i + 1, lit(n)), " "))
+      when(size(ts) === 0, array().cast("array<string>"))
+        .otherwise(array_distinct(slide))
+    }
+    def slideRef(text: Column, n: Int): Column = {
+      val ts = TextExprs.tokens(text)
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ts) - n),
+          i => array_join(slice(ts, i + 1, lit(n)), " ")))
+    }
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionByName(Seq("", "a b", "one two three",
+        "x x x x x", "héllo wörld ☃ 𝄞clef tokens here",
+        "  padded   whitespace   runs  ").toDF("text"))
+    Seq(1, 3, 5).foreach { n =>
+      val rows = docs.select(
+          TextExprs.wordShingles(col("text"), n).as("sk"),
+          shingleRef(col("text"), n).as("sr"),
+          graft.functions.TextKernels.slideGrams(
+            TextExprs.tokens(col("text")), n).as("gk"),
+          slideRef(col("text"), n).as("gr"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"shingle kernel/HOF diverged at n=$n")
+        assert(r.getSeq[String](2) === r.getSeq[String](3),
+          s"slide kernel/HOF diverged at n=$n")
+      }
+    }
+  }
 }
