@@ -463,13 +463,14 @@ object Classify {
     // hash each token ONCE per pass: the bucket array feeds both the
     // logit fold and the gradient entries (the per-token char fold is
     // the dominant map-side cost at 100M tokens — measured 2× win)
-    // r18 (guide §1.2/§5): the tokenize + per-token polyHash pass is the
-    // dominant map-side cost and is IDENTICAL in every GD iteration —
-    // persist the hashed feature table (bs, y, n) so iteration 1 computes
-    // it once and iterations 2..k read the cache instead of re-tokenizing
-    // the corpus. Scoped to this call (unpersist in finally; Verify's
-    // hygiene check would flag a leak). Values unchanged: the same plan,
-    // evaluated once.
+    // r18 tried persisting this iteration-invariant table (MEMORY_AND_DISK)
+    // so iterations 2..k skip the re-tokenize; r19 steal-clean BenchOne
+    // REVERTED it: at q125's 3 iterations the cache write+read costs more
+    // than the recompute it saves (persisted 4.56 s clean vs the 4.27 s
+    // unpersisted floor; both r18 driver runs agreed). Negative result
+    // recorded in OPTIMIZATION_r19.md — at much deeper GD runs a persist
+    // (or a spilled hashed-feature table) re-enters the trade, but that
+    // is a different operator regime than the filter-sized trainer here.
     val base = df.select(TextExprs.tokens(text).as("ts"),
         label.cast("int").as("y"))
       .filter(size(col("ts")) > 0)
@@ -478,8 +479,6 @@ object Classify {
           pmod(HashKernels.polyHash(t, 31L, P), lit(dim.toLong)).cast("int"))
           .as("bs"),
         col("y"), size(col("ts")).cast("long").as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
     var w = IndexedSeq.fill(dim)(0.0)
     var b = 0.0
     (0 until iters).foreach { _ =>
@@ -508,7 +507,6 @@ object Classify {
         w(j) - lr * ((grads.get(j).map(_._1).getOrElse(0L) / 1.0e8) / n))
     }
     (w, b)
-    } finally { base.unpersist(blocking = false); () }
   }
 
   /** Prediction churn between two FILTER VERSIONS on the same corpus —
