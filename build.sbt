@@ -11,6 +11,37 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ---- r19: parallel forked test groups ------------------------------------
+// `sbt test` must finish inside the CI budget (the r18 serial run was
+// 37 min and got killed). Suites are partitioned into N groups, each its
+// own forked JVM (own SparkSession — full isolation, identical semantics),
+// and the groups run CONCURRENTLY. Whale suites are pinned apart;
+// PlanShapeSpec + GraftGuardsSpec share one JVM so the lazy RegistrySweep
+// (one instantiation+execution pass over the whole query registry) is
+// computed once and consumed by both. Everything else spreads
+// deterministically by suite-name hash.
+val testGroupCount = 4
+val pinnedSuites: Map[String, Int] = Map(
+  "graft.PlanShapeSpec" -> 0,
+  "graft.plans.GraftGuardsSpec" -> 0,
+  "graft.operators.NearDupSpec" -> 1,
+  "graft.streaming.ContamStreamSpec" -> 2,
+  "graft.streaming.NearDupStreamSpec" -> 3)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val byGroup = tests.groupBy(td =>
+    pinnedSuites.getOrElse(td.name,
+      math.abs(td.name.hashCode) % testGroupCount))
+  (0 until testGroupCount).map { i =>
+    Tests.Group(s"g$i", byGroup.getOrElse(i, Seq.empty),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+// sbt caps concurrent forked test groups at 1 by default — lift it
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(math.max(testGroupCount, 4)))
 // Forked run output goes to sbt's own stdout UNWRAPPED. The default
 // (LoggedOutput) prefixes every child line with "[info] ", which breaks
 // line-level JSON parsing of Bench's output in the capturing harness —

@@ -16,18 +16,31 @@ import scala.collection.mutable
   */
 object CacheHygiene {
 
+  // JVM-wide mutex over cleanup scopes: the guard diffs the GLOBAL
+  // persistent-RDD set, so two concurrent scopes would each unpersist the
+  // other's entries at scope end — fatal for the lineage-TRUNCATED caches
+  // (localCheckpoint) these loops pin, which cannot be recomputed once
+  // dropped. Production query flows are single-threaded per session
+  // (Bench, Verify, the sims), so the lock is uncontended there; it
+  // exists for concurrent multi-query harnesses (the test registry sweep).
+  private val cleanupLock = new java.util.concurrent.locks.ReentrantLock()
+
   /** Scoped cache-hygiene guard: diffs the persistent-RDD set around `f`
     * and drops ONLY the entries `f` created. Callers must ensure nothing
     * the caller can observe depends on those caches: either `f` returns
     * driver-side data (Vocab's merge tables) or the returned plan was
-    * decoupled first (see [[spillToTempParquet]]). */
+    * decoupled first (see [[spillToTempParquet]]). Scopes are JVM-mutex'd
+    * (see [[cleanupLock]]); reentrant, so nested scopes keep working. */
   def withRddCleanup[A](spark: SparkSession)(f: => A): A = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    try f finally {
-      spark.sparkContext.getPersistentRDDs
-        .filter { case (id, _) => !before.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
-    }
+    cleanupLock.lock()
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      try f finally {
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    } finally cleanupLock.unlock()
   }
 
   // JVM-lifetime spill dirs, removed by one shutdown hook. Registered

@@ -9,13 +9,13 @@ import graft.omm.OmmFixtures
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = RegistrySweep.sf
 
-  private def plan(name: String): String = {
-    OmmFixtures.ensure(spark)
-    SparkEntry.queries(name)(spark, sf).queryExecution
-      .explainString(org.apache.spark.sql.execution.FormattedMode)
-  }
+  // r19: every per-query plan string and both registry-wide sweeps come
+  // from the ONE shared RegistrySweep pass (see its scaladoc) — the
+  // assertions below are unchanged, they just stopped re-instantiating
+  // (and re-running) the whole registry per sweep.
+  private def plan(name: String): String = RegistrySweep.audit(name).formatted
 
   test("q1_agg: partial aggregation, single exchange, pruned scan") {
     val p = plan("q1_agg")
@@ -96,8 +96,7 @@ class PlanShapeSpec extends SparkSpec {
     Seq("q50_pq_encode" -> "pq_encode_k",
         "q51_pq_adc_topk" -> "pq_adc_tables_k").foreach {
       case (q, kernel) =>
-        val opt = SparkEntry.queries(q)(spark, sf)
-          .queryExecution.optimizedPlan.toString
+        val opt = RegistrySweep.audit(q).optimizedStr
         val slices = "slice\\(".r.findAllIn(opt).size
         assert(opt.contains(kernel), s"$q: expected the $kernel kernel")
         assert(slices == 0, s"$q: expected 0 slice() calls, got $slices")
@@ -137,8 +136,7 @@ class PlanShapeSpec extends SparkSpec {
     // the whole point of the KMV sketch at scale: only partitions×k hash
     // values may enter a shuffle — the subtree below the mapPartitions
     // bounding stage (printed after it, root-first) must be exchange-free
-    val p = SparkEntry.queries("q56_kmv_distinct")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val p = RegistrySweep.audit("q56_kmv_distinct").executedStr
     val mpIdx = p.indexOf("MapPartitions")
     assert(mpIdx >= 0, "expected a MapPartitions sketch stage")
     assert(!p.substring(mpIdx).contains("Exchange"),
@@ -147,8 +145,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q64_kmv_by_group: per-group k-bounding before any exchange, " +
       "rank pruned map-side") {
-    val p = SparkEntry.queries("q64_kmv_by_group")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val p = RegistrySweep.audit("q64_kmv_by_group").executedStr
     val mpIdx = p.indexOf("MapPartitions")
     assert(mpIdx >= 0, "expected a MapPartitions sketch stage")
     assert(!p.substring(mpIdx).contains("Exchange"),
@@ -326,42 +323,15 @@ class PlanShapeSpec extends SparkSpec {
   // must be listed here with the proof, not silently exempted.
   private val boundedGlobalWindowOk: Map[String, String] = Map.empty
 
-  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    val here = p match {
-      // AQE hides the real tree behind a leaf wrapper; sweep its input plan
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        allNodes(a.inputPlan)
-      // persisted relations hide their build plan inside InMemoryRelation
-      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        allNodes(im.relation.cachedPlan)
-      case _ => Seq.empty
-    }
-    (p +: here) ++ p.children.flatMap(allNodes) ++
-      p.subqueries.flatMap(allNodes)
-  }
-
   test("registry sweep: no cartesian product, no unbounded " +
       "single-partition window, in ANY query's plan") {
-    OmmFixtures.ensure(spark)
-    val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val nodes = allNodes(fn(spark, sf).queryExecution.executedPlan)
-      nodes.foreach {
-        case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
-          offenders += s"$name: CartesianProduct"
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty &&
-              !boundedGlobalWindowOk.contains(name) =>
-          offenders += s"$name: unpartitioned WindowExec (AllTuples - " +
-            "one task ranks every row; partition it or prove the input " +
-            "k-bounded and whitelist with the proof)"
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-            if w.partitionSpec.isEmpty &&
-              !boundedGlobalWindowOk.contains(name) =>
-          offenders += s"$name: unpartitioned WindowGroupLimit"
-        case _ => ()
-      }
+    // node walk + offender classification live in RegistrySweep (the one
+    // shared pass); the whitelist stays here, applied at assertion time
+    val offenders = RegistrySweep.result.audits.toSeq.sortBy(_._1).flatMap {
+      case (name, a) =>
+        a.error.map(e => s"$name: FAILED ($e)").toSeq ++
+          (if (boundedGlobalWindowOk.contains(name)) Nil
+           else a.structuralOffenders.map(o => s"$name: $o"))
     }
     assert(offenders.isEmpty, offenders.distinct.mkString("; "))
   }
@@ -374,33 +344,14 @@ class PlanShapeSpec extends SparkSpec {
     // and release — or decouple its result — before returning; otherwise a
     // long-lived session accumulates pinned blocks per call. The round-8
     // DupClusters leak was caught two suites away by an unrelated Vocab
-    // assertion; this sweep names the offender at the offending query.
-    OmmFixtures.ensure(spark)
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft-hygiene-sweep-").toFile
-    val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    try {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        fn(spark, sf).write.mode("overwrite")
-          .parquet(new java.io.File(scratch, name).getAbsolutePath)
-        val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-        if (leaked.nonEmpty) {
-          offenders += s"$name (${leaked.size} RDDs)"
-          // release so one offender can't cascade into later names
-          spark.sparkContext.getPersistentRDDs
-            .filter { case (id, _) => leaked.contains(id) }
-            .values.foreach(_.unpersist(blocking = false))
-        }
-      }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(scratch)
-    }
-    assert(offenders.isEmpty,
-      s"queries left persistent RDDs behind: ${offenders.mkString("; ")}")
+    // assertion; this sweep names the offender at the offending query
+    // (RegistrySweep attributes serially when its global diff is dirty).
+    val failed = RegistrySweep.result.audits.toSeq.sortBy(_._1)
+      .collect { case (n, a) if a.error.nonEmpty => s"$n: ${a.error.get}" }
+    assert(failed.isEmpty, s"queries failed to execute: ${failed.mkString("; ")}")
+    assert(RegistrySweep.result.leakOffenders.isEmpty,
+      "queries left persistent RDDs behind: " +
+        RegistrySweep.result.leakOffenders.mkString("; "))
   }
 
   test("q57 streaming ingest: equi-join index probe, broadcast candidate " +

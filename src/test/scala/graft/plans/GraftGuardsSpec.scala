@@ -5,8 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{SparkEntry, SparkSpec}
-import graft.omm.OmmFixtures
+import graft.SparkSpec
 
 /** The scale-guard rule: flags the banned shapes, admits the sanctioned
   * ones, and — the strong claim — every registered query's ANALYZED
@@ -63,13 +62,16 @@ class GraftGuardsSpec extends SparkSpec {
 
   test("registry-wide: every registered query's analyzed plan passes " +
       "the guard the library ships") {
-    OmmFixtures.ensure(spark)
-    val sf = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try { ScaleGuard(fn(spark, sf).queryExecution.optimizedPlan); None }
-        catch { case e: SparkException => Some(s"$name: ${e.getMessage}") }
-    }
+    // r19: consumes the shared RegistrySweep pass (one instantiation of
+    // the registry for all three registry-wide sweeps — this suite is
+    // grouped into the same test JVM as PlanShapeSpec so the lazy pass
+    // is computed once); the assertion is unchanged — ScaleGuard ran on
+    // every query's optimized plan, instantiation failures count too.
+    val offenders = graft.RegistrySweep.result.audits.toSeq.sortBy(_._1)
+      .flatMap { case (name, a) =>
+        a.error.map(e => s"$name: FAILED ($e)").toSeq ++
+          a.guardError.map(g => s"$name: $g").toSeq
+      }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }
