@@ -261,24 +261,69 @@ object SketchState {
     * below that count would re-trigger a full rewrite on every batch
     * (the same pathology the excess form exists to prevent, resurfacing
     * through the directory floor instead of the flat ceiling). */
+  /** Recursive `part-*` listing of a state/sink dir as (path, length),
+    * skipping HIDDEN (`_`/`.`-prefixed) subdirectories — the same
+    * visibility rule Spark's own file index applies, so the listing sees
+    * exactly what `spark.read.parquet(path)` would (LSM delta segments
+    * like [[foldDelta]]'s `_delta` are invisible here and managed by
+    * their owner). This is the listing every per-poll maintenance check
+    * performs, so it is on the poll hot path: on `file:` filesystems it
+    * walks via java.nio — the Hadoop local-FS listing stats each entry
+    * through the checksum/shell shims at multiple ms per file (measured
+    * 0.6–0.9 s per ~200-file poll on this box, pure overhead); any other
+    * scheme takes the portable Hadoop listing. */
+  def listPartFiles(spark: SparkSession, path: String)
+      : Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path, Long)]
+    if (fs.getScheme == "file") {
+      val root = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.walkFileTree(root,
+        new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+          override def preVisitDirectory(d: java.nio.file.Path,
+              a: java.nio.file.attribute.BasicFileAttributes)
+              : java.nio.file.FileVisitResult = {
+            val n = d.getFileName
+            if (n != null && (n.toString.startsWith("_") ||
+                n.toString.startsWith(".")))
+              java.nio.file.FileVisitResult.SKIP_SUBTREE
+            else java.nio.file.FileVisitResult.CONTINUE
+          }
+          override def visitFile(f: java.nio.file.Path,
+              a: java.nio.file.attribute.BasicFileAttributes)
+              : java.nio.file.FileVisitResult = {
+            if (f.getFileName.toString.startsWith("part-"))
+              out += ((new Path(f.toUri), a.size()))
+            java.nio.file.FileVisitResult.CONTINUE
+          }
+        })
+    } else {
+      def walk(dir: Path): Unit = fs.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
+        } else if (n.startsWith("part-")) out += ((s.getPath, s.getLen))
+      }
+      walk(p)
+    }
+    out.toSeq
+  }
+
   def compactIfNeeded(spark: SparkSession, path: String, maxFiles: Int,
                       partitionCols: Seq[String] = Nil): Boolean = {
     if (maxFiles <= 0 || !exists(spark, path)) return false
-    val p = new Path(path)
-    val fs = fsOf(spark, p)
-    val it = fs.listFiles(p, true) // recursive: flat dirs and hive layouts
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path, Long)]
+    files ++= listPartFiles(spark, path)
     var nParts = 0L
     var totalBytes = 0L
     val partDirs = scala.collection.mutable.HashSet.empty[String]
-    val files = scala.collection.mutable.ArrayBuffer
-      .empty[(org.apache.hadoop.fs.Path, Long)]
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.getPath.getName.startsWith("part-")) {
-        nParts += 1; totalBytes += s.getLen
-        partDirs += s.getPath.getParent.toString
-        files += ((s.getPath, s.getLen))
-      }
+    files.foreach { case (f, len) =>
+      nParts += 1; totalBytes += len
+      partDirs += f.getParent.toString
     }
     val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val byteIdeal = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
@@ -417,6 +462,79 @@ object SketchState {
       throw new java.io.IOException(
         s"SketchState: manifest commit rename $mlogTmp -> $mlog failed")
     completeMerge(fs, path)
+    true
+  }
+
+  /** LSM fold of a flat hidden delta segment (`<path>/_delta`) into the
+    * hive-partitioned live layout — the ingest-side complement of
+    * [[compactIfNeeded]] for partitioned streaming stores whose batches
+    * APPEND one flat file-set instead of writing one sliver into every
+    * touched partition (per-batch small-file pressure O(batch bytes),
+    * not O(partitions touched) — guide §6; see IvfPqStream).
+    *
+    * Crash-safe through the SAME manifest machinery as the tiered merge:
+    *  1. ONE Spark job reads exactly the delta part files (the partition
+    *     key rides as a regular column there), clusters by `partitionCols`
+    *     and stages the partition-dir layout under `.__mstage`;
+    *  2. the `.__mlog` manifest commits the plan (S staged relpaths,
+    *     R retired `_delta/...` files) — atomically, via temp + rename;
+    *  3. [[completeMerge]] publishes by file-level rename and retires the
+    *     delta files; [[exists]] replays an interrupted fold idempotently
+    *     before any SketchState-gated read can observe duplicates.
+    * Cost is O(delta), never O(accumulated): the live partitions are not
+    * read or rewritten (their band compaction remains [[compactIfNeeded]]'s
+    * job, which the caller should run AFTER a fold — the live layout only
+    * ever grows at folds).
+    *
+    * Returns false (no job) while the delta holds ≤ `maxDeltaFiles` part
+    * files. Single-writer contract, like everything here. */
+  def foldDelta(spark: SparkSession, path: String,
+                partitionCols: Seq[String], maxDeltaFiles: Int,
+                deltaName: String = "_delta"): Boolean = {
+    if (!exists(spark, path)) return false // also replays a pending fold
+    val live = new Path(path)
+    val fs = fsOf(spark, live)
+    val delta = new Path(live, deltaName)
+    if (!fs.exists(delta)) return false
+    val deltaFiles = fs.listStatus(delta).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath).toVector
+    if (deltaFiles.size <= maxDeltaFiles) return false
+    val qualifiedLive = fs.makeQualified(live)
+    val stage = mergeStagePath(path)
+    val mlog = mergeLogPath(path)
+    fs.delete(stage, true) // orphan of a pre-manifest crash
+    spark.read.parquet(deltaFiles.map(_.toString): _*)
+      .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(stage.toString)
+    val stageQ = fs.makeQualified(stage)
+    def rel(base: Path, f: Path): String = {
+      val b = base.toString + "/"
+      val s = fs.makeQualified(f).toString
+      require(s.startsWith(b), s"$f not under $base")
+      s.drop(b.length)
+    }
+    val staged = {
+      val sit = fs.listFiles(stage, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (sit.hasNext) {
+        val s = sit.next()
+        if (s.getPath.getName.startsWith("part-"))
+          out += rel(stageQ, s.getPath)
+      }
+      out.toVector
+    }
+    val manifest = (staged.map("S\t" + _) ++
+      deltaFiles.map(f => "R\t" + rel(qualifiedLive, f))).mkString("\n")
+    val mlogTmp = new Path(mlog.toString + ".tmp")
+    val out = fs.create(mlogTmp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(mlogTmp, mlog))
+      throw new java.io.IOException(
+        s"SketchState: manifest commit rename $mlogTmp -> $mlog failed")
+    completeMerge(fs, path)
+    spark.catalog.refreshByPath(path)
     true
   }
 

@@ -12,32 +12,37 @@ import graft.operators.{Quantize, SketchState}
   *
   * Each batch of new vectors is residual-PQ-encoded MAP-SIDE (codebooks
   * are fixed at index-build time, the standard IVF contract — re-training
-  * is a rebuild, not an increment) and appended to a codes index laid out
-  * `partitionBy(list_id)`. That layout is the point: the index on disk IS
-  * the serving layout, so query-time probing partition-prunes to the
-  * probed lists (DPP, measured in ScaleProbe `ops10`) without any
-  * re-organization step between ingest and serve.
+  * is a rebuild, not an increment) and appended as ONE flat file-set to a
+  * hidden LSM delta segment (`codes/_delta`, r19). The r18 layout wrote
+  * every batch `partitionBy(list_id)` straight into the serving layout:
+  * that costs a shuffle plus one file and one commit per TOUCHED LIST per
+  * batch — O(partitions) small files and commit work per poll, the
+  * classic small-file wall (guide §6) once batches touch 10⁵ lists. The
+  * delta append is shuffle-free and O(batch bytes) in files; the
+  * excess-triggered [[SketchState.foldDelta]] then clusters accumulated
+  * delta rows into the `partitionBy(list_id)` serving layout in one
+  * O(delta) job (crash-safe file-level renames through the tiered-merge
+  * manifest), and [[SketchState.compactIfNeeded]] keeps the folded
+  * layout's per-partition file bands merged, exactly as before. The
+  * serving property is unchanged where it matters: the folded BULK of the
+  * index is DPP-pruned to the probed lists at query time; only the
+  * bounded un-folded tail (≤ foldAfter delta files) is scanned whole.
   *
   * BATCH EQUIVALENCE: encoding is a pure per-row function of the vector
   * and the fixed codebooks, so for ANY split of a corpus into batches the
-  * accumulated index holds exactly the batch operator's codes, and
-  * [[topK]] returns exactly what `ivfPqResidualTopK` returns over the
-  * whole corpus (spec-pinned; q97's oracle is q95's SQL verbatim).
-  * No ordering requirement at all — unlike dedup streams, there is no
-  * cross-row decision to order.
-  *
-  * Scale shape per batch: encode is one map-side projection (no shuffle);
-  * the append writes only the batch's partitions. The small-file wall —
-  * one file per touched partition per batch — is bounded by the same
-  * excess-triggered swap-replace compaction as the other streams, here
-  * counting part-files RECURSIVELY across partition dirs and rewriting
-  * the whole index partitioned (a full-index pass, amortized by the
-  * excess trigger exactly as in NearDupStream.compactIfNeeded). */
+  * accumulated index (folded ∪ delta) holds exactly the batch operator's
+  * codes, and [[topK]] returns exactly what `ivfPqResidualTopK` returns
+  * over the whole corpus (spec-pinned; q97's oracle is q95's SQL
+  * verbatim). No ordering requirement at all — unlike dedup streams,
+  * there is no cross-row decision to order. */
 object IvfPqStream {
 
   case class BatchResult(added: Long, stateFiles: Int)
 
+  private val DeltaDir = "_delta"
+
   private def codesPath(stateDir: String) = s"$stateDir/codes"
+  private def deltaPath(codes: String) = s"$codes/$DeltaDir"
 
   /** One micro-batch of new vectors. `newVecs` must carry the id and
     * vector under the given columns; ids must be unique stream-wide
@@ -48,67 +53,101 @@ object IvfPqStream {
                   resCentroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
                   compactAfterFiles: Int = 64): BatchResult = {
     val path = codesPath(stateDir)
-    SketchState.exists(spark, path) // adopt an interrupted compaction swap
-    // emptiness gate first (stops at row 1, before any encode work): an
-    // empty batch must not append an empty file-set into the state
-    if (newVecs.isEmpty) return BatchResult(0, partFiles(spark, path))
+    SketchState.exists(spark, path) // adopt an interrupted fold/compaction
+    // emptiness gate (stops at row 1, before any encode work): an empty
+    // batch must not append an empty file-set into the state — but
+    // pending maintenance still runs (compaction-on-idle, r19: the r18
+    // early return skipped it)
+    if (newVecs.isEmpty) {
+      maintain(spark, path, compactAfterFiles)
+      return BatchResult(0, countFiles(spark, path))
+    }
     val listC = Quantize.ivfListCol(vec, coarse)
-    // r18 (guide §1.2): `added` rides the append as an observed metric —
-    // the write is the encode's only consumer now, so the old persist +
-    // materializing count() paid a whole extra plan/job per poll (and
-    // held the encoded batch in storage memory) for a number the write's
-    // own tasks see.
+    // `added` rides the append as an observed metric — the write is the
+    // encode's only consumer, so a materializing count() would pay a
+    // whole extra plan/job per poll for a number the write's tasks see.
     val obs = new org.apache.spark.sql.Observation()
     val codes = Quantize.pqEncode(newVecs, id,
         Quantize.ivfResidualCol(vec, coarse, listC),
         resCentroids, m, dim, keep = Seq(listC.as("list_id")))
       .drop("distortion")
       .observe(obs, count(lit(1)).as("n"))
-    // one shuffle of the batch-bounded code rows so each touched list
-    // writes exactly ONE file per batch — without it every scan task
-    // writes a sliver into every list it sees (tasks × lists files per
-    // batch), quadrupling small-file pressure and compaction frequency.
-    // A hot list's batch rows land on one task, bounded by batch size.
-    codes.repartition(col("list_id")).write.mode("append")
-      .partitionBy("list_id").parquet(path)
+    // flat delta append: no shuffle, no per-list files — list_id rides as
+    // a regular column until the fold clusters it into the serving layout
+    codes.write.mode("append").parquet(deltaPath(path))
     val added = obs.get.get("n").flatMap(Option(_))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    compactPartitionedIfNeeded(spark, path, compactAfterFiles)
-    BatchResult(added, partFiles(spark, path))
+    maintain(spark, path, compactAfterFiles)
+    BatchResult(added, countFiles(spark, path))
+  }
+
+  /** Excess-triggered maintenance, in the only safe order: fold the delta
+    * into the partitioned layout FIRST (empties `_delta`), band-compact
+    * the partitioned layout after. The folded layout only grows at folds,
+    * so compaction need not be re-checked on fold-less polls — and the
+    * whole-dir compaction fallback can then never observe (and drop) an
+    * un-folded delta. */
+  private def maintain(spark: SparkSession, path: String,
+                       compactAfterFiles: Int): Unit = {
+    val foldAfter = math.max(4, compactAfterFiles / 4)
+    if (SketchState.foldDelta(spark, path, Seq("list_id"), foldAfter)) {
+      SketchState.compactIfNeeded(spark, path, compactAfterFiles,
+        Seq("list_id"))
+      ()
+    }
+  }
+
+  /** The accumulated index codes — folded partitioned bulk ∪ un-folded
+    * delta tail — exactly the batch operator's `pqEncode` rows under any
+    * arrival split. Recovers an interrupted fold/compaction swap first:
+    * a crashed maintenance step must never serve duplicated (mid-fold)
+    * or stale (unadopted swap) rows. */
+  def indexCodes(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = codesPath(stateDir)
+    SketchState.exists(spark, path)
+    val main = SketchState.listPartFiles(spark, path) // delta is hidden
+    // the delta segment is read by EXPLICIT part-file list: its dir name
+    // is `_`-prefixed (hidden from the partitioned read by design), and a
+    // hidden root path is DataSource-filtered — part files by name are not
+    val delta = new org.apache.hadoop.fs.Path(deltaPath(path))
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaFiles =
+      if (!fs.exists(delta)) Seq.empty[String]
+      else fs.listStatus(delta).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+    (main.nonEmpty, deltaFiles.nonEmpty) match {
+      case (true, true) =>
+        // unionByName: the partitioned read appends list_id last, the
+        // delta read carries it where pqEncode put it
+        spark.read.parquet(path)
+          .unionByName(spark.read.parquet(deltaFiles: _*))
+      case (true, false) => spark.read.parquet(path)
+      case (false, true) => spark.read.parquet(deltaFiles: _*)
+      case (false, false) =>
+        spark.read.parquet(path) // throws the standard missing-state error
+    }
   }
 
   /** Serve top-k from the accumulated index — exactly the batch
-    * operator over the index's rows, probing nProbe lists with the
-    * partition layout doing the pruning. */
+    * operator over the index's rows; the folded bulk is read through the
+    * list_id partition layout (DPP prunes to the probed lists), the
+    * bounded delta tail rides along un-pruned. */
   def topK(spark: SparkSession, stateDir: String, queries: DataFrame,
            id: String, vec: String, coarse: Seq[(Int, Seq[Double])],
            resCentroids: Seq[(Int, Seq[Double])], m: Int, dim: Int,
-           nProbe: Int, k: Int): DataFrame = {
-    // recover an interrupted compaction swap / tiered merge BEFORE the
-    // scan plans: a crashed maintenance step must never serve a query
-    // duplicated (mid-merge) or stale (unadopted swap) rows
-    SketchState.exists(spark, codesPath(stateDir))
-    Quantize.ivfPqResidualTopK(spark.read.parquet(codesPath(stateDir)),
+           nProbe: Int, k: Int): DataFrame =
+    Quantize.ivfPqResidualTopK(indexCodes(spark, stateDir),
       queries, id, vec, coarse, resCentroids, m, dim, nProbe, k)
-  }
 
-  private def partFiles(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return 0
-    val it = fs.listFiles(p, true)
-    var n = 0
-    while (it.hasNext) {
-      if (it.next().getPath.getName.startsWith("part-")) n += 1
-    }
-    n
+  private def countFiles(spark: SparkSession, path: String): Int = {
+    val nMain = SketchState.listPartFiles(spark, path).size // skips _delta
+    val delta = new org.apache.hadoop.fs.Path(deltaPath(path))
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDelta =
+      if (!fs.exists(delta)) 0
+      else fs.listStatus(delta)
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    nMain + nDelta
   }
-
-  /** The shared excess-triggered compaction in its hive-partitioned
-    * form ([[SketchState.compactIfNeeded]] with `partitionCols` —
-    * list-clustered rewrite, recursive file count; ONE implementation
-    * for every streaming store). */
-  private[streaming] def compactPartitionedIfNeeded(spark: SparkSession,
-      path: String, maxFiles: Int): Boolean =
-    SketchState.compactIfNeeded(spark, path, maxFiles, Seq("list_id"))
 }

@@ -52,12 +52,16 @@ class IvfPqStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
-  test("compaction bounds the index file count across many tiny batches") {
+  test("delta fold + compaction bound the index file count across many " +
+      "tiny batches; every row survives exactly once") {
     val (embs, coarse, rb) = setup()
     val dir = Files.createTempDirectory("ivfpq_compact").toString
     val ceiling = 16
     var lastFiles = 0
-    // 10 batches of 50 vectors, each touching up to 8 list partitions
+    // 10 batches of 50 vectors, each touching up to 8 list partitions —
+    // appends land in the flat _delta segment; the excess-triggered fold
+    // (ceiling/4 = 4 delta files) clusters them into list_id partitions,
+    // band compaction keeps the folded layout merged
     (0 until 10).foreach { b =>
       val r = IvfPqStream.ingestBatch(spark,
         embs.filter(col("vec_id") >= b * 50 && col("vec_id") < (b + 1) * 50),
@@ -65,10 +69,19 @@ class IvfPqStreamSpec extends SparkSpec {
         compactAfterFiles = ceiling)
       lastFiles = r.stateFiles
     }
-    assert(lastFiles <= ceiling + 8,
+    // the excess-compaction law: steady state stays within ~2× the
+    // trigger (folded bulk) plus the bounded un-folded delta tail
+    assert(lastFiles <= 2 * ceiling,
       s"index files not bounded: $lastFiles after 10 batches")
-    // content survives compaction: every corpus row is indexed exactly once
-    val indexed = spark.read.parquet(s"$dir/codes")
+    // folds actually fired: the partitioned serving layout exists (the
+    // DPP-pruned bulk is the scale story — an implementation that never
+    // folds would pass the count checks with a flat delta alone)
+    val listDirs = new java.io.File(s"$dir/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(listDirs > 0, "no list_id partitions — the delta never folded")
+    // content survives fold + compaction: every corpus row indexed once
+    // (read through the stream's own reader: folded bulk ∪ delta tail)
+    val indexed = IvfPqStream.indexCodes(spark, dir)
     assert(indexed.count() === embs.count())
     assert(indexed.select("id").distinct().count() === embs.count())
   }
