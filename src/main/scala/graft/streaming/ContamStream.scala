@@ -237,32 +237,46 @@ object ContamStream {
       // batch adds at most min(nB, its distinct buckets) files — at
       // nB == 1 (adaptive initial) the clustering shuffle buys nothing
       // (one bucket) and is skipped; compaction owns the file count.
-      hits.foreach(_.observe(hitsObs,
-          coalesce(sum(col("n_hits")), lit(0L)).as("n"))
-        .write.mode("append").parquet(hitsPath))
+      // r19 (guide §2.6): the four appends land in four INDEPENDENT state
+      // dirs with no mutual ordering contract (marker-before-data is
+      // internal to the grams unit), so they run as concurrent jobs —
+      // per-poll wall at fixture scale is mostly driver-side plan/commit
+      // latency, which overlaps instead of summing. Crash class unchanged:
+      // an interrupted poll leaves a partial batch across dirs and is
+      // re-run, exactly as with the sequential appends.
+      val appendUnits = Seq.newBuilder[() => Unit]
+      hits.foreach(h => appendUnits += (() =>
+        h.observe(hitsObs, coalesce(sum(col("n_hits")), lit(0L)).as("n"))
+          .write.mode("append").parquet(hitsPath)))
+      newDocGrams.foreach { dg =>
+        appendUnits += (() =>
+          dg.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+            .write.mode("append").parquet(statsPath))
+        appendUnits += (() => {
+          // first-ever append: stamp the live modulus BEFORE the data
+          // lands. A marker without data is harmless (appends never change
+          // the modulus, and readers guard on part files); data without a
+          // marker is not — a pinned-modulus stream crashing after an
+          // N-bucket append but before the stamp would leave a layout a
+          // later adaptive open can only misread (currentBuckets now
+          // refuses it).
+          if (SketchState.readMarker(spark, gramsPath, NBucketsMarker).isEmpty)
+            SketchState.writeMarker(spark, gramsPath, NBucketsMarker,
+              nB.toString)
+          val laid = dg.withColumn("b",
+            pmod(col("h1"), lit(nB.toLong)).cast("int"))
+          (if (nB > 1) laid.repartition(col("b")) else laid)
+            .write.mode("append").partitionBy("b").parquet(gramsPath)
+        })
+      }
+      newBenchGrams.foreach(bg => appendUnits +=
+        (() => bg.write.mode("append").parquet(benchPath)))
+      PollOps.inParallel(appendUnits.result())
       val nHits = if (hits.isEmpty) 0L
         else hitsObs.get.get("n").flatMap(Option(_))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-      newDocGrams.foreach { dg =>
-        dg.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-          .write.mode("append").parquet(statsPath)
-        // first-ever append: stamp the live modulus BEFORE the data lands.
-        // A marker without data is harmless (appends never change the
-        // modulus, and readers guard on part files); data without a marker
-        // is not — a pinned-modulus stream crashing after an N-bucket
-        // append but before the stamp would leave a layout a later
-        // adaptive open can only misread (currentBuckets now refuses it).
-        if (SketchState.readMarker(spark, gramsPath, NBucketsMarker).isEmpty)
-          SketchState.writeMarker(spark, gramsPath, NBucketsMarker,
-            nB.toString)
-        val laid = dg.withColumn("b",
-          pmod(col("h1"), lit(nB.toLong)).cast("int"))
-        (if (nB > 1) laid.repartition(col("b")) else laid)
-          .write.mode("append").partitionBy("b").parquet(gramsPath)
-      }
-      newBenchGrams.foreach(_.write.mode("append").parquet(benchPath))
-      Seq(benchPath, statsPath, hitsPath)
-        .foreach(SketchState.compactIfNeeded(spark, _, compactAfterFiles))
+      PollOps.inParallel(Seq(benchPath, statsPath, hitsPath).map(pth =>
+        () => { SketchState.compactIfNeeded(spark, pth, compactAfterFiles); () }))
       // rebucket FIRST: its swap already lands the whole index at one file
       // per bucket, so running compaction before it could pay two full
       // index rewrites back-to-back in one batch; compaction only runs
