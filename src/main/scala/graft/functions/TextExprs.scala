@@ -103,16 +103,14 @@ object TextExprs {
     * of the trade at 100 TB. Empty docs → 0.0. `round(…, 4)` absorbs the
     * residual cross-engine float-order risk (q72 discipline). */
   def charEntropy(text: Column): Column =
-    bind(split(text, "")) { cs =>
-      bind(array_sort(array_distinct(cs))) { ds =>
-        val n = size(cs).cast("double")
-        val ent = aggregate(ds, lit(0.0), (acc, c) =>
-          acc - bind(size(filter(cs, x => x === c)).cast("double") / n) {
-            p => p * log(p)
-          })
-        when(length(text) === 0, lit(0.0)).otherwise(round(ent, 4))
-      }
-    }
+    // r19: the sorted-distinct HOF fold (O(distinct × len) interpreted
+    // `aggregate`/`filter` rescans) became the codegen'd
+    // [[TextKernels.charEntropyNats]] kernel — bit-identical term order
+    // and float ops (TextExprsSpec pins parity against the original
+    // formulation); the empty guard and the oracle-grain round(…, 4)
+    // stay out here so cross-engine semantics are unchanged.
+    when(length(text) === 0, lit(0.0))
+      .otherwise(round(TextKernels.charEntropyNats(text), 4))
 
   /** Deterministic 64-bit document fingerprint: polynomial rolling hash over
     * the characters (h ← (h·31 + code) mod 1e9+7). Same recurrence is

@@ -304,4 +304,64 @@ object TextKernels {
   def wordShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordGrams(ColumnBridge.expression(tokens), n,
       shingle = true))
+
+  /** Shannon entropy (nats) of the string's CODE-POINT distribution,
+    * replicating TextExprs.charEntropy's interpreted HOF formulation
+    * BIT-IDENTICALLY (r19, guide §4.1 — the last interpreted hot-path
+    * expression): the HOF folds `acc − p·ln(p)` over the SORTED distinct
+    * single-character strings, and UTF-8 byte order equals code-point
+    * order, so sorting the code-point array and run-length iterating it
+    * visits the same terms in the same float summation order — with the
+    * same per-term ops (int count → double, one division, Math.log, one
+    * multiply, one subtract). Cost O(len·log len) per row (sort +
+    * run-length) instead of the HOF's O(distinct × len) filter rescans,
+    * and it runs inside whole-stage codegen instead of interpreted
+    * HigherOrderFunction eval. Parity pinned by TextExprsSpec against
+    * the original formulation, supplementary-plane input included. */
+  def charEntropyNats(s: UTF8String): Double = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    if (cps.length == 0) return 0.0 // callers guard empties; defensive
+    java.util.Arrays.sort(cps)
+    val n = cps.length.toDouble
+    var ent = 0.0
+    var i = 0
+    while (i < cps.length) {
+      var j = i
+      while (j < cps.length && cps(j) == cps(i)) j += 1
+      val p = (j - i).toDouble / n
+      // StrictMath, not Math: Catalyst's log evals through StrictMath.log
+      // (UnaryLogExpression), and the HotSpot Math.log intrinsic can be a
+      // ULP off — parity is asserted in doubleToLongBits
+      ent = ent - p * java.lang.StrictMath.log(p)
+      i = j
+    }
+    ent
+  }
+
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_entropy expects a string input, got $other")
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "char_entropy"
+
+    override protected def nullSafeEval(input: Any): Any =
+      charEntropyNats(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextKernels.charEntropyNats($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: un-rounded code-point entropy in nats (callers own the
+    * empty-string guard and the oracle-grain rounding — see
+    * TextExprs.charEntropy). */
+  def charEntropyNats(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 }
