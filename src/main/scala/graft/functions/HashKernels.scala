@@ -256,8 +256,10 @@ object HashKernels {
                                 mult: Long, mod: Long)
       extends UnaryExpression {
     require(k >= 1 && w >= 1, s"winnow needs k,w >= 1, got k=$k w=$w")
-    require(mod > 0 && mult > 0 && mult < mod,
-      s"winnow needs 0 < mult < mod, got mult=$mult mod=$mod")
+    // the combine step multiplies two residues < mod (h*tp + th), so mod
+    // must stay below sqrt(Long.MaxValue) or the product silently wraps
+    require(mod > 0 && mult > 0 && mult < mod && mod <= 3037000499L,
+      s"winnow needs 0 < mult < mod <= 3037000499, got mult=$mult mod=$mod")
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case org.apache.spark.sql.types.ArrayType(StringType, _) =>
         TypeCheckResult.TypeCheckSuccess

@@ -583,7 +583,17 @@ object NearDup {
                 sampleMod: Long): DataFrame = {
     val samp = edPrefixes(docs, id, text, prefixLen)
       .filter(col("id") % sampleMod === 0)
-    val truth = samp.select(col("id").as("id_a"), col("prefix").as("pa"))
+    // r19 (guide §2): the exact-truth verify is quadratic IN THE SAMPLE by
+    // design (that is the QA), but the stream side inherited the document
+    // scan's partitioning — 1-2 input splits at bench scale — so the whole
+    // |s|²/2 boundedLevenshtein sweep ran on 1-2 TASKS (one 6 s job on a
+    // 32-core box). Spread the stream side to the session's parallelism
+    // first: a tiny shuffle of sample-prefix rows buys full-width fan-out
+    // of the dominant compute. Scale-adaptive (defaultParallelism), not a
+    // constant; aggregate outputs are order-free so values are unchanged.
+    val truth = samp
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id").as("id_a"), col("prefix").as("pa"))
       .crossJoin(broadcast(
         samp.select(col("id").as("id_b"), col("prefix").as("pb"))))
       .filter(col("id_a") < col("id_b"))

@@ -352,18 +352,28 @@ object Quantize {
     val sub = dim / m
     val large = centroids.size > maxLiteralCodes ||
       coarse.size > maxLiteralCodes
-    val q = if (large) {
+    // r19 (guide §2.2/§3.1): RAW-codes ADC tables depend only on the
+    // query, not the probed list, so broadcasting them on the exploded
+    // (query, probed-list) relation shipped every query's m·k-double
+    // tables nProbe TIMES. Split the broadcast: a skinny
+    // (query_id, list_id) probe relation keys the scan's equi-join
+    // (pruning shape unchanged), and the tables ride a second per-query
+    // broadcast joined on query_id — nProbe× fewer broadcast bytes on
+    // the heavy side. Same expressions over the same rows → the joined
+    // table VALUES, and therefore adc_dist, are bit-identical
+    // (spec-pinned: nProbe = nLists ≡ full ADC scan).
+    val (qProbes, qTables) = if (large) {
       // kernel path: probe ranking and ADC tables as reference-object
       // kernel calls — generated code size independent of k and nLists
-      queries.select(col(id).as("query_id"),
-          graft.functions.PqKernels.adcTablesCol(col(vec), centroids,
-            m, sub).as("__tt"),
-          graft.functions.PqKernels.nearestListsCol(col(vec), coarse,
-            dim, nProbe).as("__probes"))
-        .withColumn("list_id", explode(col("__probes")))
-        .select((col("query_id") +: col("list_id") +:
-          (0 until m).map(j => element_at(col("__tt"), j + 1)
-            .as(s"__t$j"))): _*)
+      (queries.select(col(id).as("query_id"),
+          explode(graft.functions.PqKernels.nearestListsCol(col(vec),
+            coarse, dim, nProbe)).as("list_id")),
+        queries.select(col(id).as("query_id"),
+            graft.functions.PqKernels.adcTablesCol(col(vec), centroids,
+              m, sub).as("__tt"))
+          .select((col("query_id") +:
+            (0 until m).map(j => element_at(col("__tt"), j + 1)
+              .as(s"__t$j"))): _*))
     } else {
       val qStaged = stageSubvectors(queries,
         Seq(col(id).as("query_id"), col(vec).cast("array<double>").as("__qv")),
@@ -382,15 +392,14 @@ object Quantize {
       val probed = transform(
         slice(array_sort(array(coarseCands: _*)), 1, nProbe),
         s => s.getField("list"))
-      qStaged
-        .select((col("query_id") +: tables :+ probed.as("__probes")): _*)
-        .withColumn("list_id", explode(col("__probes")))
-        .drop("__probes")
+      (qStaged.select(col("query_id"), explode(probed).as("list_id")),
+        qStaged.select((col("query_id") +: tables): _*))
     }
     val adc = (0 until m).map(j =>
       element_at(col(s"__t$j"), col(s"c$j") + 1)).reduce(_ + _)
     val scored = codes.withColumnRenamed("id", "neighbor_id")
-      .join(broadcast(q), Seq("list_id"))
+      .join(broadcast(qProbes), Seq("list_id"))
+      .join(broadcast(qTables), Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", adc)
     val w = org.apache.spark.sql.expressions.Window
@@ -489,13 +498,18 @@ object Quantize {
     val probed = transform(
       slice(array_sort(array(coarseCands: _*)), 1, nProbe),
       s => s.getField("list"))
-    val q = queries
-      .select(col(id).as("query_id"),
-        col(vec).cast("array<double>").as("__qv"))
-      .select(col("query_id"), col("__qv").as("qv"), probed.as("__probes"))
-      .withColumn("list_id", explode(col("__probes")))
-      .select("query_id", "qv", "list_id")
-    val scored = codes.join(broadcast(q), Seq("list_id"))
+    // r19 (guide §2.2/§3.1): the query VECTOR is probe-independent, so the
+    // old single broadcast shipped each dim-double qv nProbe times. Split:
+    // skinny (query_id, list_id) keys the scan's equi-join (same pruning),
+    // the vectors ride a per-query broadcast joined on query_id —
+    // ivfPqTopK's discipline. Same qv values reach the same rows → scores
+    // bit-identical (spec-pinned: nProbe = nLists ≡ full scan).
+    val q0 = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("__qv"))
+    val qProbes = q0.select(col("query_id"), explode(probed).as("list_id"))
+    val qVecs = q0.select(col("query_id"), col("__qv").as("qv"))
+    val scored = codes.join(broadcast(qProbes), Seq("list_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", col("scale") * VectorExprs.dot(col("cd"), col("qv")))
     val w = org.apache.spark.sql.expressions.Window

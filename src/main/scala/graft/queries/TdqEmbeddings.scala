@@ -1424,7 +1424,16 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
       coarse)
     val resC = graft.operators.Quantize.ivfResidualCol(col("embedding"),
       coarse, listC)
-    q253Ms.map { m =>
+    // r19 (guide §2.6): the per-m pipelines are mutually independent —
+    // separate OPQ fits (driver-side breeze over collected samples),
+    // separate temp index dirs, separate spills — so they run as
+    // concurrent driver threads; their Spark jobs interleave on the one
+    // scheduler and the wall is max(m-arms), not the sum. Each arm's
+    // content is unchanged (deterministic, own dirs), so results are too.
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(q253Ms.size)
+    val armFutures = try q253Ms.map { m => pool.submit(
+      new java.util.concurrent.Callable[DataFrame] { override def call(): DataFrame = {
       // per-m: OPQ rotation + residual codebooks + the codes index,
       // built once and re-read by all R arms (serving reads files,
       // q248/q97's discipline)
@@ -1496,7 +1505,8 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
           .select(lit(m).as("pq_m"), lit(r).as("shortlist_r"),
             coalesce(col("__hit"), lit(false)).as("hit"))
       }.reduce(_ unionByName _)
-    }.reduce(_ unionByName _)
+    }})} finally pool.shutdown()
+    armFutures.map(_.get()).reduce(_ unionByName _)
       .groupBy(col("pq_m"), col("shortlist_r"))
       .agg(count(lit(1)).as("n_exact"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))

@@ -50,6 +50,11 @@ object NovelGramStream {
     // count observed there IS |batch grams|, and one observed at the
     // write IS |novel|. The old shape paid two extra count() jobs and
     // two persists per poll for numbers the write's own tasks see.
+    // SINGLE-ATTEMPT ASSUMPTION: observed metrics are accumulator
+    // semantics — a retried/speculative stage attempt double-counts.
+    // Holds on local[*] (no speculation, deterministic single attempt);
+    // on a cluster derive n_novel from the files the write committed
+    // instead of trusting the observation.
     val obsG = new org.apache.spark.sql.Observation()
     val obsN = new org.apache.spark.sql.Observation()
     val bg = gramHashes(batch, text, n)
