@@ -1334,7 +1334,17 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
           col("embedding").cast("array<double>").as("nv")),
           Seq("neighbor_id")),
       "q251_neigh")
-    q251Configs.map { case (nl, np) =>
+    // r19 (guide §2.6, q253's discipline): the four (nLists, nProbe) arms
+    // are mutually independent — each fits its OWN seeded MLlib coarse
+    // quantizer (fitQuantizer persists/unpersists its own relation, no
+    // shared state) and the rest of the arm is lazy plan construction —
+    // so the fits run as concurrent driver threads and the wall is
+    // max(fits), not the sum. Each fit is deterministic (seed 42, fixed
+    // data) regardless of scheduling, so arm contents are unchanged.
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(q251Configs.size)
+    val armFutures = try q251Configs.map { case (nl, np) => pool.submit(
+      new java.util.concurrent.Callable[DataFrame] { override def call(): DataFrame = {
       val coarse = graft.operators.Quantize.learnedCoarse(embs,
         col("embedding"), nLists = nl, seed = 42L)
       val probed = origQ.select(col("vec_id").as("query_id"),
@@ -1346,7 +1356,8 @@ private[queries] trait TdqEmbeddings { this: TestdataQueries.type =>
         .join(broadcast(probed), Seq("query_id"))
         .select(lit(nl).as("n_lists"), lit(np).as("n_probe"),
           array_contains(col("__probes"), col("n_list")).as("hit"))
-    }.reduce(_ unionByName _)
+    }})} finally pool.shutdown()
+    armFutures.map(_.get()).reduce(_ unionByName _)
       .groupBy(col("n_lists"), col("n_probe"))
       .agg(count(lit(1)).as("n_exact"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_ceiling"))

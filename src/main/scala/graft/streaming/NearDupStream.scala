@@ -185,18 +185,27 @@ object NearDupStream {
           val nPairs = obs.get.get("n").flatMap(Option(_))
             .map(_.asInstanceOf[Long]).getOrElse(0L)
           // state appends AFTER the sink write (at-least-once on restart,
-          // same ordering contract as CancellationStream's key-set state)
-          newBands.write.mode("append").parquet(bandsPath)
-          nd.write.mode("append").parquet(docsPath)
+          // same ordering contract as CancellationStream's key-set state).
+          // r19 (guide §2.6, ContamStream's discipline): bands and docs are
+          // DISJOINT state dirs with no mutual ordering contract — every
+          // partial-append state already leads to the same re-run-the-batch
+          // recovery (the append → checkpoint-commit window admits full
+          // duplication in the sequential form too), so running them as
+          // concurrent jobs changes wall, not the crash class.
+          PollOps.inParallel(Seq(
+            () => newBands.write.mode("append").parquet(bandsPath),
+            () => nd.write.mode("append").parquet(docsPath)))
           // size-triggered small-file compaction AFTER the appends: the
           // batch's state is durable first, and a crash mid-compaction
-          // leaves either the old files or an adoptable complete swap
-          compactIfNeeded(spark, bandsPath, compactAfterFiles)
-          compactIfNeeded(spark, docsPath, compactAfterFiles)
-          // the SINK accumulates one file-set per batch for the stream's
-          // life too — same excess-triggered rewrite (rows are unchanged;
-          // compaction is layout-only, the spec pins identical output)
-          compactIfNeeded(spark, sinkDir, compactAfterFiles)
+          // leaves either the old files or an adoptable complete swap.
+          // Three disjoint dirs (incl. the sink: one file-set per batch
+          // for the stream's life — same excess-triggered rewrite; rows
+          // unchanged, layout-only, spec pins identical output), each
+          // individually crash-safe → concurrent.
+          PollOps.inParallel(Seq(
+            () => compactIfNeeded(spark, bandsPath, compactAfterFiles),
+            () => compactIfNeeded(spark, docsPath, compactAfterFiles),
+            () => compactIfNeeded(spark, sinkDir, compactAfterFiles)))
           BatchResult(nNew, nPairs)
         } finally {
           if (restrict) candMat.unpersist()

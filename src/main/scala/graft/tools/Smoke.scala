@@ -17,6 +17,7 @@ object Smoke {
   def main(args: Array[String]): Unit = {
     val (mode, sfDir) = args.toList match {
       case "q251" :: rest => ("q251", rest.headOption.getOrElse("/root/testdata/sf0.001"))
+      case "q242cc" :: rest => ("q242cc", rest.headOption.getOrElse("/root/testdata/sf0.1"))
       case other => ("smoke", other.headOption.getOrElse("/root/testdata/sf0.001"))
     }
     val spark = SparkSession.builder()
@@ -27,6 +28,21 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
+
+    if (mode == "q242cc") {
+      // r19 VERDICT #4 evidence: q242's connectedComponents call uses the
+      // DEFAULT localMaxEdges=1M driver union-find gate. This probe counts
+      // the LSH candidate pairs over the UNFILTERED corpus — a strict
+      // superset of q242's post-dedup edge set (dropping docs only drops
+      // pairs) — so a count <= 1M proves q242's CC runs the 3-job driver
+      // small regime, not the iterative rounds.
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val n = graft.operators.NearDup.minhashLshPairs(docs, col("doc_id"),
+        col("text"), n = 3, bands = 16, rowsPerBand = 2, threshold = 0.8).count()
+      println(s"q242cc: LSH pair upper bound on $sfDir = $n (gate 1000000)")
+      spark.stop()
+      return
+    }
 
     if (mode == "q251") {
       println(s"== q251 coarse-ceiling sweep on $sfDir ==")
